@@ -59,6 +59,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition for CPU-bound per-row operators (minhash, simhash,
+    feature extraction).
+
+    Parquet splits track *bytes* (maxPartitionBytes), so a small-but-
+    expensive input (5k docs in one row group) lands in one task and
+    serializes on one core.  For operators whose cost is dominated by
+    per-row compute rather than IO, parallelism must track cores —
+    round-robin repartition is a cheap narrow-ish shuffle of the raw
+    rows and unlocks the full executor width.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view; returns the DataFrames."""
     dfs = {}

@@ -1,0 +1,152 @@
+"""Text-analysis column expressions (north-star: LLM training-data
+pipeline operators over the `documents` table).
+
+All of these are pure Spark SQL expressions — they run inside
+whole-stage codegen on the JVM with no Python in the hot path, so they
+scale to a 100 TB corpus exactly like any built-in function.
+
+Portability: anything the DuckDB oracle must reproduce uses md5 as the
+hash primitive (identical hex output in both engines); engine-internal
+hashing (LSH bucketing) uses xxhash64, which is faster and needs no
+cross-engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and explicit so the oracle SQL can
+# restate them verbatim.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "es"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "ist", "den"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (P6 generalized:
+    TwitterKafkaStreaming.scala:184-185 `split(" ")`)."""
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit non-negative hash: first 15 hex chars of md5.
+
+    Identical in DuckDB as CAST(concat('0x', substr(md5(x),1,15)) AS
+    BIGINT); 60 bits keeps the value inside a signed 64-bit int in both
+    engines.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for exact-dup fingerprinting: lowercase, collapse
+    internal whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (16 hex chars)."""
+    return F.substring(F.md5(normalized_text(col)), 1, 16)
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> — the unit of
+    MinHash / Jaccard near-dup detection.  Pure higher-order functions:
+    no explode, no shuffle, evaluated per-row.
+
+    The token array is bound once via a single-element transform
+    (a `let`-binding in Spark SQL's expression language) so the split
+    isn't re-evaluated per shingle.
+    """
+    return F.expr(
+        f"""
+        transform(array(split({text_col}, ' ')), toks ->
+          array_distinct(
+            CASE WHEN size(toks) >= {n}
+                 THEN transform(sequence(1, size(toks) - {n - 1}),
+                                i -> concat_ws(' ', slice(toks, i, {n})))
+                 ELSE array(concat_ws(' ', toks))
+            END))[0]
+        """
+    )
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single
+    non-space symbols each count as one token."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast(
+        "bigint"
+    )
+
+
+def _sw_ratio_expr(tokens_expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"size(filter({tokens_expr}, t -> t IN ({words}))) / "
+        f"CAST(greatest(size({tokens_expr}), 1) AS DOUBLE)"
+    )
+
+
+def language_scores(text_col: str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio columns."""
+    toks = f"split({text_col}, ' ')"
+    return {lang: F.expr(_sw_ratio_expr(toks, lang)) for lang in STOPWORDS}
+
+
+def language_id(text_col: str) -> Column:
+    """Heuristic language ID: argmax of stopword-hit ratios, 'und' when
+    no stopword of any language occurs.  Deterministic tie-break by
+    the fixed language order en, fr, es, de (strict > comparison).
+    """
+    scores = language_scores(text_col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in ("en", "fr", "es", "de"):
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text_col: str) -> Column:
+    """Composite quality score in [0,1]: length band + mean word length
+    band + non-alnum ratio penalty.  Mirrors the shape of public
+    LLM-data quality filters (length/punct/stopword heuristics).
+    """
+    toks = f"split({text_col}, ' ')"
+    n_tok = f"size({toks})"
+    mean_wl = (
+        f"aggregate({toks}, 0L, (a, t) -> a + length(t)) /"
+        f" CAST(greatest({n_tok}, 1) AS DOUBLE)"
+    )
+    non_alnum = (
+        f"(length({text_col}) - length(regexp_replace({text_col},"
+        f" '[^A-Za-z0-9 ]', ''))) / CAST(greatest(length({text_col}), 1) AS DOUBLE)"
+    )
+    return F.round(
+        F.expr(
+            f"""
+            (CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 0.4
+                  WHEN {n_tok} BETWEEN 3 AND 2000 THEN 0.2
+                  ELSE 0.0 END)
+            + (CASE WHEN {mean_wl} BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.1 END)
+            + (CASE WHEN {non_alnum} < 0.1 THEN 0.3
+                    WHEN {non_alnum} < 0.3 THEN 0.15
+                    ELSE 0.0 END)
+            """
+        ),
+        4,
+    )

@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched pandas iterators
+(mapInPandas) — the north-star multimodal plumbing.
+
+The Spark-side architecture is real and tested: schemas, batch
+iteration, partition-preserving transforms.  The actual codec work
+(JPEG decode, resampling, frame extraction) depends on image/audio
+libraries that are NOT in this container, so each codec is an
+injectable function; the default implementations are clearly-marked
+deterministic fakes (so the pipeline is end-to-end testable) and
+`strict=True` switches them to NotImplementedError.
+
+At 100 TB the shape matters more than the codec: binary payloads never
+pass through Python row-at-a-time (Arrow batches only), metadata
+columns stay in the JVM for filtering/partition pruning, and the
+per-batch model keeps executor memory bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("feature_hash", LongType(), True),
+    ]
+)
+
+
+def _fake_image_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic fake decoder: derives dimensions and a feature
+    hash from the payload bytes.  STUB — a real deployment injects a
+    PIL/libjpeg-backed decoder with the same return contract."""
+    if payload is None:
+        return {"width": None, "height": None, "feature_hash": None}
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) % (1 << 60)
+    return {
+        "width": 1 + h % 4096,
+        "height": 1 + (h >> 12) % 4096,
+        "feature_hash": h,
+    }
+
+
+def decode_images(
+    media: DataFrame,
+    decoder: Callable[[bytes], dict[str, Any]] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode/feature-extract an image binary column via mapInPandas.
+
+    Arrow moves each partition through Python in columnar batches; the
+    decoder runs per-payload inside the batch loop.  ``strict=True``
+    raises NotImplementedError instead of using the fake decoder —
+    marking the codec boundary this container can't cross.
+    """
+    if strict and decoder is None:
+        raise NotImplementedError(
+            "real image decoding needs an injected decoder (PIL/ffmpeg "
+            "are not available in this environment)"
+        )
+    decode = decoder or _fake_image_decode
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **pd.DataFrame(
+                        [decode(p) for p in pdf["payload"]]
+                    ).to_dict("series"),
+                }
+            )
+            yield out[["media_id", "width", "height", "feature_hash"]]
+
+    return media.where("kind = 'image'").mapInPandas(
+        _batches, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_nth: int = 30,
+    extractor: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame.
+
+    The default extractor is a deterministic fake that slices the
+    payload (STUB — real deployments inject an ffmpeg-backed extractor
+    with the same (payload, every_nth) -> list[frame_bytes] contract).
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_no", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def _fake_extract(payload: bytes, n: int) -> list[bytes]:
+        if not payload:
+            return []
+        step = max(1, len(payload) // 4)
+        return [payload[i : i + step] for i in range(0, len(payload), step)][:4]
+
+    extract = extractor or _fake_extract
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, frame in enumerate(extract(payload, every_nth)):
+                    rows.append((mid, i, frame))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "frame"]
+            )
+
+    return media.where("kind = 'video'").mapInPandas(_batches, out_schema)

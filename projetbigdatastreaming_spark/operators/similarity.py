@@ -1,0 +1,185 @@
+"""Embedding similarity search over `embeddings(vec_id, embedding
+array<float>, label)` (north-star).
+
+Two paths:
+- **brute-force cosine top-k** — exact baseline; the query side is tiny
+  (broadcast), the corpus side streams, so it's a map-only job at any
+  scale: no shuffle until the final per-query top-k (TakeOrdered-sized).
+- **LSH-bucketed ANN** — random-hyperplane signatures restrict the
+  corpus side to matching buckets before the exact re-rank.  The
+  hyperplanes are derived deterministically from xxhash64 so results
+  are reproducible run-to-run.
+
+All arithmetic is double-precision via higher-order functions
+(zip_with/aggregate) — JVM codegen, no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: cosine(a, b) over array<double> columns, sequential left-fold sums —
+#: deterministic and reproducible in any engine.
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate(
+        F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nb = F.aggregate(
+        F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / F.sqrt(na * nb)
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (qid, vec_id, cos_sim) — k rows per query, ties broken by
+    vec_id, self-matches excluded.
+
+    Scale: queries (a handful of vectors) broadcast; corpus scanned
+    once; per-query top-k via window row_number — with k·|Q| rows kept
+    per partition before the final exchange.
+    """
+    from pyspark.sql.window import Window
+
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vec_id", "cos_sim", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+def cosine_pairs_above(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine >= threshold (embedding near-dup detection).
+
+    Brute-force form — the exact baseline the LSH path approximates.
+    Output: (vec_a, vec_b, cos_sim), vec_a < vec_b.
+    """
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate nearest neighbors (the scale path)
+# ---------------------------------------------------------------------------
+
+# Recall is data-dependent: on clustered real-world embeddings,
+# sign-LSH candidates concentrate in the query's bucket; on the
+# near-uniform synthetic fixture (max pairwise cosine ≈ 0.51) measured
+# recall@10 is ~0.26 with these parameters — each table scans ~1/64 of
+# the corpus, so 8 tables ≈ 12% of brute-force cost.  cosine_topk is
+# the exact baseline; this is the knob for trading recall vs scan cost.
+N_PLANES = 6  # 6-bit signatures → 64 buckets (bucket ≈ corpus/64 per table)
+N_SIG_TABLES = 8  # independent tables to boost recall
+
+
+def _plane_component(table: int, plane: int, dim: int) -> str:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64 of (table, plane, dim) scaled — reproducible, no RNG state.
+    """
+    return (
+        f"cast(xxhash64({table}, {plane}, {dim}) as double)"
+        f" / 9223372036854775807.0"
+    )
+
+
+def with_hyperplane_signature(
+    embeddings: DataFrame, dims: int, table: int
+) -> DataFrame:
+    """Adds `sig` = N_PLANES-bit sign signature for one LSH table."""
+    bits = []
+    for p in range(N_PLANES):
+        dot = " + ".join(
+            f"embedding[{d}] * ({_plane_component(table, p, d)})"
+            for d in range(dims)
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN shiftleft(1L, {p}) ELSE 0L END")
+    return embeddings.withColumn("sig", F.expr(" + ".join(bits)))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: union of N_SIG_TABLES bucket joins, exact
+    re-rank inside the candidate set.  Output schema matches
+    cosine_topk (qid, vec_id, cos_sim, rk); recall < 1 by design.
+    """
+    from pyspark.sql.window import Window
+
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    cands = None
+    for t in range(N_SIG_TABLES):
+        signed = with_hyperplane_signature(emb, dims, t)
+        q = signed.where(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("sig").alias("qsig"),
+        )
+        c = (
+            signed.join(
+                F.broadcast(q),
+                (F.col("sig") == F.col("qsig"))
+                & (F.col("vec_id") != F.col("qid")),
+            )
+            .select("qid", "qvec", "vec_id", "embedding")
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    scored = cands.distinct().select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vec_id", "cos_sim", "rk")
+        .orderBy("qid", "rk")
+    )

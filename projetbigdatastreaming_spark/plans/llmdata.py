@@ -1,0 +1,323 @@
+"""North-star LLM-training-data queries over `documents` / `embeddings`:
+text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+and embedding similarity search — each paired with a DuckDB brute-force
+oracle where the semantics are SQL-expressible.
+
+The engine-side implementations use LSH candidate pruning (scalable);
+every emitted pair is exact-verified, so outputs match the oracle's
+all-pairs scan on deterministic data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+from ..operators import dedup, similarity
+from .registry import QuerySpec
+
+#: fixed query vectors for the top-k searches (first five vec_ids)
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+TOPK = 10
+COSINE_PAIR_THRESHOLD = 0.45
+JACCARD_THRESHOLD = 0.8
+
+
+# -- text analysis ----------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) and content
+    fingerprint (md5 of normalized text)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_tokens_bpe,
+       substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+         AS fp
+FROM documents
+"""
+
+
+def _sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def q_language_id(spark, sf_dir):
+    """Heuristic stopword-ratio language ID vs the labeled lang column."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+SQL_LANGUAGE_ID = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         len(list_filter(str_split(text,' '), t -> t IN ({_sw_list('en')})))
+           / CAST(greatest(len(str_split(text,' ')), 1) AS DOUBLE) AS r_en,
+         len(list_filter(str_split(text,' '), t -> t IN ({_sw_list('fr')})))
+           / CAST(greatest(len(str_split(text,' ')), 1) AS DOUBLE) AS r_fr,
+         len(list_filter(str_split(text,' '), t -> t IN ({_sw_list('es')})))
+           / CAST(greatest(len(str_split(text,' ')), 1) AS DOUBLE) AS r_es,
+         len(list_filter(str_split(text,' '), t -> t IN ({_sw_list('de')})))
+           / CAST(greatest(len(str_split(text,' ')), 1) AS DOUBLE) AS r_de
+  FROM documents)
+SELECT lang,
+       CASE WHEN r_en > 0 AND r_en >= greatest(r_fr, r_es, r_de) THEN 'en'
+            WHEN r_fr > 0 AND r_fr >= greatest(r_es, r_de) THEN 'fr'
+            WHEN r_es > 0 AND r_es >= r_de THEN 'es'
+            WHEN r_de > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred,
+       COUNT(*) AS n
+FROM r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite quality score (length / word-length / punctuation)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH m AS (
+  SELECT doc_id,
+         len(str_split(text, ' ')) AS n_tok,
+         list_aggregate(list_transform(str_split(text, ' '),
+                                       t -> length(t)), 'sum')
+           / CAST(greatest(len(str_split(text, ' ')), 1) AS DOUBLE) AS mean_wl,
+         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS non_alnum
+  FROM documents)
+SELECT doc_id,
+       ROUND((CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 0.4
+                   WHEN n_tok BETWEEN 3 AND 2000 THEN 0.2
+                   ELSE 0.0 END)
+             + (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.1 END)
+             + (CASE WHEN non_alnum < 0.1 THEN 0.3
+                     WHEN non_alnum < 0.3 THEN 0.15
+                     ELSE 0.0 END), 4) AS quality
+FROM m
+"""
+
+
+# -- dedup ------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicate_groups(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("keep_doc_id")
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+         AS fp,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_doc_id
+"""
+
+#: DuckDB word-3-gram shingle set (list comprehension; <3-word docs
+#: fall back to the whole text, matching word_shingles()).
+_DUCK_SHINGLES = """
+  SELECT doc_id,
+         CASE WHEN len(str_split(text, ' ')) >= 3
+              THEN list_distinct([
+                     str_split(text,' ')[i] || ' ' ||
+                     str_split(text,' ')[i+1] || ' ' ||
+                     str_split(text,' ')[i+2]
+                     for i in range(1, len(str_split(text,' ')) - 1)])
+              ELSE [text] END AS sh
+  FROM documents
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH sh AS ({_DUCK_SHINGLES})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.sh, b.sh))
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_minhash_drops(spark, sf_dir):
+    return dedup.minhash_dedup_drops(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+SQL_MINHASH_DROPS = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD})
+SELECT doc_b AS drop_doc_id, MIN(doc_a) AS kept_doc_id
+FROM pairs
+GROUP BY doc_b
+ORDER BY drop_doc_id
+"""
+
+
+def q_ngram_jaccard_bruteforce(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard (the non-LSH baseline) — same
+    output as the MinHash path, computed without candidate pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", dedup.word_shingles("text").alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_duplicates(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM tok),
+bits AS (
+  SELECT doc_id, r.range AS b,
+         SUM(CASE WHEN (h >> CAST(r.range AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM h, range({dedup.SIMHASH_BITS}) r
+  GROUP BY doc_id, r.range),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0
+                       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+# -- embedding similarity ---------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, TOPK
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(q.qvec,
+               CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rk
+  FROM scored)
+SELECT qid, vec_id, cos_sim, rk
+FROM ranked WHERE rk <= {TOPK}
+ORDER BY qid, rk
+"""
+
+
+def q_cosine_pairs(spark, sf_dir):
+    return similarity.cosine_pairs_above(
+        load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
+    )
+
+
+SQL_COSINE_PAIRS = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      CAST(b.embedding AS DOUBLE[])) >= {COSINE_PAIR_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate (LSH-bucketed) top-k — no SQL oracle by design
+    (recall < 1); driver records rows-only."""
+    return similarity.ann_topk_lsh(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, TOPK
+    )
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS),
+    "text_language_id": QuerySpec(q_language_id, SQL_LANGUAGE_ID),
+    "text_quality": QuerySpec(q_quality_score, SQL_QUALITY_SCORE),
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_pairs": QuerySpec(q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "dedup_minhash_drops": QuerySpec(q_minhash_drops, SQL_MINHASH_DROPS),
+    "dedup_ngram_jaccard": QuerySpec(
+        q_ngram_jaccard_bruteforce, SQL_MINHASH_PAIRS
+    ),
+    "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "emb_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
+    "emb_cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS),
+    "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, None),
+}

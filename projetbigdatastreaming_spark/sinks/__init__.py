@@ -1,0 +1,1 @@
+"""Sinks (K1-K6)."""

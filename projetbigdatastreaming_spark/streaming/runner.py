@@ -1,0 +1,154 @@
+"""Structured Streaming pipeline runner.
+
+Re-expresses the reference's DStream choreography on Structured
+Streaming (SURVEY.md §2.7):
+
+- ST1 micro-batch trigger       → .trigger(processingTime=...)
+- ST2 foreachRDD                → foreachBatch(fn)
+- ST3/ST4 manual offset commit  → checkpointLocation (automatic,
+  end-to-end exactly-once with a replayable source + idempotent sink;
+  the reference's commitAsync choreography at
+  ConsommationStreaming.scala:104-106 / IndicateursStreaming.scala:91-93
+  collapses into this)
+- ST5 driver checkpoint/recovery → same checkpointLocation on restart
+- ST8 empty-window heartbeat     → empty-batch branch in foreachBatch
+  (IndicateursStreaming.scala:64-75)
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+logger = logging.getLogger("projetbigdatastreaming_spark.streaming")
+
+#: the reference's empty-window marker text (IndicateursStreaming.scala:67)
+EMPTY_WINDOW_MARKER = (
+    "Aucun évenement n'a été receptionné dans le quart d'heure"
+)
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_seconds: int | None = 15,
+    available_now: bool = False,
+    query_name: str = "pipeline",
+) -> StreamingQuery:
+    """ST1+ST2: run a streaming DataFrame through a per-batch callable.
+
+    ``trigger_seconds`` mirrors the reference's batch durations (2 s /
+    15 s / 600 s); ``available_now=True`` drains everything currently
+    available then stops — the batch-replay mode used by tests.
+    """
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def kpi_batch_writer(
+    output_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    marker_schema: str = "libelle string",
+) -> Callable[[DataFrame, int], None]:
+    """Builds the reference KPI pipeline's per-batch behavior
+    (IndicateursStreaming.scala:48-103): empty batch → write marker row;
+    else transform, cache, append to CSV-compatible output.
+
+    The returned function is idempotent per (batch_id) directory, so a
+    replayed batch after failure overwrites rather than duplicates —
+    which is what upgrades at-least-once delivery to effective
+    exactly-once on a file sink.
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            marker = spark.createDataFrame(
+                [(EMPTY_WINDOW_MARKER,)], marker_schema
+            )
+            (
+                marker.coalesce(1)
+                .write.mode("overwrite")
+                .csv(f"{output_dir}/empty_marker", header=True)
+            )
+            logger.info("batch %s: empty window, marker written", batch_id)
+            return
+        kpis = transform(batch_df)
+        kpis.cache()  # reference parity: IndicateursStreaming.scala:80
+        try:
+            (
+                kpis.coalesce(1)
+                .write.mode("overwrite")
+                .csv(f"{output_dir}/batch_id={batch_id}", header=True)
+            )
+            logger.info("batch %s: %s KPI rows", batch_id, kpis.count())
+        finally:
+            kpis.unpersist()
+
+    return _fn
+
+
+def streaming_quarter_hour_kpis(
+    events_stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """The flagship KPI query as an *incremental* streaming plan:
+    identical transformation chain to plans/kpi.quarter_hour_kpis but
+    with an event-time watermark (ST10 — the semantics upgrade over the
+    reference flagged in SURVEY.md §7) so state for closed quarter-hour
+    windows is evicted instead of growing forever.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.kpi import ENGAGED_THRESHOLD, FLAGSHIP_EVENT_TYPES
+    from ..schemas import EVENT_PROPS_SCHEMA
+
+    # Structured Streaming watermarks require TIMESTAMP (with local
+    # timezone), not TIMESTAMP_NTZ — cast in, and cast the window
+    # bounds back to NTZ so output matches the batch plan exactly.
+    # The engine session pins spark.sql.session.timeZone=UTC, making
+    # both casts wall-clock identities.
+    parsed = (
+        events_stream.where(F.col("event_type").isin(*FLAGSHIP_EVENT_TYPES))
+        .withColumn("props_struct", F.from_json(F.col("props"), EVENT_PROPS_SCHEMA))
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("props_struct.k").alias("k"),
+        )
+    )
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), "15 minutes").alias("w"))
+        .agg(
+            F.count("event_id").alias("event_count"),
+            F.sum(
+                F.when(F.col("k") > ENGAGED_THRESHOLD, 1).otherwise(0)
+            ).alias("engaged_count"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("event_date"),
+            F.concat(
+                F.date_format("w.start", "HH:mm"),
+                F.lit(" - "),
+                F.date_format("w.end", "HH:mm"),
+            ).alias("quarter_label"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("event_count"),
+            F.col("engaged_count"),
+            F.round(
+                F.col("engaged_count") * 100.0 / F.col("event_count"), 2
+            ).alias("engagement_pct"),
+        )
+    )

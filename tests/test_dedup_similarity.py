@@ -1,0 +1,118 @@
+"""Dedup and similarity operator tests (north-star extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from projetbigdatastreaming_spark.catalog import load_table
+from projetbigdatastreaming_spark.operators import dedup, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog and runs far away tonight"
+)
+OTHER = "completely different words about spark query engines and shuffles"
+
+
+def test_exact_duplicate_groups(spark):
+    docs = _docs(spark, [BASE, BASE + " ", "  THE  quick brown fox jumps over the lazy dog and runs far away today", OTHER])
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    by_keep = {r.keep_doc_id: r.n_copies for r in groups}
+    # normalization folds case/whitespace: docs 0,1,2 collapse
+    assert by_keep == {0: 3, 3: 1}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = _docs(spark, [BASE, NEAR, OTHER])
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
+    assert 0.5 <= pairs[0].jaccard < 1.0
+    drops = dedup.minhash_dedup_drops(docs, threshold=0.5).collect()
+    assert [(d.drop_doc_id, d.kept_doc_id) for d in drops] == [(1, 0)]
+
+
+def test_simhash_near_duplicates(spark):
+    docs = _docs(spark, [BASE, NEAR, OTHER])
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=10).collect()
+    assert any((p.doc_a, p.doc_b) == (0, 1) for p in pairs)
+    assert not any(
+        (p.doc_a, p.doc_b) in {(0, 2), (1, 2)} for p in pairs
+    )
+
+
+def test_simhash_identical_texts_distance_zero(spark):
+    docs = _docs(spark, [BASE, BASE])
+    hashed = dedup.with_simhash(docs).collect()
+    assert hashed[0].simhash == hashed[1].simhash
+    assert hashed[0].simhash >= 0  # 60-bit: never negative
+
+
+def test_lsh_candidates_subset_property(spark, sf_dir):
+    """Every verified pair must also be found by the brute-force
+    verifier — LSH can only prune, not invent."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    signed = dedup.with_minhash_signature(docs)
+    lsh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_verify(
+            dedup.lsh_candidate_pairs(signed), signed, 0.8
+        ).collect()
+    }
+    sh = signed.select("doc_id", "shingles")
+    from pyspark.sql import functions as F
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("j"),
+        )
+        .where(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert lsh_pairs == brute
+
+
+def test_cosine_topk_properties(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, [0, 1], k=5).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.vec_id != r.qid
+        assert -1.0001 <= r.cos_sim <= 1.0001
+    # ranks are 1..5 per query, scores non-increasing
+    for qid in (0, 1):
+        rows = [r for r in out if r.qid == qid]
+        assert [r.rk for r in rows] == [1, 2, 3, 4, 5]
+        scores = [r.cos_sim for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_results_are_valid_neighbors(spark, sf_dir):
+    """ANN output must be a subset of valid (non-self) neighbors with
+    correctly computed cosine (spot-check against the exact scorer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in similarity.cosine_topk(emb, [0], k=1000).collect()
+    }
+    ann = similarity.ann_topk_lsh(emb, [0], k=10).collect()
+    assert ann, "LSH returned no candidates"
+    for r in ann:
+        assert exact[(r.qid, r.vec_id)] == r.cos_sim

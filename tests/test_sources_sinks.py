@@ -1,0 +1,108 @@
+"""Source/sink tests (S1-S9, K1-K6): option plumbing for Kafka (no
+broker in the container), real runs for file/rate/memory/console."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from projetbigdatastreaming_spark.schemas import INVOICE_SCHEMA
+from projetbigdatastreaming_spark.sinks import files as fsink
+from projetbigdatastreaming_spark.sinks import kafka as ksink
+from projetbigdatastreaming_spark.sources import files as fsrc
+from projetbigdatastreaming_spark.sources import kafka as ksrc
+
+
+def test_kafka_consumer_options():
+    opts = ksrc.consumer_options(
+        "broker:9092",
+        ["t1", "t2"],
+        starting_offsets="earliest",
+        group_id_prefix="g1",
+        max_offsets_per_trigger=10000,
+        security={"security.protocol": "SASL_PLAINTEXT"},
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    assert opts["kafka.security.protocol"] == "SASL_PLAINTEXT"
+    prod = ksrc.prod_consumer_options("b:9092")
+    assert prod["subscribe"] == "orderline"
+    assert prod["startingOffsets"] == "earliest"
+
+
+def test_kafka_producer_options():
+    eo = ksink.producer_options_exactly_once("b:9092")
+    assert eo["kafka.enable.idempotence"] == "true"
+    assert eo["kafka.acks"] == "all"
+    assert eo["kafka.retries"] == "3"
+    prod = ksink.producer_options_prod("b:9092")
+    assert prod["kafka.batch.size"] == "16384"
+    assert prod["kafka.linger.ms"] == "100"
+    assert prod["kafka.compression.type"] == "gzip"
+
+
+def test_kafka_payload_shaping(spark):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    keyed = ksink.to_kafka_payload(df, key_col="a")
+    assert keyed.columns == ["key", "value"]
+    rows = {r.key: r.value for r in keyed.collect()}
+    assert rows["1"] == '{"a":1,"b":"x"}'
+    keyless = ksink.to_kafka_payload(df, value_cols=["b"])
+    assert keyless.columns == ["value"]
+    assert {r.value for r in keyless.collect()} == {'{"b":"x"}', '{"b":"y"}'}
+
+
+def test_csv_spooldir_stream(spark, tmp_path):
+    """S7: CSV files landing in a watched directory become micro-batches
+    with the invoice schema."""
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "order_test.csv").write_text(
+        "id,InvoiceNo,StockCode,Description,Quantity,InvoiceDate,"
+        "UnitPrice,CustomerID,Country,InvoiceTimestamp\n"
+        "1,INV1,SC1,widget,5,2021-05-03,9.99,C1,FR,2021-05-03 10:00:00\n"
+        "2,INV2,SC2,gadget,1,2021-05-04,5.00,C2,DE,2021-05-04 11:30:00\n"
+    )
+    stream = fsrc.csv_spooldir_stream(spark, str(spool))
+    assert stream.isStreaming
+    # file sources force nullable=True on every field; names and types
+    # must survive exactly
+    assert [(f.name, f.dataType) for f in stream.schema.fields] == [
+        (f.name, f.dataType) for f in INVOICE_SCHEMA.fields
+    ]
+    q = fsink.stream_to_memory(stream, "invoices_mem")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT id, InvoiceNo, Country FROM invoices_mem ORDER BY id"
+    ).collect()
+    assert [(r.id, r.InvoiceNo, r.Country) for r in rows] == [
+        (1, "INV1", "FR"),
+        (2, "INV2", "DE"),
+    ]
+
+
+def test_literal_source_marker(spark):
+    """S9: the single-row marker DataFrame."""
+    df = fsrc.literal_source(spark, [("no events",)], "libelle string")
+    assert df.collect()[0].libelle == "no events"
+
+
+def test_csv_roundtrip_single_file(spark, tmp_path):
+    """K4/K5: single-file CSV write (reference's coalesce(1)) reads back."""
+    df = spark.createDataFrame(
+        [Row(d=datetime.date(2024, 1, 1), n=3)]
+    )
+    out = str(tmp_path / "csvout")
+    fsink.write_csv(df, out, mode="overwrite", single_file=True)
+    back = spark.read.csv(out, header=True).collect()
+    assert back[0].d == "2024-01-01" and back[0].n == "3"
+
+
+def test_rate_source_constructs(spark):
+    stream = fsrc.rate_stream(spark, rows_per_second=5)
+    assert stream.isStreaming
+    assert set(stream.columns) == {"timestamp", "value"}

@@ -1,0 +1,142 @@
+"""Structured Streaming tests (SURVEY.md §5.3): micro-batched flagship
+KPIs through a file source, empty-batch marker, checkpoint recovery.
+
+The parquet directory source stands in for Kafka (same arrival
+semantics: files land, batches form); availableNow drains synchronously.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from projetbigdatastreaming_spark.catalog import load_table
+from projetbigdatastreaming_spark.plans.kpi import quarter_hour_kpis
+from projetbigdatastreaming_spark.sinks.files import stream_to_memory
+from projetbigdatastreaming_spark.sources.files import parquet_stream
+from projetbigdatastreaming_spark.streaming.runner import (
+    EMPTY_WINDOW_MARKER,
+    kpi_batch_writer,
+    run_foreach_batch,
+    streaming_quarter_hour_kpis,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Copy fixture events (post ns→µs conversion) into a spool dir."""
+    out = str(tmp_path / "events_in")
+    load_table(spark, sf_dir, "events").write.parquet(out)
+    return out
+
+
+def _events_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def test_streaming_kpis_match_batch(spark, sf_dir, events_dir, tmp_path):
+    """The streaming plan over a drained file source must equal the
+    batch flagship query on the same rows (the core Structured
+    Streaming promise: one transformation, two execution modes)."""
+    stream = parquet_stream(spark, events_dir, _events_schema(spark, events_dir))
+    agg = streaming_quarter_hour_kpis(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("kpis_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_count, r.engaged_count, r.engagement_pct)
+        for r in spark.sql("SELECT * FROM kpis_stream").collect()
+    }
+    want = {
+        (r.window_start, r.event_count, r.engaged_count, r.engagement_pct)
+        for r in quarter_hour_kpis(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_writes_and_recovers(spark, events_dir, tmp_path):
+    """ST2+ST5: foreachBatch KPI writer produces CSV; restarting from
+    the same checkpoint reprocesses nothing (exactly-once)."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = parquet_stream(spark, events_dir, _events_schema(spark, events_dir))
+    writer = kpi_batch_writer(out_dir, quarter_hour_kpis)
+    q = run_foreach_batch(
+        stream, writer, ckpt, available_now=True, query_name="kpi_fb"
+    )
+    q.awaitTermination(120)
+    batches = [d for d in os.listdir(out_dir) if d.startswith("batch_id=")]
+    assert batches, "no batch output written"
+    first_run = {
+        d: sorted(os.listdir(os.path.join(out_dir, d))) for d in batches
+    }
+
+    # restart from the same checkpoint: nothing new to process
+    stream2 = parquet_stream(spark, events_dir, _events_schema(spark, events_dir))
+    q2 = run_foreach_batch(
+        stream2, writer, ckpt, available_now=True, query_name="kpi_fb2"
+    )
+    q2.awaitTermination(120)
+    batches2 = [d for d in os.listdir(out_dir) if d.startswith("batch_id=")]
+    assert sorted(batches2) == sorted(first_run)
+
+
+def test_empty_batch_marker(spark, tmp_path):
+    """ST8: an empty micro-batch writes the reference's French marker
+    row (IndicateursStreaming.scala:64-75)."""
+    out_dir = str(tmp_path / "out_empty")
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    writer = kpi_batch_writer(out_dir, quarter_hour_kpis)
+    writer(empty, 0)
+    marker = spark.read.csv(
+        f"{out_dir}/empty_marker", header=True
+    ).collect()
+    assert marker[0][0] == EMPTY_WINDOW_MARKER
+
+
+def test_watermark_evicts_state(spark, tmp_path):
+    """ST10: with a watermark, append-mode emits closed windows only —
+    the semantics upgrade over the reference documented in SURVEY §7."""
+    src_dir = str(tmp_path / "late_src")
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, '{"k": 60}'),
+        (2, base + datetime.timedelta(hours=2), 1, "click", 1.0, '{"k": 10}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.write.parquet(src_dir)
+    stream = parquet_stream(spark, src_dir, df.schema)
+    agg = streaming_quarter_hour_kpis(stream, watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wm_out").collect()
+    # the 10:00 window is closed by the 12:00 event and emitted; the
+    # 12:00 window stays open (not past watermark), so exactly 1 row
+    assert len(rows) == 1
+    assert rows[0].window_start == base
