@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from projetbigdatastreaming_spark.catalog import load_table
-from projetbigdatastreaming_spark.plans import kpi, llmdata, relational
+from projetbigdatastreaming_spark.plans import advanced, kpi, llmdata, relational
 from projetbigdatastreaming_spark.plans.registry import QuerySpec, merge
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -34,7 +34,9 @@ def _registry() -> dict[str, QuerySpec]:
             kpi.QUARTER_HOUR_KPIS_SQL,
         )
     }
-    return merge(kpi_reg, relational.REGISTRY, llmdata.REGISTRY)
+    return merge(
+        kpi_reg, relational.REGISTRY, llmdata.REGISTRY, advanced.REGISTRY
+    )
 
 
 #: queries bench.py times at sf0.1 — the scalable paths (the O(n²)

@@ -1,0 +1,137 @@
+"""Join operators Spark lacks natively (SURVEY.md §2.5 extensions):
+as-of join, range join, and a skew-salted equi-join.
+
+All three are pure DataFrame compositions chosen for their shuffle
+shape at scale:
+
+- **as-of**: the naive formulation (inequality theta-join + argmax) is
+  O(n·m) per key; the union-merge formulation here is one shuffle on
+  the key + one sort within partitions — the same cost as a window
+  function, and how columnar engines implement ASOF internally.
+- **range**: bucketized to turn the interval predicate into an
+  equi-join on (key, bucket) with a ±1-bucket expansion — candidate
+  pairs are O(pairs within 2 buckets), not O(n²).
+- **salted**: spreads a hot key over SALT_BUCKETS sub-keys by
+  replicating the build side; result-identical to the plain join
+  (salting changes physical distribution only).  AQE's skew-join
+  handles moderate skew automatically; explicit salting is for the
+  pathological keys AQE's splitting can't fix (one key > executor
+  memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same key
+    with right_ts < left_ts (strict; <= when strict=False).
+
+    Union-merge implementation: tag both sides, union, sort by
+    (key, ts, side), and carry the most recent right payload forward
+    with last_value(ignoreNulls) over rows-preceding.  At equal
+    timestamps the left side sorts *before* the right side, so a
+    strict as-of never sees a same-instant right row (in particular a
+    row never matches itself in a self-as-of).
+
+    One hash shuffle on `key` + one in-partition sort — no theta-join.
+    """
+    lcols = left.columns
+    side_left = 0 if strict else 2  # non-strict: left sorts after right
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(side_left).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_payload],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols
+          if c != key],
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    ).select(*lcols, "__ts", "__side", *[f"__r_{c}" for c in right_payload])
+    unioned = l_tagged.unionByName(r_tagged)
+    # tertiary sort on the first payload column makes the pick among
+    # equal-(ts) right rows deterministic
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side", f"__r_{right_payload[0]}")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.where(F.col("__side") != 1).drop("__side")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same key and
+    |left_ts - right_ts| <= max_gap_seconds.
+
+    The interval predicate becomes an equi-join on (key, bucket) after
+    assigning each right row to its bucket and expanding each left row
+    to {b-1, b, b+1} — every qualifying pair shares an expanded bucket,
+    and the exact predicate filters the ±1 false positives.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / max_gap_seconds)  # noqa: E731
+    l_exp = left.withColumn(
+        "__b", F.explode(F.array(*[bucket(left_ts) + d for d in (-1, 0, 1)]))
+    )
+    r_b = right.withColumn("__b", bucket(right_ts))
+    joined = l_exp.join(r_b, [key, "__b"]).drop("__b")
+    gap = F.abs(
+        F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts))
+    )
+    return joined.where(gap <= max_gap_seconds)
+
+
+SALT_BUCKETS = 8
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Inner equi-join on `key` with the fact side salted into
+    `salt_buckets` sub-keys and the dim side replicated once per salt.
+
+    The salt is a deterministic hash of the whole fact row's key +
+    monotonic id surrogate — it only changes which reducer handles the
+    row, never the join result.
+    """
+    fact_salted = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), salt_buckets),
+    )
+    dim_replicated = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return fact_salted.join(dim_replicated, [key, "__salt"]).drop("__salt")

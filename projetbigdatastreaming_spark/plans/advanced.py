@@ -1,0 +1,231 @@
+"""Advanced operator queries: as-of / range / salted joins, sliding
+windows (ST6/A7 parity), exact percentiles, extended scalar surface,
+and approximate sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import joins
+from .registry import QuerySpec
+
+
+def q_join_asof(spark, sf_dir):
+    """As-of join: each event paired with the user's immediately
+    preceding event (strict).  Spark has no native ASOF; this is the
+    union-merge operator (operators/joins.py) — DuckDB's native
+    ASOF JOIN is the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    out = joins.asof_join(
+        events,
+        events,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("prev_event_id"),
+    ).orderBy("event_id")
+
+
+SQL_JOIN_ASOF = """
+SELECT e.event_id, e.user_id, o.event_id AS prev_event_id
+FROM events e
+ASOF LEFT JOIN events o
+  ON e.user_id = o.user_id AND e.ts > o.ts
+ORDER BY e.event_id
+"""
+
+
+def q_join_range(spark, sf_dir):
+    """Range join: pairs of events from the same user within 120 s of
+    each other — bucketized equi-join, not an O(n²) theta join."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    right = (
+        events.withColumnRenamed("event_id", "event_b")
+        .withColumnRenamed("ts", "ts_b")
+    )
+    out = joins.bucketed_range_join(
+        events, right, key="user_id", left_ts="ts", right_ts="ts_b",
+        max_gap_seconds=120,
+    )
+    return (
+        out.where(F.col("event_id") < F.col("event_b"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("event_a"),
+            "event_b",
+            (F.unix_timestamp("ts_b") - F.unix_timestamp("ts")).alias(
+                "gap_seconds"
+            ),
+        )
+        .orderBy("event_a", "event_b")
+    )
+
+
+SQL_JOIN_RANGE = """
+-- floor(epoch(ts)) matches Spark unix_timestamp()'s per-timestamp
+-- truncation to whole seconds (epoch() alone keeps the µs fraction)
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(floor(epoch(b.ts)) - floor(epoch(a.ts))) <= 120
+ORDER BY event_a, event_b
+"""
+
+
+def q_join_salted(spark, sf_dir):
+    """Skew-salted fact⋈dim join — result-identical to the plain join
+    (the oracle is the unsalted SQL); the salt only spreads hot keys
+    across reducers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    out = joins.salted_join(li, orders, key="l_orderkey")
+    return (
+        out.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_JOIN_SALTED = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_window_sliding(spark, sf_dir):
+    """ST6/A7 parity: 3-minute sliding window (1-minute slide) event
+    counts per type — the reference's dstream.window(Minutes(3))
+    (TwitterKafkaStreaming.scala:186) in its batch form."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "3 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_WINDOW_SLIDING = """
+SELECT time_bucket(INTERVAL '1 minute', ts)
+         - (r.range * INTERVAL '1 minute') AS window_start,
+       event_type, COUNT(*) AS n
+FROM events, range(3) r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles + median of order totals per
+    priority (the reference has no quantiles; standard OLAP surface)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
+            F.round(F.median("o_totalprice"), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(median(o_totalprice), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_scalar_functions2(spark, sf_dir):
+    """Extended scalar surface: regex extract/replace, string
+    manipulation, date arithmetic and parts."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(
+            F.to_date(F.lit("2002-01-01")), F.to_date("o_orderdate")
+        ).alias("age_days"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)-", 1).alias("prio_num"),
+        F.regexp_replace("o_orderpriority", r"[^A-Z]", "").alias("prio_word"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_pad"),
+        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+        F.length(F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")))
+        .alias("prio_len"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS2 = r"""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS INTEGER) AS age_days,
+       regexp_extract(o_orderpriority, '^(\d+)-', 1) AS prio_num,
+       regexp_replace(o_orderpriority, '[^A-Z]', '', 'g') AS prio_word,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_pad,
+       reverse(o_orderstatus) AS status_rev,
+       CAST(length(replace(o_orderpriority, '-', '_')) AS INTEGER) AS prio_len
+FROM orders
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Approximate sketches: HLL distinct counts + approximate
+    quantiles per event type.  No SQL oracle — the sketch algorithms
+    differ across engines by design; accuracy is asserted in pytest
+    against exact values (±5%)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "join_asof": QuerySpec(q_join_asof, SQL_JOIN_ASOF),
+    "join_range": QuerySpec(q_join_range, SQL_JOIN_RANGE),
+    "join_salted": QuerySpec(q_join_salted, SQL_JOIN_SALTED),
+    "window_sliding": QuerySpec(q_window_sliding, SQL_WINDOW_SLIDING),
+    "percentiles": QuerySpec(q_percentiles, SQL_PERCENTILES),
+    "scalar_functions2": QuerySpec(q_scalar_functions2, SQL_SCALAR_FUNCTIONS2),
+    "approx_distinct": QuerySpec(q_approx_distinct, None),
+}
