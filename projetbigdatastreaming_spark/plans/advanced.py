@@ -220,7 +220,131 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_sql_grouping_sets(spark, sf_dir):
+    """SQL-string entry point (the reference's ss.sql(...) path,
+    ConsommationStreaming.scala:87-90) + GROUPING SETS, which neither
+    cube nor rollup expresses."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+SQL_SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+def q_kafka_json_roundtrip(spark, sf_dir):
+    """Producer→consumer JSON parity: shape rows into the Kafka payload
+    (to_json of a struct — the producer side, ProducerKafa_Prod.scala:
+    76-86) and parse them back with from_json against an explicit
+    schema (the consumer side, ConsommationStreaming.scala:96) —
+    asserting the roundtrip preserves values."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    payload_schema = StructType(
+        [
+            StructField("orderid", LongType()),
+            StructField("status", StringType()),
+            StructField("totalprice", DoubleType()),
+        ]
+    )
+    payload = orders.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("orderid"),
+                F.col("o_orderstatus").alias("status"),
+                F.round("o_totalprice", 2).alias("totalprice"),
+            )
+        ).alias("value")
+    )
+    parsed = payload.withColumn(
+        "j", F.from_json("value", payload_schema)
+    )
+    return (
+        parsed.select("j.orderid", "j.status", "j.totalprice")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("totalprice"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
+SQL_KAFKA_JSON_ROUNDTRIP = """
+WITH payload AS (
+  SELECT to_json(struct_pack(orderid := o_orderkey,
+                             status := o_orderstatus,
+                             totalprice := ROUND(o_totalprice, 2))) AS value
+  FROM orders),
+parsed AS (
+  SELECT CAST(json_extract(value, '$.orderid') AS BIGINT) AS orderid,
+         json_extract_string(value, '$.status') AS status,
+         CAST(json_extract(value, '$.totalprice') AS DOUBLE) AS totalprice
+  FROM payload)
+SELECT status, COUNT(*) AS n, ROUND(SUM(totalprice), 2) AS total
+FROM parsed
+GROUP BY status
+ORDER BY status
+"""
+
+
+def q_keyword_filter(spark, sf_dir):
+    """P10: keyword/track filtering (HBC trackTerms / FilterQuery.track,
+    TwitterKafkaStreaming.scala:57-58,148-149) as pushdown-style
+    contains/rlike predicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(
+            F.col("text").contains("spark")
+            | F.col("text").rlike(r"\bstream(ing)?\b")
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_KEYWORD_FILTER = r"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE text LIKE '%spark%' OR regexp_matches(text, '\bstream(ing)?\b')
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "sql_grouping_sets": QuerySpec(q_sql_grouping_sets, SQL_SQL_GROUPING_SETS),
+    "kafka_json_roundtrip": QuerySpec(
+        q_kafka_json_roundtrip, SQL_KAFKA_JSON_ROUNDTRIP
+    ),
+    "keyword_filter": QuerySpec(q_keyword_filter, SQL_KEYWORD_FILTER),
     "join_asof": QuerySpec(q_join_asof, SQL_JOIN_ASOF),
     "join_range": QuerySpec(q_join_range, SQL_JOIN_RANGE),
     "join_salted": QuerySpec(q_join_salted, SQL_JOIN_SALTED),

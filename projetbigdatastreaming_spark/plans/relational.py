@@ -186,7 +186,9 @@ FROM events
 def q_quarter_hour_case(spark, sf_dir):
     """A4 exact parity: the reference's CASE-based quarter-hour label
     (IndicateursStreaming.scala:160-165), reproduced with when/otherwise
-    instead of window() — same "HH:00 - HH:15" label strings.
+    instead of window() — same label strings, including the reference's
+    actual ":45 - HH:60" spelling for the last bucket (the code emits
+    "60", not the "59" its comment claims).
     """
     ev = _t(spark, sf_dir, "events")
     h = F.date_format("ts", "HH")
@@ -195,7 +197,7 @@ def q_quarter_hour_case(spark, sf_dir):
         F.when(m < 15, F.concat(h, F.lit(":00 - "), h, F.lit(":15")))
         .when(m < 30, F.concat(h, F.lit(":15 - "), h, F.lit(":30")))
         .when(m < 45, F.concat(h, F.lit(":30 - "), h, F.lit(":45")))
-        .otherwise(F.concat(h, F.lit(":45 - "), h, F.lit(":59")))
+        .otherwise(F.concat(h, F.lit(":45 - "), h, F.lit(":60")))
     )
     return (
         ev.select(label.alias("quart_heure"))
@@ -210,7 +212,7 @@ SELECT CASE
          WHEN minute(ts) < 15 THEN strftime(ts,'%H') || ':00 - ' || strftime(ts,'%H') || ':15'
          WHEN minute(ts) < 30 THEN strftime(ts,'%H') || ':15 - ' || strftime(ts,'%H') || ':30'
          WHEN minute(ts) < 45 THEN strftime(ts,'%H') || ':30 - ' || strftime(ts,'%H') || ':45'
-         ELSE strftime(ts,'%H') || ':45 - ' || strftime(ts,'%H') || ':59'
+         ELSE strftime(ts,'%H') || ':45 - ' || strftime(ts,'%H') || ':60'
        END AS quart_heure,
        COUNT(*) AS n
 FROM events

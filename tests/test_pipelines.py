@@ -1,0 +1,142 @@
+"""End-to-end parity tests for the reference's three pipelines
+(SURVEY.md §3), on the reference's own schemas."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import Row
+
+from projetbigdatastreaming_spark.sinks.files import stream_to_memory
+from projetbigdatastreaming_spark.sources.files import json_stream
+from projetbigdatastreaming_spark.streaming import pipelines
+
+
+def _tweet(ts, id_, lang="fr", retweets=0):
+    return json.dumps(
+        {
+            "event_date": ts.strftime("%Y-%m-%d %H:%M:%S"),
+            "id": id_,
+            "text": f"tweet {id_}",
+            "lang": lang,
+            "userid": "u1",
+            "name": "user",
+            "screenName": "sn",
+            "location": "Paris",
+            "followersCount": 10,
+            "retweetCount": retweets,
+            "favoriteCount": 0,
+            "Zipcode": "75005",
+            "ZipCodeType": "STANDARD",
+            "City": "Paris",
+            "State": "RAS",
+        }
+    )
+
+
+def _values(spark, payloads):
+    return spark.createDataFrame([Row(value=p) for p in payloads])
+
+
+def test_indicateurs_pipeline_parity(spark):
+    """§3.1: parse → KPI with the reference's exact output columns,
+    French labels, ':45 - HH:60' bucket, and window-function row
+    multiplicity (one row per input tweet, not per group)."""
+    t = datetime.datetime(2021, 5, 3, 14, 50, 0)
+    payloads = [
+        _tweet(t, "1", retweets=3),
+        _tweet(t + datetime.timedelta(minutes=1), "2", retweets=0),
+        _tweet(t - datetime.timedelta(minutes=40), "3", retweets=1),
+        _tweet(t, "4", lang="de", retweets=9),  # filtered out
+        "not json at all",  # corrupt record → null struct → filtered
+    ]
+    parsed = pipelines.parse_tweets(_values(spark, payloads))
+    assert parsed.count() == 3
+    kpis = pipelines.tweet_kpis(parsed).collect()
+    assert [r["Quart d'heure de l'event"] for r in kpis] == [
+        "14:00 - 14:15",
+        "14:45 - 14:60",
+        "14:45 - 14:60",
+    ]
+    late = [r for r in kpis if r["Quart d'heure de l'event"] == "14:45 - 14:60"]
+    assert all(r["Nbre de Tweets par QH"] == 2 for r in late)
+    assert all(r["Nbre de Retweets par QH"] == 1 for r in late)
+    assert all(r["Niveau de ReTweet (en %)"] == 50.0 for r in late)
+    assert kpis[0]["Date de l'event"] == "2021-05-03"
+
+
+def test_consommation_pipeline_parity(spark):
+    """§3.2: zipcode JSON → schema_Kafka struct projection."""
+    payloads = [
+        json.dumps(
+            {"Zipcode": 704, "ZipCodeType": "STANDARD", "City": "PARC",
+             "State": "PR"}
+        ),
+        json.dumps({"Zipcode": 75005, "ZipCodeType": "PO BOX",
+                    "City": "Paris", "State": "RAS"}),
+    ]
+    out = pipelines.consommation_pipeline(_values(spark, payloads))
+    assert out.columns == ["Zipcode", "ZipCodeType", "City", "State"]
+    rows = {r.Zipcode: r.City for r in out.collect()}
+    assert rows == {704: "PARC", 75005: "Paris"}
+
+
+def test_hashtag_pipeline_parity(spark):
+    """§3.3: fr filter → hashtag explode → 3-min window counts."""
+    t = datetime.datetime(2024, 1, 1, 12, 0, 30)
+    rows = [
+        Row(ts=t, text="#spark is #great", lang="fr"),
+        Row(ts=t + datetime.timedelta(minutes=1), text="#spark again", lang="fr"),
+        Row(ts=t, text="#english tweet", lang="en"),  # filtered
+        Row(ts=t + datetime.timedelta(minutes=10), text="#spark later", lang="fr"),
+    ]
+    out = pipelines.hashtag_pipeline(spark.createDataFrame(rows)).collect()
+    counts = {(r.window_start.minute, r.hashtag): r.n for r in out}
+    assert counts[(0, "#spark")] == 2
+    assert counts[(0, "#great")] == 1
+    assert counts[(9, "#spark")] == 1
+    assert not any(h == "#english" for (_, h) in counts)
+
+
+def test_indicateurs_pipeline_streaming(spark, tmp_path):
+    """§3.1 as a live micro-batched stream over a JSON spool dir."""
+    t = datetime.datetime(2021, 5, 3, 9, 10, 0)
+    src = tmp_path / "tweets_in"
+    src.mkdir()
+    (src / "batch1.json").write_text(
+        "\n".join(
+            json.dumps({"value": _tweet(t, str(i), retweets=i % 2)})
+            for i in range(4)
+        )
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    stream = json_stream(
+        spark, str(src), StructType([StructField("value", StringType())])
+    )
+    # analytic-window KPIs aren't an incremental streaming aggregation;
+    # like the reference (foreachRDD, IndicateursStreaming.scala:48),
+    # they run per micro-batch via foreachBatch
+    collected = []
+
+    def _batch_fn(batch_df, batch_id):
+        kpis = pipelines.tweet_kpis(pipelines.parse_tweets(batch_df))
+        collected.extend(kpis.collect())
+
+    from projetbigdatastreaming_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    q = run_foreach_batch(
+        stream,
+        _batch_fn,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        query_name="tweet_kpis_fb",
+    )
+    q.awaitTermination(120)
+    rows = collected
+    assert len(rows) == 4  # row-per-tweet multiplicity preserved
+    assert all(r["Nbre de Tweets par QH"] == 4 for r in rows)
+    assert all(r["Nbre de Retweets par QH"] == 2 for r in rows)

@@ -1,0 +1,59 @@
+"""Bucketed/partitioned table tests: the co-located-join and
+partition-pruning plan shapes that matter at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projetbigdatastreaming_spark.catalog import load_table
+from projetbigdatastreaming_spark.sinks import tables
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    tables.write_bucketed_table(li, "li_bucketed", "l_orderkey", 8)
+    tables.write_bucketed_table(orders, "ord_bucketed", "l_orderkey", 8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    """Co-bucketed join must plan without any Exchange (the shuffle
+    the bucketing paid for at write time)."""
+    # disable auto-broadcast so the small fixture doesn't hide the
+    # sort-merge path this test is about
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = tables.bucketed_join(
+            spark, "li_bucketed", "ord_bucketed", "l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.replace("BroadcastExchange", "")
+        # and the result is right (every lineitem has its order)
+        assert joined.count() == spark.table("li_bucketed").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_partitioned_table_prunes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    tables.write_partitioned_table(ev, "events_part", ["d"])
+    try:
+        one_day = spark.table("events_part").where(
+            F.col("d") == "2024-01-05"
+        )
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        # partition filter reaches the scan: no full-table read
+        assert "PartitionFilters" in plan
+        assert one_day.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_part")
