@@ -141,6 +141,91 @@ def with_hyperplane_signature(
     return embeddings.withColumn("sig", F.expr(" + ".join(bits)))
 
 
+def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest of
+    n_lists centroids.  Centroids are chosen deterministically (every
+    ceil(N/n_lists)-th vector by vec_id) — reproducible without RNG
+    state; a production build would k-means-refine them, which only
+    changes centroid quality, not the operator shape.
+
+    Returns (assigned, centroids): assigned = (vec_id, embedding,
+    list_id); centroids = (list_id, cvec).  Cost: one broadcast of K
+    centroids + a map-side argmax per row — no shuffle of the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    ranked = emb.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy("vec_id")),
+    )
+    n = emb.count()
+    stride = max(1, n // n_lists)
+    cents = (
+        ranked.where((F.col("__rn") % stride == 1) | (F.lit(stride) == 1))
+        .limit(n_lists)
+        .select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "list_id",
+        cosine(F.col("embedding"), F.col("cvec")).alias("__sim"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("list_id", "__sim").alias("list_id"),
+        F.first("embedding").alias("embedding"),
+    )
+    return assigned, cents
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe closest inverted lists
+    per query, exact cosine re-rank inside them.  Scans ~nprobe/n_lists
+    of the corpus per query.  Output schema matches cosine_topk."""
+    from pyspark.sql.window import Window
+
+    assigned, cents = ivf_assign(embeddings, n_lists)
+    q = assigned.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("__sim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid", "qvec", "list_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("__sim"),
+        )
+        .withColumn("__rk", F.row_number().over(wq))
+        .where(F.col("__rk") <= nprobe)
+        .select("qid", "qvec", "list_id")
+    )
+    cands = assigned.join(F.broadcast(probes), "list_id").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = cands.select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vec_id", "cos_sim", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -306,6 +306,14 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """Approximate (IVF inverted-list) top-k — nprobe/n_lists of the
+    corpus scanned per query; rows-only (recall < 1 by design)."""
+    return similarity.ann_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, TOPK
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS),
     "text_language_id": QuerySpec(q_language_id, SQL_LANGUAGE_ID),
@@ -320,4 +328,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "emb_cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS),
     "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, None),
+    "emb_ann_topk_ivf": QuerySpec(q_ann_topk_ivf, None),
 }

@@ -105,14 +105,30 @@ def test_cosine_topk_properties(spark, sf_dir):
 
 
 def test_ann_results_are_valid_neighbors(spark, sf_dir):
-    """ANN output must be a subset of valid (non-self) neighbors with
-    correctly computed cosine (spot-check against the exact scorer)."""
+    """ANN output (both LSH and IVF) must be a subset of valid
+    (non-self) neighbors with correctly computed cosine (spot-check
+    against the exact scorer)."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {
         (r.qid, r.vec_id): r.cos_sim
         for r in similarity.cosine_topk(emb, [0], k=1000).collect()
     }
-    ann = similarity.ann_topk_lsh(emb, [0], k=10).collect()
-    assert ann, "LSH returned no candidates"
-    for r in ann:
-        assert exact[(r.qid, r.vec_id)] == r.cos_sim
+    for name, fn in (
+        ("lsh", similarity.ann_topk_lsh),
+        ("ivf", similarity.ann_topk_ivf),
+    ):
+        ann = fn(emb, [0], k=10).collect()
+        assert ann, f"{name} returned no candidates"
+        for r in ann:
+            assert exact[(r.qid, r.vec_id)] == r.cos_sim
+
+
+def test_ivf_assignment_covers_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.ivf_assign(emb, n_lists=8)
+    assert assigned.count() == emb.count()
+    assert cents.count() == 8
+    # every vector lands in exactly one existing list
+    lists = {r.list_id for r in cents.collect()}
+    got = {r.list_id for r in assigned.select("list_id").distinct().collect()}
+    assert got <= lists
