@@ -106,6 +106,112 @@ def decode_images(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int = 256,
+    target_height: int = 256,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Image resize plumbing: (payload, w, h) -> resized payload.
+
+    The default resizer is a deterministic fake (truncate/pad the byte
+    stream to a size proportional to the target area) — STUB; a real
+    deployment injects a PIL-backed resizer with the same contract.
+    ``strict=True`` raises NotImplementedError at the codec boundary.
+    """
+    if strict and resizer is None:
+        raise NotImplementedError(
+            "real image resizing needs an injected resizer (PIL is not "
+            "available in this environment)"
+        )
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        if payload is None:
+            return None
+        size = max(1, (w * h) // 1024)
+        return (payload * (size // max(len(payload), 1) + 1))[:size]
+
+    resize = resizer or _fake_resize
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_width,
+                    "height": target_height,
+                    "payload": [
+                        resize(p, target_width, target_height)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.where("kind = 'image'").mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("rms_q8", IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    extractor: Callable[[bytes], dict[str, Any]] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Audio feature extraction plumbing (duration, quantized RMS).
+
+    Default is a deterministic fake over the raw bytes — STUB; inject a
+    soundfile/librosa-backed extractor in a real deployment.
+    """
+    if strict and extractor is None:
+        raise NotImplementedError(
+            "real audio decoding needs an injected extractor (no audio "
+            "libs in this environment)"
+        )
+
+    def _fake(payload: bytes) -> dict[str, Any]:
+        if payload is None:
+            return {"duration_ms": None, "rms_q8": None}
+        return {
+            "duration_ms": len(payload),
+            "rms_q8": (sum(payload[:256]) // max(min(len(payload), 256), 1))
+            & 0xFF,
+        }
+
+    extract = extractor or _fake
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            feats = pd.DataFrame([extract(p) for p in pdf["payload"]])
+            feats.insert(0, "media_id", pdf["media_id"].values)
+            yield feats
+
+    return media.where("kind = 'audio'").mapInPandas(
+        _batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_video_frames(
     media: DataFrame,
     every_nth: int = 30,

@@ -42,6 +42,23 @@ def test_custom_decoder_injection(spark):
     assert out[1].width == 150 and out[1].feature_hash == 42
 
 
+def test_resize_images(spark):
+    out = {r.media_id: r for r in mm.resize_images(_media(spark), 128, 128).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r.width, r.height) == (128, 128)
+        assert len(r.payload) == (128 * 128) // 1024
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(_media(spark), strict=True)
+
+
+def test_audio_features(spark):
+    out = mm.extract_audio_features(_media(spark)).collect()
+    assert [r.media_id for r in out] == [4]
+    assert out[0].duration_ms == 11
+    assert 0 <= out[0].rms_q8 <= 255
+
+
 def test_video_frame_sampling(spark):
     frames = mm.sample_video_frames(_media(spark)).collect()
     assert {f.media_id for f in frames} == {3}
