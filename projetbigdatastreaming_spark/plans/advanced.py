@@ -436,7 +436,144 @@ ORDER BY user_id, session_start
 """
 
 
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt: lineitem measure columns to long format
+    (stack via the unpivot API)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount"],
+            "measure",
+            "val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("val"), 2).alias("total"),
+        )
+        .orderBy("measure")
+    )
+
+
+SQL_UNPIVOT = """
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+         l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+SELECT measure, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
+FROM long
+GROUP BY measure
+ORDER BY measure
+"""
+
+
+def q_array_functions(spark, sf_dir):
+    """Array surface: collect_list→array_sort (deterministic),
+    size/element access/contains/slice over grouped data."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_list("c_custkey")).alias("keys"))
+        .select(
+            "c_nationkey",
+            F.size("keys").cast("bigint").alias("n_keys"),
+            F.element_at("keys", 1).alias("first_key"),
+            F.element_at("keys", -1).alias("last_key"),
+            F.expr("slice(keys, 1, 3)").alias("first3"),
+            F.array_contains("keys", 1).alias("has_key_1"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_ARRAY_FUNCTIONS = """
+SELECT c_nationkey,
+       CAST(len(keys) AS BIGINT) AS n_keys,
+       keys[1] AS first_key,
+       keys[-1] AS last_key,
+       keys[1:3] AS first3,
+       list_contains(keys, 1) AS has_key_1
+FROM (SELECT c_nationkey, list_sort(list(c_custkey)) AS keys
+      FROM customer GROUP BY c_nationkey)
+ORDER BY c_nationkey
+"""
+
+
+def q_null_semantics(spark, sf_dir):
+    """Null handling: nullif to manufacture nulls deterministically,
+    then coalesce/nvl2-style defaults, null-aware counting, and
+    null-safe equality."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v_null", F.nullif(F.col("event_type"), F.lit("error"))
+    )
+    return (
+        ev.groupBy()
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v_null").alias("n_nonnull"),
+            F.sum(F.col("v_null").isNull().cast("long")).alias("n_null"),
+            F.count_distinct("v_null").alias("n_distinct_nonnull"),
+            F.sum(
+                F.col("v_null").eqNullSafe(F.lit(None).cast("string"))
+                .cast("long")
+            ).alias("n_nullsafe_eq_null"),
+        )
+    )
+
+
+SQL_NULL_SEMANTICS = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(v_null) AS n_nonnull,
+       CAST(SUM(CASE WHEN v_null IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       COUNT(DISTINCT v_null) AS n_distinct_nonnull,
+       CAST(SUM(CASE WHEN v_null IS NOT DISTINCT FROM NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
+FROM (SELECT nullif(event_type, 'error') AS v_null FROM events)
+"""
+
+
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation: region names per... nation names per
+    region, sorted and joined — concat_ws(collect+sort)."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+            .alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_STRING_AGG = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "unpivot": QuerySpec(q_unpivot, SQL_UNPIVOT),
+    "array_functions": QuerySpec(q_array_functions, SQL_ARRAY_FUNCTIONS),
+    "null_semantics": QuerySpec(q_null_semantics, SQL_NULL_SEMANTICS),
+    "string_agg": QuerySpec(q_string_agg, SQL_STRING_AGG),
     "multires_rollup": QuerySpec(q_multires_rollup, SQL_MULTIRES_ROLLUP),
     "session_window_agg": QuerySpec(q_session_window, SQL_SESSION_WINDOW),
     "sql_grouping_sets": QuerySpec(q_sql_grouping_sets, SQL_SQL_GROUPING_SETS),

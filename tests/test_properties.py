@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): operator semantics vs independent
+Python models on randomized inputs.  Few examples, batched per example,
+to keep Spark-job overhead bounded."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from projetbigdatastreaming_spark.operators import dedup, joins
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_dt = st.datetimes(
+    min_value=datetime.datetime(2000, 1, 1),
+    max_value=datetime.datetime(2030, 12, 31),
+)
+
+
+@given(ts_list=st.lists(_dt, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_quarter_hour_window_matches_model(spark, ts_list):
+    """window(15 min).start == epoch-floor model for arbitrary datetimes."""
+    df = spark.createDataFrame([Row(i=i, ts=t) for i, t in enumerate(ts_list)])
+    got = {
+        r.i: r.ws
+        for r in df.select(
+            "i",
+            F.window(F.col("ts").cast("timestamp_ntz"), "15 minutes")
+            .start.alias("ws"),
+        ).collect()
+    }
+    for i, t in enumerate(ts_list):
+        epoch = int(
+            (t - datetime.datetime(1970, 1, 1)).total_seconds()
+        )
+        want = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            seconds=(epoch // 900) * 900
+        )
+        assert got[i] == want, (t, got[i], want)
+
+
+_words = st.sampled_from(
+    "the a spark query join sort hash table scan merge stream batch".split()
+)
+_doc = st.lists(_words, min_size=4, max_size=30).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=2, max_size=12))
+@settings(**_SETTINGS)
+def test_minhash_pairs_sound_and_complete_at_high_jaccard(spark, docs):
+    """The operator's actual contract: (a) soundness — every emitted
+    pair really has jaccard >= threshold (the exact verifier
+    guarantees this unconditionally); (b) completeness for
+    high-similarity pairs — at j >= 0.9 the 16×4 band scheme misses
+    with probability ~4e-8, so a miss there is a real bug.  Pairs in
+    the mid band (0.5 <= j < 0.9) MAY legitimately be pruned
+    (detection probability at j=0.5 is only ~0.64).
+    """
+
+    def shingles(text):
+        toks = text.split(" ")
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def jac(i, j):
+        sa, sb = shingles(docs[i]), shingles(docs[j])
+        return len(sa & sb) / len(sa | sb)
+
+    all_pairs = [
+        (i, j)
+        for i in range(len(docs))
+        for j in range(i + 1, len(docs))
+    ]
+    above_threshold = {(i, j) for i, j in all_pairs if jac(i, j) >= 0.5}
+    certain = {(i, j) for i, j in all_pairs if jac(i, j) >= 0.9}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_duplicates(df, threshold=0.5).collect()
+    }
+    assert got <= above_threshold  # sound: no false positives survive
+    assert certain <= got  # complete where the band math guarantees it
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), _dt), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_model(spark, events):
+    """Strict as-of self-join == per-row python argmax of earlier ts."""
+    rows = [
+        Row(user=u, eid=i, ts=t) for i, (u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.eid: r.asof_eid
+        for r in joins.asof_join(
+            df, df, "user", "ts", "ts", ["eid"], strict=True
+        ).collect()
+    }
+    for r in rows:
+        earlier = [
+            x for x in rows if x.user == r.user and x.ts < r.ts
+        ]
+        if not earlier:
+            assert got[r.eid] is None
+        else:
+            best_ts = max(x.ts for x in earlier)
+            # deterministic pick: max eid among the max-ts candidates
+            # (tertiary sort key is the payload column)
+            best = max(
+                x.eid for x in earlier if x.ts == best_ts
+            )
+            assert got[r.eid] == best, (r.eid, got[r.eid], best)
