@@ -314,7 +314,63 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+
+def q_doc_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (size 50, stride 25) — the
+    standard pre-tokenization split for LLM training shards.  Pure
+    higher-order expressions + posexplode; one output row per chunk
+    with its token count and a portable content hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(array(split(text, ' ')), toks ->
+                  transform(
+                    sequence(1, greatest(size(toks) - {CHUNK_STRIDE}, 1),
+                             {CHUNK_STRIDE}),
+                    i -> concat_ws(' ', slice(toks, i, {CHUNK_TOKENS}))))[0]
+                """
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk", " ")).cast("bigint").alias("n_tokens"),
+        F.substring(F.md5("chunk"), 1, 16).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_DOC_CHUNKING = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         generate_subscripts(starts, 1) - 1 AS chunk_id,
+         unnest(starts) AS start_i,
+         t
+  FROM (SELECT doc_id, t,
+               range(1, greatest(len(t) - {CHUNK_STRIDE}, 1) + 1,
+                     {CHUNK_STRIDE}) AS starts
+        FROM toks))
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(t[start_i : start_i + {CHUNK_TOKENS} - 1]) AS BIGINT)
+         AS n_tokens,
+       substr(md5(array_to_string(t[start_i : start_i + {CHUNK_TOKENS} - 1],
+                                  ' ')), 1, 16) AS chunk_fp
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING),
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS),
     "text_language_id": QuerySpec(q_language_id, SQL_LANGUAGE_ID),
     "text_quality": QuerySpec(q_quality_score, SQL_QUALITY_SCORE),

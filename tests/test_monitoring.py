@@ -36,3 +36,42 @@ def test_listener_captures_batch_progress(spark, tmp_path):
         assert "Memory" in prog["sink"] or "memory" in prog["sink"].lower()
     finally:
         monitoring.detach(spark, listener)
+
+
+def test_listener_captures_query_failure(spark, tmp_path):
+    """E5 parity: a failing batch surfaces through the listener's
+    terminated-with-exception path (the reference's try/catch +
+    param-dump logging, KafkaStreaming.scala:130-135)."""
+    import time
+
+    from projetbigdatastreaming_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    listener = monitoring.attach(spark)
+    try:
+        df = spark.createDataFrame([(1,)], "n long")
+        src = str(tmp_path / "src2")
+        df.write.parquet(src)
+        stream = spark.readStream.schema("n long").parquet(src)
+
+        def boom(batch_df, batch_id):
+            raise RuntimeError("injected batch failure")
+
+        q = run_foreach_batch(
+            stream, boom, str(tmp_path / "ckpt2"),
+            available_now=True, query_name="failing_q",
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # expected: the stream fails
+        for _ in range(50):
+            if listener.terminated:
+                break
+            time.sleep(0.2)
+        assert listener.terminated
+        qid, exc = listener.terminated[-1]
+        assert exc is not None and "injected batch failure" in str(exc)
+    finally:
+        monitoring.detach(spark, listener)
