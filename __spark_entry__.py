@@ -13,7 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from projetbigdatastreaming_spark.catalog import load_table
-from projetbigdatastreaming_spark.plans import advanced, kpi, llmdata, relational
+from projetbigdatastreaming_spark.plans import (
+    advanced,
+    kpi,
+    llmdata,
+    relational,
+    subqueries,
+)
 from projetbigdatastreaming_spark.plans.registry import QuerySpec, merge
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -35,7 +41,11 @@ def _registry() -> dict[str, QuerySpec]:
         )
     }
     return merge(
-        kpi_reg, relational.REGISTRY, llmdata.REGISTRY, advanced.REGISTRY
+        kpi_reg,
+        relational.REGISTRY,
+        llmdata.REGISTRY,
+        advanced.REGISTRY,
+        subqueries.REGISTRY,
     )
 
 

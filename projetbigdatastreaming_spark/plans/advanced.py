@@ -569,7 +569,44 @@ ORDER BY r_name
 """
 
 
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance, and argmin/argmax (min_by/max_by)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias(
+                "cov_disc_tax"
+            ),
+            F.max_by("l_orderkey", "l_extendedprice").alias("argmax_order"),
+            F.min_by("l_orderkey", "l_extendedprice").alias("argmin_order"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_STATS_AGG = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+       arg_max(l_orderkey, l_extendedprice) AS argmax_order,
+       arg_min(l_orderkey, l_extendedprice) AS argmin_order
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),
     "unpivot": QuerySpec(q_unpivot, SQL_UNPIVOT),
     "array_functions": QuerySpec(q_array_functions, SQL_ARRAY_FUNCTIONS),
     "null_semantics": QuerySpec(q_null_semantics, SQL_NULL_SEMANTICS),
