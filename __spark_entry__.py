@@ -65,6 +65,10 @@ HEADLINE_QUERIES = (
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "emb_cosine_topk",
+    "join_asof",
+    "multires_rollup",
+    "subq_exists",
+    "doc_chunking",
 )
 
 

@@ -38,6 +38,22 @@ def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+def _norm(col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(col, col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -54,9 +70,15 @@ def cosine_topk(
     """
     from pyspark.sql.window import Window
 
-    emb = _as_double(embeddings).select("vec_id", "embedding")
+    # norms computed ONCE per side (not per pair): the pair scoring is
+    # a single dot-product fold, cutting per-pair array work by 3×
+    emb = _as_double(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     q = emb.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -64,9 +86,11 @@ def cosine_topk(
         .select(
             "qid",
             "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -84,19 +108,27 @@ def cosine_pairs_above(embeddings: DataFrame, threshold: float) -> DataFrame:
     Brute-force form — the exact baseline the LSH path approximates.
     Output: (vec_a, vec_b, cos_sim), vec_a < vec_b.
     """
-    emb = _as_double(embeddings).select("vec_id", "embedding")
+    emb = _as_double(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
