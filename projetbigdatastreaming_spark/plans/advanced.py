@@ -605,7 +605,44 @@ ORDER BY l_returnflag
 """
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD2 / CDC pattern: build a slowly-changing-dimension history
+    from a change stream — each (user, event_type) change becomes a
+    version with [valid_from, valid_to) bounds and an is_current flag.
+    The MERGE-less emulation (lead window) the engine uses where Delta
+    is unavailable."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("attr"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+SQL_SCD2_HISTORY = """
+SELECT user_id,
+       event_type AS attr,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
     "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),
     "unpivot": QuerySpec(q_unpivot, SQL_UNPIVOT),
     "array_functions": QuerySpec(q_array_functions, SQL_ARRAY_FUNCTIONS),

@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale-relevant plan shapes must
+survive refactors (pushdown reaching the scan, broadcasts on dims,
+top-k without global sort, no accidental cartesian products)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "proj_filter")
+    assert "PushedFilters: [" in plan
+    assert "In(event_type" in plan
+    assert "GreaterThan(value,50.0)" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1")
+    # only the 7 needed columns are read
+    assert "ReadSchema" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "star_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_partial_limit(spark, sf_dir):
+    # WindowGroupLimit applies the per-group limit map-side (before the
+    # exchange) — rank pushdown, Spark 3.5+
+    plan = _plan(spark, sf_dir, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "subq_exists")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_groupby", "kpi_quarter_hour", "join_left", "sessionize"],
+)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
