@@ -641,7 +641,47 @@ ORDER BY user_id, valid_from
 """
 
 
+def q_map_functions(spark, sf_dir):
+    """Map-type surface: build a per-day map event_type→count
+    (map_from_entries over grouped structs), then cardinality, key
+    lookup, and sorted-keys projection."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = (
+        ev.select(F.to_date("ts").alias("d"), "event_type")
+        .groupBy("d", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    mapped = per_day.groupBy("d").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "d",
+        F.size("m").cast("bigint").alias("n_types"),
+        F.element_at("m", "click").alias("n_click"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("types"),
+    ).orderBy("d")
+
+
+SQL_MAP_FUNCTIONS = """
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+mapped AS (
+  SELECT d, map_from_entries(list_sort(list({'k': event_type, 'v': n}))) AS m
+  FROM per_day GROUP BY d)
+SELECT d,
+       CAST(cardinality(m) AS BIGINT) AS n_types,
+       map_extract(m, 'click')[1] AS n_click,
+       array_to_string(list_sort(map_keys(m)), ',') AS types
+FROM mapped
+ORDER BY d
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "map_functions": QuerySpec(q_map_functions, SQL_MAP_FUNCTIONS),
     "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
     "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),
     "unpivot": QuerySpec(q_unpivot, SQL_UNPIVOT),

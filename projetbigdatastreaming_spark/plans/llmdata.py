@@ -221,6 +221,57 @@ def q_ngram_jaccard_bruteforce(spark, sf_dir):
     )
 
 
+def q_char_ngram_pairs(spark, sf_dir):
+    """Character 5-gram Jaccard near-dup pairs (the shingle-level
+    complement to word 3-grams — robust to tokenization differences).
+    Exact all-pairs baseline; the LSH path reuses the same shingles via
+    with_minhash_signature on a char-shingle column."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            array_distinct(transform(
+              sequence(1, greatest(length(text) - 4, 1)),
+              i -> substr(text, i, 5)))
+            """
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_CHAR_NGRAM_PAIRS = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([text[i : i + 4]
+                        for i in range(1, greatest(length(text) - 4, 1) + 1)])
+           AS sh
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.sh, b.sh))
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_duplicates(
         load_table(spark, sf_dir, "documents")
@@ -381,6 +432,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_ngram_jaccard_bruteforce, SQL_MINHASH_PAIRS
     ),
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_char_ngram": QuerySpec(q_char_ngram_pairs, SQL_CHAR_NGRAM_PAIRS),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "emb_cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS),
     "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, None),
