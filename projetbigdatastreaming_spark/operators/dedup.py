@@ -238,7 +238,7 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, max_hamming: int = HAMMING_MAX
+    docs: DataFrame, max_hamming: int = HAMMING_MAX, cache_hashes: bool = True
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
@@ -246,8 +246,14 @@ def simhash_near_duplicates(
     blocks equal — a necessary condition for hamming ≤ 3, so no true
     pair is missed); each candidate is verified exactly with
     xor + bit_count.  Output: (doc_a, doc_b, hamming).
+
+    The (doc_id, simhash) relation feeds both sides of the block
+    self-join; ``cache_hashes`` persists it (16 bytes/doc) so the
+    hash pass runs once.
     """
     hashed = with_simhash(spread(docs)).select("doc_id", "simhash")
+    if cache_hashes:
+        hashed = hashed.persist()
     blocks = hashed.select(
         "doc_id",
         "simhash",
