@@ -149,69 +149,135 @@ N_PLANES = 6  # 6-bit signatures → 64 buckets (bucket ≈ corpus/64 per table)
 N_SIG_TABLES = 8  # independent tables to boost recall
 
 
-def _plane_component(table: int, plane: int, dim: int) -> str:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    xxhash64 of (table, plane, dim) scaled — reproducible, no RNG state.
+def plane_weights(dims: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1),
+    indexed [table][plane][dim].
+
+    Derived from md5 of "t,p,d" — a PORTABLE formula (identical in
+    Python, Spark SQL, and DuckDB), so the whole LSH path is
+    oracle-checkable.  Computed driver-side (N_SIG_TABLES × N_PLANES ×
+    dims hashes, microseconds for any realistic dims) and shipped as a
+    one-row broadcast relation — a data-plane constant, NOT a generated
+    expression tree, so production embedding dims (768–3072) cost
+    nothing at plan time.
     """
-    return (
-        f"cast(xxhash64({table}, {plane}, {dim}) as double)"
-        f" / 9223372036854775807.0"
+    import hashlib
+
+    def w(t: int, p: int, d: int) -> float:
+        h = hashlib.md5(f"{t},{p},{d}".encode()).hexdigest()[:15]
+        return int(h, 16) / 2**59 - 1.0
+
+    return [
+        [[w(t, p, d) for d in range(dims)] for p in range(N_PLANES)]
+        for t in range(N_SIG_TABLES)
+    ]
+
+
+def with_signatures(embeddings: DataFrame, dims: int) -> DataFrame:
+    """Adds `sigs` = array of N_SIG_TABLES sign-signature bucket ids
+    (N_PLANES bits each), computed in ONE map-only pass against the
+    broadcast plane table — no shuffle, no per-table re-scan.
+    """
+    spark = embeddings.sparkSession
+    plane_row = spark.createDataFrame(
+        [(plane_weights(dims),)], "planes array<array<array<double>>>"
     )
-
-
-def with_hyperplane_signature(
-    embeddings: DataFrame, dims: int, table: int
-) -> DataFrame:
-    """Adds `sig` = N_PLANES-bit sign signature for one LSH table."""
-    bits = []
-    for p in range(N_PLANES):
-        dot = " + ".join(
-            f"embedding[{d}] * ({_plane_component(table, p, d)})"
-            for d in range(dims)
+    return (
+        embeddings.crossJoin(F.broadcast(plane_row))
+        .withColumn(
+            "sigs",
+            F.expr(
+                f"""
+                transform(sequence(0, {N_SIG_TABLES - 1}), t ->
+                  aggregate(sequence(0, {N_PLANES - 1}), 0L, (acc, p) ->
+                    acc + CASE WHEN aggregate(
+                            zip_with(embedding, planes[t][p],
+                                     (x, w) -> x * w),
+                            0D, (a, x) -> a + x) >= 0
+                          THEN shiftleft(1L, p) ELSE 0L END))
+                """
+            ),
         )
-        bits.append(f"CASE WHEN ({dot}) >= 0 THEN shiftleft(1L, {p}) ELSE 0L END")
-    return embeddings.withColumn("sig", F.expr(" + ".join(bits)))
+        .drop("planes")
+    )
 
 
 def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest of
-    n_lists centroids.  Centroids are chosen deterministically (every
-    ceil(N/n_lists)-th vector by vec_id) — reproducible without RNG
-    state; a production build would k-means-refine them, which only
-    changes centroid quality, not the operator shape.
+    n_lists centroids.
 
-    Returns (assigned, centroids): assigned = (vec_id, embedding,
-    list_id); centroids = (list_id, cvec).  Cost: one broadcast of K
-    centroids + a map-side argmax per row — no shuffle of the corpus.
+    Centroids: the n_lists corpus vectors with the smallest portable
+    md5-derived hash60(vec_id) — a deterministic uniform pseudo-random
+    sample that needs NO corpus count and NO global sort:
+    orderBy(hash).limit compiles to TakeOrderedAndProject
+    (per-partition top-n_lists, one tiny merge), and the md5 formula is
+    reproducible in the DuckDB oracle.  A production build would
+    k-means-refine these, which only changes centroid quality, not the
+    operator shape.
+
+    Assignment is map-only: the n_lists centroids are collapsed into a
+    single array<struct> row, broadcast, and each corpus row computes
+    its argmax-cosine list via higher-order functions — the corpus is
+    never shuffled and never leaves whole-stage codegen.  (The previous
+    form — unpartitioned row_number window + driver-side count() +
+    groupBy(vec_id) re-agg — moved the whole corpus to one partition
+    and shuffled every embedding: fatal at 100 TB.)
+
+    Returns (assigned, centroids): assigned = (vec_id, embedding, nrm,
+    list_id); centroids = (list_id, cvec, cnrm).
     """
-    from pyspark.sql.window import Window
-
-    emb = _as_double(embeddings).select("vec_id", "embedding")
-    ranked = emb.withColumn(
-        "__rn",
-        F.row_number().over(Window.orderBy("vec_id")),
+    emb = _as_double(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    n = emb.count()
-    stride = max(1, n // n_lists)
     cents = (
-        ranked.where((F.col("__rn") % stride == 1) | (F.lit(stride) == 1))
+        emb.orderBy(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ),
+            "vec_id",
+        )
         .limit(n_lists)
         .select(
             F.col("vec_id").alias("list_id"),
             F.col("embedding").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
         )
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "list_id",
-        cosine(F.col("embedding"), F.col("cvec")).alias("__sim"),
+    # One row holding all centroids, sorted by list_id so the argmax
+    # fold below tie-breaks deterministically (first/lowest list wins).
+    cent_row = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct("list_id", "cvec", "cnrm"))
+        ).alias("__cents")
     )
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("list_id", "__sim").alias("list_id"),
-        F.first("embedding").alias("embedding"),
+    # argmax over round(cosine, 4): rounding makes the comparison
+    # engine-portable (raw double folds can differ in the last bits);
+    # ties fall to the FIRST (lowest) list_id because the fold keeps
+    # acc on non-strict improvement.
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_row))
+        .withColumn(
+            "list_id",
+            F.expr(
+                """
+                aggregate(
+                  transform(__cents, c -> struct(
+                    c.list_id AS lid,
+                    round(aggregate(zip_with(embedding, c.cvec,
+                                             (x, y) -> x * y),
+                                    0D, (a, x) -> a + x) / (nrm * c.cnrm),
+                          4) AS s)),
+                  struct(CAST(-1 AS BIGINT) AS lid,
+                         CAST(-1.7976931348623157E308 AS DOUBLE) AS s),
+                  (acc, e) -> CASE WHEN e.s > acc.s THEN e ELSE acc END
+                ).lid
+                """
+            ),
+        )
+        .select("vec_id", "embedding", "nrm", "list_id")
     )
-    return assigned, cents
+    return assigned, cents.select("list_id", "cvec", "cnrm")
 
 
 def ann_topk_ivf(
@@ -223,23 +289,31 @@ def ann_topk_ivf(
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe closest inverted lists
     per query, exact cosine re-rank inside them.  Scans ~nprobe/n_lists
-    of the corpus per query.  Output schema matches cosine_topk."""
+    of the corpus per query.  Output schema matches cosine_topk.
+    Deterministic end-to-end (md5-hash centroids, rounded comparisons,
+    list_id/vec_id tie-breaks) — reproducible by the DuckDB oracle."""
     from pyspark.sql.window import Window
 
     assigned, cents = ivf_assign(embeddings, n_lists)
     q = assigned.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("__sim"), F.asc("list_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))
         .select(
-            "qid", "qvec", "list_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("__sim"),
+            "qid", "qvec", "qnrm", "list_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                4,
+            ).alias("__sim"),
         )
         .withColumn("__rk", F.row_number().over(wq))
         .where(F.col("__rk") <= nprobe)
-        .select("qid", "qvec", "list_id")
+        .select("qid", "qvec", "qnrm", "list_id")
     )
     cands = assigned.join(F.broadcast(probes), "list_id").where(
         F.col("vec_id") != F.col("qid")
@@ -247,7 +321,11 @@ def ann_topk_ivf(
     scored = cands.select(
         "qid",
         "vec_id",
-        F.round(cosine(F.col("qvec"), F.col("embedding")), 4).alias("cos_sim"),
+        F.round(
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm")),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -264,34 +342,60 @@ def ann_topk_lsh(
     k: int = 10,
     dims: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: union of N_SIG_TABLES bucket joins, exact
-    re-rank inside the candidate set.  Output schema matches
-    cosine_topk (qid, vec_id, cos_sim, rk); recall < 1 by design.
+    """Approximate top-k: one signature pass, a (table, bucket)
+    equi-join for candidate discovery, exact cosine re-rank inside the
+    candidate set.  Output schema matches cosine_topk
+    (qid, vec_id, cos_sim, rk); recall < 1 by design.
+
+    Scale shape: signatures are computed once per corpus row (map-only,
+    broadcast plane table); the candidate join carries only
+    (vec_id, table, sig) — embeddings are re-attached to the
+    bucket-sized candidate set afterwards, so wide vectors never ride
+    through the 8× table expansion.  Deterministic end-to-end (md5
+    planes, rounded re-rank, vec_id tie-break) — the DuckDB oracle
+    reproduces the exact result.
     """
     from pyspark.sql.window import Window
 
-    emb = _as_double(embeddings).select("vec_id", "embedding")
-    cands = None
-    for t in range(N_SIG_TABLES):
-        signed = with_hyperplane_signature(emb, dims, t)
-        q = signed.where(F.col("vec_id").isin(query_ids)).select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qvec"),
-            F.col("sig").alias("qsig"),
+    emb = _as_double(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    # (vec_id, t, sig): 8 small rows per vector, no embedding payload
+    tall = with_signatures(emb.select("vec_id", "embedding"), dims).select(
+        "vec_id", F.posexplode("sigs").alias("t", "sig")
+    )
+    q_tall = tall.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("t").alias("qt"),
+        F.col("sig").alias("qsig"),
+    )
+    cand_ids = (
+        tall.join(
+            F.broadcast(q_tall),
+            (F.col("t") == F.col("qt"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("qid")),
         )
-        c = (
-            signed.join(
-                F.broadcast(q),
-                (F.col("sig") == F.col("qsig"))
-                & (F.col("vec_id") != F.col("qid")),
-            )
-            .select("qid", "qvec", "vec_id", "embedding")
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    q_emb = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        emb.join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(q_emb), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
         )
-        cands = c if cands is None else cands.unionAll(c)
-    scored = cands.distinct().select(
-        "qid",
-        "vec_id",
-        F.round(cosine(F.col("qvec"), F.col("embedding")), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

@@ -60,3 +60,16 @@ def test_no_cartesian_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_no_global_exchange(spark, sf_dir):
+    # IVF centroid pick must be TakeOrderedAndProject (per-partition
+    # top-n, no full sort) and nothing in the plan may collapse the
+    # corpus to one partition (the round-1 unpartitioned-Window bug).
+    plan = _plan(spark, sf_dir, "emb_ann_topk_ivf")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+    # every Window must be partitioned (no 'Window [...] []' global spec)
+    for frag in plan.split("Window [")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert ", [], [" not in head, f"unpartitioned Window: {head}"
