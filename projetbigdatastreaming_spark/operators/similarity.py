@@ -7,8 +7,9 @@ Two paths:
   scale: no shuffle until the final per-query top-k (TakeOrdered-sized).
 - **LSH-bucketed ANN** — random-hyperplane signatures restrict the
   corpus side to matching buckets before the exact re-rank.  The
-  hyperplanes are derived deterministically from xxhash64 so results
-  are reproducible run-to-run.
+  hyperplanes are derived deterministically from a portable md5
+  formula, so results are reproducible run-to-run AND by the DuckDB
+  oracle (both ANN paths are fully oracle-checked, not rows-only).
 
 All arithmetic is double-precision via higher-order functions
 (zip_with/aggregate) — JVM codegen, no Python UDF.

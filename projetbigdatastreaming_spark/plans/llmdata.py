@@ -352,19 +352,170 @@ ORDER BY vec_a, vec_b
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """Approximate (LSH-bucketed) top-k — no SQL oracle by design
-    (recall < 1); driver records rows-only."""
+    """Approximate (LSH-bucketed) top-k.  Approximate in RECALL, but
+    fully deterministic in RESULT (md5-derived hyperplanes, rounded
+    re-rank, vec_id tie-breaks) — so unlike typical ANN it carries a
+    full DuckDB oracle that replays the same plane/bucket/re-rank
+    pipeline."""
     return similarity.ann_topk_lsh(
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, TOPK
     )
 
 
+# Replays operators/similarity.py's LSH pipeline in DuckDB: the same
+# md5("t,p,d")-derived hyperplane weights, the same 6-bit sign
+# signatures per table, the same bucket equi-join candidate discovery,
+# the same rounded exact re-rank.
+SQL_ANN_TOPK_LSH = f"""
+WITH plane_w AS (
+  SELECT t.range AS t, p.range AS p, d.range AS d,
+         CAST(concat('0x', substr(md5(concat(t.range, ',', p.range, ',',
+                                             d.range)), 1, 15)) AS BIGINT)
+           / 576460752303423488.0 - 1.0 AS w
+  FROM range({similarity.N_SIG_TABLES}) t,
+       range({similarity.N_PLANES}) p,
+       range(64) d),
+planes AS (
+  SELECT t, p, list(w ORDER BY d) AS pw FROM plane_w GROUP BY t, p),
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sigs AS (
+  SELECT v.vec_id, pl.t,
+         CAST(SUM(CASE WHEN list_inner_product(v.e, pl.pw) >= 0
+                       THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM emb v CROSS JOIN planes pl
+  GROUP BY v.vec_id, pl.t),
+qs AS (
+  SELECT vec_id AS qid, t AS qt, sig AS qsig FROM sigs
+  WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+cands AS (
+  SELECT DISTINCT q.qid, s.vec_id
+  FROM sigs s JOIN qs q
+    ON s.t = q.qt AND s.sig = q.qsig AND s.vec_id <> q.qid),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         ROUND(list_cosine_similarity(qe.e, ve.e), 4) AS cos_sim
+  FROM cands c
+  JOIN emb qe ON qe.vec_id = c.qid
+  JOIN emb ve ON ve.vec_id = c.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rk
+  FROM scored)
+SELECT qid, vec_id, cos_sim, rk
+FROM ranked WHERE rk <= {TOPK}
+ORDER BY qid, rk
+"""
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """Approximate (IVF inverted-list) top-k — nprobe/n_lists of the
-    corpus scanned per query; rows-only (recall < 1 by design)."""
+    corpus scanned per query.  Deterministic end-to-end (md5-hash
+    centroid sample, rounded argmax assignment, list_id/vec_id
+    tie-breaks), so the DuckDB oracle replays it exactly."""
     return similarity.ann_topk_ivf(
-        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, TOPK
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, TOPK,
+        n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE,
     )
+
+
+IVF_N_LISTS = 16
+IVF_NPROBE = 4
+
+# Replays operators/similarity.py's IVF pipeline: centroids = the
+# n_lists vectors with the smallest md5-derived hash60(vec_id);
+# assignment = argmax rounded cosine (ties -> lowest list_id); probe
+# the nprobe nearest lists per query; rounded exact re-rank inside.
+SQL_ANN_TOPK_IVF = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS list_id, e AS cvec
+  FROM emb
+  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT), vec_id
+  LIMIT {IVF_N_LISTS}),
+assign_ranked AS (
+  SELECT v.vec_id, c.list_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY ROUND(list_cosine_similarity(v.e, c.cvec), 4) DESC,
+                     c.list_id ASC) AS rn
+  FROM emb v CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, list_id FROM assign_ranked WHERE rn = 1),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT q.vec_id AS qid, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ROUND(list_cosine_similarity(q.e, c.cvec), 4) DESC,
+                       c.list_id ASC) AS rn
+    FROM emb q CROSS JOIN cents c
+    WHERE q.vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))}))
+  WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         ROUND(list_cosine_similarity(qe.e, ve.e), 4) AS cos_sim
+  FROM assigned a
+  JOIN probes p ON a.list_id = p.list_id AND a.vec_id <> p.qid
+  JOIN emb qe ON qe.vec_id = p.qid
+  JOIN emb ve ON ve.vec_id = a.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rk
+  FROM scored)
+SELECT qid, vec_id, cos_sim, rk
+FROM ranked WHERE rk <= {TOPK}
+ORDER BY qid, rk
+"""
+
+
+def q_ann_recall(spark, sf_dir):
+    """recall@k of the LSH ANN result against the exact top-k — the
+    standard quality gauge for an ANN index.  One row per query id with
+    `recall_at_k` = |ANN ∩ exact| / k.  Deterministic because both
+    sides are (md5 planes, rounded sims, fixed tie-breaks), so the
+    DuckDB oracle reproduces the same number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    ann = similarity.ann_topk_lsh(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("__n_hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+# WITH-in-subquery composition: replays the exact and the LSH pipelines
+# (both defined above) and intersects their top-k sets per query.
+SQL_ANN_RECALL = f"""
+WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
+ann AS (SELECT qid, vec_id FROM ({SQL_ANN_TOPK_LSH})),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY e.qid)
+SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+"""
 
 
 CHUNK_TOKENS = 50
@@ -437,6 +588,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_char_ngram": QuerySpec(q_char_ngram_pairs, SQL_CHAR_NGRAM_PAIRS),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "emb_cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS),
-    "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, None),
-    "emb_ann_topk_ivf": QuerySpec(q_ann_topk_ivf, None),
+    "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, SQL_ANN_TOPK_LSH),
+    "emb_ann_topk_ivf": QuerySpec(q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
+    "emb_ann_recall": QuerySpec(q_ann_recall, SQL_ANN_RECALL),
 }
