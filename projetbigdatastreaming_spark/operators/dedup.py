@@ -141,13 +141,19 @@ def jaccard_verify(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            (
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                4,
-            ).alias("jaccard"),
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("__jaccard_raw"),
         )
-        .where(F.col("jaccard") >= threshold)
+        # filter on the UNROUNDED value (matches the oracle's predicate
+        # placement); round only in the output projection
+        .where(F.col("__jaccard_raw") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("__jaccard_raw", 4).alias("jaccard"),
+        )
     )
 
 

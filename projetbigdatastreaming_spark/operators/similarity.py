@@ -127,11 +127,16 @@ def cosine_pairs_above(embeddings: DataFrame, threshold: float) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
-            ).alias("cos_sim"),
+            (
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ).alias("__cos_raw"),
         )
-        .where(F.col("cos_sim") >= threshold)
+        # filter on the UNROUNDED cosine (matches the oracle's predicate
+        # placement); round only in the output projection
+        .where(F.col("__cos_raw") >= threshold)
+        .select(
+            "vec_a", "vec_b", F.round("__cos_raw", 4).alias("cos_sim")
+        )
         .orderBy("vec_a", "vec_b")
     )
 

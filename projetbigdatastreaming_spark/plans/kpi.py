@@ -20,8 +20,8 @@ functions whose ORDER BY equals the PARTITION BY — every row is a peer,
 so the "window function" degenerates to a group total replicated per
 row.  The idiomatic (and stream-safe, and shuffle-minimal) form is a
 groupBy aggregation: one row per quarter-hour, same information.  The
-row-multiplicity-preserving analytic form is kept separately in
-operators/windows.py for parity.
+row-multiplicity-preserving analytic form is kept separately as
+``agg_analytic_window`` in plans/relational.py for parity.
 
 Scale note: this is a single hash-aggregate over the fact stream —
 partial (map-side) aggregation means the shuffle carries only one row

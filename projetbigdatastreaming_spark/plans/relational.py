@@ -446,7 +446,7 @@ SQL_SESSIONIZE = """
 WITH marked AS (
   SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                   OR floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) > 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -88,12 +88,21 @@ def kpi_batch_writer(
         kpis = transform(batch_df)
         kpis.cache()  # reference parity: IndicateursStreaming.scala:80
         try:
+            # row count via Observation: piggybacks on the write job
+            # instead of launching a second count() job per micro-batch
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"kpi_rows_{batch_id}")
             (
-                kpis.coalesce(1)
+                kpis.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+                .coalesce(1)
                 .write.mode("overwrite")
                 .csv(f"{output_dir}/batch_id={batch_id}", header=True)
             )
-            logger.info("batch %s: %s KPI rows", batch_id, kpis.count())
+            logger.info(
+                "batch %s: %s KPI rows", batch_id, obs.get["n_rows"]
+            )
         finally:
             kpis.unpersist()
 
