@@ -27,16 +27,30 @@ def get_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_support: bool = False,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or get) the engine SparkSession.
 
     ``master=None`` leaves the master to spark-submit / the cluster
     manager (the "prod" path of `SparkBigData.scala:24-30`); tests pass
     ``local[N]`` (the "local" path of `SparkBigData.scala:17-23`).
+
+    ``hive_support=True`` mirrors the reference's
+    ``enableHiveSupport()`` in both session paths
+    (`SparkBigData.scala:22,29`): persistent Hive metastore catalog,
+    so ``saveAsTable``/``spark.table`` survive across sessions.
+    ``catalogImplementation`` is a first-session-only (static) conf, so
+    this must be chosen before any SparkSession exists in the JVM —
+    which is also true of the reference's builder.  ``warehouse_dir``
+    sets ``spark.sql.warehouse.dir`` (managed-table root) for either
+    catalog implementation.
     """
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    if hive_support:
+        builder = builder.enableHiveSupport()
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     conf = {
         # reference parity: SparkBigData.scala:21,28 enables cross joins
@@ -55,6 +69,8 @@ def get_session(
         # keep partition sizes bounded for 100TB scans
         "spark.sql.files.maxPartitionBytes": "134217728",
     }
+    if warehouse_dir:
+        conf["spark.sql.warehouse.dir"] = warehouse_dir
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
