@@ -77,6 +77,43 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def winnow_fingerprints(text_col: str, k: int = 8, w: int = 4) -> Column:
+    """Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every char k-gram of the normalized text with the
+    portable 60-bit md5 hash, slide a w-window over the hash sequence,
+    keep each window's minimum, dedupe.  Returns array<bigint>.
+
+    The standard rolling-hash fingerprint for plagiarism/overlap
+    detection, guaranteeing any shared run of k+w-1 chars yields at
+    least one common fingerprint.  Pure higher-order expressions
+    (let-bindings via single-element transform), no explode until the
+    caller chooses row form; portable to the DuckDB oracle.
+
+    Degenerate inputs: text shorter than k hashes as one whole-string
+    gram; fewer than w grams yield their single minimum.
+    """
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    h = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+    gram_h = h.format(x=f"substring(s, p, {k})")
+    whole_h = h.format(x="s")
+    return F.expr(
+        f"""
+        transform(array({norm}), s ->
+          CASE WHEN length(s) < {k} THEN array({whole_h})
+          ELSE transform(
+                 array(transform(sequence(1, length(s) - {k - 1}),
+                                 p -> {gram_h})),
+                 hs -> array_distinct(
+                   CASE WHEN size(hs) >= {w}
+                        THEN transform(sequence(1, size(hs) - {w - 1}),
+                                       j -> array_min(slice(hs, j, {w})))
+                        ELSE array(array_min(hs))
+                   END))[0]
+          END)[0]
+        """
+    )
+
+
 def token_count_ws(col: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(tokens(col)).cast("bigint")

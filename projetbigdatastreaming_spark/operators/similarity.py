@@ -208,6 +208,78 @@ def with_signatures(embeddings: DataFrame, dims: int) -> DataFrame:
     )
 
 
+def near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    dims: int = 64,
+    cache_signatures: bool = True,
+) -> DataFrame:
+    """Embedding near-duplicate pairs AT SCALE: sign-LSH bucket
+    self-join for candidate discovery, exact cosine verification.
+
+    The scale path that `cosine_pairs_above` (the O(n²) oracle
+    baseline) approximates from below: only pairs sharing a
+    (table, bucket) cell are scored, so cost is Σ bucket², not n².
+    Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b and unrounded
+    cosine >= threshold; recall < 1 by design (a pair landing in no
+    common bucket is never considered), but fully deterministic — the
+    DuckDB oracle replays the identical md5-plane signatures, so the
+    result is exactly reproducible.
+
+    The (vec_id, t, sig) relation feeds both sides of the self-join;
+    ``cache_signatures`` persists it (~24 bytes × 8 rows per vector)
+    so the signature pass runs once.
+    """
+    emb = _as_double(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    tall = with_signatures(emb.select("vec_id", "embedding"), dims).select(
+        "vec_id", F.posexplode("sigs").alias("t", "sig")
+    )
+    if cache_signatures:
+        tall = tall.persist()
+    pairs = (
+        tall.alias("a")
+        .join(
+            tall.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ).alias("__cos_raw"),
+        )
+        .where(F.col("__cos_raw") >= threshold)
+        .select(
+            "vec_a", "vec_b", F.round("__cos_raw", 4).alias("cos_sim")
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest of
     n_lists centroids.

@@ -20,6 +20,7 @@ from ..functions.text import (
     quality_score,
     token_count_bpe,
     token_count_ws,
+    winnow_fingerprints,
 )
 from ..operators import dedup, similarity
 from .registry import QuerySpec
@@ -362,12 +363,10 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
-# Replays operators/similarity.py's LSH pipeline in DuckDB: the same
-# md5("t,p,d")-derived hyperplane weights, the same 6-bit sign
-# signatures per table, the same bucket equi-join candidate discovery,
-# the same rounded exact re-rank.
-SQL_ANN_TOPK_LSH = f"""
-WITH plane_w AS (
+# Shared CTE prefix replaying operators/similarity.py's signature
+# derivation in DuckDB: md5("t,p,d")-derived hyperplane weights and
+# 6-bit sign signatures per (vector, table).
+_SQL_LSH_SIG_CTES = f"""plane_w AS (
   SELECT t.range AS t, p.range AS p, d.range AS d,
          CAST(concat('0x', substr(md5(concat(t.range, ',', p.range, ',',
                                              d.range)), 1, 15)) AS BIGINT)
@@ -385,7 +384,12 @@ sigs AS (
                        THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INTEGER))
                        ELSE 0 END) AS BIGINT) AS sig
   FROM emb v CROSS JOIN planes pl
-  GROUP BY v.vec_id, pl.t),
+  GROUP BY v.vec_id, pl.t)"""
+
+# Replays the full LSH top-k pipeline: shared signature CTEs, the same
+# bucket equi-join candidate discovery, the same rounded exact re-rank.
+SQL_ANN_TOPK_LSH = f"""
+WITH {_SQL_LSH_SIG_CTES},
 qs AS (
   SELECT vec_id AS qid, t AS qt, sig AS qsig FROM sigs
   WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
@@ -407,6 +411,31 @@ ranked AS (
 SELECT qid, vec_id, cos_sim, rk
 FROM ranked WHERE rk <= {TOPK}
 ORDER BY qid, rk
+"""
+
+
+def q_emb_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via sign-LSH buckets + exact verify —
+    the scale path whose O(n²) baseline is `emb_cosine_pairs`.  The
+    oracle replays the identical signature/bucket/verify pipeline."""
+    return similarity.near_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
+    )
+
+
+SQL_EMB_NEAR_DUP_LSH = f"""
+WITH {_SQL_LSH_SIG_CTES},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_cosine_similarity(ea.e, eb.e), 4) AS cos_sim
+FROM cand c
+JOIN emb ea ON ea.vec_id = c.vec_a
+JOIN emb eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.e, eb.e) >= {COSINE_PAIR_THRESHOLD}
+ORDER BY c.vec_a, c.vec_b
 """
 
 
@@ -573,8 +602,67 @@ ORDER BY doc_id, chunk_id
 """
 
 
+WINNOW_K = 8  # char k-gram size
+WINNOW_W = 4  # winnowing window (guarantee: k+w-1 = 11 shared chars)
+
+
+def q_doc_winnow(spark, sf_dir):
+    """Winnowed rolling-hash document fingerprints — the MOSS-style
+    overlap-detection digest.  One row per doc: distinct-fingerprint
+    count, minimum, and xor-fold (an order-independent set digest).
+    Map-only until the tiny per-doc aggregate; no joins, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        F.explode(
+            winnow_fingerprints("text", WINNOW_K, WINNOW_W)
+        ).alias("fp"),
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.min("fp").alias("fp_min"),
+            F.bit_xor("fp").alias("fp_xor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_WINNOW = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(s) < {WINNOW_K}
+              THEN [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)]
+              ELSE list_transform(range(1, length(s) - {WINNOW_K} + 2),
+                     p -> CAST(concat('0x',
+                            substr(md5(substr(s, p, {WINNOW_K})), 1, 15))
+                          AS BIGINT))
+         END AS hs
+  FROM norm),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {WINNOW_W}
+              THEN list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                     j -> list_min(hs[j : j + {WINNOW_W - 1}]))
+              ELSE [list_min(hs)]
+         END AS ws
+  FROM grams),
+fps AS (SELECT DISTINCT doc_id, unnest(ws) AS fp FROM wins)
+SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min, bit_xor(fp) AS fp_xor
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING),
+    "doc_winnow": QuerySpec(q_doc_winnow, SQL_DOC_WINNOW),
+    "emb_near_dup_lsh": QuerySpec(q_emb_near_dup_lsh, SQL_EMB_NEAR_DUP_LSH),
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS),
     "text_language_id": QuerySpec(q_language_id, SQL_LANGUAGE_ID),
     "text_quality": QuerySpec(q_quality_score, SQL_QUALITY_SCORE),

@@ -834,6 +834,62 @@ LIMIT 10
 """
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: regional supplier revenue — a six-table
+    snowflake.  Scale plan: region filter applied BEFORE the broadcast
+    nation⋈region dim build; orders date-filtered before joining the
+    fact; the customer-nation = supplier-nation constraint rides the
+    supplier join condition so no post-join filter scans fact rows;
+    nation/region broadcast (tiny dims), the three fact-side joins
+    shuffle on their keys."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "proj_filter": QuerySpec(q_proj_filter, SQL_PROJ_FILTER),
     "json_parse": QuerySpec(q_json_parse, SQL_JSON_PARSE),
@@ -863,4 +919,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "pivot": QuerySpec(q_pivot, SQL_PIVOT),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
 }

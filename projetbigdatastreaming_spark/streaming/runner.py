@@ -109,6 +109,36 @@ def kpi_batch_writer(
     return _fn
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-time twin of the
+    batch `dedup_exact` operator (a training-data pipeline ingesting a
+    document firehose dedupes at the stream boundary so duplicates
+    never reach storage).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes (bounded state, evicted automatically), unlike
+    plain ``dropDuplicates`` on a stream, whose state grows forever.
+    Two records with the same keys within the watermark window dedupe
+    to the first arrival; the batch plan cannot distinguish arrival
+    order, so the batch twin used in tests keys on content fingerprint
+    only.
+
+    Scale: state is hash-partitioned by key across executors; the
+    shuffle carries only the key columns + timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    withwm = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, delay)
+    return withwm.dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_quarter_hour_kpis(
     events_stream: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -140,3 +140,42 @@ def test_watermark_evicts_state(spark, tmp_path):
     # 12:00 window stays open (not past watermark), so exactly 1 row
     assert len(rows) == 1
     assert rows[0].window_start == base
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicate fingerprints arriving in LATER
+    micro-batches (within the watermark) are dropped; state is keyed,
+    bounded by the watermark, and survives across batches."""
+    from projetbigdatastreaming_spark.streaming.runner import dedup_stream
+
+    src_dir = str(tmp_path / "dedup_src")
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "doc_id long, fp string, ts timestamp_ntz"
+    # batch 1: fingerprints a, b   batch 2 (separate file): b again + c
+    spark.createDataFrame(
+        [(1, "a", base), (2, "b", base)], schema
+    ).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(
+        [(3, "b", base + datetime.timedelta(minutes=5)),
+         (4, "c", base + datetime.timedelta(minutes=6))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(src_dir)
+    )
+    deduped = dedup_stream(stream, ["fp"], ts_col="ts", delay="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fp FROM dedup_out").collect()
+    fps = sorted(r.fp for r in got)
+    assert fps == ["a", "b", "c"], fps
