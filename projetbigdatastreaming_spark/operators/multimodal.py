@@ -3,12 +3,14 @@ typed metadata, processed by Arrow-batched pandas iterators
 (mapInPandas) — the north-star multimodal plumbing.
 
 The Spark-side architecture is real and tested: schemas, batch
-iteration, partition-preserving transforms.  The actual codec work
-(JPEG decode, resampling, frame extraction) depends on image/audio
-libraries that are NOT in this container, so each codec is an
-injectable function; the default implementations are clearly-marked
-deterministic fakes (so the pipeline is end-to-end testable) and
-`strict=True` switches them to NotImplementedError.
+iteration, partition-preserving transforms.  Codecs are injectable
+functions; `operators/codecs.py` supplies REAL implementations for the
+formats decodable without external libraries (WAV/PCM audio via stdlib
+``wave``, uncompressed 24-bit BMP decode/resize/encode in numpy), each
+golden-file tested.  Compressed formats (JPEG/MP3/MP4) depend on
+libraries NOT in this container, so their default codecs are
+clearly-marked deterministic fakes (keeping the pipeline end-to-end
+testable) and `strict=True` switches them to NotImplementedError.
 
 At 100 TB the shape matters more than the codec: binary payloads never
 pass through Python row-at-a-time (Arrow batches only), metadata
