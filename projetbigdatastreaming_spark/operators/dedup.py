@@ -181,6 +181,82 @@ def minhash_near_duplicates(
     return jaccard_verify(lsh_candidate_pairs(signed), signed, threshold)
 
 
+def duplicate_clusters(
+    docs: DataFrame, threshold: float = 0.8, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the
+    dedup endgame: transitively-linked documents form ONE cluster, so
+    a corpus keeps exactly one representative per component (pairwise
+    drops alone under-delete chains a~b~c where a≁c).
+
+    Pregel-style iterative min-label propagation: every doc starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels; converges in O(graph diameter) rounds, which for
+    near-dup graphs is tiny (duplicate clusters are dense).  Each round
+    is one shuffle (join + min-agg) — the same shape GraphX/GraphFrames
+    use — and the per-round convergence check is a driver-side count of
+    changed labels, materializing the round's result so the loop never
+    recomputes history.  At extreme diameters, periodic checkpointing
+    would bound plan growth; `max_iterations` bounds it here.
+
+    Deterministic (min over an unordered set), so the DuckDB oracle
+    reproduces it with a recursive min-reachability CTE.
+
+    Output: (doc_id, cluster_id = min doc_id in component,
+    cluster_size), non-singleton members only, ordered by doc_id.
+    """
+    pairs = minhash_near_duplicates(docs, threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("neighbor_label", "label"),
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def minhash_dedup_drops(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Greedy near-dup dedup decision: drop every doc that has a
     near-duplicate with a smaller doc_id.  Output: (drop_doc_id,

@@ -22,7 +22,7 @@ from ..functions.text import (
     token_count_ws,
     winnow_fingerprints,
 )
-from ..operators import dedup, similarity
+from ..operators import dedup, sampling, similarity
 from .registry import QuerySpec
 
 #: fixed query vectors for the top-k searches (first five vec_ids)
@@ -175,6 +175,41 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))
       / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup graph (transitive
+    closure of `dedup_minhash_pairs`) — iterative min-label
+    propagation; the oracle replays it as a recursive
+    min-reachability CTE over the brute-force pair set."""
+    return dedup.duplicate_clusters(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT l.doc_id, l.cluster_id, c.cluster_size
+FROM lab l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM lab GROUP BY cluster_id) c USING (cluster_id)
+ORDER BY l.doc_id
 """
 
 
@@ -659,6 +694,52 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# -- deterministic sampling -------------------------------------------------
+
+SAMPLE_RATE_PCT = 5
+STRATUM_N = 20
+
+#: DuckDB twin of sampling._portable_hash(key, 's0')
+_DUCK_HASH = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's0')),"
+    " 1, 15)) AS BIGINT)"
+)
+
+
+def q_sample_bernoulli(spark, sf_dir):
+    """Deterministic hash-Bernoulli sample — reproducible across runs,
+    partitionings, and engines, unlike seed-based df.sample()."""
+    return sampling.hash_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", SAMPLE_RATE_PCT
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_SAMPLE_BERNOULLI = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_DUCK_HASH} % 100 < {SAMPLE_RATE_PCT}
+ORDER BY doc_id
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic n-per-language sample (training-mix balancing):
+    the n smallest key-hashes within each stratum."""
+    return sampling.stratified_sample(
+        load_table(spark, sf_dir, "documents"), "lang", "doc_id", STRATUM_N
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_DUCK_HASH}, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM ranked WHERE rk <= {STRATUM_N} ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING),
     "doc_winnow": QuerySpec(q_doc_winnow, SQL_DOC_WINNOW),
@@ -669,6 +750,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_pairs": QuerySpec(q_minhash_pairs, SQL_MINHASH_PAIRS),
     "dedup_minhash_drops": QuerySpec(q_minhash_drops, SQL_MINHASH_DROPS),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "sample_bernoulli": QuerySpec(q_sample_bernoulli, SQL_SAMPLE_BERNOULLI),
+    "sample_stratified": QuerySpec(
+        q_sample_stratified, SQL_SAMPLE_STRATIFIED
+    ),
     "dedup_ngram_jaccard": QuerySpec(
         q_ngram_jaccard_bruteforce, SQL_MINHASH_PAIRS
     ),

@@ -132,3 +132,21 @@ def test_ivf_assignment_covers_corpus(spark, sf_dir):
     lists = {r.list_id for r in cents.collect()}
     got = {r.list_id for r in assigned.select("list_id").distinct().collect()}
     assert got <= lists
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """Connected components: a ~ b ~ c chains into ONE cluster even
+    when a and c alone wouldn't pair; unrelated docs form their own
+    component; singletons (docs with no near-dup) are excluded."""
+    a = BASE
+    b = BASE.replace("today", "tonight")          # near a
+    c = BASE.replace("today", "tonight").replace("quick", "swift")  # near b
+    d = OTHER
+    e = OTHER + " indeed"                          # near d
+    docs = _docs(spark, [a, b, c, d, e, "zebra xylophone quartz"])
+    out = dedup.duplicate_clusters(docs, threshold=0.5).collect()
+    got = {(r.doc_id): (r.cluster_id, r.cluster_size) for r in out}
+    assert got == {
+        0: (0, 3), 1: (0, 3), 2: (0, 3),   # chain a-b-c
+        3: (3, 2), 4: (3, 2),              # d-e pair
+    }  # doc 5 is a singleton: absent

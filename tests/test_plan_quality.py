@@ -73,3 +73,28 @@ def test_ivf_no_global_exchange(spark, sf_dir):
     for frag in plan.split("Window [")[1:]:
         head = frag.split("\n", 1)[0]
         assert ", [], [" not in head, f"unpartitioned Window: {head}"
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
+    # nation⋈region is a broadcast dim build; the three fact-side joins
+    # may shuffle but nothing degenerates to a cartesian/BNLJ
+    plan = _plan(spark, sf_dir, "tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bernoulli_sample_is_map_only(spark, sf_dir):
+    # hash-sample must add no shuffle: filter evaluated in the scan
+    # stage (the final orderBy is the query's presentation sort)
+    plan = _plan(spark, sf_dir, "sample_bernoulli")
+    assert plan.count("Exchange") <= 1  # only the presentation sort
+
+def test_stratified_sample_single_partitioned_window(spark, sf_dir):
+    # per-stratum top-n must use WindowGroupLimit (map-side limit
+    # before the stratum exchange), and the exchange must be
+    # hashpartitioning on the stratum — never a single-partition sort
+    plan = _plan(spark, sf_dir, "sample_stratified")
+    assert "WindowGroupLimit" in plan
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
