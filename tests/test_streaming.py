@@ -179,3 +179,88 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     got = spark.sql("SELECT fp FROM dedup_out").collect()
     fps = sorted(r.fp for r in got)
     assert fps == ["a", "b", "c"], fps
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream interval join: clicks within 10 min of the
+    impression match; later clicks don't.  The same function run on the
+    batch DataFrames is the oracle (identical semantics by design)."""
+    from projetbigdatastreaming_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    imp_rows = [(1, base, "ad_a"), (2, base, "ad_b")]
+    clk_rows = [
+        (1, base + datetime.timedelta(minutes=5), "c1"),   # in window
+        (2, base + datetime.timedelta(minutes=25), "c2"),  # too late
+        (1, base - datetime.timedelta(minutes=1), "c0"),   # before imp
+    ]
+    imp_schema = "user_id long, ts timestamp_ntz, ad string"
+    clk_schema = "user_id long, ts timestamp_ntz, click_id string"
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(imp_rows, imp_schema).write.parquet(imp_dir)
+    spark.createDataFrame(clk_rows, clk_schema).write.parquet(clk_dir)
+
+    def _stream(path, schema):
+        return spark.readStream.schema(schema).parquet(path)
+
+    joined = interval_join_streams(
+        _stream(imp_dir, imp_schema),
+        _stream(clk_dir, clk_schema),
+        key="user_id",
+        max_delay="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.l_ad, r.r_click_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    )
+    assert got == [(1, "ad_a", "c1")]
+
+    # batch twin: identical function, identical result
+    batch = interval_join_streams(
+        spark.createDataFrame(imp_rows, imp_schema),
+        spark.createDataFrame(clk_rows, clk_schema),
+        key="user_id",
+        max_delay="10 minutes",
+    ).collect()
+    assert sorted((r.user_id, r.l_ad, r.r_click_id) for r in batch) == got
+
+
+def test_enrich_stream_broadcasts_dim(spark, tmp_path):
+    """Stream-static enrichment: dim joined by broadcast (no stream
+    shuffle), left rows with no dim match keep nulls."""
+    from projetbigdatastreaming_spark.streaming.joins import enrich_stream
+
+    src = str(tmp_path / "enrich_src")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 999)], "event_id long, code long"
+    ).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(100, "alpha"), (200, "beta")], "code long, label string"
+    )
+    stream = spark.readStream.schema("event_id long, code long").parquet(src)
+    out = enrich_stream(stream, dim, "code")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.label
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    assert got == {1: "alpha", 2: "beta", 3: None}
