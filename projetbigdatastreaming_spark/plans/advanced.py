@@ -755,7 +755,109 @@ ORDER BY d
 """
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Strictly-ordered conversion funnel view → click → purchase:
+    a user counts for step n only with an event strictly after their
+    first step-(n-1) event.  Each stage is a filtered min-agg joined to
+    the (shrinking) previous stage's user set — all equi-joins on
+    user_id, co-partitioned down the chain, no window over the full
+    event stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        v.select(F.lit("1_view").alias("step"), "user_id"),
+        c.select(F.lit("2_click").alias("step"), "user_id"),
+        p.select(F.lit("3_purchase").alias("step"), "user_id"),
+    ]
+    out = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    return (
+        out.groupBy("step")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("step")
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT step, COUNT(*) AS n_users FROM (
+  SELECT '1_view' AS step, user_id FROM v
+  UNION ALL SELECT '2_click', user_id FROM c
+  UNION ALL SELECT '3_purchase', user_id FROM p)
+GROUP BY step ORDER BY step
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    ISO week; one row per (cohort_week, weeks_since) with the count of
+    distinct users active that week.  Two aggs + one equi-join on
+    user_id; the distinct collapses map-side before the cohort
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+SELECT f.cohort_week,
+       CAST((ev.week - f.cohort_week) / 7 AS INTEGER) AS weeks_since,
+       COUNT(*) AS n_users
+FROM ev JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "funnel_steps": QuerySpec(q_funnel_steps, SQL_FUNNEL_STEPS),
+    "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
     "map_functions": QuerySpec(q_map_functions, SQL_MAP_FUNCTIONS),
     "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
     "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),
