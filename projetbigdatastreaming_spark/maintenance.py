@@ -1,0 +1,68 @@
+"""Table maintenance: small-file compaction with optional clustering.
+
+A streaming sink or over-parallel job writing a partition per task
+leaves thousands of tiny parquet files; at 100 TB the resulting
+scan-planning and open() overhead dominates query time long before the
+bytes do.  Compaction rewrites a directory to ~``target_mb`` files,
+optionally range-clustering rows by a column so min/max footer stats
+prune whole files for range predicates.
+
+Driver work here is FILE METADATA only (a directory listing to size
+the output); rows never pass through the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 256,
+    cluster_by: str | None = None,
+) -> int:
+    """Rewrite ``src_dir``'s parquet files into ``dst_dir`` at
+    ~``target_mb`` per file; returns the number of files written.
+
+    Without ``cluster_by``: a round-robin ``repartition(n)`` — even
+    file sizes, one shuffle whose width is the output file count.
+    With ``cluster_by``: ``repartitionByRange(n, col)`` +
+    ``sortWithinPartitions`` — same shuffle, but each output file
+    covers a disjoint range of the cluster column, so parquet
+    min/max stats skip whole files for selective range scans (the
+    poor man's clustered index; at a real deployment this is the
+    Delta/Iceberg OPTIMIZE ... ZORDER equivalent for one column).
+
+    Sizing note: output is sized from the *source* compressed bytes;
+    a different compression ratio after re-sorting shifts file sizes
+    by that ratio, which is fine for the "not thousands of tiny
+    files" goal.
+    """
+    n_files = max(1, math.ceil(_dir_bytes(src_dir) / (target_mb << 20)))
+    df: DataFrame = spark.read.parquet(src_dir)
+    if cluster_by is None:
+        out = df.repartition(n_files)
+    else:
+        out = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
+            cluster_by
+        )
+    out.write.mode("overwrite").parquet(dst_dir)
+    return sum(
+        1
+        for f in os.listdir(dst_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )

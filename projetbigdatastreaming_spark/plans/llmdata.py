@@ -694,6 +694,91 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# -- vocabulary / n-gram statistics -----------------------------------------
+
+VOCAB_TOPK = 100
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-k tokens by frequency with deterministic
+    tie-break — the seed step of BPE/vocab construction.  explode →
+    partial-agg count (map-side combine) → TakeOrderedAndProject; the
+    shuffle carries one row per distinct token per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_TOPK)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(str_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {VOCAB_TOPK}
+"""
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Word-bigram counts (language-model n-gram statistics): same
+    shape as vocab_topk but over adjacent token pairs via a
+    higher-order transform — no self-join, no Python."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ),
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(toks) >= 2 THEN
+                  transform(sequence(1, size(toks) - 1),
+                    i -> concat(toks[i - 1], ' ', toks[i]))
+                ELSE array() END
+                """
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(VOCAB_TOPK)
+    )
+
+
+SQL_NGRAM_COUNTS = f"""
+WITH toks AS (
+  SELECT str_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+bg AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1]
+                 for i in range(1, len(t))]) AS bigram
+  FROM toks WHERE len(t) >= 2)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {VOCAB_TOPK}
+"""
+
+
 # -- deterministic sampling -------------------------------------------------
 
 SAMPLE_RATE_PCT = 5
@@ -752,6 +837,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_drops": QuerySpec(q_minhash_drops, SQL_MINHASH_DROPS),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sample_bernoulli": QuerySpec(q_sample_bernoulli, SQL_SAMPLE_BERNOULLI),
+    "vocab_topk": QuerySpec(q_vocab_topk, SQL_VOCAB_TOPK),
+    "ngram_counts": QuerySpec(q_ngram_counts, SQL_NGRAM_COUNTS),
     "sample_stratified": QuerySpec(
         q_sample_stratified, SQL_SAMPLE_STRATIFIED
     ),

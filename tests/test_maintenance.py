@@ -1,0 +1,62 @@
+"""Small-file compaction tests: row parity, file-count collapse, and
+range clustering that actually enables footer-stat pruning."""
+
+from __future__ import annotations
+
+import os
+
+from projetbigdatastreaming_spark.maintenance import compact_parquet
+
+
+def _n_parquet_files(path):
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _fragmented(spark, path, n_rows=5000, n_files=40, pad_expr="repeat('x', 50)"):
+    df = spark.range(n_rows).selectExpr(
+        "id", "id % 97 AS k", f"{pad_expr} AS pad"
+    )
+    df.repartition(n_files).write.parquet(path)
+    return df
+
+
+def test_compaction_collapses_files_preserves_rows(spark, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    _fragmented(spark, src)
+    assert _n_parquet_files(src) == 40
+    n = compact_parquet(spark, src, dst, target_mb=256)
+    assert n == 1  # tiny table -> one target-size file
+    assert _n_parquet_files(dst) == 1
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
+
+
+def test_clustered_compaction_gives_disjoint_file_ranges(spark, tmp_path):
+    src, dst = str(tmp_path / "frag2"), str(tmp_path / "clustered")
+    # incompressible payload so the source clears several MB on disk
+    _fragmented(
+        spark, src, n_rows=60_000,
+        pad_expr="repeat(md5(cast(id AS string)), 2)",
+    )
+    # force multiple output files to observe the range partitioning
+    n = compact_parquet(spark, src, dst, target_mb=1, cluster_by="id")
+    files = sorted(
+        os.path.join(dst, f)
+        for f in os.listdir(dst)
+        if f.endswith(".parquet")
+    )
+    assert n == len(files) >= 2
+    ranges = []
+    for f in files:
+        rows = spark.read.parquet(f).selectExpr(
+            "min(id) AS lo", "max(id) AS hi"
+        ).collect()[0]
+        ranges.append((rows.lo, rows.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # disjoint -> min/max stats prune files
