@@ -779,6 +779,95 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher/MassiveText-style repetition quality signals per doc:
+    type-token ratio, top-token coverage, duplicate-bigram fraction,
+    and a flag combining them with INTEGER-EXACT band predicates
+    (`n_distinct*3 < n_tok` etc.) so no float knife edge can diverge
+    between engines.
+
+    Scale shape: explode → (doc, token) count → per-doc agg (two
+    hash-shuffles on doc-sized relations, map-side partials); bigram
+    stats are pure array expressions, no second explode.  The
+    per-doc top-frequency CANNOT be a higher-order fold (that would be
+    O(n·d) per doc — fatal on 1M-token docs); the explode+agg form is
+    the 100-TB path.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ),
+    )
+    tok_counts = (
+        docs.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    agg = tok_counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("top_n"),
+    )
+    bg = docs.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.expr("size(t) - 1").cast("bigint").alias("n_bg"),
+        F.expr(
+            """size(array_distinct(
+                 transform(sequence(1, size(t) - 1),
+                   i -> concat(t[i - 1], ' ', t[i]))))"""
+        ).cast("bigint").alias("n_bg_d"),
+    )
+    return (
+        agg.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("n_distinct") / F.col("n_tok"), 4).alias("ttr"),
+            F.round(F.col("top_n") / F.col("n_tok"), 4).alias("top_frac"),
+            F.round(
+                (F.col("n_bg") - F.col("n_bg_d")) / F.col("n_bg"), 4
+            ).alias("dup_bigram_frac"),
+            (
+                (F.col("n_distinct") * 3 < F.col("n_tok"))
+                | (F.col("top_n") * 8 > F.col("n_tok"))
+                | ((F.col("n_bg") - F.col("n_bg_d")) * 10 > F.col("n_bg"))
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' ') AS t
+  FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         COUNT(*) AS n_distinct, MAX(c) AS top_n
+  FROM tc GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         CAST(len(t) - 1 AS BIGINT) AS n_bg,
+         CAST(len(list_distinct([t[i] || ' ' || t[i + 1]
+                                 for i in range(1, len(t))])) AS BIGINT)
+           AS n_bg_d
+  FROM toks WHERE len(t) >= 2)
+SELECT doc_id, n_tok,
+       ROUND(n_distinct / n_tok, 4) AS ttr,
+       ROUND(top_n / n_tok, 4) AS top_frac,
+       ROUND((n_bg - n_bg_d) / n_bg, 4) AS dup_bigram_frac,
+       (n_distinct * 3 < n_tok OR top_n * 8 > n_tok
+        OR (n_bg - n_bg_d) * 10 > n_bg) AS flagged
+FROM agg JOIN bg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # -- deterministic sampling -------------------------------------------------
 
 SAMPLE_RATE_PCT = 5
@@ -838,6 +927,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sample_bernoulli": QuerySpec(q_sample_bernoulli, SQL_SAMPLE_BERNOULLI),
     "vocab_topk": QuerySpec(q_vocab_topk, SQL_VOCAB_TOPK),
+    "doc_repetition": QuerySpec(q_doc_repetition, SQL_DOC_REPETITION),
     "ngram_counts": QuerySpec(q_ngram_counts, SQL_NGRAM_COUNTS),
     "sample_stratified": QuerySpec(
         q_sample_stratified, SQL_SAMPLE_STRATIFIED
