@@ -46,6 +46,7 @@ QUERY_ORDER = (
     "emb_near_dup_lsh", "doc_winnow", "tpch_q5", "dedup_clusters",
     "sample_bernoulli", "sample_stratified", "funnel_steps",
     "cohort_retention", "vocab_topk", "ngram_counts", "doc_repetition",
+    "trend_regression", "emb_quantize",
     # unchecked by the round-1 driver run (beyond its 50-query cap)
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",

@@ -855,8 +855,58 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_trend_regression(spark, sf_dir):
+    """Per-user purchase-value trend via the regr_* aggregate family
+    (one hash-agg, map-side partials — the JVM-side way to fit 10⁹
+    tiny per-key regressions; no applyInPandas needed).
+
+    x is DAY-granularity from the NTZ timestamp (datediff vs a fixed
+    epoch date): TZ-free on both engines, unlike epoch-seconds x where
+    Spark's unix_timestamp applies the session zone and truncates
+    sub-seconds while DuckDB's epoch() does neither.  Rounded to 4 dp
+    (the stats_agg float-knife-edge rule); degenerate single-day users
+    excluded with an integer-exact HAVING."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "value",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("__xmin"),
+            F.max("x").alias("__xmax"),
+            F.round(F.regr_slope("value", "x"), 4).alias("slope"),
+            F.round(F.regr_intercept("value", "x"), 4).alias("intercept"),
+        )
+        .where(F.col("__xmax") > F.col("__xmin"))
+        .drop("__xmin", "__xmax")
+        .orderBy("user_id")
+    )
+
+
+SQL_TREND_REGRESSION = """
+SELECT user_id, COUNT(*) AS n,
+       ROUND(regr_slope(value, x), 4) AS slope,
+       ROUND(regr_intercept(value, x), 4) AS intercept
+FROM (
+  SELECT user_id, value,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS x
+  FROM events WHERE event_type = 'purchase')
+GROUP BY user_id
+HAVING MAX(x) > MIN(x)
+ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "funnel_steps": QuerySpec(q_funnel_steps, SQL_FUNNEL_STEPS),
+    "trend_regression": QuerySpec(q_trend_regression, SQL_TREND_REGRESSION),
     "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
     "map_functions": QuerySpec(q_map_functions, SQL_MAP_FUNCTIONS),
     "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),

@@ -694,6 +694,39 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (scale + integer digest;
+    the quantized array itself is dropped from the checked output —
+    scalar-only, per the driver canonicalizer contract)."""
+    return (
+        similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+        .drop("q")
+        .withColumn("n_dims", F.col("n_dims").cast("bigint"))
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMB_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+         END AS scale
+  FROM e),
+q AS (
+  SELECT vec_id, scale, len(emb) AS n_dims,
+         list_transform(emb, x -> CAST(round(x * scale) AS INTEGER)) AS qv
+  FROM s)
+SELECT vec_id, ROUND(scale, 6) AS scale_q6, n_dims,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       list_aggregate(qv, 'min') AS q_min,
+       list_aggregate(qv, 'max') AS q_max
+FROM q ORDER BY vec_id
+"""
+
+
 # -- vocabulary / n-gram statistics -----------------------------------------
 
 VOCAB_TOPK = 100
@@ -928,6 +961,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sample_bernoulli": QuerySpec(q_sample_bernoulli, SQL_SAMPLE_BERNOULLI),
     "vocab_topk": QuerySpec(q_vocab_topk, SQL_VOCAB_TOPK),
     "doc_repetition": QuerySpec(q_doc_repetition, SQL_DOC_REPETITION),
+    "emb_quantize": QuerySpec(q_emb_quantize, SQL_EMB_QUANTIZE),
     "ngram_counts": QuerySpec(q_ngram_counts, SQL_NGRAM_COUNTS),
     "sample_stratified": QuerySpec(
         q_sample_stratified, SQL_SAMPLE_STRATIFIED
