@@ -128,3 +128,80 @@ def test_asof_join_matches_model(spark, events):
                 x.eid for x in earlier if x.ts == best_ts
             )
             assert got[r.eid] == best, (r.eid, got[r.eid], best)
+
+
+def _winnow_model(text, k=8, w=4):
+    """Pure-Python reference for functions.text.winnow_fingerprints."""
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text.lower()).strip()
+
+    def h(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    if len(s) < k:
+        return {h(s)}
+    hs = [h(s[p : p + k]) for p in range(len(s) - k + 1)]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+_text = st.text(
+    alphabet="abcdefgh XY.,\t", min_size=0, max_size=60
+)
+
+
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_winnow_fingerprints_match_model(spark, texts):
+    """winnow_fingerprints (nested higher-order SQL expressions) equals
+    the straightforward Python model on arbitrary text, including
+    degenerate short/empty inputs."""
+    from projetbigdatastreaming_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_model(t), (i, repr(t))
+
+
+@given(
+    shared=st.text(alphabet="mnopqrst", min_size=11, max_size=20),
+    pad_a=_text,
+    pad_b=_text,
+)
+@settings(**_SETTINGS)
+def test_winnow_guarantee_shared_run_yields_common_fingerprint(
+    spark, shared, pad_a, pad_b
+):
+    """The winnowing guarantee (SIGMOD'03): any shared substring of
+    length >= k + w - 1 (= 11 here) produces at least one common
+    fingerprint between the two documents."""
+    from projetbigdatastreaming_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"{pad_a} {shared}"),
+            Row(doc_id=1, text=f"{shared} {pad_b}"),
+        ]
+    )
+    got = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert got[0] & got[1], (repr(shared), repr(pad_a), repr(pad_b))
