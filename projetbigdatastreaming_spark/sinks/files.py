@@ -89,3 +89,28 @@ def stream_to_memory(
         .outputMode(output_mode)
         .start()
     )
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Idempotent partition restatement: overwrite ONLY the partitions
+    present in ``df``, leaving all others untouched (dynamic partition
+    overwrite — the reprocess-one-day pattern).
+
+    With Spark's default static overwrite mode, re-running yesterday's
+    backfill would DELETE the whole table first; the dynamic mode makes
+    a batch rewrite idempotent per partition, which is what a
+    foreachBatch sink or a daily restatement job needs for effectively-
+    exactly-once output on top of at-least-once execution.
+
+    The conf is set per-write via the writer option (not globally), so
+    concurrent static-overwrite writers in the same session are
+    unaffected.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

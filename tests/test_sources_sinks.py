@@ -143,3 +143,38 @@ def test_rate_source_constructs(spark):
     stream = fsrc.rate_stream(spark, rows_per_second=5)
     assert stream.isStreaming
     assert set(stream.columns) == {"timestamp", "value"}
+
+
+def test_overwrite_partitions_restates_only_present_days(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting day-2 leaves day-1 rows
+    intact and replaces day-2 entirely (idempotent restatement)."""
+    from projetbigdatastreaming_spark.sinks.files import overwrite_partitions
+
+    path = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)],
+        "day string, k int, v double",
+    )
+    overwrite_partitions(full, path, ["day"])
+    # restate day-2 with corrected values; day-1 not in the batch
+    fix = spark.createDataFrame(
+        [("2024-01-02", 3, 33.0), ("2024-01-02", 4, 44.0)],
+        "day string, k int, v double",
+    )
+    overwrite_partitions(fix, path, ["day"])
+    got = sorted(
+        (str(r.day), r.k, r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-01", 2, 20.0),
+        ("2024-01-02", 3, 33.0),
+        ("2024-01-02", 4, 44.0),
+    ]
+    # idempotence: running the same restatement again changes nothing
+    overwrite_partitions(fix, path, ["day"])
+    again = sorted(
+        (str(r.day), r.k, r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert again == got
