@@ -890,6 +890,113 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: forecasting-revenue-change — a pure
+    filter-and-sum with NO join and NO groupBy key.  Scale plan: all
+    three predicates push to the parquet scan (range on l_shipdate,
+    bands on l_discount/l_quantity), the aggregate is a map-side
+    partial + single-row final — the cheapest possible shape per TB
+    scanned, entirely whole-stage-codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT join
+    so zero-order customers survive, then a second aggregation over
+    the first's result (distribution of a distribution).  Scale plan:
+    both aggs are hash aggs; the first shuffles on c_custkey (same key
+    as the join, so AQE can reuse the exchange), the second's input is
+    one row per customer and its output is tens of rows.  (The
+    reference schema has no o_comment, so Q13's not-like filter is
+    omitted.)"""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: promotion-revenue share for one month — a
+    conditional-sum ratio over a fact⋈dim join.  Scale plan: the
+    one-month shipdate range prunes the scan; part is joined on its
+    key (shuffle join — at 100 TB part is too big to broadcast, and
+    only p_partkey/p_type are read thanks to column pruning); the
+    ratio is computed from two partial sums in a single agg, no second
+    pass."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "proj_filter": QuerySpec(q_proj_filter, SQL_PROJ_FILTER),
     "json_parse": QuerySpec(q_json_parse, SQL_JSON_PARSE),
@@ -920,4 +1027,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q13": QuerySpec(q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
 }
