@@ -47,6 +47,8 @@ QUERY_ORDER = (
     "sample_bernoulli", "sample_stratified", "funnel_steps",
     "cohort_retention", "vocab_topk", "ngram_counts", "doc_repetition",
     "trend_regression", "emb_quantize",
+    "tpch_q6", "tpch_q13", "tpch_q14",
+    "text_pii", "decontaminate", "pack_sequences", "length_histogram",
     # unchecked by the round-1 driver run (beyond its 50-query cap)
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",

@@ -947,6 +947,223 @@ SELECT doc_id, lang FROM ranked WHERE rk <= {STRATUM_N} ORDER BY doc_id
 """
 
 
+# -- PII detection / redaction ---------------------------------------------
+
+#: the synthetic corpus contains no PII, so the query plants
+#: deterministic fake emails/phones keyed on doc_id before detecting —
+#: the detection+redaction path is what's under test, and the planted
+#: values make the oracle rows non-trivial on both engines.
+_EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\d{3}-\d{4}"
+
+
+def q_text_pii(spark, sf_dir):
+    """PII scrub: count email/phone matches and fingerprint the
+    redacted text.  Scale plan: pure per-row regex expressions —
+    map-only, whole-stage codegen, no shuffle; at 100 TB this is
+    scan-bound, which is the best case."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.substring(F.md5(redacted), 1, 16).alias("redacted_fp"),
+    )
+
+
+SQL_TEXT_PII = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com now'
+           WHEN doc_id % 11 = 3
+             THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       substr(md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>',
+                  'g'), '{_PHONE_RE}', '<PHONE>', 'g')), 1, 16) AS redacted_fp
+FROM aug
+"""
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+#: word-shingle width for contamination matching.  4 is deliberately
+#: aggressive for the small-vocabulary synthetic corpus so the query
+#: has non-trivial output; real pipelines use 8-13-gram overlap.
+_DECON_N = 4
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any
+    word-{4}-gram with the held-out benchmark slice (doc_id % 50 = 0).
+    Scale plan: shingles are md5-hashed so the join carries 16-byte
+    keys, the benchmark side is tiny (2% of docs) and broadcast — the
+    probe side is a map-only scan + broadcast-hash-join + hash-agg on
+    doc_id; no all-pairs comparison anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingled = (
+        docs.where(F.size(w) >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - _DECON_N),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(w, i + 1, _DECON_N))
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    bench = shingled.where(F.col("doc_id") % 50 == 0).select(
+        F.col("h").alias("bh")
+    ).distinct()
+    return (
+        shingled.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), F.col("h") == F.col("bh"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(w[CAST(i AS INT):CAST(i + {_DECON_N - 1} AS INT)],
+             ' ')) AS h
+  FROM toks, UNNEST(range(1, len(w) - {_DECON_N - 2})) AS t(i)
+  WHERE len(w) >= {_DECON_N})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM (SELECT doc_id, h FROM sh WHERE doc_id % 50 <> 0) probe
+JOIN (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0) bench USING (h)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# -- sequence packing --------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Context-window sequence packing: assign docs (in doc_id order,
+    per source) to fixed-token-budget packs by running token count —
+    the standard pretraining batch-assembly step.  Scale plan: the
+    running-sum window is PARTITIONED by source (never a global
+    single-partition sort); one window + one hash-agg."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / _PACK_BUDGET
+        ),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+packed AS (
+  SELECT source, n_tok,
+         CAST(floor(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM sized)
+SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+# -- corpus length histogram -------------------------------------------------
+
+def q_length_histogram(spark, sf_dir):
+    """Fixed-width length histogram with a clamped tail bucket —
+    integer-exact output (counts and sums only, no float aggregates).
+    Scale plan: map-only bucket expression + hash-agg on ≤20 keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 200.0), F.lit(19))
+    return (
+        docs.groupBy((bucket * 200).cast("bigint").alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(least(floor(n_chars / 200.0), 19) * 200 AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING),
     "doc_winnow": QuerySpec(q_doc_winnow, SQL_DOC_WINNOW),
@@ -976,4 +1193,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, SQL_ANN_TOPK_LSH),
     "emb_ann_topk_ivf": QuerySpec(q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
     "emb_ann_recall": QuerySpec(q_ann_recall, SQL_ANN_RECALL),
+    "text_pii": QuerySpec(q_text_pii, SQL_TEXT_PII),
+    "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
+    "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
+    "length_histogram": QuerySpec(q_length_histogram, SQL_LENGTH_HISTOGRAM),
 }
