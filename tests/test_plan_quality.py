@@ -98,3 +98,38 @@ def test_stratified_sample_single_partitioned_window(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "hashpartitioning(lang" in plan
     assert "SinglePartition" not in plan
+
+
+def test_tpch_q6_map_only_scan_bound(spark, sf_dir):
+    # Q6 is the scan-bound best case: all predicates pushed to the
+    # parquet scan, single-row partial+final agg, no join, exactly one
+    # exchange (the final single-row merge)
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "< 24.0)" in plan  # quantity band evaluated in the scan stage
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    # the benchmark slice (2% of docs) must be the broadcast build side
+    # so the probe scan never shuffles its shingles for the join
+    plan = _plan(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    # the running-token-count window must stay partitioned by source —
+    # a global unpartitioned window would serialize the corpus
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "SinglePartition" not in plan
+    for frag in plan.split("Window [")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert ", [], [" not in head, f"unpartitioned Window: {head}"
+
+
+def test_text_pii_is_map_only(spark, sf_dir):
+    # regex scrub is pure per-row projection: zero exchanges
+    plan = _plan(spark, sf_dir, "text_pii")
+    assert "Exchange" not in plan
