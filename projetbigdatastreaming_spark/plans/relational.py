@@ -997,6 +997,60 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 """
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item reporting — top 20 customers by
+    lost revenue in a quarter.  Scale plan: the o_orderdate window and
+    l_returnflag='R' filters both push to their scans BEFORE the
+    joins; nation broadcasts; customer⋈orders⋈lineitem shuffle on
+    their keys; the top-20 is TakeOrderedAndProject (per-partition
+    heap, no global sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # decimal accumulation: exact and summation-order-independent,
+            # so the 2-dp round can't sit on a float knife edge
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(30,8)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "proj_filter": QuerySpec(q_proj_filter, SQL_PROJ_FILTER),
     "json_parse": QuerySpec(q_json_parse, SQL_JSON_PARSE),
@@ -1030,4 +1084,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q13": QuerySpec(q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q10": QuerySpec(q_tpch_q10, SQL_TPCH_Q10),
 }
