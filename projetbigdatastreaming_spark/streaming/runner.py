@@ -109,6 +109,38 @@ def kpi_batch_writer(
     return _fn
 
 
+def restatement_batch_writer(
+    path: str,
+) -> Callable[[DataFrame, int], None]:
+    """Effectively-exactly-once parquet sink for foreachBatch: each
+    micro-batch lands in its own ``batch_id=N`` partition via dynamic
+    partition overwrite, so a *replayed* batch (at-least-once delivery
+    after a failure between sink write and checkpoint commit) rewrites
+    exactly its own partition instead of appending duplicates.
+
+    This is the file-sink twin of a transactional Kafka producer
+    (SURVEY.md §2.7 ST9): idempotent writes + checkpointed offsets =
+    end-to-end effective exactly-once.  Downstream readers see the
+    whole directory as one table with ``batch_id`` as a normal
+    partition column.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sinks.files import overwrite_partitions
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        overwrite_partitions(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            path,
+            ["batch_id"],
+        )
+        logger.info("batch %s: restated partition batch_id=%s", batch_id, batch_id)
+
+    return _fn
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],
