@@ -49,7 +49,7 @@ QUERY_ORDER = (
     "trend_regression", "emb_quantize",
     "tpch_q6", "tpch_q13", "tpch_q14",
     "text_pii", "decontaminate", "pack_sequences", "length_histogram",
-    "tpch_q10",
+    "tpch_q10", "oov_rate", "curation_report",
     # unchecked by the round-1 driver run (beyond its 50-query cap)
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",

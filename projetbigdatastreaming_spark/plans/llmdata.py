@@ -1136,6 +1136,102 @@ ORDER BY source, pack_id
 """
 
 
+# -- tokenizer vocabulary coverage (OOV rate) --------------------------------
+
+#: deliberately tiny vocabulary so the OOV signal is non-trivial on the
+#: small-vocabulary synthetic corpus; real pipelines use the full
+#: learned tokenizer vocab here
+_OOV_VOCAB_K = 20
+
+
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage report: per-document token count and
+    out-of-vocabulary count against the corpus top-K vocabulary — the
+    two-stage 'learn vocab, then apply it' pipeline.  Scale plan: the
+    vocab is an aggregate of the corpus but only K rows survive, so
+    stage 2 broadcasts it; the per-doc count is one hash-agg keyed on
+    doc_id.  Integer-exact output (counts only, rate = n_oov/n_tok is
+    derivable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    ).alias("token")
+    toks = docs.select("doc_id", tok).where(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_OOV_VOCAB_K)
+        .select(F.col("token").alias("vtoken"))
+    )
+    return (
+        toks.join(
+            F.broadcast(vocab), toks.token == F.col("vtoken"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("vtoken").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_OOV_RATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                ' ')) AS token
+  FROM documents),
+clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token FROM clean
+  GROUP BY token ORDER BY COUNT(*) DESC, token ASC LIMIT {_OOV_VOCAB_K})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM vocab)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM clean
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# -- curation mix report -----------------------------------------------------
+
+def q_curation_report(spark, sf_dir):
+    """Data-curation mix report: per (source, lang) cell — document
+    count, total characters, and short-document count.  The table a
+    pretraining data team reads before setting mixture weights.
+    Integer-exact; one hash-agg over a map-only projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_short"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_CURATION_REPORT = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 # -- corpus length histogram -------------------------------------------------
 
 def q_length_histogram(spark, sf_dir):
@@ -1197,4 +1293,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
     "length_histogram": QuerySpec(q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "oov_rate": QuerySpec(q_oov_rate, SQL_OOV_RATE),
+    "curation_report": QuerySpec(q_curation_report, SQL_CURATION_REPORT),
 }
