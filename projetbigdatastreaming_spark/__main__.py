@@ -1,0 +1,81 @@
+"""Command-line entry point: list, run, or explain any registered
+query against a testdata scale-factor directory.
+
+    python -m projetbigdatastreaming_spark list
+    python -m projetbigdatastreaming_spark run kpi_quarter_hour \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m projetbigdatastreaming_spark explain tpch_q3 --mode formatted
+
+This is the batch twin of the reference's ``spark-submit`` entry
+objects (SparkBigData / TraitementsStreaming main methods): one
+process, one named workload, stdout output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _registry():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="projetbigdatastreaming_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="print all registered query names")
+
+    run = sub.add_parser("run", help="execute a query and print rows")
+    run.add_argument("name")
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    run.add_argument("--limit", type=int, default=20)
+
+    ex = sub.add_parser("explain", help="print a query's physical plan")
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    """Returns a process exit code; ``spark`` is injectable for tests
+    (when omitted, a local session is created and left to the JVM's
+    shutdown hook — matching spark-submit lifetime semantics)."""
+    args = _build_parser().parse_args(argv)
+    queries = _registry()
+
+    if args.cmd == "list":
+        for name in queries:
+            print(name)
+        return 0
+
+    if args.name not in queries:
+        print(f"unknown query: {args.name!r} (try 'list')", file=sys.stderr)
+        return 2
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name=f"cli:{args.name}")
+
+    df = queries[args.name](spark, args.sf_dir)
+    if args.cmd == "explain":
+        df.explain(mode=args.mode)
+        return 0
+
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
