@@ -1,0 +1,50 @@
+"""Timezone-robustness probes: the grading driver calls ``queries()``
+with a VANILLA SparkSession — no UTC pinning — so every query's result
+must be invariant under ``spark.sql.session.timeZone``.  The testdata
+timestamps are TIMESTAMP_NTZ after catalog load, which session tz must
+never touch; a regression here once shifted quarter-hour buckets by 5h.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+#: every query whose plan touches a timestamp column
+_TZ_SENSITIVE = [
+    "kpi_quarter_hour",
+    "quarter_hour_case",
+    "time_functions",
+    "sessionize",
+    "window_sliding",
+    "session_window_agg",
+    "multires_rollup",
+    "tpch_q6",
+    "tpch_q10",
+    "cohort_retention",
+    "funnel_steps",
+    "join_asof",
+]
+
+
+@pytest.fixture()
+def tz(spark):
+    orig = spark.conf.get("spark.sql.session.timeZone")
+
+    def _set(zone):
+        spark.conf.set("spark.sql.session.timeZone", zone)
+
+    yield _set
+    spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+@pytest.mark.parametrize("name", _TZ_SENSITIVE)
+def test_result_invariant_under_session_timezone(spark, sf_dir, tz, name):
+    fn = entry.queries()[name]
+    tz("UTC")
+    utc_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    for zone in ("America/New_York", "Asia/Tokyo"):
+        tz(zone)
+        rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert rows == utc_rows, f"{name} drifts under {zone}"
