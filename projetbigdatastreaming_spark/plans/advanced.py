@@ -904,7 +904,49 @@ ORDER BY user_id
 """
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier detection per event_type: value outside
+    [p25 − 1.5·IQR, p75 + 1.5·IQR].  Uses DISCRETE percentiles (actual
+    data values, no interpolation arithmetic) so the fence doubles are
+    bit-identical across engines and outlier MEMBERSHIP is
+    deterministic — interpolated quantiles would make boundary rows
+    engine-dependent.  Scale plan: one agg to ≤|event types| fence
+    rows, broadcast back over the scan; no sort of the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")
+        .alias("p25"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")
+        .alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .where(
+            (F.col("value") > F.col("p75") + 1.5 * iqr)
+            | (F.col("value") < F.col("p25") - 1.5 * iqr)
+        )
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+SQL_IQR_OUTLIERS = """
+WITH fences AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS p25,
+         quantile_disc(value, 0.75) AS p75
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, value
+FROM events e JOIN fences f ON e.event_type = f.event_type
+WHERE value > p75 + 1.5 * (p75 - p25)
+   OR value < p25 - 1.5 * (p75 - p25)
+ORDER BY event_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "iqr_outliers": QuerySpec(q_iqr_outliers, SQL_IQR_OUTLIERS),
     "funnel_steps": QuerySpec(q_funnel_steps, SQL_FUNNEL_STEPS),
     "trend_regression": QuerySpec(q_trend_regression, SQL_TREND_REGRESSION),
     "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),

@@ -1136,6 +1136,142 @@ ORDER BY source, pack_id
 """
 
 
+# -- incremental ingest dedup ------------------------------------------------
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: a new document batch (doc_id%10 ≥ 8
+    stands in for today's crawl) is deduped within itself AND against
+    the existing corpus before admission — the production shape where
+    the corpus is already deduped and only the delta needs checking.
+    Scale plan: anti equi-join on the 16-byte content fingerprint
+    (shuffles fingerprints, not text), then one hash-agg for the
+    within-batch min-doc_id winner.  The corpus side never rewrites."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 8).select("fp")
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    return (
+        batch.join(corpus, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH f AS (
+  SELECT doc_id,
+         substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+           AS fp
+  FROM documents)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fp
+FROM f b
+WHERE doc_id % 10 >= 8
+  AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 < 8 AND c.fp = b.fp)
+GROUP BY fp
+ORDER BY doc_id
+"""
+
+
+# -- containment similarity (sub-document duplication) -----------------------
+
+#: drop shingles appearing in more than this many docs before the pair
+#: join — the standard boilerplate-suppression cap that bounds the
+#: equi-join's fan-out at corpus scale.  Applied identically on both
+#: engines, so parity is exact on the capped definition.
+_CONTAIN_DF_CAP = 50
+_CONTAIN_THRESHOLD = 0.5
+_CONTAIN_N = 3
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Containment similarity |A∩B| / min(|A|,|B|) over word-3-gram
+    sets — catches sub-document duplication (one doc wrapped inside
+    another) that symmetric Jaccard under-scores.  Scale plan: shingle
+    equi-join with a document-frequency cap so pair fan-out tracks
+    genuine shared content, per-doc set sizes computed once and joined
+    back; shared/size division is int/int on identical values in both
+    engines, so the unrounded threshold filter is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sh = (
+        docs.where(F.size(w) >= _CONTAIN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - _CONTAIN_N),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(w, i + 1, _CONTAIN_N))
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    rare = sh.join(
+        sh.groupBy("h").agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _CONTAIN_DF_CAP)
+        .select("h"),
+        "h",
+    )
+    rare = rare.persist()
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = rare.alias("a"), rare.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("shared") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .where(cont >= _CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(cont, 4).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(w[CAST(i AS INT):CAST(i + {_CONTAIN_N - 1} AS INT)],
+             ' ')) AS h
+  FROM toks, UNNEST(range(1, len(w) - {_CONTAIN_N - 2})) AS t(i)
+  WHERE len(w) >= {_CONTAIN_N}),
+rare AS (
+  SELECT doc_id, h FROM sh
+  WHERE h IN (SELECT h FROM sh GROUP BY h
+              HAVING COUNT(*) <= {_CONTAIN_DF_CAP})),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       ROUND(shared / least(sa.sz, sb.sz), 4) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared / least(sa.sz, sb.sz) >= {_CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # -- tokenizer vocabulary coverage (OOV rate) --------------------------------
 
 #: deliberately tiny vocabulary so the OOV signal is non-trivial on the
@@ -1294,5 +1430,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
     "length_histogram": QuerySpec(q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "oov_rate": QuerySpec(q_oov_rate, SQL_OOV_RATE),
+    "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_containment": QuerySpec(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "curation_report": QuerySpec(q_curation_report, SQL_CURATION_REPORT),
 }
