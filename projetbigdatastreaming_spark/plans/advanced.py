@@ -220,6 +220,39 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_approx_distinct_check(spark, sf_dir):
+    """Oracle-checkable companion to `approx_distinct` (the ANN-recall
+    pattern): computes the HLL estimate AND the exact distinct count in
+    one plan and emits whether the relative error is within the
+    sketch's documented ±5% bound.  The oracle asserts the same
+    booleans from the exact side alone, so a drifting sketch turns
+    this row red instead of hiding behind rows-only."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_APPROX_DISTINCT_CHECK = """
+SELECT event_type, true AS within_tol
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_sql_grouping_sets(spark, sf_dir):
     """SQL-string entry point (the reference's ss.sql(...) path,
     ConsommationStreaming.scala:87-90) + GROUPING SETS, which neither
@@ -971,4 +1004,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "percentiles": QuerySpec(q_percentiles, SQL_PERCENTILES),
     "scalar_functions2": QuerySpec(q_scalar_functions2, SQL_SCALAR_FUNCTIONS2),
     "approx_distinct": QuerySpec(q_approx_distinct, None),
+    "approx_distinct_check": QuerySpec(
+        q_approx_distinct_check, SQL_APPROX_DISTINCT_CHECK
+    ),
 }
