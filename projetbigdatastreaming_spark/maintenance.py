@@ -66,3 +66,51 @@ def compact_parquet(
         for f in os.listdir(dst_dir)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Copy-on-write MERGE (upsert) into a parquet table: rows whose
+    ``key_cols`` match an update are replaced, new keys are inserted,
+    everything else is untouched.
+
+    Without a transactional format (Delta/Iceberg jars absent in this
+    environment), MERGE on parquet is copy-on-write.  The scale lever
+    is ``partition_by``: only partitions PRESENT in the update batch
+    are read (partition pruning via the values filter) and rewritten
+    (dynamic partition overwrite); a 1-partition update against a
+    100 TB table touches one partition, not the table.  Unpartitioned
+    tables fall back to a full rewrite — correct, but the caller is
+    choosing the expensive path.
+
+    The merged partition content is (target ANTI-JOIN updates) UNION
+    updates — an equi-join on the key columns, no driver-side rows.
+    """
+    from pyspark.sql import functions as F
+
+    from .sinks.files import overwrite_partitions
+
+    target = spark.read.parquet(table_path)
+    cols = target.columns
+    if partition_by:
+        # prune target read to the partitions the batch touches
+        pvals = updates.select(*partition_by).distinct()
+        target = target.join(F.broadcast(pvals), partition_by, "left_semi")
+    kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = kept.select(*cols).unionByName(updates.select(*cols))
+    if partition_by:
+        overwrite_partitions(merged, table_path, partition_by)
+    else:
+        # full copy-on-write: stage to a temp subdir is not atomic on
+        # raw parquet; rely on Spark's job-level commit for the rewrite
+        staged = merged.cache()
+        staged.count()  # materialize before the source files vanish
+        try:
+            staged.write.mode("overwrite").parquet(table_path)
+        finally:
+            staged.unpersist()

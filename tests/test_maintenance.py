@@ -60,3 +60,61 @@ def test_clustered_compaction_gives_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo_next  # disjoint -> min/max stats prune files
+
+
+def test_merge_upsert_partitioned_touches_only_batch_partitions(
+    spark, tmp_path
+):
+    from projetbigdatastreaming_spark.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c"), ("d3", 4, "d")],
+        "day string, k int, v string",
+    )
+    base.write.partitionBy("day").parquet(path)
+    import os
+
+    d3_files = {
+        f: os.path.getmtime(os.path.join(path, "day=d3", f))
+        for f in os.listdir(os.path.join(path, "day=d3"))
+        if f.endswith(".parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [("d1", 2, "B"), ("d2", 5, "e")], "day string, k int, v string"
+    )
+    merge_upsert(spark, path, updates, ["k"], partition_by=["day"])
+
+    got = {
+        (str(r.day), r.k, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("d1", 1, "a"), ("d1", 2, "B"),  # update applied, sibling kept
+        ("d2", 3, "c"), ("d2", 5, "e"),  # insert into existing partition
+        ("d3", 4, "d"),                  # untouched partition intact
+    }
+    # untouched partition's files were not rewritten
+    d3_after = {
+        f: os.path.getmtime(os.path.join(path, "day=d3", f))
+        for f in os.listdir(os.path.join(path, "day=d3"))
+        if f.endswith(".parquet")
+    }
+    assert d3_after == d3_files
+
+
+def test_merge_upsert_unpartitioned_full_rewrite(spark, tmp_path):
+    from projetbigdatastreaming_spark.maintenance import merge_upsert
+
+    path = str(tmp_path / "u")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).write.parquet(path)
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        ["k"],
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
