@@ -220,6 +220,49 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_rolling_avg_range(spark, sf_dir):
+    """Time-RANGE window frame: per-user rolling 10-minute average of
+    event values — RANGE BETWEEN (value-based bounds on event time),
+    the frame type `window_sliding`'s tumbling/sliding buckets and the
+    ROWS frames elsewhere don't cover.  Scale plan: window partitioned
+    by user_id (shuffle on user, in-partition time sort); the frame is
+    evaluated with a sliding two-pointer over each partition, never a
+    self-join.  Sums accumulate in decimal so the 4-dp round is
+    knife-edge-free."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.col("value").cast("decimal(20,6)").alias("dval"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum("dval").over(w) / F.count("*").over(w))
+        .cast("decimal(24,4)")
+        .cast("double")
+        .alias("avg_10m"),
+    ).orderBy("event_id")
+
+
+SQL_ROLLING_AVG_RANGE = """
+SELECT event_id, user_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w
+                 / COUNT(*) OVER w AS DECIMAL(24,4)) AS DOUBLE) AS avg_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def q_approx_distinct_check(spark, sf_dir):
     """Oracle-checkable companion to `approx_distinct` (the ANN-recall
     pattern): computes the HLL estimate AND the exact distinct count in
@@ -1007,4 +1050,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_distinct_check": QuerySpec(
         q_approx_distinct_check, SQL_APPROX_DISTINCT_CHECK
     ),
+    "rolling_avg_range": QuerySpec(q_rolling_avg_range, SQL_ROLLING_AVG_RANGE),
 }

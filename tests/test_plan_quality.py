@@ -133,3 +133,20 @@ def test_text_pii_is_map_only(spark, sf_dir):
     # regex scrub is pure per-row projection: zero exchanges
     plan = _plan(spark, sf_dir, "text_pii")
     assert "Exchange" not in plan
+
+
+def test_fence_and_vocab_joins_broadcast(spark, sf_dir):
+    # learn-then-apply shapes: the tiny learned relation (IQR fences,
+    # top-K vocab) must broadcast back over the fact scan
+    for name in ("iqr_outliers", "oov_rate"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_rolling_range_window_is_partitioned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rolling_avg_range")
+    assert "hashpartitioning(user_id" in plan
+    for frag in plan.split("Window [")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert ", [], [" not in head, f"unpartitioned Window: {head}"

@@ -25,6 +25,7 @@ _TZ_SENSITIVE = [
     "cohort_retention",
     "funnel_steps",
     "join_asof",
+    "rolling_avg_range",
 ]
 
 
