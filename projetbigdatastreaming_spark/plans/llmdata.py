@@ -1179,9 +1179,11 @@ ORDER BY doc_id
 
 #: drop shingles appearing in more than this many docs before the pair
 #: join — the standard boilerplate-suppression cap that bounds the
-#: equi-join's fan-out at corpus scale.  Applied identically on both
-#: engines, so parity is exact on the capped definition.
-_CONTAIN_DF_CAP = 50
+#: equi-join's fan-out at corpus scale (≤ cap²/2 pairs per shingle, so
+#: the knob trades recall on heavily-repeated content for join volume).
+#: Applied identically on both engines, so parity is exact on the
+#: capped definition.
+_CONTAIN_DF_CAP = 20
 _CONTAIN_THRESHOLD = 0.5
 _CONTAIN_N = 3
 
@@ -1193,8 +1195,13 @@ def q_dedup_containment(spark, sf_dir):
     equi-join with a document-frequency cap so pair fan-out tracks
     genuine shared content, per-doc set sizes computed once and joined
     back; shared/size division is int/int on identical values in both
-    engines, so the unrounded threshold filter is deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    engines, so the unrounded threshold filter is deterministic.
+    Join keys are the raw 3-word shingles — shorter than any digest at
+    this n; production 8-gram+ shingles would xxhash64 to fixed 8-byte
+    keys before the join (the minhash operator's trick)."""
+    from ..catalog import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     sh = (
         docs.where(F.size(w) >= _CONTAIN_N)
@@ -1203,9 +1210,7 @@ def q_dedup_containment(spark, sf_dir):
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size(w) - _CONTAIN_N),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(w, i + 1, _CONTAIN_N))
-                    ),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, _CONTAIN_N)),
                 )
             ).alias("h"),
         )
@@ -1249,8 +1254,8 @@ SQL_DEDUP_CONTAINMENT = f"""
 WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id,
-         md5(array_to_string(w[CAST(i AS INT):CAST(i + {_CONTAIN_N - 1} AS INT)],
-             ' ')) AS h
+         array_to_string(w[CAST(i AS INT):CAST(i + {_CONTAIN_N - 1} AS INT)],
+             ' ') AS h
   FROM toks, UNNEST(range(1, len(w) - {_CONTAIN_N - 2})) AS t(i)
   WHERE len(w) >= {_CONTAIN_N}),
 rare AS (
