@@ -141,6 +141,38 @@ def restatement_batch_writer(
     return _fn
 
 
+def cdc_merge_writer(
+    table_path: str,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """CDC-apply sink: each micro-batch of change records is MERGEd
+    into a parquet table (update matched keys, insert new ones) via
+    ``maintenance.merge_upsert``.  Last-write-wins within a batch is
+    resolved by taking the max-``batch``-order row per key upstream if
+    needed; across batches the merge itself is the resolution.
+
+    Replay-safe: merging the same batch twice is a no-op (the second
+    merge replaces rows with identical content), so at-least-once
+    redelivery yields effectively-exactly-once table state.
+    """
+    from ..maintenance import merge_upsert
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            key_cols,
+            partition_by=partition_by,
+        )
+        logger.info("batch %s: merged into %s", batch_id, table_path)
+
+    return _fn
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

@@ -304,3 +304,59 @@ def test_restatement_writer_is_replay_safe(spark, events_dir, tmp_path):
         spark.read.parquet(out).select("event_id").distinct().count()
         == n_input
     )
+
+
+def test_cdc_merge_writer_applies_upserts_and_survives_replay(
+    spark, tmp_path
+):
+    """Change records streamed through the CDC sink upsert the base
+    table; full redelivery (fresh checkpoint) leaves the table
+    unchanged — merge is idempotent."""
+    from projetbigdatastreaming_spark.sources.files import parquet_stream
+    from projetbigdatastreaming_spark.streaming.runner import (
+        cdc_merge_writer,
+    )
+
+    table = str(tmp_path / "accounts")
+    spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)],
+        "day string, k int, v double",
+    ).write.partitionBy("day").parquet(table)
+
+    changes_dir = str(tmp_path / "changes")
+    changes = spark.createDataFrame(
+        [("d1", 2, 22.0), ("d2", 4, 40.0)], "day string, k int, v double"
+    )
+    changes.write.parquet(changes_dir)
+
+    writer = cdc_merge_writer(table, ["k"], partition_by=["day"])
+    stream = parquet_stream(
+        spark, changes_dir, spark.read.parquet(changes_dir).schema
+    )
+    q = run_foreach_batch(
+        stream, writer, str(tmp_path / "ck_cdc"), available_now=True,
+        query_name="cdc",
+    )
+    q.awaitTermination(120)
+
+    want = {
+        ("d1", 1, 10.0), ("d1", 2, 22.0), ("d2", 3, 30.0), ("d2", 4, 40.0)
+    }
+    got = {
+        (str(r.day), r.k, r.v) for r in spark.read.parquet(table).collect()
+    }
+    assert got == want
+
+    # full redelivery: fresh checkpoint reprocesses every change
+    stream2 = parquet_stream(
+        spark, changes_dir, spark.read.parquet(changes_dir).schema
+    )
+    q2 = run_foreach_batch(
+        stream2, writer, str(tmp_path / "ck_cdc2"), available_now=True,
+        query_name="cdc2",
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (str(r.day), r.k, r.v) for r in spark.read.parquet(table).collect()
+    }
+    assert got2 == want
