@@ -205,3 +205,88 @@ def test_winnow_guarantee_shared_run_yields_common_fingerprint(
         ).collect()
     }
     assert got[0] & got[1], (repr(shared), repr(pad_a), repr(pad_b))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "book", "code"]),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_invariants(spark, rows):
+    """Every pack's token total stays under budget + its largest doc
+    (the running-sum bound), packs are contiguous per source, and no
+    document is lost or duplicated."""
+    from pyspark.sql import Window
+
+    budget = 64
+    df = spark.createDataFrame(
+        [(i, src, n) for i, (src, n) in enumerate(rows)],
+        "doc_id long, source string, n_tok long",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = df.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget),
+    ).collect()
+
+    assert len(packed) == len(rows)  # nothing lost
+    by_pack: dict = {}
+    for r in packed:
+        by_pack.setdefault((r.source, r.pack_id), []).append(r)
+    for (_src, _pid), docs in by_pack.items():
+        total = sum(d.n_tok for d in docs)
+        assert total <= budget + max(d.n_tok for d in docs)
+    # contiguity: doc_ids within a source must map to non-decreasing packs
+    for src in {r.source for r in packed}:
+        seq = sorted(
+            (r.doc_id, r.pack_id) for r in packed if r.source == src
+        )
+        pids = [p for _d, p in seq]
+        assert pids == sorted(pids)
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.text("ab", min_size=1, max_size=3),
+        min_size=1,
+        max_size=10,
+    ),
+    updates=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.text("cd", min_size=1, max_size=3),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_dict_update(spark, tmp_path_factory, base, updates):
+    """merge_upsert on an unpartitioned table is exactly dict.update():
+    updated keys replaced, new keys inserted, others untouched — and a
+    second identical merge changes nothing."""
+    from projetbigdatastreaming_spark.maintenance import merge_upsert
+
+    path = str(tmp_path_factory.mktemp("mu") / "t")
+    spark.createDataFrame(
+        list(base.items()), "k long, v string"
+    ).write.parquet(path)
+    upd = spark.createDataFrame(list(updates.items()), "k long, v string")
+
+    merge_upsert(spark, path, upd, ["k"])
+    want = {**base, **updates}
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == want
+
+    merge_upsert(spark, path, upd, ["k"])  # idempotent
+    got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got2 == want
