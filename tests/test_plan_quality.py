@@ -150,3 +150,45 @@ def test_rolling_range_window_is_partitioned(spark, sf_dir):
     for frag in plan.split("Window [")[1:]:
         head = frag.split("\n", 1)[0]
         assert ", [], [" not in head, f"unpartitioned Window: {head}"
+
+
+#: queries where a BroadcastNestedLoopJoin is the intended plan: the
+#: explicit cross join, the documented O(n²) oracle baselines, and the
+#: constant-size broadcast sides (query vectors / hyperplane tables)
+#: crossed against the corpus scan
+_BNLJ_ALLOWED = {
+    "join_cross",
+    "dedup_ngram_jaccard",
+    "dedup_char_ngram",
+    "emb_cosine_pairs",
+    "emb_cosine_topk",
+    "emb_ann_topk_lsh",
+    "emb_ann_topk_ivf",
+    "emb_ann_recall",
+    "emb_near_dup_lsh",
+}
+
+
+def test_registry_wide_scale_audit(spark, sf_dir):
+    """Every registered query's physical plan is free of scale
+    anti-patterns: no CartesianProduct anywhere, no unpartitioned
+    window anywhere, and BroadcastNestedLoopJoin only where a
+    constant-size side makes it the correct plan."""
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(spark, sf_dir, name)
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in _BNLJ_ALLOWED
+        ):
+            flags.append("bnlj")
+        for frag in plan.split("Window [")[1:]:
+            if ", [], [" in frag.split("\n", 1)[0]:
+                flags.append("global-window")
+                break
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"scale anti-patterns: {offenders}"
