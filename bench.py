@@ -43,10 +43,10 @@ def main() -> None:
         fn = all_queries[name]
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT, scan cache)
-        # min of 2 measured runs: machine-noise floor, not a lucky cache
-        # (both runs are full end-to-end noop-sink executions)
+        # min of 3 measured runs: machine-noise floor, not a lucky cache
+        # (all runs are full end-to-end noop-sink executions)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
