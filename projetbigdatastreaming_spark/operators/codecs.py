@@ -12,12 +12,18 @@ PIL/ffmpeg:
   uncompressed 24-bit Windows bitmaps — a 54-byte struct header plus a
   bottom-up, 4-byte-row-aligned BGR pixel grid.  Decode, nearest-
   neighbor resize, and re-encode are exact and deterministic.
+- **PNG images** (`png_decode`, `png_encode`): non-interlaced 8-bit
+  gray/RGB/alpha PNGs — stdlib ``zlib`` inflate plus full scanline
+  filter reconstruction (None/Sub/Up/Average/Paeth).  Identical pixels
+  hash identically across BMP and PNG (the feature hash is over
+  decoded RGB, not container bytes).
 
 So `decode_images(media, decoder=bmp_decode)` and
 `extract_audio_features(media, extractor=wav_features)` run a REAL
 end-to-end decode inside the Arrow batch loop; the fake default codecs
 remain only for formats (JPEG/MP3/MP4) whose decompressors genuinely
-aren't in this container.
+aren't in this container (PNG's DEFLATE is in the stdlib; JPEG's DCT
+entropy coding is not).
 """
 
 from __future__ import annotations
@@ -122,27 +128,32 @@ def bmp_encode(pixels: np.ndarray) -> bytes:
     return header + body_b
 
 
-def bmp_decode(payload: bytes) -> dict[str, Any]:
-    """Real image decoder for the `decode_images` contract: BMP header
-    dimensions plus a feature hash over the decoded RGB pixel grid — a
-    polynomial hash under uint64 wraparound, fully vectorized in numpy
-    (no per-byte Python loop inside the Arrow batch).  Non-BMP payloads
-    yield nulls.
-    """
-    px = _bmp_pixels(payload)
-    if px is None:
-        return {"width": None, "height": None, "feature_hash": None}
+def _feature_hash(px: np.ndarray) -> int:
+    """Polynomial hash of an RGB pixel grid under uint64 wraparound,
+    fully vectorized (no per-byte Python loop inside the Arrow batch).
+    Shared by every image codec so the same pixels hash identically
+    regardless of container format."""
     data = np.frombuffer(px.tobytes()[: 64 * 1024], dtype=np.uint8)
     data = data.astype(np.uint64)
     prime = np.uint64(0x100000001B3)
     powers = np.full(data.size, prime, dtype=np.uint64)
     powers[0] = 1
     powers = np.cumprod(powers)  # p^0 .. p^{n-1}, wrapping mod 2^64
-    h = int((data * powers).sum(dtype=np.uint64) % np.uint64(1 << 60))
+    return int((data * powers).sum(dtype=np.uint64) % np.uint64(1 << 60))
+
+
+def bmp_decode(payload: bytes) -> dict[str, Any]:
+    """Real image decoder for the `decode_images` contract: BMP header
+    dimensions plus `_feature_hash` over the decoded RGB pixel grid.
+    Non-BMP payloads yield nulls.
+    """
+    px = _bmp_pixels(payload)
+    if px is None:
+        return {"width": None, "height": None, "feature_hash": None}
     return {
         "width": int(px.shape[1]),
         "height": int(px.shape[0]),
-        "feature_hash": h,
+        "feature_hash": _feature_hash(px),
     }
 
 
@@ -157,3 +168,129 @@ def bmp_resize(payload: bytes, w: int, h: int) -> bytes | None:
     rows = (np.arange(h) * src_h) // h
     cols = (np.arange(w) * src_w) // w
     return bmp_encode(px[rows][:, cols])
+
+
+# ---------------------------------------------------------------------------
+# PNG images (non-interlaced, 8-bit depth; gray / RGB / +alpha)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color_type -> channels
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_pixels(payload: bytes) -> np.ndarray | None:
+    """Decode a non-interlaced 8-bit PNG (stdlib zlib inflate + the
+    five scanline filters) into an (h, w, 3) RGB uint8 array — alpha is
+    dropped, grayscale replicates — or None for non-PNG / unsupported
+    payloads.  Filter reconstruction is per-row (Sub/Paeth carry a
+    left-pixel dependency), with numpy fast paths for None/Up rows.
+    """
+    import zlib
+
+    if payload is None or not payload.startswith(_PNG_SIG):
+        return None
+    try:
+        pos, ihdr, idat = len(_PNG_SIG), None, []
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, _comp, _filt, interlace = ihdr
+        ch = _PNG_CHANNELS.get(color)
+        if depth != 8 or ch is None or interlace != 0 or w == 0 or h == 0:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        if len(raw) != h * (1 + stride):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
+            f, cur = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int32)
+            if f == 0:
+                rec = cur
+            elif f == 2:  # Up
+                rec = (cur + prev) & 0xFF
+            else:  # Sub / Average / Paeth: left-pixel recurrence
+                rec = cur.copy()
+                for i in range(stride):
+                    a = rec[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    if f == 1:
+                        rec[i] = (rec[i] + a) & 0xFF
+                    elif f == 3:
+                        rec[i] = (rec[i] + ((a + b) >> 1)) & 0xFF
+                    elif f == 4:
+                        c = prev[i - ch] if i >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c
+                        )
+                        rec[i] = (rec[i] + pred) & 0xFF
+                    else:
+                        return None
+            out[y] = rec.astype(np.uint8)
+            prev = rec
+        px = out.reshape(h, w, ch)
+        if color == 0:
+            return np.repeat(px, 3, axis=2)
+        if color == 2:
+            return px
+        if color == 4:
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return px[:, :, :3]  # RGBA: drop alpha
+    except (zlib.error, struct.error, ValueError):
+        return None
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as a non-interlaced 8-bit
+    truecolor PNG (filter 0 on every scanline) — decodable by
+    `_png_pixels` and any standards-compliant reader."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    scan = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    scan[:, 1:] = pixels.reshape(h, w * 3)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> dict[str, Any]:
+    """Real PNG decoder for the `decode_images` contract; identical
+    pixels produce the same `feature_hash` as `bmp_decode` (the hash is
+    over decoded RGB, not container bytes)."""
+    px = _png_pixels(payload)
+    if px is None:
+        return {"width": None, "height": None, "feature_hash": None}
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "feature_hash": _feature_hash(px),
+    }

@@ -3,8 +3,10 @@ stub boundary behavior."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
+from projetbigdatastreaming_spark.operators import codecs
 from projetbigdatastreaming_spark.operators import multimodal as mm
 
 
@@ -167,3 +169,93 @@ def test_bmp_resize_real_codec(spark):
     assert resized.shape == (4, 8, 3)
     # nearest-neighbor doubling duplicates each source pixel 2x2
     assert np.array_equal(resized, np.repeat(np.repeat(px, 2, 0), 2, 1))
+
+
+def _apply_png_filter(f, cur, prev, ch):
+    """Reference forward-filter (RFC 2083 §6) — the test builds
+    filtered scanlines so the decoder's reconstruction is exercised on
+    every filter type, not just the filter-0 rows our encoder emits."""
+    out = bytearray(len(cur))
+    for i in range(len(cur)):
+        a = cur[i - ch] if i >= ch else 0
+        b = prev[i]
+        c = prev[i - ch] if i >= ch else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def test_png_roundtrip_and_cross_codec_hash():
+    """Encode→decode is pixel-exact, and the same pixels hash
+    identically through the BMP and PNG containers."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(codecs._png_pixels(codecs.png_encode(px)), px)
+    assert (
+        codecs.png_decode(codecs.png_encode(px))
+        == codecs.bmp_decode(codecs.bmp_encode(px))
+    )
+    assert codecs.png_decode(b"\x89PNG but truncated") == {
+        "width": None, "height": None, "feature_hash": None
+    }
+
+
+def test_png_decoder_reconstructs_all_filters():
+    """A PNG whose five scanlines use filters 0,1,2,3,4 decodes to the
+    original pixels."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    stride = 6 * 3
+    prev = bytes(stride)
+    raw = bytearray()
+    for y, f in enumerate((0, 1, 2, 3, 4)):
+        cur = px[y].tobytes()
+        raw.append(f)
+        raw += _apply_png_filter(f, cur, prev, 3)
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs._png_pixels(payload), px)
+
+
+def test_png_decode_through_spark_pipeline(spark):
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    png = codecs.png_encode(px)
+    media = spark.createDataFrame(
+        [(30, "image", "image/png", png, len(png)),
+         (31, "image", "image/png", b"not a png", 9)],
+        "media_id long, kind string, mime string, payload binary, n_bytes long",
+    )
+    out = {
+        r.media_id: r
+        for r in mm.decode_images(media, codecs.png_decode).collect()
+    }
+    assert (out[30].width, out[30].height) == (4, 4)
+    assert out[30].feature_hash == codecs.png_decode(png)["feature_hash"]
+    assert out[31].width is None
