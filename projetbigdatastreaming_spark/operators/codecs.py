@@ -12,11 +12,14 @@ PIL/ffmpeg:
   uncompressed 24-bit Windows bitmaps — a 54-byte struct header plus a
   bottom-up, 4-byte-row-aligned BGR pixel grid.  Decode, nearest-
   neighbor resize, and re-encode are exact and deterministic.
-- **PNG images** (`png_decode`, `png_encode`): non-interlaced 8-bit
-  gray/RGB/alpha PNGs — stdlib ``zlib`` inflate plus full scanline
-  filter reconstruction (None/Sub/Up/Average/Paeth).  Identical pixels
-  hash identically across BMP and PNG (the feature hash is over
-  decoded RGB, not container bytes).
+- **PNG images** (`png_decode`, `png_encode`, `png_resize`):
+  non-interlaced 8-bit gray/RGB/alpha PNGs — stdlib ``zlib`` inflate
+  plus full scanline filter reconstruction (None/Sub/Up/Average/
+  Paeth).  Identical pixels hash identically across BMP and PNG (the
+  feature hash is over decoded RGB, not container bytes).
+- **Y4M video** (`y4m_frames`): uncompressed yuv4mpeg2 4:2:0 streams —
+  FRAME-section walk, every-nth sampling, BT.601 YUV→RGB, each sampled
+  frame re-encoded as PNG so it flows into the image codecs downstream.
 
 So `decode_images(media, decoder=bmp_decode)` and
 `extract_audio_features(media, extractor=wav_features)` run a REAL
@@ -294,3 +297,82 @@ def png_decode(payload: bytes) -> dict[str, Any]:
         "height": int(px.shape[0]),
         "feature_hash": _feature_hash(px),
     }
+
+
+def png_resize(payload: bytes, w: int, h: int) -> bytes | None:
+    """Real resizer for the `resize_images` contract (PNG container):
+    nearest-neighbor resample, re-encoded as PNG."""
+    px = _png_pixels(payload)
+    if px is None:
+        return None
+    src_h, src_w, _ = px.shape
+    rows = (np.arange(h) * src_h) // h
+    cols = (np.arange(w) * src_w) // w
+    return png_encode(px[rows][:, cols])
+
+
+# ---------------------------------------------------------------------------
+# Y4M video (yuv4mpeg2 — uncompressed 4:2:0 frames)
+# ---------------------------------------------------------------------------
+
+
+def _yuv420_to_rgb(yp: np.ndarray, up: np.ndarray, vp: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 YUV→RGB with 2x nearest chroma upsampling —
+    one fixed, documented convention so frame hashes are deterministic
+    (Y4M doesn't carry colorimetry we could honor without ffmpeg)."""
+    u = np.repeat(np.repeat(up, 2, axis=0), 2, axis=1)[: yp.shape[0], : yp.shape[1]]
+    v = np.repeat(np.repeat(vp, 2, axis=0), 2, axis=1)[: yp.shape[0], : yp.shape[1]]
+    y = yp.astype(np.float64)
+    r = y + 1.402 * (v.astype(np.float64) - 128.0)
+    g = y - 0.344136 * (u.astype(np.float64) - 128.0) - 0.714136 * (
+        v.astype(np.float64) - 128.0
+    )
+    b = y + 1.772 * (u.astype(np.float64) - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
+
+
+def y4m_frames(payload: bytes, every_nth: int = 30) -> list[bytes]:
+    """Real frame extractor for the `sample_video_frames` contract:
+    parses the yuv4mpeg2 stream header, walks FRAME sections of raw
+    4:2:0 planes, keeps every ``every_nth``-th frame, and returns each
+    as a PNG (so sampled frames feed straight into `png_decode` /
+    `png_resize` downstream).  Non-Y4M or malformed payloads yield []
+    — crawl garbage must not kill the batch."""
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return []
+    try:
+        nl = payload.index(b"\n")
+        w = h = None
+        for tok in payload[:nl].split(b" ")[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C" and not tok.startswith(b"C420"):
+                return []  # only 4:2:0 subsampling supported
+        if not w or not h or w % 2 or h % 2:
+            return []
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+        out, pos, frame_no = [], nl + 1, 0
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if payload[pos:fnl][:5] != b"FRAME":
+                return out
+            data = payload[fnl + 1 : fnl + 1 + fsize]
+            if len(data) < fsize:
+                return out
+            if frame_no % max(1, every_nth) == 0:
+                yp = np.frombuffer(data, np.uint8, w * h).reshape(h, w)
+                cw, chh = w // 2, h // 2
+                up = np.frombuffer(
+                    data, np.uint8, cw * chh, w * h
+                ).reshape(chh, cw)
+                vp = np.frombuffer(
+                    data, np.uint8, cw * chh, w * h + cw * chh
+                ).reshape(chh, cw)
+                out.append(png_encode(_yuv420_to_rgb(yp, up, vp)))
+            frame_no += 1
+            pos = fnl + 1 + fsize
+        return out
+    except (ValueError, IndexError):
+        return []

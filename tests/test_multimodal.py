@@ -259,3 +259,53 @@ def test_png_decode_through_spark_pipeline(spark):
     assert (out[30].width, out[30].height) == (4, 4)
     assert out[30].feature_hash == codecs.png_decode(png)["feature_hash"]
     assert out[31].width is None
+
+
+def _golden_y4m(n_frames, w=4, h=4):
+    """Build a yuv4mpeg2 stream whose frame f is solid gray level
+    40+10f (Y=level, U=V=128 → RGB=(level,level,level))."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+    frames = b""
+    for f in range(n_frames):
+        yplane = bytes([40 + 10 * f]) * (w * h)
+        chroma = bytes([128]) * ((w // 2) * (h // 2))
+        frames += b"FRAME\n" + yplane + chroma + chroma
+    return head + frames
+
+
+def test_y4m_frame_sampling_real_codec():
+    """Every 2nd frame of a 5-frame stream → frames 0,2,4; each PNG
+    decodes to the expected solid-gray pixels."""
+    payload = _golden_y4m(5)
+    pngs = codecs.y4m_frames(payload, every_nth=2)
+    assert len(pngs) == 3
+    for png, level in zip(pngs, (40, 60, 80)):
+        px = codecs._png_pixels(png)
+        assert px.shape == (4, 4, 3)
+        assert (px == level).all(), (level, px[0, 0])
+    assert codecs.y4m_frames(b"not a video", 2) == []
+    assert codecs.y4m_frames(payload[:30], 2) == []  # truncated
+
+
+def test_y4m_through_spark_pipeline(spark):
+    payload = _golden_y4m(4)
+    media = spark.createDataFrame(
+        [(40, "video", "video/x-y4m", payload, len(payload))],
+        "media_id long, kind string, mime string, payload binary, n_bytes long",
+    )
+    rows = mm.sample_video_frames(
+        media, every_nth=3, extractor=codecs.y4m_frames
+    ).collect()
+    assert [r.frame_no for r in rows] == [0, 1]  # frames 0 and 3
+    assert codecs._png_pixels(rows[0].frame) is not None
+
+
+def test_png_resize_real_codec():
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    small = codecs.png_resize(codecs.png_encode(px), 4, 4)
+    spx = codecs._png_pixels(small)
+    assert spx.shape == (4, 4, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    assert (spx == px[::2, ::2]).all()
+    assert codecs.png_resize(b"nope", 4, 4) is None
