@@ -263,6 +263,91 @@ ORDER BY event_id
 """
 
 
+def q_window_rank_functions(spark, sf_dir):
+    """Ranking-window surface: rank / dense_rank / ntile / percent_rank
+    / cume_dist over order totals per priority — the distribution-rank
+    functions the other window queries don't touch.  Total order within
+    each partition (tie-break on o_orderkey) keeps every rank
+    engine-deterministic.  Doubles (percent_rank/cume_dist) are exact
+    k/n ratios of identical integers on both engines — no float
+    accumulation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_WINDOW_RANK_FUNCTIONS = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+ORDER BY o_orderkey
+"""
+
+
+#: columns profiled by q_profile_table, with their profile expressions
+_PROFILE_COLS = ("l_quantity", "l_discount", "l_returnflag", "l_shipdate")
+
+
+def q_profile_table(spark, sf_dir):
+    """Data-profiling operator (the Deequ/data-quality pattern): per
+    column — null count, distinct count, min, max — computed for ALL
+    columns in ONE scan (a single wide agg, then stack to long form),
+    not one scan per column.  Values surface as strings so one schema
+    fits every column type."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_s, max_s)"
+        )
+    ).orderBy("column_name")
+
+
+SQL_PROFILE_TABLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM lineitem"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
 def q_approx_distinct_check(spark, sf_dir):
     """Oracle-checkable companion to `approx_distinct` (the ANN-recall
     pattern): computes the HLL estimate AND the exact distinct count in
@@ -1051,4 +1136,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_approx_distinct_check, SQL_APPROX_DISTINCT_CHECK
     ),
     "rolling_avg_range": QuerySpec(q_rolling_avg_range, SQL_ROLLING_AVG_RANGE),
+    "window_rank_functions": QuerySpec(
+        q_window_rank_functions, SQL_WINDOW_RANK_FUNCTIONS
+    ),
+    "profile_table": QuerySpec(q_profile_table, SQL_PROFILE_TABLE),
 }
