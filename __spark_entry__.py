@@ -52,7 +52,7 @@ QUERY_ORDER = (
     "tpch_q10", "oov_rate", "curation_report",
     "dedup_incremental", "dedup_containment", "iqr_outliers",
     "approx_distinct_check", "rolling_avg_range",
-    "window_rank_functions", "profile_table",
+    "window_rank_functions", "profile_table", "dedup_survivorship",
     # unchecked by the round-1 driver run (beyond its 50-query cap)
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",

@@ -1136,6 +1136,61 @@ ORDER BY source, pack_id
 """
 
 
+# -- survivorship: which doc represents each duplicate cluster ---------------
+
+def q_dedup_survivorship(spark, sf_dir):
+    """The curation endgame: for every near-dup cluster, elect the
+    canonical survivor — highest quality score, ties to the smallest
+    doc_id.  Composes the connected-components clustering with the
+    quality scorer; the oracle replays both (recursive min-reachability
+    CTE + the band-score SQL) and picks with the same total order.
+    Scale plan: clusters output is one row per clustered doc (tiny vs
+    corpus); the quality join touches only those docs; the per-cluster
+    pick is a WindowGroupLimit-eligible row_number over cluster_id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(docs, JACCARD_THRESHOLD)
+    scored = clusters.join(
+        docs.select("doc_id", quality_score("text").alias("q")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "cluster_size",
+            F.col("q").alias("quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _sql_dedup_survivorship() -> str:
+    # reuse the clustering CTE (strip its trailing SELECT) and the
+    # quality-score SQL verbatim so the three queries can never drift
+    clusters_body = SQL_DEDUP_CLUSTERS.split("SELECT l.doc_id")[0].rstrip()
+    return f"""{clusters_body},
+full_lab AS (
+  SELECT l.doc_id, l.cluster_id, c.cluster_size
+  FROM lab l
+  JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM lab GROUP BY cluster_id) c USING (cluster_id)),
+quality AS ({SQL_QUALITY_SCORE}),
+ranked AS (
+  SELECT f.cluster_id, f.doc_id, f.cluster_size, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY f.cluster_id
+                            ORDER BY q.quality DESC, f.doc_id ASC) AS rn
+  FROM full_lab f JOIN quality q USING (doc_id))
+SELECT cluster_id, doc_id AS survivor_doc_id, cluster_size, quality
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 # -- incremental ingest dedup ------------------------------------------------
 
 def q_dedup_incremental(spark, sf_dir):
@@ -1436,6 +1491,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "length_histogram": QuerySpec(q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "oov_rate": QuerySpec(q_oov_rate, SQL_OOV_RATE),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_survivorship": QuerySpec(
+        q_dedup_survivorship, _sql_dedup_survivorship()
+    ),
     "dedup_containment": QuerySpec(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "curation_report": QuerySpec(q_curation_report, SQL_CURATION_REPORT),
 }
