@@ -1051,6 +1051,79 @@ LIMIT 20
 """
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume customers — orders whose total
+    lineitem quantity clears a threshold, joined back to customer,
+    top-100 by order value.  Scale plan: the qualifying-order set is an
+    aggregate (one hash-agg over lineitem) SEMI-joined into orders
+    before the customer join, so only qualifying rows reach the wider
+    joins; the top-100 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(q.sum_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300) q ON o_orderkey = q.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_bitwise_functions(spark, sf_dir):
+    """Bitwise scalar surface: and/or/xor, shifts, popcount — the
+    primitives the SimHash/LSH operators build on, exposed as a
+    user-facing query.  Pure map-only codegen."""
+    k = F.col("o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (k.bitwiseAND(F.lit(255))).alias("low_byte"),
+        (k.bitwiseOR(F.lit(4096))).alias("with_flag"),
+        (k.bitwiseXOR(F.col("o_custkey"))).alias("key_xor"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+    ).orderBy("o_orderkey")
+
+
+SQL_BITWISE_FUNCTIONS = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 3 AS shl3,
+       o_orderkey >> 2 AS shr2,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "proj_filter": QuerySpec(q_proj_filter, SQL_PROJ_FILTER),
     "json_parse": QuerySpec(q_json_parse, SQL_JSON_PARSE),
@@ -1085,4 +1158,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q13": QuerySpec(q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q10": QuerySpec(q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q18": QuerySpec(q_tpch_q18, SQL_TPCH_Q18),
+    "bitwise_functions": QuerySpec(q_bitwise_functions, SQL_BITWISE_FUNCTIONS),
 }
