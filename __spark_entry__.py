@@ -53,7 +53,7 @@ QUERY_ORDER = (
     "dedup_incremental", "dedup_containment", "iqr_outliers",
     "approx_distinct_check", "rolling_avg_range",
     "window_rank_functions", "profile_table", "dedup_survivorship",
-    "tpch_q18", "bitwise_functions",
+    "tpch_q18", "bitwise_functions", "user_features",
     # unchecked by the round-1 driver run (beyond its 50-query cap)
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",

@@ -348,6 +348,57 @@ FROM lineitem"""
 ) + "\nORDER BY column_name"
 
 
+def q_user_features(spark, sf_dir):
+    """Per-user feature extraction (the ML feature-table pattern): one
+    row per user with per-type event counts, activity span, and value
+    aggregates — a single hash-agg with conditional sums, map-side
+    partials, shuffle of one row per user.  Monetary sums accumulate in
+    decimal so the 2-dp round is knife-edge-free."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def n_of(t):
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            n_of("click"),
+            n_of("view"),
+            n_of("purchase"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_FEATURES = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q_approx_distinct_check(spark, sf_dir):
     """Oracle-checkable companion to `approx_distinct` (the ANN-recall
     pattern): computes the HLL estimate AND the exact distinct count in
@@ -1140,4 +1191,5 @@ REGISTRY: dict[str, QuerySpec] = {
         q_window_rank_functions, SQL_WINDOW_RANK_FUNCTIONS
     ),
     "profile_table": QuerySpec(q_profile_table, SQL_PROFILE_TABLE),
+    "user_features": QuerySpec(q_user_features, SQL_USER_FEATURES),
 }
