@@ -290,3 +290,61 @@ def test_merge_upsert_matches_dict_update(spark, tmp_path_factory, base, updates
     merge_upsert(spark, path, upd, ["k"])  # idempotent
     got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got2 == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=4,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_iqr_fences_match_discrete_percentile_model(spark, vals):
+    """Tukey-fence membership computed with percentile_disc must equal
+    the textbook model (sorted[ceil(p*n)-1] selection): discrete
+    quantiles are data values, so membership is engine-deterministic."""
+    import math
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    fences = df.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").alias("p25"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").alias("p75"),
+    )
+    got = {
+        r.id
+        for r in df.crossJoin(fences)
+        .where(
+            (F.col("v") > F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")))
+            | (F.col("v") < F.col("p25") - 1.5 * (F.col("p75") - F.col("p25")))
+        )
+        .collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    p25 = float(s[math.ceil(0.25 * n) - 1])
+    p75 = float(s[math.ceil(0.75 * n) - 1])
+    lo, hi = p25 - 1.5 * (p75 - p25), p75 + 1.5 * (p75 - p25)
+    want = {i for i, v in enumerate(vals) if v > hi or v < lo}
+    assert got == want
+
+
+def test_decontaminate_flags_exactly_the_overlapping_doc(spark, tmp_path):
+    """Soundness on a hand-built fixture: a probe doc sharing one
+    4-gram with the benchmark slice (doc_id % 50 == 0) is flagged with
+    overlap 1; a disjoint probe doc is not flagged."""
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f", "en", "web", 11),     # benchmark (0 % 50 == 0)
+            (1, "x y a b c d z", "en", "web", 13),   # shares 'a b c d'
+            (2, "p q r s t u", "en", "web", 11),     # disjoint
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = entry.queries()["decontaminate"](spark, str(tmp_path)).collect()
+    assert [(r.doc_id, r.n_overlap) for r in rows] == [(1, 1)]
