@@ -40,9 +40,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: earlier-listed query (these all passed in round 1 and stay covered
 #: by tools/check_oracle.py locally).
 QUERY_ORDER = (
-    # recently fixed (red in round 1) or newly oracle-paired
+    # 1) red in round 1 (now fixed) or previously oracle-less — these
+    #    most need a fresh driver verdict
     "array_functions", "stats_agg", "text_quality",
     "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_ann_recall",
+    # 2) unchecked by the round-1 driver run (beyond its 50-query cap)
+    #    — VERDICT item 4 asks for these to appear in CORRECTNESS_r02
+    "multires_rollup", "session_window_agg", "sql_grouping_sets",
+    "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
+    "join_salted", "window_sliding", "percentiles", "scalar_functions2",
+    "approx_distinct", "subq_exists", "subq_not_exists", "subq_scalar",
+    "subq_in_having", "subq_not_in", "subq_correlated_scalar",
+    # 3) new in round 2 (never driver-checked; local oracle green)
     "emb_near_dup_lsh", "doc_winnow", "tpch_q5", "dedup_clusters",
     "sample_bernoulli", "sample_stratified", "funnel_steps",
     "cohort_retention", "vocab_topk", "ngram_counts", "doc_repetition",
@@ -54,12 +63,6 @@ QUERY_ORDER = (
     "approx_distinct_check", "rolling_avg_range",
     "window_rank_functions", "profile_table", "dedup_survivorship",
     "tpch_q18", "bitwise_functions", "user_features",
-    # unchecked by the round-1 driver run (beyond its 50-query cap)
-    "multires_rollup", "session_window_agg", "sql_grouping_sets",
-    "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
-    "join_salted", "window_sliding", "percentiles", "scalar_functions2",
-    "approx_distinct", "subq_exists", "subq_not_exists", "subq_scalar",
-    "subq_in_having", "subq_not_in", "subq_correlated_scalar",
     # headline + SURVEY §2 core
     "kpi_quarter_hour", "tpch_q1", "tpch_q3", "star_join",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
