@@ -348,6 +348,59 @@ FROM lineitem"""
 ) + "\nORDER BY column_name"
 
 
+_FREQ_COLS = ("l_returnflag", "l_linestatus", "l_quantity")
+_FREQ_TOPK = 3
+
+
+def q_profile_frequent_values(spark, sf_dir):
+    """Frequent-values profiling (the other half of `profile_table`):
+    top-3 most common values per column, all columns in ONE scan —
+    stack to long form, one hash-agg on (column, value), per-column
+    top-k via row_number (WindowGroupLimit applies the limit before the
+    exchange).  Ties break on the value string for determinism."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _FREQ_COLS
+    )
+    long = li.select(
+        F.expr(
+            f"stack({len(_FREQ_COLS)}, {stack_args}) AS (column_name, value_s)"
+        )
+    )
+    counts = long.groupBy("column_name", "value_s").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("column_name").orderBy(
+        F.desc("n"), F.asc("value_s")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _FREQ_TOPK)
+        .select("column_name", "value_s", "n", F.col("rk").cast("int").alias("rk"))
+        .orderBy("column_name", "rk")
+    )
+
+
+SQL_PROFILE_FREQUENT_VALUES = f"""
+WITH long AS (
+  {" UNION ALL ".join(
+      f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS value_s "
+      f"FROM lineitem" for c in _FREQ_COLS)}),
+counts AS (
+  SELECT column_name, value_s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM long GROUP BY 1, 2),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY column_name
+                 ORDER BY n DESC, value_s ASC) AS INT) AS rk
+  FROM counts)
+SELECT column_name, value_s, n, rk FROM ranked
+WHERE rk <= {_FREQ_TOPK}
+ORDER BY column_name, rk
+"""
+
+
 def q_user_features(spark, sf_dir):
     """Per-user feature extraction (the ML feature-table pattern): one
     row per user with per-type event counts, activity span, and value
@@ -1192,4 +1245,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "profile_table": QuerySpec(q_profile_table, SQL_PROFILE_TABLE),
     "user_features": QuerySpec(q_user_features, SQL_USER_FEATURES),
+    "profile_frequent_values": QuerySpec(
+        q_profile_frequent_values, SQL_PROFILE_FREQUENT_VALUES
+    ),
 }
