@@ -63,7 +63,7 @@ QUERY_ORDER = (
     "approx_distinct_check", "rolling_avg_range",
     "window_rank_functions", "profile_table", "dedup_survivorship",
     "tpch_q18", "bitwise_functions", "user_features",
-    "profile_frequent_values",
+    "profile_frequent_values", "time_gap_stats",
     # headline + SURVEY §2 core
     "kpi_quarter_hour", "tpch_q1", "tpch_q3", "star_join",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",

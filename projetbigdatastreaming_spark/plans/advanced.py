@@ -348,6 +348,55 @@ FROM lineitem"""
 ) + "\nORDER BY column_name"
 
 
+def q_time_gap_stats(spark, sf_dir):
+    """Per-user inter-event gap statistics: lag over a TOTAL order
+    (ts, event_id — ties must break deterministically or the gaps
+    themselves differ between engines), integer-second gaps, then
+    median/max per user with a DISCRETE median (an actual gap value, so
+    cross-engine exact).  Scale plan: one user-partitioned window + one
+    hash-agg; the shuffle key is user_id throughout, so AQE reuses the
+    exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ev.withColumn(
+        "gap", F.col("sec") - F.lag("sec").over(w)
+    ).where(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)")
+            .cast("bigint")
+            .alias("median_gap_s"),
+            F.max("gap").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_TIME_GAP_STATS = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+             (PARTITION BY user_id
+              ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_s,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_s
+FROM seq
+WHERE gap IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 _FREQ_COLS = ("l_returnflag", "l_linestatus", "l_quantity")
 _FREQ_TOPK = 3
 
@@ -1248,4 +1297,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "profile_frequent_values": QuerySpec(
         q_profile_frequent_values, SQL_PROFILE_FREQUENT_VALUES
     ),
+    "time_gap_stats": QuerySpec(q_time_gap_stats, SQL_TIME_GAP_STATS),
 }

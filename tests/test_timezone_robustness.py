@@ -26,6 +26,8 @@ _TZ_SENSITIVE = [
     "funnel_steps",
     "join_asof",
     "rolling_avg_range",
+    "time_gap_stats",
+    "user_features",
 ]
 
 
