@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -36,17 +37,21 @@ SMALL_DIMS = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    # reader rejects outright; read it as raw nanos and convert to a
-    # microsecond timestamp_ntz (integer `div` — a double division would
-    # lose precision at 1e18 ns).  Truncation to µs matches what DuckDB
-    # (and any µs-precision engine) does with the same file.
+    # events.ts has shipped as either parquet TIMESTAMP(NANOS) — which
+    # Spark's vectorized reader rejects outright, so we read it as raw
+    # nanos-long — or as plain TIMESTAMP(MICROS), which reads natively
+    # as timestamp_ntz.  Handle both: the nanosAsLong conf is a no-op
+    # on µs files, and the long→ntz conversion only applies when the
+    # column actually surfaced as a long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         from pyspark.sql import functions as F
 
-        # timestampadd on an NTZ base stays NTZ end-to-end — unlike
+        # Integer `div` — a double division would lose precision at
+        # 1e18 ns; truncation to µs matches what DuckDB (and any
+        # µs-precision engine) does with the same file.  timestampadd
+        # on an NTZ base stays NTZ end-to-end — unlike
         # timestamp_micros(...).cast("timestamp_ntz"), which routes
         # through an LTZ instant and shifts by the session timezone.
         df = df.withColumn(
