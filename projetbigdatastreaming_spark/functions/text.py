@@ -169,6 +169,13 @@ def quality_score(text_col: str) -> Column:
     ``10*n_bad < len`` — a document exactly on a band boundary gets the
     same verdict in every engine, which raw-double comparisons do not
     guarantee (the round-1 driver hash mismatch).
+
+    The score itself is summed in integer CENTI-points and divided by
+    100 as the very last step, producing a DOUBLE in both engines.
+    (The round-2 mismatch was representational: decimal literals make
+    Spark emit DECIMAL(x,2) — pandas ``Decimal('1.00')`` — while
+    DuckDB's ROUND of its decimal emits float64; the driver hashes the
+    two differently even though every value is equal.)
     """
     toks = f"split({text_col}, ' ')"
     n_tok = f"size({toks})"
@@ -179,18 +186,15 @@ def quality_score(text_col: str) -> Column:
         f" '[^A-Za-z0-9 ]', '')))"
     )
     len_g = f"greatest(length({text_col}), 1)"
-    return F.round(
-        F.expr(
-            f"""
-            (CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 0.4
-                  WHEN {n_tok} BETWEEN 3 AND 2000 THEN 0.2
-                  ELSE 0.0 END)
-            + (CASE WHEN {sum_len} >= 3 * {n_tok_g}
-                     AND {sum_len} <= 10 * {n_tok_g} THEN 0.3 ELSE 0.1 END)
-            + (CASE WHEN 10 * {n_bad} < {len_g} THEN 0.3
-                    WHEN 10 * {n_bad} < 3 * {len_g} THEN 0.15
-                    ELSE 0.0 END)
-            """
-        ),
-        4,
+    return F.expr(
+        f"""
+        CAST((CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 40
+                   WHEN {n_tok} BETWEEN 3 AND 2000 THEN 20
+                   ELSE 0 END)
+             + (CASE WHEN {sum_len} >= 3 * {n_tok_g}
+                      AND {sum_len} <= 10 * {n_tok_g} THEN 30 ELSE 10 END)
+             + (CASE WHEN 10 * {n_bad} < {len_g} THEN 30
+                     WHEN 10 * {n_bad} < 3 * {len_g} THEN 15
+                     ELSE 0 END) AS DOUBLE) / 100.0D
+        """
     )

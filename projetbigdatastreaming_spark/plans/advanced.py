@@ -903,6 +903,14 @@ def q_stats_agg(spark, sf_dir):
     zero-padded composite string key (DuckDB's arg_max cannot order by
     struct).  At scale this stays a single partial-aggregate: nine
     decimal accumulators + two string max/min per group.
+
+    Final rounding is floor(x*10^d + 0.5)/10^d rather than ROUND():
+    engine ROUND() semantics differ (Spark rounds the exact decimal
+    expansion HALF_UP, DuckDB multiplies in floats), and DuckDB's can
+    emit -0.0 where Spark emits +0.0 (the round-2 driver hash mismatch
+    was exactly that: cov_disc_tax -0.0 vs 0.0).  floor on a double is
+    exact IEEE, identical bit-for-bit in both engines, and can never
+    produce negative zero.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -935,20 +943,25 @@ def q_stats_agg(spark, sf_dir):
     )
     n, sq, sp, sd_, st = (F.col(c) for c in ("n", "sq", "sp", "sd", "st"))
     sqq, spp, sqp, sdt = (F.col(c) for c in ("sqq", "spp", "sqp", "sdt"))
+
+    def det_round(c, digits):
+        s = F.lit(float(10**digits))
+        return F.floor(c * s + F.lit(0.5)).cast("double") / s
+
     return agg.select(
         "l_returnflag",
-        F.round(
+        det_round(
             F.sqrt((n * spp - sp * sp) / (n * (n - 1))) / 100, 4
         ).alias("sd_price"),
-        F.round((n * sqq - sq * sq) / (n * (n - 1)) / 10000, 4).alias(
+        det_round((n * sqq - sq * sq) / (n * (n - 1)) / 10000, 4).alias(
             "var_qty"
         ),
-        F.round(
+        det_round(
             (n * sqp - sq * sp)
             / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)),
             6,
         ).alias("corr_qty_price"),
-        F.round((n * sdt - sd_ * st) / (n * (n - 1)) / 10000, 6).alias(
+        det_round((n * sdt - sd_ * st) / (n * (n - 1)) / 10000, 6).alias(
             "cov_disc_tax"
         ),
         "argmax_order",
@@ -983,11 +996,15 @@ a AS (
            AS argmin_order
   FROM c GROUP BY l_returnflag)
 SELECT l_returnflag,
-       ROUND(sqrt((n*spp - sp*sp) / (n*(n-1))) / 100, 4) AS sd_price,
-       ROUND((n*sqq - sq*sq) / (n*(n-1)) / 10000, 4) AS var_qty,
-       ROUND((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6)
+       floor(sqrt((n*spp - sp*sp) / (n*(n-1))) / 100 * 1e4 + 0.5) / 1e4
+         AS sd_price,
+       floor((n*sqq - sq*sq) / (n*(n-1)) / 10000 * 1e4 + 0.5) / 1e4
+         AS var_qty,
+       floor((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp))
+             * 1e6 + 0.5) / 1e6
          AS corr_qty_price,
-       ROUND((n*sdt - sd*st) / (n*(n-1)) / 10000, 6) AS cov_disc_tax,
+       floor((n*sdt - sd*st) / (n*(n-1)) / 10000 * 1e6 + 0.5) / 1e6
+         AS cov_disc_tax,
        argmax_order, argmin_order
 FROM a
 ORDER BY l_returnflag

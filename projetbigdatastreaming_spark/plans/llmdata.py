@@ -115,14 +115,14 @@ WITH m AS (
          greatest(length(text), 1) AS len_g
   FROM documents)
 SELECT doc_id,
-       ROUND((CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 0.4
-                   WHEN n_tok BETWEEN 3 AND 2000 THEN 0.2
-                   ELSE 0.0 END)
-             + (CASE WHEN sum_len >= 3 * n_tok_g
-                      AND sum_len <= 10 * n_tok_g THEN 0.3 ELSE 0.1 END)
-             + (CASE WHEN 10 * n_bad < len_g THEN 0.3
-                     WHEN 10 * n_bad < 3 * len_g THEN 0.15
-                     ELSE 0.0 END), 4) AS quality
+       CAST((CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 40
+                  WHEN n_tok BETWEEN 3 AND 2000 THEN 20
+                  ELSE 0 END)
+            + (CASE WHEN sum_len >= 3 * n_tok_g
+                     AND sum_len <= 10 * n_tok_g THEN 30 ELSE 10 END)
+            + (CASE WHEN 10 * n_bad < len_g THEN 30
+                    WHEN 10 * n_bad < 3 * len_g THEN 15
+                    ELSE 0 END) AS DOUBLE) / CAST(100 AS DOUBLE) AS quality
 FROM m
 """
 
