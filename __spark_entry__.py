@@ -19,6 +19,7 @@ from projetbigdatastreaming_spark.plans import (
     llmdata,
     relational,
     subqueries,
+    tpch,
 )
 from projetbigdatastreaming_spark.plans.registry import QuerySpec, merge
 
@@ -40,6 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: earlier-listed query (these all passed in round 1 and stay covered
 #: by tools/check_oracle.py locally).
 QUERY_ORDER = (
+    # 0) new in round 3 — never driver-checked
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     # 1) red in round 1 (now fixed) or previously oracle-less — these
     #    most need a fresh driver verdict
     "array_functions", "stats_agg", "text_quality",
@@ -97,6 +101,7 @@ def _registry() -> dict[str, QuerySpec]:
         llmdata.REGISTRY,
         advanced.REGISTRY,
         subqueries.REGISTRY,
+        tpch.REGISTRY,
     )
     # QUERY_ORDER must stay an exact permutation of the merged registry
     # so a new query can't silently land in an arbitrary slot

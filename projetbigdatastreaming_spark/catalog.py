@@ -7,6 +7,7 @@ lineitem events documents embeddings — one parquet file per table under
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,18 +35,50 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMALL_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+@functools.lru_cache(maxsize=64)
+def _ts_is_parquet_nanos(path: str) -> bool:
+    """True iff the file's ``ts`` column is annotated TIMESTAMP(NANOS)
+    in the parquet footer.
+
+    A LongType in the Spark schema alone is NOT proof of a nanos file:
+    a fixture shipping ``ts`` as a plain unannotated INT64 (e.g.
+    already-microsecond longs) would surface identically under the
+    nanosAsLong legacy conf, and dividing those by 1000 would corrupt
+    every timestamp by 1000x with no error.  The footer is the ground
+    truth, so read it (pyarrow reads only footer metadata here).
+    """
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(path).field("ts")
+    import pyarrow as pa
+
+    return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     # events.ts has shipped as either parquet TIMESTAMP(NANOS) — which
     # Spark's vectorized reader rejects outright, so we read it as raw
     # nanos-long — or as plain TIMESTAMP(MICROS), which reads natively
-    # as timestamp_ntz.  Handle both: the nanosAsLong conf is a no-op
-    # on µs files, and the long→ntz conversion only applies when the
-    # column actually surfaced as a long.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # as timestamp_ntz.  The nanosAsLong conf is scoped to the events
+    # read (it is still a session-global dynamic conf once set, but it
+    # only changes how TIMESTAMP(NANOS) columns surface, and only the
+    # events fixture has ever shipped one).
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # Footer check before dividing: LongType alone could also mean
+        # a plain-INT64 ts (already µs), which must not be divided.
+        if not _ts_is_parquet_nanos(path):
+            raise ValueError(
+                f"{path}: ts surfaced as LongType but the parquet footer "
+                "says it is not TIMESTAMP(NANOS); refusing to guess its "
+                "unit (plain INT64 µs divided by 1000 would corrupt "
+                "every timestamp silently)"
+            )
         from pyspark.sql import functions as F
 
         # Integer `div` — a double division would lose precision at
