@@ -44,6 +44,8 @@ QUERY_ORDER = (
     # 0) new in round 3 — never driver-checked
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22",
     # 1) red in round 1 (now fixed) or previously oracle-less — these
     #    most need a fresh driver verdict
     "array_functions", "stats_agg", "text_quality",

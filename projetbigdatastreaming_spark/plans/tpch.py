@@ -584,6 +584,409 @@ ORDER BY s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (distinct-agg + NOT IN)
+# --------------------------------------------------------------------------
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can supply parts of
+    each (brand, type, size) — COUNT(DISTINCT) over the supply
+    relation with a NOT-IN supplier blacklist that must plan as an
+    anti-join.
+
+    Adaptation: partsupp := distinct (l_partkey, l_suppkey) from
+    lineitem; the "customer complaints" blacklist (s_comment LIKE) is
+    expressed on s_name.
+
+    Scale plan: the blacklist subquery is tiny → broadcast anti-join;
+    the distinct-agg shuffles on the (brand, type, size) grouping after
+    the partkey join prunes to qualifying parts only.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%7%")
+    ).select("s_suppkey")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            pairs.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated AVG, decorrelated)
+# --------------------------------------------------------------------------
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20%
+    of the part's average — the correlated AVG subquery decorrelated
+    into a per-part aggregate joined back on partkey.
+
+    Adaptation: no p_container, so the part restriction is brand-only.
+
+    The 0.2×avg threshold is CROSS-ENGINE EXACT: l_quantity values are
+    integer-valued doubles, their per-part sum is exact in IEEE double
+    (far below 2^53), so avg = exact_sum / count is bit-identical in
+    Spark and DuckDB regardless of aggregation order.
+
+    Scale plan: brand filter prunes parts before both joins; the
+    per-part avg aggregates the already part-pruned lineitem slice;
+    single-row output (sum/7).
+    """
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part_avg = li_branded.groupBy(
+        F.col("l_partkey").alias("ap_key")
+    ).agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li_branded.join(
+            per_part_avg, F.col("l_partkey") == F.col("ap_key")
+        )
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * (
+    SELECT AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunction of conjunctive bands)
+# --------------------------------------------------------------------------
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from three OR-ed (brand, size,
+    quantity) band combinations — the disjunctive join predicate that
+    tests whether the planner keeps the partkey equi-join and applies
+    the OR as a post-join filter instead of falling into a nested
+    loop.
+
+    Adaptation: no p_container/l_shipinstruct/l_shipmode; the bands
+    use p_size and l_quantity only.
+
+    Scale plan: one broadcast hash join on partkey (part side is
+    filtered to the three brands first); the OR evaluates on joined
+    rows in codegen; single-row output.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (nested semi-join chain)
+# --------------------------------------------------------------------------
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved more than half the average
+    flow of a promoted part family — the nested EXISTS chain
+    (supplier ← supply ← part + quantity threshold) planned as
+    successive semi-joins.
+
+    Adaptation: availqty > 0.5×shipped becomes: the supplier's 1996
+    shipped quantity of that part exceeds 0.5 × the part's average
+    per-supplier 1996 shipped quantity (all fixture-derivable; the
+    threshold keeps the correlated-aggregate comparison).  Quantity
+    sums are integer-exact doubles, so the 0.5× comparison is
+    bit-identical cross-engine.
+
+    Scale plan: part name filter prunes first; per-(part, supplier)
+    and per-part aggregates reuse the same partkey shuffle; the final
+    supplier semi-join is a broadcast of the qualifying suppkey set.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    flow = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_ps = flow.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("ps_qty")
+    )
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("ps_qty").alias("avg_qty")
+    )
+    qualifying = (
+        per_ps.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("ps_qty") > F.lit(0.5) * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(qualifying),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH flow AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS ps_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+per_part AS (
+  SELECT l_partkey AS pk, AVG(ps_qty) AS avg_qty
+  FROM flow GROUP BY l_partkey),
+qualifying AS (
+  SELECT DISTINCT l_suppkey
+  FROM flow JOIN per_part ON l_partkey = pk
+  WHERE ps_qty > 0.5 * avg_qty)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins)
+# --------------------------------------------------------------------------
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape: per-supplier count of multi-supplier orders
+    where ONLY this supplier was late — the EXISTS (another supplier
+    participated) + NOT-EXISTS (no other supplier was late) self-join
+    pair on lineitem, both planned as aggregated-existence joins
+    rather than per-row subqueries.
+
+    Adaptation: "late" := l_shipdate > o_orderdate + 60 days (no
+    receipt/commit dates); order status filter o_orderstatus = 'F'.
+
+    Scale plan: instead of two correlated self-joins, one per-order
+    aggregate computes (suppliers involved, suppliers late) and the
+    waiting supplier joins against it — a single orderkey shuffle
+    feeding both existence tests, then a suppkey agg for the count.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.where(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(
+            F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey AS ok,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+           AS n_late_supp
+  FROM lo GROUP BY l_orderkey),
+waiting AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lo JOIN per_order ON l_orderkey = ok
+  WHERE is_late AND n_supp > 1 AND n_late_supp = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM waiting
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity (scalar AVG + NOT EXISTS anti-join)
+# --------------------------------------------------------------------------
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers with no orders — the
+    uncorrelated scalar AVG threshold plus NOT EXISTS, planned as a
+    broadcast scalar + anti-join.
+
+    Adaptation: no c_phone, so the country-code grouping becomes
+    c_mktsegment (same cardinality class: a handful of groups), and
+    "no orders" is scoped to the last fixture years (every customer
+    has SOME order at fixture density — the unscoped predicate would
+    return an empty, trivially-hash-matching result).
+
+    Scale plan: the AVG is one map-side-combined scan of customer
+    broadcast back as a single row; the NOT EXISTS is an anti-join
+    shuffled on custkey; final agg has ~5 groups.  Per-group sums of
+    raw acctbal are rounded at output only (the threshold compare uses
+    the raw scalar — a knife-edge would require a customer's balance
+    within one double ulp of the global mean).
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 REGISTRY = {
     "tpch_q2": QuerySpec(q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q4": QuerySpec(q_tpch_q4, SQL_TPCH_Q4),
@@ -593,4 +996,10 @@ REGISTRY = {
     "tpch_q11": QuerySpec(q_tpch_q11, SQL_TPCH_Q11),
     "tpch_q12": QuerySpec(q_tpch_q12, SQL_TPCH_Q12),
     "tpch_q15": QuerySpec(q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q16": QuerySpec(q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q17": QuerySpec(q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q19": QuerySpec(q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q20": QuerySpec(q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21": QuerySpec(q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22": QuerySpec(q_tpch_q22, SQL_TPCH_Q22),
 }

@@ -158,6 +158,10 @@ def test_rolling_range_window_is_partitioned(spark, sf_dir):
 #: crossed against the corpus scan
 _BNLJ_ALLOWED = {
     "join_cross",
+    # single-row scalar-aggregate broadcast (Q11's global total, Q22's
+    # global avg) — the correct plan for an uncorrelated scalar subquery
+    "tpch_q11",
+    "tpch_q22",
     "dedup_ngram_jaccard",
     "dedup_char_ngram",
     "emb_cosine_pairs",
@@ -167,6 +171,38 @@ _BNLJ_ALLOWED = {
     "emb_ann_recall",
     "emb_near_dup_lsh",
 }
+
+
+def test_tpch_q4_exists_is_semi_join(spark, sf_dir):
+    # the EXISTS must plan as one LeftSemi hash join on orderkey, not a
+    # per-row subquery or nested loop
+    plan = _plan(spark, sf_dir, "tpch_q4")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q16_blacklist_is_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q16")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_disjunction_keeps_equi_join(spark, sf_dir):
+    # the OR-of-bands must NOT break the partkey equi-join into a
+    # nested loop: one broadcast hash join, bands as post-join filter
+    plan = _plan(spark, sf_dir, "tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_single_fact_shuffle(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair is computed from ONE per-order
+    # aggregate — the plan must not contain two separate lineitem self
+    # joins (i.e. at most one SortMergeJoin on the fact)
+    plan = _plan(spark, sf_dir, "tpch_q21")
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
 
 
 def test_registry_wide_scale_audit(spark, sf_dir):
