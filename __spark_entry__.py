@@ -46,6 +46,7 @@ QUERY_ORDER = (
     "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22",
+    "unigram_logprob", "bpe_token_count", "emb_centroid",
     # 1) red in round 1 (now fixed) or previously oracle-less — these
     #    most need a fresh driver verdict
     "array_functions", "stats_agg", "text_quality",

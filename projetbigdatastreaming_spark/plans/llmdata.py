@@ -1456,7 +1456,158 @@ ORDER BY 1
 """
 
 
+# -- unigram-LM surprisal scoring --------------------------------------------
+
+def q_unigram_logprob(spark, sf_dir):
+    """Model-based quality scoring: per-document mean surprisal under
+    the corpus's own unigram language model (the cheap ancestor of the
+    KenLM/perplexity filters used on web-scale pretraining data — a
+    document whose tokens are all corpus-rare scores high).
+
+    Scale plan: one explode pass feeds BOTH the vocab aggregate and
+    the scoring join; the vocab relation is (distinct tokens × 16
+    bytes) and joins back on the token key — written as a plain
+    equi-join so AQE broadcasts it when small and shuffles it when the
+    corpus vocabulary outgrows the driver (at 100 TB it will).
+    Probabilities are exact-integer ratios (count/total), so both
+    engines feed identical doubles to ln(); the per-doc mean is
+    rounded to 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("corpus_n"))
+    return (
+        toks.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(
+                F.avg(-F.log(F.col("tf") / F.col("corpus_n"))), 6
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+tok AS (SELECT * FROM toks WHERE token <> ''),
+vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+total AS (SELECT SUM(tf) AS corpus_n FROM vocab)
+SELECT doc_id, COUNT(*) AS n_toks,
+       ROUND(AVG(-ln(tf / corpus_n)), 6) AS mean_surprisal
+FROM tok JOIN vocab USING (token) CROSS JOIN total
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# -- BPE-style regex pre-tokenizer counts ------------------------------------
+
+#: GPT-2-family pre-tokenizer, restricted to constructs shared by Java
+#: regex (Spark) and RE2 (DuckDB): no lookahead, explicit classes, no
+#: quote characters (so the pattern embeds in both engines' string
+#: literals unescaped).  Alternation order matters and is identical in
+#: both engines (leftmost-first): space-prefixed letter run,
+#: space-prefixed digit run, space-prefixed punctuation run, whitespace.
+_BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s"
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Token counting with a BPE-ish regex pre-tokenizer (the unit
+    LLM data pipelines budget by) next to the whitespace count, plus
+    the chars-per-token ratio used to spot tokenizer-hostile content.
+
+    Integer-exact except the final ratio (exact-int division, identical
+    cross-engine).  Scale plan: pure map-only projection — regex
+    evaluated once per row in codegen, no shuffle, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)")
+    )
+    n_ws = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    )
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(F.length("text") / n_bpe, 4).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                     ' ')) AS n_ws_tokens,
+       ROUND(length(text)
+             / len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')), 4)
+         AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# -- per-label embedding centroids -------------------------------------------
+
+def q_emb_centroid(spark, sf_dir):
+    """Per-label embedding centroids — the building block of k-means
+    refinement, cluster labeling, and class-prototype dedup.  Emitted
+    as one row per (label, dim) so the result is scalar-only (the
+    driver's canonicalizer hashes scalars, not arrays).
+
+    Scale plan: posexplode is a map-side flatten (64 rows per vector,
+    no Python); the agg shuffles on (label, dim) — 10×64 groups — with
+    map-side partial means.  float→double widening is exact, so both
+    engines average identical doubles; means rounded to 6 dp.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+SQL_EMB_CENTROID = """
+WITH flat AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       ROUND(AVG(val), 6) AS centroid_val
+FROM flat
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "unigram_logprob": QuerySpec(q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "bpe_token_count": QuerySpec(q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
+    "emb_centroid": QuerySpec(q_emb_centroid, SQL_EMB_CENTROID),
     "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING),
     "doc_winnow": QuerySpec(q_doc_winnow, SQL_DOC_WINNOW),
     "emb_near_dup_lsh": QuerySpec(q_emb_near_dup_lsh, SQL_EMB_NEAR_DUP_LSH),
