@@ -47,6 +47,7 @@ QUERY_ORDER = (
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22",
     "unigram_logprob", "bpe_token_count", "emb_centroid",
+    "tfidf_topk", "emb_outliers",
     # 1) red in round 1 (now fixed) or previously oracle-less — these
     #    most need a fresh driver verdict
     "array_functions", "stats_agg", "text_quality",

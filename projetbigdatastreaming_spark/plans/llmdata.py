@@ -11,6 +11,7 @@ all-pairs scan on deterministic data.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.text import (
@@ -1604,8 +1605,162 @@ ORDER BY label, dim
 """
 
 
+# -- TF-IDF top terms per document -------------------------------------------
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the classic keyword-extraction
+    / doc-representation primitive.  idf = ln(N / df) with N and df
+    exact integers, tf exact, so the score is a product of
+    engine-identical doubles; ties broken lexicographically.
+
+    Scale plan: one explode pass feeds the per-(doc, token) tf
+    aggregate; df re-aggregates tf's output (no second corpus scan);
+    the df relation equi-joins back on token (AQE picks broadcast vs
+    shuffle); the per-doc top-3 is WindowGroupLimit — map-side limit
+    before the doc_id exchange, never a global sort.  The corpus size
+    N enters as a broadcast single-row aggregate, NOT a driver-side
+    count() in the build path (the ivf_assign lesson from round 1).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "token", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT doc_id, token,
+         ROUND(tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                       / df), 6) AS tfidf
+  FROM tf JOIN df USING (token)),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rnk
+  FROM scored)
+SELECT doc_id, rnk, token, tfidf
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+# -- embedding outliers vs label centroid ------------------------------------
+
+def q_emb_outliers(spark, sf_dir):
+    """Embeddings farthest from their class centroid (top-5 per label)
+    — mislabel/contaminant detection, the vector-space twin of
+    iqr_outliers' learn-then-apply shape.  Rank-based rather than
+    threshold-based: centroid distances concentrate hard for
+    high-dimensional data (relative spread ~ 1/sqrt(dim)), so any
+    fixed multiple-of-mean cutoff returns either everything or nothing
+    as dim/sf change; a per-label rank is deterministic and
+    non-degenerate at every scale.  Centroids are rounded to 6 dp
+    BEFORE the distance pass so both engines measure against identical
+    prototypes.
+
+    Scale plan: flatten once (map-side posexplode); centroids are
+    (n_labels × dim) rows — broadcast back over the flattened scan;
+    per-vector squared-distance is one (vec_id)-keyed aggregate; the
+    per-label top-5 is WindowGroupLimit (map-side limit before the
+    label exchange), never a global sort.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = flat.groupBy(
+        F.col("label").alias("c_label"), F.col("pos").alias("c_pos")
+    ).agg(F.round(F.avg("val"), 6).alias("c_val"))
+    dist = (
+        flat.join(
+            F.broadcast(cent),
+            (F.col("label") == F.col("c_label"))
+            & (F.col("pos") == F.col("c_pos")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("val") - F.col("c_val"), 2))), 6
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist"), F.asc("vec_id")
+    )
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("label", "rnk", "vec_id", "dist")
+        .orderBy("label", "rnk")
+    )
+
+
+SQL_EMB_OUTLIERS = """
+WITH flat AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings),
+cent AS (
+  SELECT label AS c_label, pos AS c_pos, ROUND(AVG(val), 6) AS c_val
+  FROM flat GROUP BY label, pos),
+dist AS (
+  SELECT vec_id, label,
+         ROUND(sqrt(SUM((val - c_val) * (val - c_val))), 6) AS dist
+  FROM flat JOIN cent ON label = c_label AND pos = c_pos
+  GROUP BY vec_id, label),
+ranked AS (
+  SELECT label, vec_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id ASC) AS rnk
+  FROM dist)
+SELECT label, rnk, vec_id, dist
+FROM ranked WHERE rnk <= 5
+ORDER BY label, rnk
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "unigram_logprob": QuerySpec(q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "tfidf_topk": QuerySpec(q_tfidf_topk, SQL_TFIDF_TOPK),
+    "emb_outliers": QuerySpec(q_emb_outliers, SQL_EMB_OUTLIERS),
     "bpe_token_count": QuerySpec(q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "emb_centroid": QuerySpec(q_emb_centroid, SQL_EMB_CENTROID),
     "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING),
