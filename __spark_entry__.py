@@ -33,13 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Explicit registry order.  The grading driver checks queries in
-#: iteration order with a cap (round 1: first 50 of 68), so ordering is
-#: part of the contract: rows that most need a fresh driver signal come
-#: first — recently fixed / new queries, then queries the round-1 run
-#: never reached, then the headline + SURVEY §2 core, and finally
-#: operator variants whose implementation is shared with an
-#: earlier-listed query (these all passed in round 1 and stay covered
-#: by tools/check_oracle.py locally).
+#: iteration order with a cap (50 per round so far), so ordering is
+#: part of the contract.  Round-3 priority: (0) queries new this round
+#: — first driver verdict; (1) the two round-2 red rows, re-fixed in
+#: commit ef33182 AFTER the r02 correctness snapshot; (2) round-2
+#: additions the r02 run never reached (landed beyond its 50-slot
+#: cap); (3) queries last checked in round 1 (oldest signal first);
+#: (4) everything re-confirmed green in round 2, covered locally by
+#: tools/check_oracle.py.
 QUERY_ORDER = (
     # 0) new in round 3 — never driver-checked
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
@@ -48,31 +49,15 @@ QUERY_ORDER = (
     "tpch_q22",
     "unigram_logprob", "bpe_token_count", "emb_centroid",
     "tfidf_topk", "emb_outliers",
-    # 1) red in round 1 (now fixed) or previously oracle-less — these
-    #    most need a fresh driver verdict
-    "array_functions", "stats_agg", "text_quality",
-    "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_ann_recall",
-    # 2) unchecked by the round-1 driver run (beyond its 50-query cap)
-    #    — VERDICT item 4 asks for these to appear in CORRECTNESS_r02
-    "multires_rollup", "session_window_agg", "sql_grouping_sets",
-    "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
-    "join_salted", "window_sliding", "percentiles", "scalar_functions2",
-    "approx_distinct", "subq_exists", "subq_not_exists", "subq_scalar",
-    "subq_in_having", "subq_not_in", "subq_correlated_scalar",
-    # 3) new in round 2 (never driver-checked; local oracle green)
-    "emb_near_dup_lsh", "doc_winnow", "tpch_q5", "dedup_clusters",
-    "sample_bernoulli", "sample_stratified", "funnel_steps",
-    "cohort_retention", "vocab_topk", "ngram_counts", "doc_repetition",
-    "trend_regression", "emb_quantize",
-    "tpch_q6", "tpch_q13", "tpch_q14",
-    "text_pii", "decontaminate", "pack_sequences", "length_histogram",
-    "tpch_q10", "oov_rate", "curation_report",
-    "dedup_incremental", "dedup_containment", "iqr_outliers",
+    # 1) hash-mismatched in the r02 snapshot; determinism fix landed
+    #    after it (ef33182) — the driver must confirm the fix
+    "stats_agg", "text_quality",
+    # 2) round-2 additions the r02 run never reached
     "approx_distinct_check", "rolling_avg_range",
     "window_rank_functions", "profile_table", "dedup_survivorship",
     "tpch_q18", "bitwise_functions", "user_features",
     "profile_frequent_values", "time_gap_stats",
-    # headline + SURVEY §2 core
+    # 3) last driver-checked in round 1 — refresh the oldest signal
     "kpi_quarter_hour", "tpch_q1", "tpch_q3", "star_join",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
     "dedup_simhash_pairs", "emb_cosine_topk", "doc_chunking",
@@ -81,12 +66,27 @@ QUERY_ORDER = (
     "agg_analytic_window", "window_topk_per_group",
     "conditional_columns", "scalar_functions", "time_functions",
     "join_broadcast_inner", "join_cross", "sort_limit",
-    # shared-implementation variants, all green in round 1
     "join_left", "join_full_outer", "join_semi", "join_anti",
     "union_all", "intersect", "except_", "pivot", "rollup", "cube",
     "window_lag_running", "map_functions", "scd2_history",
     "null_semantics", "unpivot", "string_agg", "dedup_ngram_jaccard",
     "dedup_char_ngram", "emb_cosine_pairs",
+    # 4) green in the round-2 driver run (freshest signal, so last)
+    "array_functions",
+    "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_ann_recall",
+    "multires_rollup", "session_window_agg", "sql_grouping_sets",
+    "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
+    "join_salted", "window_sliding", "percentiles", "scalar_functions2",
+    "approx_distinct", "subq_exists", "subq_not_exists", "subq_scalar",
+    "subq_in_having", "subq_not_in", "subq_correlated_scalar",
+    "emb_near_dup_lsh", "doc_winnow", "tpch_q5", "dedup_clusters",
+    "sample_bernoulli", "sample_stratified", "funnel_steps",
+    "cohort_retention", "vocab_topk", "ngram_counts", "doc_repetition",
+    "trend_regression", "emb_quantize",
+    "tpch_q6", "tpch_q13", "tpch_q14",
+    "text_pii", "decontaminate", "pack_sequences", "length_histogram",
+    "tpch_q10", "oov_rate", "curation_report",
+    "dedup_incremental", "dedup_containment", "iqr_outliers",
 )
 
 
