@@ -159,9 +159,12 @@ def test_rolling_range_window_is_partitioned(spark, sf_dir):
 _BNLJ_ALLOWED = {
     "join_cross",
     # single-row scalar-aggregate broadcast (Q11's global total, Q22's
-    # global avg) — the correct plan for an uncorrelated scalar subquery
+    # global avg, the corpus-size scalars in unigram_logprob /
+    # tfidf_topk) — the correct plan for an uncorrelated scalar subquery
     "tpch_q11",
     "tpch_q22",
+    "unigram_logprob",
+    "tfidf_topk",
     "dedup_ngram_jaccard",
     "dedup_char_ngram",
     "emb_cosine_pairs",
