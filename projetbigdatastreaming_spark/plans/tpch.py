@@ -857,10 +857,12 @@ def q_tpch_q21(spark, sf_dir):
     Adaptation: "late" := l_shipdate > o_orderdate + 60 days (no
     receipt/commit dates); order status filter o_orderstatus = 'F'.
 
-    Scale plan: instead of two correlated self-joins, one per-order
-    aggregate computes (suppliers involved, suppliers late) and the
-    waiting supplier joins against it — a single orderkey shuffle
-    feeding both existence tests, then a suppkey agg for the count.
+    Scale plan: instead of two correlated self-joins, the stream is
+    first reduced to (order, supplier, was-late) grain — which makes
+    every later count plain, so no COUNT(DISTINCT) Expand doubles the
+    shuffle — then one per-order aggregate computes (suppliers
+    involved, suppliers late) and the waiting supplier joins against
+    it: a single orderkey shuffle feeds both existence tests.
     """
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
@@ -868,26 +870,27 @@ def q_tpch_q21(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        ).alias("is_late"),
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late_supp"),
     )
     waiting = (
-        lo.where(F.col("is_late"))
+        per_os.where(F.col("late") == 1)
         .join(per_order, F.col("l_orderkey") == F.col("ok"))
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
