@@ -139,6 +139,10 @@ HEADLINE_QUERIES = (
     "multires_rollup",
     "subq_exists",
     "doc_chunking",
+    # round 3: the two heaviest new TPC-H shapes — the widest join (q9)
+    # and the single-shuffle EXISTS/NOT-EXISTS rewrite (q21)
+    "tpch_q9",
+    "tpch_q21",
 )
 
 

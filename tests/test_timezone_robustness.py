@@ -28,6 +28,17 @@ _TZ_SENSITIVE = [
     "rolling_avg_range",
     "time_gap_stats",
     "user_features",
+    # round-3 TPC-H additions with date filters / INTERVAL arithmetic /
+    # year() extraction on timestamp columns
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 
