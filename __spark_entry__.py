@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from projetbigdatastreaming_spark.catalog import load_table
 from projetbigdatastreaming_spark.plans import (
     advanced,
+    graph,
     kpi,
     llmdata,
     relational,
@@ -48,7 +49,7 @@ QUERY_ORDER = (
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22",
     "unigram_logprob", "bpe_token_count", "emb_centroid",
-    "tfidf_topk", "emb_outliers",
+    "tfidf_topk", "emb_outliers", "graph_pagerank",
     # 1) hash-mismatched in the r02 snapshot; determinism fix landed
     #    after it (ef33182) — the driver must confirm the fix
     "stats_agg", "text_quality",
@@ -106,6 +107,7 @@ def _registry() -> dict[str, QuerySpec]:
         advanced.REGISTRY,
         subqueries.REGISTRY,
         tpch.REGISTRY,
+        graph.REGISTRY,
     )
     # QUERY_ORDER must stay an exact permutation of the merged registry
     # so a new query can't silently land in an arbitrary slot

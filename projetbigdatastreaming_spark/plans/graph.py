@@ -1,0 +1,161 @@
+"""Iterative graph analytics over the relational fixtures.
+
+The reference has no graph surface; this module covers the "iterative
+algorithm" class the driver contract calls out (alongside
+``dedup_clusters``' label propagation): a fixed-iteration weighted
+PageRank over the customer↔supplier trade graph, fully unrolled so the
+SAME computation is expressible as chained CTEs for the DuckDB oracle —
+an iterative algorithm does not have to forfeit its correctness row.
+
+Cross-engine determinism discipline (same rules as stats_agg): every
+aggregate that feeds a later stage is rounded — edge weights to 2 dp,
+transition probabilities to 10 dp, per-iteration ranks to 8 dp — so
+both engines iterate on identical doubles and float-sum ordering can
+never compound across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import QuerySpec
+
+#: damping factor and unrolled iteration count (fixed: the unroll IS
+#: the oracle-expressibility trick)
+_DAMPING = 0.85
+_ITERATIONS = 3
+_TOPK = 20
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    """Undirected weighted bipartite edges customer↔supplier.
+
+    Weight = discounted revenue of their trade, rounded to 2 dp at the
+    aggregate so both engines hold identical weights.  Node ids are
+    prefixed ('c:', 's:') into one namespace.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    flow = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("w")
+        )
+    )
+    c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    fwd = flow.select(c.alias("src"), s.alias("dst"), "w")
+    rev = flow.select(s.alias("src"), c.alias("dst"), "w")
+    return fwd.unionAll(rev)
+
+
+def q_pagerank(spark, sf_dir):
+    """Weighted PageRank (3 unrolled iterations, d=0.85) over the
+    customer↔supplier trade graph; top-20 nodes.
+
+    Scale plan: the transition matrix (src, dst, p) is built ONCE —
+    per-src out-weight is an aggregate reusing the edge shuffle, and p
+    is rounded to 10 dp so the matrix is engine-identical.  Each
+    iteration is exactly one shuffle: join ranks⋈edges on src
+    (rank side is |V| rows, edge side |E|), aggregate contributions on
+    dst.  Node count enters as a broadcast single-row aggregate, never
+    a driver-side count.  Ranks are re-rounded to 8 dp per iteration so
+    float-sum ordering cannot compound.  Dangling mass: none by
+    construction (every node has out-edges in an undirected graph).
+    """
+    edges = _edges(spark, sf_dir)
+    outw = edges.groupBy(F.col("src").alias("ow_src")).agg(
+        F.round(F.sum("w"), 2).alias("total_w")
+    )
+    trans = (
+        edges.join(outw, F.col("src") == F.col("ow_src"))
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("w") / F.col("total_w"), 10).alias("p"),
+        )
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(
+        F.count("*").cast("double").alias("n")
+    )
+    ranks = nodes.join(F.broadcast(n_nodes)).select(
+        "node", "n", F.round(F.lit(1.0) / F.col("n"), 8).alias("rank")
+    )
+    for _ in range(_ITERATIONS):
+        contribs = trans.join(
+            ranks, trans.src == ranks.node
+        ).select("dst", "n", (F.col("p") * F.col("rank")).alias("c"))
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.first("n").alias("n"),
+                F.round(
+                    F.lit(1 - _DAMPING) / F.first("n")
+                    + F.lit(_DAMPING) * F.sum("c"),
+                    8,
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(_TOPK)
+    )
+
+
+def _pagerank_sql() -> str:
+    it_cte = ""
+    prev = "r0"
+    for i in range(1, _ITERATIONS + 1):
+        it_cte += f""",
+r{i} AS (
+  SELECT dst AS node, any_value(n) AS n,
+         ROUND({1 - _DAMPING} / any_value(n)
+               + {_DAMPING} * SUM(p * rank), 8) AS rank
+  FROM trans JOIN {prev} ON trans.src = {prev}.node
+  GROUP BY dst)"""
+        prev = f"r{i}"
+    return f"""
+WITH flow AS (
+  SELECT o_custkey, l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey),
+edges AS (
+  SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst, w FROM flow
+  UNION ALL
+  SELECT 's:' || l_suppkey AS src, 'c:' || o_custkey AS dst, w FROM flow),
+outw AS (
+  SELECT src AS ow_src, ROUND(SUM(w), 2) AS total_w
+  FROM edges GROUP BY src),
+trans AS (
+  SELECT src, dst, ROUND(w / total_w, 10) AS p
+  FROM edges JOIN outw ON src = ow_src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (
+  SELECT node, n, ROUND(1.0 / n, 8) AS rank FROM nodes CROSS JOIN nn){it_cte}
+SELECT node, ROUND(rank, 6) AS rank
+FROM {prev}
+ORDER BY rank DESC, node ASC
+LIMIT {_TOPK}
+"""
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+REGISTRY = {
+    "graph_pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
+}
