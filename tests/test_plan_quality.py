@@ -165,6 +165,7 @@ _BNLJ_ALLOWED = {
     "tpch_q22",
     "unigram_logprob",
     "tfidf_topk",
+    "graph_pagerank",
     "dedup_ngram_jaccard",
     "dedup_char_ngram",
     "emb_cosine_pairs",
