@@ -1,0 +1,156 @@
+"""Streaming near-duplicate detection — MinHash-LSH at the ingest
+boundary.
+
+Extends the dedup family's batch operators (`operators/dedup.py`) to
+the document-firehose case the reference's pipelines imply (SURVEY.md
+§2.7: per-batch imperative processing via foreachRDD → foreachBatch):
+each micro-batch is signed once, probed against the *corpus-so-far*
+LSH band index, exact-verified, and then added to the index.
+
+State layout (two parquet tables, both partitioned by ``batch_id`` and
+written with dynamic partition overwrite so an at-least-once replay
+rewrites its own partition instead of duplicating index rows — the
+same replay-safety contract as ``restatement_batch_writer``):
+
+- ``<index_dir>/bands``: (doc_id, band, bh)  — the LSH probe keys
+- ``<index_dir>/sigs``:  (doc_id, shingles)  — for exact verification
+- ``<flags_dir>``:       (doc_a, doc_b, jaccard) near-dup pairs where
+  ``doc_b`` is the incoming document and ``doc_a`` the earlier one
+  (or the within-batch pair, doc_a < doc_b)
+
+Scale: the per-batch cost is |batch| signature computation (map-only)
+plus an equi-join of the batch's 16 band keys per doc against the
+band index — candidate volume tracks near-dup density exactly as in
+the batch operator; nothing rescans the corpus.  The band index is
+~16 rows × 24 bytes per corpus document; at 10⁹ docs that's a ~400 GB
+parquet table joined on (band, bh) — a shuffle join AQE can skew-split,
+with the batch side small enough to broadcast.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    N_BANDS,
+    ROWS_PER_BAND,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    with_minhash_signature,
+)
+from ..sinks.files import overwrite_partitions
+
+logger = logging.getLogger(__name__)
+
+
+def _band_keys(signed: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) probe keys from a signed batch."""
+    return signed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {N_BANDS - 1}),
+                  b -> named_struct(
+                         'band', b,
+                         'bh', xxhash64(concat_ws(',',
+                                 slice(sig, b * {ROWS_PER_BAND} + 1,
+                                       {ROWS_PER_BAND})), b)))
+                """
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # AnalysisException: path does not exist yet
+        return None
+
+
+def near_dup_batch_writer(
+    index_dir: str,
+    flags_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch stage: flag near-dups of each micro-batch against
+    the corpus-so-far, then fold the batch into the index.
+
+    Within-batch pairs are found with the same banded self-join as the
+    batch operator; batch-vs-corpus pairs probe the persisted band
+    index.  Every candidate is exact-Jaccard-verified before flagging
+    (probabilistic pruning, deterministic output — the dedup-family
+    invariant).
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        signed = with_minhash_signature(batch_df, text_col).select(
+            "doc_id", "shingles", "sig"
+        )
+        signed.persist()
+        try:
+            bands_new = _band_keys(signed)
+
+            # within-batch candidates (doc_a < doc_b)
+            pairs = lsh_candidate_pairs(signed)
+            sig_store = signed.select("doc_id", "shingles")
+
+            bands_old = _read_or_none(spark, f"{index_dir}/bands")
+            if bands_old is not None:
+                sigs_old = spark.read.parquet(f"{index_dir}/sigs")
+                # corpus-vs-batch candidates: old doc is doc_a, new doc
+                # is doc_b (replayed batches exclude their own prior
+                # index partition so a replay can't pair a doc with
+                # itself)
+                bands_old = bands_old.where(F.col("batch_id") != batch_id)
+                sigs_old = sigs_old.where(F.col("batch_id") != batch_id)
+                cross = (
+                    bands_old.alias("a")
+                    .join(
+                        bands_new.alias("b"),
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bh") == F.col("b.bh")),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                    )
+                    .distinct()
+                )
+                pairs = pairs.unionAll(cross)
+                sig_store = sig_store.unionAll(
+                    sigs_old.select("doc_id", "shingles")
+                )
+
+            flags = jaccard_verify(pairs, sig_store, threshold).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            overwrite_partitions(flags, flags_dir, ["batch_id"])
+
+            # fold the batch into the index (replay overwrites in place)
+            overwrite_partitions(
+                bands_new.withColumn("batch_id", F.lit(batch_id)),
+                f"{index_dir}/bands",
+                ["batch_id"],
+            )
+            overwrite_partitions(
+                signed.select("doc_id", "shingles").withColumn(
+                    "batch_id", F.lit(batch_id)
+                ),
+                f"{index_dir}/sigs",
+                ["batch_id"],
+            )
+            logger.info("batch %s: near-dup index updated", batch_id)
+        finally:
+            signed.unpersist()
+
+    return _fn

@@ -360,3 +360,61 @@ def test_cdc_merge_writer_applies_upserts_and_survives_replay(
         (str(r.day), r.k, r.v) for r in spark.read.parquet(table).collect()
     }
     assert got2 == want
+
+
+def test_near_dup_stream_flags_cross_batch_pairs(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: a later micro-batch's document
+    that nearly duplicates an EARLIER batch's document is flagged
+    against the persisted band index; unrelated documents are not.
+    Replaying a batch (same batch_id) must not duplicate flags or
+    index rows (dynamic partition overwrite)."""
+    from projetbigdatastreaming_spark.streaming.neardup import (
+        near_dup_batch_writer,
+    )
+
+    src_dir = str(tmp_path / "nd_src")
+    index_dir = str(tmp_path / "nd_index")
+    flags_dir = str(tmp_path / "nd_flags")
+    schema = "doc_id long, text string"
+    words = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " CHANGED"
+    other = " ".join(f"x{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, words), (2, other)], schema
+    ).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(
+        [(3, near), (4, " ".join(f"y{i}" for i in range(40)))], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            near_dup_batch_writer(index_dir, flags_dir, threshold=0.8)
+        )
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    flags = spark.read.parquet(flags_dir)
+    got = {(r.doc_a, r.doc_b) for r in flags.collect()}
+    assert got == {(1, 3)}, got
+    # index holds all four docs exactly once
+    sigs = spark.read.parquet(f"{index_dir}/sigs")
+    assert sorted(r.doc_id for r in sigs.collect()) == [1, 2, 3, 4]
+
+    # replay the second batch's content under the SAME batch_id: the
+    # partition is overwritten, not appended
+    batch2 = spark.createDataFrame([(3, near)], schema)
+    writer = near_dup_batch_writer(index_dir, flags_dir, threshold=0.8)
+    writer(batch2, 1)
+    writer(batch2, 1)
+    flags2 = spark.read.parquet(flags_dir)
+    assert {(r.doc_a, r.doc_b) for r in flags2.collect()} == {(1, 3)}
+    sigs2 = spark.read.parquet(f"{index_dir}/sigs")
+    assert sorted(r.doc_id for r in sigs2.collect()) == [1, 2, 3]
