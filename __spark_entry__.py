@@ -49,7 +49,7 @@ QUERY_ORDER = (
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22",
     "unigram_logprob", "bpe_token_count", "emb_centroid",
-    "tfidf_topk", "emb_outliers", "graph_pagerank",
+    "tfidf_topk", "emb_outliers", "graph_pagerank", "emb_kmeans_refine",
     # 1) hash-mismatched in the r02 snapshot; determinism fix landed
     #    after it (ef33182) — the driver must confirm the fix
     "stats_agg", "text_quality",

@@ -317,6 +317,26 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     )
 
 
+#: argmax-cosine fold over a broadcast `__cents` array<struct(list_id,
+#: cvec, cnrm)> row: returns struct(lid, s) — nearest list and its
+#: 4dp-rounded cosine.  Rounding makes the comparison engine-portable;
+#: ties fall to the FIRST (lowest) list_id because the fold keeps acc
+#: on non-strict improvement and __cents is sorted ascending.
+_ARGMAX_CENT_EXPR = """
+aggregate(
+  transform(__cents, c -> struct(
+    c.list_id AS lid,
+    round(aggregate(zip_with(embedding, c.cvec,
+                             (x, y) -> x * y),
+                    0D, (a, x) -> a + x) / (nrm * c.cnrm),
+          4) AS s)),
+  struct(CAST(-1 AS BIGINT) AS lid,
+         CAST(-1.7976931348623157E308 AS DOUBLE) AS s),
+  (acc, e) -> CASE WHEN e.s > acc.s THEN e ELSE acc END
+)
+"""
+
+
 def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest of
     n_lists centroids.
@@ -366,33 +386,70 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
             F.collect_list(F.struct("list_id", "cvec", "cnrm"))
         ).alias("__cents")
     )
-    # argmax over round(cosine, 4): rounding makes the comparison
-    # engine-portable (raw double folds can differ in the last bits);
-    # ties fall to the FIRST (lowest) list_id because the fold keeps
-    # acc on non-strict improvement.
     assigned = (
         emb.crossJoin(F.broadcast(cent_row))
-        .withColumn(
-            "list_id",
-            F.expr(
-                """
-                aggregate(
-                  transform(__cents, c -> struct(
-                    c.list_id AS lid,
-                    round(aggregate(zip_with(embedding, c.cvec,
-                                             (x, y) -> x * y),
-                                    0D, (a, x) -> a + x) / (nrm * c.cnrm),
-                          4) AS s)),
-                  struct(CAST(-1 AS BIGINT) AS lid,
-                         CAST(-1.7976931348623157E308 AS DOUBLE) AS s),
-                  (acc, e) -> CASE WHEN e.s > acc.s THEN e ELSE acc END
-                ).lid
-                """
-            ),
-        )
+        .withColumn("list_id", F.expr(f"({_ARGMAX_CENT_EXPR}).lid"))
         .select("vec_id", "embedding", "nrm", "list_id")
     )
     return assigned, cents.select("list_id", "cvec", "cnrm")
+
+
+def kmeans_refine(
+    embeddings: DataFrame, n_lists: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd iteration over ``ivf_assign``'s hash-sampled seeds:
+    recompute each list's centroid as the per-dimension member mean,
+    then reassign every vector to its nearest REFINED centroid — the
+    k-means refinement step that turns the deterministic seed sample
+    into data-adapted IVF lists.
+
+    Deterministic cross-engine: refined centroid components are
+    per-(list, dim) means rounded to 6 dp (both engines average
+    identical doubles — float32→float64 widening is exact), and the
+    reassignment reuses the 4dp-rounded argmax fold.
+
+    Scale plan: the member-mean pass is posexplode (map-side flatten)
+    + one (list, dim) hash-agg — n_lists × dims groups; the refined
+    centroids collapse into one broadcast row exactly like the seeds,
+    so reassignment is again map-only over the corpus.  Nothing
+    shuffles an embedding twice.
+
+    Returns (best, cents1): best = (vec_id, list_id, cos_sim) under
+    the refined centroids; cents1 = (list_id, cvec, cnrm).
+    """
+    assigned, _ = ivf_assign(embeddings, n_lists)
+    flat = assigned.select(
+        "list_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    per_dim = flat.groupBy("list_id", "pos").agg(
+        F.round(F.avg("val"), 6).alias("cval")
+    )
+    cents1 = (
+        per_dim.groupBy("list_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+                lambda c: c["cval"],
+            ).alias("cvec")
+        )
+        .select("list_id", "cvec", _norm(F.col("cvec")).alias("cnrm"))
+    )
+    cent_row = cents1.agg(
+        F.sort_array(
+            F.collect_list(F.struct("list_id", "cvec", "cnrm"))
+        ).alias("__cents")
+    )
+    best = (
+        assigned.select("vec_id", "embedding", "nrm")
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn("__best", F.expr(_ARGMAX_CENT_EXPR))
+        .select(
+            "vec_id",
+            F.col("__best.lid").alias("list_id"),
+            F.col("__best.s").alias("cos_sim"),
+        )
+    )
+    return best, cents1
 
 
 def ann_topk_ivf(

@@ -1757,8 +1757,78 @@ ORDER BY label, rnk
 """
 
 
+# -- k-means-refined IVF lists -----------------------------------------------
+
+def q_emb_kmeans_refine(spark, sf_dir):
+    """IVF list profile after one Lloyd refinement: per refined list —
+    member count and mean cosine to the refined centroid (the cluster
+    cohesion a vector-store operator watches).  See
+    ``operators/similarity.py::kmeans_refine`` for the scale plan
+    (two map-only assignment passes, one (list, dim) hash-agg; no
+    embedding shuffles twice).
+    """
+    best, _ = similarity.kmeans_refine(
+        load_table(spark, sf_dir, "embeddings"), IVF_N_LISTS
+    )
+    return (
+        best.groupBy("list_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos_sim"), 4).alias("mean_cos"),
+        )
+        .orderBy("list_id")
+    )
+
+
+SQL_EMB_KMEANS_REFINE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS list_id, e AS cvec
+  FROM emb
+  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT), vec_id
+  LIMIT {IVF_N_LISTS}),
+assign0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ROUND(list_cosine_similarity(v.e, c.cvec), 4) DESC,
+                       c.list_id ASC) AS rn
+    FROM emb v CROSS JOIN cents c)
+  WHERE rn = 1),
+flat AS (
+  SELECT a.list_id,
+         unnest(range(1, len(v.e) + 1)) AS pos,
+         unnest(v.e) AS val
+  FROM emb v JOIN assign0 a ON v.vec_id = a.vec_id),
+per_dim AS (
+  SELECT list_id, pos, ROUND(AVG(val), 6) AS cval
+  FROM flat GROUP BY list_id, pos),
+cents1 AS (
+  SELECT list_id, list(cval ORDER BY pos) AS cvec
+  FROM per_dim GROUP BY list_id),
+assign1 AS (
+  SELECT vec_id, list_id, s FROM (
+    SELECT v.vec_id, c.list_id,
+           ROUND(list_cosine_similarity(v.e, c.cvec), 4) AS s,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ROUND(list_cosine_similarity(v.e, c.cvec), 4) DESC,
+                       c.list_id ASC) AS rn
+    FROM emb v CROSS JOIN cents1 c)
+  WHERE rn = 1)
+SELECT list_id, COUNT(*) AS n_vecs, ROUND(AVG(s), 4) AS mean_cos
+FROM assign1
+GROUP BY list_id
+ORDER BY list_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "unigram_logprob": QuerySpec(q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "emb_kmeans_refine": QuerySpec(
+        q_emb_kmeans_refine, SQL_EMB_KMEANS_REFINE
+    ),
     "tfidf_topk": QuerySpec(q_tfidf_topk, SQL_TFIDF_TOPK),
     "emb_outliers": QuerySpec(q_emb_outliers, SQL_EMB_OUTLIERS),
     "bpe_token_count": QuerySpec(q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
