@@ -172,6 +172,7 @@ _BNLJ_ALLOWED = {
     "emb_cosine_topk",
     "emb_ann_topk_lsh",
     "emb_ann_topk_ivf",
+    "emb_kmeans_refine",
     "emb_ann_recall",
     "emb_near_dup_lsh",
 }
