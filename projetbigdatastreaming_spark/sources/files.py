@@ -125,3 +125,30 @@ def rate_stream(
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def socket_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    include_timestamp: bool = False,
+) -> DataFrame:
+    """Raw TCP line stream — the second source family the north star
+    names ("Kafka/socket sources") and the S4-class receiver analogue
+    (a push-based feed like the reference's Twitter receiver,
+    `TwitterKafkaStreaming.scala:176`, minus the OAuth client).
+
+    One ``value: string`` row per newline-terminated line (plus
+    ``timestamp`` when requested).  Test/dev source: like the
+    reference's receiver it is NOT replayable, so it offers
+    at-most-once delivery on failure — production pipelines put Kafka
+    in front (S1) for replay.
+    """
+    reader = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+    )
+    if include_timestamp:
+        reader = reader.option("includeTimestamp", "true")
+    return reader.load()

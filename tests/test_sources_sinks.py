@@ -178,3 +178,52 @@ def test_overwrite_partitions_restates_only_present_days(spark, tmp_path):
         (str(r.day), r.k, r.v) for r in spark.read.parquet(path).collect()
     )
     assert again == got
+
+
+def test_socket_stream_reads_lines(spark):
+    """Live socket source: a background TCP server pushes lines; the
+    stream delivers one value row per line (the S4 receiver-source
+    analogue over a raw socket)."""
+    import socket
+    import threading
+    import time
+
+    from projetbigdatastreaming_spark.sources.files import socket_stream
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(b"alpha\nbeta\ngamma\n")
+        stop.wait(60)  # keep the connection open until the query stops
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = socket_stream(spark, "127.0.0.1", port)
+    assert stream.isStreaming and stream.columns == ["value"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("socket_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM socket_out").count() >= 3:
+                break
+            time.sleep(0.5)
+        got = sorted(
+            r.value for r in spark.sql("SELECT * FROM socket_out").collect()
+        )
+        assert got == ["alpha", "beta", "gamma"], got
+    finally:
+        q.stop()
+        stop.set()
+        srv.close()
