@@ -7,6 +7,7 @@ import datetime
 import json
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from projetbigdatastreaming_spark.sinks.files import stream_to_memory
 from projetbigdatastreaming_spark.sources.files import json_stream
@@ -140,3 +141,69 @@ def test_indicateurs_pipeline_streaming(spark, tmp_path):
     assert len(rows) == 4  # row-per-tweet multiplicity preserved
     assert all(r["Nbre de Tweets par QH"] == 4 for r in rows)
     assert all(r["Nbre de Retweets par QH"] == 2 for r in rows)
+
+
+def test_hashtag_pipeline_over_socket(spark):
+    """S4 end-to-end over a raw socket: a TCP server pushes JSON tweet
+    events; the stream parses them against the tweet schema and runs
+    the unchanged hashtag pipeline (source-agnostic by design) —
+    the receiver-source analogue of TwitterKafkaStreaming.scala:176."""
+    import socket
+    import threading
+    import time
+
+    from projetbigdatastreaming_spark.sources.files import socket_stream
+
+    tweets = [
+        {"ts": "2024-01-01 12:00:30", "text": "#spark is #great", "lang": "fr"},
+        {"ts": "2024-01-01 12:01:30", "text": "#spark again", "lang": "fr"},
+        {"ts": "2024-01-01 12:00:30", "text": "#english tweet", "lang": "en"},
+    ]
+    payload = "".join(json.dumps(t) + "\n" for t in tweets).encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        stop.wait(60)
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    raw = socket_stream(spark, "127.0.0.1", port)
+    parsed = raw.select(
+        F.from_json(
+            "value", "ts timestamp_ntz, text string, lang string"
+        ).alias("j")
+    ).select("j.*")
+    counted = pipelines.hashtag_pipeline(parsed)
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("socket_hashtags")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            got = {
+                r.hashtag: r.n
+                for r in spark.sql("SELECT * FROM socket_hashtags").collect()
+            }
+            if got.get("#spark") == 2:
+                break
+            time.sleep(0.5)
+        assert got.get("#spark") == 2, got
+        assert got.get("#great") == 1
+        assert "#english" not in got
+    finally:
+        q.stop()
+        stop.set()
+        srv.close()
