@@ -1465,14 +1465,17 @@ def q_unigram_logprob(spark, sf_dir):
     KenLM/perplexity filters used on web-scale pretraining data — a
     document whose tokens are all corpus-rare scores high).
 
-    Scale plan: one explode pass feeds BOTH the vocab aggregate and
-    the scoring join; the vocab relation is (distinct tokens × 16
-    bytes) and joins back on the token key — written as a plain
-    equi-join so AQE broadcasts it when small and shuffles it when the
-    corpus vocabulary outgrows the driver (at 100 TB it will).
-    Probabilities are exact-integer ratios (count/total), so both
-    engines feed identical doubles to ln(); the per-doc mean is
-    rounded to 6 dp.
+    Scale plan: the corpus is exploded ONCE into a persisted
+    (doc, token, tf) relation that feeds both the vocab aggregate and
+    the scoring join (without the persist Spark re-runs the explode
+    per consumer); the per-doc mean is the tf-weighted mean
+    Σ tf·surprisal / Σ tf — identical to the per-instance average but
+    over the collapsed relation.  The vocab relation joins back on the
+    token key as a plain equi-join so AQE broadcasts it when small and
+    shuffles it when the corpus vocabulary outgrows the driver (at
+    100 TB it will).  Probabilities are exact-integer ratios
+    (count/total), so both engines feed identical doubles to ln();
+    the per-doc mean is rounded to 6 dp.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1483,16 +1486,25 @@ def q_unigram_logprob(spark, sf_dir):
             )
         ).alias("token"),
     ).where(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
-    total = vocab.agg(F.sum("tf").alias("corpus_n"))
+    tok_tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    tok_tf = tok_tf.persist()  # feeds vocab AND the scoring join
+    vocab = tok_tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    total = vocab.agg(F.sum("ctf").alias("corpus_n"))
     return (
-        toks.join(vocab, "token")
+        tok_tf.join(vocab, "token")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_toks"),
+            F.sum("tf").cast("long").alias("n_toks"),
             F.round(
-                F.avg(-F.log(F.col("tf") / F.col("corpus_n"))), 6
+                F.sum(
+                    F.col("tf")
+                    * -F.log(F.col("ctf") / F.col("corpus_n"))
+                )
+                / F.sum("tf"),
+                6,
             ).alias("mean_surprisal"),
         )
         .orderBy("doc_id")
@@ -1613,13 +1625,17 @@ def q_tfidf_topk(spark, sf_dir):
     exact integers, tf exact, so the score is a product of
     engine-identical doubles; ties broken lexicographically.
 
-    Scale plan: one explode pass feeds the per-(doc, token) tf
-    aggregate; df re-aggregates tf's output (no second corpus scan);
-    the df relation equi-joins back on token (AQE picks broadcast vs
-    shuffle); the per-doc top-3 is WindowGroupLimit — map-side limit
-    before the doc_id exchange, never a global sort.  The corpus size
-    N enters as a broadcast single-row aggregate, NOT a driver-side
-    count() in the build path (the ivf_assign lesson from round 1).
+    Scale plan: the tf relation (one row per distinct (doc, token) —
+    the collapsed, much-smaller cousin of the raw token stream) is
+    PERSISTED because both df and the scoring join consume it; without
+    the persist Spark re-runs the corpus explode per consumer (the
+    executed plan showed 3 scans / 0 reuse).  df re-aggregates tf's
+    output; the df relation equi-joins back on token (AQE picks
+    broadcast vs shuffle); the per-doc top-3 is WindowGroupLimit —
+    map-side limit before the doc_id exchange, never a global sort.
+    The corpus size N enters as a broadcast single-row aggregate, NOT
+    a driver-side count() in the build path (the ivf_assign lesson
+    from round 1).
     """
     docs = load_table(spark, sf_dir, "documents")
     total = docs.agg(F.count("*").cast("double").alias("n_docs"))
@@ -1632,6 +1648,7 @@ def q_tfidf_topk(spark, sf_dir):
         ).alias("token"),
     ).where(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = tf.persist()  # consumed by df_ AND the scoring join below
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df_, "token")
