@@ -59,3 +59,35 @@ def stratified_sample(
         .where(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+#: denominator mapping the 60-bit hash onto (0, 1) — (h+1)/(2^60+1)
+#: never yields exactly 0 or 1, so ln(u) is always finite
+_U_DENOM = float(2**60 + 1)
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: str, k: int, salt: str = "w0"
+) -> DataFrame:
+    """Deterministic weight-proportional sample without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u = hash-uniform(key) in
+    (0,1) and the k rows with the smallest exponential key
+    ``-ln(u) / weight`` win — inclusion probability tracks weight, and
+    the draw depends only on (key, salt), so it reproduces across
+    runs, partitionings, and engines.
+
+    The mixture-sampling primitive of training pipelines: weight by
+    token count and the sample follows token mass, not document count.
+
+    Scale plan: the draw key is a map-only expression; top-k compiles
+    to TakeOrderedAndProject (per-partition top-k, one tiny merge) —
+    no shuffle of the corpus, no global sort.  u is an exact-integer
+    ratio so both engines feed identical doubles to ln().
+    """
+    u = (_portable_hash(F.col(key), salt) + 1) / F.lit(_U_DENOM)
+    draw = (-F.log(u) / F.col(weight)).alias("__draw")
+    return (
+        df.withColumn("__draw", draw)
+        .orderBy(F.col("__draw").asc(), F.col(key).asc())
+        .limit(k)
+    )

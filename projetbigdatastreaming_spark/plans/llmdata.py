@@ -906,6 +906,7 @@ ORDER BY doc_id
 
 SAMPLE_RATE_PCT = 5
 STRATUM_N = 20
+WEIGHTED_K = 100
 
 #: DuckDB twin of sampling._portable_hash(key, 's0')
 _DUCK_HASH = (
@@ -926,6 +927,49 @@ SQL_SAMPLE_BERNOULLI = f"""
 SELECT doc_id, lang
 FROM documents
 WHERE {_DUCK_HASH} % 100 < {SAMPLE_RATE_PCT}
+ORDER BY doc_id
+"""
+
+
+_DUCK_HASH_W = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'w0')),"
+    " 1, 15)) AS BIGINT)"
+)
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weight-proportional sample (Efraimidis–Spirakis
+    A-ES, weight = n_chars): inclusion tracks character mass, so the
+    sample follows token volume rather than document count — the
+    training-mixture draw.  See ``operators/sampling.py::
+    weighted_sample`` for the scale plan (map-only draw key,
+    TakeOrderedAndProject top-k)."""
+    return (
+        sampling.weighted_sample(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "n_chars",
+            WEIGHTED_K,
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("__draw", 12).alias("draw_key"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH drawn AS (
+  SELECT doc_id, n_chars,
+         -ln(({_DUCK_HASH_W} + 1) / 1152921504606846977.0) / n_chars
+           AS draw
+  FROM documents
+  ORDER BY draw ASC, doc_id ASC
+  LIMIT {WEIGHTED_K})
+SELECT doc_id, n_chars, ROUND(draw, 12) AS draw_key
+FROM drawn
 ORDER BY doc_id
 """
 
@@ -1865,6 +1909,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_repetition": QuerySpec(q_doc_repetition, SQL_DOC_REPETITION),
     "emb_quantize": QuerySpec(q_emb_quantize, SQL_EMB_QUANTIZE),
     "ngram_counts": QuerySpec(q_ngram_counts, SQL_NGRAM_COUNTS),
+    "sample_weighted": QuerySpec(q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "sample_stratified": QuerySpec(
         q_sample_stratified, SQL_SAMPLE_STRATIFIED
     ),
