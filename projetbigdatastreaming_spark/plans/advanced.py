@@ -534,6 +534,47 @@ ORDER BY event_type
 """
 
 
+def q_approx_quantile_check(spark, sf_dir):
+    """Tolerance row for the t-digest-style quantile sketch
+    (`percentile_approx`), same pattern as approx_distinct_check: the
+    sketch's p50/p95 must land inside a generous exact-rank window
+    (p40–p60 / p90–p99), asserted from the exact side by the oracle —
+    a drifting sketch turns this row red instead of hiding rows-only.
+    Sketch error is bounded in RANK space, which is why the tolerance
+    is a rank window rather than a value epsilon."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5).alias("ap50"),
+            F.percentile_approx("value", 0.95).alias("ap95"),
+            F.expr("percentile(value, 0.40)").alias("lo50"),
+            F.expr("percentile(value, 0.60)").alias("hi50"),
+            F.expr("percentile(value, 0.90)").alias("lo95"),
+            F.expr("percentile(value, 0.99)").alias("hi95"),
+        )
+    )
+    return g.select(
+        "event_type",
+        (
+            (F.col("ap50") >= F.col("lo50"))
+            & (F.col("ap50") <= F.col("hi50"))
+        ).alias("p50_ok"),
+        (
+            (F.col("ap95") >= F.col("lo95"))
+            & (F.col("ap95") <= F.col("hi95"))
+        ).alias("p95_ok"),
+    ).orderBy("event_type")
+
+
+SQL_APPROX_QUANTILE_CHECK = """
+SELECT event_type, true AS p50_ok, true AS p95_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_sql_grouping_sets(spark, sf_dir):
     """SQL-string entry point (the reference's ss.sql(...) path,
     ConsommationStreaming.scala:87-90) + GROUPING SETS, which neither
@@ -1302,6 +1343,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "percentiles": QuerySpec(q_percentiles, SQL_PERCENTILES),
     "scalar_functions2": QuerySpec(q_scalar_functions2, SQL_SCALAR_FUNCTIONS2),
     "approx_distinct": QuerySpec(q_approx_distinct, None),
+    "approx_quantile_check": QuerySpec(
+        q_approx_quantile_check, SQL_APPROX_QUANTILE_CHECK
+    ),
     "approx_distinct_check": QuerySpec(
         q_approx_distinct_check, SQL_APPROX_DISTINCT_CHECK
     ),
