@@ -263,6 +263,47 @@ ORDER BY event_id
 """
 
 
+def q_window_value_functions(spark, sf_dir):
+    """Value-window surface: first_value / last_value / nth_value per
+    user's event timeline — the positional value functions the rank
+    and lag queries don't touch.  The frame is pinned to the WHOLE
+    partition (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING) because last_value under the default frame is the
+    classic running-last trap; total order (ts, event_id) keeps every
+    value engine-deterministic.  Scale: one hash-partitioned window on
+    user_id, never global."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.first_value("value").over(w), 4).alias("first_val"),
+            F.round(F.last_value("value").over(w), 4).alias("last_val"),
+            F.round(F.nth_value("value", 2).over(w), 4).alias("second_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_WINDOW_VALUE_FUNCTIONS = """
+SELECT event_id, user_id,
+       ROUND(FIRST_VALUE(value) OVER w, 4) AS first_val,
+       ROUND(LAST_VALUE(value) OVER w, 4) AS last_val,
+       ROUND(NTH_VALUE(value, 2) OVER w, 4) AS second_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY event_id
+"""
+
+
 def q_window_rank_functions(spark, sf_dir):
     """Ranking-window surface: rank / dense_rank / ntile / percent_rank
     / cume_dist over order totals per priority — the distribution-rank
@@ -1343,6 +1384,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "percentiles": QuerySpec(q_percentiles, SQL_PERCENTILES),
     "scalar_functions2": QuerySpec(q_scalar_functions2, SQL_SCALAR_FUNCTIONS2),
     "approx_distinct": QuerySpec(q_approx_distinct, None),
+    "window_value_functions": QuerySpec(
+        q_window_value_functions, SQL_WINDOW_VALUE_FUNCTIONS
+    ),
     "approx_quantile_check": QuerySpec(
         q_approx_quantile_check, SQL_APPROX_QUANTILE_CHECK
     ),
