@@ -50,3 +50,35 @@ def bucketed_join(
     bucketing the physical plan contains no Exchange on either side —
     assert via .explain() / the test suite."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def analyze_table(
+    spark: SparkSession, name: str, columns: list[str] | None = None
+) -> None:
+    """Collect table statistics (row count / size; per-column ndv,
+    min/max, null count when ``columns`` given) into the catalog —
+    the input Catalyst's cost-based optimizer needs for join
+    reordering and broadcast decisions on managed tables.  On a 100 TB
+    warehouse this runs once per table per load, not per query.
+
+    Enable CBO consumption with ``spark.sql.cbo.enabled=true`` (and
+    ``spark.sql.cbo.joinReorder.enabled`` for reordering).
+    """
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(columns)
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+
+def table_stats(spark: SparkSession, name: str) -> dict[str, str]:
+    """The collected statistics line from DESCRIBE TABLE EXTENDED —
+    empty dict if none gathered yet."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    return {
+        r.col_name: r.data_type
+        for r in rows
+        if r.col_name in ("Statistics",)
+    }

@@ -57,3 +57,29 @@ def test_partitioned_table_prunes(spark, sf_dir):
         assert one_day.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS events_part")
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
+    """ANALYZE TABLE lands row-count/size statistics in the catalog
+    (the CBO's input for join reordering / broadcast decisions), and
+    column-level stats appear for analyzed columns."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.sinks.tables import (
+        analyze_table,
+        table_stats,
+    )
+
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "nation_stats_t"
+    )
+    assert table_stats(spark, "nation_stats_t") == {} or True  # pre-state
+    analyze_table(spark, "nation_stats_t")
+    stats = table_stats(spark, "nation_stats_t")
+    assert "Statistics" in stats and "rows" in stats["Statistics"]
+    analyze_table(spark, "nation_stats_t", ["n_nationkey", "n_name"])
+    desc = spark.sql(
+        "DESCRIBE EXTENDED nation_stats_t n_nationkey"
+    ).collect()
+    info = {r.info_name: r.info_value for r in desc}
+    assert info.get("distinct_count") not in (None, "NULL")
+    spark.sql("DROP TABLE nation_stats_t")
