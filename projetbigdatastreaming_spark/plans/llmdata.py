@@ -974,6 +974,74 @@ ORDER BY doc_id
 """
 
 
+_DUCK_HASH_M = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'm0')),"
+    " 1, 15)) AS BIGINT)"
+)
+
+
+def q_mixture_budget_sample(spark, sf_dir):
+    """Budget-constrained mixture construction: fill each source's
+    character budget (3000 chars for sources ending 0-4, 1500 for 5-9
+    — a stand-in for mixture weights) by admitting documents in
+    deterministic hash order until the running total would stay within
+    budget.  The step that turns mixture WEIGHTS into an actual
+    document list for a training run, reproducible across runs and
+    engines.
+
+    Scale plan: one source-partitioned window (running sum in hash
+    order — never a global sort) + a map-only budget filter; the same
+    shape as pack_sequences, so state per partition is one source's
+    docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    budget = F.when(
+        F.substring("source", -1, 1).isin("0", "1", "2", "3", "4"),
+        F.lit(3000),
+    ).otherwise(F.lit(1500))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("m0"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.sum("n_chars").over(w).cast("bigint").alias("cum_chars"),
+            budget.alias("budget"),
+        )
+        .where(F.col("cum_chars") <= F.col("budget"))
+        .orderBy("source", "cum_chars", "doc_id")
+    )
+
+
+SQL_MIXTURE_BUDGET_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY source
+              ORDER BY {_DUCK_HASH_M} ASC, doc_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars,
+         CASE WHEN substr(source, -1) IN ('0','1','2','3','4')
+              THEN 3000 ELSE 1500 END AS budget
+  FROM documents)
+SELECT doc_id, source, n_chars, cum_chars, budget
+FROM ranked
+WHERE cum_chars <= budget
+ORDER BY source, cum_chars, doc_id
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic n-per-language sample (training-mix balancing):
     the n smallest key-hashes within each stratum."""
@@ -1910,6 +1978,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_quantize": QuerySpec(q_emb_quantize, SQL_EMB_QUANTIZE),
     "ngram_counts": QuerySpec(q_ngram_counts, SQL_NGRAM_COUNTS),
     "sample_weighted": QuerySpec(q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "mixture_budget_sample": QuerySpec(
+        q_mixture_budget_sample, SQL_MIXTURE_BUDGET_SAMPLE
+    ),
     "sample_stratified": QuerySpec(
         q_sample_stratified, SQL_SAMPLE_STRATIFIED
     ),
