@@ -210,6 +210,30 @@ def test_tpch_q21_single_fact_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_weighted_sample_is_topk_no_shuffle(spark, sf_dir):
+    # the A-ES draw must compile to TakeOrderedAndProject on a map-only
+    # draw-key projection — no corpus shuffle, no global sort
+    plan = _plan(spark, sf_dir, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_budget_window_is_source_partitioned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mixture_budget_sample")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_tfidf_reuses_persisted_tf(spark, sf_dir):
+    # the tf relation must come from the cache on at least one side
+    # (without the persist the corpus explode re-ran per consumer)
+    df = entry.queries()["tfidf_topk"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    )
+
+
 def test_registry_wide_scale_audit(spark, sf_dir):
     """Every registered query's physical plan is free of scale
     anti-patterns: no CartesianProduct anywhere, no unpartitioned
