@@ -545,15 +545,20 @@ ORDER BY user_id
 def q_approx_distinct_check(spark, sf_dir):
     """Oracle-checkable companion to `approx_distinct` (the ANN-recall
     pattern): computes the HLL estimate AND the exact distinct count in
-    one plan and emits whether the relative error is within the
-    sketch's documented ±5% bound.  The oracle asserts the same
-    booleans from the exact side alone, so a drifting sketch turns
-    this row red instead of hiding behind rows-only."""
+    one plan and emits whether the relative error is within a ±5%
+    bound.  The oracle asserts the same booleans from the exact side
+    alone, so a drifting sketch turns this row red instead of hiding
+    behind rows-only.  The sketch runs at rsd=0.01, making the 5%
+    window a 5-sigma bound — at the DEFAULT rsd=0.05 the window is
+    only 1 sigma and genuinely fails at larger scale factors (caught
+    by the sf0.1 sweep, round 3)."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.01).alias(
+                "approx_users"
+            ),
             F.count_distinct("user_id").alias("exact_users"),
         )
         .select(
