@@ -51,7 +51,7 @@ QUERY_ORDER = (
     "unigram_logprob", "bpe_token_count", "emb_centroid",
     "tfidf_topk", "emb_outliers", "graph_pagerank", "emb_kmeans_refine",
     "sample_weighted", "approx_quantile_check", "window_value_functions",
-    "mixture_budget_sample",
+    "mixture_budget_sample", "dedup_prefix", "event_transitions",
     # 1) hash-mismatched in the r02 snapshot; determinism fix landed
     #    after it (ef33182) — the driver must confirm the fix
     "stats_agg", "text_quality",

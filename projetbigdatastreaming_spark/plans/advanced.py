@@ -389,6 +389,68 @@ FROM lineitem"""
 ) + "\nORDER BY column_name"
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov statistics over each user's event sequence:
+    (from_type → to_type) counts and row-normalized transition
+    probabilities — the sequence-model summary behaviour/feature
+    pipelines start from.
+
+    Scale plan: one user-partitioned lag window (total order on
+    ts + event_id, never global), then a hash-agg on the ≤|types|²
+    pair space; probabilities are exact-integer ratios of pair count
+    over from-type total (a second tiny aggregate joined back), so
+    both engines emit identical doubles.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy(F.col("from_type").alias("ft")).agg(
+        F.sum("n").alias("total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), F.col("from_type") == F.col("ft"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type,
+         event_type AS to_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type),
+totals AS (
+  SELECT from_type AS ft, SUM(n) AS total FROM pairs GROUP BY from_type)
+SELECT from_type, to_type, n, ROUND(n / total, 6) AS p
+FROM pairs JOIN totals ON from_type = ft
+ORDER BY from_type, to_type
+"""
+
+
 def q_time_gap_stats(spark, sf_dir):
     """Per-user inter-event gap statistics: lag over a TOTAL order
     (ts, event_id — ties must break deterministically or the gaps
@@ -1389,6 +1451,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "percentiles": QuerySpec(q_percentiles, SQL_PERCENTILES),
     "scalar_functions2": QuerySpec(q_scalar_functions2, SQL_SCALAR_FUNCTIONS2),
     "approx_distinct": QuerySpec(q_approx_distinct, None),
+    "event_transitions": QuerySpec(
+        q_event_transitions, SQL_EVENT_TRANSITIONS
+    ),
     "window_value_functions": QuerySpec(
         q_window_value_functions, SQL_WINDOW_VALUE_FUNCTIONS
     ),

@@ -974,6 +974,36 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_prefix(spark, sf_dir):
+    """Boilerplate detection: documents sharing an identical 100-char
+    prefix (template headers, scraped navigation, licence blocks) —
+    the C4-style cheap screen that catches near-dups whole-text
+    fingerprints miss.  One hash-agg on the prefix fingerprint, same
+    scale shape as dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.lower("text"), 1, 100))
+    return (
+        docs.select("doc_id", fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("prefix_fp")
+    )
+
+
+SQL_DEDUP_PREFIX = """
+SELECT md5(substr(lower(text), 1, 100)) AS prefix_fp,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+ORDER BY prefix_fp
+"""
+
+
 _DUCK_HASH_M = (
     "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'm0')),"
     " 1, 15)) AS BIGINT)"
@@ -2000,6 +2030,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "length_histogram": QuerySpec(q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "oov_rate": QuerySpec(q_oov_rate, SQL_OOV_RATE),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_prefix": QuerySpec(q_dedup_prefix, SQL_DEDUP_PREFIX),
     "dedup_survivorship": QuerySpec(
         q_dedup_survivorship, _sql_dedup_survivorship()
     ),
