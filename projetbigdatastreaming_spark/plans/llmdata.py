@@ -974,6 +974,58 @@ ORDER BY doc_id
 """
 
 
+def q_doc_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the gibberish /
+    binary-junk screen (natural language sits ~3.5–4.5 bits/char;
+    base64 blobs and key-mash float far higher, repeated filler far
+    lower).
+
+    Scale plan: explode to (doc, char) is a map-side flatten; one
+    (doc, char) hash-agg (≤ alphabet-size groups per doc) then a
+    per-doc aggregate of -p·log2(p).  Probabilities are exact-integer
+    ratios (char count / doc length), so both engines feed identical
+    doubles to log2; entropy rounded to 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").alias("n")
+    )
+    with_tot = per_char.withColumn(
+        "total", F.sum("n").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        with_tot.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_chars_ctd"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(str_split_regex(lower(text), '')) AS ch
+  FROM documents),
+per_char AS (
+  SELECT doc_id, ch, COUNT(*) AS n
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+tot AS (
+  SELECT doc_id, SUM(n) AS total FROM per_char GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_chars_ctd,
+       ROUND(-SUM((n / total) * log2(n / total)), 6) AS entropy_bits
+FROM per_char p JOIN tot t ON p.doc_id = t.doc_id
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 def q_dedup_prefix(spark, sf_dir):
     """Boilerplate detection: documents sharing an identical 100-char
     prefix (template headers, scraped navigation, licence blocks) —
@@ -2031,6 +2083,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "oov_rate": QuerySpec(q_oov_rate, SQL_OOV_RATE),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_prefix": QuerySpec(q_dedup_prefix, SQL_DEDUP_PREFIX),
+    "doc_entropy": QuerySpec(q_doc_entropy, SQL_DOC_ENTROPY),
     "dedup_survivorship": QuerySpec(
         q_dedup_survivorship, _sql_dedup_survivorship()
     ),
