@@ -129,3 +129,42 @@ def test_pagerank_mass_is_conserved(spark, sf_dir):
         )
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert math.isclose(total, 1.0, rel_tol=1e-6)
+
+
+def test_weighted_sample_draws_positive_and_sized(spark, sf_dir):
+    rows = _run(spark, sf_dir, "sample_weighted").collect()
+    assert 0 < len(rows) <= 100
+    assert all(r.draw_key > 0 for r in rows)
+
+
+def test_mixture_budget_never_exceeded(spark, sf_dir):
+    rows = _run(spark, sf_dir, "mixture_budget_sample").collect()
+    assert rows
+    assert all(r.cum_chars <= r.budget for r in rows)
+    # each source admits at least its hash-first doc when it fits
+    assert len({r.source for r in rows}) >= 1
+
+
+def test_prefix_dedup_groups_are_real_groups(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dedup_prefix").collect()
+    assert all(r.n_docs > 1 for r in rows)
+
+
+def test_event_transition_probabilities_sum_to_one(spark, sf_dir):
+    rows = _run(spark, sf_dir, "event_transitions").collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    for total in by_from.values():
+        assert math.isclose(total, 1.0, abs_tol=1e-4)
+
+
+def test_doc_entropy_bounded_by_alphabet(spark, sf_dir):
+    rows = _run(spark, sf_dir, "doc_entropy").collect()
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs
+    # 0 <= H <= log2(distinct chars) <= log2(n_chars)
+    assert all(
+        0.0 <= r.entropy_bits <= math.log2(max(r.n_chars_ctd, 2))
+        for r in rows
+    )
