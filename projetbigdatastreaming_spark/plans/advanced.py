@@ -389,6 +389,59 @@ FROM lineitem"""
 ) + "\nORDER BY column_name"
 
 
+def q_active_users_rolling(spark, sf_dir):
+    """DAU and trailing-7-day WAU per day — the canonical product
+    analytics rollup.  Distinct users are NOT summable across days, so
+    WAU joins the deduplicated (user, day) relation to a day spine
+    with a bounded 0–6-day lag.
+
+    Scale plan: the corpus collapses to one row per (user, day) first
+    (hash-agg — the only corpus-sized shuffle); the day spine is tiny
+    at any scale and broadcasts, and the lag predicate bounds each
+    (user, day) row to ≤7 spine matches, so candidate volume is 7×|user
+    -days|, linear.  Counts are exact integers.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    spine = ud.select(F.col("day").alias("d")).distinct()
+    dau = ud.groupBy(F.col("day").alias("d0")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = (
+        ud.join(
+            F.broadcast(spine),
+            (F.col("d") >= F.col("day"))
+            & (F.col("d") <= F.date_add(F.col("day"), 6)),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, F.col("d0") == F.col("d"))
+        .select(F.col("d").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )
+
+
+SQL_ACTIVE_USERS_ROLLING = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+spine AS (SELECT DISTINCT day AS d FROM ud),
+dau AS (
+  SELECT day AS d0, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d, COUNT(DISTINCT user_id) AS wau
+  FROM ud JOIN spine ON d >= day AND d <= day + INTERVAL 6 DAY
+  GROUP BY d)
+SELECT d AS day, dau, wau
+FROM dau JOIN wau ON d0 = d
+ORDER BY day
+"""
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov statistics over each user's event sequence:
     (from_type → to_type) counts and row-normalized transition
@@ -1453,6 +1506,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_distinct": QuerySpec(q_approx_distinct, None),
     "event_transitions": QuerySpec(
         q_event_transitions, SQL_EVENT_TRANSITIONS
+    ),
+    "active_users_rolling": QuerySpec(
+        q_active_users_rolling, SQL_ACTIVE_USERS_ROLLING
     ),
     "window_value_functions": QuerySpec(
         q_window_value_functions, SQL_WINDOW_VALUE_FUNCTIONS

@@ -166,6 +166,9 @@ _BNLJ_ALLOWED = {
     "unigram_logprob",
     "tfidf_topk",
     "graph_pagerank",
+    # day-spine range join: the spine is |distinct days| rows (tiny at
+    # any scale) and the 0-6 day lag bounds matches to 7 per row
+    "active_users_rolling",
     "dedup_ngram_jaccard",
     "dedup_char_ngram",
     "emb_cosine_pairs",
