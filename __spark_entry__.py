@@ -52,7 +52,7 @@ QUERY_ORDER = (
     "tfidf_topk", "emb_outliers", "graph_pagerank", "emb_kmeans_refine",
     "sample_weighted", "approx_quantile_check", "window_value_functions",
     "mixture_budget_sample", "dedup_prefix", "event_transitions",
-    "doc_entropy", "active_users_rolling",
+    "doc_entropy", "active_users_rolling", "corpus_zipf_fit",
     # 1) hash-mismatched in the r02 snapshot; determinism fix landed
     #    after it (ef33182) — the driver must confirm the fix
     "stats_agg", "text_quality",

@@ -974,6 +974,59 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus token rank-frequency curve: the
+    OLS slope of log(freq) on log(rank) (natural text sits near -1;
+    strong deviations flag synthetic or degenerate corpora).
+
+    Scale plan: one corpus explode → vocab hash-agg; the ranking
+    window runs over the VOCAB relation (bounded by vocabulary size,
+    not corpus size) with a deterministic (freq desc, token) total
+    order; the regression is a single aggregate over vocab rows.
+    log inputs are exact integers so both engines regress identical
+    doubles; slope/intercept rounded to 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token")
+    ).where(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rank))"), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr("regr_intercept(ln(freq), ln(rank))"), 6
+        ).alias("zipf_intercept"),
+    )
+
+
+SQL_CORPUS_ZIPF_FIT = """
+WITH toks AS (
+  SELECT unnest(str_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token, COUNT(*) AS freq
+  FROM toks WHERE token <> '' GROUP BY token),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM vocab)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+       ROUND(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept
+FROM ranked
+"""
+
+
 def q_doc_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document — the gibberish /
     binary-junk screen (natural language sits ~3.5–4.5 bits/char;
@@ -2084,6 +2137,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_prefix": QuerySpec(q_dedup_prefix, SQL_DEDUP_PREFIX),
     "doc_entropy": QuerySpec(q_doc_entropy, SQL_DOC_ENTROPY),
+    "corpus_zipf_fit": QuerySpec(q_corpus_zipf_fit, SQL_CORPUS_ZIPF_FIT),
     "dedup_survivorship": QuerySpec(
         q_dedup_survivorship, _sql_dedup_survivorship()
     ),

@@ -237,11 +237,20 @@ def test_tfidf_reuses_persisted_tf(spark, sf_dir):
     )
 
 
+#: queries where an UNPARTITIONED window is the intended plan: the
+#: window runs over an already-aggregated relation bounded by a small
+#: domain (corpus vocabulary), never over the corpus itself
+_GLOBAL_WINDOW_ALLOWED = {
+    "corpus_zipf_fit",  # rank over vocab (|V| rows, not corpus rows)
+}
+
+
 def test_registry_wide_scale_audit(spark, sf_dir):
     """Every registered query's physical plan is free of scale
     anti-patterns: no CartesianProduct anywhere, no unpartitioned
-    window anywhere, and BroadcastNestedLoopJoin only where a
-    constant-size side makes it the correct plan."""
+    window anywhere (except over provably-bounded aggregated
+    relations), and BroadcastNestedLoopJoin only where a constant-size
+    side makes it the correct plan."""
     offenders = {}
     for name, fn in entry.queries().items():
         plan = _plan(spark, sf_dir, name)
@@ -253,10 +262,11 @@ def test_registry_wide_scale_audit(spark, sf_dir):
             and name not in _BNLJ_ALLOWED
         ):
             flags.append("bnlj")
-        for frag in plan.split("Window [")[1:]:
-            if ", [], [" in frag.split("\n", 1)[0]:
-                flags.append("global-window")
-                break
+        if name not in _GLOBAL_WINDOW_ALLOWED:
+            for frag in plan.split("Window [")[1:]:
+                if ", [], [" in frag.split("\n", 1)[0]:
+                    flags.append("global-window")
+                    break
         if flags:
             offenders[name] = flags
     assert not offenders, f"scale anti-patterns: {offenders}"
