@@ -990,7 +990,89 @@ ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Supplier scorecard — dimension-side feature table
+# --------------------------------------------------------------------------
+
+def q_supplier_scorecard(spark, sf_dir):
+    """Per-supplier operational scorecard: line count, revenue,
+    distinct parts carried, and late-shipment rate — the dimension-side
+    twin of the per-user feature table (`user_features`), i.e. the
+    warehouse query a procurement team materializes nightly.
+
+    Scale plan: one lineitem⋈orders shuffle on orderkey computes the
+    lateness flag; everything then partial-aggregates on l_suppkey
+    (one row per supplier in the shuffle); the supplier dim broadcasts
+    onto the tiny aggregate.  late_rate is an exact-integer ratio.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int").alias("late"),
+    )
+    agg = flagged.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        # decimal accumulation: with ~1000 suppliers × hundreds of
+        # lines each, a raw double sum leaves ~1e-6 error — enough to
+        # flip the 2-dp round on a few rows (caught by the sf0.1
+        # sweep); decimal sums are exact and order-independent
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(30,8)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("late") / F.count("*"), 6).alias("late_rate"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        agg.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", "n_lines", "revenue", "n_parts",
+            "late_rate", "s_acctbal",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_SUPPLIER_SCORECARD = """
+WITH flagged AS (
+  SELECT l_suppkey, l_partkey, l_extendedprice, l_discount,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+agg AS (
+  SELECT l_suppkey, COUNT(*) AS n_lines,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         ROUND(SUM(late) / COUNT(*), 6) AS late_rate
+  FROM flagged GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, n_lines, revenue, n_parts, late_rate, s_acctbal
+FROM agg JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY s_suppkey
+"""
+
+
 REGISTRY = {
+    "supplier_scorecard": QuerySpec(
+        q_supplier_scorecard, SQL_SUPPLIER_SCORECARD
+    ),
     "tpch_q2": QuerySpec(q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q4": QuerySpec(q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q7": QuerySpec(q_tpch_q7, SQL_TPCH_Q7),
