@@ -390,15 +390,22 @@ def q_tpch_q9(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        # decimal accumulation: order-independent exact sum, so the
+        # 2-dp round can't sit on a float knife edge at any group size
+        .agg(
+            F.round(F.sum(profit.cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 SQL_TPCH_Q9 = """
 SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - 0.8 * p_retailprice * l_quantity), 2) AS sum_profit
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.8 * p_retailprice * l_quantity
+                           AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -441,10 +448,17 @@ def q_tpch_q11(spark, sf_dir):
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(
+            # decimal accumulation — see q9; this feeds a threshold
+            # COMPARISON, where a knife-edge flip changes membership
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(30,8)")
+                ),
                 2,
-            ).alias("part_value")
+            )
+            .cast("double")
+            .alias("part_value")
         )
     )
     total = per_part.agg(
@@ -461,7 +475,8 @@ def q_tpch_q11(spark, sf_dir):
 SQL_TPCH_Q11 = """
 WITH per_part AS (
   SELECT l_partkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS part_value
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,8))), 2) AS DOUBLE) AS part_value
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
