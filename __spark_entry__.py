@@ -53,7 +53,7 @@ QUERY_ORDER = (
     "sample_weighted", "approx_quantile_check", "window_value_functions",
     "mixture_budget_sample", "dedup_prefix", "event_transitions",
     "doc_entropy", "active_users_rolling", "corpus_zipf_fit",
-    "supplier_scorecard",
+    "supplier_scorecard", "revenue_pareto",
     # 1) hash-mismatched in the r02 snapshot; determinism fix landed
     #    after it (ef33182) — the driver must confirm the fix
     "stats_agg", "text_quality",

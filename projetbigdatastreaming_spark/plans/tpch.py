@@ -1084,10 +1084,105 @@ ORDER BY s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# Revenue Pareto — concentration curve per nation
+# --------------------------------------------------------------------------
+
+def q_revenue_pareto(spark, sf_dir):
+    """Revenue concentration (the 80/20 curve): within each nation,
+    rank customers by revenue and emit the top-5 with their cumulative
+    share of the nation's total — the BI query behind 'how dependent
+    are we on our biggest accounts?'.
+
+    Scale plan: the corpus collapses to one row per customer first
+    (decimal-exact revenue); ranking and the running share are
+    NATION-PARTITIONED windows (hashpartitioning, never global); the
+    nation total reuses the same partition as a window aggregate, so
+    no extra shuffle.  cum_share is a ratio of exact decimals rounded
+    to 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(30,8)")
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w_rank = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("n_name")
+    return (
+        per_cust.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn(
+            "cum_share",
+            F.round(
+                (F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all))
+                .cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("rnk") <= 5)
+        .select(
+            "n_name",
+            "rnk",
+            "c_custkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "cum_share",
+        )
+        .orderBy("n_name", "rnk")
+    )
+
+
+SQL_REVENUE_PARETO = """
+WITH per_cust AS (
+  SELECT n_name, c_custkey,
+         ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,8))), 2) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey),
+ranked AS (
+  SELECT n_name, c_custkey, revenue,
+         ROW_NUMBER() OVER w AS rnk,
+         ROUND(CAST(SUM(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                    / SUM(revenue) OVER (PARTITION BY n_name)
+                    AS DOUBLE), 6) AS cum_share
+  FROM per_cust
+  WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC))
+SELECT n_name, rnk, c_custkey, CAST(revenue AS DOUBLE) AS revenue,
+       cum_share
+FROM ranked WHERE rnk <= 5
+ORDER BY n_name, rnk
+"""
+
+
 REGISTRY = {
     "supplier_scorecard": QuerySpec(
         q_supplier_scorecard, SQL_SUPPLIER_SCORECARD
     ),
+    "revenue_pareto": QuerySpec(q_revenue_pareto, SQL_REVENUE_PARETO),
     "tpch_q2": QuerySpec(q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q4": QuerySpec(q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q7": QuerySpec(q_tpch_q7, SQL_TPCH_Q7),
