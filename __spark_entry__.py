@@ -18,6 +18,7 @@ from projetbigdatastreaming_spark.plans import (
     graph,
     kpi,
     llmdata,
+    quality,
     relational,
     subqueries,
     tpch,
@@ -44,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: tools/check_oracle.py.
 QUERY_ORDER = (
     # 0) new in round 3 — never driver-checked
+    "constraint_check", "k_anonymity", "fuzzy_match", "snapshot_diff",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
@@ -112,6 +114,7 @@ def _registry() -> dict[str, QuerySpec]:
         subqueries.REGISTRY,
         tpch.REGISTRY,
         graph.REGISTRY,
+        quality.REGISTRY,
     )
     # QUERY_ORDER must stay an exact permutation of the merged registry
     # so a new query can't silently land in an arbitrary slot

@@ -1,0 +1,382 @@
+"""Data-quality and governance operators: declarative constraint
+checking (Deequ-style), k-anonymity auditing, blocked fuzzy string
+matching, and snapshot diffing (CDC derivation).
+
+These extend the engine's curation surface (SURVEY.md north-star
+extensions): a training-data pipeline needs to *assert* dataset
+health (constraint_check), *audit* re-identification risk before
+release (k_anonymity), *reconcile* entity names across sources
+(fuzzy_match), and *derive* change feeds between table snapshots
+when no CDC stream exists (snapshot_diff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .registry import QuerySpec
+
+# ---------------------------------------------------------------------------
+# constraint_check — Deequ-style declarative dataset assertions
+# ---------------------------------------------------------------------------
+
+
+def q_constraint_check(spark, sf_dir):
+    """Declarative constraint suite over ``orders``: one row per
+    constraint with an exact metric and a pass/fail verdict.
+
+    Scale plan: the four column-level constraints (completeness,
+    uniqueness, range, set membership) come out of ONE full scan of
+    orders collapsed to a single partial-aggregate row — adding a
+    constraint adds an accumulator, not a scan.  The referential
+    constraint is one LEFT ANTI broadcast-able join (customer keys are
+    dims-scale).  Metrics are exact integer ratios rounded at 6 dp, so
+    both engines emit identical doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    one_scan = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.count("o_orderkey").alias("n_orderkey"),
+        F.countDistinct("o_orderkey").alias("n_distinct_orderkey"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias(
+            "n_price_pos"
+        ),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("n_status_ok"),
+    )
+
+    orphans = (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+    # Each constraint = (name, numerator, denominator); pass iff the
+    # ratio is exactly 1.  The ratio of two BIGINTs is the same double
+    # in every engine; round(…, 6) is belt-and-braces.
+    metrics = one_scan.crossJoin(orphans).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("completeness_o_custkey").alias("check_name"),
+                    F.col("n_custkey").alias("num"),
+                    F.col("n").alias("den"),
+                ),
+                F.struct(
+                    F.lit("uniqueness_o_orderkey").alias("check_name"),
+                    F.col("n_distinct_orderkey").alias("num"),
+                    F.col("n_orderkey").alias("den"),
+                ),
+                F.struct(
+                    F.lit("range_o_totalprice_gt_0").alias("check_name"),
+                    F.col("n_price_pos").alias("num"),
+                    F.col("n").alias("den"),
+                ),
+                F.struct(
+                    F.lit("membership_o_orderstatus").alias("check_name"),
+                    F.col("n_status_ok").alias("num"),
+                    F.col("n").alias("den"),
+                ),
+                F.struct(
+                    F.lit("referential_o_custkey").alias("check_name"),
+                    (F.col("n") - F.col("n_orphans")).alias("num"),
+                    F.col("n").alias("den"),
+                ),
+            )
+        ).alias("c")
+    )
+    return metrics.select(
+        F.col("c.check_name").alias("check_name"),
+        F.round(
+            F.col("c.num").cast("double") / F.col("c.den").cast("double"), 6
+        ).alias("metric"),
+        (F.col("c.num") == F.col("c.den")).alias("passed"),
+    ).orderBy("check_name")
+
+
+SQL_CONSTRAINT_CHECK = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS n_custkey,
+         COUNT(o_orderkey) AS n_orderkey,
+         COUNT(DISTINCT o_orderkey) AS n_distinct_orderkey,
+         SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS n_price_pos,
+         SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS n_status_ok
+  FROM orders),
+o AS (
+  SELECT COUNT(*) AS n_orphans
+  FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+m AS (
+  SELECT 'completeness_o_custkey' AS check_name, n_custkey AS num, n AS den
+  FROM s
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey', n_distinct_orderkey, n_orderkey FROM s
+  UNION ALL
+  SELECT 'range_o_totalprice_gt_0', n_price_pos, n FROM s
+  UNION ALL
+  SELECT 'membership_o_orderstatus', n_status_ok, n FROM s
+  UNION ALL
+  SELECT 'referential_o_custkey', s.n - o.n_orphans, s.n FROM s, o)
+SELECT check_name,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS metric,
+       num = den AS passed
+FROM m
+ORDER BY check_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity — re-identification risk audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_THRESHOLD = 5
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit: group sizes over the quasi-identifier tuple
+    (nation, market segment, account-balance band) of ``customer``.
+    A group with fewer than k=5 members is re-identifiable; the PII
+    scrub (`text_pii`) removes direct identifiers, this audits the
+    *indirect* ones — the release gate a curated dataset needs.
+
+    Scale plan: one hash-agg on the quasi-identifier tuple (bounded
+    cardinality: nations x segments x 4 bands), then a broadcast-size
+    result.  The balance band is integer floor-division — engine-exact.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    band = (
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 3000)
+        .cast("int")
+        .alias("bal_band")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_mktsegment", band)
+        .groupBy("n_name", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .withColumn("at_risk", F.col("group_n") < _K_THRESHOLD)
+        .orderBy("n_name", "c_mktsegment", "bal_band")
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT n_name, c_mktsegment,
+       CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 3000) AS INT)
+         AS bal_band,
+       COUNT(*) AS group_n,
+       COUNT(*) < {_K_THRESHOLD} AS at_risk
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY n_name, c_mktsegment, bal_band
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_match — blocked edit-distance self-join (entity reconciliation)
+# ---------------------------------------------------------------------------
+
+_EDIT_K = 2
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Fuzzy name matching: distinct part-name pairs within edit
+    distance 2, found WITHOUT an all-pairs comparison.
+
+    Blocking is the FastSS / SymSpell deletion neighborhood: every
+    name emits all variants reachable by deleting at most k=2
+    characters.  If ed(A,B) <= k, an optimal edit script aligns all
+    but <= k positions of each string, so deleting the edited
+    positions from each side yields a COMMON variant — the
+    neighborhoods intersect, and an equi-join on the variant string
+    finds every true pair (complete blocking; positional segment
+    schemes are NOT complete under insert/delete, which shift
+    boundaries).  Candidates are deduped and verified with the exact
+    levenshtein predicate.
+
+    Scale plan: a name of length L emits 1 + L + L(L-1)/2 variants
+    (~56 for L=10) — a map-side flatten with bounded fan-out, then one
+    equi-join on short string keys.  The quadratic levenshtein runs
+    only on verified candidates, never on the cross product.  The
+    pair is canonicalized (a < b) before dedup so each pair survives
+    exactly once however many variants matched.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    del1 = (
+        "transform(sequence(1, length(name)),"
+        " i -> concat(substring(name, 1, i-1),"
+        "             substring(name, i+1, length(name))))"
+    )
+    del2 = (
+        "CASE WHEN length(name) >= 2 THEN"
+        " flatten(transform(sequence(1, length(name) - 1),"
+        "  i -> transform(sequence(i + 1, length(name)),"
+        "   j -> concat(substring(name, 1, i-1),"
+        "               substring(name, i+1, j-i-1),"
+        "               substring(name, j+1, length(name))))))"
+        " ELSE array() END"
+    )
+    variants = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                f"array_distinct(concat(array(name), {del1}, {del2}))"
+            )
+        ).alias("v"),
+    )
+    a = variants.select(F.col("name").alias("name_a"), "v")
+    b = variants.select(F.col("name").alias("name_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .where(F.col("dist") <= _EDIT_K)
+        .orderBy("name_a", "name_b")
+    )
+
+
+SQL_FUZZY_MATCH = f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+variants AS (
+  SELECT name, unnest(list_distinct(
+    [name]
+    || list_transform(generate_series(1, length(name)),
+         i -> substr(name, 1, i-1) || substr(name, i+1, length(name)))
+    || CASE WHEN length(name) >= 2 THEN
+         flatten(list_transform(generate_series(1, length(name) - 1),
+           i -> list_transform(generate_series(i + 1, length(name)),
+             j -> substr(name, 1, i-1) || substr(name, i+1, j-i-1)
+                  || substr(name, j+1, length(name)))))
+       ELSE [] END)) AS v
+  FROM names),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM variants a JOIN variants b ON a.v = b.v
+  WHERE a.name < b.name)
+SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {_EDIT_K}
+ORDER BY name_a, name_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — CDC derivation between two table states
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Derive a change feed by diffing two snapshots of ``orders``
+    when no CDC stream exists (the batch ancestor of `scd2_history`):
+    full-outer join on the key, row-hash compare for updates.
+
+    The two states are carved deterministically from the fixture:
+    *old* = orders placed before 1996-01-01; *new* = orders placed
+    1993-01-01..1996-12-31, with a simulated repricing (+1.00) for
+    order keys divisible by 97.  The diff therefore contains all
+    three change types: inserts (1996 orders), deletes (pre-1993
+    orders), updates (repriced keys in the overlap).
+
+    Scale plan: one shuffle-on-key full-outer join; the md5 row hash
+    collapses arbitrarily wide payloads to one comparison, so the
+    operator's cost is independent of column count after the scan.
+    Output is the change rows only — Exchange carries just
+    (key, hash) pairs plus the changed payload.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderdate") < "1996-01-01").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    new = (
+        orders.where(
+            (F.col("o_orderdate") >= "1993-01-01")
+            & (F.col("o_orderdate") <= "1996-12-31")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            (
+                F.col("o_totalprice").cast("decimal(12,2)")
+                + F.when(F.col("o_orderkey") % 97 == 0, 1).otherwise(0)
+            ).cast("decimal(12,2)").alias("price"),
+        )
+    )
+    row_hash = lambda df: F.md5(  # noqa: E731
+        F.concat_ws("|", F.col("status"), F.col("price").cast("string"))
+    )
+    o = old.select(
+        "o_orderkey", row_hash(old).alias("old_hash")
+    )
+    n = new.select(
+        "o_orderkey", "status", "price", row_hash(new).alias("new_hash")
+    )
+    j = o.join(n, "o_orderkey", "full_outer")
+    return (
+        j.select(
+            "o_orderkey",
+            F.when(F.col("old_hash").isNull(), "insert")
+            .when(F.col("new_hash").isNull(), "delete")
+            .when(F.col("old_hash") != F.col("new_hash"), "update")
+            .alias("change_type"),
+            "status",
+            "price",
+        )
+        .where(F.col("change_type").isNotNull())
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+new AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+              AS DECIMAL(12,2)) AS price
+  FROM orders
+  WHERE o_orderdate BETWEEN DATE '1993-01-01' AND DATE '1996-12-31'),
+o AS (SELECT o_orderkey,
+             md5(concat_ws('|', status, CAST(price AS VARCHAR)))
+               AS old_hash FROM old),
+n AS (SELECT o_orderkey, status, price,
+             md5(concat_ws('|', status, CAST(price AS VARCHAR)))
+               AS new_hash FROM new)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.old_hash IS NULL THEN 'insert'
+            WHEN n.new_hash IS NULL THEN 'delete'
+            WHEN o.old_hash <> n.new_hash THEN 'update' END AS change_type,
+       n.status, n.price
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.old_hash IS NULL THEN 'insert'
+           WHEN n.new_hash IS NULL THEN 'delete'
+           WHEN o.old_hash <> n.new_hash THEN 'update' END IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "constraint_check": QuerySpec(q_constraint_check, SQL_CONSTRAINT_CHECK),
+    "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
+    "fuzzy_match": QuerySpec(q_fuzzy_match, SQL_FUZZY_MATCH),
+    "snapshot_diff": QuerySpec(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+}

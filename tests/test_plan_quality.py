@@ -166,6 +166,10 @@ _BNLJ_ALLOWED = {
     "unigram_logprob",
     "tfidf_topk",
     "graph_pagerank",
+    # constraint_check crosses two single-row aggregate relations (the
+    # one-scan metric row x the orphan count) before exploding to the
+    # per-constraint rows — a 1x1 BNLJ
+    "constraint_check",
     # day-spine range join: the spine is |distinct days| rows (tiny at
     # any scale) and the 0-6 day lag bounds matches to 7 per row
     "active_users_rolling",

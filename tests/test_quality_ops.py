@@ -1,0 +1,92 @@
+"""Invariant tests for the data-quality / governance operators
+(plans/quality.py) — properties that must hold on ANY fixture,
+complementing the DuckDB oracle's value-equality check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from projetbigdatastreaming_spark.catalog import load_table
+
+
+def _run(spark, sf_dir, name):
+    return entry.queries()[name](spark, sf_dir)
+
+
+def test_constraint_check_emits_every_declared_constraint(spark, sf_dir):
+    rows = {r.check_name: r for r in _run(spark, sf_dir, "constraint_check").collect()}
+    assert set(rows) == {
+        "completeness_o_custkey",
+        "uniqueness_o_orderkey",
+        "range_o_totalprice_gt_0",
+        "membership_o_orderstatus",
+        "referential_o_custkey",
+    }
+    for r in rows.values():
+        assert 0.0 <= r.metric <= 1.0
+        # passed must agree with the metric being exactly 1
+        assert r.passed == (r.metric == 1.0)
+
+
+def test_k_anonymity_groups_sum_to_table_size(spark, sf_dir):
+    rows = _run(spark, sf_dir, "k_anonymity").collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.group_n for r in rows) == n_cust
+    for r in rows:
+        assert r.at_risk == (r.group_n < 5)
+        assert r.group_n >= 1
+
+
+def test_fuzzy_match_pairs_are_canonical_and_verified(spark, sf_dir):
+    rows = _run(spark, sf_dir, "fuzzy_match").collect()
+    seen = set()
+    for r in rows:
+        assert r.name_a < r.name_b  # canonical order, no mirror dups
+        assert 0 < r.dist <= 2
+        assert (r.name_a, r.name_b) not in seen
+        seen.add((r.name_a, r.name_b))
+
+
+def test_fuzzy_match_blocking_is_exhaustive_at_k2(spark, sf_dir):
+    # the pigeonhole blocking must find EVERY pair the brute-force
+    # all-pairs levenshtein finds (blocking is candidate pruning, not
+    # recall loss)
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    a = names.select(F.col("name").alias("name_a"))
+    b = names.select(F.col("name").alias("name_b"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+    )
+    brute_pairs = {(r.name_a, r.name_b) for r in brute.collect()}
+    blocked_pairs = {
+        (r.name_a, r.name_b)
+        for r in _run(spark, sf_dir, "fuzzy_match").collect()
+    }
+    assert blocked_pairs == brute_pairs
+
+
+def test_snapshot_diff_change_types_reconcile(spark, sf_dir):
+    rows = _run(spark, sf_dir, "snapshot_diff").collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_old = orders.where(F.col("o_orderdate") < "1996-01-01").count()
+    n_new = orders.where(
+        (F.col("o_orderdate") >= "1993-01-01")
+        & (F.col("o_orderdate") <= "1996-12-31")
+    ).count()
+    by_type = {}
+    for r in rows:
+        by_type[r.change_type] = by_type.get(r.change_type, 0) + 1
+        if r.change_type == "delete":
+            assert r.status is None and r.price is None
+        else:
+            assert r.status is not None and r.price is not None
+    # |new| = |old| - deletes + inserts (updates cancel out)
+    assert n_new == n_old - by_type.get("delete", 0) + by_type.get(
+        "insert", 0
+    )
+    assert set(by_type) <= {"insert", "delete", "update"}
