@@ -21,6 +21,7 @@ from projetbigdatastreaming_spark.plans import (
     quality,
     relational,
     subqueries,
+    timeseries,
     tpch,
 )
 from projetbigdatastreaming_spark.plans.registry import QuerySpec, merge
@@ -46,6 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 QUERY_ORDER = (
     # 0) new in round 3 — never driver-checked
     "constraint_check", "k_anonymity", "fuzzy_match", "snapshot_diff",
+    "timeseries_gapfill", "user_streaks", "ewma_smooth",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
@@ -115,6 +117,7 @@ def _registry() -> dict[str, QuerySpec]:
         tpch.REGISTRY,
         graph.REGISTRY,
         quality.REGISTRY,
+        timeseries.REGISTRY,
     )
     # QUERY_ORDER must stay an exact permutation of the merged registry
     # so a new query can't silently land in an arbitrary slot

@@ -1,0 +1,283 @@
+"""Time-series repair and smoothing operators: dense-spine gap fill
+with last-observation-carried-forward, gaps-and-islands activity
+streaks, and FIR exponential smoothing with anomaly flags.
+
+These close out the hypertable-style surface around
+``multires_rollup`` / ``rolling_avg_range`` (plans/advanced.py): a
+production metrics pipeline needs missing buckets MATERIALIZED (a
+downstream join or chart can't see a bucket that isn't there), streak
+semantics that tumbling windows can't express, and a cheap smoother
+for anomaly triage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import QuerySpec
+
+# ---------------------------------------------------------------------------
+# timeseries_gapfill — dense hourly spine + LOCF
+# ---------------------------------------------------------------------------
+
+
+def q_timeseries_gapfill(spark, sf_dir):
+    """Per-event-type hourly totals on a DENSE hour spine covering the
+    corpus time range, with empty buckets materialized and filled by
+    last-observation-carried-forward (LOCF).
+
+    Scale plan: actuals collapse to one row per (type, hour) in a
+    single partial-agg before anything else — the spine join touches
+    aggregated rows, never raw events.  The spine itself is
+    |types| x |hours| rows built from a one-row global min/max
+    aggregate (a broadcast-able scalar, the same shape as tpch_q11's
+    global total); LOCF is one window per type ordered by hour —
+    shuffle on type, in-partition sort, no self-join.  Sums accumulate
+    in decimal, so bucket totals are engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    actual = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("value").cast("decimal(20,2)").alias("dval"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("dval").alias("hour_total"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(bounds).select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 hour)")
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = spine.join(actual, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.col("hour_total").isNull().alias("is_gap"),
+        F.last("hour_total", ignorenulls=True).over(w).alias("filled_total"),
+    )
+    return filled.orderBy("event_type", "bucket")
+
+
+SQL_TIMESERIES_GAPFILL = """
+WITH actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         SUM(CAST(value AS DECIMAL(20,2))) AS hour_total
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events),
+spine AS (
+  SELECT t.event_type, s.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds,
+       LATERAL unnest(generate_series(bounds.lo, bounds.hi,
+                                      INTERVAL 1 HOUR)) AS s(bucket))
+SELECT s.event_type, s.bucket,
+       a.hour_total IS NULL AS is_gap,
+       last_value(a.hour_total IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_total
+FROM spine s
+LEFT JOIN actual a
+  ON a.event_type = s.event_type AND a.bucket = s.bucket
+ORDER BY s.event_type, s.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_streaks — gaps-and-islands over activity days
+# ---------------------------------------------------------------------------
+
+
+def q_user_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks per user (gaps-and-islands):
+    the row_number subtraction trick — consecutive dates minus a
+    per-user row counter is constant within a streak, so one window
+    plus two hash-aggs yields every user's streak profile.  This is
+    the calendar-aligned semantics `sessionize`'s inactivity-timeout
+    sessions can't express.
+
+    Scale plan: distinct (user, day) first (one hash-agg on raw
+    events), then a per-user window over at most |days| rows, then a
+    bounded group-by.  All integers — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+islands AS (
+  SELECT user_id, day,
+         datediff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM days),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM islands GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       MAX(len) AS longest_streak
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ewma_smooth — FIR exponential smoothing + anomaly flags
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 8
+
+
+def _fir_terms(col: str, taps: int) -> str:
+    """Sum of taps lagged terms with power-of-two weights, written as
+    one fixed-shape expression so both engines evaluate the identical
+    IEEE operation sequence (weights 2^-1 … 2^-taps are exact binary
+    fractions; each product and the left-to-right additions are single
+    IEEE ops — bit-identical everywhere)."""
+    num = " + ".join(
+        f"coalesce(l{k} * {2.0 ** -(k + 1)!r}, 0.0)" for k in range(taps)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{k} IS NOT NULL THEN {2.0 ** -(k + 1)!r}"
+        " ELSE 0.0 END)"
+        for k in range(taps)
+    )
+    return f"({num}) / ({den})"
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Per-event-type daily totals smoothed with an 8-tap exponential
+    FIR kernel (weights 1/2, 1/4, …, 1/256 over the trailing days,
+    renormalized near the series start), plus a x2-band anomaly flag.
+
+    A true (recursive) EWMA is order-recursive and engine-divergent in
+    floats; the truncated FIR form keeps >99.6% of the kernel mass,
+    is expressible as pure lag projections, and — because every weight
+    is an exact binary fraction evaluated in a fixed order — produces
+    bit-identical doubles in any IEEE engine.
+
+    Scale plan: one hash-agg to daily grain, one per-type window for
+    the 8 lags (shuffle on type, sort by day in-partition), then a
+    map-only projection.  No self-joins, no state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("decimal(20,2)").alias("dval"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("dval").cast("double").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "x",
+        *[
+            F.lag("x", k).over(w).alias(f"l{k}")
+            for k in range(_EWMA_TAPS)
+        ],
+    )
+    smoothed = F.expr(_fir_terms("x", _EWMA_TAPS))
+    # floor-based rounding (stats_agg precedent): engine ROUND()
+    # semantics differ on doubles; floor is a single exact IEEE op
+    det6 = F.floor(smoothed * F.lit(1e6) + F.lit(0.5)).cast(
+        "double"
+    ) / F.lit(1e6)
+    return lagged.select(
+        "event_type",
+        "day",
+        F.round("x", 2).alias("x"),
+        det6.alias("smoothed"),
+        ((F.col("x") > smoothed * 2) | (F.col("x") < smoothed * 0.5)).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "day")
+
+
+def _sql_fir() -> str:
+    num = " + ".join(
+        f"coalesce(l{k} * {2.0 ** -(k + 1)!r}, 0.0)"
+        for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{k} IS NOT NULL THEN {2.0 ** -(k + 1)!r}"
+        " ELSE 0.0 END)"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"({num}) / ({den})"
+
+
+SQL_EWMA_SMOOTH = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, day, x,
+         {", ".join(
+             f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+             f" AS l{k}"
+             for k in range(_EWMA_TAPS)
+         )}
+  FROM daily)
+SELECT event_type, day,
+       ROUND(x, 2) AS x,
+       CAST(FLOOR(({_sql_fir()}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS smoothed,
+       (x > ({_sql_fir()}) * 2 OR x < ({_sql_fir()}) * 0.5) AS is_anomaly
+FROM lagged
+ORDER BY event_type, day
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "timeseries_gapfill": QuerySpec(
+        q_timeseries_gapfill, SQL_TIMESERIES_GAPFILL
+    ),
+    "user_streaks": QuerySpec(q_user_streaks, SQL_USER_STREAKS),
+    "ewma_smooth": QuerySpec(q_ewma_smooth, SQL_EWMA_SMOOTH),
+}

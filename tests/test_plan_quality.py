@@ -170,6 +170,10 @@ _BNLJ_ALLOWED = {
     # one-scan metric row x the orphan count) before exploding to the
     # per-constraint rows — a 1x1 BNLJ
     "constraint_check",
+    # timeseries_gapfill crosses the distinct event types against the
+    # one-row global min/max bounds to build the hour spine — a
+    # |types|x1 BNLJ over aggregated (broadcast-size) inputs
+    "timeseries_gapfill",
     # day-spine range join: the spine is |distinct days| rows (tiny at
     # any scale) and the 0-6 day lag bounds matches to 7 per row
     "active_users_rolling",
