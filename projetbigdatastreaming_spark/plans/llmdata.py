@@ -2088,7 +2088,181 @@ ORDER BY list_id
 """
 
 
+LINE_SEG_WORDS = 5
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level exact line dedup (the MassiveText / RefinedWeb
+    curation step): every document is segmented into fixed
+    5-word lines, any line that already occurred earlier in the corpus
+    (by (doc_id, position) order) is dropped, and each document is
+    reconstructed from its surviving lines.  Output per doc: segment
+    counts and a fingerprint of the cleaned text — the dedup summary a
+    curation report consumes.
+
+    Scale plan: segmentation is a map-side higher-order flatten (no
+    explode-then-regroup for building segments); first-occurrence is
+    ONE window over the segment hash (shuffle carries (seg, doc_id,
+    seg_no) — never the full document); reconstruction is one hash-agg
+    back on doc_id with an order-preserving array_sort, so no step
+    needs a global sort.  At 100 TB both shuffles are plain
+    hash-exchanges on high-cardinality keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(
+                  sequence(0, cast(ceil(size(toks) / {LINE_SEG_WORDS}.0)
+                                   as int) - 1),
+                  s -> concat_ws(' ',
+                         slice(toks, s * {LINE_SEG_WORDS} + 1,
+                               {LINE_SEG_WORDS})))
+                """
+            )
+        ).alias("seg_no", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+    flagged = segs.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("seg_no", "seg")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda c: c["seg"],
+                    ),
+                )
+            ).alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents),
+seg AS (
+  SELECT doc_id, pos // {LINE_SEG_WORDS} AS seg_no,
+         string_agg(tok, ' ' ORDER BY pos) AS seg
+  FROM toks GROUP BY doc_id, pos // {LINE_SEG_WORDS}),
+flagged AS (
+  SELECT doc_id, seg_no, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no)
+           AS rn
+  FROM seg)
+SELECT doc_id,
+       COUNT(*) AS n_seg,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(seg, ' ' ORDER BY seg_no)
+                      FILTER (WHERE rn = 1), '')) AS clean_fp
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    the IVF coarse quantizer (`operators/similarity.py::ivf_assign`),
+    then inside each cluster drop every vector that has a
+    smaller-id neighbor above the cosine threshold — the canonical
+    (lowest-id) member of each semantic duplicate group survives.
+
+    Scale plan: this is the whole point of SemDeDup — the quadratic
+    pair scan runs only WITHIN a cluster (an equi-join on list_id),
+    never across the corpus; cluster assignment itself is map-only
+    over broadcast centroids.  Keeper election is one min_by per
+    dropped vector.  The oracle replays the identical
+    centroid-sample / argmax-assign / pair-scan pipeline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = similarity.ivf_assign(emb, IVF_N_LISTS)
+    a = assigned.select(
+        F.col("vec_id").alias("drop_vec_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "list_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("keep_vec_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "list_id",
+    )
+    cos = F.round(
+        similarity._dot(F.col("ea"), F.col("eb"))
+        / (F.col("na") * F.col("nb")),
+        4,
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .where(F.col("drop_vec_id") > F.col("keep_vec_id"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(COSINE_PAIR_THRESHOLD))
+    )
+    return (
+        pairs.groupBy("list_id", "drop_vec_id")
+        .agg(
+            F.min("keep_vec_id").alias("keep_vec_id"),
+            F.min_by("cos", "keep_vec_id").alias("cos"),
+        )
+        .orderBy("drop_vec_id")
+        .select("list_id", "drop_vec_id", "keep_vec_id", "cos")
+    )
+
+
+SQL_EMB_SEMANTIC_DEDUP = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS list_id, e AS cvec
+  FROM emb
+  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT), vec_id
+  LIMIT {IVF_N_LISTS}),
+assign0 AS (
+  SELECT vec_id, e, list_id FROM (
+    SELECT v.vec_id, v.e, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ROUND(list_cosine_similarity(v.e, c.cvec), 4) DESC,
+                       c.list_id ASC) AS rn
+    FROM emb v CROSS JOIN cents c)
+  WHERE rn = 1),
+pairs AS (
+  SELECT a.list_id, a.vec_id AS drop_vec_id, b.vec_id AS keep_vec_id,
+         ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos
+  FROM assign0 a JOIN assign0 b ON a.list_id = b.list_id
+  WHERE a.vec_id > b.vec_id
+    AND ROUND(list_cosine_similarity(a.e, b.e), 4) >= {COSINE_PAIR_THRESHOLD})
+SELECT list_id, drop_vec_id,
+       MIN(keep_vec_id) AS keep_vec_id,
+       arg_min(cos, keep_vec_id) AS cos
+FROM pairs
+GROUP BY list_id, drop_vec_id
+ORDER BY drop_vec_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
+    "emb_semantic_dedup": QuerySpec(
+        q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP
+    ),
     "unigram_logprob": QuerySpec(q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "emb_kmeans_refine": QuerySpec(
         q_emb_kmeans_refine, SQL_EMB_KMEANS_REFINE

@@ -184,6 +184,7 @@ _BNLJ_ALLOWED = {
     "emb_ann_topk_lsh",
     "emb_ann_topk_ivf",
     "emb_kmeans_refine",
+    "emb_semantic_dedup",
     "emb_ann_recall",
     "emb_near_dup_lsh",
 }

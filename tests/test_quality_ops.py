@@ -90,3 +90,44 @@ def test_snapshot_diff_change_types_reconcile(spark, sf_dir):
         "insert", 0
     )
     assert set(by_type) <= {"insert", "delete", "update"}
+
+
+def test_line_dedup_conserves_segments_and_detects_dups(spark, sf_dir):
+    import hashlib
+
+    rows = _run(spark, sf_dir, "line_dedup").collect()
+    docs = {r.doc_id: r.text for r in load_table(
+        spark, sf_dir, "documents").select("doc_id", "text").collect()}
+    assert {r.doc_id for r in rows} == set(docs)
+    # replay the operator in plain Python and compare exactly
+    seen: set[str] = set()
+    expected: dict[int, tuple[int, int, str]] = {}
+    for doc_id in sorted(docs):
+        toks = docs[doc_id].split(" ")
+        segs = [
+            " ".join(toks[i : i + 5]) for i in range(0, len(toks), 5)
+        ]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        fp = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        expected[doc_id] = (len(segs), len(kept), fp)
+    for r in rows:
+        assert (r.n_seg, r.n_kept, r.clean_fp) == expected[r.doc_id]
+
+
+def test_semantic_dedup_keeper_is_smaller_and_within_cluster(spark, sf_dir):
+    from projetbigdatastreaming_spark.operators import similarity
+    from projetbigdatastreaming_spark.plans.llmdata import IVF_N_LISTS
+
+    rows = _run(spark, sf_dir, "emb_semantic_dedup").collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = similarity.ivf_assign(emb, IVF_N_LISTS)
+    lists = {r.vec_id: r.list_id for r in assigned.collect()}
+    for r in rows:
+        assert r.keep_vec_id < r.drop_vec_id
+        assert lists[r.drop_vec_id] == r.list_id
+        assert lists[r.keep_vec_id] == r.list_id
+        assert r.cos >= 0.45
