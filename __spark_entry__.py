@@ -156,6 +156,10 @@ HEADLINE_QUERIES = (
     # and the single-shuffle EXISTS/NOT-EXISTS rewrite (q21)
     "tpch_q9",
     "tpch_q21",
+    # round 3b: the heaviest new curation/repair shapes — corpus-wide
+    # line dedup (two hash exchanges) and the dense-spine gap fill
+    "line_dedup",
+    "timeseries_gapfill",
 )
 
 
