@@ -2258,8 +2258,107 @@ ORDER BY drop_vec_id
 """
 
 
+def q_dedup_source_overlap(spark, sf_dir):
+    """Cross-source duplicate provenance: for every pair of sources,
+    how many boilerplate fingerprints (the 100-char prefix screen,
+    same key as `dedup_prefix`) appear in BOTH — the matrix that
+    tells a curation team which feeds are mirroring each other (and
+    therefore which source weights double-count).  Prefix grain
+    rather than whole-doc: mirrored feeds rewrap content, so shared
+    boilerplate shows up long before byte-identical documents do.
+
+    Scale plan: collapse to distinct (source, fp) first (one hash-agg
+    — the relation is at most |sources| x |distinct docs|), then a
+    self-equi-join on the fingerprint: each fp bucket holds at most
+    |sources| rows, so the join fan-out is bounded by sources², never
+    by corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "source", F.md5(F.substring(F.lower("text"), 1, 100)).alias("fp")
+    ).distinct()
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("fp").alias("n_shared_docs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_DEDUP_SOURCE_OVERLAP = """
+WITH fps AS (
+  SELECT DISTINCT source, md5(substr(lower(text), 1, 100)) AS fp
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(DISTINCT a.fp) AS n_shared_docs
+FROM fps a JOIN fps b ON a.fp = b.fp
+WHERE a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+def q_doc_lang_mismatch(spark, sf_dir):
+    """Label-vs-detector disagreement audit: documents whose labeled
+    ``lang`` differs from the stopword-heuristic detection
+    (`functions/text.py::language_id`) — the screen that catches
+    mislabeled feeds and languages the detector can't model (the
+    fixture's zh docs always disagree, which is the point: they need
+    routing to a different detector).
+
+    Scale plan: map-only — the detector is pure codegen expressions
+    over the token list; no joins, no shuffle except the final sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            language_id("text").alias("lang_pred"),
+        )
+        .where(F.col("lang") != F.col("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_LANG_MISMATCH = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         len(list_filter(str_split(text,' '), t -> t IN ({_sw_list('en')})))
+           / CAST(greatest(len(str_split(text,' ')), 1) AS DOUBLE) AS r_en,
+         len(list_filter(str_split(text,' '), t -> t IN ({_sw_list('fr')})))
+           / CAST(greatest(len(str_split(text,' ')), 1) AS DOUBLE) AS r_fr,
+         len(list_filter(str_split(text,' '), t -> t IN ({_sw_list('es')})))
+           / CAST(greatest(len(str_split(text,' ')), 1) AS DOUBLE) AS r_es,
+         len(list_filter(str_split(text,' '), t -> t IN ({_sw_list('de')})))
+           / CAST(greatest(len(str_split(text,' ')), 1) AS DOUBLE) AS r_de
+  FROM documents),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN r_en > 0 AND r_en >= greatest(r_fr, r_es, r_de) THEN 'en'
+              WHEN r_fr > 0 AND r_fr >= greatest(r_es, r_de) THEN 'fr'
+              WHEN r_es > 0 AND r_es >= r_de THEN 'es'
+              WHEN r_de > 0 THEN 'de'
+              ELSE 'und' END AS lang_pred
+  FROM r)
+SELECT doc_id, lang, lang_pred
+FROM pred
+WHERE lang <> lang_pred
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
+    "dedup_source_overlap": QuerySpec(
+        q_dedup_source_overlap, SQL_DEDUP_SOURCE_OVERLAP
+    ),
+    "doc_lang_mismatch": QuerySpec(
+        q_doc_lang_mismatch, SQL_DOC_LANG_MISMATCH
+    ),
     "emb_semantic_dedup": QuerySpec(
         q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP
     ),

@@ -131,3 +131,29 @@ def test_semantic_dedup_keeper_is_smaller_and_within_cluster(spark, sf_dir):
         assert lists[r.drop_vec_id] == r.list_id
         assert lists[r.keep_vec_id] == r.list_id
         assert r.cos >= 0.45
+
+
+def test_source_overlap_is_canonical_and_bounded(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dedup_source_overlap").collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) <= n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_shared_docs >= 1
+
+
+def test_lang_mismatch_rows_really_disagree(spark, sf_dir):
+    from projetbigdatastreaming_spark.functions.text import language_id
+    from pyspark.sql import functions as F2
+
+    rows = _run(spark, sf_dir, "doc_lang_mismatch").collect()
+    # every zh-labeled doc must be flagged (detector has no zh model)
+    docs = load_table(spark, sf_dir, "documents")
+    zh_ids = {
+        r.doc_id for r in docs.where(F2.col("lang") == "zh").collect()
+    }
+    flagged = {r.doc_id for r in rows}
+    assert zh_ids <= flagged
+    for r in rows:
+        assert r.lang != r.lang_pred
