@@ -49,7 +49,7 @@ QUERY_ORDER = (
     "constraint_check", "k_anonymity", "fuzzy_match", "snapshot_diff",
     "timeseries_gapfill", "user_streaks", "ewma_smooth",
     "line_dedup", "emb_semantic_dedup",
-    "dedup_source_overlap", "doc_lang_mismatch",
+    "dedup_source_overlap", "doc_lang_mismatch", "emb_pca_power",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",

@@ -185,6 +185,9 @@ _BNLJ_ALLOWED = {
     "emb_ann_topk_ivf",
     "emb_kmeans_refine",
     "emb_semantic_dedup",
+    # emb_pca_power normalizes the d-row iterate against a one-row
+    # norm scalar each power step — d x 1 BNLJs over KB relations
+    "emb_pca_power",
     "emb_ann_recall",
     "emb_near_dup_lsh",
 }

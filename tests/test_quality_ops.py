@@ -157,3 +157,24 @@ def test_lang_mismatch_rows_really_disagree(spark, sf_dir):
     assert zh_ids <= flagged
     for r in rows:
         assert r.lang != r.lang_pred
+
+
+def test_pca_loading_is_unit_and_dominant(spark, sf_dir):
+    import numpy as np
+
+    rows = _run(spark, sf_dir, "emb_pca_power").collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.pos)])
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4
+    # Rayleigh quotient of the result must beat the start vector's —
+    # power iteration cannot decrease it
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True) * len(X)
+    ones = np.ones(len(v)) / np.sqrt(len(v))
+    assert v @ C @ v >= ones @ C @ ones - 1e-6
+    # and should be close to the true top eigenvalue after 3 steps
+    top = float(np.linalg.eigvalsh(C)[-1])
+    assert v @ C @ v >= 0.9 * top
