@@ -255,3 +255,67 @@ def streaming_quarter_hour_kpis(
             ).alias("engagement_pct"),
         )
     )
+
+
+def quality_gate_writer(
+    checks: dict[str, str],
+    good_path: str,
+    quarantine_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming data-quality gate for foreachBatch: every micro-batch
+    row is evaluated against the declared row-level checks (name →
+    boolean SQL expression, true = pass); clean rows land in the good
+    table, violating rows in a quarantine table with a ``violations``
+    column naming every failed check — the streaming twin of
+    `plans/quality.py::constraint_check` (batch-audit vs in-flight
+    gate over the same declarative contract).
+
+    Both sinks are replay-safe via batch_id dynamic partition
+    overwrite (the `restatement_batch_writer` idempotence contract):
+    an at-least-once redelivery rewrites its own partitions instead of
+    appending duplicates.  The routed split is computed once per batch
+    (cached), so each check expression — pure codegen, no Python —
+    runs a single time however many sinks consume it.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sinks.files import overwrite_partitions
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        failed = F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.expr(expr), F.lit(name))
+                    for name, expr in sorted(checks.items())
+                ]
+            )
+        )
+        flagged = batch_df.withColumn("violations", failed).cache()
+        try:
+            good = flagged.where(F.size("violations") == 0).drop(
+                "violations"
+            )
+            bad = flagged.where(F.size("violations") > 0).withColumn(
+                "violations", F.concat_ws(",", "violations")
+            )
+            overwrite_partitions(
+                good.withColumn("batch_id", F.lit(batch_id)),
+                good_path,
+                ["batch_id"],
+            )
+            overwrite_partitions(
+                bad.withColumn("batch_id", F.lit(batch_id)),
+                quarantine_path,
+                ["batch_id"],
+            )
+            logger.info(
+                "batch %s: quality gate routed rows (checks=%s)",
+                batch_id,
+                ",".join(sorted(checks)),
+            )
+        finally:
+            flagged.unpersist()
+
+    return _fn
