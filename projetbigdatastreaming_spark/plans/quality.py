@@ -94,7 +94,10 @@ def q_constraint_check(spark, sf_dir):
     return metrics.select(
         F.col("c.check_name").alias("check_name"),
         F.round(
-            F.col("c.num").cast("double") / F.col("c.den").cast("double"), 6
+            F.try_divide(
+                F.col("c.num").cast("double"), F.col("c.den").cast("double")
+            ),
+            6,
         ).alias("metric"),
         (F.col("c.num") == F.col("c.den")).alias("passed"),
     ).orderBy("check_name")
