@@ -20,6 +20,7 @@ from projetbigdatastreaming_spark.plans import (
     llmdata,
     quality,
     relational,
+    sketches,
     subqueries,
     timeseries,
     tpch,
@@ -46,6 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: tools/check_oracle.py.
 QUERY_ORDER = (
     # 0) new in round 3 — never driver-checked
+    "heavy_hitters_cms", "hll_rollup_union",
     "constraint_check", "k_anonymity", "fuzzy_match", "snapshot_diff",
     "timeseries_gapfill", "user_streaks", "ewma_smooth",
     "line_dedup", "emb_semantic_dedup",
@@ -120,6 +122,7 @@ def _registry() -> dict[str, QuerySpec]:
         graph.REGISTRY,
         quality.REGISTRY,
         timeseries.REGISTRY,
+        sketches.REGISTRY,
     )
     # QUERY_ORDER must stay an exact permutation of the merged registry
     # so a new query can't silently land in an arbitrary slot

@@ -1,0 +1,228 @@
+"""Mergeable-sketch operators: count-min-sketch heavy hitters and
+HLL sketch rollup via union.
+
+Why sketches are a first-class scale primitive here: at 100 TB the
+only aggregation states that survive are ones with a FIXED size that
+merge associatively — a count-min sketch is a d×w integer grid merged
+by elementwise add, an HLL sketch is a register array merged by max.
+Both therefore ride Spark's partial-aggregation machinery (map-side
+combine per partition, one tiny shuffle of sketch state), and — the
+part a plain groupBy can't do — previously materialized per-day /
+per-source sketches roll up to coarser grains WITHOUT rescanning the
+raw data.
+
+The reference has no sketch surface (its one KPI query is exact,
+``IndicateursStreaming.scala:139-184``); this extends the north-star
+curation toolkit the way production pipelines do: CMS for ad-hoc
+frequency probes over high-cardinality keys, HLL for distinct-user
+rollups across time grains.
+
+Determinism/oracle strategy: the CMS is built from the portable
+md5-prefix hash (``operators/sampling.py::_portable_hash``) so DuckDB
+replays the ENTIRE sketch bit-for-bit — estimates, collisions and
+all — giving a full-value oracle, not a tolerance row.  The HLL query
+uses Spark's Datasketches implementation (engine-specific by design),
+so it follows the ``approx_distinct_check`` pattern: the output is
+the exact-side-checkable rollup structure plus a within-tolerance
+boolean that a drifting sketch flips to red.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.sampling import _portable_hash
+from .registry import QuerySpec
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms — count-min sketch, fully oracle-replayed
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 15
+
+
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min sketch over ``events.user_id``: build the d×w grid,
+    then point-estimate the top-k users and compare against exact
+    counts.
+
+    Scale plan: the grid build explodes each row to d=4 (depth,
+    bucket) cells but the groupBy's map-side combine collapses every
+    partition to ≤ d·w = 2 048 rows before the shuffle — sketch state
+    moved, not data.  The candidate set here is the exact top-k (the
+    verification baseline; in production the candidates are an ad-hoc
+    probe list and the exact pass is skipped entirely — that is the
+    point of the sketch).  Estimates join the grid with a broadcast of
+    the ≤2 048-row cells relation; ``est >= exact`` is the CMS
+    one-sided error guarantee and is asserted per row.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            (
+                                _portable_hash(F.col("user_id"), f"cms{d}")
+                                % CMS_WIDTH
+                            ).alias("b"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    cand = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(CMS_TOPK)
+    )
+
+    probes = cand.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            _portable_hash(F.col("user_id"), f"cms{d}")
+                            % CMS_WIDTH
+                        ).alias("b"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    )
+
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (probes["p.d"] == cells["d"]) & (probes["p.b"] == cells["b"]),
+            "inner",
+        )
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("no_undercount"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+
+
+_DUCK_CMS_HASH = (
+    "CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),"
+    " 'cms' || CAST(d AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+SQL_HEAVY_HITTERS_CMS = f"""
+WITH ds AS (SELECT unnest(range({CMS_DEPTH})) AS d),
+cells AS (
+  SELECT d, {_DUCK_CMS_HASH} % {CMS_WIDTH} AS b, COUNT(*) AS cnt
+  FROM events CROSS JOIN ds
+  GROUP BY 1, 2),
+cand AS (
+  SELECT user_id, COUNT(*) AS exact_cnt
+  FROM events
+  GROUP BY user_id
+  ORDER BY exact_cnt DESC, user_id ASC
+  LIMIT {CMS_TOPK}),
+probes AS (
+  SELECT user_id, exact_cnt, d, {_DUCK_CMS_HASH} % {CMS_WIDTH} AS b
+  FROM cand CROSS JOIN ds),
+est AS (
+  SELECT p.user_id, p.exact_cnt, MIN(c.cnt) AS est_cnt
+  FROM probes p JOIN cells c ON p.d = c.d AND p.b = c.b
+  GROUP BY 1, 2)
+SELECT user_id, exact_cnt, est_cnt,
+       est_cnt >= exact_cnt AS no_undercount
+FROM est
+ORDER BY exact_cnt DESC, user_id ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# hll_rollup_union — Datasketches HLL: daily sketches union to total
+# ---------------------------------------------------------------------------
+
+HLL_LG_K = 12  # 2^12 registers → ~1.6% rsd; tolerance below is ±5%
+
+
+def q_hll_rollup_union(spark, sf_dir):
+    """Distinct-user rollup from MERGED daily HLL sketches: build one
+    sketch per (event_type, day), union the daily sketches per
+    event_type, and check the unioned estimate against the exact
+    distinct count.
+
+    This is the pre-aggregation pattern a 100 TB pipeline runs on: the
+    daily job materializes per-day sketch state (here the first
+    groupBy), and every coarser grain — weekly, monthly, all-time —
+    derives from sketch UNION without touching raw events again.  The
+    second aggregation's input is |event_type|·|days| sketch rows of
+    ~2^12 registers each, independent of event volume.
+
+    Oracle pattern: Datasketches registers are engine-specific, so the
+    checkable output is the rollup structure (exact n_days, exact
+    distinct) plus the ±5% tolerance boolean (≥3σ at lgK=12); a
+    drifting or mis-merged sketch turns the row red
+    (``approx_distinct_check`` precedent).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_daily_sketches",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_HLL_ROLLUP_UNION = """
+SELECT event_type,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+       COUNT(DISTINCT user_id) AS exact_users,
+       true AS within_tol
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "heavy_hitters_cms": QuerySpec(q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS),
+    "hll_rollup_union": QuerySpec(q_hll_rollup_union, SQL_HLL_ROLLUP_UNION),
+}

@@ -1,0 +1,61 @@
+"""Invariant tests for the mergeable-sketch operators (plans/sketches):
+properties guaranteed by the sketch algorithms themselves, independent
+of fixture values — complementing the DuckDB oracle's value check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from projetbigdatastreaming_spark.catalog import load_table
+from projetbigdatastreaming_spark.plans.sketches import (
+    CMS_TOPK,
+    q_heavy_hitters_cms,
+    q_hll_rollup_union,
+)
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """The count-min one-sided error guarantee: est >= exact, always."""
+    rows = q_heavy_hitters_cms(spark, sf_dir).collect()
+    assert 0 < len(rows) <= CMS_TOPK
+    for r in rows:
+        assert r.no_undercount
+        assert r.est_cnt >= r.exact_cnt
+
+
+def test_cms_overcount_bounded_by_collision_mass(spark, sf_dir):
+    """est - exact can only come from colliding keys, so it is bounded
+    by the total row count minus the key's own count (loose but
+    data-independent)."""
+    n = load_table(spark, sf_dir, "events").count()
+    for r in q_heavy_hitters_cms(spark, sf_dir).collect():
+        assert r.est_cnt - r.exact_cnt <= n - r.exact_cnt
+
+
+def test_hll_union_matches_direct_sketch(spark, sf_dir):
+    """Mergeability: unioning daily sketches must estimate within
+    tolerance of the exact all-time distinct (the query's own flag),
+    and the number of daily sketches merged must equal the number of
+    distinct (event_type, day) pairs."""
+    rows = q_hll_rollup_union(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    expected = {r.event_type: r["count"] for r in days}
+    for r in rows:
+        assert r.within_tol
+        assert r.n_daily_sketches == expected[r.event_type]
+
+
+def test_sketch_queries_registered_with_oracles():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    for name in ("heavy_hitters_cms", "hll_rollup_union"):
+        assert name in q and name in o
