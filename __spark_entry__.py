@@ -18,6 +18,7 @@ from projetbigdatastreaming_spark.plans import (
     graph,
     kpi,
     llmdata,
+    pysource_queries,
     quality,
     relational,
     sketches,
@@ -47,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: tools/check_oracle.py.
 QUERY_ORDER = (
     # 0) new in round 3 — never driver-checked
-    "heavy_hitters_cms", "hll_rollup_union",
+    "heavy_hitters_cms", "hll_rollup_union", "pysource_synthetic_events",
     "constraint_check", "k_anonymity", "fuzzy_match", "snapshot_diff",
     "timeseries_gapfill", "user_streaks", "ewma_smooth",
     "line_dedup", "emb_semantic_dedup",
@@ -123,6 +124,7 @@ def _registry() -> dict[str, QuerySpec]:
         quality.REGISTRY,
         timeseries.REGISTRY,
         sketches.REGISTRY,
+        pysource_queries.REGISTRY,
     )
     # QUERY_ORDER must stay an exact permutation of the merged registry
     # so a new query can't silently land in an arbitrary slot

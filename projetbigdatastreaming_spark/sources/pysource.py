@@ -1,0 +1,159 @@
+"""Custom Python DataSource (Spark 4 DataSource API): deterministic
+synthetic event generation and Java-properties config ingestion.
+
+The reference ingests from exactly two custom source families — Kafka
+topics and Kafka Connect config-driven connectors (spool-dir CSV,
+MySQL JDBC; ``src/main/resources/*-kafka-connect-source.properties``).
+This module re-expresses "bring your own source" the Spark-4-native
+way: a ``pyspark.sql.datasource.DataSource`` subclass registered with
+``spark.dataSource.register`` whose reads are PARTITION-PARALLEL —
+``partitions()`` declares the split, executors call ``read(partition)``
+independently, so the source scales out like any built-in scan.
+
+Two sources:
+
+- ``synthetic_events`` — a deterministic event generator (the
+  load-generator role ``ProducerKafa_Prod.scala:60-93`` plays for the
+  reference, minus Kafka): every field derives from the portable
+  md5-prefix hash of the row id, so the SAME rows materialize for any
+  partition count, any engine — DuckDB replays the generator from
+  ``generate_series``, giving the read path a full value oracle.
+- ``java_properties`` — reads ``key=value`` config files (the
+  reference's connector-config format) into (file, key, value) rows;
+  comments / blank lines / ``key: value`` and line-continuation
+  syntax per ``java.util.Properties``.
+
+Arrow note: rows are yielded as plain tuples (the API's simple form).
+For a bulk source you would yield ``pyarrow.RecordBatch`` instead —
+``read()`` supports both — but these two sources are demonstration /
+config-scale; the batch form is exercised in the multimodal operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+__all__ = [
+    "SyntheticEventsDataSource",
+    "JavaPropertiesDataSource",
+    "register_python_sources",
+]
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "share")
+
+
+def _h60(key: str, salt: str) -> int:
+    """Python twin of operators/sampling._portable_hash (and of the
+    DuckDB md5-prefix idiom): first 15 hex chars of md5 → 60-bit int."""
+    return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:15], 16)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", "1000"))
+        self.n_parts = max(1, int(options.get("partitions", "4")))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        per = -(-self.n_rows // self.n_parts)  # ceil
+        return [
+            _RangePartition(lo, min(lo + per, self.n_rows))
+            for lo in range(0, self.n_rows, per)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            uid = _h60(str(i), "sy-u") % 500
+            etype = _EVENT_TYPES[_h60(str(i), "sy-e") % len(_EVENT_TYPES)]
+            # integer centi-units: exact in any engine, summed as BIGINT
+            value_c = _h60(str(i), "sy-v") % 1_000_000
+            yield (i, f"u{uid:03d}", etype, value_c)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("rows", N)
+    .option("partitions", P).load()`` — N deterministic events split
+    across P independent input partitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id string, event_type string, value_c bigint"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SyntheticEventsReader(self.options)
+
+
+def parse_properties(text: str) -> list[tuple[str, str]]:
+    """Minimal ``java.util.Properties`` parser: ``#``/``!`` comments,
+    ``=`` / ``:`` / whitespace separators, backslash line
+    continuation.  Pure function so the parse is unit-testable without
+    Spark."""
+    out: list[tuple[str, str]] = []
+    pending = ""
+    for raw in text.splitlines():
+        line = pending + raw.strip()
+        pending = ""
+        if not line or line[0] in "#!":
+            continue
+        if line.endswith("\\"):
+            pending = line[:-1]
+            continue
+        for sep in ("=", ":"):
+            if sep in line:
+                k, _, v = line.partition(sep)
+                out.append((k.strip(), v.strip()))
+                break
+        else:
+            out.append((line, ""))
+    if pending:
+        out.append((pending.strip(), ""))
+    return out
+
+
+class _PropertiesReader(DataSourceReader):
+    def __init__(self, options):
+        paths = options.get("paths") or options.get("path", "")
+        self.paths = [p for p in paths.split(",") if p]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one partition per file: config files are tiny; parallelism
+        # across files is the right grain
+        return [InputPartition(p) for p in self.paths]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        path = partition.value
+        with open(path, encoding="utf-8") as fh:
+            for key, value in parse_properties(fh.read()):
+                yield (path, key, value)
+
+
+class JavaPropertiesDataSource(DataSource):
+    """``spark.read.format("java_properties").option("paths",
+    "a.properties,b.properties").load()`` → (file, key, value)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "java_properties"
+
+    def schema(self) -> str:
+        return "file string, key string, value string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _PropertiesReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotent registration of both sources on a session."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JavaPropertiesDataSource)
