@@ -1478,7 +1478,57 @@ ORDER BY event_id
 """
 
 
+def q_variant_json(spark, sf_dir):
+    """Semi-structured payload analytics on Spark 4's VARIANT type:
+    ``events.props`` parses ONCE into a variant (``try_parse_json`` —
+    malformed payloads become NULL, never errors, matching the
+    ``from_json`` leniency the reference relies on,
+    ``IndicateursStreaming.scala:116``), then typed paths are
+    extracted with ``variant_get`` and aggregated.
+
+    Vs the `json_parse` query (schema-on-read `from_json` with a fixed
+    StructType): VARIANT keeps the full document without committing to
+    a schema — the right model when payloads evolve — while the binary
+    encoding keeps path access O(field), not a re-parse per extraction.
+    Scale plan: parse + extraction are map-side codegen; the aggregate
+    is one partial-agg shuffle on (event_type, k_decile).
+    """
+    from ..catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "event_type", F.try_parse_json("props").alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    return (
+        ev.select("event_type", F.floor(k / 10).cast("int").alias("k_decile"),
+                  k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type", "k_decile")
+    )
+
+
+SQL_VARIANT_JSON = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events)
+SELECT event_type, CAST(FLOOR(k / 10.0) AS INTEGER) AS k_decile,
+       COUNT(*) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM x
+WHERE k IS NOT NULL
+GROUP BY event_type, k_decile
+ORDER BY event_type, k_decile
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "variant_json": QuerySpec(q_variant_json, SQL_VARIANT_JSON),
     "iqr_outliers": QuerySpec(q_iqr_outliers, SQL_IQR_OUTLIERS),
     "funnel_steps": QuerySpec(q_funnel_steps, SQL_FUNNEL_STEPS),
     "trend_regression": QuerySpec(q_trend_regression, SQL_TREND_REGRESSION),
