@@ -100,3 +100,75 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4 stateful-processing v2
+# ---------------------------------------------------------------------------
+
+RUNNING_STATS_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, mean_value double"
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Cross-batch per-user running aggregate on the NEW stateful API
+    (``transformWithStateInPandas``, Spark 4 stateful processing v2 —
+    the successor to ``applyInPandasWithState`` used by
+    ``sessionize_stateful`` above): a ``StatefulProcessor`` with a
+    typed ``ValueState`` accumulator, emitting the updated
+    (n, total, mean) per user per micro-batch.
+
+    This is the accumulate-across-batches shape the reference's DStream
+    consumer could only fake by re-reading (no state API in its code at
+    all); here state lives in the per-key state store — RocksDB-backed
+    and changelog-checkpointed on a real cluster — so state size tracks
+    |users|, not |events|, and the operator survives restarts.
+
+    v1 vs v2 in this repo: v1 (above) shows timeout-driven session
+    close; v2 adds composable typed state (Value/List/Map), per-key
+    timers, and optional state TTL — use it for new operators.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            n, total = (
+                tuple(self._agg.get()) if self._agg.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "mean_value": [total / n if n else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", events["value"].cast("double").alias("value"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=RUNNING_STATS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
