@@ -22,6 +22,7 @@ from projetbigdatastreaming_spark.plans import (
     quality,
     relational,
     sketches,
+    sql_features,
     subqueries,
     timeseries,
     tpch,
@@ -49,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 QUERY_ORDER = (
     # 0) new in round 3 — never driver-checked
     "heavy_hitters_cms", "hll_rollup_union", "pysource_synthetic_events",
-    "variant_json",
+    "variant_json", "recursive_cte", "sql_udf",
     "constraint_check", "k_anonymity", "fuzzy_match", "snapshot_diff",
     "timeseries_gapfill", "user_streaks", "ewma_smooth",
     "line_dedup", "emb_semantic_dedup",
@@ -126,6 +127,7 @@ def _registry() -> dict[str, QuerySpec]:
         timeseries.REGISTRY,
         sketches.REGISTRY,
         pysource_queries.REGISTRY,
+        sql_features.REGISTRY,
     )
     # QUERY_ORDER must stay an exact permutation of the merged registry
     # so a new query can't silently land in an arbitrary slot

@@ -1,0 +1,150 @@
+"""Modern Spark SQL surface: recursive CTEs and SQL-defined functions.
+
+Two capabilities the reference era (Spark 2.2) did not have, landed in
+Spark 4 and re-expressed here with full DuckDB oracles:
+
+- ``WITH RECURSIVE`` (SPARK-24497): iterative expansion inside ONE SQL
+  statement — the declarative twin of the driver-loop iteration used by
+  ``graph.py`` (PageRank unrolls a fixed number of joins; a recursive
+  CTE lets the ENGINE drive the fixpoint).  Execution model at scale:
+  each recursion step is an equi-join of the frontier against the edge
+  relation plus a union — the frontier shuffles per step, the edge side
+  stays partitioned; bounded-depth recursion (hop counter in the
+  predicate) is the planner-safe shape.
+
+- ``CREATE FUNCTION ... RETURN expr`` (SQL scalar UDF): named, typed,
+  catalog-registered expression macros that inline into the plan at
+  analysis time — whole-stage codegen treats them exactly like the
+  written-out expression, so unlike a Python UDF they cost NOTHING at
+  runtime.  The right home for shared business formulas (the
+  reference's retweet-rate KPI formula would be one).
+"""
+
+from __future__ import annotations
+
+from .registry import QuerySpec
+
+# ---------------------------------------------------------------------------
+# recursive_cte — bounded transitive closure over the nation trade graph
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = """
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+"""
+
+_RECURSIVE_SQL = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+reach(nation, hop) AS (
+  SELECT CAST(0 AS INT) AS nation, 0 AS hop
+  UNION ALL
+  SELECT e.dst AS nation, r.hop + 1 AS hop
+  FROM reach r JOIN edges e ON r.nation = e.src
+  WHERE r.hop < 2
+)
+SELECT n.n_name AS nation_name, MIN(r.hop) AS min_hops
+FROM reach r JOIN nation n ON r.nation = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY min_hops, nation_name
+"""
+
+
+def q_recursive_cte(spark, sf_dir):
+    """Bounded-depth transitive closure: which nations are reachable
+    from nation 0 within 2 hops of the customer→supplier trade graph,
+    and at what minimum hop distance.
+
+    The edge relation is derived once (distinct nation pairs from the
+    4-way trade join — dims-scale output); the recursion then touches
+    ONLY that ≤ 25×25-row relation.  That staging is the scale pattern:
+    collapse the 100 TB fact join to the small closure input *before*
+    iterating, never recurse over facts.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# DuckDB runs the identical statement (ANSI recursive CTE)
+SQL_RECURSIVE_CTE = _RECURSIVE_SQL
+
+
+# ---------------------------------------------------------------------------
+# sql_udf — catalog-registered scalar SQL functions, codegen-inlined
+# ---------------------------------------------------------------------------
+
+
+def q_sql_udf(spark, sf_dir):
+    """SQL scalar UDFs as shared business formulas: net revenue and a
+    discount band label defined ONCE via ``CREATE FUNCTION``, reused
+    across the select list and the grouping — and inlined by the
+    analyzer, so the physical plan is identical to writing the
+    expressions out (no function-call overhead, full codegen).
+
+    The oracle inlines the same expressions textually — which is
+    exactly the claim being tested: a SQL UDF is a macro, not a
+    runtime call.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    # input precision chosen so the 3-factor product is (34,6) —
+    # EXACT decimal on both engines (precision ≤ 38 means no
+    # scale-reduction rounding on the intermediate); the single round
+    # is the function's RETURNS cast, per row, identically replayed by
+    # the oracle
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_revenue("
+        "price DECIMAL(10,2), disc DECIMAL(10,2), tax DECIMAL(10,2)) "
+        "RETURNS DECIMAL(18,4) "
+        "RETURN price * (1 - disc) * (1 + tax)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_band(d DECIMAL(10,2)) "
+        "RETURNS STRING "
+        "RETURN CASE WHEN d < 0.03 THEN 'low' "
+        "WHEN d < 0.07 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT disc_band(l_discount) AS band,
+               COUNT(*) AS n,
+               CAST(SUM(net_revenue(l_extendedprice, l_discount, l_tax))
+                    AS DECIMAL(20,4)) AS net_rev
+        FROM lineitem
+        GROUP BY disc_band(l_discount)
+        ORDER BY band
+        """
+    )
+
+
+SQL_SQL_UDF = """
+WITH d AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(10,2)) AS price,
+         CAST(l_discount AS DECIMAL(10,2)) AS disc,
+         CAST(l_tax AS DECIMAL(10,2)) AS tax
+  FROM lineitem),
+x AS (
+  SELECT CASE WHEN disc < 0.03 THEN 'low'
+              WHEN disc < 0.07 THEN 'mid' ELSE 'high' END AS band,
+         -- DuckDB's decimal downscale-cast TRUNCATES; Spark's rounds
+         -- HALF_UP — explicit ROUND makes the engines agree
+         CAST(ROUND(price * (1 - disc) * (1 + tax), 4)
+              AS DECIMAL(18,4)) AS net
+  FROM d)
+SELECT band, COUNT(*) AS n, CAST(SUM(net) AS DECIMAL(20,4)) AS net_rev
+FROM x
+GROUP BY band
+ORDER BY band
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "recursive_cte": QuerySpec(q_recursive_cte, SQL_RECURSIVE_CTE),
+    "sql_udf": QuerySpec(q_sql_udf, SQL_SQL_UDF),
+}
