@@ -377,7 +377,124 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_classifier — linear model scoring (fasttext-filter shape)
+# ---------------------------------------------------------------------------
+
+_QC_STOPWORDS = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "on", "for",
+)
+#: integer weights of the linear model (milli-score per unit ratio)
+_QC_W_STOP = 600  # stopword ratio: natural prose has some
+_QC_W_NONAL = 400  # non-alphanumeric ratio: penalized
+_QC_W_LEN = 2  # length credit, saturating at 256 tokens
+_QC_OFFSET = 400  # shifts the score positive so floor-div is floor on both engines
+_QC_KEEP_MILLI = 100_000  # keep iff score_milli >= 100.000
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based document filtering: a linear quality classifier
+    (the fasttext-classifier shape of CCNet/LLaMA-style curation —
+    handcrafted integer weights standing in for trained ones) scoring
+    stopword ratio, non-alphanumeric ratio, and saturating length.
+
+    Cross-engine exactness: every feature is an integer count and the
+    score is evaluated as ONE integer rational num/den (common
+    denominator n_tok * n_chars * 256) — ``score_milli = 1000*num div
+    den``; the offset keeps the numerator positive so truncating
+    (Spark ``div``) and flooring (DuckDB ``//``) integer division
+    agree.  No float enters the plan, so no knife edges.
+
+    Scale plan: pure map-side codegen expressions over one scan —
+    the classifier adds zero shuffles; at 100 TB this is the same
+    plan as any projection.  A trained model swaps the weight
+    constants; a wider model becomes a broadcast weight table joined
+    on feature id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _QC_STOPWORDS])
+    n_tok = F.size(F.filter(toks, lambda t: t != ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length("text")
+    n_nonal = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    )
+    feat = docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tok"),
+        n_stop.cast("bigint").alias("n_stop"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_nonal.cast("bigint").alias("n_nonal"),
+    ).where((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    den = F.col("n_tok") * F.col("n_chars") * 256
+    num = (
+        _QC_W_STOP * F.col("n_stop") * F.col("n_chars") * 256
+        - _QC_W_NONAL * F.col("n_nonal") * F.col("n_tok") * 256
+        + _QC_W_LEN
+        * F.least(F.col("n_tok"), F.lit(256))
+        * F.col("n_tok")
+        * F.col("n_chars")
+        + _QC_OFFSET * den
+    )
+    # integer floor-division of positive bigints: (a - a%b)/b — the
+    # quotient is an exact multiple so the double division is exact
+    # (quotient < 2^53 by construction: score ≤ ~1.4e6 milli)
+    return (
+        feat.select(
+            "doc_id",
+            ((1000 * num - (1000 * num) % den) / den)
+            .cast("bigint")
+            .alias("score_milli_shifted"),
+        )
+        .select(
+            "doc_id",
+            (F.col("score_milli_shifted") - 1000 * _QC_OFFSET).alias(
+                "score_milli"
+            ),
+            (
+                F.col("score_milli_shifted") - 1000 * _QC_OFFSET
+                >= _QC_KEEP_MILLI
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QC_STOP_SQL = ", ".join(f"'{s}'" for s in _QC_STOPWORDS)
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> list_contains([{_QC_STOP_SQL}], t)))
+           AS n_stop,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           AS n_nonal
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         ((1000 * ({_QC_W_STOP} * n_stop * n_chars * 256
+                   - {_QC_W_NONAL} * n_nonal * n_tok * 256
+                   + {_QC_W_LEN} * least(n_tok, 256) * n_tok * n_chars
+                   + {_QC_OFFSET} * n_tok * n_chars * 256))
+          // (n_tok * n_chars * 256)) - {1000 * _QC_OFFSET}
+           AS score_milli
+  FROM feat
+  WHERE n_tok > 0 AND n_chars > 0)
+SELECT doc_id, score_milli, score_milli >= {_QC_KEEP_MILLI} AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "quality_classifier": QuerySpec(
+        q_quality_classifier, SQL_QUALITY_CLASSIFIER
+    ),
     "constraint_check": QuerySpec(q_constraint_check, SQL_CONSTRAINT_CHECK),
     "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
     "fuzzy_match": QuerySpec(q_fuzzy_match, SQL_FUZZY_MATCH),
