@@ -389,29 +389,15 @@ _QC_W_STOP = 600  # stopword ratio: natural prose has some
 _QC_W_NONAL = 400  # non-alphanumeric ratio: penalized
 _QC_W_LEN = 2  # length credit, saturating at 256 tokens
 _QC_OFFSET = 400  # shifts the score positive so floor-div is floor on both engines
-_QC_KEEP_MILLI = 100_000  # keep iff score_milli >= 100.000
+_QC_KEEP_MILLI = 20_000  # keep iff score_milli >= 20.000 (~p20 of fixture)
 
 
-def q_quality_classifier(spark, sf_dir):
-    """Model-based document filtering: a linear quality classifier
-    (the fasttext-classifier shape of CCNet/LLaMA-style curation —
-    handcrafted integer weights standing in for trained ones) scoring
-    stopword ratio, non-alphanumeric ratio, and saturating length.
-
-    Cross-engine exactness: every feature is an integer count and the
-    score is evaluated as ONE integer rational num/den (common
-    denominator n_tok * n_chars * 256) — ``score_milli = 1000*num div
-    den``; the offset keeps the numerator positive so truncating
-    (Spark ``div``) and flooring (DuckDB ``//``) integer division
-    agree.  No float enters the plan, so no knife edges.
-
-    Scale plan: pure map-side codegen expressions over one scan —
-    the classifier adds zero shuffles; at 100 TB this is the same
-    plan as any projection.  A trained model swaps the weight
-    constants; a wider model becomes a broadcast weight table joined
-    on feature id.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _qc_scored(docs):
+    """doc_id → score_milli for the linear quality model: every
+    feature an integer count, the score ONE integer rational num/den
+    (common denominator n_tok*n_chars*256); the offset keeps the
+    numerator positive so truncating (Spark) and flooring (DuckDB)
+    integer division agree.  No float enters the plan."""
     toks = F.split(F.lower(F.col("text")), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in _QC_STOPWORDS])
     n_tok = F.size(F.filter(toks, lambda t: t != ""))
@@ -440,22 +426,34 @@ def q_quality_classifier(spark, sf_dir):
     # integer floor-division of positive bigints: (a - a%b)/b — the
     # quotient is an exact multiple so the double division is exact
     # (quotient < 2^53 by construction: score ≤ ~1.4e6 milli)
+    return feat.select(
+        "doc_id",
+        (
+            ((1000 * num - (1000 * num) % den) / den).cast("bigint")
+            - 1000 * _QC_OFFSET
+        ).alias("score_milli"),
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based document filtering: a linear quality classifier
+    (the fasttext-classifier shape of CCNet/LLaMA-style curation —
+    handcrafted integer weights standing in for trained ones) scoring
+    stopword ratio, non-alphanumeric ratio, and saturating length.
+
+    Scale plan: pure map-side codegen expressions over one scan —
+    the classifier adds zero shuffles; at 100 TB this is the same
+    plan as any projection.  A trained model swaps the weight
+    constants; a wider model becomes a broadcast weight table joined
+    on feature id.  Cross-engine exactness: see ``_qc_scored``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        feat.select(
-            "doc_id",
-            ((1000 * num - (1000 * num) % den) / den)
-            .cast("bigint")
-            .alias("score_milli_shifted"),
-        )
+        _qc_scored(docs)
         .select(
             "doc_id",
-            (F.col("score_milli_shifted") - 1000 * _QC_OFFSET).alias(
-                "score_milli"
-            ),
-            (
-                F.col("score_milli_shifted") - 1000 * _QC_OFFSET
-                >= _QC_KEEP_MILLI
-            ).alias("keep"),
+            "score_milli",
+            (F.col("score_milli") >= _QC_KEEP_MILLI).alias("keep"),
         )
         .orderBy("doc_id")
     )
@@ -463,8 +461,9 @@ def q_quality_classifier(spark, sf_dir):
 
 _QC_STOP_SQL = ", ".join(f"'{s}'" for s in _QC_STOPWORDS)
 
-SQL_QUALITY_CLASSIFIER = f"""
-WITH feat AS (
+#: shared feat/scored CTE bodies — quality_classifier and
+#: curation_pipeline reuse the exact same oracle text
+_QC_SCORED_CTES = f"""feat AS (
   SELECT doc_id,
          len(list_filter(string_split_regex(lower(text), '\\s+'),
                          t -> t <> '')) AS n_tok,
@@ -484,16 +483,117 @@ scored AS (
           // (n_tok * n_chars * 256)) - {1000 * _QC_OFFSET}
            AS score_milli
   FROM feat
-  WHERE n_tok > 0 AND n_chars > 0)
+  WHERE n_tok > 0 AND n_chars > 0)"""
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH {_QC_SCORED_CTES}
 SELECT doc_id, score_milli, score_milli >= {_QC_KEEP_MILLI} AS keep
 FROM scored
 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# curation_pipeline — composed end-to-end curation with drop attribution
+# ---------------------------------------------------------------------------
+
+_CP_LEN_MIN = 100
+_CP_LEN_MAX = 520
+_CP_SAMPLE_PCT = 90
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation run composing four stages of this engine —
+    quality classifier → prefix-boilerplate dedup → length band →
+    deterministic sample — with per-document drop ATTRIBUTION: each
+    document reports the FIRST stage that dropped it, or 'kept'.
+
+    This is the audit artifact a production corpus build ships with
+    (why did doc X not make the training set?), and it exercises stage
+    ORDER semantics: dedup canonicals are elected among quality
+    SURVIVORS (a dropped canonical must not shadow a kept duplicate),
+    which the oracle replays exactly.
+
+    Scale plan: one scan computes score + fingerprint map-side; the
+    only shuffle is the canonical election groupBy on the 100-char
+    prefix fingerprint (shuffles (fp, doc_id) pairs, not text) plus
+    the fp-keyed join back.  Stages 3–4 are free predicates on the
+    same pass.  At 100 TB this is ONE fact shuffle — the same cost as
+    `dedup_prefix` alone; attribution costs nothing extra.
+    """
+    from ..operators.sampling import _portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.substring("text", 1, 100)).alias("fp"),
+    ).join(_qc_scored(docs), "doc_id", "left")
+    q_ok = F.coalesce(
+        F.col("score_milli") >= _QC_KEEP_MILLI, F.lit(False)
+    )
+    canon = (
+        base.where(q_ok)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canon_id"))
+    )
+    joined = base.join(canon, "fp", "left")
+    status = (
+        F.when(~q_ok, F.lit("quality"))
+        .when(F.col("doc_id") != F.col("canon_id"), F.lit("duplicate"))
+        .when(
+            ~F.col("n_chars").between(_CP_LEN_MIN, _CP_LEN_MAX),
+            F.lit("length"),
+        )
+        .when(
+            _portable_hash(F.col("doc_id"), "cp0") % 100
+            >= _CP_SAMPLE_PCT,
+            F.lit("sampled_out"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id", status.alias("status")
+    ).orderBy("doc_id")
+
+
+_CP_HASH = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'cp0')),"
+    " 1, 15)) AS BIGINT)"
+)
+
+SQL_CURATION_PIPELINE = f"""
+WITH {_QC_SCORED_CTES},
+base AS (
+  SELECT d.doc_id, d.n_chars, md5(substr(d.text, 1, 100)) AS fp,
+         s.score_milli
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+canon AS (
+  SELECT fp, MIN(doc_id) AS canon_id
+  FROM base
+  WHERE COALESCE(score_milli >= {_QC_KEEP_MILLI}, false)
+  GROUP BY fp)
+SELECT b.doc_id,
+       CASE
+         WHEN NOT COALESCE(b.score_milli >= {_QC_KEEP_MILLI}, false)
+           THEN 'quality'
+         WHEN b.doc_id <> c.canon_id THEN 'duplicate'
+         WHEN b.n_chars NOT BETWEEN {_CP_LEN_MIN} AND {_CP_LEN_MAX}
+           THEN 'length'
+         WHEN {_CP_HASH} % 100 >= {_CP_SAMPLE_PCT} THEN 'sampled_out'
+         ELSE 'kept'
+       END AS status
+FROM base b LEFT JOIN canon c ON b.fp = c.fp
+ORDER BY b.doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "quality_classifier": QuerySpec(
         q_quality_classifier, SQL_QUALITY_CLASSIFIER
+    ),
+    "curation_pipeline": QuerySpec(
+        q_curation_pipeline, SQL_CURATION_PIPELINE
     ),
     "constraint_check": QuerySpec(q_constraint_check, SQL_CONSTRAINT_CHECK),
     "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),

@@ -178,3 +178,44 @@ def test_pca_loading_is_unit_and_dominant(spark, sf_dir):
     # and should be close to the true top eigenvalue after 3 steps
     top = float(np.linalg.eigvalsh(C)[-1])
     assert v @ C @ v >= 0.9 * top
+
+
+def test_curation_pipeline_attribution_consistent(spark, sf_dir):
+    """Pipeline drop attribution must (a) cover every document exactly
+    once, (b) agree with the standalone quality classifier on stage-1
+    drops, and (c) never mark a canonical duplicate as 'duplicate'."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    pipe = entry.queries()["curation_pipeline"](spark, sf_dir)
+    qc = entry.queries()["quality_classifier"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    rows = pipe.collect()
+    assert len(rows) == docs.count()  # total coverage, one row each
+    statuses = {r.status for r in rows}
+    assert statuses <= {"quality", "duplicate", "length", "sampled_out",
+                        "kept"}
+
+    # stage-1 agreement with the standalone classifier (docs the
+    # classifier scored and rejected + docs it couldn't score)
+    qc_drop = {r.doc_id for r in qc.collect() if not r.keep}
+    scored_ids = {r.doc_id for r in qc.collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    expected_quality = qc_drop | (all_ids - scored_ids)
+    got_quality = {r.doc_id for r in rows if r.status == "quality"}
+    assert got_quality == expected_quality
+
+    # each duplicate's fingerprint has a SMALLER kept-side doc sharing it
+    dup_ids = {r.doc_id for r in rows if r.status == "duplicate"}
+    if dup_ids:
+        fp = docs.select(
+            "doc_id", F.md5(F.substring("text", 1, 100)).alias("fp")
+        )
+        fp_of = {r.doc_id: r.fp for r in fp.collect()}
+        surviving = all_ids - expected_quality
+        for d in dup_ids:
+            assert any(
+                o < d and fp_of[o] == fp_of[d]
+                for o in surviving
+            )
