@@ -222,7 +222,99 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_bottomk_mergeable — bottom-k hash sample: merge equals direct
+# ---------------------------------------------------------------------------
+
+BK_K = 8
+
+
+def q_sample_bottomk_mergeable(spark, sf_dir):
+    """Mergeable uniform sample: the bottom-k distinct users by
+    portable hash, per event_type — computed the MERGEABLE way (per-day
+    bottom-k samples, then bottom-k of the union of daily samples).
+
+    The bottom-k sketch's defining property: merging partial bottom-ks
+    is EXACTLY the global bottom-k (any globally-k-smallest element is
+    k-smallest within its own day), so unlike CMS/HLL there is no
+    approximation to tolerate — the oracle computes the global
+    bottom-k directly from raw events and the values must be
+    identical.  That makes this the strongest correctness pin of the
+    mergeable-summary family: a broken merge produces a DIFFERENT
+    sample, not a slightly-off estimate.
+
+    Scale plan: the daily stage is a per-(event_type, day) WindowGroup
+    top-k (per-partition limit before the exchange); the merge stage
+    re-ranks |types|·|days|·k rows — sketch-sized input, independent
+    of event volume.  The production use: daily jobs persist their k
+    user samples; any coarser grain re-merges samples, never raw data.
+    """
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    h = _portable_hash(F.col("user_id"), "bk0")
+    daily = (
+        ev.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "day").orderBy(
+                    h.asc(), F.col("user_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") <= BK_K)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    merged = (
+        daily.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    h.asc(), F.col("user_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= BK_K)
+        .select("event_type", "rank", "user_id")
+    )
+    return merged.orderBy("event_type", "rank")
+
+
+_DUCK_BK_HASH = (
+    "CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),"
+    " 'bk0')), 1, 15)) AS BIGINT)"
+)
+
+#: the oracle computes the GLOBAL bottom-k directly — merge-equals-
+#: direct is the property under test
+SQL_SAMPLE_BOTTOMK_MERGEABLE = f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+r AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY {_DUCK_BK_HASH} ASC, user_id ASC)
+           AS rank
+  FROM u)
+SELECT event_type, rank, user_id
+FROM r
+WHERE rank <= {BK_K}
+ORDER BY event_type, rank
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "heavy_hitters_cms": QuerySpec(q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS),
     "hll_rollup_union": QuerySpec(q_hll_rollup_union, SQL_HLL_ROLLUP_UNION),
+    "sample_bottomk_mergeable": QuerySpec(
+        q_sample_bottomk_mergeable, SQL_SAMPLE_BOTTOMK_MERGEABLE
+    ),
 }

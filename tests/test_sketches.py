@@ -59,3 +59,44 @@ def test_sketch_queries_registered_with_oracles():
     o = entry.oracle_sql()
     for name in ("heavy_hitters_cms", "hll_rollup_union"):
         assert name in q and name in o
+
+
+def test_bottomk_merge_equals_direct(spark, sf_dir):
+    """The mergeable path (daily bottom-k → merge) must yield the
+    exact same sample as a direct global bottom-k — the defining
+    bottom-k sketch property."""
+    from pyspark.sql.window import Window
+
+    from projetbigdatastreaming_spark.operators.sampling import (
+        _portable_hash,
+    )
+    from projetbigdatastreaming_spark.plans.sketches import (
+        BK_K,
+        q_sample_bottomk_mergeable,
+    )
+
+    got = [
+        (r.event_type, r.rank, r.user_id)
+        for r in q_sample_bottomk_mergeable(spark, sf_dir).collect()
+    ]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = _portable_hash(F.col("user_id"), "bk0")
+    direct = (
+        ev.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    h.asc(), F.col("user_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= BK_K)
+        .orderBy("event_type", "rank")
+        .collect()
+    )
+    want = [(r.event_type, r.rank, r.user_id) for r in direct]
+    assert got == want
