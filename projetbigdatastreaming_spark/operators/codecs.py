@@ -21,12 +21,18 @@ PIL/ffmpeg:
   FRAME-section walk, every-nth sampling, BT.601 YUV→RGB, each sampled
   frame re-encoded as PNG so it flows into the image codecs downstream.
 
-So `decode_images(media, decoder=bmp_decode)` and
-`extract_audio_features(media, extractor=wav_features)` run a REAL
-end-to-end decode inside the Arrow batch loop; the fake default codecs
-remain only for formats (JPEG/MP3/MP4) whose decompressors genuinely
-aren't in this container (PNG's DEFLATE is in the stdlib; JPEG's DCT
-entropy coding is not).
+- **JPEG images** (`operators/jpeg.py`): baseline sequential DCT,
+  4:4:4 / grayscale, Annex-K tables — full numpy encoder + decoder
+  (DCT/quant vectorized over blocks, bit-serial Huffman per image).
+  Out-of-profile files (progressive, subsampled) return nulls, never
+  mis-decode.
+
+So `decode_images(media, decoder=bmp_decode)` (or `png_decode` /
+`jpeg.jpeg_decode`) and `extract_audio_features(media,
+extractor=wav_features)` run a REAL end-to-end decode inside the
+Arrow batch loop; the fake default codecs remain only for MP3/MP4,
+whose decompressors genuinely aren't implementable from the stdlib in
+reasonable scope.
 """
 
 from __future__ import annotations

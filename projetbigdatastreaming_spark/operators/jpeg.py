@@ -1,0 +1,534 @@
+"""Baseline JPEG codec in pure numpy — completes the image codec
+family (`codecs.py`: BMP, PNG, Y4M) so no image format in the
+multimodal path needs a fake decoder.
+
+Scope (honest limits, checked and rejected cleanly, never mis-decoded):
+
+- Baseline sequential DCT (SOF0), 8-bit, Huffman entropy coding.
+- 4:4:4 color (3 components, no subsampling) and grayscale (1
+  component).  Progressive (SOF2), arithmetic coding, and subsampled
+  chroma return ``None`` → null features downstream, the same
+  garbage-tolerant contract as every codec here.
+- Encoder emits standard Annex-K quantization (quality-scaled) and
+  Huffman tables, JFIF APP0, 4:4:4 — decodable by any standard viewer.
+
+Performance note: entropy (Huffman) coding is bit-serial by nature and
+runs as a Python loop per image; DCT/IDCT, color transform, and
+quantization are vectorized over all blocks at once.  This is the
+codec BOUNDARY of the engine — it executes inside `mapInPandas` Arrow
+batches (`operators/multimodal.py`), one image per call, exactly where
+per-item Python cost is already accepted and parallelism comes from
+partitioning.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constant tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+_Z = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)  # zigzag: position i in the stream comes from raster index _Z[i]
+
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) by the canonical JPEG construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for decoding."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+_DCT_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT_C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """Orthonormal 2-D DCT-II over an (n, 8, 8) stack."""
+    return _DCT_C @ blocks @ _DCT_C.T
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    return _DCT_C.T @ blocks @ _DCT_C
+
+
+def _scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_component(
+    w: _BitWriter,
+    coefs: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """Entropy-encode one component's block (zigzagged 64-vector)."""
+    dc = int(coefs[0])
+    size, bits = _magnitude(dc - prev_dc)
+    c, length = dc_codes[size]
+    w.write(c, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    for i in range(1, 64):
+        v = int(coefs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, length = ac_codes[0xF0]  # ZRL
+            w.write(c, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, length = ac_codes[(run << 4) | size]
+        w.write(c, length)
+        w.write(bits, size)
+        run = 0
+    if run:
+        c, length = ac_codes[0x00]  # EOB
+        w.write(c, length)
+    return dc
+
+
+def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a (h, w) plane to 8-multiples (edge-replicate) and return
+    (n_blocks, 8, 8) in raster block order plus block grid dims."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    by, bx = ph // 8, pw // 8
+    blocks = (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    return blocks, by, bx
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
+    baseline 4:4:4 / single-component JFIF JPEG with Annex-K tables
+    scaled to `quality`."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    if gray:
+        planes_q = [(pixels.astype(np.float64), ql)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        planes_q = [(y, ql), (cb, qc), (cr, qc)]
+
+    comps = []
+    for plane, q in planes_q:
+        blocks, _, _ = _blockify(plane)
+        coefs = _dct2(blocks - 128.0)
+        quantized = np.round(coefs / q).astype(np.int32)
+        zz = quantized.reshape(-1, 64)[:, _Z]
+        comps.append(zz)
+
+    dc_l = _huff_codes(_DC_L_BITS, _DC_L_VALS)
+    ac_l = _huff_codes(_AC_L_BITS, _AC_L_VALS)
+    dc_c = _huff_codes(_DC_C_BITS, _DC_C_VALS)
+    ac_c = _huff_codes(_AC_C_BITS, _AC_C_VALS)
+
+    bw = _BitWriter()
+    ncomp = len(comps)
+    prev = [0] * ncomp
+    tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)][:ncomp]
+    for bi in range(comps[0].shape[0]):  # 4:4:4 MCU = one block per comp
+        for ci in range(ncomp):
+            prev[ci] = _encode_component(
+                bw, comps[ci][bi], tables[ci][0], tables[ci][1], prev[ci]
+            )
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(
+            0xFFDB, bytes([tid]) + bytes(int(v) for v in q.flatten()[_Z])
+        )
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for cid, tq in ((1, 0), (2, 1), (3, 1))[:ncomp]:
+        sof += bytes([cid, 0x11, tq])  # 1x1 sampling: 4:4:4
+    out += seg(0xFFC0, sof)
+    out += dht(0, 0, _DC_L_BITS, _DC_L_VALS)
+    out += dht(1, 0, _AC_L_BITS, _AC_L_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_C_BITS, _DC_C_VALS)
+        out += dht(1, 1, _AC_C_BITS, _AC_C_VALS)
+    sos = bytes([ncomp]) + bytes(
+        b for cid, tt in ((1, 0x00), (2, 0x11), (3, 0x11))[:ncomp]
+        for b in (cid, tt)
+    ) + bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise EOFError
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            # stuffed 0x00 follows data 0xFF; any other marker ends scan
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1
+            else:
+                raise EOFError
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _read_symbol(br: _BitReader, lut: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def jpeg_decode_pixels(payload: bytes) -> np.ndarray | None:
+    """Decode a baseline 4:4:4 / grayscale JPEG to (h, w, 3) uint8 RGB;
+    None for anything outside the supported (or any corrupt) profile."""
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qtables: dict[int, np.ndarray] = {}
+        hufftables: dict[tuple[int, int], dict] = {}
+        comps: list[tuple[int, int, int]] = []  # (cid, sampling, tq)
+        scan_comps: list[tuple[int, int, int]] = []  # (cid, dc_tid, ac_tid)
+        h = w = 0
+        data_start = None
+        while pos < len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+                continue
+            (ln,) = struct.unpack_from(">H", payload, pos)
+            body = payload[pos + 2 : pos + ln]
+            if marker == 0xDB:
+                bpos = 0
+                while bpos < len(body):
+                    pq_tq = body[bpos]
+                    if pq_tq >> 4:
+                        return None  # 16-bit tables unsupported
+                    raster = np.zeros(64, dtype=np.int32)
+                    raster[_Z] = np.frombuffer(
+                        body[bpos + 1 : bpos + 65], dtype=np.uint8
+                    )
+                    qtables[pq_tq & 15] = raster.reshape(8, 8)
+                    bpos += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                h, w = struct.unpack_from(">HH", body, 1)
+                ncomp = body[5]
+                if ncomp not in (1, 3):
+                    return None
+                for i in range(ncomp):
+                    cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                    if samp != 0x11:
+                        return None  # subsampled: out of profile
+                    comps.append((cid, samp, tq))
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xC4:
+                bpos = 0
+                while bpos < len(body):
+                    tc_th = body[bpos]
+                    bits = list(body[bpos + 1 : bpos + 17])
+                    nv = sum(bits)
+                    vals = list(body[bpos + 17 : bpos + 17 + nv])
+                    hufftables[(tc_th >> 4, tc_th & 15)] = _huff_lut(
+                        bits, vals
+                    )
+                    bpos += 17 + nv
+            elif marker == 0xDD:
+                return None  # restart intervals: out of profile
+            elif marker == 0xDA:
+                ns = body[0]
+                for i in range(ns):
+                    cid, tt = body[1 + 2 * i : 3 + 2 * i]
+                    scan_comps.append((cid, tt >> 4, tt & 15))
+                data_start = pos + ln
+                break
+            pos += ln
+        if data_start is None or not comps or h == 0 or w == 0:
+            return None
+
+        by, bx = -(-h // 8), -(-w // 8)
+        n_blocks = by * bx
+        br = _BitReader(payload[data_start:])
+        planes = []
+        coef_stacks = [
+            np.zeros((n_blocks, 64), dtype=np.int32) for _ in comps
+        ]
+        prev = [0] * len(comps)
+        for bi in range(n_blocks):
+            for ci, (cid, _, _) in enumerate(comps):
+                _, dc_tid, ac_tid = next(
+                    s for s in scan_comps if s[0] == cid
+                )
+                dc_lut = hufftables[(0, dc_tid)]
+                ac_lut = hufftables[(1, ac_tid)]
+                vec = coef_stacks[ci][bi]
+                size = _read_symbol(br, dc_lut)
+                diff = _extend(br.read_bits(size), size) if size else 0
+                prev[ci] += diff
+                vec[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, ac_lut)
+                    run, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if run == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        return None
+                    vec[k] = _extend(br.read_bits(size), size)
+                    k += 1
+        for ci, (cid, _, tq) in enumerate(comps):
+            q = qtables[tq]
+            raster = np.zeros((n_blocks, 64), dtype=np.int32)
+            raster[:, _Z] = coef_stacks[ci]
+            blocks = raster.reshape(-1, 8, 8).astype(np.float64) * q
+            spatial = _idct2(blocks) + 128.0
+            plane = (
+                spatial.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)[:h, :w]
+            )
+            planes.append(plane)
+        if len(planes) == 1:
+            y = np.clip(planes[0], 0, 255)
+            return np.dstack([y, y, y]).astype(np.uint8)
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+    except (EOFError, ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def jpeg_decode(payload: bytes) -> dict:
+    """`decode_images` contract: dims + the shared cross-codec
+    `_feature_hash` over decoded RGB (JPEG is lossy, so the hash pins
+    THIS decode deterministically; equality across containers holds
+    for the lossless codecs only)."""
+    from .codecs import _feature_hash
+
+    px = jpeg_decode_pixels(payload) if payload else None
+    if px is None:
+        return {"width": None, "height": None, "feature_hash": None}
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "feature_hash": _feature_hash(px),
+    }
+
+
+def jpeg_resize(payload: bytes, w: int, h: int) -> bytes | None:
+    """Decode → nearest-neighbor resize → re-encode (q85)."""
+    px = jpeg_decode_pixels(payload) if payload else None
+    if px is None:
+        return None
+    ys = (np.arange(h) * px.shape[0] // h).clip(0, px.shape[0] - 1)
+    xs = (np.arange(w) * px.shape[1] // w).clip(0, px.shape[1] - 1)
+    return jpeg_encode(px[ys][:, xs])

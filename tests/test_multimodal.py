@@ -309,3 +309,73 @@ def test_png_resize_real_codec():
     # nearest-neighbor: every output pixel is some input pixel
     assert (spx == px[::2, ::2]).all()
     assert codecs.png_resize(b"nope", 4, 4) is None
+
+
+def test_jpeg_roundtrip_quality_and_garbage():
+    """Baseline JPEG encode→decode reconstructs smooth content within
+    a small error bound, handles grayscale and non-multiple-of-8
+    dims, and rejects garbage/out-of-profile payloads with nulls."""
+    from projetbigdatastreaming_spark.operators import jpeg
+
+    h, w = 41, 53  # deliberately not multiples of 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.dstack([
+        xx * 255 // (w - 1),
+        yy * 255 // (h - 1),
+        (xx + yy) * 255 // (w + h - 2),
+    ]).astype(np.uint8)
+    out = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(px, quality=90))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 2.0
+
+    gray = ((xx * yy) % 256).astype(np.uint8)
+    g = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(gray, quality=90))
+    assert g.shape == (h, w, 3)
+    assert np.abs(g[..., 0].astype(int) - gray.astype(int)).mean() < 6.0
+
+    assert jpeg.jpeg_decode(b"\xff\xd8 truncated junk") == {
+        "width": None, "height": None, "feature_hash": None
+    }
+    assert jpeg.jpeg_decode(None)["width"] is None
+    # progressive SOF2 marker: clean rejection, not a mis-decode
+    sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    assert jpeg.jpeg_decode_pixels(sof2 + b"\xff\xd9") is None
+
+
+def test_jpeg_decode_is_deterministic_and_resize():
+    from projetbigdatastreaming_spark.operators import jpeg
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    payload = jpeg.jpeg_encode(px, quality=95)
+    d1 = jpeg.jpeg_decode(payload)
+    d2 = jpeg.jpeg_decode(payload)
+    assert d1 == d2 and d1["feature_hash"] is not None
+    assert (d1["width"], d1["height"]) == (24, 16)
+
+    small = jpeg.jpeg_resize(payload, 12, 8)
+    ds = jpeg.jpeg_decode(small)
+    assert (ds["width"], ds["height"]) == (12, 8)
+
+
+def test_jpeg_decode_through_spark_pipeline(spark):
+    """The JPEG codec plugs into the same mapInPandas contract as
+    BMP/PNG — real decode inside the Arrow batch loop."""
+    from projetbigdatastreaming_spark.operators import jpeg
+
+    h = w = 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.dstack([xx * 16, yy * 16, (xx + yy) * 8]).astype(np.uint8)
+    payload = jpeg.jpeg_encode(px, quality=85)
+    media = spark.createDataFrame(
+        [(40, "image", "image/jpeg", payload, len(payload)),
+         (41, "image", "image/jpeg", b"\xff\xd8not a jpeg", 12)],
+        "media_id long, kind string, mime string, payload binary, n_bytes long",
+    )
+    out = {
+        r.media_id: r
+        for r in mm.decode_images(media, jpeg.jpeg_decode).collect()
+    }
+    assert (out[40].width, out[40].height) == (w, h)
+    assert out[40].feature_hash == jpeg.jpeg_decode(payload)["feature_hash"]
+    assert out[41].width is None
