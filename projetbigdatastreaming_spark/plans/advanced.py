@@ -1478,6 +1478,80 @@ ORDER BY event_id
 """
 
 
+def q_cep_pattern_match(spark, sf_dir):
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE
+    shape): per user, count non-overlapping view→click→purchase
+    conversions with no intervening purchase — expressed as ONE
+    hash-agg building the user's time-ordered event-initial trace
+    string plus a regex count over it.
+
+    vs `funnel_steps` (first-conversion chain of filtered min-aggs):
+    this counts EVERY conversion occurrence and supports arbitrary
+    regex patterns (negations, alternation) without new joins.
+
+    Determinism: the trace orders by (ts, event_id) — a total order —
+    via array_sort over structs (Spark) / ORDER BY inside string_agg
+    (DuckDB); signup/share map to 'g'/'h' so initials are unique.
+
+    Scale plan: one shuffle of (user, initial) pairs into the
+    collect; the trace length is a user's event count — in production
+    the group key is (user, session/day) to bound state, exactly as
+    `sessionize` buckets do.  The regex runs map-side post-agg.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "g")
+        .otherwise("h")
+        .alias("ini"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ini"))
+                ),
+                lambda x: x["ini"],
+            ),
+            "",
+        ).alias("trace"),
+    )
+    n_conv = F.regexp_count(F.col("trace"), F.lit("v[^p]*c[^p]*p"))
+    return (
+        seq.select(
+            "user_id",
+            "n_events",
+            n_conv.alias("n_conversions"),
+            (n_conv > 0).alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_CEP_PATTERN_MATCH = """
+WITH t AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         string_agg(CASE event_type WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                    WHEN 'signup' THEN 'g' ELSE 'h' END, ''
+                    ORDER BY ts, event_id) AS trace
+  FROM events
+  GROUP BY user_id)
+SELECT user_id, n_events,
+       len(regexp_extract_all(trace, 'v[^p]*c[^p]*p'))
+         AS n_conversions,
+       len(regexp_extract_all(trace, 'v[^p]*c[^p]*p')) > 0 AS converted
+FROM t
+ORDER BY user_id
+"""
+
+
 def q_variant_json(spark, sf_dir):
     """Semi-structured payload analytics on Spark 4's VARIANT type:
     ``events.props`` parses ONCE into a variant (``try_parse_json`` —
@@ -1529,6 +1603,9 @@ ORDER BY event_type, k_decile
 
 REGISTRY: dict[str, QuerySpec] = {
     "variant_json": QuerySpec(q_variant_json, SQL_VARIANT_JSON),
+    "cep_pattern_match": QuerySpec(
+        q_cep_pattern_match, SQL_CEP_PATTERN_MATCH
+    ),
     "iqr_outliers": QuerySpec(q_iqr_outliers, SQL_IQR_OUTLIERS),
     "funnel_steps": QuerySpec(q_funnel_steps, SQL_FUNNEL_STEPS),
     "trend_regression": QuerySpec(q_trend_regression, SQL_TREND_REGRESSION),
