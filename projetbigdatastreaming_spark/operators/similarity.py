@@ -576,3 +576,25 @@ def ann_topk_lsh(
         .select("qid", "vec_id", "cos_sim", "rk")
         .orderBy("qid", "rk")
     )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dims: int = 16,
+) -> DataFrame:
+    """Exact top-k cosine over MATRYOSHKA-TRUNCATED embeddings: only
+    the first `dims` dimensions participate (MRL-style nested
+    representations — the cheap first-pass of a two-stage retrieval
+    where full-dim rescoring happens on the shortlist).
+
+    Same contract and plan as `cosine_topk`; the truncation is a
+    map-side `slice`, so the scan moves dims/d of the vector bytes
+    through the scoring join — at production dims (e.g. 64 of 1024)
+    that is a 16x cut in the broadcast and fold width.
+    """
+    truncated = _as_double(embeddings).select(
+        "vec_id", F.slice("embedding", 1, dims).alias("embedding")
+    )
+    return cosine_topk(truncated, query_ids, k)

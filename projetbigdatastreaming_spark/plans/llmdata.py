@@ -583,6 +583,70 @@ ORDER BY q.qid
 """
 
 
+MRL_DIMS = 16
+
+
+def q_emb_matryoshka_recall(spark, sf_dir):
+    """recall@k of matryoshka-TRUNCATED cosine retrieval (first 16 of
+    64 dims) against full-dim exact top-k — the quality/cost gauge for
+    MRL-style two-stage retrieval, where the truncated pass shortlists
+    and full-dim rescoring runs only on the shortlist.  Same
+    deterministic construction as `emb_ann_recall` (rounded sims,
+    fixed tie-breaks), so DuckDB replays the identical number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    trunc = similarity.matryoshka_topk(
+        emb, QUERY_VEC_IDS, TOPK, MRL_DIMS
+    ).select("qid", "vec_id")
+    hits = exact.join(trunc, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("__n_hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+SQL_EMB_MATRYOSHKA_RECALL = f"""
+WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
+tq AS (
+  SELECT vec_id AS qid,
+         CAST(embedding[1:{MRL_DIMS}] AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+tscored AS (
+  SELECT tq.qid, e.vec_id,
+         ROUND(list_cosine_similarity(tq.qvec,
+               CAST(e.embedding[1:{MRL_DIMS}] AS DOUBLE[])), 4)
+           AS cos_sim
+  FROM tq JOIN embeddings e ON e.vec_id <> tq.qid),
+trunc AS (
+  SELECT qid, vec_id
+  FROM (SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM tscored)
+  WHERE rk <= {TOPK}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n
+  FROM exact e JOIN trunc t ON e.qid = t.qid AND e.vec_id = t.vec_id
+  GROUP BY e.qid)
+SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+"""
+
+
 CHUNK_TOKENS = 50
 CHUNK_STRIDE = 25
 
@@ -2498,6 +2562,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, SQL_ANN_TOPK_LSH),
     "emb_ann_topk_ivf": QuerySpec(q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
     "emb_ann_recall": QuerySpec(q_ann_recall, SQL_ANN_RECALL),
+    "emb_matryoshka_recall": QuerySpec(
+        q_emb_matryoshka_recall, SQL_EMB_MATRYOSHKA_RECALL
+    ),
     "text_pii": QuerySpec(q_text_pii, SQL_TEXT_PII),
     "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -189,6 +189,9 @@ _BNLJ_ALLOWED = {
     # norm scalar each power step — d x 1 BNLJs over KB relations
     "emb_pca_power",
     "emb_ann_recall",
+    # matryoshka recall composes two cosine_topk passes — same
+    # constant-size (5 query vectors) broadcast cross join
+    "emb_matryoshka_recall",
     "emb_near_dup_lsh",
 }
 
