@@ -22,6 +22,8 @@ Spark 4 and re-expressed here with full DuckDB oracles:
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .registry import QuerySpec
 
 # ---------------------------------------------------------------------------
@@ -144,7 +146,95 @@ ORDER BY band
 """
 
 
+# ---------------------------------------------------------------------------
+# file_provenance — scan-level lineage via the _metadata column
+# ---------------------------------------------------------------------------
+
+
+def q_file_provenance(spark, sf_dir):
+    """Scan-level lineage: Spark's hidden ``_metadata`` struct exposes
+    the source file of every row at ZERO cost (it is materialized by
+    the scan itself, no extra IO).  Per input file: row count and
+    span of row indices — the first artifact to reach for when a 100
+    TB table has a corrupt or straggler file.
+
+    The oracle sees only registered views (no file paths), so the
+    checkable projection is the basename + counts; the full path /
+    size / mtime fields exist on the Spark side for real debugging.
+    """
+    from ..catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"[^/]+$", 0
+        ).alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    return (
+        docs.groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_index").alias("first_row_index"),
+            F.max("row_index").alias("last_row_index"),
+        )
+        .orderBy("file_name")
+    )
+
+
+SQL_FILE_PROVENANCE = """
+SELECT 'documents.parquet' AS file_name, COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS first_row_index,
+       CAST(COUNT(*) - 1 AS BIGINT) AS last_row_index
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# param_query — named-parameter SQL + GROUP BY ALL
+# ---------------------------------------------------------------------------
+
+
+def q_param_query(spark, sf_dir):
+    """Parameterized SQL (Spark 4 named parameter markers): the query
+    text is constant and values bind server-side — the
+    injection-proof templating the reference's string-built SQL
+    (``IndicateursStreaming.scala:139-170``) never had.  Also
+    exercises ``GROUP BY ALL`` (grouping keys inferred from the
+    select list — no drift between projection and grouping).
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                    AS DECIMAL(20,2)) AS total
+        FROM orders
+        WHERE o_orderdate >= :start AND o_orderdate < :end
+        GROUP BY ALL
+        ORDER BY o_orderpriority
+        """,
+        args={"start": "1996-01-01", "end": "1997-01-01"},
+    )
+
+
+SQL_PARAM_QUERY = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(20,2))
+         AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "recursive_cte": QuerySpec(q_recursive_cte, SQL_RECURSIVE_CTE),
     "sql_udf": QuerySpec(q_sql_udf, SQL_SQL_UDF),
+    "file_provenance": QuerySpec(q_file_provenance, SQL_FILE_PROVENANCE),
+    "param_query": QuerySpec(q_param_query, SQL_PARAM_QUERY),
 }
