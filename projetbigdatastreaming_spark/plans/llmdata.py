@@ -2510,7 +2510,166 @@ SELECT j AS pos, vj AS loading FROM {prev} ORDER BY pos
 SQL_EMB_PCA_POWER = _sql_pca_power()
 
 
+# ---------------------------------------------------------------------------
+# bpe_learn_merges — tokenizer TRAINING: iterative BPE merge learning
+# ---------------------------------------------------------------------------
+
+BPE_STEPS = 6
+BPE_VOCAB_WORDS = 200
+
+
+def q_bpe_learn_merges(spark, sf_dir):
+    """Learn the first K byte-pair-encoding merges from the corpus —
+    the TRAINING side of the tokenizer whose application
+    `bpe_token_count` demonstrates.  Classic Sennrich BPE: words
+    become space-separated symbol sequences; each step counts
+    adjacent symbol pairs (weighted by word frequency), merges the
+    most frequent pair corpus-wide, repeats.  Output: one row per
+    step with the merged pair and its count.
+
+    Iterative-algorithm-with-full-oracle pattern (PageRank precedent,
+    `graph.py`): the Spark side unrolls K steps as a driver loop over
+    DataFrames; the DuckDB oracle is the SAME K steps as generated
+    chained CTEs, so every merge decision — counts, ties, overlap
+    handling — is value-checked, not just row-counted.
+
+    Determinism: pair ties break lexicographically; the merge uses
+    literal leftmost non-overlapping `replace` — identical semantics
+    in both engines ("a a a" merges once).  Symbols stay in [a-z@]
+    (words filtered to ^[a-z]+$, '@' is the merge joiner), so the
+    space separator and sentinels can never collide with content.
+
+    Scale plan: the per-step state is the (word, sym, freq) vocab
+    relation — BPE training state is VOCABULARY-sized, not
+    corpus-sized, after the single opening scan aggregates word
+    frequencies.  Each step is one pair-explode + hash-agg over ≤200
+    rows plus a 1-row broadcast of the winning pair (the scalar-
+    broadcast shape `emb_pca_power` pins); `persist()` keeps the
+    chain's logical plans flat.  At 100 TB only step 0 touches the
+    corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(BPE_VOCAB_WORDS)
+        .select(
+            F.trim(
+                F.regexp_replace(F.col("w"), "(.)", "$1 ")
+            ).alias("sym"),
+            "freq",
+        )
+    )
+    syms = words.persist()
+    bests = []
+    for step in range(1, BPE_STEPS + 1):
+        arr = F.split(F.col("sym"), " ")
+        pairs = syms.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+                )
+            ).alias("p"),
+            "freq",
+        ).select(
+            F.concat(F.col("p.l"), F.lit(" "), F.col("p.r")).alias("pair"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+        ).persist()
+        bests.append(
+            best.select(F.lit(step).alias("step"), "pair", "cnt")
+        )
+        merged = F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.col("pair"), " ", "@"),
+            F.lit(" "),
+        )
+        spaced = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        syms = (
+            syms.crossJoin(F.broadcast(best))
+            .select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                        spaced,
+                        merged,
+                    )
+                ).alias("sym"),
+                "freq",
+            )
+            .persist()
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("step")
+
+
+def _bpe_oracle_sql() -> str:
+    """Generate the K-step chained-CTE oracle (unrolled, like the
+    PageRank oracle)."""
+    ctes = [
+        f"""w0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, freq
+  FROM (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents)
+    WHERE regexp_matches(w, '^[a-z]+$')
+    GROUP BY w
+    ORDER BY freq DESC, w ASC
+    LIMIT {BPE_VOCAB_WORDS}))"""
+    ]
+    for i in range(1, BPE_STEPS + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT arr[i] || ' ' || arr[i + 1] AS pair, freq
+  FROM (SELECT string_split(sym, ' ') AS arr, freq FROM {prev}),
+       UNNEST(range(1, len(arr))) AS t(i))"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+  SELECT pair, SUM(freq) AS cnt
+  FROM p{i}
+  GROUP BY pair
+  ORDER BY cnt DESC, pair ASC
+  LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+  SELECT trim(replace(' ' || s.sym || ' ',
+                      ' ' || b.pair || ' ',
+                      ' ' || replace(b.pair, ' ', '@') || ' ')) AS sym,
+         s.freq
+  FROM {prev} s CROSS JOIN b{i} b)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair, cnt FROM b{i}"
+        for i in range(1, BPE_STEPS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({union})"
+        " ORDER BY step"
+    )
+
+
+SQL_BPE_LEARN_MERGES = _bpe_oracle_sql()
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "bpe_learn_merges": QuerySpec(q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
     "emb_pca_power": QuerySpec(q_emb_pca_power, SQL_EMB_PCA_POWER),
     "dedup_source_overlap": QuerySpec(

@@ -189,6 +189,10 @@ _BNLJ_ALLOWED = {
     # norm scalar each power step — d x 1 BNLJs over KB relations
     "emb_pca_power",
     "emb_ann_recall",
+    # BPE training broadcasts the 1-row winning pair into the merge
+    # step each iteration — the same scalar-broadcast shape as
+    # emb_pca_power, over a vocabulary-sized (≤200-row) relation
+    "bpe_learn_merges",
     # matryoshka recall composes two cosine_topk passes — same
     # constant-size (5 query vectors) broadcast cross join
     "emb_matryoshka_recall",

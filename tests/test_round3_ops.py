@@ -168,3 +168,21 @@ def test_doc_entropy_bounded_by_alphabet(spark, sf_dir):
         0.0 <= r.entropy_bits <= math.log2(max(r.n_chars_ctd, 2))
         for r in rows
     )
+
+
+def test_bpe_merges_are_valid_bpe(spark, sf_dir):
+    """Each learned merge must (a) strictly non-increase in count as
+    steps proceed over the SAME corpus slice only when pairs are
+    disjoint — so assert the weaker invariants that always hold:
+    counts positive, pairs well-formed over [a-z@], and no pair is
+    learned twice."""
+    rows = _run(spark, sf_dir, "bpe_learn_merges").collect()
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    seen = set()
+    for r in rows:
+        left, right = r.pair.split(" ")
+        assert left and right
+        assert set(left + right) <= set("abcdefghijklmnopqrstuvwxyz@")
+        assert r.cnt > 0
+        assert r.pair not in seen
+        seen.add(r.pair)
