@@ -1179,6 +1179,61 @@ _DUCK_HASH_M = (
 )
 
 
+N_SHARDS = 16
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Training-data WRITER manifest: every kept document assigned a
+    deterministic shard (portable hash of doc_id, so the assignment
+    reproduces across runs/engines and reshuffles nothing on re-runs),
+    then one manifest row per shard: doc count, char volume, and a
+    content fingerprint (sum of doc-id hashes — order-independent, so
+    it's stable under any partitioning).
+
+    This is the contract between the curation pipeline and the
+    trainer: shard sizes must be balanced (hash-uniform), and the
+    fingerprint lets the trainer verify it read exactly the shards the
+    pipeline wrote.  Scale plan: one map-side hash + one |shards|-key
+    hash-agg; the physical write version is
+    ``df.repartition(N, shard).write.partitionBy(shard)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        sampling._portable_hash(F.col("doc_id"), "sh0") % N_SHARDS
+    ).cast("int")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "n_chars",
+            (sampling._portable_hash(F.col("doc_id"), "fp0") % 1_000_000)
+            .alias("fp_term"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.sum("fp_term").alias("content_fingerprint"),
+        )
+        .orderBy("shard")
+    )
+
+
+_DUCK_SH = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '{s}')),"
+    " 1, 15)) AS BIGINT)"
+)
+
+SQL_SHARD_MANIFEST = f"""
+SELECT CAST({_DUCK_SH.format(s="sh0")} % {N_SHARDS} AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS n_chars_total,
+       SUM({_DUCK_SH.format(s="fp0")} % 1000000) AS content_fingerprint
+FROM documents
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 def q_mixture_budget_sample(spark, sf_dir):
     """Budget-constrained mixture construction: fill each source's
     character budget (3000 chars for sources ending 0-4, 1500 for 5-9
@@ -2705,6 +2760,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_quantize": QuerySpec(q_emb_quantize, SQL_EMB_QUANTIZE),
     "ngram_counts": QuerySpec(q_ngram_counts, SQL_NGRAM_COUNTS),
     "sample_weighted": QuerySpec(q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "shard_manifest": QuerySpec(q_shard_manifest, SQL_SHARD_MANIFEST),
     "mixture_budget_sample": QuerySpec(
         q_mixture_budget_sample, SQL_MIXTURE_BUDGET_SAMPLE
     ),
