@@ -1179,6 +1179,109 @@ _DUCK_HASH_M = (
 )
 
 
+BIGRAM_LAMBDA_NUM = 3  # λ = 3/4: interpolation weight on the bigram term
+BIGRAM_LAMBDA_DEN = 4
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Per-document mean surprisal under an INTERPOLATED bigram
+    language model — one rung up from `unigram_logprob` on the
+    KenLM-filter ladder: p(w2|w1) = λ·c(w1w2)/c(w1·) + (1-λ)·c(w2)/N
+    (Jelinek-Mercer smoothing, λ=3/4), so unseen continuations back
+    off to the unigram term instead of -∞.
+
+    Scale plan: the corpus explodes ONCE into a persisted
+    (doc, w1, w2, tf) bigram relation feeding the corpus-count
+    aggregate AND the scoring join (the unigram_logprob persist
+    pattern); the three count relations join back on token keys as
+    plain equi-joins — AQE broadcasts them while small, shuffles when
+    the vocabulary outgrows the driver.  Every probability is built
+    from exact-integer ratios, so both engines feed identical doubles
+    to ln(); the per-doc mean rounds at 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    pairs = (
+        docs.select("doc_id", arr.alias("a"))
+        .where(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("a"), 1, F.size("a") - 1).alias("w1"),
+                    F.slice(F.col("a"), 2, F.size("a") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    big_tf = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("tf")
+    ).persist()
+    cb = big_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    cu = cb.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = cu.agg(F.sum("c2").alias("n_big"))
+    lam = F.lit(BIGRAM_LAMBDA_NUM) / F.lit(BIGRAM_LAMBDA_DEN)
+    p = lam * (F.col("c12") / F.col("c1")) + (1 - lam) * (
+        F.col("c2") / F.col("n_big")
+    )
+    return (
+        big_tf.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cu, "w2")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(p)) / F.sum("tf"), 6
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS a
+  FROM documents
+  WHERE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+        'g')), ' ')) >= 2),
+pairs AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+  WHERE a[i] <> '' AND a[i + 1] <> ''),
+big_tf AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf
+  FROM pairs GROUP BY doc_id, w1, w2),
+cb AS (SELECT w1, w2, SUM(tf) AS c12 FROM big_tf GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1),
+cu AS (SELECT w2, SUM(c12) AS c2 FROM cb GROUP BY w2),
+total AS (SELECT SUM(c2) AS n_big FROM cu)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(tf * -ln(
+           ({BIGRAM_LAMBDA_NUM}.0 / {BIGRAM_LAMBDA_DEN})
+             * (c12 / CAST(c1 AS DOUBLE))
+           + (1.0 - {BIGRAM_LAMBDA_NUM}.0 / {BIGRAM_LAMBDA_DEN})
+             * (c2 / CAST(n_big AS DOUBLE))
+         )) / SUM(tf), 6) AS mean_surprisal
+FROM big_tf
+JOIN cb USING (w1, w2)
+JOIN c1 USING (w1)
+JOIN cu USING (w2)
+CROSS JOIN total
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 N_SHARDS = 16
 
 
@@ -2761,6 +2864,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ngram_counts": QuerySpec(q_ngram_counts, SQL_NGRAM_COUNTS),
     "sample_weighted": QuerySpec(q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "shard_manifest": QuerySpec(q_shard_manifest, SQL_SHARD_MANIFEST),
+    "bigram_logprob": QuerySpec(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "mixture_budget_sample": QuerySpec(
         q_mixture_budget_sample, SQL_MIXTURE_BUDGET_SAMPLE
     ),

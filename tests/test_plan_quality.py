@@ -164,6 +164,7 @@ _BNLJ_ALLOWED = {
     "tpch_q11",
     "tpch_q22",
     "unigram_logprob",
+    "bigram_logprob",
     "tfidf_topk",
     "graph_pagerank",
     # constraint_check crosses two single-row aggregate relations (the
