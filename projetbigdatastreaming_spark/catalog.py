@@ -112,10 +112,19 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view; returns the DataFrames."""
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    only: tuple[str, ...] | None = None,
+) -> dict[str, DataFrame]:
+    """Register fixture tables as temp views; returns the DataFrames.
+
+    ``only`` restricts registration to the tables a query actually
+    reads — each registration costs a parquet footer read, so a
+    one-table SQL query should not pay for ten.
+    """
     dfs = {}
-    for name in TABLES:
+    for name in only or TABLES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         dfs[name] = df

@@ -71,7 +71,10 @@ def q_recursive_cte(spark, sf_dir):
     """
     from ..catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(
+        spark, sf_dir,
+        only=("lineitem", "orders", "customer", "supplier", "nation"),
+    )
     edges = spark.sql(_EDGES_SQL).persist()
     edges.createOrReplaceTempView("trade_edges")
     return spark.sql(_RECURSIVE_BODY.format(edges="trade_edges"))
@@ -102,7 +105,7 @@ def q_sql_udf(spark, sf_dir):
     """
     from ..catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem",))
     # input precision chosen so the 3-factor product is (34,6) —
     # EXACT decimal on both engines (precision ≤ 38 means no
     # scale-reduction rounding on the intermediate); the single round
@@ -212,7 +215,7 @@ def q_param_query(spark, sf_dir):
     """
     from ..catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(
         """
         SELECT o_orderpriority,

@@ -15,9 +15,15 @@ from ..catalog import register_views
 from .registry import QuerySpec
 
 
+#: every table any subquery here touches — registered once per call
+#: instead of all ten fixture tables (each registration costs a
+#: parquet footer read)
+_TABLES = ("customer", "lineitem", "orders", "part")
+
+
 def _sql(query: str):
     def run(spark, sf_dir):
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, only=_TABLES)
         return spark.sql(query)
 
     return run
