@@ -169,6 +169,10 @@ HEADLINE_QUERIES = (
     # line dedup (two hash exchanges) and the dense-spine gap fill
     "line_dedup",
     "timeseries_gapfill",
+    # round 3c: the composed 4-stage curation run (one fact shuffle)
+    # and the count-min sketch build+probe (explode-4 partial agg)
+    "curation_pipeline",
+    "heavy_hitters_cms",
 )
 
 
