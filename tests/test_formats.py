@@ -53,3 +53,32 @@ def test_orc_predicate_pushdown_reaches_scan(spark, sf_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "GreaterThan(l_quantity" in plan
+
+
+def test_xml_roundtrip_and_functions(spark, sf_dir, tmp_path):
+    """Spark 4 native XML: file-source round-trip parity plus the
+    to_xml/from_xml expression pair (schema_of_xml-compatible)."""
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    path = str(tmp_path / "xmlsrc")
+    (src.write.format("xml").option("rowTag", "nation")
+        .mode("overwrite").save(path))
+    back = (
+        spark.read.format("xml").option("rowTag", "nation").load(path)
+        .select("n_nationkey", "n_name")  # inference orders alphabetically
+    )
+    assert sorted(tuple(r) for r in back.collect()) == want
+
+    xml_col = src.select(
+        "n_nationkey",
+        F.to_xml(F.struct("n_nationkey", "n_name")).alias("x"),
+    )
+    parsed = xml_col.select(
+        "n_nationkey",
+        F.from_xml(
+            "x", "n_nationkey BIGINT, n_name STRING"
+        ).alias("s"),
+    ).select("n_nationkey", "s.n_name")
+    assert sorted(tuple(r) for r in parsed.collect()) == want
