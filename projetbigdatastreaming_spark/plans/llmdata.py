@@ -2611,18 +2611,26 @@ def q_emb_pca_power(spark, sf_dir):
     b = centered.select(
         "vec_id", F.col("pos").alias("j"), F.col("cv").alias("cj")
     )
+    # lineage truncation is load-bearing here: scatter feeds every
+    # unrolled power step, and each step's w feeds BOTH the norm
+    # scalar and the next v — those doubled references grow the raw
+    # logical plan 2^K-fold (measured: 79 s / driver OOM at K=8,
+    # sf0.1).  localCheckpoint cuts the plan at each d²/d-row
+    # relation, the standard iterative-algorithm fix (GraphX/ALS);
+    # executor-local storage is an accepted durability tradeoff for
+    # these KB-sized intermediates.
     scatter = (
         a.join(b, "vec_id")
         .groupBy("i", "j")
         .agg(F.round(F.sum(F.col("ci") * F.col("cj")), 6).alias("s"))
-    )
+    ).localCheckpoint(eager=False)
     v = mu.select(F.col("pos").alias("j"), F.lit(1.0).alias("vj"))
     for _ in range(PCA_ITERS):
         w = (
             scatter.join(v, "j")
             .groupBy("i")
             .agg(F.sum(F.col("s") * F.col("vj")).alias("wi"))
-        )
+        ).localCheckpoint(eager=False)
         nrm = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nm"))
         v = w.crossJoin(F.broadcast(nrm)).select(
             F.col("i").alias("j"),
