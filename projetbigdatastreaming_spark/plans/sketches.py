@@ -33,14 +33,18 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.sampling import _portable_hash
+from ..operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_cells,
+    cms_point_estimate,
+)
 from .registry import QuerySpec
 
 # ---------------------------------------------------------------------------
 # heavy_hitters_cms — count-min sketch, fully oracle-replayed
 # ---------------------------------------------------------------------------
 
-CMS_DEPTH = 4
-CMS_WIDTH = 512
 CMS_TOPK = 15
 
 
@@ -60,70 +64,24 @@ def q_heavy_hitters_cms(spark, sf_dir):
     one-sided error guarantee and is asserted per row.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id")
-
-    cells = (
-        ev.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("d"),
-                            (
-                                _portable_hash(F.col("user_id"), f"cms{d}")
-                                % CMS_WIDTH
-                            ).alias("b"),
-                        )
-                        for d in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("c")
-        )
-        .groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
+    cells = cms_cells(ev, "user_id")
     cand = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
         .limit(CMS_TOPK)
     )
-
-    probes = cand.select(
-        "user_id",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (
-                            _portable_hash(F.col("user_id"), f"cms{d}")
-                            % CMS_WIDTH
-                        ).alias("b"),
-                    )
-                    for d in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("p"),
-    )
-
-    est = (
-        probes.join(
-            F.broadcast(cells),
-            (probes["p.d"] == cells["d"]) & (probes["p.b"] == cells["b"]),
-            "inner",
+    est = cms_point_estimate(cells, cand.select("user_id"), "user_id")
+    return (
+        cand.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("no_undercount"),
         )
-        .groupBy("user_id", "exact_cnt")
-        .agg(F.min("cnt").alias("est_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
     )
-
-    return est.select(
-        "user_id",
-        "exact_cnt",
-        "est_cnt",
-        (F.col("est_cnt") >= F.col("exact_cnt")).alias("no_undercount"),
-    ).orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
 
 
 _DUCK_CMS_HASH = (

@@ -1,0 +1,67 @@
+"""Streaming CMS fold-in: mergeability across micro-batches must be
+EXACT (folded per-batch grids == one-pass grid over all data), and an
+at-least-once replay must not double-count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projetbigdatastreaming_spark.operators.sketches import (
+    cms_cells,
+    cms_point_estimate,
+)
+from projetbigdatastreaming_spark.streaming.sketches import (
+    cms_batch_writer,
+    read_cms,
+)
+
+
+def _grid(df):
+    return {
+        (r.d, r.b): r.cnt for r in df.collect()
+    }
+
+
+def test_streaming_cms_merge_equals_one_pass(spark, tmp_path):
+    state = str(tmp_path / "cms_state")
+    write = cms_batch_writer(state, "user_id")
+
+    b0 = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(50)], "user_id string"
+    )
+    b1 = spark.createDataFrame(
+        [(f"u{i % 11}",) for i in range(80)], "user_id string"
+    )
+    write(b0, 0)
+    write(b1, 1)
+
+    folded = _grid(read_cms(spark, state))
+    one_pass = _grid(cms_cells(b0.unionAll(b1), "user_id"))
+    assert folded == one_pass
+
+    # estimates from the folded grid obey the one-sided guarantee
+    exact = {
+        r.user_id: r.cnt
+        for r in b0.unionAll(b1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    probes = spark.createDataFrame(
+        [(k,) for k in exact], "user_id string"
+    )
+    est = cms_point_estimate(read_cms(spark, state), probes, "user_id")
+    for r in est.collect():
+        assert r.est_cnt >= exact[r.user_id]
+
+
+def test_streaming_cms_replay_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "cms_state2")
+    write = cms_batch_writer(state, "user_id")
+    b0 = spark.createDataFrame([("a",), ("b",), ("a",)], "user_id string")
+    b1 = spark.createDataFrame([("b",), ("c",)], "user_id string")
+    write(b0, 0)
+    write(b1, 1)
+    before = _grid(read_cms(spark, state))
+    write(b1, 1)  # at-least-once redelivery of the same batch
+    assert _grid(read_cms(spark, state)) == before
