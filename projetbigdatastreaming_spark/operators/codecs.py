@@ -382,3 +382,52 @@ def y4m_frames(payload: bytes, every_nth: int = 30) -> list[bytes]:
         return out
     except (ValueError, IndexError):
         return []
+
+
+def wav_spectral_features(payload: bytes) -> dict[str, Any]:
+    """Extended audio features for the same injection contract as
+    `wav_features`, adding two spectral/temporal descriptors the
+    curation side of an audio corpus filters on:
+
+    - ``zcr_q8``: zero-crossing rate (fraction of adjacent-sample sign
+      changes) quantized to 0..255 — a cheap voiced/unvoiced &
+      noisiness proxy.
+    - ``dominant_freq_hz``: argmax bin of the numpy rFFT magnitude
+      spectrum (DC excluded), in Hz — flags test tones, hum, and
+      silence (None when the spectrum is all-zero).
+
+    Deterministic (pure numpy on the decoded PCM); mono is assumed —
+    multi-channel WAVs interleave, which biases ZCR upward, so
+    channel-split upstream for exact per-channel numbers.
+    """
+    base = wav_features(payload)
+    if base["duration_ms"] is None:
+        return {**base, "zcr_q8": None, "dominant_freq_hz": None}
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+        samples = np.frombuffer(frames, dtype=_PCM_DTYPES[width]).astype(
+            np.float64
+        )
+        if width == 1:
+            samples -= 128.0
+        if samples.size < 2:
+            return {**base, "zcr_q8": 0, "dominant_freq_hz": None}
+        signs = np.signbit(samples)
+        zcr = float(np.mean(signs[1:] != signs[:-1]))
+        spectrum = np.abs(np.fft.rfft(samples))
+        spectrum[0] = 0.0  # exclude DC
+        if not spectrum.any():
+            dom = None
+        else:
+            k = int(np.argmax(spectrum))
+            dom = int(round(k * rate / samples.size))
+        return {
+            **base,
+            "zcr_q8": min(255, int(round(zcr * 255.0))),
+            "dominant_freq_hz": dom,
+        }
+    except (wave.Error, EOFError, KeyError, ValueError, struct.error):
+        return {**base, "zcr_q8": None, "dominant_freq_hz": None}

@@ -178,11 +178,15 @@ def extract_audio_features(
     media: DataFrame,
     extractor: Callable[[bytes], dict[str, Any]] | None = None,
     strict: bool = False,
+    schema=None,
 ) -> DataFrame:
     """Audio feature extraction plumbing (duration, quantized RMS).
 
     Default is a deterministic fake over the raw bytes — STUB; inject a
-    soundfile/librosa-backed extractor in a real deployment.
+    soundfile/librosa-backed extractor in a real deployment.  A custom
+    ``schema`` widens the output to whatever the injected extractor
+    returns (e.g. ``codecs.wav_spectral_features`` adds zero-crossing
+    rate and dominant frequency) — the Arrow batch shape is unchanged.
     """
     if strict and extractor is None:
         raise NotImplementedError(
@@ -210,7 +214,7 @@ def extract_audio_features(
             yield feats
 
     return media.where("kind = 'audio'").mapInPandas(
-        _batches, AUDIO_FEATURES_SCHEMA
+        _batches, schema or AUDIO_FEATURES_SCHEMA
     )
 
 

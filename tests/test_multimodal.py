@@ -379,3 +379,43 @@ def test_jpeg_decode_through_spark_pipeline(spark):
     assert (out[40].width, out[40].height) == (w, h)
     assert out[40].feature_hash == jpeg.jpeg_decode(payload)["feature_hash"]
     assert out[41].width is None
+
+
+def test_wav_spectral_features_tone_and_pipeline(spark):
+    """A pure 440 Hz tone must report dominant_freq_hz ≈ 440 and the
+    analytic ZCR (2 crossings per cycle); the wider schema flows
+    through the same mapInPandas plumbing."""
+    import io as _io
+    import wave as _wave
+
+    rate, seconds, freq = 8000, 1, 440
+    t = np.arange(rate * seconds) / rate
+    pcm = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    payload = buf.getvalue()
+
+    f = codecs.wav_spectral_features(payload)
+    assert f["duration_ms"] == 1000
+    assert abs(f["dominant_freq_hz"] - freq) <= 1
+    expected_zcr = 2 * freq / rate  # two sign flips per cycle
+    assert abs(f["zcr_q8"] / 255.0 - expected_zcr) < 0.02
+    assert codecs.wav_spectral_features(b"junk")["zcr_q8"] is None
+
+    media = spark.createDataFrame(
+        [(50, "audio", "audio/wav", payload, len(payload))],
+        "media_id long, kind string, mime string, payload binary, n_bytes long",
+    )
+    out = mm.extract_audio_features(
+        media,
+        codecs.wav_spectral_features,
+        schema=(
+            "media_id long, duration_ms int, rms_q8 int, zcr_q8 int, "
+            "dominant_freq_hz int"
+        ),
+    ).collect()
+    assert len(out) == 1 and abs(out[0].dominant_freq_hz - freq) <= 1
