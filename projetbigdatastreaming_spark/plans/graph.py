@@ -77,6 +77,12 @@ def q_pagerank(spark, sf_dir):
     outw = edges.groupBy(F.col("src").alias("ow_src")).agg(
         F.round(F.sum("w"), 2).alias("total_w")
     )
+    # checkpoint the transition matrix and seed ranks: every unrolled
+    # iteration references trans, so without lineage truncation the
+    # final plan embeds the fact-join subtree once PER iteration (the
+    # PCA/BPE lesson).  At 3 iterations the wall time is stage-count
+    # dominated either way (~5 s at sf0.1); the checkpoint is what
+    # keeps plan size LINEAR in iterations when K grows.
     trans = (
         edges.join(outw, F.col("src") == F.col("ow_src"))
         .select(
@@ -84,14 +90,14 @@ def q_pagerank(spark, sf_dir):
             "dst",
             F.round(F.col("w") / F.col("total_w"), 10).alias("p"),
         )
-    )
+    ).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.agg(
         F.count("*").cast("double").alias("n")
     )
     ranks = nodes.join(F.broadcast(n_nodes)).select(
         "node", "n", F.round(F.lit(1.0) / F.col("n"), 8).alias("rank")
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(_ITERATIONS):
         contribs = trans.join(
             ranks, trans.src == ranks.node

@@ -2731,7 +2731,12 @@ def q_bpe_learn_merges(spark, sf_dir):
             "freq",
         )
     )
-    syms = words.persist()
+    # localCheckpoint (not persist): each step's syms/best feed TWO
+    # consumers, and persist leaves the doubled lineage in the logical
+    # plan — 2^K copies of the corpus word-count subtree (the PCA
+    # lesson, measured there at 79 s).  Checkpointing truncates the
+    # plan at each vocabulary-sized relation.
+    syms = words.localCheckpoint(eager=False)
     bests = []
     for step in range(1, BPE_STEPS + 1):
         arr = F.split(F.col("sym"), " ")
@@ -2752,7 +2757,7 @@ def q_bpe_learn_merges(spark, sf_dir):
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
             .limit(1)
-        ).persist()
+        ).localCheckpoint(eager=False)
         bests.append(
             best.select(F.lit(step).alias("step"), "pair", "cnt")
         )
@@ -2774,7 +2779,7 @@ def q_bpe_learn_merges(spark, sf_dir):
                 ).alias("sym"),
                 "freq",
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
     out = bests[0]
     for b in bests[1:]:
