@@ -352,30 +352,34 @@ _PROFILE_COLS = ("l_quantity", "l_discount", "l_returnflag", "l_shipdate")
 
 def q_profile_table(spark, sf_dir):
     """Data-profiling operator (the Deequ/data-quality pattern): per
-    column — null count, distinct count, min, max — computed for ALL
-    columns in ONE scan (a single wide agg, then stack to long form),
-    not one scan per column.  Values surface as strings so one schema
-    fits every column type."""
+    column — null count, distinct count, min, max — one aggregate PER
+    COLUMN, unioned.
+
+    Why not one wide agg over all columns: multiple count_distinct in
+    a single aggregate makes Catalyst rewrite through EXPAND — every
+    input row is replicated K+1 times before the aggregation (measured
+    6x slower at sf0.1 with K=4).  Per-column aggregates each scan
+    exactly ONE parquet column (columnar pruning: total bytes read are
+    identical to the wide form), run concurrently as independent
+    stages, and shuffle only per-column distinct partials.  Values
+    surface as strings so one schema fits every column type.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
+    parts = []
     for c in _PROFILE_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.count_distinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c in _PROFILE_COLS
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-            "(column_name, n_null, n_distinct, min_s, max_s)"
+        parts.append(
+            li.agg(
+                F.lit(c).alias("column_name"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.count_distinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            )
         )
-    ).orderBy("column_name")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column_name")
 
 
 SQL_PROFILE_TABLE = "\nUNION ALL\n".join(
