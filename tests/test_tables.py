@@ -83,3 +83,37 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
     info = {r.info_name: r.info_value for r in desc}
     assert info.get("distinct_count") not in (None, "NULL")
     spark.sql("DROP TABLE nation_stats_t")
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Date-partitioned fact + filtered dim join must plan a
+    dynamicpruning subquery on the fact scan — at 100 TB this is the
+    difference between scanning every date partition and only the
+    dates the dim filter selects."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    fact_path = str(tmp_path / "fact_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(fact_path)
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    dim = spark.createDataFrame(
+        [(d, i % 2) for i, d in enumerate(days)], "day date, flag int"
+    )
+    dim_path = str(tmp_path / "dim_days")
+    dim.write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dimr = spark.read.parquet(dim_path).where(F.col("flag") == 1)
+    joined = fact.join(dimr, "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result is correct: only flagged days survive
+    flagged = {d for i, d in enumerate(days) if i % 2 == 1}
+    got = {r.day for r in joined.collect()}
+    assert got == flagged
