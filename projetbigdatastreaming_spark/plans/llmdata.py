@@ -179,6 +179,138 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- MinHash estimator quality (engine-portable signature) ------------------
+
+_MH_P = 2_147_483_647  # 2^31 - 1: products of two <2^31 values fit in int64
+_MH_SEEDS = 64
+
+
+def _mh_const(tag: str, s: int) -> int:
+    import hashlib as _hl
+
+    v = int(_hl.md5(f"{tag}{s}".encode()).hexdigest()[:15], 16) % _MH_P
+    return v or 1
+
+
+_MH_A = [_mh_const("mh-a", s) for s in range(_MH_SEEDS)]
+_MH_B = [_mh_const("mh-b", s) for s in range(_MH_SEEDS)]
+
+
+def q_dedup_minhash_est(spark, sf_dir):
+    """MinHash ESTIMATOR quality, fully engine-portable: for every
+    exact-near-dup pair, the fraction of agreeing minhash components
+    (the estimator a production pipeline trusts instead of exact
+    Jaccard) next to the exact Jaccard it estimates.
+
+    The production operator (`dedup_minhash_pairs`) uses xxhash64
+    signatures, which DuckDB cannot replay — its oracle checks the
+    exact-verified OUTPUT instead.  This query pins the ESTIMATOR
+    itself by building the signature from portable primitives: shingle
+    base = md5-prefix mod (2^31-1), per-seed hash = (a_s·base + b_s)
+    mod (2^31-1) with md5-derived constants — pure int64 arithmetic
+    both engines compute bit-identically, so est_j hash-matches.
+    est_j = k/64 is an exact binary fraction (no knife edge); exact_j
+    is an integer ratio.
+
+    Scale plan: signatures are per-row higher-order expressions over
+    the shingle array (no shuffle); the pair set reuses the verified
+    near-dup output, so the estimator audit adds one map-side pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", dedup.word_shingles("text").alias("sh")
+    )
+    bases = F.expr(
+        "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10)"
+        f" as bigint) % {_MH_P})"
+    )
+    def _seed_min(s: int):
+        # single-arg lambda: a two-arg lambda would make transform()
+        # bind the array INDEX to the second parameter
+        return F.array_min(
+            F.transform(
+                F.col("bases"),
+                lambda h: (h * _MH_A[s] + _MH_B[s]) % _MH_P,
+            )
+        )
+
+    sig = F.array(*[_seed_min(s) for s in range(_MH_SEEDS)])
+    signed = sh.select(
+        "doc_id",
+        "sh",
+        bases.alias("bases"),
+    ).select("doc_id", "sh", sig.alias("sig"))
+
+    a = signed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = signed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    exact_j = inter / union.cast("double")
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(exact_j >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(exact_j, 4).alias("exact_j"),
+            F.round(agree / F.lit(float(_MH_SEEDS)), 4).alias("est_j"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_dedup_minhash_est() -> str:
+    sig_terms = ", ".join(
+        f"list_min(list_transform(bases, h -> (h * {_MH_A[s]}"
+        f" + {_MH_B[s]}) % {_MH_P}))"
+        for s in range(_MH_SEEDS)
+    )
+    agree_terms = " + ".join(
+        f"CASE WHEN a.sig[{s + 1}] = b.sig[{s + 1}] THEN 1 ELSE 0 END"
+        for s in range(_MH_SEEDS)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+based AS (
+  SELECT doc_id, sh,
+         list_transform(sh, x ->
+           CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+             % {_MH_P}) AS bases
+  FROM sh),
+sigs AS (
+  SELECT doc_id, sh, [{sig_terms}] AS sig
+  FROM based)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.sh, b.sh))
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4)
+         AS exact_j,
+       ROUND(({agree_terms}) / {float(_MH_SEEDS)}, 4) AS est_j
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_DEDUP_MINHASH_EST = _sql_dedup_minhash_est()
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the near-dup graph (transitive
     closure of `dedup_minhash_pairs`) — iterative min-label
@@ -2868,6 +3000,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(q_quality_score, SQL_QUALITY_SCORE),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_pairs": QuerySpec(q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "dedup_minhash_est": QuerySpec(
+        q_dedup_minhash_est, SQL_DEDUP_MINHASH_EST
+    ),
     "dedup_minhash_drops": QuerySpec(q_minhash_drops, SQL_MINHASH_DROPS),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sample_bernoulli": QuerySpec(q_sample_bernoulli, SQL_SAMPLE_BERNOULLI),

@@ -180,6 +180,9 @@ _BNLJ_ALLOWED = {
     "active_users_rolling",
     "dedup_ngram_jaccard",
     "dedup_char_ngram",
+    # estimator-quality audit over the documented-quadratic baseline
+    # pair set (the scale path is dedup_minhash_pairs)
+    "dedup_minhash_est",
     "emb_cosine_pairs",
     "emb_cosine_topk",
     "emb_ann_topk_lsh",
