@@ -431,3 +431,68 @@ def wav_spectral_features(payload: bytes) -> dict[str, Any]:
         }
     except (wave.Error, EOFError, KeyError, ValueError, struct.error):
         return {**base, "zcr_q8": None, "dominant_freq_hz": None}
+
+
+def y4m_motion(payload: bytes, every_nth: int = 1) -> dict[str, Any]:
+    """Motion profile of a yuv4mpeg2 stream: mean absolute luma
+    difference between consecutive sampled frames, quantized to 0..255
+    — the static-video / slideshow screen of video curation (a near-0
+    motion score on a long clip means dead content; a spike profile
+    means scene cuts).
+
+    Works directly on the Y planes of the FRAME walk (no RGB/PNG
+    round-trip), so cost is one uint8 diff per sampled frame pair.
+    Returns n_frames (sampled), motion_q8 (mean over pairs), and
+    max_motion_q8 (the sharpest cut).  Non-Y4M payloads yield nulls.
+    """
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return {"n_frames": None, "motion_q8": None, "max_motion_q8": None}
+    try:
+        nl = payload.index(b"\n")
+        w = h = None
+        for tok in payload[:nl].split(b" ")[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C" and not tok.startswith(b"C420"):
+                return {
+                    "n_frames": None,
+                    "motion_q8": None,
+                    "max_motion_q8": None,
+                }
+        if not w or not h or w % 2 or h % 2:
+            return {"n_frames": None, "motion_q8": None, "max_motion_q8": None}
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+        pos, frame_no = nl + 1, 0
+        prev = None
+        diffs = []
+        n_sampled = 0
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if payload[pos:fnl][:5] != b"FRAME":
+                break
+            data = payload[fnl + 1 : fnl + 1 + fsize]
+            if len(data) < fsize:
+                break
+            if frame_no % max(1, every_nth) == 0:
+                yp = np.frombuffer(data, np.uint8, w * h).astype(np.int16)
+                n_sampled += 1
+                if prev is not None:
+                    diffs.append(float(np.abs(yp - prev).mean()))
+                prev = yp
+            frame_no += 1
+            pos = fnl + 1 + fsize
+        if not diffs:
+            return {
+                "n_frames": n_sampled,
+                "motion_q8": 0 if n_sampled else None,
+                "max_motion_q8": 0 if n_sampled else None,
+            }
+        return {
+            "n_frames": n_sampled,
+            "motion_q8": min(255, int(round(sum(diffs) / len(diffs)))),
+            "max_motion_q8": min(255, int(round(max(diffs)))),
+        }
+    except (ValueError, IndexError):
+        return {"n_frames": None, "motion_q8": None, "max_motion_q8": None}

@@ -419,3 +419,28 @@ def test_wav_spectral_features_tone_and_pipeline(spark):
         ),
     ).collect()
     assert len(out) == 1 and abs(out[0].dominant_freq_hz - freq) <= 1
+
+
+def test_y4m_motion_static_vs_moving():
+    """A static clip must score ~0 motion; a moving-gradient clip must
+    score higher, with the scene cut as the max."""
+    def clip(frames):
+        w, h = 16, 16
+        head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        body = b""
+        for y in frames:
+            yp = np.full((h, w), y, dtype=np.uint8)
+            up = vp = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+            body += b"FRAME\n" + yp.tobytes() + up.tobytes() + vp.tobytes()
+        return head + body
+
+    static = codecs.y4m_motion(clip([100] * 5))
+    assert static["n_frames"] == 5
+    assert static["motion_q8"] == 0 and static["max_motion_q8"] == 0
+
+    moving = codecs.y4m_motion(clip([0, 10, 20, 200, 210]))
+    assert moving["n_frames"] == 5
+    assert moving["max_motion_q8"] == 180  # the cut: 20 -> 200
+    assert 0 < moving["motion_q8"] < moving["max_motion_q8"] + 1
+
+    assert codecs.y4m_motion(b"not video")["n_frames"] is None
