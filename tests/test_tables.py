@@ -117,3 +117,44 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     flagged = {d for i, d in enumerate(days) if i % 2 == 1}
     got = {r.day for r in joined.collect()}
     assert got == flagged
+
+
+def test_runtime_bloom_filter_join_fires(spark, sf_dir):
+    """Runtime row-level bloom filtering (the DPP sibling for
+    unpartitioned keys): a selective dim filter must inject a
+    might_contain(bloomfilter(...)) predicate into the fact scan side
+    of a shuffle join, pruning shuffle input before it moves.  Local
+    fixtures sit under the default 10GB application-side threshold, so
+    the test scopes the thresholds down — on a real cluster the
+    defaults fire on exactly the 100 TB shapes that need it."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
