@@ -471,3 +471,68 @@ def test_quality_gate_routes_and_survives_replay(
     # replay-safe: event ids unique across both sinks
     ids = good_df.select("event_id").union(quar_df.select("event_id"))
     assert ids.distinct().count() == n_in
+
+
+def test_curation_ingest_chain_end_to_end(spark, tmp_path):
+    """Composed streaming curation: quality-gate routing, near-dup
+    flagging against the corpus-so-far, and CMS fold-in must all
+    happen per batch, all replay-safe, from ONE foreachBatch fn."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.operators.sketches import (
+        cms_cells,
+    )
+    from projetbigdatastreaming_spark.streaming.ingest import (
+        curation_ingest_writer,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import read_cms
+
+    d = lambda n: str(tmp_path / n)  # noqa: E731
+    words = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " CHANGED"
+    other = " ".join(f"x{i}" for i in range(40))
+    schema = "doc_id long, text string, source string"
+    write = curation_ingest_writer(
+        checks={"nonempty": "length(text) > 10", "has_id": "doc_id IS NOT NULL"},
+        good_path=d("good"),
+        quarantine_path=d("quar"),
+        neardup_index_dir=d("ndidx"),
+        neardup_flags_dir=d("ndflags"),
+        cms_state_dir=d("cms"),
+        cms_key_col="source",
+    )
+    b0 = spark.createDataFrame(
+        [(1, words, "web"), (2, other, "web"), (3, "tiny", "web")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(4, near, "books"), (5, "also tiny", "web")], schema
+    )
+    write(b0, 0)
+    write(b1, 1)
+
+    good = spark.read.parquet(d("good"))
+    quar = spark.read.parquet(d("quar"))
+    assert {r.doc_id for r in good.collect()} == {1, 2, 4}
+    assert {r.doc_id for r in quar.collect()} == {3, 5}
+    assert all("nonempty" in r.violations for r in quar.collect())
+
+    flags = spark.read.parquet(d("ndflags"))
+    assert {(r.doc_a, r.doc_b) for r in flags.collect()} == {(1, 4)}
+
+    # CMS folded over GATED rows only: 2 web + 1 books
+    grid = {(r.d, r.b): r.cnt for r in read_cms(spark, d("cms")).collect()}
+    expect = spark.createDataFrame(
+        [("web",), ("web",), ("books",)], "source string"
+    )
+    want = {
+        (r.d, r.b): r.cnt for r in cms_cells(expect, "source").collect()
+    }
+    assert grid == want
+
+    # replay batch 1: nothing doubles anywhere
+    write(b1, 1)
+    assert spark.read.parquet(d("good")).count() == 3
+    assert spark.read.parquet(d("ndflags")).count() == 1
+    assert {
+        (r.d, r.b): r.cnt for r in read_cms(spark, d("cms")).collect()
+    } == want
