@@ -902,8 +902,12 @@ def q_multires_rollup(spark, sf_dir):
 SQL_MULTIRES_ROLLUP = """
 WITH exploded AS (
   SELECT value, r.res_s,
-         to_timestamp(floor(floor(epoch(ts)) / r.res_s) * r.res_s)
-           ::TIMESTAMP AS bucket
+         -- make_timestamp(micros) builds a NAIVE timestamp directly;
+         -- to_timestamp() returns TIMESTAMPTZ, whose cast back to
+         -- TIMESTAMP re-renders through DuckDB's OS-inherited TimeZone
+         -- (caught by the TZ=America/New_York oracle sweep)
+         make_timestamp(CAST(floor(floor(epoch(ts)) / r.res_s)
+                             * r.res_s AS BIGINT) * 1000000) AS bucket
   FROM events,
        (SELECT unnest([60, 900, 3600, 86400]) AS res_s) r)
 SELECT res_s, bucket, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value

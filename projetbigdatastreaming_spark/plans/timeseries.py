@@ -63,9 +63,13 @@ def q_timeseries_gapfill(spark, sf_dir):
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # date_trunc returns LTZ; emit NTZ so collected rows render the
+    # same wall time under ANY process timezone (session tz is pinned
+    # UTC, so the cast is a deterministic relabel — caught by the
+    # TZ=America/New_York oracle sweep)
     filled = spine.join(actual, ["event_type", "bucket"], "left").select(
         "event_type",
-        "bucket",
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
         F.col("hour_total").isNull().alias("is_gap"),
         F.last("hour_total", ignorenulls=True).over(w).alias("filled_total"),
     )

@@ -62,3 +62,21 @@ def test_result_invariant_under_session_timezone(spark, sf_dir, tz, name):
         tz(zone)
         rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
         assert rows == utc_rows, f"{name} drifts under {zone}"
+
+
+def test_no_query_outputs_ltz_timestamp(spark, sf_dir):
+    """collect() renders TIMESTAMP (LTZ) in the PYTHON PROCESS's local
+    zone, so a query emitting one hash-differently on a non-UTC
+    machine even with the session timezone pinned to UTC (caught by a
+    TZ=America/New_York oracle sweep: date_trunc silently returns LTZ
+    from NTZ input).  Every query must emit timestamp_ntz / date /
+    string time values only."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if f.dataType.simpleString() == "timestamp":
+                offenders.append((name, f.name))
+    assert not offenders, f"LTZ timestamp outputs: {offenders}"
