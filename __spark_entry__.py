@@ -51,7 +51,7 @@ QUERY_ORDER = (
     # 0) new in round 3 — never driver-checked
     "heavy_hitters_cms", "hll_rollup_union", "pysource_synthetic_events",
     "variant_json", "recursive_cte", "sql_udf", "quality_classifier", "curation_pipeline", "sample_bottomk_mergeable", "cep_pattern_match", "emb_matryoshka_recall", "file_provenance", "param_query", "bpe_learn_merges", "shard_manifest", "bigram_logprob",
-    "dedup_minhash_est",
+    "dedup_minhash_est", "mv_incremental_refresh",
     "constraint_check", "k_anonymity", "fuzzy_match", "snapshot_diff",
     "timeseries_gapfill", "user_streaks", "ewma_smooth",
     "line_dedup", "emb_semantic_dedup",

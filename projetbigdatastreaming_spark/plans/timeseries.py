@@ -278,7 +278,64 @@ ORDER BY event_type, day
 """
 
 
+MV_CUTOFF = "2024-01-20"  # fixture events span 2024-01-01..01-30
+
+
+def q_mv_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: a daily
+    (event_type, day) aggregate is refreshed by MERGING the stored
+    aggregate (history before the cutoff) with the new partition's
+    partial aggregate — counts add, sums add — instead of rescanning
+    history.  The query computes the merged view; the ORACLE computes
+    the same view by full recompute over all events, so the row hash
+    proves merge == recompute (the algebraic-MV correctness
+    condition for distributive aggregates).
+
+    Scale plan: the production form persists `hist`; refresh cost is
+    then O(|new partition|) + a |view|-row merge groupBy — at 100 TB
+    the difference between reading one day and reading three years.
+    Sums accumulate in decimal so merged and recomputed totals are
+    bit-identical.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(20,2)").alias("dval"),
+    )
+    cutoff = F.lit(MV_CUTOFF).cast("date")
+
+    def day_agg(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dval").alias("total"),
+        )
+
+    hist = day_agg(ev.where(F.col("day") < cutoff))  # the stored MV
+    delta = day_agg(ev.where(F.col("day") >= cutoff))  # the new data
+    merged = (
+        hist.unionAll(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").cast("decimal(20,2)").alias("total"),
+        )
+    )
+    return merged.orderBy("event_type", "day")
+
+
+SQL_MV_INCREMENTAL_REFRESH = """
+SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS total
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY event_type, day
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "mv_incremental_refresh": QuerySpec(
+        q_mv_incremental_refresh, SQL_MV_INCREMENTAL_REFRESH
+    ),
     "timeseries_gapfill": QuerySpec(
         q_timeseries_gapfill, SQL_TIMESERIES_GAPFILL
     ),
