@@ -348,3 +348,40 @@ def test_decontaminate_flags_exactly_the_overlapping_doc(spark, tmp_path):
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     rows = entry.queries()["decontaminate"](spark, str(tmp_path)).collect()
     assert [(r.doc_id, r.n_overlap) for r in rows] == [(1, 1)]
+
+
+@given(
+    st.integers(8, 40),
+    st.integers(8, 40),
+    st.integers(55, 95),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_error_bounded(w, h, quality, seed):
+    """Any RGB image round-trips through the baseline JPEG codec with
+    shape preserved and bounded per-pixel error (noise is the worst
+    case; the bound is loose but catches structural mis-decodes like
+    plane swaps, block shifts, or zigzag errors, which produce errors
+    an order of magnitude larger)."""
+    import numpy as np
+
+    from projetbigdatastreaming_spark.operators import jpeg
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(px, quality=quality))
+    assert out is not None and out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - px.astype(int)).mean()
+    assert err < 40.0, f"mean abs error {err} — structural mis-decode"
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_decoder_never_crashes_on_garbage(payload):
+    """Crawl-garbage contract: arbitrary bytes (including ones opening
+    with the JPEG SOI marker) must yield nulls, never raise."""
+    from projetbigdatastreaming_spark.operators import jpeg
+
+    for p in (payload, b"\xff\xd8" + payload):
+        d = jpeg.jpeg_decode(p)
+        assert set(d) == {"width", "height", "feature_hash"}
