@@ -77,6 +77,64 @@ def interval_join_streams(
     ).drop("__rkey")
 
 
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+    prefixes: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """LEFT OUTER variant of ``interval_join_streams``: every left
+    event emits — matched rows as soon as the match arrives, unmatched
+    rows null-padded ONLY once the watermark proves no match can still
+    come (right watermark past ``left_ts + max_delay``).
+
+    That deferred null-padding is the semantic difference from a batch
+    left join: correctness requires knowing the right stream is
+    complete up to a point, which is exactly what the watermark
+    asserts — so the same condition that lets Spark evict state is
+    what licenses the outer row.  The impression-without-click shape
+    (conversion-failure analytics) needs this; an inner join silently
+    drops exactly the rows it is about.
+
+    State/eviction bounds are identical to the inner form.  Works on
+    batch DataFrames too (plain left join — the batch twin tests
+    assert agreement once all data is in).
+    """
+    lp, rp = prefixes
+    lt = F.col(f"{lp}{left_ts}")
+    rt = F.col(f"{rp}{right_ts}")
+
+    def _side(df, prefix, ts_col, key_alias):
+        cols = [
+            (
+                F.col(c).cast("timestamp")
+                if c == ts_col
+                else F.col(c)
+            ).alias(f"{prefix}{c}")
+            for c in df.columns
+            if c != key
+        ]
+        return df.select(F.col(key).alias(key_alias), *cols)
+
+    l = _side(left, lp, left_ts, key).withWatermark(
+        f"{lp}{left_ts}", watermark
+    )
+    r = _side(right, rp, right_ts, "__rkey").withWatermark(
+        f"{rp}{right_ts}", watermark
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("__rkey"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {max_delay}")),
+        "left_outer",
+    ).drop("__rkey")
+
+
 def enrich_stream(
     stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
 ) -> DataFrame:

@@ -536,3 +536,83 @@ def test_curation_ingest_chain_end_to_end(spark, tmp_path):
     assert {
         (r.d, r.b): r.cnt for r in read_cms(spark, d("cms")).collect()
     } == want
+
+
+def test_interval_join_streams_left_outer_emits_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: a matched impression emits with
+    its click; an unmatched impression emits NULL-padded only after
+    the watermark proves no click can still arrive.  The batch twin
+    (plain left join) agrees on the final relation."""
+    import datetime
+
+    from projetbigdatastreaming_spark.streaming.joins import (
+        interval_join_streams_outer,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    late = datetime.datetime(2024, 1, 1, 18, 0, 0)
+    imp_schema = "user_id long, ts timestamp_ntz, ad string"
+    clk_schema = "user_id long, ts timestamp_ntz, click_id string"
+    imp_dir, clk_dir = str(tmp_path / "imp_o"), str(tmp_path / "clk_o")
+    # file 1: the interesting data; file 2: watermark pushers (both
+    # sides must advance for the outer row to be licensed)
+    spark.createDataFrame(
+        [(1, base, "ad_a"), (2, base, "ad_b")], imp_schema
+    ).coalesce(1).write.mode("append").parquet(imp_dir)
+    spark.createDataFrame(
+        [(9, late, "ad_z")], imp_schema
+    ).coalesce(1).write.mode("append").parquet(imp_dir)
+    spark.createDataFrame(
+        [(1, base + datetime.timedelta(minutes=5), "c1")], clk_schema
+    ).coalesce(1).write.mode("append").parquet(clk_dir)
+    spark.createDataFrame(
+        [(99, late, "c_z")], clk_schema
+    ).coalesce(1).write.mode("append").parquet(clk_dir)
+
+    def _stream(path, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    joined = interval_join_streams_outer(
+        _stream(imp_dir, imp_schema),
+        _stream(clk_dir, clk_schema),
+        key="user_id",
+        max_delay="10 minutes",
+        watermark="30 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_o"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.l_ad, r.r_click_id)
+        for r in spark.sql("SELECT * FROM ssj_outer").collect()
+    )
+    # u1 matched; u2 null-padded once the watermark passed 12:10;
+    # u9/u99 still inside their horizon -> withheld (not emitted)
+    assert got == [(1, "ad_a", "c1"), (2, "ad_b", None)]
+
+    # batch twin over the data the watermark had sealed
+    batch = interval_join_streams_outer(
+        spark.createDataFrame(
+            [(1, base, "ad_a"), (2, base, "ad_b")], imp_schema
+        ),
+        spark.createDataFrame(
+            [(1, base + datetime.timedelta(minutes=5), "c1")], clk_schema
+        ),
+        key="user_id",
+        max_delay="10 minutes",
+    ).collect()
+    assert sorted(
+        (r.user_id, r.l_ad, r.r_click_id) for r in batch
+    ) == got
