@@ -55,9 +55,34 @@ def _ts_is_parquet_nanos(path: str) -> bool:
     return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
 
 
+#: fixture DataFrames cached per (application, sf_dir, table): each
+#: load_table call otherwise costs ~90 ms of footer/schema reads, paid
+#: once per table per QUERY BUILD — across a 22-query bench run that
+#: is seconds of pure metadata overhead.  Only immutable driver
+#: fixture dirs are cached (tests writing their own sf_dirs must see
+#: fresh files).
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CACHEABLE_PREFIX = "/root/testdata/"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    cacheable = sf_dir.startswith(_CACHEABLE_PREFIX)
+    if cacheable:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        hit = _DF_CACHE.get(key)
+        if hit is not None:
+            return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    if cacheable:
+        _DF_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     # events.ts has shipped as either parquet TIMESTAMP(NANOS) — which
     # Spark's vectorized reader rejects outright, so we read it as raw
