@@ -50,3 +50,38 @@ def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("d", "b")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def compact_cms(spark: SparkSession, state_dir: str) -> int:
+    """Fold the accumulated per-batch grids into a single base grid
+    (written as partition ``batch_id=-1``), dropping the per-batch
+    partitions — the read-side fold input goes from d·w·|batches| rows
+    back to ≤ d·w.  Returns the number of cells in the compacted grid.
+
+    Correctness: the CMS merge is associative, so pre-folding history
+    commutes with the reader's fold — `read_cms` returns the identical
+    grid before and after (asserted in tests).  Replay interaction:
+    compaction consumes historical batch partitions, so only compact
+    past the stream's redelivery horizon (e.g. the checkpoint's
+    committed offset) — a replay of an ALREADY-COMPACTED batch_id
+    would otherwise double-count into the base grid.
+    """
+    import shutil
+    import tempfile
+
+    folded = read_cms(spark, state_dir).withColumn(
+        "batch_id", F.lit(-1)
+    )
+    # stage to a temp dir first: the fold READS state_dir, so writing
+    # over it in-place would consume inputs mid-scan
+    tmp = tempfile.mkdtemp(prefix="cms_compact_")
+    try:
+        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        n = staged.count()
+        staged.coalesce(1).write.mode("overwrite").partitionBy(
+            "batch_id"
+        ).parquet(state_dir)
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

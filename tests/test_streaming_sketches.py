@@ -65,3 +65,29 @@ def test_streaming_cms_replay_is_idempotent(spark, tmp_path):
     before = _grid(read_cms(spark, state))
     write(b1, 1)  # at-least-once redelivery of the same batch
     assert _grid(read_cms(spark, state)) == before
+
+
+def test_cms_compaction_preserves_grid(spark, tmp_path):
+    """Compacting per-batch grids into the base partition must leave
+    read_cms unchanged, and later batches keep folding on top."""
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        compact_cms,
+    )
+
+    state = str(tmp_path / "cms_state3")
+    write = cms_batch_writer(state, "user_id")
+    for i in range(4):
+        write(
+            spark.createDataFrame(
+                [(f"u{j % 5}",) for j in range(20 + i)], "user_id string"
+            ),
+            i,
+        )
+    before = _grid(read_cms(spark, state))
+    n = compact_cms(spark, state)
+    assert n == len(before)
+    assert _grid(read_cms(spark, state)) == before
+    # post-compaction ingest folds onto the base grid
+    write(spark.createDataFrame([("u0",)], "user_id string"), 10)
+    after = _grid(read_cms(spark, state))
+    assert sum(after.values()) == sum(before.values()) + 4  # 4 depths
