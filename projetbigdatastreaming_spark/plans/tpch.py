@@ -115,7 +115,13 @@ def q_tpch_q2(spark, sf_dir):
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("supply_cost", 4).alias("supply_cost"),
+            # floor(x*1e4+0.5)/1e4, not ROUND: the quotient can land
+            # exactly on a half (e.g. 26.24125) where the engines'
+            # ROUND modes disagree; floor on identical doubles is
+            # bit-identical everywhere (caught by the sf0.001 sweep)
+            (F.floor(F.col("supply_cost") * 1e4 + F.lit(0.5)).cast(
+                "double"
+            ) / 1e4).alias("supply_cost"),
         )
         .orderBy(
             F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
@@ -138,7 +144,7 @@ min_cost AS (
   SELECT l_partkey AS mk, MIN(supply_cost) AS min_cost
   FROM eu_supply GROUP BY l_partkey)
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-       ROUND(supply_cost, 4) AS supply_cost
+       floor(supply_cost * 1e4 + 0.5) / 1e4 AS supply_cost
 FROM eu_supply
 JOIN min_cost ON l_partkey = mk AND supply_cost = min_cost
 JOIN part ON l_partkey = p_partkey
