@@ -40,61 +40,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Explicit registry order.  The grading driver checks queries in
 #: iteration order with a cap (50 per round so far), so ordering is
-#: part of the contract.  Round-3 priority: (0) queries new this round
-#: — first driver verdict; (1) the two round-2 red rows, re-fixed in
-#: commit ef33182 AFTER the r02 correctness snapshot; (2) round-2
-#: additions the r02 run never reached (landed beyond its 50-slot
-#: cap); (3) queries last checked in round 1 (oldest signal first);
-#: (4) everything re-confirmed green in round 2, covered locally by
-#: tools/check_oracle.py.
+#: part of the contract.  Round-4 priority: (0) the nine r03
+#: hash-mismatches — all one bug class (driver-hash representation
+#: divergence through pandas dtypes: DuckDB HUGEINT sums → float64
+#: vs Spark int64; DECIMAL → pandas Decimal vs float64), re-fixed
+#: this round with BIGINT casts / integer-cents-then-one-double-
+#: division, and guarded forever by tools/check_oracle.py's new
+#: dtype-class parity check; (1) the two r02 reds whose ef33182 fix
+#: the driver has never confirmed; (2) the 22 registered queries that
+#: have NEVER appeared in any CORRECTNESS file (50-cap x 3 rounds);
+#: (3) queries new in round 4; (4) §2-core queries last checked in
+#: round 1 (oldest signal first); (5) r02/r03-green (freshest last).
 QUERY_ORDER = (
-    # 0) new in round 3 — never driver-checked
-    "heavy_hitters_cms", "hll_rollup_union", "pysource_synthetic_events",
-    "variant_json", "recursive_cte", "sql_udf", "quality_classifier", "curation_pipeline", "sample_bottomk_mergeable", "cep_pattern_match", "emb_matryoshka_recall", "file_provenance", "param_query", "bpe_learn_merges", "shard_manifest", "bigram_logprob",
-    "dedup_minhash_est", "mv_incremental_refresh",
-    "constraint_check", "k_anonymity", "fuzzy_match", "snapshot_diff",
-    "timeseries_gapfill", "user_streaks", "ewma_smooth",
-    "line_dedup", "emb_semantic_dedup",
-    "dedup_source_overlap", "doc_lang_mismatch", "emb_pca_power",
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
-    "tpch_q22",
-    "unigram_logprob", "bpe_token_count", "emb_centroid",
-    "tfidf_topk", "emb_outliers", "graph_pagerank", "emb_kmeans_refine",
-    "sample_weighted", "approx_quantile_check", "window_value_functions",
-    "mixture_budget_sample", "dedup_prefix", "event_transitions",
-    "doc_entropy", "active_users_rolling", "corpus_zipf_fit",
-    "supplier_scorecard", "revenue_pareto",
-    # 1) hash-mismatched in the r02 snapshot; determinism fix landed
-    #    after it (ef33182) — the driver must confirm the fix
+    # 0) r03 hash-red, representation fix landed this round
+    "pysource_synthetic_events", "variant_json", "param_query",
+    "bpe_learn_merges", "shard_manifest", "tpch_q12",
+    "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
+    # 1) r02 red; fixed in ef33182 but never driver-confirmed
     "stats_agg", "text_quality",
-    # 2) round-2 additions the r02 run never reached
+    # 2) never driver-checked in any round (all local-green)
+    "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",
+    "window_value_functions", "mixture_budget_sample", "dedup_prefix",
+    "event_transitions", "doc_entropy", "active_users_rolling",
+    "corpus_zipf_fit", "supplier_scorecard", "revenue_pareto",
     "approx_distinct_check", "rolling_avg_range",
     "window_rank_functions", "profile_table", "dedup_survivorship",
     "tpch_q18", "bitwise_functions", "user_features",
     "profile_frequent_values", "time_gap_stats",
-    # 3) last driver-checked in round 1 — refresh the oldest signal
-    "kpi_quarter_hour", "tpch_q1", "tpch_q3", "star_join",
+    # 3) new in round 4 — first driver verdict
+    # (round-4 additions are inserted here as they land)
+    # 4) last driver-checked in round 1 — refresh the oldest §2-core
+    #    signal (slots to the 50-cap)
+    "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
+    "quarter_hour_case", "agg_groupby", "agg_analytic_window",
+    "conditional_columns", "scalar_functions", "time_functions",
+    "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
     "dedup_simhash_pairs", "emb_cosine_topk", "doc_chunking",
-    "text_stats", "text_language_id", "sessionize", "proj_filter",
-    "json_parse", "tokenize", "quarter_hour_case", "agg_groupby",
-    "agg_analytic_window", "window_topk_per_group",
-    "conditional_columns", "scalar_functions", "time_functions",
-    "join_broadcast_inner", "join_cross", "sort_limit",
+    "text_stats", "text_language_id", "sessionize",
+    "window_topk_per_group", "join_broadcast_inner",
     "join_left", "join_full_outer", "join_semi", "join_anti",
     "union_all", "intersect", "except_", "pivot", "rollup", "cube",
     "window_lag_running", "map_functions", "scd2_history",
     "null_semantics", "unpivot", "string_agg", "dedup_ngram_jaccard",
     "dedup_char_ngram", "emb_cosine_pairs",
-    # 4) green in the round-2 driver run (freshest signal, so last)
+    # 5a) green in the round-2 driver run
     "array_functions",
     "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_ann_recall",
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
     "join_salted", "window_sliding", "percentiles", "scalar_functions2",
-    "approx_distinct", "subq_exists", "subq_not_exists", "subq_scalar",
+    "subq_exists", "subq_not_exists", "subq_scalar",
     "subq_in_having", "subq_not_in", "subq_correlated_scalar",
     "emb_near_dup_lsh", "doc_winnow", "tpch_q5", "dedup_clusters",
     "sample_bernoulli", "sample_stratified", "funnel_steps",
@@ -104,6 +100,19 @@ QUERY_ORDER = (
     "text_pii", "decontaminate", "pack_sequences", "length_histogram",
     "tpch_q10", "oov_rate", "curation_report",
     "dedup_incremental", "dedup_containment", "iqr_outliers",
+    # 5b) green in the round-3 driver run (freshest signal, so last)
+    "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
+    "sql_udf", "quality_classifier", "curation_pipeline",
+    "sample_bottomk_mergeable", "cep_pattern_match",
+    "emb_matryoshka_recall", "file_provenance", "bigram_logprob",
+    "dedup_minhash_est", "constraint_check", "k_anonymity",
+    "fuzzy_match", "user_streaks", "ewma_smooth", "line_dedup",
+    "emb_semantic_dedup", "dedup_source_overlap", "doc_lang_mismatch",
+    "emb_pca_power", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "unigram_logprob", "bpe_token_count", "emb_centroid",
+    "tfidf_topk", "emb_outliers", "graph_pagerank",
 )
 
 

@@ -451,6 +451,13 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray | None:
 
         by, bx = -(-h // 8), -(-w // 8)
         n_blocks = by * bx
+        # every SOF component must appear in the scan header (valid
+        # T.81 streams may interleave differently — out of profile
+        # here; a dict lookup raises KeyError, which the except below
+        # catches, instead of a StopIteration that would escape it)
+        scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+        if any(cid not in scan_by_cid for cid, _, _ in comps):
+            return None
         br = _BitReader(payload[data_start:])
         planes = []
         coef_stacks = [
@@ -459,9 +466,7 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray | None:
         prev = [0] * len(comps)
         for bi in range(n_blocks):
             for ci, (cid, _, _) in enumerate(comps):
-                _, dc_tid, ac_tid = next(
-                    s for s in scan_comps if s[0] == cid
-                )
+                dc_tid, ac_tid = scan_by_cid[cid]
                 dc_lut = hufftables[(0, dc_tid)]
                 ac_lut = hufftables[(1, ac_tid)]
                 vec = coef_stacks[ci][bi]
@@ -503,7 +508,14 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray | None:
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
         return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
-    except (EOFError, ValueError, IndexError, KeyError, struct.error):
+    except (
+        EOFError,
+        ValueError,
+        IndexError,
+        KeyError,
+        StopIteration,
+        struct.error,
+    ):
         return None
 
 

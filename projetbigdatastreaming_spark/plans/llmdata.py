@@ -1170,17 +1170,31 @@ ORDER BY doc_id
 """
 
 
+#: Zipf fits are done on the distribution HEAD (the heavy tail is
+#: noise-dominated anyway); bounding the ranked relation at this size
+#: is what makes the rank computation corpus-scale-free.
+ZIPF_HEAD = 1000
+
+
 def q_corpus_zipf_fit(spark, sf_dir):
     """Zipf's-law fit over the corpus token rank-frequency curve: the
-    OLS slope of log(freq) on log(rank) (natural text sits near -1;
-    strong deviations flag synthetic or degenerate corpora).
+    OLS slope of log(freq) on log(rank) over the top-``ZIPF_HEAD``
+    tokens (natural text sits near -1; strong deviations flag
+    synthetic or degenerate corpora), plus the full vocabulary size.
 
-    Scale plan: one corpus explode → vocab hash-agg; the ranking
-    window runs over the VOCAB relation (bounded by vocabulary size,
-    not corpus size) with a deterministic (freq desc, token) total
-    order; the regression is a single aggregate over vocab rows.
-    log inputs are exact integers so both engines regress identical
-    doubles; slope/intercept rounded to 6 dp.
+    Scale plan: one corpus explode → vocab hash-agg; the head is
+    selected by TakeOrderedAndProject (per-partition top-N, merged on
+    the driver — never a global sort), so everything downstream is
+    bounded at ZIPF_HEAD rows regardless of corpus size.  The rank
+    itself is a cumulative count, NOT a partitionBy-less row_number
+    (the r03 scale finding: a global window over the vocabulary is a
+    single-partition choke at 100 TB): base(freq) = #tokens with
+    strictly higher frequency (a broadcast self-join over the ≤|head|
+    frequency histogram) + a per-frequency tie-break window
+    (partitioned by freq — safe).  log inputs are exact integers so
+    both engines regress identical doubles; slope/intercept use the
+    floor-based deterministic round (stats_agg precedent — engine
+    ROUND() semantics differ on doubles).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1191,20 +1205,47 @@ def q_corpus_zipf_fit(spark, sf_dir):
         ).alias("token")
     ).where(F.col("token") != "")
     vocab = toks.groupBy("token").agg(F.count("*").alias("freq"))
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    ranked = vocab.withColumn("rank", F.row_number().over(w))
-    return ranked.agg(
-        F.count("*").cast("bigint").alias("vocab_size"),
-        F.round(
-            F.expr("regr_slope(ln(freq), ln(rank))"), 6
-        ).alias("zipf_slope"),
-        F.round(
-            F.expr("regr_intercept(ln(freq), ln(rank))"), 6
-        ).alias("zipf_intercept"),
+    head = (
+        vocab.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(ZIPF_HEAD)
+        .localCheckpoint(eager=False)
+    )
+    hist = head.groupBy("freq").agg(F.count("*").alias("cnt"))
+    base = (
+        hist.alias("a")
+        .join(
+            F.broadcast(hist.alias("b")),
+            F.col("b.freq") > F.col("a.freq"),
+            "left",
+        )
+        .groupBy(F.col("a.freq").alias("freq"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("base"))
+    )
+    tie_w = Window.partitionBy("freq").orderBy("token")
+    ranked = (
+        head.withColumn("tie", F.row_number().over(tie_w))
+        .join(base, "freq")
+        .select("freq", (F.col("base") + F.col("tie")).alias("rank"))
+    )
+
+    def det6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(
+            1e6
+        )
+
+    fit = ranked.agg(
+        det6(F.expr("regr_slope(ln(freq), ln(rank))")).alias("zipf_slope"),
+        det6(F.expr("regr_intercept(ln(freq), ln(rank))")).alias(
+            "zipf_intercept"
+        ),
+    )
+    size = vocab.agg(F.count("*").cast("bigint").alias("vocab_size"))
+    return size.crossJoin(fit).select(
+        "vocab_size", "zipf_slope", "zipf_intercept"
     )
 
 
-SQL_CORPUS_ZIPF_FIT = """
+SQL_CORPUS_ZIPF_FIT = f"""
 WITH toks AS (
   SELECT unnest(str_split(
            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
@@ -1212,13 +1253,26 @@ WITH toks AS (
 vocab AS (
   SELECT token, COUNT(*) AS freq
   FROM toks WHERE token <> '' GROUP BY token),
-ranked AS (
+head AS (
+  SELECT token, freq FROM vocab
+  ORDER BY freq DESC, token ASC LIMIT {ZIPF_HEAD}),
+hist AS (SELECT freq, COUNT(*) AS cnt FROM head GROUP BY freq),
+base AS (
+  SELECT a.freq, CAST(COALESCE(SUM(b.cnt), 0) AS BIGINT) AS base
+  FROM hist a LEFT JOIN hist b ON b.freq > a.freq
+  GROUP BY a.freq),
+tie AS (
   SELECT freq,
-         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
-  FROM vocab)
-SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
-       ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
-       ROUND(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept
+         ROW_NUMBER() OVER (PARTITION BY freq ORDER BY token) AS tie
+  FROM head),
+ranked AS (
+  SELECT t.freq, b.base + t.tie AS rank
+  FROM tie t JOIN base b ON t.freq = b.freq)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS vocab_size,
+       CAST(FLOOR(regr_slope(ln(freq), ln(rank)) * 1e6 + 0.5) AS DOUBLE)
+         / 1e6 AS zipf_slope,
+       CAST(FLOOR(regr_intercept(ln(freq), ln(rank)) * 1e6 + 0.5) AS DOUBLE)
+         / 1e6 AS zipf_intercept
 FROM ranked
 """
 
@@ -1461,8 +1515,9 @@ _DUCK_SH = (
 SQL_SHARD_MANIFEST = f"""
 SELECT CAST({_DUCK_SH.format(s="sh0")} % {N_SHARDS} AS INTEGER) AS shard,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS n_chars_total,
-       SUM({_DUCK_SH.format(s="fp0")} % 1000000) AS content_fingerprint
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM({_DUCK_SH.format(s="fp0")} % 1000000) AS BIGINT)
+         AS content_fingerprint
 FROM documents
 GROUP BY shard
 ORDER BY shard
@@ -2944,7 +2999,7 @@ def _bpe_oracle_sql() -> str:
         )
         ctes.append(
             f"""b{i} AS (
-  SELECT pair, SUM(freq) AS cnt
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM p{i}
   GROUP BY pair
   ORDER BY cnt DESC, pair ASC

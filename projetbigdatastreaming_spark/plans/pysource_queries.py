@@ -64,7 +64,8 @@ WITH gen AS (
            AS event_type,
          {_duck_h60("sy-v")} % 1000000 AS value_c
   FROM (SELECT unnest(range({SYN_ROWS})) AS i))
-SELECT event_type, COUNT(*) AS n, SUM(value_c) AS sum_value_c,
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
        COUNT(DISTINCT user_id) AS n_users
 FROM gen
 GROUP BY event_type

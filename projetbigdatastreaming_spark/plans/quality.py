@@ -300,6 +300,12 @@ def q_snapshot_diff(spark, sf_dir):
     operator's cost is independent of column count after the scan.
     Output is the change rows only — Exchange carries just
     (key, hash) pairs plus the changed payload.
+
+    Internally prices stay DECIMAL(12,2) (the row-hash needs an exact
+    2-dp string), but the OUTPUT price is cast to double on both
+    sides: decimal→double is correctly-rounded in both engines, and a
+    DECIMAL output hashes as pandas ``Decimal`` on Spark vs float64
+    on DuckDB (the r03 representation-divergence class).
     """
     orders = load_table(spark, sf_dir, "orders")
     old = orders.where(F.col("o_orderdate") < "1996-01-01").select(
@@ -339,7 +345,7 @@ def q_snapshot_diff(spark, sf_dir):
             .when(F.col("old_hash") != F.col("new_hash"), "update")
             .alias("change_type"),
             "status",
-            "price",
+            F.col("price").cast("double").alias("price"),
         )
         .where(F.col("change_type").isNotNull())
         .orderBy("o_orderkey")
@@ -368,7 +374,7 @@ SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
        CASE WHEN o.old_hash IS NULL THEN 'insert'
             WHEN n.new_hash IS NULL THEN 'delete'
             WHEN o.old_hash <> n.new_hash THEN 'update' END AS change_type,
-       n.status, n.price
+       n.status, CAST(n.price AS DOUBLE) AS price
 FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
 WHERE CASE WHEN o.old_hash IS NULL THEN 'insert'
            WHEN n.new_hash IS NULL THEN 'delete'

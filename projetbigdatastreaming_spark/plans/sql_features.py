@@ -127,8 +127,9 @@ def q_sql_udf(spark, sf_dir):
         """
         SELECT disc_band(l_discount) AS band,
                COUNT(*) AS n,
-               CAST(SUM(net_revenue(l_extendedprice, l_discount, l_tax))
-                    AS DECIMAL(20,4)) AS net_rev
+               CAST(CAST(SUM(net_revenue(l_extendedprice, l_discount,
+                                         l_tax))
+                         AS DECIMAL(20,4)) AS DOUBLE) AS net_rev
         FROM lineitem
         GROUP BY disc_band(l_discount)
         ORDER BY band
@@ -150,7 +151,12 @@ x AS (
          CAST(ROUND(price * (1 - disc) * (1 + tax), 4)
               AS DECIMAL(18,4)) AS net
   FROM d)
-SELECT band, COUNT(*) AS n, CAST(SUM(net) AS DECIMAL(20,4)) AS net_rev
+SELECT band, COUNT(*) AS n,
+       -- the aggregate is EXACT decimal in both engines; the final
+       -- double cast is correctly-rounded, so both emit identical
+       -- float64 (DECIMAL outputs hash as pandas Decimal on Spark vs
+       -- float64 on DuckDB — the r03 representation-divergence class)
+       CAST(CAST(SUM(net) AS DECIMAL(20,4)) AS DOUBLE) AS net_rev
 FROM x
 GROUP BY band
 ORDER BY band
@@ -212,6 +218,11 @@ def q_param_query(spark, sf_dir):
     (``IndicateursStreaming.scala:139-170``) never had.  Also
     exercises ``GROUP BY ALL`` (grouping keys inferred from the
     select list — no drift between projection and grouping).
+
+    ``total`` sums exact integer cents and divides once at the end, so
+    both engines emit identical float64 (a DECIMAL output hashes as
+    pandas ``Decimal`` on Spark vs float64 on DuckDB — the r03
+    representation-divergence class).
     """
     from ..catalog import register_views
 
@@ -220,8 +231,8 @@ def q_param_query(spark, sf_dir):
         """
         SELECT o_orderpriority,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
-                    AS DECIMAL(20,2)) AS total
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total
         FROM orders
         WHERE o_orderdate >= :start AND o_orderdate < :end
         GROUP BY ALL
@@ -233,8 +244,8 @@ def q_param_query(spark, sf_dir):
 
 SQL_PARAM_QUERY = """
 SELECT o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(20,2))
-         AS total
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS total
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -35,17 +35,22 @@ def q_timeseries_gapfill(spark, sf_dir):
     aggregate (a broadcast-able scalar, the same shape as tpch_q11's
     global total); LOCF is one window per type ordered by hour —
     shuffle on type, in-partition sort, no self-join.  Sums accumulate
-    in decimal, so bucket totals are engine-exact.
+    as exact integer cents with ONE double division at the end, so
+    bucket totals are engine-exact AND both engines emit float64 (a
+    DECIMAL output would hash as pandas ``Decimal`` on Spark vs
+    float64 on DuckDB — the r03 representation-divergence class).
     """
     ev = load_table(spark, sf_dir, "events")
     actual = (
         ev.select(
             "event_type",
             F.date_trunc("hour", F.col("ts")).alias("bucket"),
-            F.col("value").cast("decimal(20,2)").alias("dval"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
         )
         .groupBy("event_type", "bucket")
-        .agg(F.sum("dval").alias("hour_total"))
+        .agg(F.sum("cents").alias("hour_cents"))
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -70,8 +75,11 @@ def q_timeseries_gapfill(spark, sf_dir):
     filled = spine.join(actual, ["event_type", "bucket"], "left").select(
         "event_type",
         F.col("bucket").cast("timestamp_ntz").alias("bucket"),
-        F.col("hour_total").isNull().alias("is_gap"),
-        F.last("hour_total", ignorenulls=True).over(w).alias("filled_total"),
+        F.col("hour_cents").isNull().alias("is_gap"),
+        (
+            F.last("hour_cents", ignorenulls=True).over(w).cast("double")
+            / 100.0
+        ).alias("filled_total"),
     )
     return filled.orderBy("event_type", "bucket")
 
@@ -79,7 +87,7 @@ def q_timeseries_gapfill(spark, sf_dir):
 SQL_TIMESERIES_GAPFILL = """
 WITH actual AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-         SUM(CAST(value AS DECIMAL(20,2))) AS hour_total
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS hour_cents
   FROM events GROUP BY 1, 2),
 bounds AS (
   SELECT date_trunc('hour', MIN(ts)) AS lo,
@@ -92,11 +100,11 @@ spine AS (
        LATERAL unnest(generate_series(bounds.lo, bounds.hi,
                                       INTERVAL 1 HOUR)) AS s(bucket))
 SELECT s.event_type, s.bucket,
-       a.hour_total IS NULL AS is_gap,
-       last_value(a.hour_total IGNORE NULLS)
+       a.hour_cents IS NULL AS is_gap,
+       CAST(last_value(a.hour_cents IGNORE NULLS)
          OVER (PARTITION BY s.event_type ORDER BY s.bucket
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS filled_total
+         AS DOUBLE) / 100.0 AS filled_total
 FROM spine s
 LEFT JOIN actual a
   ON a.event_type = s.event_type AND a.bucket = s.bucket
@@ -294,20 +302,25 @@ def q_mv_incremental_refresh(spark, sf_dir):
     Scale plan: the production form persists `hist`; refresh cost is
     then O(|new partition|) + a |view|-row merge groupBy — at 100 TB
     the difference between reading one day and reading three years.
-    Sums accumulate in decimal so merged and recomputed totals are
-    bit-identical.
+    Sums accumulate as exact integer cents (associative, so
+    merge == recompute bit-for-bit) with ONE double division at the
+    end, so both engines emit identical float64 (a DECIMAL output
+    hashes as pandas ``Decimal`` on Spark vs float64 on DuckDB — the
+    r03 representation-divergence class).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.to_date("ts").alias("day"),
-        F.col("value").cast("decimal(20,2)").alias("dval"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
     )
     cutoff = F.lit(MV_CUTOFF).cast("date")
 
     def day_agg(df):
         return df.groupBy("event_type", "day").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("dval").alias("total"),
+            F.sum("cents").alias("cents"),
         )
 
     hist = day_agg(ev.where(F.col("day") < cutoff))  # the stored MV
@@ -317,7 +330,7 @@ def q_mv_incremental_refresh(spark, sf_dir):
         .groupBy("event_type", "day")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("total").cast("decimal(20,2)").alias("total"),
+            (F.sum("cents").cast("double") / 100.0).alias("total"),
         )
     )
     return merged.orderBy("event_type", "day")
@@ -325,7 +338,8 @@ def q_mv_incremental_refresh(spark, sf_dir):
 
 SQL_MV_INCREMENTAL_REFRESH = """
 SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS total
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
 FROM events
 GROUP BY event_type, CAST(ts AS DATE)
 ORDER BY event_type, day

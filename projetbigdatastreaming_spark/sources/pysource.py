@@ -63,6 +63,10 @@ class _SyntheticEventsReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", "4")))
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.n_rows <= 0:
+            # .option("rows", "0") is an empty relation, not a crash
+            # (per would be 0 and range() rejects a zero step)
+            return [_RangePartition(0, 0)]
         per = -(-self.n_rows // self.n_parts)  # ceil
         return [
             _RangePartition(lo, min(lo + per, self.n_rows))
@@ -96,9 +100,15 @@ class SyntheticEventsDataSource(DataSource):
 
 def parse_properties(text: str) -> list[tuple[str, str]]:
     """Minimal ``java.util.Properties`` parser: ``#``/``!`` comments,
-    ``=`` / ``:`` / whitespace separators, backslash line
-    continuation.  Pure function so the parse is unit-testable without
-    Spark."""
+    ``=`` / ``:`` / whitespace separators (the key ends at the first
+    unescaped one; an optional single ``=``/``:`` after the key is
+    consumed, so ``key value``, ``key = value``, ``key:value`` all
+    parse alike), backslash escapes in keys, and line continuation
+    (a line ending in an ODD number of backslashes — an even count is
+    escaped literal backslashes, not a continuation).  Values are
+    taken literally after whitespace-trim (no escape processing —
+    the "minimal" part).  Pure function so the parse is unit-testable
+    without Spark."""
     out: list[tuple[str, str]] = []
     pending = ""
     for raw in text.splitlines():
@@ -106,16 +116,29 @@ def parse_properties(text: str) -> list[tuple[str, str]]:
         pending = ""
         if not line or line[0] in "#!":
             continue
-        if line.endswith("\\"):
+        n_trailing = len(line) - len(line.rstrip("\\"))
+        if n_trailing % 2 == 1:
             pending = line[:-1]
             continue
-        for sep in ("=", ":"):
-            if sep in line:
-                k, _, v = line.partition(sep)
-                out.append((k.strip(), v.strip()))
+        key_chars: list[str] = []
+        i, n = 0, len(line)
+        while i < n:
+            c = line[i]
+            if c == "\\" and i + 1 < n:
+                key_chars.append(line[i + 1])
+                i += 2
+                continue
+            if c in "=:" or c.isspace():
                 break
-        else:
-            out.append((line, ""))
+            key_chars.append(c)
+            i += 1
+        while i < n and line[i].isspace():
+            i += 1
+        if i < n and line[i] in "=:":
+            i += 1
+            while i < n and line[i].isspace():
+                i += 1
+        out.append(("".join(key_chars), line[i:].strip()))
     if pending:
         out.append((pending.strip(), ""))
     return out

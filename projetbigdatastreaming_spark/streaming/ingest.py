@@ -64,11 +64,20 @@ def curation_ingest_writer(
         batch_df = batch_df.cache()
         try:
             gate(batch_df, batch_id)
-            # downstream stages see only gated rows — same predicate
-            # set the gate routed on (codegen, evaluated again on the
-            # cached batch rather than re-read from the good table)
+            # downstream stages see only gated rows — the gate's EXACT
+            # routing semantics (codegen, evaluated again on the
+            # cached batch rather than re-read from the good table).
+            # The gate flags a violation only when ~expr is TRUE, so a
+            # NULL-evaluating check PASSES ("value > 0" with NULL
+            # value routes to the good table); a bare WHERE would drop
+            # NULL and silently exclude those documents from the
+            # near-dup index and CMS — hence coalesce(expr, true)
             passed = batch_df.where(
-                F.expr(" AND ".join(f"({e})" for e in checks.values()))
+                F.expr(
+                    " AND ".join(
+                        f"coalesce(({e}), true)" for e in checks.values()
+                    )
+                )
                 if checks
                 else F.lit(True)
             )

@@ -60,28 +60,62 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
 
     Correctness: the CMS merge is associative, so pre-folding history
     commutes with the reader's fold — `read_cms` returns the identical
-    grid before and after (asserted in tests).  Replay interaction:
+    grid before and after (asserted in tests).
+
+    Safe while the stream runs: the set of batch partitions to fold
+    is SNAPSHOT up front; the fold reads only that set, the base grid
+    is written with dynamic partition overwrite (touching only
+    ``batch_id=-1``), and only the snapshot partitions are deleted —
+    a batch the live stream lands between the snapshot and the delete
+    is neither consumed nor removed, just left for the next
+    compaction.  (The previous implementation rewrote the WHOLE
+    directory with a static overwrite, silently deleting any
+    concurrently-written batch — the round-3 ADVICE finding.)
+
+    Replay interaction (unchanged, and the one remaining caveat):
     compaction consumes historical batch partitions, so only compact
     past the stream's redelivery horizon (e.g. the checkpoint's
     committed offset) — a replay of an ALREADY-COMPACTED batch_id
     would otherwise double-count into the base grid.
+
+    State lives on a local filesystem path (the repo's sink contract);
+    the partition delete uses local fs ops.
     """
+    import os
     import shutil
     import tempfile
 
-    folded = read_cms(spark, state_dir).withColumn(
-        "batch_id", F.lit(-1)
+    # snapshot the partitions to fold (directory listing, not a scan:
+    # batch_id is the partition column)
+    ids = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(state_dir)
+        if name.startswith("batch_id=")
     )
-    # stage to a temp dir first: the fold READS state_dir, so writing
-    # over it in-place would consume inputs mid-scan
+    if not ids:
+        return 0
+    folded = (
+        spark.read.parquet(state_dir)
+        .where(F.col("batch_id").isin(ids))
+        .groupBy("d", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(-1))
+    )
+    # stage to a temp dir first: the fold READS the state_dir base
+    # grid, so overwriting batch_id=-1 in-place would consume an
+    # input mid-scan
     tmp = tempfile.mkdtemp(prefix="cms_compact_")
     try:
         folded.coalesce(1).write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
         n = staged.count()
-        staged.coalesce(1).write.mode("overwrite").partitionBy(
-            "batch_id"
-        ).parquet(state_dir)
+        overwrite_partitions(staged, state_dir, ["batch_id"])
+        for bid in ids:
+            if bid != -1:
+                shutil.rmtree(
+                    os.path.join(state_dir, f"batch_id={bid}"),
+                    ignore_errors=True,
+                )
         return n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

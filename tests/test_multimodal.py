@@ -341,6 +341,16 @@ def test_jpeg_roundtrip_quality_and_garbage():
     sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     assert jpeg.jpeg_decode_pixels(sof2 + b"\xff\xd9") is None
 
+    # SOS naming a component id absent from SOF (valid per T.81, out
+    # of our baseline profile): must reject cleanly, never raise — a
+    # StopIteration here used to escape the decoder's except clause
+    # and fail the whole mapInPandas task (round-3 ADVICE finding)
+    payload = bytearray(jpeg.jpeg_encode(px, quality=90))
+    sos = payload.find(b"\xff\xda")
+    assert sos > 0
+    payload[sos + 5] = 99  # first scan-component id -> unknown
+    assert jpeg.jpeg_decode_pixels(bytes(payload)) is None
+
 
 def test_jpeg_decode_is_deterministic_and_resize():
     from projetbigdatastreaming_spark.operators import jpeg

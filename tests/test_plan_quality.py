@@ -201,6 +201,11 @@ _BNLJ_ALLOWED = {
     # constant-size (5 query vectors) broadcast cross join
     "emb_matryoshka_recall",
     "emb_near_dup_lsh",
+    # corpus_zipf_fit crosses the 1-row vocab-size aggregate against
+    # the 1-row regression fit, and ranks the bounded ZIPF_HEAD head
+    # via a broadcast freq-histogram self-join — 1x1 / ≤|head|x|head|
+    # BNLJs over KB relations
+    "corpus_zipf_fit",
 }
 
 
@@ -260,12 +265,11 @@ def test_tfidf_reuses_persisted_tf(spark, sf_dir):
     )
 
 
-#: queries where an UNPARTITIONED window is the intended plan: the
-#: window runs over an already-aggregated relation bounded by a small
-#: domain (corpus vocabulary), never over the corpus itself
-_GLOBAL_WINDOW_ALLOWED = {
-    "corpus_zipf_fit",  # rank over vocab (|V| rows, not corpus rows)
-}
+#: queries where an UNPARTITIONED window is the intended plan (none
+#: today — corpus_zipf_fit's global vocab row_number was the last one,
+#: de-choked in round 4 to a TakeOrderedAndProject head + cumulative-
+#: count rank; the audit now enforces its absence registry-wide)
+_GLOBAL_WINDOW_ALLOWED: set[str] = set()
 
 
 def test_registry_wide_scale_audit(spark, sf_dir):

@@ -31,6 +31,35 @@ b,c
     ]
 
 
+def test_properties_parser_whitespace_and_escapes():
+    # java.util.Properties semantics the round-3 ADVICE flagged:
+    # whitespace is a separator; an even trailing-backslash count is
+    # literal, not a continuation; escaped separators stay in the key
+    assert parse_properties("key value") == [("key", "value")]
+    assert parse_properties("key =  value") == [("key", "value")]
+    assert parse_properties("key\tvalue = x") == [("key", "value = x")]
+    assert parse_properties("a\\=b=c") == [("a=b", "c")]
+    assert parse_properties("a\\ b : c") == [("a b", "c")]
+    # two trailing backslashes = escaped literal backslash, no join
+    assert parse_properties("k=v\\\\\nnext=1") == [
+        ("k", "v\\\\"),
+        ("next", "1"),
+    ]
+    # odd = continuation
+    assert parse_properties("k=v,\\\n  w") == [("k", "v,w")]
+
+
+def test_synthetic_events_zero_rows(spark):
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "0")
+        .load()
+    )
+    assert df.count() == 0
+    assert df.columns == ["event_id", "user_id", "event_type", "value_c"]
+
+
 def test_synthetic_events_partition_parallel(spark):
     """The source must produce the SAME relation for any partition
     count (membership is a pure function of row id), and the declared

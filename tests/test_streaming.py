@@ -537,6 +537,26 @@ def test_curation_ingest_chain_end_to_end(spark, tmp_path):
         (r.d, r.b): r.cnt for r in read_cms(spark, d("cms")).collect()
     } == want
 
+    # NULL-evaluating check ("length(text) > 10" with NULL text) PASSES
+    # the gate (violation fires only when ~expr is TRUE), so the row
+    # routes to good AND must reach the downstream CMS too — a bare
+    # WHERE on the checks dropped NULL rows from the near-dup index and
+    # CMS while the good corpus kept them (round-3 ADVICE finding)
+    b2 = spark.createDataFrame([(6, None, "web")], schema)
+    write(b2, 2)
+    assert {r.doc_id for r in spark.read.parquet(d("good")).collect()} == {
+        1, 2, 4, 6,
+    }
+    expect2 = spark.createDataFrame(
+        [("web",), ("web",), ("books",), ("web",)], "source string"
+    )
+    want2 = {
+        (r.d, r.b): r.cnt for r in cms_cells(expect2, "source").collect()
+    }
+    assert {
+        (r.d, r.b): r.cnt for r in read_cms(spark, d("cms")).collect()
+    } == want2
+
 
 def test_interval_join_streams_left_outer_emits_after_watermark(
     spark, tmp_path

@@ -91,3 +91,51 @@ def test_cms_compaction_preserves_grid(spark, tmp_path):
     write(spark.createDataFrame([("u0",)], "user_id string"), 10)
     after = _grid(read_cms(spark, state))
     assert sum(after.values()) == sum(before.values()) + 4  # 4 depths
+    # re-compaction folds base + later batches and stays read-equal
+    compact_cms(spark, state)
+    assert _grid(read_cms(spark, state)) == after
+
+
+def test_cms_compaction_leaves_unsnapshot_batches(spark, tmp_path):
+    """A batch partition the live stream writes while compaction runs
+    must survive: compact_cms deletes ONLY the partitions it
+    snapshot-folded, never the whole directory (round-3 ADVICE: the
+    old static full-directory overwrite silently dropped concurrent
+    batches)."""
+    import os
+    from unittest import mock
+
+    from projetbigdatastreaming_spark.streaming import sketches as sk
+
+    state = str(tmp_path / "cms_state4")
+    write = cms_batch_writer(state, "user_id")
+    write(spark.createDataFrame([("a",), ("b",)], "user_id string"), 0)
+    write(spark.createDataFrame([("b",), ("c",)], "user_id string"), 1)
+
+    # inject a concurrent batch AFTER the partition snapshot: patch
+    # os.listdir to take the snapshot, then land batch 7 before the
+    # fold/delete runs
+    real_listdir = os.listdir
+    landed = []
+
+    def snoop(path):
+        names = real_listdir(path)
+        if str(path) == state and not landed:
+            landed.append(True)
+            write(
+                spark.createDataFrame([("z",)], "user_id string"), 7
+            )
+        return names
+
+    with mock.patch("os.listdir", side_effect=snoop):
+        sk.compact_cms(spark, state)
+
+    # batch 7 survived compaction and is part of the read fold
+    assert "batch_id=7" in real_listdir(state)
+    expect = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",), ("z",)], "user_id string"
+    )
+    from projetbigdatastreaming_spark.operators.sketches import cms_cells
+
+    want = _grid(cms_cells(expect, "user_id"))
+    assert _grid(read_cms(spark, state)) == want

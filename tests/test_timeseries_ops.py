@@ -46,12 +46,21 @@ def test_gapfill_locf_carries_last_observation(spark, sf_dir):
 
 def test_gapfill_non_gap_totals_match_groupby(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # the query sums exact integer cents and divides once (float64
+    # output on both engines); mirror that here — float(cents)/100.0
+    # is the identical correctly-rounded double
     expected = {
-        (r.event_type, r.bucket): r.t
+        (r.event_type, r.bucket): r.t / 100.0
         for r in ev.groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("bucket")
         )
-        .agg(F.sum(F.col("value").cast("decimal(20,2)")).alias("t"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("double")
+            .alias("t")
+        )
         .collect()
     }
     for r in _run(spark, sf_dir, "timeseries_gapfill").collect():

@@ -2,9 +2,21 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB at sf0.01 (or --sf-dir), compares
-row count, column names, and an order-insensitive value hash
-(columns sorted by name, rows sorted, values normalized), and prints
-a per-query PASS/FAIL table.
+row count, column names, an order-insensitive value hash
+(columns sorted by name, rows sorted, values normalized), AND the
+pandas dtype *class* of every column (``toPandas()`` vs ``.df()``),
+and prints a per-query PASS/FAIL table.
+
+The dtype-class check exists because the driver's hash is
+representation-sensitive through a pandas conversion: nine r03
+queries had bit-identical values but hashed red because DuckDB's
+HUGEINT sums land as float64 ("3.0") where Spark emits int64 ("3"),
+and DECIMAL outputs land as pandas ``Decimal`` on Spark vs float64
+on DuckDB.  Classes proven EQUIVALENT by driver-green rows (and so
+merged here): any int width; any datetime64 unit; datetime64 vs
+``datetime.date`` objects (ewma_smooth's DATE day was green in r03).
+Classes proven DIVERGENT (kept distinct): int vs float, Decimal vs
+float.  Local PASS must imply driver PASS.
 
 Usage: python tools/check_oracle.py [--sf-dir DIR] [--only q1,q2] [-v]
 """
@@ -49,6 +61,57 @@ def _norm_value(v):
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def _col_class(dtype, series) -> str | None:
+    """Collapse a pandas column to the representation class the
+    driver's hash distinguishes.  None = all-null (no signal)."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    kind = getattr(dtype, "kind", "O")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    if kind == "m":
+        return "timedelta"
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return "datetime"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        if isinstance(v, dict):
+            return "map"
+        return "other"
+    return None
+
+
+def _frame_classes(df) -> dict[str, str | None]:
+    return {
+        c: _col_class(df.dtypes.iloc[i], df.iloc[:, i])
+        for i, c in enumerate(df.columns)
+    }
 
 
 def _hash_rows(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
@@ -122,6 +185,26 @@ def main() -> int:
                         if a != b:
                             print(f"  spark: {a}\n  duck : {b}")
                             break
+        if not problems:
+            # pandas-dtype parity: the representation path the driver
+            # hashes through (see module docstring)
+            try:
+                sclasses = _frame_classes(sdf.toPandas())
+                oclasses = _frame_classes(con.execute(oracles[name]).df())
+            except Exception:
+                print(f"FAIL {name}: dtype-parity conversion error")
+                traceback.print_exc()
+                n_fail += 1
+                continue
+            diverged = {
+                c: (sclasses[c], oclasses.get(c))
+                for c in sclasses
+                if sclasses[c] is not None
+                and oclasses.get(c) is not None
+                and sclasses[c] != oclasses[c]
+            }
+            if diverged:
+                problems.append(f"dtype-class {diverged}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
