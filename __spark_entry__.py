@@ -18,6 +18,7 @@ from projetbigdatastreaming_spark.plans import (
     graph,
     kpi,
     llmdata,
+    media,
     pysource_queries,
     quality,
     relational,
@@ -67,8 +68,10 @@ QUERY_ORDER = (
     "window_rank_functions", "profile_table", "dedup_survivorship",
     "tpch_q18", "bitwise_functions", "user_features",
     "profile_frequent_values", "time_gap_stats",
-    # 3) new in round 4 — first driver verdict
-    # (round-4 additions are inserted here as they land)
+    # 3) new in round 4 — first driver verdict (the codec family's
+    #    first driver-visible correctness signal: real decodes over
+    #    the committed media fixture)
+    "image_stats", "audio_stats", "video_stats", "media_manifest",
     # 4) last driver-checked in round 1 — refresh the oldest §2-core
     #    signal (slots to the 50-cap)
     "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
@@ -133,6 +136,7 @@ def _registry() -> dict[str, QuerySpec]:
         subqueries.REGISTRY,
         tpch.REGISTRY,
         graph.REGISTRY,
+        media.REGISTRY,
         quality.REGISTRY,
         timeseries.REGISTRY,
         sketches.REGISTRY,

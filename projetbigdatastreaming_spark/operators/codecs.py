@@ -496,3 +496,145 @@ def y4m_motion(payload: bytes, every_nth: int = 1) -> dict[str, Any]:
         }
     except (ValueError, IndexError):
         return {"n_frames": None, "motion_q8": None, "max_motion_q8": None}
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF metadata (box parsing — no sample decode)
+# ---------------------------------------------------------------------------
+#
+# A full H.264/AAC decoder is out of scope for the stdlib, but the MP4
+# CONTAINER metadata a curation pipeline filters on (duration, track
+# count, per-track dimensions, brand) lives in the plain
+# ISO 14496-12 box structure: [u32 size][4cc type][payload], boxes
+# nest.  Parsing that is exact and library-free, and it retires the
+# "MP4 = declared stub" boundary: metadata extraction is REAL; only
+# sample decoding remains injectable.
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in buf[start:end]."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < (body - pos) or pos + size > end:
+            return  # malformed length: stop cleanly
+        yield btype, body, pos + size
+        pos += size
+
+
+def mp4_metadata(payload: bytes) -> dict[str, Any]:
+    """Real MP4/ISO-BMFF container metadata: major brand (ftyp),
+    movie duration in ms (moov/mvhd, version 0 and 1), track count
+    (moov/trak), and the first video track's pixel dimensions
+    (trak/tkhd, 16.16 fixed point).  Non-MP4 or corrupt payloads
+    yield all-null (the garbage-tolerant codec contract shared by
+    every decoder in this module).
+    """
+    null = {
+        "major_brand": None,
+        "duration_ms": None,
+        "n_tracks": None,
+        "width": None,
+        "height": None,
+    }
+    if not payload or len(payload) < 16:
+        return null
+    try:
+        brand = None
+        duration_ms = None
+        n_tracks = 0
+        width = height = None
+        saw_moov = False
+        for btype, b0, b1 in _iter_boxes(payload, 0, len(payload)):
+            if btype == b"ftyp" and b1 - b0 >= 4:
+                brand = payload[b0 : b0 + 4].decode("ascii", "replace")
+            elif btype == b"moov":
+                saw_moov = True
+                for ityp, i0, i1 in _iter_boxes(payload, b0, b1):
+                    if ityp == b"mvhd":
+                        ver = payload[i0]
+                        if ver == 1:
+                            ts = int.from_bytes(
+                                payload[i0 + 20 : i0 + 24], "big"
+                            )
+                            dur = int.from_bytes(
+                                payload[i0 + 24 : i0 + 32], "big"
+                            )
+                        else:
+                            ts = int.from_bytes(
+                                payload[i0 + 12 : i0 + 16], "big"
+                            )
+                            dur = int.from_bytes(
+                                payload[i0 + 16 : i0 + 20], "big"
+                            )
+                        if ts:
+                            duration_ms = dur * 1000 // ts
+                    elif ityp == b"trak":
+                        n_tracks += 1
+                        for ttyp, t0, t1 in _iter_boxes(payload, i0, i1):
+                            if ttyp != b"tkhd":
+                                continue
+                            # width/height: last 8 bytes, 16.16 fixed
+                            w = (
+                                int.from_bytes(
+                                    payload[t1 - 8 : t1 - 4], "big"
+                                )
+                                >> 16
+                            )
+                            h = (
+                                int.from_bytes(payload[t1 - 4 : t1], "big")
+                                >> 16
+                            )
+                            if w and h and width is None:
+                                width, height = w, h
+        if brand is None and not saw_moov:
+            return null
+        return {
+            "major_brand": brand,
+            "duration_ms": duration_ms,
+            "n_tracks": n_tracks if saw_moov else None,
+            "width": width,
+            "height": height,
+        }
+    except (ValueError, IndexError):
+        return null
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def mp4_encode_minimal(
+    duration_ms: int,
+    timescale: int = 1000,
+    tracks: tuple[tuple[int, int], ...] = ((640, 480),),
+    brand: bytes = b"isom",
+) -> bytes:
+    """Build a minimal-but-valid ISO-BMFF skeleton (ftyp + moov with
+    mvhd and one tkhd per track + empty mdat) — the encoder twin that
+    lets `mp4_metadata` be golden-file round-trip tested without any
+    media library.  Carries no samples: container structure only.
+    """
+    dur = duration_ms * timescale // 1000
+    mvhd = bytes(12) + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+    mvhd += bytes(80)  # rate/volume/matrix/predefined/next_track_id
+    traks = b""
+    for w, h in tracks:
+        tkhd = bytes(76) + (w << 16).to_bytes(4, "big") + (
+            h << 16
+        ).to_bytes(4, "big")
+        traks += _box(b"trak", _box(b"tkhd", tkhd))
+    return (
+        _box(b"ftyp", brand + bytes(4) + brand)
+        + _box(b"moov", _box(b"mvhd", mvhd) + traks)
+        + _box(b"mdat", b"")
+    )

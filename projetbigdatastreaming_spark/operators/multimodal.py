@@ -6,11 +6,14 @@ The Spark-side architecture is real and tested: schemas, batch
 iteration, partition-preserving transforms.  Codecs are injectable
 functions; `operators/codecs.py` supplies REAL implementations for the
 formats decodable without external libraries (WAV/PCM audio via stdlib
-``wave``, uncompressed 24-bit BMP decode/resize/encode in numpy), each
-golden-file tested.  Compressed formats (JPEG/MP3/MP4) depend on
-libraries NOT in this container, so their default codecs are
-clearly-marked deterministic fakes (keeping the pipeline end-to-end
-testable) and `strict=True` switches them to NotImplementedError.
+``wave``, uncompressed 24-bit BMP and zlib PNG decode/resize/encode in
+numpy, Y4M frame walking/motion, MP4/ISO-BMFF container metadata via
+box parsing) and `operators/jpeg.py` a from-scratch baseline JPEG —
+each golden-file tested.  The ONE remaining declared stub is MP3
+sample decoding (a polyphase-filterbank decompressor is genuinely out
+of stdlib scope); its default codec is a clearly-marked deterministic
+fake (keeping the pipeline end-to-end testable) and `strict=True`
+switches the boundary to NotImplementedError.
 
 At 100 TB the shape matters more than the codec: binary payloads never
 pass through Python row-at-a-time (Arrow batches only), metadata
@@ -33,6 +36,36 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def records_to_frame(records: list[dict], lead: dict):
+    """Precision-safe pandas frame from per-payload codec records.
+
+    ``pd.DataFrame([list of dicts])`` promotes an int column containing
+    any None to float64 AT CONSTRUCTION — silently rounding values
+    above 2^53 (a 60-bit feature_hash came back off by tens of units
+    once a garbage payload put a null in the batch).  Build columns
+    explicitly instead: integer columns (with or without nulls) use
+    pandas' nullable Int64 extension dtype, which Arrow converts
+    losslessly; everything else stays object/inferred.  ``lead`` holds
+    pass-through columns (e.g. media_id) prepended as-is.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = list(records[0].keys()) if records else []
+    out = dict(lead)
+    for k in keys:
+        vals = [r.get(k) for r in records]
+        non_null = [v for v in vals if v is not None]
+        if non_null and all(
+            isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+            for v in non_null
+        ):
+            out[k] = pd.array(vals, dtype="Int64")
+        else:
+            out[k] = pd.Series(vals, dtype=object)
+    return pd.DataFrame(out)
+
 
 MEDIA_SCHEMA = StructType(
     [
@@ -90,16 +123,10 @@ def decode_images(
     decode = decoder or _fake_image_decode
 
     def _batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in it:
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    **pd.DataFrame(
-                        [decode(p) for p in pdf["payload"]]
-                    ).to_dict("series"),
-                }
+            out = records_to_frame(
+                [decode(p) for p in pdf["payload"]],
+                {"media_id": pdf["media_id"]},
             )
             yield out[["media_id", "width", "height", "feature_hash"]]
 
@@ -206,12 +233,11 @@ def extract_audio_features(
     extract = extractor or _fake
 
     def _batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in it:
-            feats = pd.DataFrame([extract(p) for p in pdf["payload"]])
-            feats.insert(0, "media_id", pdf["media_id"].values)
-            yield feats
+            yield records_to_frame(
+                [extract(p) for p in pdf["payload"]],
+                {"media_id": pdf["media_id"]},
+            )
 
     return media.where("kind = 'audio'").mapInPandas(
         _batches, schema or AUDIO_FEATURES_SCHEMA

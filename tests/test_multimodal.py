@@ -454,3 +454,92 @@ def test_y4m_motion_static_vs_moving():
     assert 0 < moving["motion_q8"] < moving["max_motion_q8"] + 1
 
     assert codecs.y4m_motion(b"not video")["n_frames"] is None
+
+
+def test_mp4_metadata_roundtrip_and_variants():
+    """The box parser reads back exactly what the minimal builder
+    wrote: brand, duration (both mvhd versions' timescale math),
+    track count, first video track dimensions."""
+    p = codecs.mp4_encode_minimal(
+        7250, timescale=600, tracks=((1920, 1080), (0, 0)), brand=b"mp42"
+    )
+    assert codecs.mp4_metadata(p) == {
+        "major_brand": "mp42",
+        "duration_ms": 7250,
+        "n_tracks": 2,
+        "width": 1920,
+        "height": 1080,
+    }
+    # audio-only: no track carries dimensions
+    a = codecs.mp4_encode_minimal(1000, tracks=((0, 0),))
+    m = codecs.mp4_metadata(a)
+    assert m["n_tracks"] == 1 and m["width"] is None
+    # rejection: garbage, empty, truncated mid-moov
+    assert codecs.mp4_metadata(b"RIFF not an mp4")["n_tracks"] is None
+    assert codecs.mp4_metadata(None)["major_brand"] is None
+    trunc = codecs.mp4_metadata(p[: len(p) // 2])
+    assert set(trunc) == {
+        "major_brand", "duration_ms", "n_tracks", "width", "height",
+    }
+
+
+def test_mp4_metadata_through_spark_pipeline(spark):
+    """The container-metadata extractor runs inside the Arrow batch
+    loop like every other codec (kind='video' rows, custom schema)."""
+    p1 = codecs.mp4_encode_minimal(3000, tracks=((640, 360),))
+    p2 = codecs.mp4_encode_minimal(60000, tracks=((0, 0), (1280, 720)))
+    media = spark.createDataFrame(
+        [
+            (1, "video", "video/mp4", bytearray(p1), len(p1)),
+            (2, "video", "video/mp4", bytearray(p2), len(p2)),
+            (3, "video", "video/mp4", bytearray(b"junk"), 4),
+            (4, "image", "image/bmp", bytearray(b"skip"), 4),
+        ],
+        "media_id long, kind string, mime string, payload binary, n_bytes long",
+    )
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            feats = pd.DataFrame(
+                [codecs.mp4_metadata(bytes(p)) for p in pdf["payload"]]
+            )
+            feats.insert(0, "media_id", pdf["media_id"].values)
+            yield feats
+
+    out = {
+        r.media_id: r
+        for r in media.where("kind = 'video'")
+        .mapInPandas(
+            _batches,
+            "media_id long, major_brand string, duration_ms long, "
+            "n_tracks int, width int, height int",
+        )
+        .collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].duration_ms == 3000 and out[1].width == 640
+    assert out[2].n_tracks == 2 and out[2].height == 720
+    assert out[3].major_brand is None
+
+
+def test_records_to_frame_preserves_large_ints_with_nulls():
+    """Regression: pd.DataFrame([dicts]) promotes int-with-None columns
+    to float64 at construction, rounding 60-bit hashes (observed: a
+    feature_hash off by 62 units once a garbage payload nulled one row
+    of the batch).  records_to_frame must keep them exact."""
+    import pandas as pd
+
+    big = (1 << 60) - 7  # not representable in float64
+    frame = mm.records_to_frame(
+        [
+            {"feature_hash": big, "name": "a"},
+            {"feature_hash": None, "name": None},
+        ],
+        {"media_id": pd.Series([1, 2])},
+    )
+    assert frame["feature_hash"].iloc[0] == big
+    assert frame["feature_hash"].isna().iloc[1]
+    assert frame["name"].iloc[0] == "a" and frame["name"].iloc[1] is None
+    assert list(frame.columns) == ["media_id", "feature_hash", "name"]

@@ -385,3 +385,17 @@ def test_jpeg_decoder_never_crashes_on_garbage(payload):
     for p in (payload, b"\xff\xd8" + payload):
         d = jpeg.jpeg_decode(p)
         assert set(d) == {"width", "height", "feature_hash"}
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_mp4_metadata_never_crashes_on_garbage(payload):
+    """Same crawl-garbage contract for the ISO-BMFF box parser —
+    including bytes that open with a plausible ftyp box header."""
+    from projetbigdatastreaming_spark.operators.codecs import mp4_metadata
+
+    for p in (payload, b"\x00\x00\x00\x14ftyp" + payload):
+        d = mp4_metadata(p)
+        assert set(d) == {
+            "major_brand", "duration_ms", "n_tracks", "width", "height",
+        }
