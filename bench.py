@@ -4,6 +4,15 @@ ONE JSON line: {"metric", "value", "unit": "sec", "queries", "sf"}.
 
 Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side collect bottleneck).
+
+Second scale point: at sf0.1 every headline query sits in Spark's
+job-scheduling noise floor (0.2-0.7 s), where a +6% wobble and a real
+regression look alike and algorithmic blowups hide behind constants.
+So after the primary sweep, a 10× scaled copy of the fixture is built
+once (tools/gen_scale.py, cached in .bench_sf1/) and the heavy subset
+re-timed there — reported under the extra keys ``sf2`` /
+``queries_sf2`` / ``value_sf2`` (the primary contract keys are
+unchanged).  Disable with SPARK_GRAFT_SF2=0.
 """
 
 from __future__ import annotations
@@ -20,6 +29,27 @@ from projetbigdatastreaming_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF2_FACTOR = int(os.environ.get("SPARK_GRAFT_SF2", "10"))
+SF2_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"
+)
+
+#: heavy-shape subset re-timed at the scaled fixture (kept small so a
+#: driver bench round stays minutes, not tens of minutes)
+SF2_QUERIES = (
+    "kpi_quarter_hour",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q9",
+    "tpch_q21",
+    "star_join",
+    "sessionize",
+    "dedup_minhash_pairs",
+    "emb_cosine_topk",
+    "line_dedup",
+    "curation_pipeline",
+    "heavy_hitters_cms",
+)
 
 
 def _sf_from_dir(d: str) -> float:
@@ -31,7 +61,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_session(
-        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        # local mode runs everything in ONE JVM whose default heap is
+        # 1g — fine at sf0.1, fatal at the 10x scale point (the JVM
+        # OOM-dies mid-query).  Must be set before the JVM launches,
+        # hence here and not post-hoc.  The container has 128 GiB;
+        # 48g heap leaves ample room for the 32 Python workers.
+        extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -53,17 +91,43 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+    if SF2_FACTOR > 1:
+        try:
+            from tools.gen_scale import ensure_scaled
+
+            t0 = time.perf_counter()
+            ensure_scaled(spark, SF_DIR, SF2_DIR, SF2_FACTOR)
+            build_sec = round(time.perf_counter() - t0, 1)
+            t2: dict[str, float] = {}
+            for name in SF2_QUERIES:
+                fn = all_queries[name]
+                fn(spark, SF2_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    q0 = time.perf_counter()
+                    fn(spark, SF2_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - q0)
+                t2[name] = round(best, 4)
+            out["sf2"] = round(_sf_from_dir(SF_DIR) * SF2_FACTOR, 4)
+            out["queries_sf2"] = t2
+            out["value_sf2"] = round(sum(t2.values()), 4)
+            out["sf2_build_sec"] = build_sec
+        except Exception as exc:  # never break the primary contract
+            out["sf2_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    print(json.dumps(out))
     spark.stop()
 
 

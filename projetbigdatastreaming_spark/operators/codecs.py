@@ -609,6 +609,152 @@ def mp4_metadata(payload: bytes) -> dict[str, Any]:
         return null
 
 
+# ---------------------------------------------------------------------------
+# MP3 / MPEG audio frame-header metadata (no sample decode)
+# ---------------------------------------------------------------------------
+#
+# Decompressing MP3 samples (polyphase filterbank + huffman) stays the
+# module's one declared stub, but the metadata a curation pipeline
+# screens on — duration, bitrate profile, sample rate, CBR/VBR — is
+# fully determined by the frame HEADERS (ISO 11172-3): 4 bytes each,
+# sync 0xFFE, with bitrate/samplerate/padding indices that give every
+# frame's byte length and sample count exactly.
+
+_MP3_BITRATES_V1 = {
+    1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+        416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+        384),
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+        320),
+}
+_MP3_BITRATES_V2 = {
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224,
+        256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}  # version bits -> rates
+
+
+def _mp3_frame(payload: bytes, pos: int):
+    """Parse one frame header at pos; return (frame_len, samples,
+    sample_rate, bitrate_kbps) or None."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, _ = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = 4 - ((b1 >> 1) & 3)  # 1..3; bits 00 reserved -> layer 4
+    if version == 1 or layer == 4:
+        return None
+    br_idx = (b2 >> 4) & 15
+    sr_idx = (b2 >> 2) & 3
+    padding = (b2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / invalid
+    table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+    bitrate = table[layer][br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    if layer == 1:
+        samples = 384
+        flen = (12 * bitrate // rate + padding) * 4
+    elif layer == 2:
+        samples = 1152
+        flen = 144 * bitrate // rate + padding
+    else:  # layer III
+        samples = 1152 if version == 3 else 576
+        coeff = 144 if version == 3 else 72
+        flen = coeff * bitrate // rate + padding
+    if flen < 4:
+        return None
+    return flen, samples, rate, bitrate // 1000
+
+
+def mp3_metadata(payload: bytes) -> dict[str, Any]:
+    """Real MPEG-audio container metadata from the frame-header walk:
+    exact duration (sum of per-frame samples / rate), frame count,
+    sample rate, mean bitrate, and CBR/VBR flag.  Skips a leading
+    ID3v2 tag; resyncs are NOT attempted (a broken stream truncates
+    the walk — metadata reflects the valid prefix).  Non-MPEG or
+    corrupt payloads yield nulls (the garbage-tolerant contract)."""
+    null = {
+        "duration_ms": None,
+        "n_frames": None,
+        "sample_rate_hz": None,
+        "bitrate_kbps": None,
+        "is_vbr": None,
+    }
+    if not payload or len(payload) < 4:
+        return null
+    try:
+        pos = 0
+        if payload[:3] == b"ID3" and len(payload) >= 10:
+            size = 0
+            for b in payload[6:10]:  # syncsafe 28-bit
+                size = (size << 7) | (b & 0x7F)
+            pos = 10 + size
+        n_frames = 0
+        total_samples = 0.0
+        rate = None
+        bitrates = set()
+        bitrate_sum = 0
+        while True:
+            fr = _mp3_frame(payload, pos)
+            if fr is None:
+                break
+            flen, samples, r, kbps = fr
+            if rate is None:
+                rate = r
+            elif r != rate:
+                break  # rate change: treat as end of valid stream
+            n_frames += 1
+            total_samples += samples
+            bitrates.add(kbps)
+            bitrate_sum += kbps
+            pos += flen
+        if n_frames == 0 or rate is None:
+            return null
+        return {
+            "duration_ms": int(total_samples * 1000 // rate),
+            "n_frames": n_frames,
+            "sample_rate_hz": rate,
+            "bitrate_kbps": bitrate_sum // n_frames,
+            "is_vbr": len(bitrates) > 1,
+        }
+    except (ValueError, IndexError):
+        return null
+
+
+def mp3_encode_minimal(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    vbr_alternate_kbps: int | None = None,
+) -> bytes:
+    """Build a silent MPEG1 Layer III frame sequence (valid headers,
+    zeroed payloads) — the encoder twin for round-trip testing the
+    header walk without any audio library."""
+    rates = _MP3_RATES[3]
+    sr_idx = rates.index(sample_rate)
+    out = bytearray()
+    for i in range(n_frames):
+        kbps = (
+            vbr_alternate_kbps
+            if vbr_alternate_kbps and i % 2
+            else bitrate_kbps
+        )
+        br_idx = _MP3_BITRATES_V1[3].index(kbps)
+        hdr = bytes(
+            [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
+        )
+        flen = 144 * kbps * 1000 // sample_rate
+        out += hdr + bytes(flen - 4)
+    return bytes(out)
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
     return (8 + len(body)).to_bytes(4, "big") + btype + body
 

@@ -47,6 +47,21 @@ IMAGE_STATS_SCHEMA = (
     "media_id long, width int, height int, feature_hash long"
 )
 AUDIO_STATS_SCHEMA = "media_id long, duration_ms int, rms_q8 int"
+
+
+def _audio_decode(mime: str, payload: bytes) -> dict:
+    """WAV decodes fully (duration + RMS of the PCM samples); MPEG
+    audio gets its exact header-walk duration with rms_q8 NULL (sample
+    decompression is the module's one declared stub — the metadata is
+    still real and exact)."""
+    from ..operators.codecs import mp3_metadata, wav_features
+
+    if payload is None:
+        return {"duration_ms": None, "rms_q8": None}
+    if mime == "audio/mpeg":
+        m = mp3_metadata(bytes(payload))
+        return {"duration_ms": m["duration_ms"], "rms_q8": None}
+    return wav_features(bytes(payload))
 VIDEO_STATS_SCHEMA = (
     "media_id long, n_frames int, motion_q8 int, duration_ms long, "
     "n_tracks int"
@@ -117,9 +132,8 @@ def q_image_stats(spark, sf_dir):
 
 
 def q_audio_stats(spark, sf_dir):
-    """Real WAV decode (stdlib wave + numpy RMS) over the audio rows."""
-    from ..operators.codecs import wav_features
-
+    """Real audio metadata over the audio rows: stdlib-wave decode +
+    numpy RMS for WAV, MPEG frame-header-walk duration for MP3."""
     media = spark.read.parquet(FIXTURE).where("kind = 'audio'")
 
     def _batches(it: Iterator) -> Iterator:
@@ -128,14 +142,14 @@ def q_audio_stats(spark, sf_dir):
         for pdf in it:
             yield records_to_frame(
                 [
-                    wav_features(bytes(p) if p is not None else None)
-                    for p in pdf["payload"]
+                    _audio_decode(m, p)
+                    for m, p in zip(pdf["mime"], pdf["payload"])
                 ],
                 {"media_id": pdf["media_id"]},
             )
 
     return (
-        media.select("media_id", "payload")
+        media.select("media_id", "mime", "payload")
         .mapInPandas(_batches, AUDIO_STATS_SCHEMA)
         .orderBy("media_id")
     )
@@ -244,10 +258,8 @@ def _oracle_image_stats() -> str:
 
 
 def _oracle_audio_stats() -> str:
-    from ..operators.codecs import wav_features
-
     rows = [
-        {"media_id": mid, **wav_features(payload)}
+        {"media_id": mid, **_audio_decode(mime, payload)}
         for mid, kind, mime, payload in _fixture_rows()
         if kind == "audio"
     ]

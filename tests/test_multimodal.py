@@ -543,3 +543,29 @@ def test_records_to_frame_preserves_large_ints_with_nulls():
     assert frame["feature_hash"].isna().iloc[1]
     assert frame["name"].iloc[0] == "a" and frame["name"].iloc[1] is None
     assert list(frame.columns) == ["media_id", "feature_hash", "name"]
+
+
+def test_mp3_metadata_header_walk():
+    """Frame-header walk: exact duration/frame-count/bitrate for CBR,
+    VBR detection, ID3v2 skip, garbage rejection."""
+    p = codecs.mp3_encode_minimal(38, 128, 44100)
+    m = codecs.mp3_metadata(p)
+    assert m == {
+        "duration_ms": 992,  # 38*1152/44100 s
+        "n_frames": 38,
+        "sample_rate_hz": 44100,
+        "bitrate_kbps": 128,
+        "is_vbr": False,
+    }
+    v = codecs.mp3_metadata(
+        codecs.mp3_encode_minimal(10, 128, 44100, vbr_alternate_kbps=192)
+    )
+    assert v["is_vbr"] is True and 128 < v["bitrate_kbps"] < 192
+    # ID3v2 tag skipped (syncsafe size), stream behind it still parsed
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    tagged = codecs.mp3_metadata(id3[:10] + bytes(10) + p)
+    assert tagged["n_frames"] == 38
+    assert codecs.mp3_metadata(b"RIFF definitely not mpeg")[
+        "duration_ms"
+    ] is None
+    assert codecs.mp3_metadata(None)["n_frames"] is None

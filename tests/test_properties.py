@@ -399,3 +399,16 @@ def test_mp4_metadata_never_crashes_on_garbage(payload):
         assert set(d) == {
             "major_brand", "duration_ms", "n_tracks", "width", "height",
         }
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_mp3_metadata_never_crashes_on_garbage(payload):
+    from projetbigdatastreaming_spark.operators.codecs import mp3_metadata
+
+    for p in (payload, b"\xff\xfb" + payload, b"ID3" + payload):
+        d = mp3_metadata(p)
+        assert set(d) == {
+            "duration_ms", "n_frames", "sample_rate_hz", "bitrate_kbps",
+            "is_vbr",
+        }

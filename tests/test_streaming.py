@@ -558,6 +558,106 @@ def test_curation_ingest_chain_end_to_end(spark, tmp_path):
     } == want2
 
 
+def test_curation_ingest_chain_recovers_from_mid_batch_kill(
+    spark, tmp_path
+):
+    """Kill the composed ingest chain MID-BATCH (after the quality gate
+    and near-dup stages committed their partitions, before the CMS
+    fold), then replay the batch as Structured Streaming would after
+    restart: every table — good, quarantine, near-dup index, flags,
+    CMS — must end identical to a never-killed run.  The unit pieces
+    are each replay-safe (batch_id dynamic overwrite); this pins the
+    COMPOSITION."""
+    from unittest import mock
+
+    from projetbigdatastreaming_spark.streaming import ingest as ing
+
+    schema = "doc_id long, text string, source string"
+    words = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " CHANGED"
+    b0 = spark.createDataFrame(
+        [(1, words, "web"), (2, "tiny", "web")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(3, near, "books"), (4, "x" * 30, "web")], schema
+    )
+    checks = {"nonempty": "length(text) > 10"}
+
+    def mk(base):
+        d = lambda n: str(tmp_path / base / n)  # noqa: E731
+        return d, ing.curation_ingest_writer(
+            checks=checks,
+            good_path=d("good"),
+            quarantine_path=d("quar"),
+            neardup_index_dir=d("ndidx"),
+            neardup_flags_dir=d("ndflags"),
+            cms_state_dir=d("cms"),
+            cms_key_col="source",
+        )
+
+    # clean reference run
+    dc, clean = mk("clean")
+    clean(b0, 0)
+    clean(b1, 1)
+
+    # killed run: the CMS stage dies on batch 1's first attempt
+    calls = {"n": 0}
+    real_cms_writer = ing.cms_batch_writer
+
+    def flaky_cms_writer(state_dir, key_col):
+        real = real_cms_writer(state_dir, key_col)
+
+        def _w(df, bid):
+            if bid == 1 and calls["n"] == 0:
+                calls["n"] += 1
+                raise RuntimeError("executor lost mid-batch")
+            real(df, bid)
+
+        return _w
+
+    dk, _unused = mk("killed")
+    with mock.patch.object(
+        ing, "cms_batch_writer", side_effect=flaky_cms_writer
+    ):
+        _, killed = mk("killed")
+        killed(b0, 0)
+        try:
+            killed(b1, 1)
+            raise AssertionError("kill did not fire")
+        except RuntimeError:
+            pass  # gate + near-dup committed; CMS did not
+        killed(b1, 1)  # restart: at-least-once redelivery of batch 1
+
+    def table(d, name, sort_cols):
+        try:
+            return sorted(
+                tuple(r)
+                for r in spark.read.parquet(d(name))
+                .select(*sort_cols)
+                .collect()
+            )
+        except Exception:
+            return []
+
+    assert table(dk, "good", ["doc_id", "batch_id"]) == table(
+        dc, "good", ["doc_id", "batch_id"]
+    )
+    assert table(dk, "quar", ["doc_id", "violations"]) == table(
+        dc, "quar", ["doc_id", "violations"]
+    )
+    assert table(dk, "ndflags", ["doc_a", "doc_b"]) == table(
+        dc, "ndflags", ["doc_a", "doc_b"]
+    )
+    assert table(dk, "ndidx/bands", ["doc_id", "band", "bh"]) == table(
+        dc, "ndidx/bands", ["doc_id", "band", "bh"]
+    )
+    assert table(dk, "cms", ["d", "b", "cnt"]) == table(
+        dc, "cms", ["d", "b", "cnt"]
+    )
+    # both runs actually flagged the cross-batch near-dup
+    assert table(dc, "ndflags", ["doc_a", "doc_b"]) == [(1, 3)]
+
+
 def test_interval_join_streams_left_outer_emits_after_watermark(
     spark, tmp_path
 ):

@@ -187,10 +187,16 @@ def main() -> int:
                             break
         if not problems:
             # pandas-dtype parity: the representation path the driver
-            # hashes through (see module docstring)
+            # hashes through (see module docstring).  A row prefix is
+            # enough to read off each column's class — don't pay a
+            # second full execution per engine.
             try:
-                sclasses = _frame_classes(sdf.toPandas())
-                oclasses = _frame_classes(con.execute(oracles[name]).df())
+                sclasses = _frame_classes(sdf.limit(500).toPandas())
+                oclasses = _frame_classes(
+                    con.execute(
+                        f"SELECT * FROM ({oracles[name]}) LIMIT 500"
+                    ).df()
+                )
             except Exception:
                 print(f"FAIL {name}: dtype-parity conversion error")
                 traceback.print_exc()

@@ -90,6 +90,13 @@ def build_rows() -> list[tuple]:
     add(10, "audio", "audio/wav", _wav(440, 8000, 2000, 2))
     add(11, "audio", "audio/wav", _wav(1000, 16000, 800, 1))
     add(12, "audio", "audio/wav", b"RIFF garbage payload")
+    add(13, "audio", "audio/mpeg", codecs.mp3_encode_minimal(38, 128, 44100))
+    add(
+        14,
+        "audio",
+        "audio/mpeg",
+        codecs.mp3_encode_minimal(9, 64, 32000, vbr_alternate_kbps=160),
+    )
     add(20, "video", "video/y4m", _y4m([0, 60, 200]))
     add(
         21,
