@@ -412,3 +412,51 @@ def test_mp3_metadata_never_crashes_on_garbage(payload):
             "duration_ms", "n_frames", "sample_rate_hz", "bitrate_kbps",
             "is_vbr",
         }
+
+
+@given(
+    dur=st.integers(min_value=0, max_value=10**7),
+    ts=st.sampled_from([600, 1000, 90000]),
+    tracks=st.lists(
+        st.tuples(st.integers(0, 4096), st.integers(0, 4096)),
+        min_size=0,
+        max_size=5,
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_mp4_builder_decoder_roundtrip(dur, ts, tracks):
+    """mp4_metadata reads back exactly what mp4_encode_minimal wrote,
+    for arbitrary durations, timescales, and track lists."""
+    from projetbigdatastreaming_spark.operators.codecs import (
+        mp4_encode_minimal,
+        mp4_metadata,
+    )
+
+    m = mp4_metadata(
+        mp4_encode_minimal(dur, timescale=ts, tracks=tuple(tracks))
+    )
+    # builder stores duration in timescale units (floor), reader
+    # converts back with floor — the composed error is < 1ms + 1 unit
+    assert m["n_tracks"] == len(tracks)
+    assert abs(m["duration_ms"] - dur) <= (1000 // ts) + 1
+    first_visual = next(((w, h) for w, h in tracks if w and h), None)
+    assert (m["width"], m["height"]) == (first_visual or (None, None))
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    kbps=st.sampled_from([32, 64, 128, 192, 320]),
+    rate=st.sampled_from([32000, 44100, 48000]),
+)
+@settings(max_examples=50, deadline=None)
+def test_mp3_builder_decoder_roundtrip(n, kbps, rate):
+    from projetbigdatastreaming_spark.operators.codecs import (
+        mp3_encode_minimal,
+        mp3_metadata,
+    )
+
+    m = mp3_metadata(mp3_encode_minimal(n, kbps, rate))
+    assert m["n_frames"] == n
+    assert m["sample_rate_hz"] == rate
+    assert m["bitrate_kbps"] == kbps and m["is_vbr"] is False
+    assert m["duration_ms"] == int(n * 1152 * 1000 // rate)
