@@ -72,6 +72,7 @@ QUERY_ORDER = (
     #    first driver-visible correctness signal: real decodes over
     #    the committed media fixture)
     "image_stats", "audio_stats", "video_stats", "media_manifest",
+    "emb_jl_recall", "substring_dedup",
     # 4) last driver-checked in round 1 — refresh the oldest §2-core
     #    signal (slots to the 50-cap)
     "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
@@ -187,6 +188,9 @@ HEADLINE_QUERIES = (
     # and the count-min sketch build+probe (explode-4 partial agg)
     "curation_pipeline",
     "heavy_hitters_cms",
+    # round 4: cross-document repeated-substring profile — the
+    # window-hash explode + two bounded-width keyed exchanges
+    "substring_dedup",
 )
 
 

@@ -49,6 +49,7 @@ SF2_QUERIES = (
     "line_dedup",
     "curation_pipeline",
     "heavy_hitters_cms",
+    "substring_dedup",
 )
 
 

@@ -578,6 +578,68 @@ def ann_topk_lsh(
     )
 
 
+def jl_sign_matrix(out_dims: int, in_dims: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix from
+    the repo's portable md5 idiom (Achlioptas 2001: Rademacher ±1
+    entries give the same distance-preservation guarantee as Gaussian
+    ones, database-friendly).  A pure function of (j, d), so Spark,
+    DuckDB, and any future engine share the identical matrix without
+    shipping state."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl-{j}-{d}".encode()).hexdigest()[:2], 16
+            )
+            % 2
+            == 0
+            else -1
+            for d in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    out_dims: int = 16,
+    in_dims: int = 64,
+) -> DataFrame:
+    """Exact top-k cosine over Johnson-Lindenstrauss-PROJECTED
+    embeddings (d → out_dims via a fixed ±1 sign matrix) — the
+    training-free alternative to `matryoshka_topk`'s learned prefix:
+    any embedding model gets the dims/d bandwidth cut, at the JL
+    distortion bound instead of an MRL training guarantee.
+
+    Scale: the projection is a map-side fold (out_dims · d
+    multiply-adds per vector, whole-stage codegen, no Python); the
+    cosine scaling by 1/√out_dims cancels, so raw ±1 sums feed
+    `cosine_topk` unchanged.  Same plan shape as `cosine_topk`
+    downstream: broadcast queries, one corpus scan, per-query top-k.
+    """
+    rows = jl_sign_matrix(out_dims, in_dims)
+    r_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{v}D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+    proj = F.expr(
+        f"transform({r_sql}, r -> aggregate("
+        "zip_with(r, embedding, (s, x) -> s * x), 0D, (a, b) -> a + b))"
+    )
+    projected = _as_double(embeddings).select(
+        "vec_id", proj.alias("embedding")
+    )
+    return cosine_topk(projected, query_ids, k)
+
+
 def matryoshka_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -779,6 +779,83 @@ ORDER BY q.qid
 """
 
 
+JL_DIMS = 16
+
+
+def q_emb_jl_recall(spark, sf_dir):
+    """recall@k of Johnson-Lindenstrauss-projected cosine retrieval
+    (64 → 16 dims via a deterministic ±1 sign matrix) against full-dim
+    exact top-k — the training-free counterpart to
+    `emb_matryoshka_recall`: MRL needs the embedding model trained for
+    prefix-truncation; JL works on ANY embedding column at the JL
+    distortion bound.  Same deterministic construction (rounded sims,
+    vec_id tie-breaks), so DuckDB replays the identical number from
+    the identical literal matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    proj = similarity.random_projection_topk(
+        emb, QUERY_VEC_IDS, TOPK, JL_DIMS
+    ).select("qid", "vec_id")
+    hits = exact.join(proj, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("__n_hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_emb_jl_recall() -> str:
+    rows = similarity.jl_sign_matrix(JL_DIMS, 64)
+    r_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{v}.0" for v in row) + "]" for row in rows
+        )
+        + "]"
+    )
+    return f"""
+WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
+proj AS (
+  SELECT vec_id,
+         [list_dot_product(CAST(embedding AS DOUBLE[]), r)
+          FOR r IN {r_lit}] AS pvec
+  FROM embeddings),
+pq AS (
+  SELECT vec_id AS qid, pvec AS qvec FROM proj
+  WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+pscored AS (
+  SELECT pq.qid, p.vec_id,
+         ROUND(list_cosine_similarity(pq.qvec, p.pvec), 4) AS cos_sim
+  FROM pq JOIN proj p ON p.vec_id <> pq.qid),
+ptop AS (
+  SELECT qid, vec_id
+  FROM (SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM pscored)
+  WHERE rk <= {TOPK}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n
+  FROM exact e JOIN ptop t ON e.qid = t.qid AND e.vec_id = t.vec_id
+  GROUP BY e.qid)
+SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+"""
+
+
 CHUNK_TOKENS = 50
 CHUNK_STRIDE = 25
 
@@ -831,6 +908,105 @@ SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
                                   ' ')), 1, 16) AS chunk_fp
 FROM chunks
 ORDER BY doc_id, chunk_id
+"""
+
+
+SUB_TOKENS = 20  # window size for substring-level dedup
+SUB_STRIDE = 10  # stride: any shared run >= SUB_TOKENS + SUB_STRIDE
+#                  (= 30 tokens) contains at least one aligned window
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Cross-document repeated-substring profile (the Lee et al. 2022
+    "Deduplicating Training Data" screen, window-approximated): hash
+    every 20-token window at stride 10 — any text run of ≥30 tokens
+    shared between two documents necessarily contains an aligned
+    window in both — then report, per document, how much of it is
+    duplicated SOMEWHERE ELSE in the corpus: window count, windows
+    whose fingerprint occurs in >1 distinct document, and the
+    duplicated fraction.  Complements `dedup_exact` (whole-doc),
+    `line_dedup` (line grain), and `doc_repetition` (WITHIN-doc
+    repetition) with the between-doc span grain that catches quoted
+    boilerplate and templated passages whole-doc methods miss.
+
+    Scale plan: windows are a map-side explode (|tokens|/stride rows);
+    one fp hash-agg (map-side combine collapses repeats) counts
+    distinct docs per fingerprint; the join back to windows is a plain
+    fp equi-join feeding a per-doc agg — two keyed exchanges total,
+    both on bounded-width rows (16-char fp + two longs), never the
+    text.  dup_frac is an exact-integer ratio cast through one double
+    division, so both engines emit identical float64.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    win = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(array(split(text, ' ')), toks ->
+                  transform(
+                    sequence(1, greatest(size(toks) - {SUB_STRIDE}, 1),
+                             {SUB_STRIDE}),
+                    i -> concat_ws(' ', slice(toks, i, {SUB_TOKENS}))))[0]
+                """
+            )
+        ).alias("chunk"),
+    )
+    fps = win.select(
+        "doc_id", F.substring(F.md5("chunk"), 1, 16).alias("fp")
+    )
+    fp_docs = fps.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        fps.join(fp_docs, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+win AS (
+  SELECT doc_id,
+         unnest(starts) AS start_i,
+         t
+  FROM (SELECT doc_id, t,
+               range(1, greatest(len(t) - {SUB_STRIDE}, 1) + 1,
+                     {SUB_STRIDE}) AS starts
+        FROM toks)),
+fps AS (
+  SELECT doc_id,
+         substr(md5(array_to_string(
+             t[start_i : start_i + {SUB_TOKENS} - 1], ' ')), 1, 16) AS fp
+  FROM win),
+fp_docs AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fps GROUP BY fp)
+SELECT f.doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM fps f JOIN fp_docs d ON f.fp = d.fp
+GROUP BY f.doc_id
+ORDER BY f.doc_id
 """
 
 
@@ -3049,6 +3225,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_centroid": QuerySpec(q_emb_centroid, SQL_EMB_CENTROID),
     "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING),
     "doc_winnow": QuerySpec(q_doc_winnow, SQL_DOC_WINNOW),
+    "substring_dedup": QuerySpec(q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "emb_near_dup_lsh": QuerySpec(q_emb_near_dup_lsh, SQL_EMB_NEAR_DUP_LSH),
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS),
     "text_language_id": QuerySpec(q_language_id, SQL_LANGUAGE_ID),
@@ -3084,6 +3261,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, SQL_ANN_TOPK_LSH),
     "emb_ann_topk_ivf": QuerySpec(q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
     "emb_ann_recall": QuerySpec(q_ann_recall, SQL_ANN_RECALL),
+    "emb_jl_recall": QuerySpec(q_emb_jl_recall, _sql_emb_jl_recall()),
     "emb_matryoshka_recall": QuerySpec(
         q_emb_matryoshka_recall, SQL_EMB_MATRYOSHKA_RECALL
     ),

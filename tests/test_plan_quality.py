@@ -197,9 +197,10 @@ _BNLJ_ALLOWED = {
     # step each iteration — the same scalar-broadcast shape as
     # emb_pca_power, over a vocabulary-sized (≤200-row) relation
     "bpe_learn_merges",
-    # matryoshka recall composes two cosine_topk passes — same
-    # constant-size (5 query vectors) broadcast cross join
+    # matryoshka / JL-projection recall compose two cosine_topk passes
+    # — same constant-size (5 query vectors) broadcast cross join
     "emb_matryoshka_recall",
+    "emb_jl_recall",
     "emb_near_dup_lsh",
     # corpus_zipf_fit crosses the 1-row vocab-size aggregate against
     # the 1-row regression fit, and ranks the bounded ZIPF_HEAD head

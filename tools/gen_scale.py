@@ -10,10 +10,11 @@ join selectivity and group cardinalities scale the way a real K×
 corpus would.  Copy-sensitive columns are perturbed so SEMANTIC
 density stays linear rather than blowing up combinatorially:
 
-- ``documents.text``: every vowel-starting word gets a copy-specific
-  prefix for copies i>0 (kills cross-copy near-duplicate pairs —
-  MinHash/SimHash pair volume scales linearly like a real corpus,
-  instead of every doc gaining C(K,2) >0.8-jaccard twins);
+- ``documents.text``: EVERY word gets a copy-specific prefix for
+  copies i>0 (kills cross-copy near-duplicate pairs — MinHash/SimHash
+  pair volume scales linearly like a real corpus, instead of every
+  doc gaining C(K,2) >0.8-jaccard twins; a vowel-only variant left
+  vowel-free docs as exact cross-copy dups, 45 candidate pairs each);
   ``n_chars`` is recomputed to stay consistent.
 - ``embeddings.embedding``: deterministic per-copy/per-dimension
   scaling (cosine neighborhoods across copies decorrelate).
@@ -156,9 +157,7 @@ def build_scaled(
         text = (
             F.col("text")
             if i == 0
-            else F.regexp_replace(
-                "text", r"\b([aeiouAEIOU])", f"q{i}$1"
-            )
+            else F.regexp_replace("text", r"\b(\w)", f"q{i}$1")
         )
         return df.select(
             shift("doc_id", i),
