@@ -72,6 +72,41 @@ def parquet_stream(
     return spark.readStream.format("parquet").schema(schema).load(directory)
 
 
+#: the binaryFile source's fixed schema — streaming requires it
+#: declared explicitly (no inference on a stream)
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def binary_file_stream(
+    spark: SparkSession,
+    directory: str,
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming binary-file directory watcher — the media-lake ingest
+    mouth: raw image/audio/video files land in a directory (or object
+    store prefix) and arrive as (path, modificationTime, length,
+    content) rows, exactly-once through the file-source checkpoint
+    log, ready for the Arrow codec operators
+    (`operators/multimodal.decode_images` etc.) in foreachBatch.
+
+    Scale: the binary payload is read by executors at scan time (one
+    task per file batch); `pathGlobFilter` prunes non-media files
+    before any byte is read, and `maxFilesPerTrigger` bounds per-batch
+    memory — content bytes never land on the driver.
+    """
+    reader = spark.readStream.format("binaryFile").schema(
+        BINARY_FILE_SCHEMA
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(directory)
+
+
 def jdbc_batch(
     spark: SparkSession,
     url: str,
