@@ -62,13 +62,22 @@ def _ts_is_parquet_nanos(path: str) -> bool:
 #: fixture dirs are cached (tests writing their own sf_dirs must see
 #: fresh files).
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_CACHEABLE_PREFIX = "/root/testdata/"
+#: immutable fixture roots: the driver's testdata plus the bench's
+#: scaled copy (write-once behind gen_scale's done-marker).  Tests
+#: writing their own sf_dirs (tmp paths) stay uncached.
+_CACHEABLE_PREFIXES = (
+    "/root/testdata/",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_sf1",
+    ),
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    cacheable = sf_dir.startswith(_CACHEABLE_PREFIX)
+    cacheable = sf_dir.startswith(_CACHEABLE_PREFIXES)
     if cacheable:
         key = (spark.sparkContext.applicationId, sf_dir, name)
         hit = _DF_CACHE.get(key)
