@@ -911,6 +911,120 @@ ORDER BY doc_id, chunk_id
 """
 
 
+DSIR_BUCKETS = 64
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by its importance weight between a TARGET distribution (here the
+    lang='en' slice — the stand-in for "looks like the domain I want
+    more of") and the SOURCE distribution (the whole corpus), both
+    estimated over hashed unigram buckets.  Per document:
+    mean log importance = Σ tf·(ln p_target(b) − ln p_source(b)) / Σ tf
+    with Laplace-smoothed bucket probabilities — positive means
+    "target-like", the resampling key for mixture re-weighting.
+
+    Scale plan: ONE corpus explode collapses to the (doc, bucket, tf)
+    grain (the only corpus-sized shuffle); both distributions come
+    from the same ≤``DSIR_BUCKETS``-row aggregate of that relation
+    (conditional sums, one pass) and broadcast back; the final per-doc
+    aggregate is the second keyed exchange.  Probabilities are
+    exact-integer ratios, so both engines feed identical doubles to
+    ln() (the unigram_logprob determinism recipe); mean rounded 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    dbt = (
+        toks.select(
+            "doc_id",
+            "lang",
+            (sampling._portable_hash(F.col("token"), "ds0") % DSIR_BUCKETS)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dist = dbt.groupBy("bucket").agg(
+        F.sum("tf").alias("s_cnt"),
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(0)).alias(
+            "t_cnt"
+        ),
+    )
+    tot = dist.agg(
+        F.sum("s_cnt").alias("s_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    logw = (
+        F.log(
+            (F.col("t_cnt") + 1)
+            / (F.col("t_tot") + F.lit(DSIR_BUCKETS)).cast("double")
+        )
+        - F.log(
+            (F.col("s_cnt") + 1)
+            / (F.col("s_tot") + F.lit(DSIR_BUCKETS)).cast("double")
+        )
+    )
+    bw = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket", logw.alias("logw")
+    )
+    return (
+        dbt.join(F.broadcast(bw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_toks"),
+            F.round(
+                F.sum(F.col("tf") * F.col("logw")) / F.sum("tf"), 6
+            ).alias("mean_log_importance"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_TOKH = (
+    "CAST(concat('0x', substr(md5(concat(token, 'ds0')), 1, 15))"
+    " AS BIGINT)"
+)
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(str_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+dbt AS (
+  SELECT doc_id, lang,
+         CAST({_DUCK_TOKH} % {DSIR_BUCKETS} AS INTEGER) AS bucket,
+         COUNT(*) AS tf
+  FROM toks WHERE token <> ''
+  GROUP BY doc_id, lang, bucket),
+dist AS (
+  SELECT bucket, SUM(tf) AS s_cnt,
+         SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS t_cnt
+  FROM dbt GROUP BY bucket),
+tot AS (SELECT SUM(s_cnt) AS s_tot, SUM(t_cnt) AS t_tot FROM dist),
+bw AS (
+  SELECT bucket,
+         ln((t_cnt + 1) / CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE))
+         - ln((s_cnt + 1) / CAST(s_tot + {DSIR_BUCKETS} AS DOUBLE)) AS logw
+  FROM dist CROSS JOIN tot)
+SELECT d.doc_id,
+       CAST(SUM(d.tf) AS BIGINT) AS n_toks,
+       ROUND(SUM(d.tf * b.logw) / SUM(d.tf), 6) AS mean_log_importance
+FROM dbt d JOIN bw b ON d.bucket = b.bucket
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 SUB_TOKENS = 20  # window size for substring-level dedup
 SUB_STRIDE = 10  # stride: any shared run >= SUB_TOKENS + SUB_STRIDE
 #                  (= 30 tokens) contains at least one aligned window
@@ -3226,6 +3340,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING),
     "doc_winnow": QuerySpec(q_doc_winnow, SQL_DOC_WINNOW),
     "substring_dedup": QuerySpec(q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "dsir_importance": QuerySpec(q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "emb_near_dup_lsh": QuerySpec(q_emb_near_dup_lsh, SQL_EMB_NEAR_DUP_LSH),
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS),
     "text_language_id": QuerySpec(q_language_id, SQL_LANGUAGE_ID),

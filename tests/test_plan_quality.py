@@ -201,6 +201,9 @@ _BNLJ_ALLOWED = {
     # — same constant-size (5 query vectors) broadcast cross join
     "emb_matryoshka_recall",
     "emb_jl_recall",
+    # dsir crosses the ≤64-bucket distribution against its 1-row
+    # totals — a |buckets|x1 BNLJ over KB relations
+    "dsir_importance",
     "emb_near_dup_lsh",
     # corpus_zipf_fit crosses the 1-row vocab-size aggregate against
     # the 1-row regression fit, and ranks the bounded ZIPF_HEAD head
