@@ -188,9 +188,11 @@ HEADLINE_QUERIES = (
     # and the count-min sketch build+probe (explode-4 partial agg)
     "curation_pipeline",
     "heavy_hitters_cms",
-    # round 4: cross-document repeated-substring profile — the
-    # window-hash explode + two bounded-width keyed exchanges
+    # round 4: cross-document repeated-substring profile (window-hash
+    # explode + two bounded-width keyed exchanges) and DSIR importance
+    # (one corpus shuffle + broadcast bucket distributions)
     "substring_dedup",
+    "dsir_importance",
 )
 
 

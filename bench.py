@@ -50,6 +50,7 @@ SF2_QUERIES = (
     "curation_pipeline",
     "heavy_hitters_cms",
     "substring_dedup",
+    "dsir_importance",
 )
 
 
