@@ -114,3 +114,44 @@ def merge_upsert(
             staged.write.mode("overwrite").parquet(table_path)
         finally:
             staged.unpersist()
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    n_files: int = 8,
+) -> None:
+    """OPTIMIZE-ZORDER-style layout rewrite: cluster rows along the
+    Morton curve of two filter columns so every output file covers a
+    small RECTANGLE of the (x, y) space — per-file min/max column
+    stats then prune scans on EITHER dimension (a plain sort clusters
+    only its leading column; see `plans/advanced.q_zorder_layout` for
+    the audit query over the same curve).
+
+    The z-key is an unrolled shift/mask fold (codegen, no UDF);
+    ``repartitionByRange`` range-partitions on it (sampled bounds —
+    the one shuffle), and the within-file sort keeps each row group's
+    stats tight too.  Column values are bucketed to ``bits`` bits with
+    non-negative modulo, so negative/huge keys are safe.
+    """
+    n = 1 << bits
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((__zx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((__zy >> {i}) & 1) << {2 * i + 1})")
+    z = "(" + " + ".join(terms) + ")"
+    keyed = df.selectExpr(
+        "*",
+        f"(((CAST({x_col} AS BIGINT) % {n}) + {n}) % {n}) AS __zx",
+        f"(((CAST({y_col} AS BIGINT) % {n}) + {n}) % {n}) AS __zy",
+    ).selectExpr("*", f"{z} AS __z")
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__zx", "__zy", "__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

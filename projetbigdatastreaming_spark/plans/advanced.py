@@ -448,6 +448,91 @@ ORDER BY day
 """
 
 
+ZORDER_BITS = 10  # 1024 buckets per dimension, 2^20 z-points
+
+
+def _z_interleave(x: str, y: str, bits: int) -> str:
+    """Unrolled bit-interleave expression — identical arithmetic text
+    for Spark SQL and DuckDB (shifts/and/or with full parens)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) data-layout audit — the lakehouse
+    file-skipping technique behind OPTIMIZE ZORDER BY: interleaving
+    the bits of two filter columns gives a 1-D sort key whose
+    contiguous ranges cover small RECTANGLES of the 2-D space, so
+    per-file min/max column stats prune on BOTH dimensions at once
+    (a plain sort clusters only its leading column).
+
+    The query computes each event's z-value over (user bucket, value
+    bucket) and reports, per 1024-point z-range, the bounding
+    rectangle the curve actually covered — count, min/max of each
+    dimension, and the rectangle area.  Bounded area per cell IS the
+    skipping guarantee: a file holding one z-range can be skipped by
+    a predicate on either dimension outside its rectangle.  The
+    production write is ``df.repartitionByRange(N, z).sortWithinPartitions(z)
+    .write...`` — this query is its effectiveness metric.
+
+    Scale plan: the z-value is a map-only unrolled shift/mask fold
+    (whole-stage codegen, no UDF); the audit aggregate has ≤2^bits
+    groups.  All arithmetic is exact integers, identical in any
+    engine.
+    """
+    from ..catalog import load_table as _lt
+
+    z = _z_interleave("ub", "vb", ZORDER_BITS)
+    ev = _lt(spark, sf_dir, "events").selectExpr(
+        f"user_id % {1 << ZORDER_BITS} AS ub",
+        f"(((CAST(floor(value * 100 + 0.5) AS BIGINT) % {1 << ZORDER_BITS})"
+        f" + {1 << ZORDER_BITS}) % {1 << ZORDER_BITS}) AS vb",
+    )
+    return (
+        ev.selectExpr("ub", "vb", f"{z} AS zval")
+        .selectExpr("ub", "vb", f"zval >> {ZORDER_BITS} AS z_cell")
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("vb").alias("min_vb"),
+            F.max("vb").alias("max_vb"),
+            (
+                (F.max("ub") - F.min("ub") + 1)
+                * (F.max("vb") - F.min("vb") + 1)
+            ).alias("rect_area"),
+        )
+        .orderBy("z_cell")
+    )
+
+
+def _sql_zorder_layout() -> str:
+    n = 1 << ZORDER_BITS
+    z = _z_interleave("ub", "vb", ZORDER_BITS)
+    return f"""
+WITH pts AS (
+  SELECT user_id % {n} AS ub,
+         (((CAST(floor(value * 100 + 0.5) AS BIGINT) % {n}) + {n}) % {n})
+           AS vb
+  FROM events),
+zv AS (SELECT ub, vb, {z} >> {ZORDER_BITS} AS z_cell FROM pts)
+SELECT z_cell, COUNT(*) AS n,
+       MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+       MIN(vb) AS min_vb, MAX(vb) AS max_vb,
+       (MAX(ub) - MIN(ub) + 1) * (MAX(vb) - MIN(vb) + 1) AS rect_area
+FROM zv
+GROUP BY z_cell
+ORDER BY z_cell
+"""
+
+
+SQL_ZORDER_LAYOUT = _sql_zorder_layout()
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov statistics over each user's event sequence:
     (from_type → to_type) counts and row-normalized transition
@@ -1641,6 +1726,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_sliding": QuerySpec(q_window_sliding, SQL_WINDOW_SLIDING),
     "percentiles": QuerySpec(q_percentiles, SQL_PERCENTILES),
     "scalar_functions2": QuerySpec(q_scalar_functions2, SQL_SCALAR_FUNCTIONS2),
+    "zorder_layout": QuerySpec(q_zorder_layout, SQL_ZORDER_LAYOUT),
     "event_transitions": QuerySpec(
         q_event_transitions, SQL_EVENT_TRANSITIONS
     ),

@@ -118,3 +118,52 @@ def test_merge_upsert_unpartitioned_full_rewrite(spark, tmp_path):
     )
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_zorder_write_improves_two_dim_locality(spark, sf_dir, tmp_path):
+    """Files written along the Morton curve must cover strictly
+    smaller (user x value) rectangles than a plain one-column sort —
+    the min/max-stats pruning win z-ordering exists for."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.maintenance import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    zdir, sdir = str(tmp_path / "zord"), str(tmp_path / "sorted")
+    zorder_write(ev, zdir, "user_id", "value", bits=8, n_files=8)
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def mean_spans(path):
+        df = spark.read.parquet(path).select(
+            F.input_file_name().alias("f"),
+            (F.col("user_id") % 256).alias("ub"),
+            F.expr(
+                "(((CAST(value AS BIGINT) % 256) + 256) % 256)"
+            ).alias("vb"),
+        )
+        rows = df.groupBy("f").agg(
+            (F.max("ub") - F.min("ub") + 1).alias("uspan"),
+            (F.max("vb") - F.min("vb") + 1).alias("vspan"),
+        ).collect()
+        return (
+            sum(r.uspan for r in rows) / len(rows),
+            sum(r.vspan for r in rows) / len(rows),
+        )
+
+    z_u, z_v = mean_spans(zdir)
+    s_u, s_v = mean_spans(sdir)
+    # the one-column sort leaves the SECOND dimension unclustered —
+    # every file spans (nearly) the whole value range, so a value
+    # predicate prunes nothing; the curve bounds it
+    assert s_v > 200, (s_u, s_v)  # sorted files: vb effectively full
+    assert z_v < s_v * 0.5, (z_v, s_v)  # z files: vb genuinely bounded
+    # while the first dimension stays bounded too (not a vb-only sort)
+    assert z_u < 200, (z_u, z_v)
+    # and no rows were lost or altered
+    assert spark.read.parquet(zdir).count() == ev.count()
