@@ -73,7 +73,7 @@ QUERY_ORDER = (
     #    the committed media fixture)
     "image_stats", "audio_stats", "video_stats", "media_manifest",
     "emb_jl_recall", "substring_dedup", "dsir_importance",
-    "zorder_layout",
+    "zorder_layout", "text_sentiment", "type_profile_similarity",
     # 4) last driver-checked in round 1 — refresh the oldest §2-core
     #    signal (slots to the 50-cap)
     "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",

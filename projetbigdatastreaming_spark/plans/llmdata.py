@@ -911,6 +911,93 @@ ORDER BY doc_id, chunk_id
 """
 
 
+#: small built-in sentiment lexicon (own word list, AFINN-style
+#: integer valences) — deterministic, engine-portable, no model
+SENTIMENT_LEXICON: tuple[tuple[str, int], ...] = (
+    ("good", 3), ("great", 3), ("excellent", 5), ("happy", 3),
+    ("love", 3), ("best", 3), ("nice", 2), ("amazing", 4),
+    ("wonderful", 4), ("fantastic", 4), ("win", 2), ("success", 2),
+    ("positive", 2), ("fast", 1), ("easy", 1), ("clean", 1),
+    ("bad", -3), ("terrible", -5), ("awful", -4), ("sad", -2),
+    ("hate", -3), ("worst", -3), ("poor", -2), ("horrible", -4),
+    ("fail", -2), ("failure", -2), ("slow", -1), ("hard", -1),
+    ("negative", -2), ("broken", -2), ("wrong", -2), ("error", -1),
+)
+
+
+def q_text_sentiment(spark, sf_dir):
+    """Lexicon-based sentiment scoring over the corpus — the
+    deterministic descendant of the reference's Twitter-KPI domain
+    (cf. "Large Scale Sentiment Analysis on Twitter with Spark",
+    EDBT 2016, in PAPERS.md): per document, positive/negative lexicon
+    hits and a per-token mean valence.  No model, no Python — a
+    broadcast lexicon join — so it runs at corpus scale and both
+    engines replay it exactly.
+
+    Scale plan: one corpus explode to (doc, token) (map-side), a
+    broadcast equi-join against the ≤|lexicon|-row valence table, and
+    one per-doc aggregate (the only shuffle).  ``mean_valence`` is an
+    exact-integer ratio through one double division; docs with zero
+    lexicon hits still appear (left join) with zeros.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        list(SENTIMENT_LEXICON), "token string, valence int"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    scored = toks.join(F.broadcast(lex), "token", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(
+                F.when(F.col("valence") > 0, 1).otherwise(0)
+            ).cast("bigint").alias("pos_hits"),
+            F.sum(
+                F.when(F.col("valence") < 0, 1).otherwise(0)
+            ).cast("bigint").alias("neg_hits"),
+            (
+                F.sum(F.coalesce(F.col("valence"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_valence"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_text_sentiment() -> str:
+    lex_rows = ", ".join(
+        f"('{w}', {v})" for w, v in SENTIMENT_LEXICON
+    )
+    return f"""
+WITH lex(token, valence) AS (VALUES {lex_rows}),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents),
+tok AS (SELECT * FROM toks WHERE token <> '')
+SELECT t.doc_id,
+       COUNT(*) AS n_toks,
+       CAST(SUM(CASE WHEN l.valence > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pos_hits,
+       CAST(SUM(CASE WHEN l.valence < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS neg_hits,
+       CAST(SUM(COALESCE(l.valence, 0)) AS DOUBLE) / COUNT(*)
+         AS mean_valence
+FROM tok t LEFT JOIN lex l ON t.token = l.token
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+SQL_TEXT_SENTIMENT = _sql_text_sentiment()
+
+
 DSIR_BUCKETS = 64
 
 
@@ -3341,6 +3428,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_winnow": QuerySpec(q_doc_winnow, SQL_DOC_WINNOW),
     "substring_dedup": QuerySpec(q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "dsir_importance": QuerySpec(q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "text_sentiment": QuerySpec(q_text_sentiment, SQL_TEXT_SENTIMENT),
     "emb_near_dup_lsh": QuerySpec(q_emb_near_dup_lsh, SQL_EMB_NEAR_DUP_LSH),
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS),
     "text_language_id": QuerySpec(q_language_id, SQL_LANGUAGE_ID),

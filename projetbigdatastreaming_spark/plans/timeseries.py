@@ -286,6 +286,74 @@ ORDER BY event_type, day
 """
 
 
+def q_type_profile_similarity(spark, sf_dir):
+    """Time-series similarity search over the stream's OWN shapes (cf.
+    "Time Series Similarity Search for Streaming Data in Distributed
+    Systems", EDBT 2019, in PAPERS.md): each event type's 24-hour
+    activity profile (count per hour-of-day — an exact integer
+    vector) compared pairwise by cosine — which types load the system
+    alike, the signal behind alert correlation and capacity grouping.
+
+    Scale plan: the corpus collapses to |types| 24-dim vectors in ONE
+    hash-agg (24 conditional sums, map-side combined); the pairwise
+    stage is quadratic only in |event types| — a bounded domain
+    (5 here), so the cross join is |types|² over KB data at any corpus
+    size.  Counts are exact integers; the cosine follows the
+    `cosine_topk` determinism recipe (single dot fold, 4 dp round).
+    """
+    from ..operators.similarity import _dot, _norm
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    prof = ev.groupBy("event_type").agg(
+        F.array(
+            *[
+                F.sum(F.when(h == i, 1).otherwise(0)).cast("double")
+                for i in range(24)
+            ]
+        ).alias("vec")
+    )
+    a = prof.select(
+        F.col("event_type").alias("type_a"), F.col("vec").alias("va")
+    )
+    b = prof.select(
+        F.col("event_type").alias("type_b"), F.col("vec").alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _sql_type_profile_similarity() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN h = {i} THEN 1 ELSE 0 END) AS DOUBLE)"
+        for i in range(24)
+    )
+    return f"""
+WITH prof AS (
+  SELECT event_type, list_value({sums}) AS vec
+  FROM (SELECT event_type, EXTRACT(HOUR FROM ts) AS h FROM events)
+  GROUP BY event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ROUND(list_cosine_similarity(a.vec, b.vec), 4) AS cos_sim
+FROM prof a JOIN prof b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+SQL_TYPE_PROFILE_SIMILARITY = _sql_type_profile_similarity()
+
+
 MV_CUTOFF = "2024-01-20"  # fixture events span 2024-01-01..01-30
 
 
@@ -355,4 +423,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "user_streaks": QuerySpec(q_user_streaks, SQL_USER_STREAKS),
     "ewma_smooth": QuerySpec(q_ewma_smooth, SQL_EWMA_SMOOTH),
+    "type_profile_similarity": QuerySpec(
+        q_type_profile_similarity, SQL_TYPE_PROFILE_SIMILARITY
+    ),
 }

@@ -204,6 +204,9 @@ _BNLJ_ALLOWED = {
     # dsir crosses the ≤64-bucket distribution against its 1-row
     # totals — a |buckets|x1 BNLJ over KB relations
     "dsir_importance",
+    # the pairwise stage is |event types|² (bounded domain, ~5) over
+    # 24-dim vectors — KB relations joined on an inequality
+    "type_profile_similarity",
     "emb_near_dup_lsh",
     # corpus_zipf_fit crosses the 1-row vocab-size aggregate against
     # the 1-row regression fit, and ranks the bounded ZIPF_HEAD head
