@@ -86,7 +86,10 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
     import tempfile
 
     # snapshot the partitions to fold (directory listing, not a scan:
-    # batch_id is the partition column)
+    # batch_id is the partition column); a stream that has not written
+    # yet simply has nothing to compact
+    if not os.path.isdir(state_dir):
+        return 0
     ids = sorted(
         int(name.split("=", 1)[1])
         for name in os.listdir(state_dir)

@@ -139,3 +139,16 @@ def test_cms_compaction_leaves_unsnapshot_batches(spark, tmp_path):
 
     want = _grid(cms_cells(expect, "user_id"))
     assert _grid(read_cms(spark, state)) == want
+
+
+def test_cms_compaction_on_missing_or_empty_state(spark, tmp_path):
+    """Compacting before the stream ever wrote is a no-op, not a
+    crash (fresh deployment ordering)."""
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        compact_cms,
+    )
+
+    assert compact_cms(spark, str(tmp_path / "never_written")) == 0
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert compact_cms(spark, str(empty)) == 0
