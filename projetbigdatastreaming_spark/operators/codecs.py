@@ -677,9 +677,10 @@ def mp3_metadata(payload: bytes) -> dict[str, Any]:
     """Real MPEG-audio container metadata from the frame-header walk:
     exact duration (sum of per-frame samples / rate), frame count,
     sample rate, mean bitrate, and CBR/VBR flag.  Skips a leading
-    ID3v2 tag; resyncs are NOT attempted (a broken stream truncates
-    the walk — metadata reflects the valid prefix).  Non-MPEG or
-    corrupt payloads yield nulls (the garbage-tolerant contract)."""
+    ID3v2 tag (including the ID3v2.4 footer when its flag is set);
+    resyncs are NOT attempted (a broken stream truncates the walk —
+    metadata reflects the valid prefix).  Non-MPEG or corrupt
+    payloads yield nulls (the garbage-tolerant contract)."""
     null = {
         "duration_ms": None,
         "n_frames": None,
@@ -696,6 +697,8 @@ def mp3_metadata(payload: bytes) -> dict[str, Any]:
             for b in payload[6:10]:  # syncsafe 28-bit
                 size = (size << 7) | (b & 0x7F)
             pos = 10 + size
+            if payload[5] & 0x10:  # ID3v2.4 footer flag: +10 bytes
+                pos += 10
         n_frames = 0
         total_samples = 0.0
         rate = None

@@ -1113,29 +1113,41 @@ ORDER BY d.doc_id
 
 
 SUB_TOKENS = 20  # window size for substring-level dedup
-SUB_STRIDE = 10  # stride: any shared run >= SUB_TOKENS + SUB_STRIDE
-#                  (= 30 tokens) contains at least one aligned window
+SUB_ANCHOR_MOD = 10  # expected anchor gap (content-defined chunking)
 
 
 def q_substring_dedup(spark, sf_dir):
     """Cross-document repeated-substring profile (the Lee et al. 2022
-    "Deduplicating Training Data" screen, window-approximated): hash
-    every 20-token window at stride 10 — any text run of ≥30 tokens
-    shared between two documents necessarily contains an aligned
-    window in both — then report, per document, how much of it is
-    duplicated SOMEWHERE ELSE in the corpus: window count, windows
-    whose fingerprint occurs in >1 distinct document, and the
-    duplicated fraction.  Complements `dedup_exact` (whole-doc),
-    `line_dedup` (line grain), and `doc_repetition` (WITHIN-doc
-    repetition) with the between-doc span grain that catches quoted
-    boilerplate and templated passages whole-doc methods miss.
+    "Deduplicating Training Data" screen, window-approximated):
+    fingerprint 20-token windows starting at CONTENT-DEFINED anchors —
+    tokens whose portable hash ≡ 0 (mod 10) — then report, per
+    document, how much of it is duplicated SOMEWHERE ELSE in the
+    corpus: window count, windows whose fingerprint occurs in >1
+    distinct document, and the duplicated fraction.
 
-    Scale plan: windows are a map-side explode (|tokens|/stride rows);
-    one fp hash-agg (map-side combine collapses repeats) counts
-    distinct docs per fingerprint; the join back to windows is a plain
-    fp equi-join feeding a per-doc agg — two keyed exchanges total,
-    both on bounded-width rows (16-char fp + two longs), never the
-    text.  dup_frac is an exact-integer ratio cast through one double
+    Content-defined (not positional) anchors are what make detection
+    POSITION-INDEPENDENT: a run shared at *different offsets* in two
+    documents still anchors at the same interior tokens, so both emit
+    the identical window fingerprint.  (A fixed-stride grid only
+    aligns when the offsets are congruent mod the stride — it
+    systematically misses ~90% of arbitrarily-placed quotes; caught in
+    round-4 review and replaced with this CDC scheme.)  The guarantee
+    is probabilistic: a shared run of L distinct tokens is missed with
+    probability ≈ 0.9^(L-19) (~4% at L=50, ~0.02% at L=100);
+    `doc_winnow` carries the absolute winnowing guarantee at the
+    character grain.  Anchors are restricted to positions with a full
+    window ahead (no short-window false positives from trailing
+    fragments); documents with no eligible anchor fall back to one
+    window at position 1, so every doc appears in the profile.
+    Complements `dedup_exact` (whole-doc), `line_dedup` (line grain),
+    and `doc_repetition` (WITHIN-doc repetition).
+
+    Scale plan: anchor selection and window extraction are map-side
+    array expressions (expected |tokens|/10 windows); one fp hash-agg
+    counts distinct docs per fingerprint; the join back is a plain fp
+    equi-join feeding a per-doc agg — two keyed exchanges total, both
+    on bounded-width rows (16-char fp + two longs), never the text.
+    dup_frac is an exact-integer ratio cast through one double
     division, so both engines emit identical float64.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -1146,8 +1158,18 @@ def q_substring_dedup(spark, sf_dir):
                 f"""
                 transform(array(split(text, ' ')), toks ->
                   transform(
-                    sequence(1, greatest(size(toks) - {SUB_STRIDE}, 1),
-                             {SUB_STRIDE}),
+                    CASE WHEN size(filter(
+                           sequence(1, greatest(size(toks) - {SUB_TOKENS - 1}, 1)),
+                           i -> cast(conv(substring(md5(concat(
+                                  element_at(toks, i), 'sd0')), 1, 15),
+                                  16, 10) as bigint) % {SUB_ANCHOR_MOD} = 0)) = 0
+                         THEN array(1)
+                         ELSE filter(
+                           sequence(1, greatest(size(toks) - {SUB_TOKENS - 1}, 1)),
+                           i -> cast(conv(substring(md5(concat(
+                                  element_at(toks, i), 'sd0')), 1, 15),
+                                  16, 10) as bigint) % {SUB_ANCHOR_MOD} = 0)
+                    END,
                     i -> concat_ws(' ', slice(toks, i, {SUB_TOKENS}))))[0]
                 """
             )
@@ -1184,14 +1206,20 @@ def q_substring_dedup(spark, sf_dir):
 SQL_SUBSTRING_DEDUP = f"""
 WITH toks AS (
   SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+anch AS (
+  SELECT doc_id, t,
+         list_filter(
+           range(1, greatest(len(t) - {SUB_TOKENS - 1}, 1) + 1),
+           i -> CAST(concat('0x',
+                  substr(md5(concat(t[i], 'sd0')), 1, 15)) AS BIGINT)
+                % {SUB_ANCHOR_MOD} = 0) AS starts
+  FROM toks),
 win AS (
   SELECT doc_id,
-         unnest(starts) AS start_i,
+         unnest(CASE WHEN len(starts) = 0 THEN [CAST(1 AS BIGINT)]
+                     ELSE starts END) AS start_i,
          t
-  FROM (SELECT doc_id, t,
-               range(1, greatest(len(t) - {SUB_STRIDE}, 1) + 1,
-                     {SUB_STRIDE}) AS starts
-        FROM toks)),
+  FROM anch),
 fps AS (
   SELECT doc_id,
          substr(md5(array_to_string(

@@ -150,3 +150,49 @@ def test_duplicate_clusters_transitive_chain(spark):
         0: (0, 3), 1: (0, 3), 2: (0, 3),   # chain a-b-c
         3: (3, 2), 4: (3, 2),              # d-e pair
     }  # doc 5 is a singleton: absent
+
+
+def test_substring_dedup_detects_shifted_shared_runs(spark, tmp_path):
+    """The round-4 review finding: positional stride windows only
+    matched runs shared at congruent offsets.  The content-defined
+    anchors must flag the same run even when the two documents embed
+    it at DIFFERENT offsets."""
+    import hashlib
+
+    from projetbigdatastreaming_spark.plans.llmdata import (
+        SUB_ANCHOR_MOD,
+        q_substring_dedup,
+    )
+
+    def is_anchor(tok):
+        h = int(
+            hashlib.md5(f"{tok}sd0".encode()).hexdigest()[:15], 16
+        )
+        return h % SUB_ANCHOR_MOD == 0
+
+    anchor = next(f"tok{i}" for i in range(1000) if is_anchor(f"tok{i}"))
+    # shared run: anchor at its 3rd token with >=20 tokens after it
+    shared = ["r1", "r2", anchor] + [f"run{i}" for i in range(25)]
+    doc_a = " ".join(shared + [f"atail{i}" for i in range(10)])
+    doc_b = " ".join(
+        ["b1", "b2", "b3", "b4", "b5"]  # shifts the run by 5 (≠ 0 mod 10)
+        + shared
+        + [f"btail{i}" for i in range(10)]
+    )
+    doc_c = " ".join(f"c{i}" for i in range(40))
+    spark.createDataFrame(
+        [
+            (1, doc_a, "en", "t", len(doc_a)),
+            (2, doc_b, "en", "t", len(doc_b)),
+            (3, doc_c, "en", "t", len(doc_c)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: r for r in q_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_dup_windows >= 1, "run missed in doc A"
+    assert out[2].n_dup_windows >= 1, "shifted run missed in doc B"
+    assert out[3].n_dup_windows == 0
+    assert 0.0 < out[1].dup_frac <= 1.0

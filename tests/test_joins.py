@@ -100,12 +100,17 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
+    # exercises the de-registered q_approx_distinct directly (its
+    # driver signal lives in approx_distinct_check; the accuracy
+    # contract is pinned here, per its docstring)
+    from projetbigdatastreaming_spark.plans.advanced import (
+        q_approx_distinct,
+    )
+
     events = load_table(spark, sf_dir, "events")
     approx = {
-        r.event_type: r.a
-        for r in events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("a"))
-        .collect()
+        r.event_type: r.approx_users
+        for r in q_approx_distinct(spark, sf_dir).collect()
     }
     exact = {
         r.event_type: r.e

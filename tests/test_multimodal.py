@@ -565,6 +565,11 @@ def test_mp3_metadata_header_walk():
     id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
     tagged = codecs.mp3_metadata(id3[:10] + bytes(10) + p)
     assert tagged["n_frames"] == 38
+    # ID3v2.4 footer flag (0x10): tag occupies 10 + size + 10 bytes
+    footered = (
+        b"ID3\x04\x00\x10\x00\x00\x00\x0a" + bytes(10) + bytes(10) + p
+    )
+    assert codecs.mp3_metadata(footered)["n_frames"] == 38
     assert codecs.mp3_metadata(b"RIFF definitely not mpeg")[
         "duration_ms"
     ] is None

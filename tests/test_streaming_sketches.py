@@ -152,3 +152,90 @@ def test_cms_compaction_on_missing_or_empty_state(spark, tmp_path):
     empty = tmp_path / "empty_dir"
     empty.mkdir()
     assert compact_cms(spark, str(empty)) == 0
+
+
+def _crash_compaction(spark, state, crash_after_commit):
+    """Run compact_cms but die at the chosen point of the commit
+    sequence, leaving the on-disk state a real kill would leave."""
+    from unittest import mock
+
+    from projetbigdatastreaming_spark.streaming import sketches as sk
+
+    real_overwrite = sk.overwrite_partitions
+
+    def dying(df, path, parts):
+        if crash_after_commit:
+            real_overwrite(df, path, parts)  # base grid committed
+        raise RuntimeError("killed")
+
+    with mock.patch.object(sk, "overwrite_partitions", side_effect=dying):
+        try:
+            sk.compact_cms(spark, state)
+        except RuntimeError:
+            pass
+
+
+def test_cms_compaction_crash_after_base_commit_never_double_counts(
+    spark, tmp_path
+):
+    """Round-4 review finding: a kill between the base-grid commit and
+    the partition deletes used to leave base AND folded batches on
+    disk, silently double-counting every folded batch.  The intent
+    protocol must keep reads exact and let the next compaction finish
+    the cleanup."""
+    import os
+
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        compact_cms,
+    )
+
+    state = str(tmp_path / "cms_crash1")
+    write = cms_batch_writer(state, "user_id")
+    write(spark.createDataFrame([("a",), ("b",), ("a",)], "user_id string"), 0)
+    write(spark.createDataFrame([("b",), ("c",)], "user_id string"), 1)
+    before = _grid(read_cms(spark, state))
+
+    _crash_compaction(spark, state, crash_after_commit=True)
+    # the hazard state really exists: base + folded batches + intent
+    assert os.path.isdir(os.path.join(state, "batch_id=-1"))
+    assert os.path.isdir(os.path.join(state, "batch_id=0"))
+    assert os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+
+    # reads exclude the already-folded partitions: EXACT, not doubled
+    assert _grid(read_cms(spark, state)) == before
+
+    # the next compaction finishes the interrupted cleanup
+    compact_cms(spark, state)
+    assert not os.path.isdir(os.path.join(state, "batch_id=0"))
+    assert not os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+    assert _grid(read_cms(spark, state)) == before
+    # and the stream keeps folding on top afterwards
+    write(spark.createDataFrame([("z",)], "user_id string"), 5)
+    after = _grid(read_cms(spark, state))
+    assert sum(after.values()) == sum(before.values()) + 4  # 4 depths
+
+
+def test_cms_compaction_crash_before_base_commit_discards_attempt(
+    spark, tmp_path
+):
+    import os
+
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        compact_cms,
+    )
+
+    state = str(tmp_path / "cms_crash2")
+    write = cms_batch_writer(state, "user_id")
+    write(spark.createDataFrame([("a",), ("b",)], "user_id string"), 0)
+    before = _grid(read_cms(spark, state))
+
+    _crash_compaction(spark, state, crash_after_commit=False)
+    assert os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+    # nothing was folded: reads unchanged, batches intact
+    assert _grid(read_cms(spark, state)) == before
+    assert os.path.isdir(os.path.join(state, "batch_id=0"))
+
+    # a fresh compaction discards the aborted intent and succeeds
+    compact_cms(spark, state)
+    assert _grid(read_cms(spark, state)) == before
+    assert not os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))

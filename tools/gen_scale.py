@@ -50,9 +50,14 @@ def build_scaled(
     spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10
 ) -> None:
     """Write the K×-scaled copy of every table to ``out_dir``."""
-    rd = lambda t: spark.read.parquet(  # noqa: E731
-        os.path.join(src_dir, f"{t}.parquet")
-    )
+    from projetbigdatastreaming_spark.catalog import load_table
+
+    # read through the catalog, NOT raw spark.read.parquet: events.ts
+    # has shipped as TIMESTAMP(NANOS) in some fixture vintages, and
+    # load_table normalizes it to a true timestamp — a raw read under
+    # the session-wide nanosAsLong conf would surface LONG nanos and
+    # write an unannotated INT64 ts the sf2 sweep then refuses to read
+    rd = lambda t: load_table(spark, src_dir, t)  # noqa: E731
     wr = lambda df, t: df.write.mode("overwrite").parquet(  # noqa: E731
         os.path.join(out_dir, f"{t}.parquet")
     )
@@ -193,9 +198,16 @@ def build_scaled(
 def ensure_scaled(
     spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10
 ) -> str:
-    """Build once, reuse across runs (marker file gates completeness —
-    a half-written dir from a killed run is rebuilt)."""
-    if not os.path.exists(os.path.join(out_dir, _DONE_MARKER)):
+    """Build once, reuse across runs.  The marker gates completeness
+    (a half-written dir from a killed run is rebuilt) AND records the
+    (factor, src) it was built from — a cached dir built with
+    different parameters is rebuilt, not silently re-timed under a
+    mislabeled scale point."""
+    marker = os.path.join(out_dir, _DONE_MARKER)
+    want = f"factor={factor} src={src_dir}\n"
+    if not (
+        os.path.exists(marker) and open(marker).read() == want
+    ):
         build_scaled(spark, src_dir, out_dir, factor)
     return out_dir
 
