@@ -697,8 +697,11 @@ def mp3_metadata(payload: bytes) -> dict[str, Any]:
             for b in payload[6:10]:  # syncsafe 28-bit
                 size = (size << 7) | (b & 0x7F)
             pos = 10 + size
-            if payload[5] & 0x10:  # ID3v2.4 footer flag: +10 bytes
-                pos += 10
+            # footer flag is only defined from ID3v2.4 (major version
+            # byte 3); earlier tags must-zero that bit, and honoring a
+            # spec-violating one would skip into the first frame
+            if payload[3] >= 4 and payload[5] & 0x10:
+                pos += 10  # ID3v2.4 footer: +10 bytes
         n_frames = 0
         total_samples = 0.0
         rate = None

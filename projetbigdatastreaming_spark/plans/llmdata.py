@@ -1151,26 +1151,25 @@ def q_substring_dedup(spark, sf_dir):
     division, so both engines emit identical float64.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # the anchor filter (an md5 per token) is BOUND once via the
+    # array-wrap idiom — inlining it into both arms of the empty-
+    # fallback CASE would evaluate it twice per document (Catalyst
+    # does not share subexpressions across higher-order functions)
     win = docs.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"""
                 transform(array(split(text, ' ')), toks ->
-                  transform(
-                    CASE WHEN size(filter(
-                           sequence(1, greatest(size(toks) - {SUB_TOKENS - 1}, 1)),
-                           i -> cast(conv(substring(md5(concat(
-                                  element_at(toks, i), 'sd0')), 1, 15),
-                                  16, 10) as bigint) % {SUB_ANCHOR_MOD} = 0)) = 0
-                         THEN array(1)
-                         ELSE filter(
-                           sequence(1, greatest(size(toks) - {SUB_TOKENS - 1}, 1)),
-                           i -> cast(conv(substring(md5(concat(
-                                  element_at(toks, i), 'sd0')), 1, 15),
-                                  16, 10) as bigint) % {SUB_ANCHOR_MOD} = 0)
-                    END,
-                    i -> concat_ws(' ', slice(toks, i, {SUB_TOKENS}))))[0]
+                  transform(array(filter(
+                      sequence(1, greatest(size(toks) - {SUB_TOKENS - 1}, 1)),
+                      i -> cast(conv(substring(md5(concat(
+                             element_at(toks, i), 'sd0')), 1, 15),
+                             16, 10) as bigint) % {SUB_ANCHOR_MOD} = 0)),
+                    starts -> transform(
+                      if(size(starts) = 0, array(1), starts),
+                      i -> concat_ws(' ', slice(toks, i, {SUB_TOKENS}))))[0]
+                )[0]
                 """
             )
         ).alias("chunk"),

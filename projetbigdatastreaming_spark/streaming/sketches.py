@@ -16,14 +16,24 @@ periodically by rewriting the fold as a single batch_id if that ever
 matters).  No per-key state store — the whole point of a sketch at
 the ingest boundary.
 
-Compaction is crash-safe through an intent file: a kill between the
-base-grid commit and the partition deletes leaves the folded batches
-on disk, which a naive reader would then DOUBLE-count into the new
-base.  The intent records which batch ids were folded and a content
-hash of the base grid they produced; both the reader and the next
-compaction can therefore tell exactly which side of the commit the
-crash fell on and either exclude the already-folded partitions or
-discard the aborted attempt.
+Compaction is crash-safe through a staged-partition + intent
+protocol.  The new base grid is first written to the STAGING
+partition ``batch_id=-2`` (excluded from every read), with an intent
+file recording the folded batch ids and the staged grid's content
+hash; only then is the old base swapped out via directory renames and
+the folded partitions deleted.  Whatever instant a kill lands on,
+recovery can tell the state apart by hashing: a verified staging grid
+is promoted, a verified promoted base finishes its deletes, anything
+else is an aborted attempt whose inert staging is discarded — counts
+are never lost and never double-counted.  (Round-4 review findings:
+the earlier in-place base overwrite could destroy the old base
+mid-commit, and a failed delete with the intent already removed
+silently re-enabled double-counting.)
+
+The one read-side caveat: the promotion itself is two directory
+renames (old base out, staged base in) — a reader whose scan lands
+exactly between them sees neither base and transiently undercounts.
+The window is two local-fs renames; durability is unaffected.
 """
 
 from __future__ import annotations
@@ -41,6 +51,8 @@ from ..operators.sketches import cms_cells
 from ..sinks.files import overwrite_partitions
 
 _INTENT = "_COMPACT_INTENT.json"
+BASE_ID = -1  # the compacted base grid
+STAGING_ID = -2  # compaction staging, excluded from reads
 
 
 def cms_batch_writer(
@@ -58,17 +70,28 @@ def cms_batch_writer(
     return write
 
 
-def _base_hash(spark: SparkSession, state_dir: str) -> str:
-    """Content hash of the batch_id=-1 base grid (order-independent:
-    sorted (d, b, cnt) rows).  ≤ d·w rows — cheap."""
-    base = os.path.join(state_dir, "batch_id=-1")
-    if not os.path.isdir(base):
+def _grid_hash(rows) -> str:
+    """Order-independent content hash of (d, b, cnt) grid rows — THE
+    protocol hash; both the intent writer and recovery use this one
+    function so the two sides can never drift."""
+    return hashlib.sha256(str(sorted(rows)).encode()).hexdigest()[:16]
+
+
+def _partition_hash(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> str:
+    """Content hash of one batch partition (≤ d·w rows — cheap)."""
+    p = os.path.join(state_dir, f"batch_id={batch_id}")
+    if not os.path.isdir(p):
         return "empty"
-    rows = sorted(
-        (r.d, r.b, r.cnt)
-        for r in spark.read.parquet(base).select("d", "b", "cnt").collect()
-    )
-    return hashlib.sha256(str(rows).encode()).hexdigest()[:16]
+    try:
+        rows = [
+            (r.d, r.b, r.cnt)
+            for r in spark.read.parquet(p).select("d", "b", "cnt").collect()
+        ]
+    except Exception:  # partial/corrupt staging from a mid-write kill
+        return "unreadable"
+    return _grid_hash(rows)
 
 
 def _read_intent(state_dir: str) -> dict | None:
@@ -82,63 +105,115 @@ def _read_intent(state_dir: str) -> dict | None:
         return None
 
 
-def _folded_but_undeleted(
-    spark: SparkSession, state_dir: str
-) -> list[int]:
-    """Batch ids an interrupted compaction already folded into the
-    committed base grid but did not get to delete (the double-count
-    hazard).  Empty when no intent exists or the base commit never
-    happened."""
+def _delete_partitions(state_dir: str, ids: list[int]) -> bool:
+    """Best-effort delete; True only if every partition is really
+    gone (the intent must survive a failed delete, or the surviving
+    partition would be double-counted once the intent vanishes)."""
+    ok = True
+    for bid in ids:
+        p = os.path.join(state_dir, f"batch_id={bid}")
+        shutil.rmtree(p, ignore_errors=True)
+        ok = ok and not os.path.isdir(p)
+    return ok
+
+
+def _resolve_intent(spark: SparkSession, state_dir: str) -> None:
+    """Finish or discard an interrupted compaction (see module
+    docstring for the state machine)."""
+    intent = _read_intent(state_dir)
+    if intent is None:
+        return
+    ids = [int(i) for i in intent.get("ids", [])]
+    want = intent.get("folded_hash")
+    base = os.path.join(state_dir, f"batch_id={BASE_ID}")
+    staging = os.path.join(state_dir, f"batch_id={STAGING_ID}")
+    if _partition_hash(spark, state_dir, STAGING_ID) == want:
+        # staged fold is durable: promote it, then clean up
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if not os.path.isdir(base):
+            os.rename(staging, base)
+        else:
+            return  # base delete failed; keep intent, retry later
+    elif _partition_hash(spark, state_dir, BASE_ID) != want:
+        # neither staged nor promoted: the attempt aborted before the
+        # staging write completed — old state is intact, discard
+        shutil.rmtree(staging, ignore_errors=True)
+        os.remove(os.path.join(state_dir, _INTENT))
+        return
+    # promoted (now or earlier): finish the deletes
+    if _delete_partitions(state_dir, ids):
+        os.remove(os.path.join(state_dir, _INTENT))
+
+
+def _stale_folded_ids(spark: SparkSession, state_dir: str) -> list[int]:
+    """Batch ids already folded into a durable grid (staged or
+    promoted) that still sit on disk — the reader must exclude them."""
     intent = _read_intent(state_dir)
     if intent is None:
         return []
-    if _base_hash(spark, state_dir) != intent.get("folded_hash"):
-        return []  # crash BEFORE the base commit: nothing was folded
-    return [int(i) for i in intent.get("ids", [])]
+    want = intent.get("folded_hash")
+    if (
+        _partition_hash(spark, state_dir, STAGING_ID) == want
+        or _partition_hash(spark, state_dir, BASE_ID) == want
+    ):
+        return [int(i) for i in intent.get("ids", [])]
+    return []
 
 
 def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
     """Fold every batch's grid into the current CMS: (d, b, cnt).
 
-    Crash-consistent: partitions an interrupted compaction already
-    folded into the committed base (per the intent file) are excluded
-    from the fold, so the reader never double-counts them.
+    Crash-consistent and read-only: the staging partition is always
+    excluded; if an interrupted compaction left a durable fold behind
+    (per the intent file), the partitions it already folded are
+    excluded too — but then the STAGED grid stands in for the base it
+    was about to replace, so the fold stays exact whichever side of
+    the promotion the crash fell on.
     """
     df = spark.read.parquet(state_dir)
-    stale = _folded_but_undeleted(spark, state_dir)
-    if stale:
-        df = df.where(~F.col("batch_id").isin(stale))
+    intent = _read_intent(state_dir)
+    if intent is not None:
+        want = intent.get("folded_hash")
+        ids = [int(i) for i in intent.get("ids", [])]
+        if _partition_hash(spark, state_dir, BASE_ID) == want:
+            # promoted, deletes unfinished: base replaces the ids
+            df = df.where(
+                ~F.col("batch_id").isin([*ids, STAGING_ID])
+            )
+        elif _partition_hash(spark, state_dir, STAGING_ID) == want:
+            # staged but not yet promoted: the staging partition IS
+            # the fold of (ids + old base) — read it instead of them
+            df = df.where(
+                ~F.col("batch_id").isin([*ids, BASE_ID])
+            )
+        else:
+            df = df.where(F.col("batch_id") != STAGING_ID)
+    else:
+        df = df.where(F.col("batch_id") != STAGING_ID)
     return df.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
 
 
 def compact_cms(spark: SparkSession, state_dir: str) -> int:
     """Fold the accumulated per-batch grids into a single base grid
-    (written as partition ``batch_id=-1``), dropping the per-batch
-    partitions — the read-side fold input goes from d·w·|batches| rows
-    back to ≤ d·w.  Returns the number of cells in the compacted grid.
+    (partition ``batch_id=-1``), dropping the per-batch partitions —
+    the read-side fold input goes from d·w·|batches| rows back to
+    ≤ d·w.  Returns the number of cells in the compacted grid.
 
     Correctness: the CMS merge is associative, so pre-folding history
     commutes with the reader's fold — `read_cms` returns the identical
     grid before and after (asserted in tests).
 
     Safe while the stream runs: the set of batch partitions to fold
-    is SNAPSHOT up front; the fold reads only that set, the base grid
-    is written with dynamic partition overwrite (touching only
-    ``batch_id=-1``), and only the snapshot partitions are deleted —
-    a batch the live stream lands between the snapshot and the delete
-    is neither consumed nor removed, just left for the next
-    compaction.  (The previous implementation rewrote the WHOLE
-    directory with a static overwrite, silently deleting any
-    concurrently-written batch — the round-3 ADVICE finding.)
+    is SNAPSHOT up front; only the snapshot partitions are deleted —
+    a batch the live stream lands during compaction is neither
+    consumed nor removed, just left for the next compaction.
 
-    Crash-safe via the intent protocol (round-4 review finding: a
-    kill between the base commit and the deletes silently
-    double-counted every folded batch): BEFORE committing the base,
-    an intent file records the folded ids and the new base's content
-    hash.  On entry, an existing intent is resolved — base hash
-    matches ⇒ the commit happened, so finish the deletes; no match ⇒
-    the attempt aborted before commit, so discard the intent.
-    `read_cms` applies the same rule read-only.
+    Crash-safe via the staged-partition + intent protocol (module
+    docstring): stage the fold to ``batch_id=-2``, record intent
+    (ids + content hash), promote by rename, delete, remove intent —
+    every kill point is recovered by `_resolve_intent` on the next
+    compaction, and `read_cms` stays exact in the meantime.
 
     Replay interaction (unchanged, and the one remaining caveat):
     compaction consumes historical batch partitions, so only compact
@@ -147,32 +222,24 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
     would otherwise double-count into the base grid.
 
     State lives on a local filesystem path (the repo's sink contract);
-    the partition delete uses local fs ops.
+    promotion and deletes use local fs ops.
     """
-    import tempfile
-
-    # a stream that has not written yet simply has nothing to compact
     if not os.path.isdir(state_dir):
         return 0
 
-    # resolve any interrupted prior attempt first
-    stale = _folded_but_undeleted(spark, state_dir)
-    for bid in stale:
-        if bid != -1:
-            shutil.rmtree(
-                os.path.join(state_dir, f"batch_id={bid}"),
-                ignore_errors=True,
-            )
-    intent_path = os.path.join(state_dir, _INTENT)
-    if os.path.exists(intent_path):
-        os.remove(intent_path)
+    _resolve_intent(spark, state_dir)
+    if _read_intent(state_dir) is not None:
+        # recovery could not finish (e.g. a partition refused to
+        # delete): don't stack a second attempt on top
+        raise RuntimeError(
+            f"unresolved compaction intent in {state_dir}; "
+            "fix the blocking partition and re-run"
+        )
 
-    # snapshot the partitions to fold (directory listing, not a scan:
-    # batch_id is the partition column)
     ids = sorted(
         int(name.split("=", 1)[1])
         for name in os.listdir(state_dir)
-        if name.startswith("batch_id=")
+        if name.startswith("batch_id=") and name != f"batch_id={STAGING_ID}"
     )
     if not ids:
         return 0
@@ -181,41 +248,40 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
         .where(F.col("batch_id").isin(ids))
         .groupBy("d", "b")
         .agg(F.sum("cnt").alias("cnt"))
-        .withColumn("batch_id", F.lit(-1))
     )
-    # stage to a temp dir first: the fold READS the state_dir base
-    # grid, so overwriting batch_id=-1 in-place would consume an
-    # input mid-scan
-    tmp = tempfile.mkdtemp(prefix="cms_compact_")
-    try:
-        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
-        staged = spark.read.parquet(tmp)
-        rows = sorted(
-            (r.d, r.b, r.cnt)
-            for r in staged.select("d", "b", "cnt").collect()
+    rows = [(r.d, r.b, r.cnt) for r in folded.collect()]
+    n = len(rows)
+    folded_hash = _grid_hash(rows)
+
+    # stage the fold OUTSIDE the read path (batch_id=-2 is excluded
+    # from every read), then record intent, then promote
+    staging = os.path.join(state_dir, f"batch_id={STAGING_ID}")
+    shutil.rmtree(staging, ignore_errors=True)
+    # schema mirrors cms_cells exactly (d: lit int32, b: 60-bit
+    # portable hash mod width -> bigint, cnt: count -> bigint) so the
+    # promoted base partition is schema-identical to batch partitions
+    spark.createDataFrame(rows, "d int, b bigint, cnt bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(staging)
+
+    intent_path = os.path.join(state_dir, _INTENT)
+    tmp_intent = intent_path + ".tmp"
+    with open(tmp_intent, "w") as fh:
+        json.dump(
+            {
+                "ids": [bid for bid in ids if bid != BASE_ID],
+                "folded_hash": folded_hash,
+            },
+            fh,
         )
-        n = len(rows)
-        folded_hash = hashlib.sha256(str(rows).encode()).hexdigest()[:16]
-        # intent BEFORE the commit: whichever side a crash lands on,
-        # recovery can tell (hash match ⇔ base committed)
-        tmp_intent = intent_path + ".tmp"
-        with open(tmp_intent, "w") as fh:
-            json.dump(
-                {
-                    "ids": [bid for bid in ids if bid != -1],
-                    "folded_hash": folded_hash,
-                },
-                fh,
-            )
-        os.replace(tmp_intent, intent_path)
-        overwrite_partitions(staged, state_dir, ["batch_id"])
-        for bid in ids:
-            if bid != -1:
-                shutil.rmtree(
-                    os.path.join(state_dir, f"batch_id={bid}"),
-                    ignore_errors=True,
-                )
+    os.replace(tmp_intent, intent_path)
+
+    base = os.path.join(state_dir, f"batch_id={BASE_ID}")
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    os.rename(staging, base)
+    if _delete_partitions(
+        state_dir, [bid for bid in ids if bid != BASE_ID]
+    ):
         os.remove(intent_path)
-        return n
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    return n

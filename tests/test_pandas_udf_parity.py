@@ -62,7 +62,10 @@ def test_apply_in_pandas_equals_window_twin(spark, sf_dir):
         mu = pdf["value"].mean()
         sd = pdf["value"].std(ddof=1)
         out = pdf[["event_id", "event_type"]].copy()
-        out["z"] = ((pdf["value"] - mu) / sd).round(6)
+        # no rounding here: pandas .round is half-to-even while Spark
+        # F.round is HALF_UP — compare the raw doubles under a
+        # tolerance instead of betting no value lands on a half
+        out["z"] = (pdf["value"] - mu) / sd
         return out
 
     got = {
@@ -76,13 +79,12 @@ def test_apply_in_pandas_equals_window_twin(spark, sf_dir):
         r.event_id: r.z
         for r in ev.select(
             "event_id",
-            F.round(
+            (
                 (F.col("value") - F.avg("value").over(w))
-                / F.stddev_samp("value").over(w),
-                6,
+                / F.stddev_samp("value").over(w)
             ).alias("z"),
         ).collect()
     }
     assert len(got) == len(want)
     for k, v in want.items():
-        assert got[k] == v or abs(got[k] - v) < 1e-9
+        assert abs(got[k] - v) < 1e-9

@@ -154,33 +154,45 @@ def test_cms_compaction_on_missing_or_empty_state(spark, tmp_path):
     assert compact_cms(spark, str(empty)) == 0
 
 
-def _crash_compaction(spark, state, crash_after_commit):
-    """Run compact_cms but die at the chosen point of the commit
-    sequence, leaving the on-disk state a real kill would leave."""
+def _crash_compaction(spark, state, point):
+    """Run compact_cms but die at the chosen kill point, leaving the
+    on-disk state a real kill would leave.  Points: 'before_promote'
+    (staging + intent written, base untouched), 'after_promote'
+    (base swapped in, folded batches not yet deleted)."""
+    import os as _os
     from unittest import mock
 
     from projetbigdatastreaming_spark.streaming import sketches as sk
 
-    real_overwrite = sk.overwrite_partitions
+    real_rename = _os.rename
 
-    def dying(df, path, parts):
-        if crash_after_commit:
-            real_overwrite(df, path, parts)  # base grid committed
-        raise RuntimeError("killed")
+    def dying_rename(src, dst):
+        if point == "before_promote":
+            raise RuntimeError("killed before promotion")
+        real_rename(src, dst)
+        raise RuntimeError("killed after promotion")
 
-    with mock.patch.object(sk, "overwrite_partitions", side_effect=dying):
+    with mock.patch.object(sk.os, "rename", side_effect=dying_rename):
         try:
             sk.compact_cms(spark, state)
         except RuntimeError:
             pass
 
 
-def test_cms_compaction_crash_after_base_commit_never_double_counts(
+def _setup_state(spark, tmp_path, name):
+    state = str(tmp_path / name)
+    write = cms_batch_writer(state, "user_id")
+    write(spark.createDataFrame([("a",), ("b",), ("a",)], "user_id string"), 0)
+    write(spark.createDataFrame([("b",), ("c",)], "user_id string"), 1)
+    return state, write, _grid(read_cms(spark, state))
+
+
+def test_cms_compaction_crash_after_promotion_never_double_counts(
     spark, tmp_path
 ):
-    """Round-4 review finding: a kill between the base-grid commit and
-    the partition deletes used to leave base AND folded batches on
-    disk, silently double-counting every folded batch.  The intent
+    """Round-4 review finding: a kill between the base commit and the
+    partition deletes used to leave base AND folded batches on disk,
+    silently double-counting every folded batch.  The staged+intent
     protocol must keep reads exact and let the next compaction finish
     the cleanup."""
     import os
@@ -189,14 +201,9 @@ def test_cms_compaction_crash_after_base_commit_never_double_counts(
         compact_cms,
     )
 
-    state = str(tmp_path / "cms_crash1")
-    write = cms_batch_writer(state, "user_id")
-    write(spark.createDataFrame([("a",), ("b",), ("a",)], "user_id string"), 0)
-    write(spark.createDataFrame([("b",), ("c",)], "user_id string"), 1)
-    before = _grid(read_cms(spark, state))
-
-    _crash_compaction(spark, state, crash_after_commit=True)
-    # the hazard state really exists: base + folded batches + intent
+    state, write, before = _setup_state(spark, tmp_path, "cms_crash1")
+    _crash_compaction(spark, state, "after_promote")
+    # the hazard state really exists: promoted base + folded batches
     assert os.path.isdir(os.path.join(state, "batch_id=-1"))
     assert os.path.isdir(os.path.join(state, "batch_id=0"))
     assert os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
@@ -215,27 +222,30 @@ def test_cms_compaction_crash_after_base_commit_never_double_counts(
     assert sum(after.values()) == sum(before.values()) + 4  # 4 depths
 
 
-def test_cms_compaction_crash_before_base_commit_discards_attempt(
+def test_cms_compaction_crash_before_promotion_stays_exact(
     spark, tmp_path
 ):
+    """A kill after staging but before the base swap: the old state is
+    fully intact AND the staged fold is durable — reads must pick ONE
+    consistent view (they read the staged grid in place of the folded
+    inputs), and the next compaction completes the promotion."""
     import os
 
     from projetbigdatastreaming_spark.streaming.sketches import (
         compact_cms,
     )
 
-    state = str(tmp_path / "cms_crash2")
-    write = cms_batch_writer(state, "user_id")
-    write(spark.createDataFrame([("a",), ("b",)], "user_id string"), 0)
-    before = _grid(read_cms(spark, state))
-
-    _crash_compaction(spark, state, crash_after_commit=False)
+    state, write, before = _setup_state(spark, tmp_path, "cms_crash2")
+    _crash_compaction(spark, state, "before_promote")
     assert os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
-    # nothing was folded: reads unchanged, batches intact
-    assert _grid(read_cms(spark, state)) == before
-    assert os.path.isdir(os.path.join(state, "batch_id=0"))
+    assert os.path.isdir(os.path.join(state, "batch_id=-2"))  # staged
+    assert os.path.isdir(os.path.join(state, "batch_id=0"))  # intact
 
-    # a fresh compaction discards the aborted intent and succeeds
+    assert _grid(read_cms(spark, state)) == before
+
+    # recovery promotes the staged fold and finishes cleanup
     compact_cms(spark, state)
     assert _grid(read_cms(spark, state)) == before
     assert not os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+    assert not os.path.isdir(os.path.join(state, "batch_id=-2"))
+    assert not os.path.isdir(os.path.join(state, "batch_id=0"))

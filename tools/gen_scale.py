@@ -205,9 +205,16 @@ def ensure_scaled(
     mislabeled scale point."""
     marker = os.path.join(out_dir, _DONE_MARKER)
     want = f"factor={factor} src={src_dir}\n"
-    if not (
-        os.path.exists(marker) and open(marker).read() == want
-    ):
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read()
+    if have != want:
+        # drop the stale marker FIRST: a rebuild killed partway must
+        # not leave the old marker validating a dir that now mixes
+        # tables from two parameter sets
+        if have is not None:
+            os.remove(marker)
         build_scaled(spark, src_dir, out_dir, factor)
     return out_dir
 
