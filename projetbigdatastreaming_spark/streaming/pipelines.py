@@ -146,3 +146,70 @@ def hashtag_pipeline(statuses: DataFrame, window: str = "3 minutes") -> DataFram
             "n",
         )
     )
+
+
+def sentiment_pipeline(
+    statuses: DataFrame, window: str = "3 minutes"
+) -> DataFrame:
+    """The reference's tweet-KPI domain composed with the engine's
+    lexicon sentiment scorer (plans/llmdata.SENTIMENT_LEXICON — the
+    EDBT'16 sentiment-on-Spark shape): per window and language, tweet
+    count, positive/negative lexicon hits, and the mean per-tweet
+    valence.  Pure built-in expressions over a broadcast-sized literal
+    map, so it runs identically on a stream (windowed aggregate with
+    watermark upstream) or a batch frame.
+
+    Expects columns (ts timestamp, text string, lang string).
+    Scale: the lexicon lookup is a map-side `element_at` against a
+    literal MAP (no join, no shuffle beyond the one windowed agg).
+    """
+    from ..plans.llmdata import SENTIMENT_LEXICON
+
+    lex = F.create_map(
+        *[
+            F.lit(x)
+            for pair in SENTIMENT_LEXICON
+            for x in pair
+        ]
+    )
+    val = F.expr(
+        "aggregate(toks, 0, (acc, t) -> acc + coalesce(vmap[t], 0))"
+    )
+    pos = F.expr(
+        "size(filter(toks, t -> coalesce(vmap[t], 0) > 0))"
+    )
+    neg = F.expr(
+        "size(filter(toks, t -> coalesce(vmap[t], 0) < 0))"
+    )
+    scored = statuses.select(
+        "ts",
+        "lang",
+        F.split(F.lower("text"), r"\s+").alias("toks"),
+    ).withColumn("vmap", lex).select(
+        "ts",
+        "lang",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        val.alias("valence"),
+        F.size("toks").alias("n_toks"),
+    )
+    return (
+        scored.groupBy(F.window("ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tweets"),
+            F.sum("pos_hits").cast("bigint").alias("pos_hits"),
+            F.sum("neg_hits").cast("bigint").alias("neg_hits"),
+            (
+                F.sum("valence").cast("double")
+                / F.sum("n_toks")
+            ).alias("mean_valence"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "n_tweets",
+            "pos_hits",
+            "neg_hits",
+            "mean_valence",
+        )
+    )

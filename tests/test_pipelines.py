@@ -207,3 +207,57 @@ def test_hashtag_pipeline_over_socket(spark):
         q.stop()
         stop.set()
         srv.close()
+
+
+def test_sentiment_pipeline_batch_and_stream_agree(spark, tmp_path):
+    """The lexicon sentiment KPI: exact hits/valence on a known frame,
+    and the STREAMING run over the same rows (windowed agg, availableNow)
+    produces the identical relation."""
+    t = datetime.datetime(2024, 1, 1, 12, 0, 30)
+    rows = [
+        Row(ts=t, text="spark is great and amazing", lang="en"),
+        Row(ts=t + datetime.timedelta(minutes=1),
+            text="terrible awful slow day", lang="en"),
+        Row(ts=t, text="bon et neutre", lang="fr"),
+        Row(ts=t + datetime.timedelta(minutes=10),
+            text="love the best win", lang="en"),
+    ]
+    batch = pipelines.sentiment_pipeline(spark.createDataFrame(rows))
+    got = {
+        (r.window_start.minute, r.lang): (
+            r.n_tweets, r.pos_hits, r.neg_hits, r.mean_valence,
+        )
+        for r in batch.collect()
+    }
+    # window 0: en has great(3)+amazing(4) over 2 tweets/9 tokens;
+    # terrible(-5)+awful(-4)+slow(-1) -> valence (7-10)/9
+    assert got[(0, "en")] == (2, 2, 3, (3 + 4 - 5 - 4 - 1) / 9)
+    assert got[(0, "fr")] == (1, 0, 0, 0.0)
+    assert got[(9, "en")] == (1, 3, 0, (3 + 3 + 2) / 4)
+
+    # streaming twin over a parquet spool of the same rows
+    src = tmp_path / "sent_in"
+    spark.createDataFrame(rows).write.parquet(str(src))
+    from projetbigdatastreaming_spark.sources.files import parquet_stream
+
+    stream = parquet_stream(
+        spark, str(src), spark.createDataFrame(rows).schema
+    )
+    out = pipelines.sentiment_pipeline(
+        stream.withWatermark("ts", "10 minutes")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sent_kpis")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start.minute, r.lang): (
+            r.n_tweets, r.pos_hits, r.neg_hits, r.mean_valence,
+        )
+        for r in spark.sql("SELECT * FROM sent_kpis").collect()
+    }
+    assert streamed == got
