@@ -41,43 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Explicit registry order.  The grading driver checks queries in
 #: iteration order with a cap (50 per round so far), so ordering is
-#: part of the contract.  Round-4 priority: (0) the nine r03
-#: hash-mismatches — all one bug class (driver-hash representation
-#: divergence through pandas dtypes: DuckDB HUGEINT sums → float64
-#: vs Spark int64; DECIMAL → pandas Decimal vs float64), re-fixed
-#: this round with BIGINT casts / integer-cents-then-one-double-
-#: division, and guarded forever by tools/check_oracle.py's new
-#: dtype-class parity check; (1) the two r02 reds whose ef33182 fix
-#: the driver has never confirmed; (2) the 22 registered queries that
-#: have NEVER appeared in any CORRECTNESS file (50-cap x 3 rounds);
-#: (3) queries new in round 4; (4) §2-core queries last checked in
-#: round 1 (oldest signal first); (5) r02/r03-green (freshest last).
+#: part of the contract.  Round-5 priority (VERDICT r04 next-item 1):
+#: every query's latest driver row is green, so the only remaining
+#: signal gap is FRESHNESS — ~85 queries still carry r01/r02-vintage
+#: rows that predate the dtype-class local gate.  Order: (1) the
+#: r01-vintage remainder of the old section 4 (oldest signal first);
+#: (2) the r02-vintage old section 5a; (3) queries new in round 5
+#: (first driver verdict); (4) r03-green; (5) r04-green (freshest
+#: last).  The 50-cap lands inside (2); the rest of (2) rolls to
+#: round 6.
 QUERY_ORDER = (
-    # 0) r03 hash-red, representation fix landed this round
-    "pysource_synthetic_events", "variant_json", "param_query",
-    "bpe_learn_merges", "shard_manifest", "tpch_q12",
-    "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
-    # 1) r02 red; fixed in ef33182 but never driver-confirmed
-    "stats_agg", "text_quality",
-    # 2) never driver-checked in any round (all local-green)
-    "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",
-    "window_value_functions", "mixture_budget_sample", "dedup_prefix",
-    "event_transitions", "doc_entropy", "active_users_rolling",
-    "corpus_zipf_fit", "supplier_scorecard", "revenue_pareto",
-    "approx_distinct_check", "rolling_avg_range",
-    "window_rank_functions", "profile_table", "dedup_survivorship",
-    "tpch_q18", "bitwise_functions", "user_features",
-    "profile_frequent_values", "time_gap_stats",
-    # 3) new in round 4 — first driver verdict (the codec family's
-    #    first driver-visible correctness signal: real decodes over
-    #    the committed media fixture)
-    "image_stats", "audio_stats", "video_stats", "media_manifest",
-    "emb_jl_recall", "substring_dedup", "dsir_importance",
-    "zorder_layout", "text_sentiment", "type_profile_similarity",
-    # 4) last driver-checked in round 1 — refresh the oldest §2-core
-    #    signal (slots to the 50-cap)
-    "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
-    "quarter_hour_case", "agg_groupby", "agg_analytic_window",
+    # 1) last driver-checked in round 1 (oldest signal)
     "conditional_columns", "scalar_functions", "time_functions",
     "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
@@ -89,7 +63,7 @@ QUERY_ORDER = (
     "window_lag_running", "map_functions", "scd2_history",
     "null_semantics", "unpivot", "string_agg", "dedup_ngram_jaccard",
     "dedup_char_ngram", "emb_cosine_pairs",
-    # 5a) green in the round-2 driver run
+    # 2) last driver-checked in round 2
     "array_functions",
     "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_ann_recall",
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
@@ -105,7 +79,9 @@ QUERY_ORDER = (
     "text_pii", "decontaminate", "pack_sequences", "length_histogram",
     "tpch_q10", "oov_rate", "curation_report",
     "dedup_incremental", "dedup_containment", "iqr_outliers",
-    # 5b) green in the round-3 driver run (freshest signal, so last)
+    # 3) new in round 5 — first driver verdict
+    # (inserted here as they land)
+    # 4) green in the round-3 driver run
     "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
     "sql_udf", "quality_classifier", "curation_pipeline",
     "sample_bottomk_mergeable", "cep_pattern_match",
@@ -118,6 +94,24 @@ QUERY_ORDER = (
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "unigram_logprob", "bpe_token_count", "emb_centroid",
     "tfidf_topk", "emb_outliers", "graph_pagerank",
+    # 5) green in the round-4 driver run (freshest signal, so last)
+    "pysource_synthetic_events", "variant_json", "param_query",
+    "bpe_learn_merges", "shard_manifest", "tpch_q12",
+    "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
+    "stats_agg", "text_quality",
+    "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",
+    "window_value_functions", "mixture_budget_sample", "dedup_prefix",
+    "event_transitions", "doc_entropy", "active_users_rolling",
+    "corpus_zipf_fit", "supplier_scorecard", "revenue_pareto",
+    "approx_distinct_check", "rolling_avg_range",
+    "window_rank_functions", "profile_table", "dedup_survivorship",
+    "tpch_q18", "bitwise_functions", "user_features",
+    "profile_frequent_values", "time_gap_stats",
+    "image_stats", "audio_stats", "video_stats", "media_manifest",
+    "emb_jl_recall", "substring_dedup", "dsir_importance",
+    "zorder_layout", "text_sentiment", "type_profile_similarity",
+    "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
+    "quarter_hour_case", "agg_groupby", "agg_analytic_window",
 )
 
 
