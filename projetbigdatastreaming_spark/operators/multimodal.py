@@ -53,7 +53,19 @@ def records_to_frame(records: list[dict], lead: dict):
     import pandas as pd
 
     keys = list(records[0].keys()) if records else []
-    out = dict(lead)
+    # strip any index off the lead columns: a pandas Series keeps its
+    # caller's index and pd.DataFrame would ALIGN on it, silently
+    # misaligning rows (or injecting NaN) if a caller ever passes a
+    # sliced/filtered frame's column.  Arrow batches happen to carry a
+    # fresh RangeIndex today; don't depend on it.
+    out = {
+        k: (
+            v.reset_index(drop=True)
+            if isinstance(v, pd.Series)
+            else v
+        )
+        for k, v in lead.items()
+    }
     for k in keys:
         vals = [r.get(k) for r in records]
         non_null = [v for v in vals if v is not None]

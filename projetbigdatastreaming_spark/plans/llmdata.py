@@ -1068,8 +1068,17 @@ def q_dsir_importance(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_toks"),
-            F.round(
-                F.sum(F.col("tf") * F.col("logw")) / F.sum("tf"), 6
+            # det6 floor-rounding, not ROUND(): engine ROUND semantics
+            # differ on doubles near half boundaries (stats_agg /
+            # corpus_zipf_fit precedent)
+            (
+                F.floor(
+                    F.sum(F.col("tf") * F.col("logw"))
+                    / F.sum("tf")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1e6)
             ).alias("mean_log_importance"),
         )
         .orderBy("doc_id")
@@ -1105,7 +1114,8 @@ bw AS (
   FROM dist CROSS JOIN tot)
 SELECT d.doc_id,
        CAST(SUM(d.tf) AS BIGINT) AS n_toks,
-       ROUND(SUM(d.tf * b.logw) / SUM(d.tf), 6) AS mean_log_importance
+       CAST(FLOOR(SUM(d.tf * b.logw) / SUM(d.tf) * 1e6 + 0.5) AS DOUBLE)
+         / 1e6 AS mean_log_importance
 FROM dbt d JOIN bw b ON d.bucket = b.bucket
 GROUP BY d.doc_id
 ORDER BY d.doc_id

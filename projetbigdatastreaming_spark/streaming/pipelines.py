@@ -154,8 +154,9 @@ def sentiment_pipeline(
     """The reference's tweet-KPI domain composed with the engine's
     lexicon sentiment scorer (plans/llmdata.SENTIMENT_LEXICON — the
     EDBT'16 sentiment-on-Spark shape): per window and language, tweet
-    count, positive/negative lexicon hits, and the mean per-tweet
-    valence.  Pure built-in expressions over a broadcast-sized literal
+    count, positive/negative lexicon hits, and the mean PER-TOKEN
+    valence over the window (sum of token valences / token count).
+    Pure built-in expressions over a broadcast-sized literal
     map, so it runs identically on a stream (windowed aggregate with
     watermark upstream) or a batch frame.
 
@@ -181,10 +182,15 @@ def sentiment_pipeline(
     neg = F.expr(
         "size(filter(toks, t -> coalesce(vmap[t], 0) < 0))"
     )
+    # drop empty tokens (split on \s+ yields '' at string edges) so
+    # n_toks and the valence denominator match q_text_sentiment's
+    # token <> '' filter exactly
     scored = statuses.select(
         "ts",
         "lang",
-        F.split(F.lower("text"), r"\s+").alias("toks"),
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+        ).alias("toks"),
     ).withColumn("vmap", lex).select(
         "ts",
         "lang",

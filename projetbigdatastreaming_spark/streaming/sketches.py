@@ -30,10 +30,17 @@ the earlier in-place base overwrite could destroy the old base
 mid-commit, and a failed delete with the intent already removed
 silently re-enabled double-counting.)
 
-The one read-side caveat: the promotion itself is two directory
-renames (old base out, staged base in) — a reader whose scan lands
-exactly between them sees neither base and transiently undercounts.
-The window is two local-fs renames; durability is unaffected.
+Promotion is two atomic renames through a reserved ASIDE partition
+(``batch_id=-3``, excluded from every read like staging): old base →
+aside, staging → base.  At every instant an atomically-listed
+directory therefore holds exactly one durable grid for the fold —
+either the old base (pre-swap), the staged fold standing in for it
+(mid-swap; the intent file routes readers to it), or the new base
+(post-swap) — so a concurrent ``read_cms`` never undercounts.  The
+only residual race is a reader whose two hash probes straddle a
+rename (each probe is consistent, the PAIR is not); ``read_cms``
+re-probes a few times before falling back, making that window a
+retry, not a wrong answer.
 """
 
 from __future__ import annotations
@@ -42,6 +49,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +61,7 @@ from ..sinks.files import overwrite_partitions
 _INTENT = "_COMPACT_INTENT.json"
 BASE_ID = -1  # the compacted base grid
 STAGING_ID = -2  # compaction staging, excluded from reads
+OLD_ID = -3  # old base set aside mid-promotion, excluded from reads
 
 
 def cms_batch_writer(
@@ -127,21 +136,31 @@ def _resolve_intent(spark: SparkSession, state_dir: str) -> None:
     want = intent.get("folded_hash")
     base = os.path.join(state_dir, f"batch_id={BASE_ID}")
     staging = os.path.join(state_dir, f"batch_id={STAGING_ID}")
+    aside = os.path.join(state_dir, f"batch_id={OLD_ID}")
     if _partition_hash(spark, state_dir, STAGING_ID) == want:
-        # staged fold is durable: promote it, then clean up
-        if os.path.isdir(base):
-            shutil.rmtree(base, ignore_errors=True)
-        if not os.path.isdir(base):
+        # staged fold is durable: promote it (aside-rename protocol —
+        # atomic renames only, never a reader-visible delete window)
+        try:
+            if os.path.isdir(base):
+                os.rename(base, aside)
             os.rename(staging, base)
-        else:
-            return  # base delete failed; keep intent, retry later
+        except OSError:
+            return  # rename blocked (permissions?); keep intent, retry
     elif _partition_hash(spark, state_dir, BASE_ID) != want:
         # neither staged nor promoted: the attempt aborted before the
-        # staging write completed — old state is intact, discard
+        # staging write completed — restore an aside base if a freak
+        # mid-swap kill left one (staging must then have rotted on
+        # disk), discard the staging, old state stands
+        if not os.path.isdir(base) and os.path.isdir(aside):
+            os.rename(aside, base)
         shutil.rmtree(staging, ignore_errors=True)
+        if os.path.isdir(base):
+            shutil.rmtree(aside, ignore_errors=True)
         os.remove(os.path.join(state_dir, _INTENT))
         return
-    # promoted (now or earlier): finish the deletes
+    # promoted (now or earlier): drop the set-aside old base (its
+    # counts live in the promoted fold) and finish the deletes
+    shutil.rmtree(aside, ignore_errors=True)
     if _delete_partitions(state_dir, ids):
         os.remove(os.path.join(state_dir, _INTENT))
 
@@ -176,21 +195,33 @@ def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
     if intent is not None:
         want = intent.get("folded_hash")
         ids = [int(i) for i in intent.get("ids", [])]
-        if _partition_hash(spark, state_dir, BASE_ID) == want:
-            # promoted, deletes unfinished: base replaces the ids
-            df = df.where(
-                ~F.col("batch_id").isin([*ids, STAGING_ID])
-            )
-        elif _partition_hash(spark, state_dir, STAGING_ID) == want:
-            # staged but not yet promoted: the staging partition IS
-            # the fold of (ids + old base) — read it instead of them
-            df = df.where(
-                ~F.col("batch_id").isin([*ids, BASE_ID])
-            )
+        # the two hash probes are each consistent but the PAIR can
+        # straddle a promotion rename (base probe before the swap,
+        # staging probe after) and match neither — re-probe briefly
+        # rather than fall through to a possibly-wrong exclusion set
+        for _ in range(20):
+            if _partition_hash(spark, state_dir, BASE_ID) == want:
+                # promoted, deletes unfinished: base replaces the ids
+                df = df.where(
+                    ~F.col("batch_id").isin([*ids, STAGING_ID, OLD_ID])
+                )
+                break
+            if _partition_hash(spark, state_dir, STAGING_ID) == want:
+                # staged but not yet promoted: the staging partition
+                # IS the fold of (ids + old base) — read it instead
+                df = df.where(
+                    ~F.col("batch_id").isin([*ids, BASE_ID, OLD_ID])
+                )
+                break
+            time.sleep(0.05)
         else:
-            df = df.where(F.col("batch_id") != STAGING_ID)
+            # genuinely aborted attempt (staging never became
+            # durable): old state stands, exclude only the inert dirs
+            df = df.where(
+                ~F.col("batch_id").isin([STAGING_ID, OLD_ID])
+            )
     else:
-        df = df.where(F.col("batch_id") != STAGING_ID)
+        df = df.where(~F.col("batch_id").isin([STAGING_ID, OLD_ID]))
     return df.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -236,10 +267,17 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
             "fix the blocking partition and re-run"
         )
 
+    # an orphan aside dir (kill between promote-rename and aside
+    # cleanup, intent already cleared) holds counts the promoted base
+    # already owns — discard it before snapshotting, never fold it
+    shutil.rmtree(
+        os.path.join(state_dir, f"batch_id={OLD_ID}"), ignore_errors=True
+    )
     ids = sorted(
         int(name.split("=", 1)[1])
         for name in os.listdir(state_dir)
-        if name.startswith("batch_id=") and name != f"batch_id={STAGING_ID}"
+        if name.startswith("batch_id=")
+        and name not in (f"batch_id={STAGING_ID}", f"batch_id={OLD_ID}")
     )
     if not ids:
         return 0
@@ -276,10 +314,14 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
         )
     os.replace(tmp_intent, intent_path)
 
+    # promote via two atomic renames (module docstring: a reader's
+    # atomically-listed view always holds exactly one durable grid)
     base = os.path.join(state_dir, f"batch_id={BASE_ID}")
+    aside = os.path.join(state_dir, f"batch_id={OLD_ID}")
     if os.path.isdir(base):
-        shutil.rmtree(base)
+        os.rename(base, aside)
     os.rename(staging, base)
+    shutil.rmtree(aside, ignore_errors=True)
     if _delete_partitions(
         state_dir, [bid for bid in ids if bid != BASE_ID]
     ):

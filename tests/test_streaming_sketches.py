@@ -157,8 +157,10 @@ def test_cms_compaction_on_missing_or_empty_state(spark, tmp_path):
 def _crash_compaction(spark, state, point):
     """Run compact_cms but die at the chosen kill point, leaving the
     on-disk state a real kill would leave.  Points: 'before_promote'
-    (staging + intent written, base untouched), 'after_promote'
-    (base swapped in, folded batches not yet deleted)."""
+    (staging + intent written, base untouched), 'mid_swap' (old base
+    renamed aside to batch_id=-3, staged fold not yet promoted),
+    'after_promote' (staged fold swapped in as base; the set-aside
+    old base and the folded batches not yet deleted)."""
     import os as _os
     from unittest import mock
 
@@ -167,10 +169,14 @@ def _crash_compaction(spark, state, point):
     real_rename = _os.rename
 
     def dying_rename(src, dst):
+        promoting = src.endswith(f"batch_id={sk.STAGING_ID}")
         if point == "before_promote":
             raise RuntimeError("killed before promotion")
+        if point == "mid_swap" and promoting:
+            raise RuntimeError("killed mid swap")
         real_rename(src, dst)
-        raise RuntimeError("killed after promotion")
+        if promoting:
+            raise RuntimeError("killed after promotion")
 
     with mock.patch.object(sk.os, "rename", side_effect=dying_rename):
         try:
@@ -249,3 +255,76 @@ def test_cms_compaction_crash_before_promotion_stays_exact(
     assert not os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
     assert not os.path.isdir(os.path.join(state, "batch_id=-2"))
     assert not os.path.isdir(os.path.join(state, "batch_id=0"))
+
+
+def _setup_compacted_state(spark, tmp_path, name):
+    """A state dir that already HAS a promoted base plus fresh
+    batches, so the next compaction exercises the base→aside swap."""
+    import os
+
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        compact_cms,
+    )
+
+    state, write, _ = _setup_state(spark, tmp_path, name)
+    compact_cms(spark, state)
+    assert os.path.isdir(os.path.join(state, "batch_id=-1"))
+    write(spark.createDataFrame([("z",), ("a",)], "user_id string"), 5)
+    return state, write, _grid(read_cms(spark, state))
+
+
+def test_cms_compaction_crash_mid_swap_stays_exact(spark, tmp_path):
+    """Round-5 ADVICE: promotion now swaps through an aside rename so
+    a kill (or a reader) between the two renames still sees exactly
+    one durable grid — the staged fold stands in for the base it was
+    replacing, and recovery completes the promotion."""
+    import os
+
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        compact_cms,
+    )
+
+    state, write, before = _setup_compacted_state(
+        spark, tmp_path, "cms_crash3"
+    )
+    _crash_compaction(spark, state, "mid_swap")
+    # the hazard state: base set aside, staged fold not yet promoted
+    assert not os.path.isdir(os.path.join(state, "batch_id=-1"))
+    assert os.path.isdir(os.path.join(state, "batch_id=-3"))
+    assert os.path.isdir(os.path.join(state, "batch_id=-2"))
+    assert os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+
+    assert _grid(read_cms(spark, state)) == before
+
+    compact_cms(spark, state)
+    assert _grid(read_cms(spark, state)) == before
+    for leftover in ("batch_id=-3", "batch_id=-2", "batch_id=5"):
+        assert not os.path.isdir(os.path.join(state, leftover))
+    assert not os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+
+
+def test_cms_compaction_crash_after_swap_drops_aside(spark, tmp_path):
+    """A kill right after the promote rename leaves the set-aside old
+    base on disk; its counts already live in the promoted fold, so
+    reads must exclude it and recovery must drop it."""
+    import os
+
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        compact_cms,
+    )
+
+    state, write, before = _setup_compacted_state(
+        spark, tmp_path, "cms_crash4"
+    )
+    _crash_compaction(spark, state, "after_promote")
+    # promoted base + aside old base + undeleted folded batches
+    assert os.path.isdir(os.path.join(state, "batch_id=-1"))
+    assert os.path.isdir(os.path.join(state, "batch_id=-3"))
+    assert os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+
+    assert _grid(read_cms(spark, state)) == before
+
+    compact_cms(spark, state)
+    assert _grid(read_cms(spark, state)) == before
+    assert not os.path.isdir(os.path.join(state, "batch_id=-3"))
+    assert not os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
