@@ -15,8 +15,14 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: suffixes of merge_upsert's staged-promotion protocol (full-rewrite
+#: fallback); see _recover_merge for the state machine
+_MERGE_STAGING = ".__merge_staging__"
+_MERGE_OLD = ".__merge_old__"
 
 
 def _dir_bytes(path: str) -> int:
@@ -68,6 +74,40 @@ def compact_parquet(
     )
 
 
+def _recover_merge(table_path: str) -> None:
+    """Repair an interrupted full-rewrite merge (staged-promotion
+    protocol; see `merge_upsert`).  States a kill can leave:
+
+    - staging partial/complete, table intact (died before the swap):
+      drop the staging — the table was never touched.
+    - table renamed to .old, staging complete (died mid-swap): finish
+      the promotion (staging → table, drop .old).
+    - table renamed to .old, staging incomplete (cannot happen in
+      order — the swap only starts after the staging write returns —
+      but repairable anyway): restore .old → table, drop staging.
+    - new table in place, .old leftover (died before cleanup): drop
+      .old and any stale staging.
+
+    Completeness of a staging dir is Spark's own job-commit marker
+    (``_SUCCESS``): present only after every task committed.
+    """
+    table = table_path.rstrip("/")
+    staging = table + _MERGE_STAGING
+    old = table + _MERGE_OLD
+    if os.path.isdir(table):
+        # table present: any siblings are stale artifacts
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    if os.path.isdir(old):
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            os.rename(staging, table)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+            os.rename(old, table)
+
+
 def merge_upsert(
     spark: SparkSession,
     table_path: str,
@@ -90,11 +130,24 @@ def merge_upsert(
 
     The merged partition content is (target ANTI-JOIN updates) UNION
     updates — an equi-join on the key columns, no driver-side rows.
+
+    The full-rewrite fallback is crash-safe via staged promotion
+    (round-4 review finding: the old ``cache(); overwrite same path``
+    pattern could lose the table to a cache eviction mid-overwrite or
+    a crash mid-write).  The merge is written to a STAGING sibling
+    directory while the source files are still intact — no cache, the
+    write job reads them directly — then promoted by two atomic
+    renames (table → .old, staging → table) and the old copy dropped.
+    `_recover_merge` repairs any kill point on the next call: a
+    complete staging (_SUCCESS present) wins, anything else restores
+    the old table; at no instant is the only copy of the data a
+    non-durable artifact.
     """
     from pyspark.sql import functions as F
 
     from .sinks.files import overwrite_partitions
 
+    _recover_merge(table_path)
     target = spark.read.parquet(table_path)
     cols = target.columns
     if partition_by:
@@ -106,14 +159,18 @@ def merge_upsert(
     if partition_by:
         overwrite_partitions(merged, table_path, partition_by)
     else:
-        # full copy-on-write: stage to a temp subdir is not atomic on
-        # raw parquet; rely on Spark's job-level commit for the rewrite
-        staged = merged.cache()
-        staged.count()  # materialize before the source files vanish
-        try:
-            staged.write.mode("overwrite").parquet(table_path)
-        finally:
-            staged.unpersist()
+        # full copy-on-write via staged promotion: write the merge to
+        # a sibling dir (source files still intact — the job reads
+        # them directly, nothing pinned in cache), then swap in with
+        # atomic renames.  Every kill point is repaired by
+        # _recover_merge on the next call.
+        staging = table_path.rstrip("/") + _MERGE_STAGING
+        old = table_path.rstrip("/") + _MERGE_OLD
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(table_path.rstrip("/"), old)
+        os.rename(staging, table_path.rstrip("/"))
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def zorder_write(
