@@ -46,6 +46,50 @@ def test_audio_video_stats(spark):
     assert video[22].duration_ms is None
 
 
+def test_sql_header_math_is_decoder_independent():
+    """The round-5 de-circularized oracle columns (BMP/PNG dims, WAV
+    duration, Y4M frame count) must equal a THIRD implementation —
+    struct.unpack over the raw payload here — so a shared bug in the
+    Python codecs can no longer hash green against its own replay."""
+    import struct
+
+    rows = {mid: (mime, p) for mid, _k, mime, p in media._fixture_rows()}
+
+    def duck(sql):
+        return dict(duckdb.connect().execute(sql).fetchall())
+
+    img = duck(
+        "SELECT media_id, width FROM ("
+        + media._oracle_image_stats()
+        + ") q"
+    )
+    # BMP: little-endian i32 at byte 18; PNG: big-endian u32 at 16
+    assert img[1] == struct.unpack_from("<i", rows[1][1], 18)[0]
+    assert img[4] == struct.unpack_from("<i", rows[4][1], 18)[0]
+    assert img[2] == struct.unpack_from(">I", rows[2][1], 16)[0]
+    assert img[5] is None and img[6] is None  # guards reject garbage
+
+    aud = duck(
+        "SELECT media_id, duration_ms FROM ("
+        + media._oracle_audio_stats()
+        + ") q"
+    )
+    for mid in (10, 11):
+        data_size = struct.unpack_from("<I", rows[mid][1], 40)[0]
+        align = struct.unpack_from("<H", rows[mid][1], 32)[0]
+        rate = struct.unpack_from("<I", rows[mid][1], 24)[0]
+        assert aud[mid] == (data_size // align) * 1000 // rate
+    assert aud[12] is None
+
+    vid = duck(
+        "SELECT media_id, n_frames FROM ("
+        + media._oracle_video_stats()
+        + ") q"
+    )
+    assert vid[20] == rows[20][1].count(b"FRAME\n")
+    assert vid[21] is None and vid[22] is None  # mp4: n_frames replayed null
+
+
 def test_media_manifest_matches_duckdb(spark):
     got = {
         r.kind: (r.n, r.total_bytes, r.fingerprint)
