@@ -62,17 +62,19 @@ AUDIO_STATS_SCHEMA = "media_id long, duration_ms int, rms_q8 int"
 
 
 def _audio_decode(mime: str, payload: bytes) -> dict:
-    """WAV decodes fully (duration + RMS of the PCM samples); MPEG
-    audio gets its exact header-walk duration with rms_q8 NULL (sample
-    decompression is the module's one declared stub — the metadata is
-    still real and exact)."""
-    from ..operators.codecs import mp3_metadata, wav_features
+    """WAV decodes fully (stdlib wave + numpy RMS); MPEG audio now
+    decodes SAMPLES too (round-5: Layer II full subband decode,
+    Layer III provable-silence — `operators/mpeg_audio.py`), so
+    rms_q8 is real for every fixture row; frames outside the
+    documented subset yield null rms with real header-walk
+    duration."""
+    from ..operators.codecs import wav_features
+    from ..operators.mpeg_audio import mpeg_audio_features
 
     if payload is None:
         return {"duration_ms": None, "rms_q8": None}
     if mime == "audio/mpeg":
-        m = mp3_metadata(bytes(payload))
-        return {"duration_ms": m["duration_ms"], "rms_q8": None}
+        return mpeg_audio_features(bytes(payload))
     return wav_features(bytes(payload))
 VIDEO_STATS_SCHEMA = (
     "media_id long, n_frames int, motion_q8 int, duration_ms long, "

@@ -27,7 +27,11 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from projetbigdatastreaming_spark.operators import codecs, jpeg  # noqa: E402
+from projetbigdatastreaming_spark.operators import (  # noqa: E402
+    codecs,
+    jpeg,
+    mpeg_audio,
+)
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -97,6 +101,23 @@ def build_rows() -> list[tuple]:
         "audio/mpeg",
         codecs.mp3_encode_minimal(9, 64, 32000, vbr_alternate_kbps=160),
     )
+    # Layer II tone: the one MPEG row whose SAMPLES decode to real,
+    # non-zero audio (mpeg_audio.mp2_frame_decode), so the driver row
+    # pins an actual subband decode, not just header metadata
+    t = np.arange(1152 * 3) / 44100.0
+    tone = 0.4 * np.sin(2 * np.pi * 554.365 * t)
+    add(15, "audio", "audio/mpeg", mpeg_audio.mp2_encode(tone, 44100, 64))
+    # non-silent Layer III: flip one side-info bit so gr0/ch0
+    # part2_3_length != 0 — provably NOT silence, rms must go null
+    # while the header-walk duration stays real
+    l3 = bytearray(codecs.mp3_encode_minimal(2, 128, 44100))
+    l3[6] |= 0x08
+    add(16, "audio", "audio/mpeg", bytes(l3))
+    # joint-stereo Layer II: outside the documented decode subset
+    # (intensity coding), rms null with real duration
+    js = bytearray(mpeg_audio.mp2_encode(tone[:1152], 44100, 64))
+    js[3] = (js[3] & 0x3F) | 0x40
+    add(17, "audio", "audio/mpeg", bytes(js))
     add(20, "video", "video/y4m", _y4m([0, 60, 200]))
     add(
         21,
