@@ -41,34 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Explicit registry order.  The grading driver checks queries in
 #: iteration order with a cap (50 per round so far), so ordering is
-#: part of the contract.  Round-5 priority (VERDICT r04 next-item 1):
-#: every query's latest driver row is green, so the only remaining
-#: signal gap is FRESHNESS — ~85 queries still carry r01/r02-vintage
-#: rows that predate the dtype-class local gate.  Order: (1) the
-#: r01-vintage remainder of the old section 4 (oldest signal first);
-#: (2) the r02-vintage old section 5a; (3) queries new in round 5
-#: (first driver verdict); (4) r03-green; (5) r04-green (freshest
-#: last).  The 50-cap lands inside (2); the rest of (2) rolls to
-#: round 6.
+#: part of the contract.  Round-6 rotation (VERDICT r05 next-item 1):
+#: the r05 sweep re-greened the first 50 slots, so the oldest signal
+#: left is the 35 r02-vintage block that sat just outside the window.
+#: Order: (1) the 35 r02-vintage queries (oldest signal first);
+#: (2) queries new in round 6 (first driver verdict); (3) r03-green
+#: (oldest 15 land inside the 50-slot window, completing the
+#: freshness program — no query's newest row will predate r03);
+#: (4) r04-green; (5) r05-green (freshest signal, so last).
 QUERY_ORDER = (
-    # 1) last driver-checked in round 1 (oldest signal)
-    "conditional_columns", "scalar_functions", "time_functions",
-    "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
-    "dedup_simhash_pairs", "emb_cosine_topk", "doc_chunking",
-    "text_stats", "text_language_id", "sessionize",
-    "window_topk_per_group", "join_broadcast_inner",
-    "join_left", "join_full_outer", "join_semi", "join_anti",
-    "union_all", "intersect", "except_", "pivot", "rollup", "cube",
-    "window_lag_running", "map_functions", "scd2_history",
-    "null_semantics", "unpivot", "string_agg", "dedup_ngram_jaccard",
-    "dedup_char_ngram", "emb_cosine_pairs",
-    # 2) last driver-checked in round 2
-    "array_functions",
-    "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_ann_recall",
-    "multires_rollup", "session_window_agg", "sql_grouping_sets",
-    "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
-    "join_salted", "window_sliding", "percentiles", "scalar_functions2",
+    # 1) last driver-checked in round 2 (oldest signal)
+    "window_sliding", "percentiles", "scalar_functions2",
     "subq_exists", "subq_not_exists", "subq_scalar",
     "subq_in_having", "subq_not_in", "subq_correlated_scalar",
     "emb_near_dup_lsh", "doc_winnow", "tpch_q5", "dedup_clusters",
@@ -79,9 +62,9 @@ QUERY_ORDER = (
     "text_pii", "decontaminate", "pack_sequences", "length_histogram",
     "tpch_q10", "oov_rate", "curation_report",
     "dedup_incremental", "dedup_containment", "iqr_outliers",
-    # 3) new in round 5 — first driver verdict
+    # 2) new in round 6 — first driver verdict
     # (inserted here as they land)
-    # 4) green in the round-3 driver run
+    # 3) green in the round-3 driver run (oldest 15 fill the window)
     "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
     "sql_udf", "quality_classifier", "curation_pipeline",
     "sample_bottomk_mergeable", "cep_pattern_match",
@@ -94,7 +77,7 @@ QUERY_ORDER = (
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "unigram_logprob", "bpe_token_count", "emb_centroid",
     "tfidf_topk", "emb_outliers", "graph_pagerank",
-    # 5) green in the round-4 driver run (freshest signal, so last)
+    # 4) green in the round-4 driver run
     "pysource_synthetic_events", "variant_json", "param_query",
     "bpe_learn_merges", "shard_manifest", "tpch_q12",
     "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
@@ -112,6 +95,23 @@ QUERY_ORDER = (
     "zorder_layout", "text_sentiment", "type_profile_similarity",
     "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
     "quarter_hour_case", "agg_groupby", "agg_analytic_window",
+    # 5) green in the round-5 driver run (freshest signal, so last)
+    "conditional_columns", "scalar_functions", "time_functions",
+    "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
+    "dedup_simhash_pairs", "emb_cosine_topk", "doc_chunking",
+    "text_stats", "text_language_id", "sessionize",
+    "window_topk_per_group", "join_broadcast_inner",
+    "join_left", "join_full_outer", "join_semi", "join_anti",
+    "union_all", "intersect", "except_", "pivot", "rollup", "cube",
+    "window_lag_running", "map_functions", "scd2_history",
+    "null_semantics", "unpivot", "string_agg", "dedup_ngram_jaccard",
+    "dedup_char_ngram", "emb_cosine_pairs",
+    "array_functions",
+    "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_ann_recall",
+    "multires_rollup", "session_window_agg", "sql_grouping_sets",
+    "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
+    "join_salted",
 )
 
 
