@@ -9,8 +9,8 @@ Second scale point: at sf0.1 every headline query sits in Spark's
 job-scheduling noise floor (0.2-0.7 s), where a +6% wobble and a real
 regression look alike and algorithmic blowups hide behind constants.
 So after the primary sweep, a 10× scaled copy of the fixture is built
-once (tools/gen_scale.py, cached in .bench_sf1/) and the heavy subset
-re-timed there — reported under the extra keys ``sf2`` /
+once (tools/gen_scale.py, cached in .bench_sf1/) and every headline
+query re-timed there — reported under the extra keys ``sf2`` /
 ``queries_sf2`` / ``value_sf2`` (the primary contract keys are
 unchanged).  Disable with SPARK_GRAFT_SF2=0.
 """
@@ -34,24 +34,12 @@ SF2_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"
 )
 
-#: heavy-shape subset re-timed at the scaled fixture (kept small so a
-#: driver bench round stays minutes, not tens of minutes)
-SF2_QUERIES = (
-    "kpi_quarter_hour",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q9",
-    "tpch_q21",
-    "star_join",
-    "sessionize",
-    "dedup_minhash_pairs",
-    "emb_cosine_topk",
-    "line_dedup",
-    "curation_pipeline",
-    "heavy_hitters_cms",
-    "substring_dedup",
-    "dsir_importance",
-)
+#: queries re-timed at the scaled fixture.  ``None`` means "every
+#: headline query" — the sf1 column exists to be the noise-free trend
+#: signal, so it must cover the same set the primary column does
+#: (a partial subset left 10 headline queries with no scaled number
+#: and made round-over-round drift unadjudicable).
+SF2_QUERIES: tuple[str, ...] | None = None
 
 
 def _sf_from_dir(d: str) -> float:
@@ -109,13 +97,15 @@ def main() -> None:
             ensure_scaled(spark, SF_DIR, SF2_DIR, SF2_FACTOR)
             build_sec = round(time.perf_counter() - t0, 1)
             t2: dict[str, float] = {}
-            for name in SF2_QUERIES:
+            for name in SF2_QUERIES if SF2_QUERIES is not None else headline:
                 fn = all_queries[name]
                 fn(spark, SF2_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()  # warm
+                # min of 3, matching the primary column — min-of-2
+                # left the sf1 totals with ±17% wholesale drift
                 best = float("inf")
-                for _ in range(2):
+                for _ in range(3):
                     q0 = time.perf_counter()
                     fn(spark, SF2_DIR).write.format("noop").mode(
                         "overwrite"
