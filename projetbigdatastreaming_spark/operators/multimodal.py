@@ -2,18 +2,20 @@
 typed metadata, processed by Arrow-batched pandas iterators
 (mapInPandas) — the north-star multimodal plumbing.
 
-The Spark-side architecture is real and tested: schemas, batch
-iteration, partition-preserving transforms.  Codecs are injectable
-functions; `operators/codecs.py` supplies REAL implementations for the
-formats decodable without external libraries (WAV/PCM audio via stdlib
-``wave``, uncompressed 24-bit BMP and zlib PNG decode/resize/encode in
-numpy, Y4M frame walking/motion, MP4/ISO-BMFF container metadata via
-box parsing) and `operators/jpeg.py` a from-scratch baseline JPEG —
-each golden-file tested.  The ONE remaining declared stub is MP3
-sample decoding (a polyphase-filterbank decompressor is genuinely out
-of stdlib scope); its default codec is a clearly-marked deterministic
-fake (keeping the pipeline end-to-end testable) and `strict=True`
-switches the boundary to NotImplementedError.
+The generic API (`decode_images` / `resize_images` /
+`extract_audio_features` / `sample_video_frames`) dispatches to the
+REAL in-repo codecs by payload signature (magic bytes, not the mime
+column — robust to mislabeled rows): uncompressed 24-bit BMP and zlib
+PNG decode/resize/encode in numpy, from-scratch baseline JPEG
+(`operators/jpeg.py`), stdlib-``wave`` WAV + numpy RMS, MPEG audio
+frame walk + Layer II subband decode (`operators/mpeg_audio.py`), and
+Y4M frame extraction — each golden-file tested.  Unrecognized or
+undecodable payloads yield null rows (never task failures);
+``strict=True`` turns the *unsupported-format* case into
+NotImplementedError so a pipeline can refuse rather than null-fill.
+Codecs stay injectable for formats this container can't decode
+(PIL/ffmpeg-class: H.264 frames, MP4 sample extraction); the old
+hash-derived fakes survive only as explicit ``fake_*`` test doubles.
 
 At 100 TB the shape matters more than the codec: binary payloads never
 pass through Python row-at-a-time (Arrow batches only), metadata
@@ -99,12 +101,73 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def _fake_image_decode(payload: bytes) -> dict[str, Any]:
-    """Deterministic fake decoder: derives dimensions and a feature
-    hash from the payload bytes.  STUB — a real deployment injects a
-    PIL/libjpeg-backed decoder with the same return contract."""
+def sniff_format(payload: bytes) -> str | None:
+    """Identify a payload's container format from its magic bytes.
+
+    Returns one of ``bmp png jpeg wav y4m mp4 mpeg_audio`` or None.
+    Signature-based (not the mime column) so mislabeled rows still
+    decode and garbage mislabeled as media nulls out instead of
+    crashing a real codec.
+    """
+    if not payload:
+        return None
+    p = bytes(payload[:16])
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if p[:2] == b"BM":
+        return "bmp"
+    if p[:2] == b"\xff\xd8":
+        return "jpeg"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "wav"
+    if p[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if len(p) >= 8 and p[4:8] == b"ftyp":
+        return "mp4"
+    if p[:3] == b"ID3" or (
+        len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+    ):
+        return "mpeg_audio"
+    return None
+
+
+_NULL_IMAGE = {"width": None, "height": None, "feature_hash": None}
+_NULL_AUDIO = {"duration_ms": None, "rms_q8": None}
+
+
+def _unsupported(kind: str, fmt: str | None, strict: bool) -> None:
+    if strict:
+        raise NotImplementedError(
+            f"no in-repo {kind} codec for format {fmt!r} — inject a "
+            "PIL/ffmpeg-backed callable for formats this environment "
+            "cannot decode"
+        )
+
+
+def auto_image_decode(payload: bytes, strict: bool = False) -> dict[str, Any]:
+    """Signature-dispatched real image decode: BMP/PNG (numpy) and
+    baseline JPEG (from-scratch).  Unrecognized formats -> null record
+    (or NotImplementedError under strict); garbage with a valid
+    signature nulls out inside the codec itself."""
+    from . import codecs, jpeg
+
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        return codecs.bmp_decode(bytes(payload))
+    if fmt == "png":
+        return codecs.png_decode(bytes(payload))
+    if fmt == "jpeg":
+        return jpeg.jpeg_decode(bytes(payload))
+    _unsupported("image-decode", fmt, strict)
+    return dict(_NULL_IMAGE)
+
+
+def fake_image_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic TEST DOUBLE: derives dimensions and a feature
+    hash from raw payload bytes without decoding.  Stands in for
+    PIL-class decoders in tests; never a default."""
     if payload is None:
-        return {"width": None, "height": None, "feature_hash": None}
+        return dict(_NULL_IMAGE)
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) % (1 << 60)
@@ -123,16 +186,16 @@ def decode_images(
     """Decode/feature-extract an image binary column via mapInPandas.
 
     Arrow moves each partition through Python in columnar batches; the
-    decoder runs per-payload inside the batch loop.  ``strict=True``
-    raises NotImplementedError instead of using the fake decoder —
-    marking the codec boundary this container can't cross.
+    decoder runs per-payload inside the batch loop.  The default is
+    the signature-dispatched real codec set (`auto_image_decode`);
+    ``strict=True`` makes formats outside that set raise
+    NotImplementedError instead of yielding null rows.
     """
-    if strict and decoder is None:
-        raise NotImplementedError(
-            "real image decoding needs an injected decoder (PIL/ffmpeg "
-            "are not available in this environment)"
-        )
-    decode = decoder or _fake_image_decode
+    if decoder is not None:
+        decode = decoder
+    else:
+        def decode(p: bytes) -> dict[str, Any]:
+            return auto_image_decode(p, strict=strict)
 
     def _batches(it: Iterator) -> Iterator:
         for pdf in it:
@@ -157,6 +220,34 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def auto_image_resize(
+    payload: bytes, w: int, h: int, strict: bool = False
+) -> bytes | None:
+    """Signature-dispatched real nearest-neighbor resize, re-encoded
+    in the source format (BMP/PNG/JPEG).  Unrecognized formats ->
+    None (or NotImplementedError under strict)."""
+    from . import codecs, jpeg
+
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        return codecs.bmp_resize(bytes(payload), w, h)
+    if fmt == "png":
+        return codecs.png_resize(bytes(payload), w, h)
+    if fmt == "jpeg":
+        return jpeg.jpeg_resize(bytes(payload), w, h)
+    _unsupported("image-resize", fmt, strict)
+    return None
+
+
+def fake_image_resize(payload: bytes, w: int, h: int) -> bytes | None:
+    """Deterministic TEST DOUBLE: truncate/pad the byte stream to a
+    size proportional to the target area.  Never a default."""
+    if payload is None:
+        return None
+    size = max(1, (w * h) // 1024)
+    return (payload * (size // max(len(payload), 1) + 1))[:size]
+
+
 def resize_images(
     media: DataFrame,
     target_width: int = 256,
@@ -166,24 +257,17 @@ def resize_images(
 ) -> DataFrame:
     """Image resize plumbing: (payload, w, h) -> resized payload.
 
-    The default resizer is a deterministic fake (truncate/pad the byte
-    stream to a size proportional to the target area) — STUB; a real
-    deployment injects a PIL-backed resizer with the same contract.
-    ``strict=True`` raises NotImplementedError at the codec boundary.
+    Default is the signature-dispatched real codec set
+    (`auto_image_resize`: BMP/PNG/JPEG nearest-neighbor, re-encoded
+    in the source format); ``strict=True`` makes unsupported formats
+    raise NotImplementedError instead of yielding a null payload.
+    Inject a PIL-backed resizer for formats outside that set.
     """
-    if strict and resizer is None:
-        raise NotImplementedError(
-            "real image resizing needs an injected resizer (PIL is not "
-            "available in this environment)"
-        )
-
-    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
-        if payload is None:
-            return None
-        size = max(1, (w * h) // 1024)
-        return (payload * (size // max(len(payload), 1) + 1))[:size]
-
-    resize = resizer or _fake_resize
+    if resizer is not None:
+        resize = resizer
+    else:
+        def resize(p: bytes, w: int, h: int) -> bytes | None:
+            return auto_image_resize(p, w, h, strict=strict)
 
     def _batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -213,6 +297,36 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+def auto_audio_features(
+    payload: bytes, strict: bool = False
+) -> dict[str, Any]:
+    """Signature-dispatched real audio features: stdlib-wave WAV
+    (exact duration + numpy RMS) and MPEG audio (frame-walk duration,
+    Layer II subband-decoded RMS).  Unrecognized formats -> null
+    record (or NotImplementedError under strict)."""
+    from . import codecs, mpeg_audio
+
+    fmt = sniff_format(payload)
+    if fmt == "wav":
+        return codecs.wav_features(bytes(payload))
+    if fmt == "mpeg_audio":
+        return mpeg_audio.mpeg_audio_features(bytes(payload))
+    _unsupported("audio-decode", fmt, strict)
+    return dict(_NULL_AUDIO)
+
+
+def fake_audio_features(payload: bytes) -> dict[str, Any]:
+    """Deterministic TEST DOUBLE: byte-length duration, byte-sum RMS.
+    Never a default."""
+    if payload is None:
+        return dict(_NULL_AUDIO)
+    return {
+        "duration_ms": len(payload),
+        "rms_q8": (sum(payload[:256]) // max(min(len(payload), 256), 1))
+        & 0xFF,
+    }
+
+
 def extract_audio_features(
     media: DataFrame,
     extractor: Callable[[bytes], dict[str, Any]] | None = None,
@@ -221,28 +335,19 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio feature extraction plumbing (duration, quantized RMS).
 
-    Default is a deterministic fake over the raw bytes — STUB; inject a
-    soundfile/librosa-backed extractor in a real deployment.  A custom
-    ``schema`` widens the output to whatever the injected extractor
-    returns (e.g. ``codecs.wav_spectral_features`` adds zero-crossing
-    rate and dominant frequency) — the Arrow batch shape is unchanged.
+    Default is the signature-dispatched real codec set
+    (`auto_audio_features`: WAV + MPEG audio); ``strict=True`` makes
+    unsupported formats raise NotImplementedError instead of yielding
+    null rows.  A custom ``schema`` widens the output to whatever an
+    injected extractor returns (e.g. ``codecs.wav_spectral_features``
+    adds zero-crossing rate and dominant frequency) — the Arrow batch
+    shape is unchanged.
     """
-    if strict and extractor is None:
-        raise NotImplementedError(
-            "real audio decoding needs an injected extractor (no audio "
-            "libs in this environment)"
-        )
-
-    def _fake(payload: bytes) -> dict[str, Any]:
-        if payload is None:
-            return {"duration_ms": None, "rms_q8": None}
-        return {
-            "duration_ms": len(payload),
-            "rms_q8": (sum(payload[:256]) // max(min(len(payload), 256), 1))
-            & 0xFF,
-        }
-
-    extract = extractor or _fake
+    if extractor is not None:
+        extract = extractor
+    else:
+        def extract(p: bytes) -> dict[str, Any]:
+            return auto_audio_features(p, strict=strict)
 
     def _batches(it: Iterator) -> Iterator:
         for pdf in it:
@@ -256,16 +361,45 @@ def extract_audio_features(
     )
 
 
+def auto_video_frames(
+    payload: bytes, every_nth: int, strict: bool = False
+) -> list[bytes]:
+    """Signature-dispatched real frame sampling: Y4M (uncompressed
+    YUV4MPEG2 frame walk).  MP4 sample extraction needs an H.264
+    decoder this environment lacks, so mp4/unknown -> [] (or
+    NotImplementedError under strict); inject an ffmpeg-backed
+    extractor for those."""
+    from . import codecs
+
+    fmt = sniff_format(payload)
+    if fmt == "y4m":
+        return codecs.y4m_frames(bytes(payload), every_nth)
+    _unsupported("video-frame-extract", fmt, strict)
+    return []
+
+
+def fake_video_frames(payload: bytes, n: int) -> list[bytes]:
+    """Deterministic TEST DOUBLE: slice the payload into <=4 chunks.
+    Never a default."""
+    if not payload:
+        return []
+    step = max(1, len(payload) // 4)
+    return [payload[i : i + step] for i in range(0, len(payload), step)][:4]
+
+
 def sample_video_frames(
     media: DataFrame,
     every_nth: int = 30,
     extractor: Callable[[bytes, int], list[bytes]] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame.
 
-    The default extractor is a deterministic fake that slices the
-    payload (STUB — real deployments inject an ffmpeg-backed extractor
-    with the same (payload, every_nth) -> list[frame_bytes] contract).
+    Default is the signature-dispatched real codec set
+    (`auto_video_frames`: Y4M frame walk); unsupported containers
+    yield no frames, or NotImplementedError under ``strict=True``.
+    Inject an ffmpeg-backed (payload, every_nth) -> list[frame_bytes]
+    callable for compressed video.
     """
     out_schema = StructType(
         [
@@ -275,13 +409,11 @@ def sample_video_frames(
         ]
     )
 
-    def _fake_extract(payload: bytes, n: int) -> list[bytes]:
-        if not payload:
-            return []
-        step = max(1, len(payload) // 4)
-        return [payload[i : i + step] for i in range(0, len(payload), step)][:4]
-
-    extract = extractor or _fake_extract
+    if extractor is not None:
+        extract = extractor
+    else:
+        def extract(p: bytes, n: int) -> list[bytes]:
+            return auto_video_frames(p, n, strict=strict)
 
     def _batches(it: Iterator) -> Iterator:
         import pandas as pd

@@ -11,29 +11,59 @@ from projetbigdatastreaming_spark.operators import multimodal as mm
 
 
 def _media(spark):
+    """Mixed fixture: real payloads (own encoders) the auto-dispatch
+    must decode, plus garbage rows it must null out, not crash on."""
+    _, bmp = _golden_bmp()
+    wav = _golden_wav()
+    y4m = _golden_y4m(4)
     rows = [
-        (1, "image", "image/jpeg", b"\xff\xd8fakejpegbytes" * 10, 150),
-        (2, "image", "image/png", b"\x89PNGfakebytes" * 8, 104),
-        (3, "video", "video/mp4", b"\x00\x00ftypisomfake" * 20, 280),
-        (4, "audio", "audio/wav", b"RIFFfakewav", 11),
+        (1, "image", "image/bmp", bmp, len(bmp)),
+        (2, "image", "image/png", b"\x89PNGfakebytes" * 8, 104),  # bad sig
+        (3, "video", "video/x-y4m", y4m, len(y4m)),
+        (4, "audio", "audio/wav", wav, len(wav)),
+        (5, "audio", "audio/wav", b"RIFFfakewav", 11),  # RIFF, not WAVE
     ]
     return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
 
 
-def test_decode_images_shape_and_determinism(spark):
+def test_sniff_format():
+    _, bmp = _golden_bmp()
+    assert mm.sniff_format(bmp) == "bmp"
+    assert mm.sniff_format(_golden_wav()) == "wav"
+    assert mm.sniff_format(_golden_y4m(1)) == "y4m"
+    assert mm.sniff_format(codecs.png_encode(
+        np.zeros((2, 2, 3), dtype=np.uint8))) == "png"
+    assert mm.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert mm.sniff_format(b"\xff\xfb\x90\x00") == "mpeg_audio"  # MP3 sync
+    assert mm.sniff_format(b"ID3\x04tag") == "mpeg_audio"
+    assert mm.sniff_format(b"\x00\x00\x00\x18ftypisom") == "mp4"
+    assert mm.sniff_format(b"RIFFxxxxWAVE") == "wav"
+    assert mm.sniff_format(b"RIFFxxxxAVI ") is None
+    assert mm.sniff_format(b"") is None
+    assert mm.sniff_format(None) is None
+
+
+def test_decode_images_default_real_codec(spark):
+    """No injected decoder: the BMP row decodes to real dimensions,
+    the bad-signature row nulls out, and the result is deterministic."""
     media = _media(spark)
     out1 = {r.media_id: r for r in mm.decode_images(media).collect()}
     out2 = {r.media_id: r for r in mm.decode_images(media).collect()}
     assert set(out1) == {1, 2}  # only kind='image' rows
+    _, bmp = _golden_bmp()
+    assert (out1[1].width, out1[1].height) == (4, 2)
+    assert out1[1].feature_hash == codecs.bmp_decode(bmp)["feature_hash"]
+    assert out1[2].width is None and out1[2].feature_hash is None
     for mid in out1:
-        assert out1[mid].width == out2[mid].width
         assert out1[mid].feature_hash == out2[mid].feature_hash
-        assert 1 <= out1[mid].width <= 4096
 
 
 def test_decode_strict_marks_codec_boundary(spark):
-    with pytest.raises(NotImplementedError):
-        mm.decode_images(_media(spark), strict=True)
+    """strict=True: an unsupported format raises NotImplementedError
+    inside the batch loop instead of null-filling (Spark surfaces it
+    wrapped in its Python-worker exception)."""
+    with pytest.raises(Exception, match="no in-repo image-decode"):
+        mm.decode_images(_media(spark), strict=True).collect()
 
 
 def test_custom_decoder_injection(spark):
@@ -41,31 +71,67 @@ def test_custom_decoder_injection(spark):
         return {"width": len(payload), "height": 1, "feature_hash": 42}
 
     out = {r.media_id: r for r in mm.decode_images(_media(spark), decoder).collect()}
-    assert out[1].width == 150 and out[1].feature_hash == 42
+    _, bmp = _golden_bmp()
+    assert out[1].width == len(bmp) and out[1].feature_hash == 42
 
 
-def test_resize_images(spark):
-    out = {r.media_id: r for r in mm.resize_images(_media(spark), 128, 128).collect()}
+def test_resize_images_default_real_codec(spark):
+    """No injected resizer: the BMP row resizes to a valid BMP of the
+    target size; the undecodable row yields a null payload."""
+    out = {r.media_id: r for r in mm.resize_images(_media(spark), 8, 4).collect()}
     assert set(out) == {1, 2}
-    for r in out.values():
-        assert (r.width, r.height) == (128, 128)
-        assert len(r.payload) == (128 * 128) // 1024
-    with pytest.raises(NotImplementedError):
-        mm.resize_images(_media(spark), strict=True)
+    assert (out[1].width, out[1].height) == (8, 4)
+    resized = codecs._bmp_pixels(bytes(out[1].payload))
+    assert resized.shape == (4, 8, 3)
+    assert out[2].payload is None
+    with pytest.raises(Exception, match="no in-repo image-resize"):
+        mm.resize_images(_media(spark), strict=True).collect()
 
 
-def test_audio_features(spark):
-    out = mm.extract_audio_features(_media(spark)).collect()
-    assert [r.media_id for r in out] == [4]
-    assert out[0].duration_ms == 11
-    assert 0 <= out[0].rms_q8 <= 255
+def test_audio_features_default_real_codec(spark):
+    """No injected extractor: the real WAV decodes to exact duration
+    and known RMS; the RIFF-but-not-WAVE row nulls out."""
+    out = {r.media_id: r for r in mm.extract_audio_features(_media(spark)).collect()}
+    assert set(out) == {4, 5}
+    assert out[4].duration_ms == 500  # 4000 frames @ 8000 Hz
+    assert abs(out[4].rms_q8 - 128) <= 1  # +-0.5 square wave
+    assert out[5].duration_ms is None and out[5].rms_q8 is None
 
 
-def test_video_frame_sampling(spark):
-    frames = mm.sample_video_frames(_media(spark)).collect()
+def test_video_frame_sampling_default_real_codec(spark):
+    """No injected extractor: the Y4M stream yields real PNG frames at
+    the requested stride."""
+    frames = mm.sample_video_frames(_media(spark), every_nth=3).collect()
     assert {f.media_id for f in frames} == {3}
-    assert [f.frame_no for f in frames] == sorted(f.frame_no for f in frames)
-    assert all(isinstance(f.frame, (bytes, bytearray)) for f in frames)
+    assert [f.frame_no for f in frames] == [0, 1]  # source frames 0, 3
+    for f, level in zip(frames, (40, 70)):
+        px = codecs._png_pixels(bytes(f.frame))
+        assert px.shape == (4, 4, 3)
+        assert (px == level).all()
+
+
+def test_fake_doubles_still_injectable(spark):
+    """The demoted fakes remain usable as explicit test doubles."""
+    out = {
+        r.media_id: r
+        for r in mm.decode_images(_media(spark), mm.fake_image_decode).collect()
+    }
+    assert set(out) == {1, 2}
+    assert all(1 <= r.width <= 4096 for r in out.values())
+    rs = {
+        r.media_id: r
+        for r in mm.resize_images(
+            _media(spark), 128, 128, resizer=mm.fake_image_resize
+        ).collect()
+    }
+    assert all(len(r.payload) == (128 * 128) // 1024 for r in rs.values())
+    au = {
+        r.media_id: r
+        for r in mm.extract_audio_features(
+            _media(spark), mm.fake_audio_features
+        ).collect()
+    }
+    assert au[5].duration_ms == 11
 
 
 # ---------------------------------------------------------------------------
