@@ -188,6 +188,11 @@ HEADLINE_QUERIES = (
     # (one corpus shuffle + broadcast bucket distributions)
     "substring_dedup",
     "dsir_importance",
+    # round 6: real-codec image decode over the media table — reads
+    # {sf_dir}/media.parquet when present (gen_scale writes one at the
+    # scale point), committed 8 KB fixture otherwise, so the sf1
+    # column finally carries decode throughput
+    "image_stats",
 )
 
 

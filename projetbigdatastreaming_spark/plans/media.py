@@ -55,6 +55,17 @@ FIXTURE = os.path.abspath(
     )
 )
 
+
+def _media_path(sf_dir: str) -> str:
+    """Prefer a media table in the fixture dir (tools/gen_scale.py
+    writes one at the throughput scale point, so decode work stops
+    being scale-invariant in the bench); fall back to the committed
+    8 KB fixture.  The driver's correctness dirs carry no
+    media.parquet, so every oracle comparison runs on the fixture —
+    whose rows the literal-replay oracles are built from."""
+    scaled = os.path.join(sf_dir, "media.parquet") if sf_dir else ""
+    return scaled if scaled and os.path.exists(scaled) else FIXTURE
+
 IMAGE_STATS_SCHEMA = (
     "media_id long, width int, height int, feature_hash long"
 )
@@ -124,7 +135,7 @@ def q_image_stats(spark, sf_dir):
     """Decode every image payload (mime-dispatched BMP/PNG/JPEG) to
     (width, height, feature_hash) via mapInPandas — garbage and NULL
     payloads yield null rows, never task failures."""
-    media = spark.read.parquet(FIXTURE).where("kind = 'image'")
+    media = spark.read.parquet(_media_path(sf_dir)).where("kind = 'image'")
 
     def _batches(it: Iterator) -> Iterator:
         from ..operators.multimodal import records_to_frame
@@ -148,7 +159,7 @@ def q_image_stats(spark, sf_dir):
 def q_audio_stats(spark, sf_dir):
     """Real audio metadata over the audio rows: stdlib-wave decode +
     numpy RMS for WAV, MPEG frame-header-walk duration for MP3."""
-    media = spark.read.parquet(FIXTURE).where("kind = 'audio'")
+    media = spark.read.parquet(_media_path(sf_dir)).where("kind = 'audio'")
 
     def _batches(it: Iterator) -> Iterator:
         from ..operators.multimodal import records_to_frame
@@ -172,7 +183,7 @@ def q_audio_stats(spark, sf_dir):
 def q_video_stats(spark, sf_dir):
     """Video container metadata: Y4M frame walk + motion profile,
     MP4/ISO-BMFF box-parsed duration and track count."""
-    media = spark.read.parquet(FIXTURE).where("kind = 'video'")
+    media = spark.read.parquet(_media_path(sf_dir)).where("kind = 'video'")
 
     def _batches(it: Iterator) -> Iterator:
         from ..operators.multimodal import records_to_frame
@@ -201,7 +212,7 @@ def q_media_manifest(spark, sf_dir):
     byte volume, and an order-independent content fingerprint (sum of
     60-bit md5-prefix hashes of each payload's hex — both engines hash
     the raw bytes themselves; no Python decode anywhere)."""
-    media = spark.read.parquet(FIXTURE)
+    media = spark.read.parquet(_media_path(sf_dir))
     fp = F.conv(
         F.substring(F.md5(F.hex(F.col("payload"))), 1, 15), 16, 10
     ).cast("bigint")

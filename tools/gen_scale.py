@@ -191,8 +191,24 @@ def build_scaled(
 
     wr(_copies(rd("embeddings"), factor, emb_copy), "embeddings")
 
+    # media scale table: the driver fixture dirs carry no media, so
+    # build factor x the per-copy encoder set here (pyarrow-direct,
+    # bounded row count — no Spark needed).  plans/media.py prefers
+    # {sf_dir}/media.parquet when present, fixture fallback otherwise.
+    from tools.make_media_fixture import scaled_rows, write_rows
+
+    write_rows(
+        scaled_rows(factor), os.path.join(out_dir, "media.parquet")
+    )
+
     with open(os.path.join(out_dir, _DONE_MARKER), "w") as fh:
-        fh.write(f"factor={factor} src={src_dir}\n")
+        fh.write(_marker_text(factor, src_dir))
+
+
+def _marker_text(factor: int, src_dir: str) -> str:
+    # "media=1" versions the layout: a cached dir built before the
+    # media table existed must rebuild, not silently serve the old set
+    return f"factor={factor} src={src_dir} media=1\n"
 
 
 def ensure_scaled(
@@ -204,7 +220,7 @@ def ensure_scaled(
     different parameters is rebuilt, not silently re-timed under a
     mislabeled scale point."""
     marker = os.path.join(out_dir, _DONE_MARKER)
-    want = f"factor={factor} src={src_dir}\n"
+    want = _marker_text(factor, src_dir)
     have = None
     if os.path.exists(marker):
         with open(marker) as fh:

@@ -131,8 +131,67 @@ def build_rows() -> list[tuple]:
     return rows
 
 
-def main() -> None:
-    rows = build_rows()
+def _shade(px: np.ndarray, c: int) -> np.ndarray:
+    """Per-copy deterministic pixel perturbation (wraps mod 256)."""
+    return ((px.astype(np.int16) + 7 * c) % 256).astype(np.uint8)
+
+
+def scaled_rows(factor: int) -> list[tuple]:
+    """Media rows for the throughput scale point (tools/gen_scale.py).
+
+    The committed fixture is 8 KB of tiny payloads — fine for the
+    correctness gate, invisible in any bench column.  This builds
+    ``factor`` copies of a LARGER per-copy set (hundreds of KB of
+    pixels/samples each), every payload re-encoded from per-copy
+    perturbed content by our own encoders, so decode work scales
+    linearly with the copy count and payloads differ across copies
+    (no cross-copy byte-identical rows).  NOT oracle-checked — the
+    driver's correctness gate runs on the committed fixture.
+    """
+    rows: list[tuple] = []
+
+    def add(mid, kind, mime, payload):
+        rows.append(
+            (mid, kind, mime, payload, len(payload) if payload else None)
+        )
+
+    for c in range(factor):
+        base = 1000 * c
+        add(base + 1, "image", "image/bmp",
+            codecs.bmp_encode(_shade(_gradient(96, 128), c)))
+        add(base + 2, "image", "image/bmp",
+            codecs.bmp_encode(_shade(_gradient(128, 160), 3 * c + 1)))
+        add(base + 3, "image", "image/png",
+            codecs.png_encode(_shade(_gradient(96, 128), 5 * c + 2)))
+        add(base + 4, "image", "image/png",
+            codecs.png_encode(_shade(_gradient(64, 96), 7 * c + 3)))
+        add(base + 5, "image", "image/jpeg",
+            jpeg.jpeg_encode(_shade(_gradient(96, 96), c), 85))
+        add(base + 6, "image", "image/jpeg",
+            jpeg.jpeg_encode(_shade(_gradient(128, 128), 2 * c + 1), 75))
+        add(base + 7, "audio", "audio/wav", _wav(300 + 17 * c, 16000, 8000, 2))
+        add(base + 8, "audio", "audio/wav", _wav(500 + 23 * c, 8000, 4000, 1))
+        t = np.arange(1152 * 4) / 44100.0
+        tone = 0.3 * np.sin(2 * np.pi * (400.0 + 31 * c) * t)
+        add(base + 9, "audio", "audio/mpeg",
+            mpeg_audio.mp2_encode(tone, 44100, 64))
+        add(base + 10, "audio", "audio/mpeg",
+            codecs.mp3_encode_minimal(20 + c, 128, 44100))
+        add(base + 11, "video", "video/y4m",
+            _y4m([(10 * c + 20 * f) % 256 for f in range(8)], 32, 32))
+        add(base + 12, "video", "video/mp4",
+            codecs.mp4_encode_minimal(
+                8000 + 250 * c, timescale=600,
+                tracks=((640, 360),), brand=b"isom",
+            ))
+    # null/garbage-tolerance rows, once (decoders must null, not crash)
+    add(factor * 1000 + 1, "image", "image/jpeg", b"\xff\xd8 not a jpeg")
+    add(factor * 1000 + 2, "image", "image/png", None)
+    add(factor * 1000 + 3, "audio", "audio/wav", b"RIFF garbage payload")
+    return rows
+
+
+def write_rows(rows: list[tuple], path: str) -> None:
     table = pa.table(
         {
             "media_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -142,8 +201,13 @@ def main() -> None:
             "n_bytes": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    pq.write_table(table, OUT, compression="snappy")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path, compression="snappy")
+
+
+def main() -> None:
+    rows = build_rows()
+    write_rows(rows, OUT)
     print(f"wrote {len(rows)} rows to {OUT}")
 
 
