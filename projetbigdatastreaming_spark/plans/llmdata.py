@@ -1020,7 +1020,16 @@ def q_dsir_importance(spark, sf_dir):
     exact-integer ratios, so both engines feed identical doubles to
     ln() (the unigram_logprob determinism recipe); mean rounded 6 dp.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return dsir_score(
+        dsir_doc_bucket_tf(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def dsir_doc_bucket_tf(docs):
+    """(doc_id, lang, bucket, tf) hashed-unigram features — the DSIR
+    feature relation.  Shared verbatim by the batch query and the
+    streaming twin's per-batch writer (`streaming/curation.py`), so
+    the two can't drift."""
     toks = docs.select(
         "doc_id",
         "lang",
@@ -1030,7 +1039,7 @@ def q_dsir_importance(spark, sf_dir):
             )
         ).alias("token"),
     ).where(F.col("token") != "")
-    dbt = (
+    return (
         toks.select(
             "doc_id",
             "lang",
@@ -1041,6 +1050,12 @@ def q_dsir_importance(spark, sf_dir):
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def dsir_score(dbt):
+    """Importance scores from the (doc_id, lang, bucket, tf) relation:
+    both distributions via one ≤DSIR_BUCKETS-row aggregate, broadcast
+    back, per-doc weighted mean with det6 floor-rounding."""
     dist = dbt.groupBy("bucket").agg(
         F.sum("tf").alias("s_cnt"),
         F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(0)).alias(
@@ -1160,7 +1175,16 @@ def q_substring_dedup(spark, sf_dir):
     dup_frac is an exact-integer ratio cast through one double
     division, so both engines emit identical float64.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return substring_profile(
+        substring_doc_fp_counts(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def substring_doc_fp_counts(docs):
+    """(doc_id, fp, cnt) window-fingerprint counts — CDC-anchored
+    20-token windows, md5-16 fingerprints, counted per doc.  Shared
+    verbatim by the batch query and the streaming twin's per-batch
+    writer (`streaming/curation.py`), so the two can't drift."""
     # the anchor filter (an md5 per token) is BOUND once via the
     # array-wrap idiom — inlining it into both arms of the empty-
     # fallback CASE would evaluate it twice per document (Catalyst
@@ -1187,15 +1211,25 @@ def q_substring_dedup(spark, sf_dir):
     fps = win.select(
         "doc_id", F.substring(F.md5("chunk"), 1, 16).alias("fp")
     )
-    fp_docs = fps.groupBy("fp").agg(
+    return fps.groupBy("doc_id", "fp").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def substring_profile(doc_fp_cnt):
+    """Per-doc duplication profile from the (doc_id, fp, cnt) grain:
+    cross-doc distinct count per fingerprint, then cnt-weighted sums
+    (identical to counting raw window rows — cnt just pre-aggregates
+    repeated windows within a doc)."""
+    fp_docs = doc_fp_cnt.groupBy("fp").agg(
         F.count_distinct("doc_id").alias("nd")
     )
     return (
-        fps.join(fp_docs, "fp")
+        doc_fp_cnt.join(fp_docs, "fp")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            F.sum("cnt").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("nd") > 1, F.col("cnt")).otherwise(0))
             .cast("bigint")
             .alias("n_dup_windows"),
         )

@@ -1,0 +1,124 @@
+"""Streaming twins of substring_dedup and dsir_importance: the folded
+per-batch state must reproduce the batch operator EXACTLY (pinned
+row-equal on the fixture corpus), and an at-least-once replay must
+restate, not double-count."""
+
+from __future__ import annotations
+
+from projetbigdatastreaming_spark.catalog import load_table
+from projetbigdatastreaming_spark.plans.llmdata import (
+    q_dsir_importance,
+    q_substring_dedup,
+)
+from projetbigdatastreaming_spark.streaming.curation import (
+    dsir_batch_writer,
+    read_dsir_distributions,
+    read_dsir_importance,
+    read_substring_profile,
+    substring_fp_batch_writer,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_batches(spark, n=3):
+    docs = load_table(spark, SF, "documents")
+    return docs, [docs.where(f"doc_id % {n} = {i}") for i in range(n)]
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("doc_id").collect()]
+
+
+def test_substring_stream_fold_equals_batch(spark, tmp_path):
+    """Fold of 3 micro-batches == one-pass batch profile, bit-equal
+    including the double dup_frac (identical integer-ratio
+    arithmetic on both paths)."""
+    state = str(tmp_path / "sub_state")
+    write = substring_fp_batch_writer(state)
+    _, batches = _doc_batches(spark)
+    for i, b in enumerate(batches):
+        write(b, i)
+
+    folded = _rows(read_substring_profile(spark, state))
+    one_pass = _rows(q_substring_dedup(spark, SF))
+    assert folded == one_pass
+
+
+def test_substring_replay_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "sub_state2")
+    write = substring_fp_batch_writer(state)
+    _, batches = _doc_batches(spark)
+    for i, b in enumerate(batches):
+        write(b, i)
+    before = _rows(read_substring_profile(spark, state))
+    write(batches[1], 1)  # at-least-once redelivery
+    write(batches[1], 1)
+    assert _rows(read_substring_profile(spark, state)) == before
+
+
+def test_dsir_stream_fold_equals_batch(spark, tmp_path):
+    """Fold of 3 micro-batches == one-pass batch scores: the reader
+    rescored every doc under the corpus-so-far distributions, so even
+    batch-0 docs carry final-distribution scores."""
+    state = str(tmp_path / "dsir_state")
+    write = dsir_batch_writer(state)
+    _, batches = _doc_batches(spark)
+    for i, b in enumerate(batches):
+        write(b, i)
+
+    folded = _rows(read_dsir_importance(spark, state))
+    one_pass = _rows(q_dsir_importance(spark, SF))
+    assert folded == one_pass
+
+
+def test_dsir_replay_and_distributions(spark, tmp_path):
+    """Replaying a batch restates its partition; the distributions
+    view totals match the corpus token count."""
+    state = str(tmp_path / "dsir_state2")
+    write = dsir_batch_writer(state)
+    docs, batches = _doc_batches(spark)
+    for i, b in enumerate(batches):
+        write(b, i)
+    before = _rows(read_dsir_importance(spark, state))
+    write(batches[2], 2)
+    assert _rows(read_dsir_importance(spark, state)) == before
+
+    dist = read_dsir_distributions(spark, state).collect()
+    assert all(r.t_cnt <= r.s_cnt for r in dist)
+    n_toks = sum(r.s_cnt for r in dist)
+    # total tokens across all docs per the batch scorer's own output
+    expected = sum(r.n_toks for r in q_dsir_importance(spark, SF).collect())
+    assert n_toks == expected
+
+
+def test_dsir_live_stream_foreachBatch(spark, tmp_path):
+    """End-to-end through a real readStream: parquet spool, one file
+    per trigger, foreachBatch writer; the fold matches the batch
+    operator over everything ingested."""
+    src = str(tmp_path / "dsir_src")
+    state = str(tmp_path / "dsir_live")
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    schema = "doc_id long, text string, lang string"
+    docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    docs.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        src
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(dsir_batch_writer(state))
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    folded = _rows(read_dsir_importance(spark, state))
+    assert folded == _rows(q_dsir_importance(spark, SF))
