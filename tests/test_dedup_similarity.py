@@ -89,6 +89,34 @@ def test_lsh_candidates_subset_property(spark, sf_dir):
     assert lsh_pairs == brute
 
 
+def test_lsh_candidate_volume_grows_linearly(spark, sf_dir):
+    """Scale-audit for the band join: doubling the corpus with
+    DECORRELATED content (per-word copy prefix — the gen_scale
+    scheme) must ~double the banded candidate count, not square it.
+    A band-key bug that collapses keys (hash ignoring content, slice
+    off-by-one hashing the same rows per band) blows candidates up
+    quadratically — the failure mode that hides inside 'minhash is
+    just slow' at the bench scale point."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = dedup.lsh_candidate_pairs(
+        dedup.with_minhash_signature(docs)
+    ).count()
+    assert c1 > 0  # fixture plants near-dups; 0 would mask the ratio
+    copy = docs.select(
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"\b(\w)", "q1$1").alias("text"),
+    )
+    c2 = dedup.lsh_candidate_pairs(
+        dedup.with_minhash_signature(docs.unionAll(copy))
+    ).count()
+    # exact linear doubling is ratio 2.0 (each copy contributes its
+    # own internal pairs, decorrelation kills cross-copy pairs);
+    # quadratic key collapse is ratio ~4.  Allow band-hash luck noise.
+    assert 1.8 <= c2 / c1 <= 2.5, (c1, c2)
+
+
 def test_cosine_topk_properties(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.cosine_topk(emb, [0, 1], k=5).collect()
