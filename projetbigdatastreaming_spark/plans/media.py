@@ -8,23 +8,28 @@ The fixture (``fixtures/media.parquet``, built by
 6.7 KB) closes that: these queries run the REAL decoders inside the
 Arrow ``mapInPandas`` batch loop over a genuine parquet scan.
 
-Honesty note on the oracles (tightened in round 5): every value that
-a FIXED-LAYOUT header makes SQL-computable is now derived by DuckDB
-byte math over the raw payload hex, fully independent of our Python
-decoders — BMP width/height (LE fields of BITMAPINFOHEADER, with the
-same validity guards `_bmp_pixels` applies), PNG width/height (BE
-IHDR fields + signature/depth/interlace guards), WAV ``duration_ms``
-(fmt/data chunk fields, same floor division as `wav_features`), and
-Y4M ``n_frames`` (counting the ``FRAME\n`` marker — exact on this
-fixture, where no frame body contains the 6-byte marker).  Only the
-genuinely non-SQL-decodable columns still come from a literal
-relation REPLAYED by the same pure-Python codecs (via pyarrow, no
-Spark): pixel ``feature_hash`` (zlib/DCT decode), JPEG dimensions
-(variable SOF scan), PCM ``rms_q8``, MP3 duration (frame-header
-walk), Y4M ``motion_q8``, and MP4 box metadata.  For replayed
-columns the driver row verifies the whole Spark side (scan → Arrow →
-dispatch → schema) but not the decoder itself; decoder correctness
-for those is pinned by the pytest golden/property suites.
+Honesty note on the oracles (tightened in rounds 5-6): every value
+that a FIXED-LAYOUT structure makes SQL-computable is now derived by
+DuckDB byte math over the raw payload hex, fully independent of our
+Python decoders — BMP width/height (LE fields of BITMAPINFOHEADER,
+with the same validity guards `_bmp_pixels` applies), PNG
+width/height (BE IHDR fields + signature/depth/interlace guards),
+WAV ``duration_ms`` (fmt/data chunk fields, same floor division as
+`wav_features`), Y4M ``n_frames`` (counting the ``FRAME\n`` marker —
+exact on this fixture, where no frame body contains the 6-byte
+marker), MPEG-audio ``duration_ms`` (a recursive-CTE frame-header
+walk twin of `_mp3_frame`, incl. ID3v2 skip and the rate-change stop
+rule), and MP4 ``duration_ms``/``n_tracks`` (a recursive-CTE
+ISO-BMFF box walk twin of `_iter_boxes` with mvhd v0/v1 and
+largesize/to-end size semantics).  Only the genuinely
+non-SQL-decodable columns still come from a literal relation
+REPLAYED by the same pure-Python codecs (via pyarrow, no Spark):
+pixel ``feature_hash`` (zlib/DCT decode), JPEG dimensions (variable
+SOF scan), PCM/MPEG ``rms_q8`` (sample decode), and Y4M
+``motion_q8`` (frame decode).  For replayed columns the driver row
+verifies the whole Spark side (scan → Arrow → dispatch → schema) but
+not the decoder itself; decoder correctness for those is pinned by
+the pytest golden/property suites.
 ``media_manifest`` is fully engine-independent (both engines hash
 the raw payload bytes: md5 over hex, the portable-hash idiom).
 One residual SQL blind spot: PNG zlib-stream integrity cannot be
@@ -335,11 +340,214 @@ _WAV_DURATION = (
 
 _Y4M_OK = "substr(hx, 1, 20) = '595556344D5045473220'"  # 'YUV4MPEG2 '
 #: frame count = occurrences of the 6-byte 'FRAME\n' marker in the
-#: payload (exact on this fixture: constant-valued frame bodies never
-#: contain the marker bytes)
+#: payload.  Exact on this fixture: constant-valued frame bodies never
+#: contain the marker bytes.  TWO caveats if the fixture ever gains
+#: varied frame data: (1) the marker bytes could appear inside a frame
+#: body; (2) this hex-substring count is NIBBLE-blind — a match
+#: starting at an odd hex offset (byte-misaligned) would also count.
+#: Both would inflate the count; a positional scan constrained to even
+#: offsets fixes (2), only a real stream walk fixes (1).
 _Y4M_N_FRAMES = (
     "(length(hx) - length(replace(hx, '4652414D450A', ''))) // 12"
 )
+
+
+def _try_byte(off: str) -> str:
+    """DuckDB expr: unsigned byte at DYNAMIC byte offset ``off``
+    (0-based expression over walk state).  TRY_CAST, not CAST: a read
+    past the payload end yields NULL (which terminates a recursive
+    walk) instead of a conversion error on the empty substring."""
+    return f"TRY_CAST('0x' || substr(hx, 2*({off}) + 1, 2) AS BIGINT)"
+
+
+def _try_be(off: str, nbytes: int) -> str:
+    """Big-endian unsigned int at dynamic byte offset; NULL past EOF."""
+    return (
+        "("
+        + " + ".join(
+            f"TRY_CAST('0x' || substr(hx, 2*({off}) + {2 * i + 1}, 2) "
+            f"AS BIGINT) * {256 ** (nbytes - 1 - i)}"
+            for i in range(nbytes)
+        )
+        + ")"
+    )
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
+def _mp3_walk_ctes() -> str:
+    """Recursive-CTE MPEG-audio frame-header walk — the byte-math
+    twin of `codecs._mp3_frame` + the `mp3_metadata` duration loop,
+    fully independent of the Python decoder.  Spec constants
+    (ISO 11172-3 bitrate/samplerate index tables) are inlined as SQL
+    list literals; every dynamic byte read is a TRY_CAST so running
+    past EOF (or an invalid index) yields NULL and cleanly ends the
+    walk, mirroring the Python walk's break conditions."""
+    from ..operators.codecs import (
+        _MP3_BITRATES_V1,
+        _MP3_BITRATES_V2,
+        _MP3_RATES,
+    )
+
+    b0, b1, b2 = _try_byte("pos"), _try_byte("pos + 1"), _try_byte("pos + 2")
+    ver = f"(({b1} >> 3) & 3)"
+    layer = f"(4 - (({b1} >> 1) & 3))"
+    br_idx = f"(({b2} >> 4) & 15)"
+    sr_idx = f"(({b2} >> 2) & 3)"
+    pad = f"(({b2} >> 1) & 1)"
+
+    def _kbps(table):
+        return (
+            "CASE lyr"
+            + "".join(
+                f" WHEN {y} THEN ({_sql_list(table[y])})[bri + 1]"
+                for y in (1, 2, 3)
+            )
+            + " END"
+        )
+
+    kbps = (
+        f"CASE WHEN vr = 3 THEN {_kbps(_MP3_BITRATES_V1)} "
+        f"ELSE {_kbps(_MP3_BITRATES_V2)} END"
+    )
+    rate = (
+        "CASE vr"
+        + "".join(
+            f" WHEN {v} THEN ({_sql_list(_MP3_RATES[v])})[sri + 1]"
+            for v in (3, 2, 0)
+        )
+        + " END"
+    )
+    # ID3v2 skip (syncsafe 28-bit size + v2.4 footer), static offsets
+    # guarded by the nb/magic CASE arms
+    id3 = (
+        "CASE WHEN nb >= 10 AND substr(hx, 1, 6) = '494433' THEN "
+        f"10 + ({_hx_be(6, 1)} & 127) * 2097152 "
+        f"+ ({_hx_be(7, 1)} & 127) * 16384 "
+        f"+ ({_hx_be(8, 1)} & 127) * 128 + ({_hx_be(9, 1)} & 127) "
+        f"+ CASE WHEN {_hx_be(3, 1)} >= 4 "
+        f"AND ({_hx_be(5, 1)} & 16) = 16 THEN 10 ELSE 0 END "
+        "ELSE 0 END"
+    )
+    return f"""
+mw AS (
+  SELECT media_id, hx, nb, CAST({id3} AS BIGINT) AS pos,
+         CAST(0 AS BIGINT) AS n_frames, CAST(0 AS BIGINT) AS tot_samples,
+         CAST(NULL AS BIGINT) AS rate
+  FROM f WHERE mime = 'audio/mpeg'
+  UNION ALL
+  SELECT media_id, hx, nb, pos + flen, n_frames + 1,
+         tot_samples + samples, coalesce(rate, r)
+  FROM (
+    SELECT media_id, hx, nb, pos, n_frames, tot_samples, rate,
+           CASE lyr
+             WHEN 1 THEN (12 * kb * 1000 // r + pd) * 4
+             WHEN 2 THEN 144 * kb * 1000 // r + pd
+             ELSE (CASE WHEN vr = 3 THEN 144 ELSE 72 END)
+                  * kb * 1000 // r + pd
+           END AS flen,
+           CASE lyr WHEN 1 THEN 384 WHEN 2 THEN 1152
+                ELSE CASE WHEN vr = 3 THEN 1152 ELSE 576 END
+           END AS samples,
+           r,
+           (pos + 4 <= nb AND hd0 = 255 AND (hd1 & 224) = 224
+            AND vr <> 1 AND lyr <> 4
+            AND bri NOT IN (0, 15) AND sri <> 3) AS ok
+    FROM (
+      SELECT media_id, hx, nb, pos, n_frames, tot_samples, rate,
+             {b0} AS hd0, {b1} AS hd1,
+             {ver} AS vr, {layer} AS lyr,
+             {br_idx} AS bri, {sr_idx} AS sri, {pad} AS pd,
+             {kbps.replace('vr', ver).replace('lyr', layer)
+                  .replace('bri', br_idx)} AS kb,
+             {rate.replace('vr', ver).replace('sri', sr_idx)} AS r
+      FROM mw) fields) step
+  WHERE ok AND (rate IS NULL OR r = rate) AND flen >= 4
+),
+mdur AS (
+  SELECT media_id,
+         CASE WHEN max(n_frames) > 0
+              THEN max_by(tot_samples, n_frames) * 1000
+                   // max_by(rate, n_frames) END AS duration_ms
+  FROM mw GROUP BY media_id
+)"""
+
+
+def _mp4_walk_ctes() -> str:
+    """Recursive-CTE ISO-BMFF box walk — the byte-math twin of
+    `codecs._iter_boxes` + the `mp4_metadata` moov scan: top-level
+    boxes first, then the children of every moov box, with the same
+    size semantics (size==1 -> 64-bit largesize, size==0 -> to end of
+    enclosing scope, malformed length stops the walk) and the same
+    null contract (no moov -> n_tracks NULL; mvhd with timescale 0
+    does not set a duration)."""
+
+    def _step(scope_end: str) -> str:
+        # one box step: compute (sz, hdr) at pos, valid per _iter_boxes
+        return f"""
+  FROM (
+    SELECT *, CASE WHEN raw = 1 THEN {_try_be("pos + 8", 8)}
+                   WHEN raw = 0 THEN {scope_end} - pos
+                   ELSE raw END AS sz,
+              CASE WHEN raw = 1 THEN 16 ELSE 8 END AS hdr
+    FROM (SELECT *, {_try_be("pos", 4)} AS raw FROM __SRC__) x) y
+  WHERE pos + 8 <= {scope_end} AND sz >= hdr AND pos + sz <= {scope_end}"""
+
+    top_step = _step("nb").replace("__SRC__", "vtop")
+    kid_step = _step("scope").replace("__SRC__", "vkid")
+    i0 = "(pos + hdr)"  # box body start
+    ver = _try_byte(i0)
+    ts0 = _try_be(f"{i0} + 12", 4)
+    dur0 = _try_be(f"{i0} + 16", 4)
+    ts1 = _try_be(f"{i0} + 20", 4)
+    dur1 = _try_be(f"{i0} + 24", 8)
+    return f"""
+vtop AS (
+  SELECT media_id, hx, nb, CAST(0 AS BIGINT) AS pos
+  FROM f WHERE mime = 'video/mp4'
+  UNION ALL
+  SELECT media_id, hx, nb, pos + sz {top_step}
+),
+vbox AS (
+  SELECT media_id, hx, nb, pos, sz, hdr,
+         substr(hx, 2*pos + 9, 8) AS btype {top_step}
+),
+vkid AS (
+  SELECT media_id, hx, nb, pos + hdr AS pos, pos + sz AS scope
+  FROM vbox WHERE btype = '6D6F6F76'
+  UNION ALL
+  SELECT media_id, hx, nb, pos + sz, scope {kid_step}
+),
+vkbox AS (
+  SELECT media_id, hx, nb, pos, sz, hdr, scope,
+         substr(hx, 2*pos + 9, 8) AS btype {kid_step}
+),
+vmeta AS (
+  -- anchored on moov PRESENCE, not child validity: a moov whose
+  -- children are malformed still counts as saw_moov (n_tracks 0),
+  -- matching mp4_metadata's walk-stops-cleanly contract
+  SELECT mv.media_id, a.duration_ms,
+         CAST(coalesce(a.traks, 0) AS INTEGER) AS n_tracks
+  FROM (SELECT DISTINCT media_id FROM vbox
+        WHERE btype = '6D6F6F76') mv
+  LEFT JOIN (
+    SELECT b.media_id,
+           max_by(CASE WHEN {ver} = 1
+                       THEN CASE WHEN {ts1} > 0
+                                 THEN {dur1} * 1000 // {ts1} END
+                       ELSE CASE WHEN {ts0} > 0
+                                 THEN {dur0} * 1000 // {ts0} END
+                  END, b.pos) FILTER (WHERE
+                    b.btype = '6D766864' AND
+                    CASE WHEN {ver} = 1 THEN {ts1} > 0
+                         ELSE {ts0} > 0 END
+                  ) AS duration_ms,
+           SUM(CASE WHEN b.btype = '7472616B' THEN 1 ELSE 0 END)
+             AS traks
+    FROM vkbox b GROUP BY b.media_id) a USING (media_id)
+)"""
 
 
 def _replay_values(kind: str, decode, cols: list[str]) -> str:
@@ -387,39 +595,49 @@ def _oracle_audio_stats() -> str:
         "audio", _audio_decode, ["media_id", "duration_ms", "rms_q8"]
     )
     return f"""
-WITH f AS (
+WITH RECURSIVE f AS (
   SELECT media_id, mime, hex(payload) AS hx,
          octet_length(payload) AS nb
-  FROM '{FIXTURE}' WHERE kind = 'audio')
+  FROM '{FIXTURE}' WHERE kind = 'audio'),
+{_mp3_walk_ctes()}
 SELECT f.media_id,
        CAST(CASE WHEN f.mime = 'audio/wav'
                  THEN CASE WHEN {_WAV_OK} THEN {_WAV_DURATION} END
+                 WHEN f.mime = 'audio/mpeg' THEN m.duration_ms
                  ELSE r.duration_ms END AS INTEGER) AS duration_ms,
        CAST(r.rms_q8 AS INTEGER) AS rms_q8
-FROM f LEFT JOIN {rep} ON f.media_id = r.media_id
+FROM f
+LEFT JOIN mdur m ON f.media_id = m.media_id
+LEFT JOIN {rep} ON f.media_id = r.media_id
 ORDER BY f.media_id
 """
 
 
 def _oracle_video_stats() -> str:
+    # replay only the genuinely non-SQL columns: frame count for
+    # non-y4m rows (always null) and the decoded motion profile;
+    # duration/track count now come from the vmeta box walk
     rep = _replay_values(
-        "video",
-        _video_decode,
-        ["media_id", "n_frames", "motion_q8", "duration_ms", "n_tracks"],
+        "video", _video_decode, ["media_id", "n_frames", "motion_q8"]
     )
     return f"""
-WITH f AS (
+WITH RECURSIVE f AS (
   SELECT media_id, mime, hex(payload) AS hx,
          octet_length(payload) AS nb
-  FROM '{FIXTURE}' WHERE kind = 'video')
+  FROM '{FIXTURE}' WHERE kind = 'video'),
+{_mp4_walk_ctes()}
 SELECT f.media_id,
        CAST(CASE WHEN f.mime = 'video/y4m'
                  THEN CASE WHEN {_Y4M_OK} THEN {_Y4M_N_FRAMES} END
                  ELSE r.n_frames END AS INTEGER) AS n_frames,
        CAST(r.motion_q8 AS INTEGER) AS motion_q8,
-       CAST(r.duration_ms AS BIGINT) AS duration_ms,
-       CAST(r.n_tracks AS INTEGER) AS n_tracks
-FROM f LEFT JOIN {rep} ON f.media_id = r.media_id
+       CAST(CASE WHEN f.mime = 'video/mp4' THEN v.duration_ms
+            END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN f.mime = 'video/mp4' THEN v.n_tracks
+            END AS INTEGER) AS n_tracks
+FROM f
+LEFT JOIN vmeta v ON f.media_id = v.media_id
+LEFT JOIN {rep} ON f.media_id = r.media_id
 ORDER BY f.media_id
 """
 

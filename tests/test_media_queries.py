@@ -103,3 +103,146 @@ def test_media_manifest_matches_duckdb(spark):
     }
     assert got == want
     assert set(got) == {"image", "audio", "video"}
+
+
+def _swap_fixture(monkeypatch, rows, path):
+    """Point the oracle builders at a temp media parquet; the
+    argument-less lru_cache on _fixture_rows must be cleared on both
+    sides of the swap."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from make_media_fixture import write_rows
+
+    write_rows(rows, path)
+    media._fixture_rows.cache_clear()
+    monkeypatch.setattr(media, "FIXTURE", path)
+
+
+def test_mp3_sql_walk_matches_decoder_on_adversarial_streams(
+    tmp_path, monkeypatch
+):
+    """Round-6 byte-math column: the recursive-CTE MPEG frame walk
+    must reproduce `mp3_metadata`'s duration on streams the fixture
+    does NOT contain — ID3v2.3 and v2.4+footer prefixes, VBR,
+    truncation, a mid-stream rate change (stop rule), Layer II, and
+    garbage — not just replay the committed rows."""
+    import numpy as np
+
+    from projetbigdatastreaming_spark.operators import codecs, mpeg_audio
+
+    t = np.arange(1152 * 2) / 44100.0
+    tone = 0.2 * np.sin(2 * np.pi * 440 * t)
+    base = codecs.mp3_encode_minimal(7, 128, 44100)
+
+    def id3(major, flags, size, body):
+        sync = bytes(
+            [(size >> 21) & 127, (size >> 14) & 127,
+             (size >> 7) & 127, size & 127]
+        )
+        return b"ID3" + bytes([major, 0, flags]) + sync + body
+
+    payloads = [
+        base,
+        codecs.mp3_encode_minimal(5, 64, 32000, vbr_alternate_kbps=160),
+        id3(3, 0x00, 20, bytes(20)) + base,  # v2.3 tag, no footer
+        id3(4, 0x10, 8, bytes(8) + bytes(10)) + base,  # v2.4 + footer
+        base[: len(base) - 10],  # truncated final frame
+        # rate change mid-stream: the walk must stop at the boundary
+        codecs.mp3_encode_minimal(3, 128, 44100)
+        + codecs.mp3_encode_minimal(3, 128, 32000),
+        mpeg_audio.mp2_encode(tone, 44100, 64),  # Layer II
+        b"\xff\xe0 garbage that fails the header parse",
+        b"",
+    ]
+    rows = [
+        (i, "audio", "audio/mpeg", p, len(p) if p else None)
+        for i, p in enumerate(payloads)
+    ]
+    try:
+        _swap_fixture(monkeypatch, rows, str(tmp_path / "mp3.parquet"))
+        got = dict(
+            duckdb.connect()
+            .execute(
+                "SELECT media_id, duration_ms FROM ("
+                + media._oracle_audio_stats()
+                + ") q"
+            )
+            .fetchall()
+        )
+    finally:
+        media._fixture_rows.cache_clear()
+    for i, p in enumerate(payloads):
+        want = codecs.mp3_metadata(p)["duration_ms"]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_mp4_sql_walk_matches_decoder_on_adversarial_boxes(
+    tmp_path, monkeypatch
+):
+    """Round-6 byte-math columns: the recursive-CTE box walk must
+    reproduce `mp4_metadata`'s duration/track count on containers the
+    fixture does NOT contain — mvhd version 1, a 64-bit largesize
+    moov, a size==0 to-end box, timescale 0, many tracks, malformed
+    lengths."""
+    from projetbigdatastreaming_spark.operators import codecs
+
+    box = codecs._box
+
+    def mvhd_v1(ts, dur):
+        return box(
+            b"mvhd",
+            bytes([1]) + bytes(19) + ts.to_bytes(4, "big")
+            + dur.to_bytes(8, "big") + bytes(80),
+        )
+
+    def largesize(btype, body):
+        size = 16 + len(body)
+        return (
+            (1).to_bytes(4, "big") + btype + size.to_bytes(8, "big") + body
+        )
+
+    trak = box(b"trak", box(b"tkhd", bytes(76) + bytes(8)))
+    payloads = [
+        codecs.mp4_encode_minimal(9000, timescale=90000, tracks=((1, 1),)),
+        # mvhd version 1 (64-bit duration), two tracks
+        box(b"ftyp", b"iso6" + bytes(4))
+        + box(b"moov", mvhd_v1(600, 4321 * 600 // 1000) + trak + trak),
+        # 64-bit largesize moov
+        box(b"ftyp", b"isom" + bytes(4))
+        + largesize(b"moov", mvhd_v1(1000, 2500) + trak),
+        # size==0: moov extends to end of file
+        box(b"ftyp", b"isom" + bytes(4))
+        + (0).to_bytes(4, "big") + b"moov"
+        + box(b"mvhd", bytes(12) + (48).to_bytes(4, "big")
+              + (96).to_bytes(4, "big") + bytes(80))
+        + trak,
+        # timescale 0: duration must stay null, tracks still counted
+        box(b"moov", box(b"mvhd", bytes(12) + bytes(8) + bytes(80)) + trak),
+        # malformed: inner size runs past the moov end -> walk stops
+        box(b"moov", (10 ** 6).to_bytes(4, "big") + b"mvhd"),
+        b"\x00\x00\x00\x08free junk",
+        b"",
+    ]
+    rows = [
+        (i, "video", "video/mp4", p, len(p) if p else None)
+        for i, p in enumerate(payloads)
+    ]
+    try:
+        _swap_fixture(monkeypatch, rows, str(tmp_path / "mp4.parquet"))
+        got = dict(
+            duckdb.connect()
+            .execute(
+                "SELECT media_id, (duration_ms, n_tracks) FROM ("
+                + media._oracle_video_stats()
+                + ") q"
+            )
+            .fetchall()
+        )
+    finally:
+        media._fixture_rows.cache_clear()
+    for i, p in enumerate(payloads):
+        m = codecs.mp4_metadata(p)
+        want = (m["duration_ms"], m["n_tracks"])
+        have = tuple(got[i]) if got[i] else (None, None)
+        assert have == want, (i, have, want)
