@@ -58,6 +58,11 @@ def compact_parquet(
     by that ratio, which is fine for the "not thousands of tiny
     files" goal.
     """
+    # heal a mid-swap merge crash on the source before reading (see
+    # repair_table): without this, a kill between merge_upsert's two
+    # promotion renames makes every compaction fail path-not-found
+    # until the NEXT merge call repairs it
+    _recover_merge(src_dir)
     n_files = max(1, math.ceil(_dir_bytes(src_dir) / (target_mb << 20)))
     df: DataFrame = spark.read.parquet(src_dir)
     if cluster_by is None:
@@ -72,6 +77,23 @@ def compact_parquet(
         for f in os.listdir(dst_dir)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
+
+
+def repair_table(table_path: str) -> bool:
+    """Reader-side heal for a mid-swap merge crash (round-5 review
+    finding): `_recover_merge` used to run only at the START of the
+    next `merge_upsert`, so a kill between the two promotion renames
+    left the table directory absent until that next merge — every
+    other reader (registered queries, `compact_parquet`,
+    `zorder_write`) failed with path-not-found in the meantime.
+    Durable, but not available.  Any reader can now call this (and
+    `compact_parquet` does) to finish or roll back the swap first —
+    the same co-operation `read_cms`/`_resolve_intent` have in
+    `streaming/sketches.py`.  Idempotent and cheap when there is
+    nothing to repair.  Returns True iff the table directory exists
+    afterwards."""
+    _recover_merge(table_path)
+    return os.path.isdir(table_path.rstrip("/"))
 
 
 def _recover_merge(table_path: str) -> None:

@@ -19,10 +19,14 @@ Everything here derives from the public ISO/IEC 11172-3 spec:
   matrixing ``cos((16+i)(2k+1)π/64)``.  The ISO 512-tap prototype
   window is a published numeric table we deliberately do NOT copy;
   the DCT-IV pair is perfectly reconstructing and energy-preserving,
-  so PCM decoded from `mp2_encode`'s own frames is exact, and PCM
-  features (RMS, duration) for third-party Layer II streams are
-  feature-grade (the prototype window only shapes inter-subband
-  leakage, not energy).
+  so PCM decoded from `mp2_encode`'s own frames is exact FOR signals
+  confined to the coded subbands within the frame's bit budget:
+  `mp2_encode` silently truncates subbands ≥ sblimit (27 or 30 of
+  32) and its greedy allocator drops subbands when the budget runs
+  out, so energy above the coded set (or beyond the budget) is lost
+  at ENCODE time, not reconstructed at decode.  PCM features (RMS,
+  duration) for third-party Layer II streams are feature-grade (the
+  prototype window only shapes inter-subband leakage, not energy).
 * **Layer III (constrained)** — a side-info parse (MPEG-1 layouts,
   17/32 bytes) proving every granule carries ``part2_3_length = 0``:
   such frames decode to EXACT digital silence under any conforming

@@ -193,36 +193,49 @@ def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
     df = spark.read.parquet(state_dir)
     intent = _read_intent(state_dir)
     if intent is not None:
-        want = intent.get("folded_hash")
-        ids = [int(i) for i in intent.get("ids", [])]
-        # the two hash probes are each consistent but the PAIR can
-        # straddle a promotion rename (base probe before the swap,
-        # staging probe after) and match neither — re-probe briefly
-        # rather than fall through to a possibly-wrong exclusion set
-        for _ in range(20):
-            if _partition_hash(spark, state_dir, BASE_ID) == want:
-                # promoted, deletes unfinished: base replaces the ids
-                df = df.where(
-                    ~F.col("batch_id").isin([*ids, STAGING_ID, OLD_ID])
-                )
-                break
-            if _partition_hash(spark, state_dir, STAGING_ID) == want:
-                # staged but not yet promoted: the staging partition
-                # IS the fold of (ids + old base) — read it instead
-                df = df.where(
-                    ~F.col("batch_id").isin([*ids, BASE_ID, OLD_ID])
-                )
-                break
-            time.sleep(0.05)
-        else:
-            # genuinely aborted attempt (staging never became
-            # durable): old state stands, exclude only the inert dirs
-            df = df.where(
-                ~F.col("batch_id").isin([STAGING_ID, OLD_ID])
-            )
+        exclude = _intent_exclusions(spark, state_dir, intent)
     else:
-        df = df.where(~F.col("batch_id").isin([STAGING_ID, OLD_ID]))
+        exclude = [STAGING_ID, OLD_ID]
+    df = df.where(~F.col("batch_id").isin(exclude))
     return df.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def _intent_exclusions(
+    spark: SparkSession, state_dir: str, intent: dict
+) -> list[int]:
+    """Which batch_id partitions a reader must exclude while an
+    intent file is present.
+
+    The two hash probes are each consistent but the PAIR can straddle
+    a promotion rename (base probe before the swap, staging probe
+    after) and match neither — so on a mismatch, re-probe.  But a
+    GENUINELY aborted attempt (staging never became durable) also
+    matches neither hash and is the common lingering case; burning the
+    full retry budget (~40 collect jobs + 1 s of sleeps) on EVERY read
+    of such state is pure waste (round-5 review finding).  A rename in
+    flight changes what at least one probe sees between iterations, so
+    two consecutive probe pairs returning the IDENTICAL non-matching
+    values prove the state is stable, not mid-rename — short-circuit
+    to the aborted-intent exclusion (old state stands, inert dirs
+    excluded)."""
+    want = intent.get("folded_hash")
+    ids = [int(i) for i in intent.get("ids", [])]
+    prev = None
+    for _ in range(20):
+        bh = _partition_hash(spark, state_dir, BASE_ID)
+        if bh == want:
+            # promoted, deletes unfinished: base replaces the ids
+            return [*ids, STAGING_ID, OLD_ID]
+        sh = _partition_hash(spark, state_dir, STAGING_ID)
+        if sh == want:
+            # staged but not yet promoted: the staging partition IS
+            # the fold of (ids + old base) — read it instead
+            return [*ids, BASE_ID, OLD_ID]
+        if (bh, sh) == prev:
+            break  # stable non-matching state: aborted, not mid-swap
+        prev = (bh, sh)
+        time.sleep(0.05)
+    return [STAGING_ID, OLD_ID]
 
 
 def compact_cms(spark: SparkSession, state_dir: str) -> int:

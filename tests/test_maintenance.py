@@ -185,6 +185,46 @@ def test_merge_upsert_unpartitioned_crash_safe(spark, tmp_path, point):
     assert not os.path.isdir(path + ".__merge_staging__")
 
 
+@pytest.mark.parametrize("point", ["mid_swap", "after_swap"])
+def test_readers_heal_mid_swap_crash(spark, tmp_path, point):
+    """Round-5 review finding: after a mid-swap crash the table dir is
+    absent until the NEXT merge call — other readers used to fail
+    path-not-found.  `repair_table` (and `compact_parquet`, which
+    calls it) must heal the swap without a merge."""
+    from projetbigdatastreaming_spark.maintenance import (
+        compact_parquet,
+        repair_table,
+    )
+
+    path = str(tmp_path / f"heal_{point}")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).write.parquet(path)
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    _crash_merge(spark, path, upd, point)
+
+    # an arbitrary reader heals the state without calling merge_upsert
+    assert repair_table(path) is True
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    # mid_swap promotes the complete staging (merge applied);
+    # after_swap just clears the leftover .old (merge already applied)
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.isdir(path + ".__merge_old__")
+    assert not os.path.isdir(path + ".__merge_staging__")
+
+    # compact_parquet heals on its own read path too
+    _crash_merge(
+        spark,
+        path,
+        spark.createDataFrame([(4, "d")], "k int, v string"),
+        point,
+    )
+    out = str(tmp_path / f"heal_{point}_compact")
+    assert compact_parquet(spark, path, out) >= 1
+    kept = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert kept == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
 def test_merge_upsert_recovers_incomplete_staging(spark, tmp_path):
     """A staging dir without Spark's _SUCCESS marker (kill mid-write)
     must be discarded, never promoted — the intact table wins."""

@@ -328,3 +328,37 @@ def test_cms_compaction_crash_after_swap_drops_aside(spark, tmp_path):
     assert _grid(read_cms(spark, state)) == before
     assert not os.path.isdir(os.path.join(state, "batch_id=-3"))
     assert not os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+
+
+def test_read_with_stale_aborted_intent_short_circuits(spark, tmp_path):
+    """Round-5 review finding: a genuinely-aborted intent (staging
+    never durable) lingers until the next compaction, and read_cms
+    used to burn its full 20-iteration re-probe budget (~40 collect
+    jobs + 1 s of sleeps) on EVERY read of that common state.  Two
+    consecutive identical non-matching probe pairs prove the state is
+    stable — the reader must stop after them, and still return the
+    exact uncompacted fold."""
+    from unittest import mock
+
+    from projetbigdatastreaming_spark.streaming import sketches as sk
+
+    state, _write, before = _setup_state(spark, tmp_path, "stale_intent")
+    # a kill before the staging write completed: intent present,
+    # staging partial/absent, base untouched
+    _crash_compaction(spark, state, "before_promote")
+    import shutil
+
+    shutil.rmtree(f"{state}/batch_id={sk.STAGING_ID}", ignore_errors=True)
+
+    calls = {"n": 0}
+    real = sk._partition_hash
+
+    def counting(spark_, dir_, bid):
+        calls["n"] += 1
+        return real(spark_, dir_, bid)
+
+    with mock.patch.object(sk, "_partition_hash", side_effect=counting):
+        got = _grid(read_cms(spark, state))
+    assert got == before  # old state stands, fold exact
+    # 2 probe pairs (4 calls) prove stability; the old behavior made 40
+    assert calls["n"] <= 6, calls["n"]
