@@ -660,3 +660,77 @@ def matryoshka_topk(
         "vec_id", F.slice("embedding", 1, dims).alias("embedding")
     )
     return cosine_topk(truncated, query_ids, k)
+
+
+def pq_codes(embeddings: DataFrame, m: int = 4, k: int = 8) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each D-dim vector into ``m``
+    sub-vectors and quantize each against a ``k``-entry per-subspace
+    codebook; a vector compresses to one base-``k`` code (packed into
+    a single BIGINT here) — the memory layout ANN shortlists rescore
+    against.  Output per vector: the packed ``code`` and ``err_q4``,
+    the summed squared-L2 reconstruction error as an exact integer
+    (sum of per-subspace ``round(d * 1e4)``, immune to float
+    summation-order drift across engines).
+
+    Codebooks: the k hash-smallest corpus vectors' sub-slices — the
+    `ivf_assign` seeding scheme (deterministic, no corpus count, no
+    global sort; `orderBy(hash).limit(k)` is TakeOrderedAndProject).
+    cid = rank in hash order, assigned by sort_array over one
+    collected ≤k-row struct (no unpartitioned Window).  A production
+    build k-means-refines each subspace codebook, which changes
+    centroid quality, not operator shape.
+
+    Scale plan: one ≤k-row broadcast; assignment is a map-only
+    higher-order-function fold per subspace (the corpus is never
+    shuffled and never leaves codegen); per-subspace distances are
+    rounded to 4 dp before the argmin so both engines compare
+    identical doubles (ties -> lowest cid: strict-< fold over the
+    cid-ascending codebook array).
+    """
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    h = (
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    seeds = emb.orderBy(F.expr(h), "vec_id").limit(k)
+    cent_row = seeds.select(
+        F.expr(h).alias("h"), "vec_id", F.col("embedding").alias("cvec")
+    ).agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(h, vec_id, cvec))),"
+            " (c, i) -> struct(CAST(i AS INT) AS cid, c.cvec AS cvec))"
+        ).alias("__cents")
+    )
+    sub = f"(size(embedding) DIV {m})"
+    picks = f"""
+    transform(sequence(0, {m - 1}), mi ->
+      aggregate(
+        transform(__cents, c -> struct(
+          c.cid AS cid,
+          round(aggregate(zip_with(
+                    slice(embedding, mi * {sub} + 1, {sub}),
+                    slice(c.cvec,   mi * {sub} + 1, {sub}),
+                    (x, y) -> (x - y) * (x - y)),
+                  0D, (a, x) -> a + x), 4) AS d)),
+        struct(CAST(-1 AS INT) AS cid, CAST(1E300 AS DOUBLE) AS d),
+        (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END))
+    """
+    weights = ", ".join(str(k**i) for i in range(m))
+    return (
+        emb.crossJoin(F.broadcast(cent_row))
+        .withColumn("__picks", F.expr(picks))
+        .select(
+            "vec_id",
+            F.expr(
+                f"aggregate(zip_with(__picks, array({weights}),"
+                " (p, w) -> CAST(p.cid AS BIGINT) * w),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("code"),
+            F.expr(
+                "aggregate(__picks, CAST(0 AS BIGINT),"
+                " (a, p) -> a + CAST(round(p.d * 10000) AS BIGINT))"
+            ).alias("err_q4"),
+        )
+        .orderBy("vec_id")
+    )

@@ -3474,7 +3474,189 @@ def _bpe_oracle_sql() -> str:
 SQL_BPE_LEARN_MERGES = _bpe_oracle_sql()
 
 
+# -- Gopher-style rule-based quality gate (round 6) ---------------------------
+
+#: the fixed function-word list for the stop-word rule (Rae et al.
+#: 2021 use a similar small list; 'the'/'a' intersect the synthetic
+#: corpus vocabulary so the flag has real variance)
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "that", "have", "with")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText-style RULE quality gate (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1): per document, the
+    individual rule flags (so a curation run can report WHY a doc was
+    dropped) plus the conjunction.  Rules kept to the corpus-feasible
+    subset: word-count bounds [50, 100000], mean word length in
+    [3, 10], ≥80% of tokens containing an alphabetic character, ≥2
+    distinct stop words, and top-unigram fraction ≤20% (the
+    MassiveText repetition screen at the unigram grain —
+    `doc_repetition` carries the n-gram grain).  Complements
+    `text_quality` (a composite 0-100 score): classifiers rank,
+    rules GATE.
+
+    Scale plan: one (doc_id, token) hash-agg then a per-doc agg — two
+    keyed exchanges on bounded-width rows; all comparisons are
+    exact-integer cross-multiplications (no float thresholds), flags
+    emitted as 0/1 ints (engine-portable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_words"),
+        F.sum(F.col("tf") * F.length("token"))
+        .cast("bigint")
+        .alias("sum_len"),
+        F.sum(
+            F.when(F.col("token").rlike("[a-zA-Z]"), F.col("tf")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.count_distinct(
+            F.when(
+                F.col("token").isin(*GOPHER_STOPWORDS), F.col("token")
+            )
+        ).alias("n_stop"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    flagged = per.select(
+        "doc_id",
+        "n_words",
+        flag(F.col("n_words").between(50, 100000)).alias("ok_n_words"),
+        flag(
+            (F.col("sum_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_len") <= 10 * F.col("n_words"))
+        ).alias("ok_mean_len"),
+        flag(5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias(
+            "ok_alpha"
+        ),
+        flag(F.col("n_stop") >= 2).alias("ok_stop"),
+        flag(5 * F.col("max_tf") <= F.col("n_words")).alias(
+            "ok_top_unigram"
+        ),
+    )
+    return flagged.withColumn(
+        "passes",
+        F.col("ok_n_words")
+        * F.col("ok_mean_len")
+        * F.col("ok_alpha")
+        * F.col("ok_stop")
+        * F.col("ok_top_unigram"),
+    ).orderBy("doc_id")
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY doc_id, token),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_words,
+         CAST(SUM(tf * length(token)) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN regexp_matches(token, '[a-zA-Z]')
+                       THEN tf ELSE 0 END) AS BIGINT) AS n_alpha,
+         COUNT(DISTINCT CASE WHEN token IN
+           ({", ".join("'" + w + "'" for w in GOPHER_STOPWORDS)})
+           THEN token END) AS n_stop,
+         CAST(MAX(tf) AS BIGINT) AS max_tf
+  FROM tf GROUP BY doc_id),
+flagged AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words BETWEEN 50 AND 100000
+              THEN 1 ELSE 0 END AS ok_n_words,
+         CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+              THEN 1 ELSE 0 END AS ok_mean_len,
+         CASE WHEN 5 * n_alpha >= 4 * n_words
+              THEN 1 ELSE 0 END AS ok_alpha,
+         CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop,
+         CASE WHEN 5 * max_tf <= n_words
+              THEN 1 ELSE 0 END AS ok_top_unigram
+  FROM per)
+SELECT doc_id, n_words, ok_n_words, ok_mean_len, ok_alpha, ok_stop,
+       ok_top_unigram,
+       ok_n_words * ok_mean_len * ok_alpha * ok_stop * ok_top_unigram
+         AS passes
+FROM flagged
+ORDER BY doc_id
+"""
+
+
+# -- product quantization codes (round 6) -------------------------------------
+
+PQ_M = 4
+PQ_K = 8
+
+
+def q_emb_pq_codes(spark, sf_dir):
+    """Product-quantization compression of the embedding corpus
+    (Jégou et al. 2011): each vector -> one packed base-{PQ_K} code
+    over {PQ_M} subspaces + exact-integer reconstruction error.  The
+    PQ complement to `emb_quantize` (scalar int8): PQ is the layout
+    ANN shortlists rescore against at 100 TB.  See
+    `operators/similarity.pq_codes` for the scale plan (≤k-row
+    broadcast codebook, map-only fold, corpus never shuffled)."""
+    return similarity.pq_codes(
+        load_table(spark, sf_dir, "embeddings"), m=PQ_M, k=PQ_K
+    )
+
+
+_PQ_H = (
+    "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+SQL_EMB_PQ_CODES = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seeds AS (
+  SELECT e, ROW_NUMBER() OVER (ORDER BY {_PQ_H}, vec_id) - 1 AS cid
+  FROM emb
+  ORDER BY {_PQ_H}, vec_id
+  LIMIT {PQ_K}),
+pairs AS (
+  SELECT v.vec_id, t.mi, s.cid,
+         ROUND(list_aggregate(list_transform(
+             range(1, (len(v.e) // {PQ_M}) + 1),
+             i -> (v.e[t.mi * (len(v.e) // {PQ_M}) + i]
+                   - s.e[t.mi * (len(v.e) // {PQ_M}) + i])
+                  * (v.e[t.mi * (len(v.e) // {PQ_M}) + i]
+                     - s.e[t.mi * (len(v.e) // {PQ_M}) + i])),
+           'sum'), 4) AS d
+  FROM emb v
+  CROSS JOIN range(0, {PQ_M}) t(mi)
+  CROSS JOIN seeds s),
+best AS (
+  SELECT vec_id, mi, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+                            ORDER BY d, cid) AS rn
+  FROM pairs)
+SELECT vec_id,
+       CAST(SUM(cid * (CASE mi {" ".join(
+           f"WHEN {i} THEN {PQ_K ** i}" for i in range(PQ_M)
+       )} END)) AS BIGINT) AS code,
+       CAST(SUM(CAST(ROUND(d * 10000) AS BIGINT)) AS BIGINT) AS err_q4
+FROM best WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "gopher_quality": QuerySpec(q_gopher_quality, SQL_GOPHER_QUALITY),
+    "emb_pq_codes": QuerySpec(q_emb_pq_codes, SQL_EMB_PQ_CODES),
     "bpe_learn_merges": QuerySpec(q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
     "emb_pca_power": QuerySpec(q_emb_pca_power, SQL_EMB_PCA_POWER),

@@ -219,3 +219,59 @@ def test_curation_pipeline_attribution_consistent(spark, sf_dir):
                 o < d and fp_of[o] == fp_of[d]
                 for o in surviving
             )
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    """Each Gopher rule must gate the specific pathology it names:
+    too-short doc, degenerate mean word length, non-alpha flood,
+    missing stop words, one-token domination — and a healthy doc
+    passes everything."""
+    from projetbigdatastreaming_spark.plans.llmdata import q_gopher_quality
+    from unittest import mock
+
+    healthy = "the a " + " ".join(
+        f"word{i} plus{i}" for i in range(30)
+    )
+    rows = [
+        (0, healthy, "en", "s"),
+        (1, "the a short doc", "en", "s"),  # n_words < 50
+        (2, "the a " + "x " * 60, "en", "s"),  # mean word len < 3
+        (3, "the a " + "1234 " * 60, "en", "s"),  # non-alpha flood
+        (4, " ".join(f"w{i}" for i in range(60)), "en", "s"),  # no stops
+        (5, "the a " + "dominant " * 60, "en", "s"),  # one-token domination
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    with mock.patch(
+        "projetbigdatastreaming_spark.plans.llmdata.load_table",
+        return_value=docs,
+    ):
+        out = {r.doc_id: r for r in q_gopher_quality(spark, "unused").collect()}
+    assert out[0].passes == 1
+    assert out[1].ok_n_words == 0 and out[1].passes == 0
+    assert out[2].ok_mean_len == 0 and out[2].passes == 0
+    assert out[3].ok_alpha == 0 and out[3].passes == 0
+    assert out[4].ok_stop == 0 and out[4].passes == 0
+    assert out[5].ok_top_unigram == 0 and out[5].passes == 0
+
+
+def test_pq_codes_properties(spark, sf_dir):
+    """PQ invariants: codes live in [0, k^m); error is non-negative;
+    the codebook SEED vectors reconstruct exactly (their sub-slices
+    ARE centroids, so err_q4 == 0 for at least k vectors); and codes
+    are deterministic across runs."""
+    from projetbigdatastreaming_spark.operators.similarity import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out1 = {r.vec_id: r for r in pq_codes(emb, m=4, k=8).collect()}
+    out2 = {r.vec_id: r for r in pq_codes(emb, m=4, k=8).collect()}
+    assert out1.keys() == out2.keys() and len(out1) == emb.count()
+    for vid, r in out1.items():
+        assert 0 <= r.code < 8**4, (vid, r.code)
+        assert r.err_q4 >= 0
+        assert out2[vid].code == r.code and out2[vid].err_q4 == r.err_q4
+    exact = [vid for vid, r in out1.items() if r.err_q4 == 0]
+    assert len(exact) >= 8  # the 8 seed vectors at minimum
+    # quantization compresses: plenty of distinct vectors share codes
+    assert len({r.code for r in out1.values()}) < len(out1)
