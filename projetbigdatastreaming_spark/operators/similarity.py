@@ -689,37 +689,9 @@ def pq_codes(embeddings: DataFrame, m: int = 4, k: int = 8) -> DataFrame:
     cid-ascending codebook array).
     """
     emb = _as_double(embeddings).select("vec_id", "embedding")
-    h = (
-        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)"
-        " AS BIGINT)"
-    )
-    seeds = emb.orderBy(F.expr(h), "vec_id").limit(k)
-    cent_row = seeds.select(
-        F.expr(h).alias("h"), "vec_id", F.col("embedding").alias("cvec")
-    ).agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(h, vec_id, cvec))),"
-            " (c, i) -> struct(CAST(i AS INT) AS cid, c.cvec AS cvec))"
-        ).alias("__cents")
-    )
-    sub = f"(size(embedding) DIV {m})"
-    picks = f"""
-    transform(sequence(0, {m - 1}), mi ->
-      aggregate(
-        transform(__cents, c -> struct(
-          c.cid AS cid,
-          round(aggregate(zip_with(
-                    slice(embedding, mi * {sub} + 1, {sub}),
-                    slice(c.cvec,   mi * {sub} + 1, {sub}),
-                    (x, y) -> (x - y) * (x - y)),
-                  0D, (a, x) -> a + x), 4) AS d)),
-        struct(CAST(-1 AS INT) AS cid, CAST(1E300 AS DOUBLE) AS d),
-        (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END))
-    """
     weights = ", ".join(str(k**i) for i in range(m))
     return (
-        emb.crossJoin(F.broadcast(cent_row))
-        .withColumn("__picks", F.expr(picks))
+        _pq_picked(emb, m, k)
         .select(
             "vec_id",
             F.expr(
@@ -733,4 +705,151 @@ def pq_codes(embeddings: DataFrame, m: int = 4, k: int = 8) -> DataFrame:
             ).alias("err_q4"),
         )
         .orderBy("vec_id")
+    )
+
+
+def _pq_sub(m: int) -> str:
+    return f"(size(embedding) DIV {m})"
+
+
+def _pq_subdist(m: int) -> str:
+    """Raw squared-L2 between the mi-th sub-slices of `embedding` and
+    a codebook entry `c.cvec` (sequential left-fold sum)."""
+    sub = _pq_sub(m)
+    return f"""aggregate(zip_with(
+                    slice(embedding, mi * {sub} + 1, {sub}),
+                    slice(c.cvec,   mi * {sub} + 1, {sub}),
+                    (x, y) -> (x - y) * (x - y)),
+                  0D, (a, x) -> a + x)"""
+
+
+def _pq_cent_row(emb: DataFrame, k: int) -> DataFrame:
+    """The 1-row broadcastable codebook: `__cents` = array<struct(cid,
+    cvec)>, cid ascending in hash order of the k seed vectors."""
+    h = (
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    seeds = emb.orderBy(F.expr(h), "vec_id").limit(k)
+    return seeds.select(
+        F.expr(h).alias("h"), "vec_id", F.col("embedding").alias("cvec")
+    ).agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(h, vec_id, cvec))),"
+            " (c, i) -> struct(CAST(i AS INT) AS cid, c.cvec AS cvec))"
+        ).alias("__cents")
+    )
+
+
+def _pq_picked(emb: DataFrame, m: int, k: int) -> DataFrame:
+    """emb + `__picks`: per subspace, the argmin codebook entry as
+    struct(cid, d) with d the 4dp-rounded squared-L2 (ties -> lowest
+    cid via strict-< fold over the cid-ascending array)."""
+    picks = f"""
+    transform(sequence(0, {m - 1}), mi ->
+      aggregate(
+        transform(__cents, c -> struct(
+          c.cid AS cid,
+          round({_pq_subdist(m)}, 4) AS d)),
+        struct(CAST(-1 AS INT) AS cid, CAST(1E300 AS DOUBLE) AS d),
+        (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END))
+    """
+    return emb.crossJoin(F.broadcast(_pq_cent_row(emb, k))).withColumn(
+        "__picks", F.expr(picks)
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_top: int = 10,
+    m: int = 4,
+    k: int = 8,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the second half of
+    Jégou et al. 2011: queries stay UNquantized; each query
+    precomputes an m×k table of integer sub-distances to every
+    codebook entry, and a corpus vector's distance is just m table
+    lookups summed over its code digits.  At 100 TB this is the point
+    of PQ: the scan touches 4 small ints per vector instead of 64
+    floats, and the table build is O(m·k) per query.
+
+    Determinism: table entries are exact ints (round(d·1e4)), so ADC
+    scores are exact integer sums — no float ordering anywhere; ties
+    break on vec_id.  Returns (qid, vec_id, adc_q4, rk), rk ≤ k_top.
+
+    Scale plan: corpus codes from the map-only `_pq_picked` fold; the
+    ≤|queries|-row table relation broadcasts into one BNLJ against
+    the code scan; per-query top-k is a qid-PARTITIONED window (never
+    global).
+    """
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    codes = _pq_picked(emb, m, k).select(
+        "vec_id", F.expr("transform(__picks, p -> p.cid)").alias("cids")
+    )
+    tab = f"""
+    transform(sequence(0, {m - 1}), mi ->
+      transform(__cents, c ->
+        CAST(round({_pq_subdist(m)} * 10000) AS BIGINT)))
+    """
+    qtab = (
+        emb.where(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .crossJoin(F.broadcast(_pq_cent_row(emb, k)))
+        .select(F.col("vec_id").alias("qid"), F.expr(tab).alias("tab"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        codes.join(F.broadcast(qtab), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(cids, tab,"
+                " (cid, row) -> element_at(row, cid + 1)),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("adc_q4"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("adc_q4", "vec_id")
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(w).cast("int")
+        )
+        .where(F.col("rk") <= k_top)
+        .orderBy("qid", "rk")
+    )
+
+
+def l2_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth `pq_adc_topk` is
+    measured against.  Same shape as `cosine_topk`: tiny broadcast
+    query side, map-only scoring over the corpus scan, per-query
+    top-k.  Distances as exact ints (round(d·1e4)); ties -> vec_id.
+    """
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "CAST(round(aggregate(zip_with(embedding, qe,"
+                " (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+                " * 10000) AS BIGINT)"
+            ).alias("d_q4"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d_q4", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .orderBy("qid", "rk")
     )

@@ -3654,9 +3654,121 @@ ORDER BY vec_id
 """
 
 
+def q_emb_pq_recall(spark, sf_dir):
+    """recall@k of PQ asymmetric-distance search against the exact
+    squared-L2 top-k — the compression/quality gauge for the
+    `emb_pq_codes` layout (Jégou et al. 2011 measure their codebooks
+    the same way).  All distances are exact integer sums
+    (round(d·1e4) per subspace / per full vector), so both engines
+    rank identical values with vec_id tie-breaks; one row per query
+    id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.l2_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    ann = similarity.pq_adc_topk(
+        emb, QUERY_VEC_IDS, TOPK, m=PQ_M, k=PQ_K
+    ).select("qid", "vec_id")
+    hits = (
+        exact.join(ann, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("__n_hits"))
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+_PQ_QIDS = ", ".join(map(str, QUERY_VEC_IDS))
+
+#: shared CTE prefix replaying operators/similarity.py's PQ pipeline:
+#: hash-seeded codebook, per-(vec, subspace, centroid) raw squared-L2,
+#: argmin picks (4dp round, lowest-cid ties)
+_PQ_CTES = f"""
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seeds AS (
+  SELECT e, ROW_NUMBER() OVER (ORDER BY {_PQ_H}, vec_id) - 1 AS cid
+  FROM emb
+  ORDER BY {_PQ_H}, vec_id
+  LIMIT {PQ_K}),
+subd AS (
+  SELECT v.vec_id, t.mi, s.cid,
+         list_aggregate(list_transform(
+             range(1, (len(v.e) // {PQ_M}) + 1),
+             i -> (v.e[t.mi * (len(v.e) // {PQ_M}) + i]
+                   - s.e[t.mi * (len(v.e) // {PQ_M}) + i])
+                  * (v.e[t.mi * (len(v.e) // {PQ_M}) + i]
+                     - s.e[t.mi * (len(v.e) // {PQ_M}) + i])),
+           'sum') AS draw
+  FROM emb v
+  CROSS JOIN range(0, {PQ_M}) t(mi)
+  CROSS JOIN seeds s),
+best AS (
+  SELECT vec_id, mi, cid, d FROM (
+    SELECT vec_id, mi, cid, ROUND(draw, 4) AS d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+                              ORDER BY ROUND(draw, 4), cid) AS rn
+    FROM subd)
+  WHERE rn = 1)"""
+
+SQL_EMB_PQ_RECALL = f"""
+WITH {_PQ_CTES},
+qtab AS (
+  SELECT vec_id AS qid, mi, cid,
+         CAST(ROUND(draw * 10000) AS BIGINT) AS d4
+  FROM subd WHERE vec_id IN ({_PQ_QIDS})),
+adc AS (
+  SELECT q.qid, b.vec_id, CAST(SUM(q.d4) AS BIGINT) AS adc_q4
+  FROM best b
+  JOIN qtab q ON b.mi = q.mi AND b.cid = q.cid AND b.vec_id <> q.qid
+  GROUP BY q.qid, b.vec_id),
+ann AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY adc_q4, vec_id) AS rk
+    FROM adc)
+  WHERE rk <= {TOPK}),
+exact_d AS (
+  SELECT q.vec_id AS qid, v.vec_id,
+         CAST(ROUND(list_aggregate(list_transform(
+             range(1, len(v.e) + 1),
+             i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])), 'sum')
+           * 10000) AS BIGINT) AS d4
+  FROM emb v
+  JOIN emb q ON q.vec_id IN ({_PQ_QIDS}) AND v.vec_id <> q.vec_id),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY d4, vec_id) AS rk
+    FROM exact_d)
+  WHERE rk <= {TOPK}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY e.qid)
+SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(q_gopher_quality, SQL_GOPHER_QUALITY),
     "emb_pq_codes": QuerySpec(q_emb_pq_codes, SQL_EMB_PQ_CODES),
+    "emb_pq_recall": QuerySpec(q_emb_pq_recall, SQL_EMB_PQ_RECALL),
     "bpe_learn_merges": QuerySpec(q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
     "emb_pca_power": QuerySpec(q_emb_pca_power, SQL_EMB_PCA_POWER),

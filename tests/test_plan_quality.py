@@ -190,8 +190,11 @@ _BNLJ_ALLOWED = {
     "emb_kmeans_refine",
     "emb_semantic_dedup",
     # emb_pq_codes crosses the corpus against the ONE collected
-    # codebook row (≤k centroids) — the ivf_assign broadcast pattern
+    # codebook row (≤k centroids) — the ivf_assign broadcast pattern;
+    # emb_pq_recall additionally broadcasts the ≤|queries|-row ADC
+    # table relation and the query vectors into the code/corpus scans
     "emb_pq_codes",
+    "emb_pq_recall",
     # emb_pca_power normalizes the d-row iterate against a one-row
     # norm scalar each power step — d x 1 BNLJs over KB relations
     "emb_pca_power",

