@@ -853,3 +853,93 @@ def l2_topk(
         .where(F.col("rk") <= k)
         .orderBy("qid", "rk")
     )
+
+
+def pq_refine(
+    embeddings: DataFrame, m: int = 4, k: int = 8
+) -> DataFrame:
+    """One Lloyd iteration over the PQ codebooks: recompute every
+    (subspace, codebook-entry) as the per-dimension mean of its
+    assigned sub-vectors, then reassign — the training step that turns
+    the hash-seeded codebooks into data-adapted ones (Jégou et al.
+    2011 train exactly this way, k-means per subspace).  Returns the
+    refined cell profile: (mi, cid, n_vecs, sum_d_q4) with the
+    per-cell member count and the exact-integer total quantization
+    error under the REFINED codebooks.
+
+    Deterministic cross-engine: refined components are per-(mi, cid,
+    pos) means rounded to 6 dp (the `kmeans_refine` recipe); the
+    reassignment reuses the 4dp-round + lowest-cid-tie argmin.  A cell
+    that attracts no members simply drops out of its subspace's
+    codebook for the reassignment pass — both engines group only
+    present cells.
+
+    Scale plan: the member-mean pass is two map-side explodes + one
+    (mi, cid, pos) hash-agg (m·k·sub_dim groups); the refined
+    codebooks collapse into ONE broadcast row exactly like the seeds,
+    so reassignment is again map-only — no embedding shuffles, ever.
+    """
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    sub = _pq_sub(m)
+    picked = _pq_picked(emb, m, k)
+    asg = picked.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), mi -> struct("
+                f"__picks[mi].cid AS cid,"
+                f" slice(embedding, mi * {sub} + 1, {sub}) AS sv))"
+            )
+        ).alias("mi", "x"),
+    )
+    flat = asg.select(
+        "mi",
+        F.col("x.cid").alias("cid"),
+        F.posexplode("x.sv").alias("pos", "val"),
+    )
+    per_dim = flat.groupBy("mi", "cid", "pos").agg(
+        F.round(F.avg("val"), 6).alias("cval")
+    )
+    refc = per_dim.groupBy("mi", "cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+            lambda c: c["cval"],
+        ).alias("cv")
+    )
+    permis = refc.groupBy("mi").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias(
+            "entries"
+        )
+    )
+    cb_row = permis.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(mi, entries))),"
+            " x -> x.entries)"
+        ).alias("__cbs")
+    )
+    picks2 = f"""
+    transform(sequence(0, {m - 1}), mi ->
+      aggregate(
+        transform(element_at(__cbs, mi + 1), c -> struct(
+          c.cid AS cid,
+          round(aggregate(zip_with(
+                    slice(embedding, mi * {sub} + 1, {sub}),
+                    c.cv, (x, y) -> (x - y) * (x - y)),
+                  0D, (a, x) -> a + x), 4) AS d)),
+        struct(CAST(-1 AS INT) AS cid, CAST(1E300 AS DOUBLE) AS d),
+        (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END))
+    """
+    return (
+        emb.crossJoin(F.broadcast(cb_row))
+        .select(
+            "vec_id", F.posexplode(F.expr(picks2)).alias("mi", "p")
+        )
+        .groupBy("mi", F.col("p.cid").alias("cid"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.expr("CAST(round(p.d * 10000) AS BIGINT)")
+            ).cast("bigint").alias("sum_d_q4"),
+        )
+        .orderBy("mi", "cid")
+    )

@@ -3765,10 +3765,65 @@ ORDER BY q.qid
 """
 
 
+def q_emb_pq_refine(spark, sf_dir):
+    """Refined-codebook cell profile after one Lloyd step per PQ
+    subspace — (mi, cid, n_vecs, sum_d_q4): member count and
+    exact-integer total quantization error per refined cell.  The
+    PQ training step (Jégou et al. 2011 train codebooks with k-means
+    per subspace); `test_quality_ops` asserts total error does not
+    increase vs the seed codebooks.  See
+    `operators/similarity.pq_refine` for the scale plan (two map-side
+    explodes + one m·k·sub_dim hash-agg; refined codebooks collapse
+    into ONE broadcast row; no embedding shuffles)."""
+    return similarity.pq_refine(
+        load_table(spark, sf_dir, "embeddings"), m=PQ_M, k=PQ_K
+    )
+
+
+SQL_EMB_PQ_REFINE = f"""
+WITH {_PQ_CTES},
+flat AS (
+  -- paired unnests zip positionally (the SQL_EMB_CENTROID idiom)
+  SELECT b.mi, b.cid,
+         unnest(range(1, (len(v.e) // {PQ_M}) + 1)) AS pos,
+         unnest(list_transform(range(1, (len(v.e) // {PQ_M}) + 1),
+                i -> v.e[b.mi * (len(v.e) // {PQ_M}) + i])) AS val
+  FROM best b
+  JOIN emb v USING (vec_id)),
+refc AS (
+  SELECT mi, cid, list(cval ORDER BY pos) AS cv
+  FROM (SELECT mi, cid, pos, ROUND(AVG(val), 6) AS cval
+        FROM flat GROUP BY mi, cid, pos)
+  GROUP BY mi, cid),
+newd AS (
+  SELECT v.vec_id, r.mi, r.cid,
+         ROUND(list_aggregate(list_transform(
+             range(1, (len(v.e) // {PQ_M}) + 1),
+             i -> (v.e[r.mi * (len(v.e) // {PQ_M}) + i] - r.cv[i])
+                  * (v.e[r.mi * (len(v.e) // {PQ_M}) + i] - r.cv[i])),
+           'sum'), 4) AS d
+  FROM emb v CROSS JOIN refc r),
+pick2 AS (
+  SELECT vec_id, mi, cid, d FROM (
+    SELECT vec_id, mi, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+                              ORDER BY d, cid) AS rn
+    FROM newd)
+  WHERE rn = 1)
+SELECT mi, CAST(cid AS INTEGER) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(ROUND(d * 10000) AS BIGINT)) AS BIGINT) AS sum_d_q4
+FROM pick2
+GROUP BY mi, cid
+ORDER BY mi, cid
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(q_gopher_quality, SQL_GOPHER_QUALITY),
     "emb_pq_codes": QuerySpec(q_emb_pq_codes, SQL_EMB_PQ_CODES),
     "emb_pq_recall": QuerySpec(q_emb_pq_recall, SQL_EMB_PQ_RECALL),
+    "emb_pq_refine": QuerySpec(q_emb_pq_refine, SQL_EMB_PQ_REFINE),
     "bpe_learn_merges": QuerySpec(q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
     "emb_pca_power": QuerySpec(q_emb_pca_power, SQL_EMB_PCA_POWER),

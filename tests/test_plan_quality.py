@@ -195,6 +195,7 @@ _BNLJ_ALLOWED = {
     # table relation and the query vectors into the code/corpus scans
     "emb_pq_codes",
     "emb_pq_recall",
+    "emb_pq_refine",
     # emb_pca_power normalizes the d-row iterate against a one-row
     # norm scalar each power step — d x 1 BNLJs over KB relations
     "emb_pca_power",

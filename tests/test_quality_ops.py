@@ -311,3 +311,27 @@ def test_pq_adc_recall_bounds_and_table_equivalence(spark, sf_dir):
             key = "adc_q4" if hasattr(rs[0], "adc_q4") else "d_q4"
             vals = [getattr(r, key) for r in rs]
             assert vals == sorted(vals)  # ranked by distance
+
+
+def test_pq_refine_never_increases_total_error(spark, sf_dir):
+    """One Lloyd step must not increase total quantization error
+    (k-means monotonicity: means minimize within-cell SSE, then
+    reassignment only moves vectors to strictly closer cells), and
+    every corpus vector stays accounted for."""
+    from projetbigdatastreaming_spark.operators.similarity import (
+        pq_codes,
+        pq_refine,
+    )
+    from projetbigdatastreaming_spark.plans.llmdata import PQ_K, PQ_M
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    before = sum(r.err_q4 for r in pq_codes(emb, m=PQ_M, k=PQ_K).collect())
+    cells = pq_refine(emb, m=PQ_M, k=PQ_K).collect()
+    after = sum(r.sum_d_q4 for r in cells)
+    # 1e-4-quantization of each term can wobble the integer totals by
+    # ~#terms/2 either way; beyond that, error must not increase
+    assert after <= before + len(cells), (before, after)
+    n = emb.count()
+    for mi in range(PQ_M):
+        assert sum(r.n_vecs for r in cells if r.mi == mi) == n
+        assert all(0 <= r.cid < PQ_K for r in cells if r.mi == mi)
