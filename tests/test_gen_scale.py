@@ -74,3 +74,40 @@ def test_scaled_fixture_contract(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_scaled_media_table(spark, tmp_path):
+    """Round 6: the scale dir must carry a media table whose row count
+    scales with the factor, whose real payloads DECODE (not
+    hash-fakes), and which the media queries pick up via sf_dir —
+    while the driver dirs (no media.parquet) keep the fixture
+    fallback, where the oracles live."""
+    from gen_scale import build_scaled
+
+    from projetbigdatastreaming_spark.plans.media import (
+        _media_path,
+        q_image_stats,
+    )
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "sf2xm")
+    build_scaled(spark, src, out, factor=2)
+
+    media = spark.read.parquet(os.path.join(out, "media.parquet"))
+    assert media.count() == 2 * 12 + 3  # per-copy set + garbage rows
+    assert set(
+        r.kind for r in media.select("kind").distinct().collect()
+    ) == {"image", "audio", "video"}
+
+    # query path resolution: scale dir -> its table, driver dir -> fixture
+    assert _media_path(out) == os.path.join(out, "media.parquet")
+    assert _media_path(src).endswith("fixtures/media.parquet")
+
+    rows = {r.media_id: r for r in q_image_stats(spark, out).collect()}
+    decoded = [r for r in rows.values() if r.width is not None]
+    assert len(decoded) == 12  # 6 image payloads x 2 copies, all real
+    # copies are perturbed, not byte-identical: same dims, new hashes
+    assert rows[1].feature_hash != rows[1001].feature_hash
+    assert (rows[1].width, rows[1].height) == (
+        rows[1001].width, rows[1001].height,
+    )
