@@ -195,11 +195,23 @@ def build_scaled(
     # build factor x the per-copy encoder set here (pyarrow-direct,
     # bounded row count — no Spark needed).  plans/media.py prefers
     # {sf_dir}/media.parquet when present, fixture fallback otherwise.
+    # ONE FILE PER COPY, not one file: a single small parquet is one
+    # scan split, so the decode stage would serialize on one core —
+    # whereas a real media lake is thousands of objects and
+    # parallelism comes free from file splits.  Mirror that here.
     from tools.make_media_fixture import scaled_rows, write_rows
 
-    write_rows(
-        scaled_rows(factor), os.path.join(out_dir, "media.parquet")
-    )
+    import shutil as _shutil
+
+    media_dir = os.path.join(out_dir, "media.parquet")
+    _shutil.rmtree(media_dir, ignore_errors=True)
+    by_copy: dict[int, list] = {}
+    for r in scaled_rows(factor):
+        by_copy.setdefault(r[0] // 1000, []).append(r)
+    for c, chunk in sorted(by_copy.items()):
+        write_rows(
+            chunk, os.path.join(media_dir, f"part-{c:05d}.parquet")
+        )
 
     with open(os.path.join(out_dir, _DONE_MARKER), "w") as fh:
         fh.write(_marker_text(factor, src_dir))
