@@ -3819,8 +3819,78 @@ ORDER BY mi, cid
 """
 
 
+def q_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per LANGUAGE, split documents into head/middle/tail
+    terciles of LM surprisal — the standard web-corpus quality
+    partition (head = most LM-like; CCNet trains on head+middle).
+    The LM is the in-repo interpolated bigram model
+    (`bigram_logprob`); cutoffs are exact interpolated terciles per
+    language, rounded 6 dp, compared against the 6dp-rounded per-doc
+    mean surprisal, so bucket edges are engine-deterministic.
+
+    Scale plan: per-doc scores come from the bigram query's one
+    corpus explode; the cutoffs are a ≤|langs|-row aggregate
+    broadcast back (no window, no global sort — at 100 TB swap the
+    exact `percentile` for `approx_percentile`, which only moves
+    boundary docs).  Docs with <2 tokens carry no bigram score and
+    are excluded on both engines.
+    """
+    scores = q_bigram_logprob(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    sc = scores.join(docs, "doc_id").select(
+        "doc_id", "lang", "mean_surprisal"
+    )
+    cuts = sc.groupBy("lang").agg(
+        F.round(F.percentile("mean_surprisal", F.lit(1 / 3)), 6).alias(
+            "c33"
+        ),
+        F.round(F.percentile("mean_surprisal", F.lit(2 / 3)), 6).alias(
+            "c66"
+        ),
+    )
+    return (
+        sc.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_surprisal",
+            F.when(F.col("mean_surprisal") <= F.col("c33"), "head")
+            .when(F.col("mean_surprisal") <= F.col("c66"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CCNET_PPL_BUCKETS = f"""
+WITH scores AS (SELECT * FROM ({SQL_BIGRAM_LOGPROB})),
+sc AS (
+  SELECT s.doc_id, d.lang, s.mean_surprisal
+  FROM scores s JOIN documents d USING (doc_id)),
+cuts AS (
+  SELECT lang,
+         ROUND(quantile_cont(mean_surprisal, 1.0/3.0), 6) AS c33,
+         ROUND(quantile_cont(mean_surprisal, 2.0/3.0), 6) AS c66
+  FROM sc GROUP BY lang)
+SELECT doc_id, lang, mean_surprisal,
+       CASE WHEN mean_surprisal <= c33 THEN 'head'
+            WHEN mean_surprisal <= c66 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM sc JOIN cuts USING (lang)
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(q_gopher_quality, SQL_GOPHER_QUALITY),
+    "ccnet_ppl_buckets": QuerySpec(
+        q_ccnet_ppl_buckets, SQL_CCNET_PPL_BUCKETS
+    ),
     "emb_pq_codes": QuerySpec(q_emb_pq_codes, SQL_EMB_PQ_CODES),
     "emb_pq_recall": QuerySpec(q_emb_pq_recall, SQL_EMB_PQ_RECALL),
     "emb_pq_refine": QuerySpec(q_emb_pq_refine, SQL_EMB_PQ_REFINE),

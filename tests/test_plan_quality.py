@@ -165,6 +165,9 @@ _BNLJ_ALLOWED = {
     "tpch_q22",
     "unigram_logprob",
     "bigram_logprob",
+    # ccnet_ppl_buckets inherits bigram_logprob's 1-row corpus-total
+    # broadcast; its own cutoff join is a ≤|langs|-row broadcast
+    "ccnet_ppl_buckets",
     "tfidf_topk",
     "graph_pagerank",
     # constraint_check crosses two single-row aggregate relations (the

@@ -335,3 +335,25 @@ def test_pq_refine_never_increases_total_error(spark, sf_dir):
     for mi in range(PQ_M):
         assert sum(r.n_vecs for r in cells if r.mi == mi) == n
         assert all(0 <= r.cid < PQ_K for r in cells if r.mi == mi)
+
+
+def test_ccnet_buckets_balanced_within_lang(spark, sf_dir):
+    """Tercile invariants: per language the three buckets differ by at
+    most 2 docs (interpolated-cutoff boundary ties), every scored doc
+    is bucketed exactly once, and head surprisal <= tail surprisal."""
+    rows = _run(spark, sf_dir, "ccnet_ppl_buckets").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r)
+    assert sum(len(v) for v in per.values()) == len(rows)
+    for lang, rs in per.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r.ppl_bucket] += 1
+        assert max(counts.values()) - min(counts.values()) <= 2, (
+            lang, counts,
+        )
+        heads = [r.mean_surprisal for r in rs if r.ppl_bucket == "head"]
+        tails = [r.mean_surprisal for r in rs if r.ppl_bucket == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails)
