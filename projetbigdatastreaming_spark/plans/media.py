@@ -655,9 +655,118 @@ ORDER BY kind
 """
 
 
+THUMB_W, THUMB_H = 16, 12
+
+
+def q_media_thumbnails(spark, sf_dir):
+    """Thumbnail generation over the image rows (round 6): resize
+    every decodable payload to {THUMB_W}x{THUMB_H} with the
+    signature-dispatched real codecs (nearest-neighbor, re-encoded in
+    the source container), then RE-DECODE the thumbnail inside the
+    same batch to report its actual dimensions — so the driver row
+    verifies the full resize->encode->decode chain, not just that
+    bytes came back.  Undecodable/garbage payloads yield null rows.
+
+    Oracle honesty: ``out_w``/``out_h`` are INDEPENDENT expectations
+    (the resizers produce exactly the target dims for any decodable
+    source, so the oracle derives decodability from header byte math
+    for BMP/PNG and predicts the constants); ``n_bytes_out`` and
+    ``thumb_md5`` are replayed by the same pure-Python chain (encoder
+    output bytes aren't SQL-derivable), and JPEG decodability rides
+    the replay.  Scale plan: map-only over the media scan, payloads
+    cross as Arrow batches, one decode+encode per payload.
+    """
+    media = spark.read.parquet(_media_path(sf_dir)).where(
+        "kind = 'image'"
+    )
+
+    def _batches(it: Iterator) -> Iterator:
+        from ..operators.multimodal import records_to_frame
+
+        for pdf in it:
+            yield records_to_frame(
+                [
+                    _thumb_replay(m, p)
+                    for m, p in zip(pdf["mime"], pdf["payload"])
+                ],
+                {"media_id": pdf["media_id"]},
+            )
+
+    return (
+        media.select("media_id", "mime", "payload")
+        .mapInPandas(
+            _batches,
+            "media_id long, out_w int, out_h int, n_bytes_out int, "
+            "thumb_md5 string",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _thumb_replay(mime: str, payload: bytes) -> dict:
+    """The resize->encode->decode chain, shared by the Spark batch
+    loop and the oracle replay (pure Python, no Spark)."""
+    import hashlib
+
+    from ..operators.multimodal import auto_image_decode, auto_image_resize
+
+    null = {
+        "out_w": None,
+        "out_h": None,
+        "n_bytes_out": None,
+        "thumb_md5": None,
+    }
+    if payload is None:
+        return null
+    rp = auto_image_resize(bytes(payload), THUMB_W, THUMB_H)
+    if rp is None:
+        return null
+    d = auto_image_decode(rp)
+    return {
+        "out_w": d["width"],
+        "out_h": d["height"],
+        "n_bytes_out": len(rp),
+        "thumb_md5": hashlib.md5(rp).hexdigest()[:16],
+    }
+
+
+def _oracle_media_thumbnails() -> str:
+    rep = _replay_values(
+        "image",
+        _thumb_replay,
+        ["media_id", "out_w", "n_bytes_out", "thumb_md5"],
+    )
+    return f"""
+WITH f AS (
+  SELECT media_id, mime, hex(payload) AS hx,
+         octet_length(payload) AS nb
+  FROM '{FIXTURE}' WHERE kind = 'image')
+SELECT f.media_id,
+       CAST(CASE WHEN f.mime = 'image/bmp'
+                 THEN CASE WHEN {_BMP_OK} THEN {THUMB_W} END
+                 WHEN f.mime = 'image/png'
+                 THEN CASE WHEN {_PNG_OK} THEN {THUMB_W} END
+                 WHEN r.out_w IS NOT NULL THEN {THUMB_W}
+            END AS INTEGER) AS out_w,
+       CAST(CASE WHEN f.mime = 'image/bmp'
+                 THEN CASE WHEN {_BMP_OK} THEN {THUMB_H} END
+                 WHEN f.mime = 'image/png'
+                 THEN CASE WHEN {_PNG_OK} THEN {THUMB_H} END
+                 WHEN r.out_w IS NOT NULL THEN {THUMB_H}
+            END AS INTEGER) AS out_h,
+       CAST(r.n_bytes_out AS INTEGER) AS n_bytes_out,
+       r.thumb_md5
+FROM f LEFT JOIN {rep} ON f.media_id = r.media_id
+ORDER BY f.media_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "image_stats": QuerySpec(q_image_stats, _oracle_image_stats()),
     "audio_stats": QuerySpec(q_audio_stats, _oracle_audio_stats()),
     "video_stats": QuerySpec(q_video_stats, _oracle_video_stats()),
     "media_manifest": QuerySpec(q_media_manifest, SQL_MEDIA_MANIFEST),
+    "media_thumbnails": QuerySpec(
+        q_media_thumbnails, _oracle_media_thumbnails()
+    ),
 }

@@ -246,3 +246,36 @@ def test_mp4_sql_walk_matches_decoder_on_adversarial_boxes(
         want = (m["duration_ms"], m["n_tracks"])
         have = tuple(got[i]) if got[i] else (None, None)
         assert have == want, (i, have, want)
+
+
+def test_media_thumbnails_roundtrip(spark):
+    """The resize->encode->decode chain: decodable fixture images
+    yield valid thumbnails of exactly the target size in the SOURCE
+    container; garbage/null payloads yield null rows."""
+    from projetbigdatastreaming_spark.operators import codecs
+
+    out = {
+        r.media_id: r
+        for r in media.q_media_thumbnails(spark, None).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    for mid in (1, 2, 3, 4):  # bmp, png, jpeg, 1x1 bmp (upscale)
+        assert (out[mid].out_w, out[mid].out_h) == (
+            media.THUMB_W, media.THUMB_H,
+        ), mid
+        assert out[mid].n_bytes_out > 0
+        assert len(out[mid].thumb_md5) == 16
+    assert out[5].out_w is None and out[5].thumb_md5 is None
+    assert out[6].out_w is None
+
+    # the BMP thumbnail is a genuinely valid BMP whose pixels parse
+    rows = {r[0]: r[3] for r in media._fixture_rows()}
+    rp = media._thumb_replay("image/bmp", rows[1])
+    import hashlib
+
+    from projetbigdatastreaming_spark.operators import multimodal as mm
+
+    resized = mm.auto_image_resize(rows[1], media.THUMB_W, media.THUMB_H)
+    assert hashlib.md5(resized).hexdigest()[:16] == rp["thumb_md5"]
+    px = codecs._bmp_pixels(resized)
+    assert px is not None and px.shape == (media.THUMB_H, media.THUMB_W, 3)
