@@ -269,7 +269,146 @@ ORDER BY event_type, rank
 """
 
 
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter membership screen at the dedup ingest boundary
+    (Bloom 1970; the Broder/Mitzenmacher survey's canonical dedup
+    use): the corpus-so-far (doc_id % 10 != 0) folds into a
+    {BLOOM_BITS}-bit / {BLOOM_K}-hash bitmap — 8 KB regardless of
+    corpus size — and the incoming batch (doc_id % 10 = 0) probes it.
+    One row per incoming doc: ``bloom_hit`` (all k bits set —
+    possibly seen) and ``exact_dup`` (fingerprint really in the
+    corpus), so the driver row pins BOTH the no-false-negative
+    guarantee (bloom_hit >= exact_dup always) and the exact
+    false-positive outcomes of this hash family on this corpus.
+
+    Portable: bit positions come from the md5 60-bit hash idiom;
+    the bitmap is bit_or over 32-bit-word shifts (shift < 2^31, so
+    no sign-bit divergence anywhere).
+
+    Scale plan: the bitmap is a ≤{BLOOM_BITS // 32}-row hash-agg
+    broadcast back (THE point of a Bloom screen: membership state is
+    8 KB, vs the anti-join's corpus-wide fingerprint shuffle in
+    `dedup_incremental` — probe first, anti-join only the hits);
+    probes are a map-side broadcast join + per-doc min.  Mergeable
+    across shards/batches by further bit_or, like the CMS grids.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.substring(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))),
+        1,
+        16,
+    )
+    d = docs.select("doc_id", fp.alias("fp"))
+    hist = d.where("doc_id % 10 != 0")
+    inc = d.where("doc_id % 10 = 0")
+
+    def positions(df):
+        return df.select(
+            "doc_id",
+            "fp",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            _portable_hash(F.col("fp"), f"bl{i}")
+                            % BLOOM_BITS
+                        ).cast("int")
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bitmap = (
+        positions(hist)
+        .select(
+            F.expr("pos DIV 32").alias("word"),
+            # expr, not F.shiftleft: the API form takes only a Python
+            # int shift amount
+            F.expr("shiftleft(CAST(1 AS BIGINT), pos % 32)").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    probed = (
+        positions(inc)
+        .withColumn("word", F.expr("pos DIV 32"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.expr("(bits >> (pos % 32)) & 1") == 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("h"),
+        )
+    )
+    agg = probed.groupBy("doc_id", "fp").agg(
+        F.min("h").cast("int").alias("bloom_hit")
+    )
+    hist_fps = hist.select("fp").distinct().withColumn("e", F.lit(1))
+    return (
+        agg.join(hist_fps, "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("e"), F.lit(0)).cast("int").alias(
+                "exact_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_BLOOM = rf"""
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                1, 16) AS fp
+  FROM documents),
+hist AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+inc AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+hpos AS (
+  SELECT fp,
+         CAST(CAST(concat('0x', substr(md5(fp || 'bl' || t.i), 1, 15))
+                   AS BIGINT) % {BLOOM_BITS} AS INTEGER) AS pos
+  FROM hist CROSS JOIN range(0, {BLOOM_K}) t(i)),
+bitmap AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+  FROM hpos GROUP BY 1),
+ipos AS (
+  SELECT doc_id, fp,
+         CAST(CAST(concat('0x', substr(md5(fp || 'bl' || t.i), 1, 15))
+                   AS BIGINT) % {BLOOM_BITS} AS INTEGER) AS pos
+  FROM inc CROSS JOIN range(0, {BLOOM_K}) t(i)),
+probed AS (
+  SELECT i.doc_id, i.fp,
+         CASE WHEN b.bits IS NOT NULL
+                   AND ((b.bits >> (i.pos % 32)) & 1) = 1
+              THEN 1 ELSE 0 END AS h
+  FROM ipos i LEFT JOIN bitmap b ON i.pos // 32 = b.word),
+agg AS (
+  SELECT doc_id, fp, MIN(h) AS bloom_hit FROM probed
+  GROUP BY doc_id, fp)
+SELECT a.doc_id, CAST(a.bloom_hit AS INTEGER) AS bloom_hit,
+       CAST(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS exact_dup
+FROM agg a
+LEFT JOIN (SELECT DISTINCT fp FROM hist) h USING (fp)
+ORDER BY a.doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "dedup_bloom": QuerySpec(q_dedup_bloom, SQL_DEDUP_BLOOM),
     "heavy_hitters_cms": QuerySpec(q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS),
     "hll_rollup_union": QuerySpec(q_hll_rollup_union, SQL_HLL_ROLLUP_UNION),
     "sample_bottomk_mergeable": QuerySpec(

@@ -100,3 +100,21 @@ def test_bottomk_merge_equals_direct(spark, sf_dir):
     )
     want = [(r.event_type, r.rank, r.user_id) for r in direct]
     assert got == want
+
+
+def test_bloom_probe_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every exact duplicate is a bloom hit (no false
+    negatives, ever); false positives are allowed but bounded sane at
+    this fill factor; bitmap state is <= BLOOM_BITS/32 words."""
+    import __spark_entry__ as entry
+    from projetbigdatastreaming_spark.plans.sketches import BLOOM_BITS
+
+    rows = entry.queries()["dedup_bloom"](spark, sf_dir).collect()
+    assert rows, "incoming batch must be non-empty"
+    for r in rows:
+        assert r.bloom_hit >= r.exact_dup, r  # no false negatives
+    fp_rate = sum(
+        1 for r in rows if r.bloom_hit == 1 and r.exact_dup == 0
+    ) / len(rows)
+    # 4 hashes, <=4*|corpus| set bits in 65536 -> fp rate far below 50%
+    assert fp_rate < 0.5, fp_rate
