@@ -65,3 +65,72 @@ def cms_point_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — membership screen, bit_or-mergeable
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_positions(df: DataFrame, fp_col: str) -> DataFrame:
+    """One (… , pos) row per (row, hash): the BLOOM_K portable-md5
+    bit positions of each fingerprint."""
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        _portable_hash(F.col(fp_col), f"bl{i}")
+                        % BLOOM_BITS
+                    ).cast("int")
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    )
+
+
+def bloom_cells(df: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """(word, bits) bitmap rows — ≤ BLOOM_BITS/32 rows total, 32-bit
+    shifts only (no sign-bit divergence in any engine).  Mergeable by
+    further bit_or, exactly like the CMS grids merge by addition."""
+    return (
+        _bloom_positions(df.select(fp_col), fp_col)
+        .select(
+            F.expr("pos DIV 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), pos % 32)").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, bitmap: DataFrame, fp_col: str = "fp"
+) -> DataFrame:
+    """Adds ``bloom_hit`` (1 = all k bits set: possibly seen; 0 =
+    definitely new) per input row.  The bitmap broadcasts; probing is
+    a map-side join + per-row min — no corpus shuffle."""
+    cols = df.columns
+    probed = (
+        _bloom_positions(df, fp_col)
+        .withColumn("word", F.expr("pos DIV 32"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .select(
+            *cols,
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.expr("(bits >> (pos % 32)) & 1") == 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("h"),
+        )
+    )
+    return probed.groupBy(*cols).agg(
+        F.min("h").cast("int").alias("bloom_hit")
+    )

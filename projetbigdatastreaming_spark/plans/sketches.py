@@ -269,8 +269,7 @@ ORDER BY event_type, rank
 """
 
 
-BLOOM_BITS = 1 << 16
-BLOOM_K = 4
+from ..operators.sketches import BLOOM_BITS, BLOOM_K  # noqa: E402
 
 
 def q_dedup_bloom(spark, sf_dir):
@@ -296,63 +295,15 @@ def q_dedup_bloom(spark, sf_dir):
     probes are a map-side broadcast join + per-doc min.  Mergeable
     across shards/batches by further bit_or, like the CMS grids.
     """
+    from ..functions.text import fingerprint
+    from ..operators.sketches import bloom_cells, bloom_probe
+
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.substring(
-        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))),
-        1,
-        16,
-    )
-    d = docs.select("doc_id", fp.alias("fp"))
+    d = docs.select("doc_id", fingerprint("text").alias("fp"))
     hist = d.where("doc_id % 10 != 0")
     inc = d.where("doc_id % 10 = 0")
-
-    def positions(df):
-        return df.select(
-            "doc_id",
-            "fp",
-            F.explode(
-                F.array(
-                    *[
-                        (
-                            _portable_hash(F.col("fp"), f"bl{i}")
-                            % BLOOM_BITS
-                        ).cast("int")
-                        for i in range(BLOOM_K)
-                    ]
-                )
-            ).alias("pos"),
-        )
-
-    bitmap = (
-        positions(hist)
-        .select(
-            F.expr("pos DIV 32").alias("word"),
-            # expr, not F.shiftleft: the API form takes only a Python
-            # int shift amount
-            F.expr("shiftleft(CAST(1 AS BIGINT), pos % 32)").alias("b"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("b").alias("bits"))
-    )
-    probed = (
-        positions(inc)
-        .withColumn("word", F.expr("pos DIV 32"))
-        .join(F.broadcast(bitmap), "word", "left")
-        .select(
-            "doc_id",
-            "fp",
-            F.when(
-                F.col("bits").isNotNull()
-                & (F.expr("(bits >> (pos % 32)) & 1") == 1),
-                1,
-            )
-            .otherwise(0)
-            .alias("h"),
-        )
-    )
-    agg = probed.groupBy("doc_id", "fp").agg(
-        F.min("h").cast("int").alias("bloom_hit")
-    )
+    bitmap = bloom_cells(hist)
+    agg = bloom_probe(inc, bitmap)
     hist_fps = hist.select("fp").distinct().withColumn("e", F.lit(1))
     return (
         agg.join(hist_fps, "fp", "left")

@@ -340,3 +340,40 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
     ):
         os.remove(intent_path)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom filter — bit_or fold, same replay-safe partition
+# contract as the CMS grids
+# ---------------------------------------------------------------------------
+
+
+def bloom_batch_writer(
+    state_dir: str, fp_col: str = "fp"
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: reduce the batch's fingerprints to their
+    ≤ BLOOM_BITS/32-row (word, bits) bitmap and restate the batch's
+    own partition.  Bloom bitmaps merge by bit_or (idempotent AND
+    associative — even a double-fold cannot corrupt membership, unlike
+    CMS addition), so the reader's fold equals the one-pass bitmap."""
+    from ..operators.sketches import bloom_cells
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cells = bloom_cells(batch_df, fp_col).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        overwrite_partitions(cells, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_bloom(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold every batch's bitmap into the corpus-so-far Bloom filter:
+    (word, bits).  Probe with `operators.sketches.bloom_probe` — the
+    stream-side membership screen for the dedup ingest boundary."""
+    return (
+        spark.read.schema("word long, bits long, batch_id int")
+        .parquet(state_dir)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )

@@ -362,3 +362,49 @@ def test_read_with_stale_aborted_intent_short_circuits(spark, tmp_path):
     assert got == before  # old state stands, fold exact
     # 2 probe pairs (4 calls) prove stability; the old behavior made 40
     assert calls["n"] <= 6, calls["n"]
+
+
+def test_streaming_bloom_fold_equals_one_pass_and_probe(spark, tmp_path):
+    """bit_or fold of per-batch bitmaps == one-pass bitmap; replay is
+    idempotent (bit_or is idempotent, stronger than the CMS add); a
+    doc ingested in batch 0 bloom-hits from the folded state, a novel
+    fingerprint misses (on this tiny fill there are no collisions)."""
+    from projetbigdatastreaming_spark.operators.sketches import (
+        bloom_cells,
+        bloom_probe,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        bloom_batch_writer,
+        read_bloom,
+    )
+
+    state = str(tmp_path / "bloom_state")
+    write = bloom_batch_writer(state)
+    b0 = spark.createDataFrame([(f"fp{i}",) for i in range(20)], "fp string")
+    b1 = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(15, 40)], "fp string"
+    )
+    write(b0, 0)
+    write(b1, 1)
+
+    folded = {(r.word, r.bits) for r in read_bloom(spark, state).collect()}
+    one_pass = {
+        (r.word, r.bits)
+        for r in bloom_cells(b0.unionAll(b1), "fp").collect()
+    }
+    assert folded == one_pass
+
+    write(b1, 1)  # at-least-once replay: restated, not re-OR-ed twice
+    assert {
+        (r.word, r.bits) for r in read_bloom(spark, state).collect()
+    } == folded
+
+    probes = spark.createDataFrame(
+        [("fp0",), ("fp39",), ("never-seen-xyz",)], "fp string"
+    )
+    got = {
+        r.fp: r.bloom_hit
+        for r in bloom_probe(probes, read_bloom(spark, state)).collect()
+    }
+    assert got["fp0"] == 1 and got["fp39"] == 1
+    assert got["never-seen-xyz"] == 0
