@@ -3886,8 +3886,73 @@ ORDER BY doc_id
 """
 
 
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder -> test
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — the LAST stage of a
+    training-data pipeline: split = portable hash of doc_id mod 100
+    (80/10/10), so membership depends only on the key, never on row
+    order, partitioning, or rerun — the property that makes the split
+    stable across incremental rebuilds (`sample_bernoulli` /
+    `shard_manifest` discipline).  One manifest row per
+    (source, split): doc count, char volume, and an order-independent
+    content fingerprint (sum of doc-id hashes mod 1e6) — the
+    disjointness/coverage contract the trainer verifies (per source:
+    split sizes sum to the source's doc count; fingerprints re-derive
+    from membership alone).
+
+    Scale plan: one map-side hash + one |sources|×3-key hash-agg —
+    scan-bound at any scale; the physical write is
+    ``partitionBy(split)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sampling._portable_hash(F.col("doc_id"), "sp0") % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    fp = sampling._portable_hash(F.col("doc_id"), "sfp") % 1_000_000
+    return (
+        docs.select(
+            "source", split.alias("split"), "n_chars", fp.alias("fp")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("fp").cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+SQL_TRAIN_SPLIT = f"""
+WITH d AS (
+  SELECT source, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'sp0'),
+              1, 15)) AS BIGINT) % 100 AS bucket,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'sfp'),
+              1, 15)) AS BIGINT) % 1000000 AS fp
+  FROM documents)
+SELECT source,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(fp) AS BIGINT) AS fingerprint
+FROM d
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(q_gopher_quality, SQL_GOPHER_QUALITY),
+    "train_split": QuerySpec(q_train_split, SQL_TRAIN_SPLIT),
     "ccnet_ppl_buckets": QuerySpec(
         q_ccnet_ppl_buckets, SQL_CCNET_PPL_BUCKETS
     ),

@@ -358,8 +358,111 @@ ORDER BY a.doc_id
 """
 
 
+KMV_K = 256
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count estimation per event
+    type (Bar-Yossef et al. 2002; the Beyer et al. 2007 unbiased
+    form): keep the k smallest distinct 60-bit hashes of the key;
+    if fewer than k exist the sample IS the distinct set (exact),
+    else est = (k-1) · 2^60 / h_k.  The deterministic-hash
+    alternative to the HLL rollup: the portable md5 hash makes the
+    WHOLE estimator replayable, so the driver row checks the estimate
+    VALUE, not a tolerance boolean (`dedup_minhash_est` precedent —
+    sketches whose randomness is a fixed hash get full-value
+    oracles).  ±3σ at k={KMV_K} is ~19%, asserted as `within_tol`.
+
+    Scale plan: one (event_type, hash) distinct agg (map-side
+    partials), then a per-type k-smallest — an event_type-PARTITIONED
+    window over the distinct-hash relation (bounded by distinct
+    cardinality, never raw events; the mergeable production form
+    keeps per-shard bottom-k state like `sample_bottomk_mergeable`).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    hashed = ev.select(
+        "event_type",
+        _portable_hash(F.col("user_id"), "kmv0").alias("h"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_hashes"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("n_distinct_hashes") < KMV_K, F.col("n_distinct_hashes")
+    ).otherwise(
+        # floor(x + 0.5), not ROUND(): engine ROUND semantics differ
+        # on doubles near half boundaries (the DSIR det6 precedent)
+        F.floor(
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(1 << 60))
+            / F.col("hk").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        per.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            est.cast("bigint").alias("est_users"),
+            (
+                F.abs(est - F.col("exact_users"))
+                <= 0.19 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DUCK_KMV_HASH = (
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || 'kmv0'),"
+    " 1, 15)) AS BIGINT)"
+)
+
+SQL_KMV_DISTINCT = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {_DUCK_KMV_HASH} AS h FROM events),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+per AS (
+  SELECT event_type, COUNT(*) AS n_distinct_hashes,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM ranked GROUP BY event_type),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type),
+est AS (
+  SELECT p.event_type, e.exact_users,
+         CAST(CASE WHEN p.n_distinct_hashes < {KMV_K}
+                   THEN p.n_distinct_hashes
+                   ELSE CAST(FLOOR(0.5 + {KMV_K - 1}.0 * {float(1 << 60)}
+                             / CAST(p.hk AS DOUBLE)) AS BIGINT)
+              END AS BIGINT) AS est_users
+  FROM per p JOIN exact e USING (event_type))
+SELECT event_type,
+       CAST(exact_users AS BIGINT) AS exact_users,
+       est_users,
+       abs(est_users - exact_users) <= 0.19 * exact_users AS within_tol
+FROM est
+ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_bloom": QuerySpec(q_dedup_bloom, SQL_DEDUP_BLOOM),
+    "kmv_distinct": QuerySpec(q_kmv_distinct, SQL_KMV_DISTINCT),
     "heavy_hitters_cms": QuerySpec(q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS),
     "hll_rollup_union": QuerySpec(q_hll_rollup_union, SQL_HLL_ROLLUP_UNION),
     "sample_bottomk_mergeable": QuerySpec(

@@ -118,3 +118,46 @@ def test_bloom_probe_no_false_negatives(spark, sf_dir):
     ) / len(rows)
     # 4 hashes, <=4*|corpus| set bits in 65536 -> fp rate far below 50%
     assert fp_rate < 0.5, fp_rate
+
+
+def test_kmv_exact_when_under_k_and_sane_when_over(spark, sf_dir):
+    """KMV contract: types with fewer distinct users than k estimate
+    EXACTLY (the sample is the distinct set); types above k stay
+    within tolerance (asserted by the query itself)."""
+    import __spark_entry__ as entry
+    from projetbigdatastreaming_spark.plans.sketches import KMV_K
+
+    rows = entry.queries()["kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.exact_users < KMV_K:
+            assert r.est_users == r.exact_users, r
+        assert r.within_tol, r
+        assert r.est_users > 0
+
+
+def test_train_split_partitions_every_source(spark, sf_dir):
+    """Split contract: per source the split sizes sum to the source's
+    doc count (coverage + disjointness at the aggregate grain) and
+    proportions are hash-uniform-ish (train is the large split)."""
+    import __spark_entry__ as entry
+    from projetbigdatastreaming_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = entry.queries()["train_split"](spark, sf_dir).collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, {})[r.split] = r.n_docs
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_source) == set(totals)
+    for src, splits in per_source.items():
+        assert sum(splits.values()) == totals[src], src
+    n_train = sum(s.get("train", 0) for s in per_source.values())
+    n_all = sum(totals.values())
+    assert 0.7 <= n_train / n_all <= 0.9  # hash-uniform around 80%
