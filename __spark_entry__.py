@@ -65,7 +65,7 @@ QUERY_ORDER = (
     # 2) new in round 6 — first driver verdict
     "gopher_quality", "emb_pq_codes", "emb_pq_recall", "emb_pq_refine",
     "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
-    "kmv_distinct", "train_split",
+    "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
     # 3) green in the round-3 driver run (oldest 15 fill the window)
     "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
     "sql_udf", "quality_classifier", "curation_pipeline",

@@ -3950,8 +3950,138 @@ ORDER BY source, split
 """
 
 
+def q_corpus_dup_stats(spark, sf_dir):
+    """Corpus-LEVEL duplication profile — the headline number of Lee
+    et al. 2022 ("what fraction of the training corpus is duplicated
+    text?"): one row with total window-fingerprint mass, the mass
+    whose fingerprint occurs in >1 document, the duplicated fraction,
+    distinct fingerprints, and how many documents carry ANY
+    cross-document duplicate.  The corpus dashboard over the same CDC
+    window machinery as `substring_dedup` (per-doc grain).
+
+    Scale plan: identical exchanges to substring_dedup (the shared
+    `substring_doc_fp_counts` extraction), then a 1-row final
+    aggregate — corpus-sized work, constant-sized answer.
+    """
+    doc_fp = substring_doc_fp_counts(
+        load_table(spark, sf_dir, "documents")
+    )
+    fp_docs = doc_fp.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    joined = doc_fp.join(fp_docs, "fp")
+    return joined.agg(
+        F.sum("cnt").cast("bigint").alias("total_windows"),
+        F.sum(F.when(F.col("nd") > 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_windows"),
+        (
+            F.sum(F.when(F.col("nd") > 1, F.col("cnt")).otherwise(0))
+            .cast("double")
+            / F.sum("cnt")
+        ).alias("dup_frac"),
+        F.count_distinct("fp").alias("distinct_fps"),
+        F.count_distinct(
+            F.when(F.col("nd") > 1, F.col("doc_id"))
+        ).alias("docs_with_dup"),
+    )
+
+
+SQL_CORPUS_DUP_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+anch AS (
+  SELECT doc_id, t,
+         list_filter(
+           range(1, greatest(len(t) - {SUB_TOKENS - 1}, 1) + 1),
+           i -> CAST(concat('0x',
+                  substr(md5(concat(t[i], 'sd0')), 1, 15)) AS BIGINT)
+                % {SUB_ANCHOR_MOD} = 0) AS starts
+  FROM toks),
+win AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(starts) = 0 THEN [CAST(1 AS BIGINT)]
+                     ELSE starts END) AS start_i,
+         t
+  FROM anch),
+doc_fp AS (
+  SELECT doc_id,
+         substr(md5(array_to_string(
+             t[start_i : start_i + {SUB_TOKENS} - 1], ' ')), 1, 16) AS fp,
+         COUNT(*) AS cnt
+  FROM win GROUP BY doc_id, fp),
+fp_docs AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM doc_fp GROUP BY fp)
+SELECT CAST(SUM(d.cnt) AS BIGINT) AS total_windows,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN d.cnt ELSE 0 END) AS BIGINT)
+         AS dup_windows,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN d.cnt ELSE 0 END) AS DOUBLE)
+         / SUM(d.cnt) AS dup_frac,
+       COUNT(DISTINCT d.fp) AS distinct_fps,
+       COUNT(DISTINCT CASE WHEN f.nd > 1 THEN d.doc_id END)
+         AS docs_with_dup
+FROM doc_fp d JOIN fp_docs f USING (fp)
+"""
+
+
+def q_gopher_report(spark, sf_dir):
+    """Per-(source, lang) Gopher-gate dashboard: docs, pass count,
+    pass rate, and mean rules-failed — the curation monitoring view
+    over `gopher_quality` (first-drop attribution per corpus slice,
+    the `curation_report` pattern).  pass_rate/mean fails are exact
+    integer ratios through one double division."""
+    flags = q_gopher_quality(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    n_fail = (
+        (1 - F.col("ok_n_words"))
+        + (1 - F.col("ok_mean_len"))
+        + (1 - F.col("ok_alpha"))
+        + (1 - F.col("ok_stop"))
+        + (1 - F.col("ok_top_unigram"))
+    )
+    return (
+        flags.join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("passes").cast("bigint").alias("n_pass"),
+            (
+                F.sum("passes").cast("double") / F.count(F.lit(1))
+            ).alias("pass_rate"),
+            (
+                F.sum(n_fail).cast("double") / F.count(F.lit(1))
+            ).alias("mean_rules_failed"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_GOPHER_REPORT = f"""
+WITH flags AS (SELECT * FROM ({SQL_GOPHER_QUALITY})),
+j AS (
+  SELECT f.*, d.source, d.lang
+  FROM flags f JOIN documents d USING (doc_id))
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(passes) AS BIGINT) AS n_pass,
+       CAST(SUM(passes) AS DOUBLE) / COUNT(*) AS pass_rate,
+       CAST(SUM((1 - ok_n_words) + (1 - ok_mean_len) + (1 - ok_alpha)
+                + (1 - ok_stop) + (1 - ok_top_unigram)) AS DOUBLE)
+         / COUNT(*) AS mean_rules_failed
+FROM j
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(q_gopher_quality, SQL_GOPHER_QUALITY),
+    "gopher_report": QuerySpec(q_gopher_report, SQL_GOPHER_REPORT),
+    "corpus_dup_stats": QuerySpec(
+        q_corpus_dup_stats, SQL_CORPUS_DUP_STATS
+    ),
     "train_split": QuerySpec(q_train_split, SQL_TRAIN_SPLIT),
     "ccnet_ppl_buckets": QuerySpec(
         q_ccnet_ppl_buckets, SQL_CCNET_PPL_BUCKETS

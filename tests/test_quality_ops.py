@@ -357,3 +357,31 @@ def test_ccnet_buckets_balanced_within_lang(spark, sf_dir):
         tails = [r.mean_surprisal for r in rs if r.ppl_bucket == "tail"]
         if heads and tails:
             assert max(heads) <= min(tails)
+
+
+def test_corpus_dup_stats_reconciles_with_doc_grain(spark, sf_dir):
+    """The corpus-level dup profile must equal the sum of the per-doc
+    substring_dedup profile — same machinery, two grains."""
+    import __spark_entry__ as entry
+
+    corp = entry.queries()["corpus_dup_stats"](spark, sf_dir).collect()[0]
+    docs = entry.queries()["substring_dedup"](spark, sf_dir).collect()
+    assert corp.total_windows == sum(r.n_windows for r in docs)
+    assert corp.dup_windows == sum(r.n_dup_windows for r in docs)
+    assert corp.docs_with_dup == sum(
+        1 for r in docs if r.n_dup_windows > 0
+    )
+    assert 0.0 <= corp.dup_frac <= 1.0
+
+
+def test_gopher_report_reconciles_with_flags(spark, sf_dir):
+    """Dashboard rows must sum back to the per-doc gate output."""
+    import __spark_entry__ as entry
+
+    rep = entry.queries()["gopher_report"](spark, sf_dir).collect()
+    flags = entry.queries()["gopher_quality"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rep) == len(flags)
+    assert sum(r.n_pass for r in rep) == sum(r.passes for r in flags)
+    for r in rep:
+        assert 0.0 <= r.pass_rate <= 1.0
+        assert 0.0 <= r.mean_rules_failed <= 5.0
