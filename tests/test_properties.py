@@ -460,3 +460,83 @@ def test_mp3_builder_decoder_roundtrip(n, kbps, rate):
     assert m["sample_rate_hz"] == rate
     assert m["bitrate_kbps"] == kbps and m["is_vbr"] is False
     assert m["duration_ms"] == int(n * 1152 * 1000 // rate)
+
+
+@given(
+    hist=st.lists(st.text(min_size=0, max_size=12), min_size=0, max_size=30),
+    probe=st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_bloom_no_false_negatives_property(spark, hist, probe):
+    """For ANY fingerprint sets: every probe whose fingerprint is in
+    the history must bloom-hit (the one-sided guarantee), and the
+    bitmap never exceeds BLOOM_BITS/32 words."""
+    from projetbigdatastreaming_spark.operators.sketches import (
+        BLOOM_BITS,
+        bloom_cells,
+        bloom_probe,
+    )
+
+    hdf = spark.createDataFrame(
+        [(h,) for h in hist] or [("__never__",)], "fp string"
+    )
+    pdf = spark.createDataFrame([(p,) for p in probe], "fp string")
+    bitmap = bloom_cells(hdf, "fp")
+    assert bitmap.count() <= BLOOM_BITS // 32
+    got = {r.fp: r.bloom_hit for r in bloom_probe(pdf, bitmap).collect()}
+    members = set(hist) if hist else {"__never__"}
+    for p in set(probe):
+        if p in members:
+            assert got[p] == 1, p
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=8, max_size=8,
+        ),
+        min_size=1, max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_pq_codes_property(spark, vecs):
+    """For ANY embedding corpus (dims divisible by m): codes stay in
+    [0, k^m), errors are non-negative, and every input vector gets
+    exactly one code row."""
+    from projetbigdatastreaming_spark.operators.similarity import pq_codes
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_codes(emb, m=2, k=4).collect()
+    assert len(out) == len(vecs)
+    for r in out:
+        assert 0 <= r.code < 4**2
+        assert r.err_q4 >= 0
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(**_SETTINGS)
+def test_sniff_and_auto_decode_never_crash(spark, payload):
+    """For ANY byte string: sniff_format returns a known label or
+    None, and the auto codecs null out instead of raising (the
+    garbage-tolerant contract at the Arrow boundary)."""
+    from projetbigdatastreaming_spark.operators import multimodal as mm
+
+    fmt = mm.sniff_format(payload)
+    assert fmt in {
+        None, "bmp", "png", "jpeg", "wav", "y4m", "mp4", "mpeg_audio",
+    }
+    img = mm.auto_image_decode(payload)
+    assert set(img) == {"width", "height", "feature_hash"}
+    aud = mm.auto_audio_features(payload)
+    assert set(aud) == {"duration_ms", "rms_q8"}
+    assert isinstance(mm.auto_video_frames(payload, 2), list)
+    assert mm.auto_image_resize(payload, 4, 4) is None or isinstance(
+        mm.auto_image_resize(payload, 4, 4), bytes
+    )
