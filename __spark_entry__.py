@@ -45,10 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the r05 sweep re-greened the first 50 slots, so the oldest signal
 #: left is the 35 r02-vintage block that sat just outside the window.
 #: Order: (1) the 35 r02-vintage queries (oldest signal first);
-#: (2) queries new in round 6 (first driver verdict); (3) r03-green
-#: (oldest 15 land inside the 50-slot window, completing the
-#: freshness program — no query's newest row will predate r03);
-#: (4) r04-green; (5) r05-green (freshest signal, so last).
+#: (2) the 13 queries new in round 6 (first driver verdict); (3)
+#: r03-green (the oldest 2 fill the remaining window slots; the
+#: freshness criterion — no query's newest row predates r03 — holds
+#: regardless); (4) r04-green; (5) r05-green (freshest, so last).
 QUERY_ORDER = (
     # 1) last driver-checked in round 2 (oldest signal)
     "window_sliding", "percentiles", "scalar_functions2",
