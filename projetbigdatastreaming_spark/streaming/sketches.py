@@ -377,3 +377,76 @@ def read_bloom(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+def compact_bloom(spark: SparkSession, state_dir: str) -> int:
+    """Fold the accumulated per-batch Bloom bitmaps into a single
+    base partition (``batch_id=-1``), dropping the per-batch
+    partitions; returns the compacted word count.
+
+    Crash-safety needs NONE of the CMS machinery (no intent file, no
+    content hashes, no read-side exclusions or re-probes) because
+    bit_or is IDEMPOTENT as well as associative: a reader folding any
+    crash-state combination of {source partitions, staged fold, set-
+    aside old base, promoted base} computes the same membership bits —
+    duplicate copies cannot double-count.  The only invariant the
+    sequence below maintains is durability: source partitions are
+    deleted strictly AFTER the staged fold is durably promoted-or-
+    stageable, and the old base is renamed aside (never deleted) until
+    the new base exists, so no bit ever exists solely in driver
+    memory.  A crash at ANY point leaves a state the next compaction
+    simply refolds; `read_bloom` needs no changes (it already folds
+    every partition, staging and aside included).
+
+    Safe while the stream runs, like `compact_cms`: only the
+    snapshot's partitions are deleted — a batch landing mid-compaction
+    is neither consumed nor removed (its bits are in its own
+    partition, which the fold-union keeps correct).
+    """
+    if not os.path.isdir(state_dir):
+        return 0
+    staging = os.path.join(state_dir, f"batch_id={STAGING_ID}")
+    base = os.path.join(state_dir, f"batch_id={BASE_ID}")
+    aside = os.path.join(state_dir, f"batch_id={OLD_ID}")
+    # snapshot everything except a stale staging (its bits duplicate
+    # sources that were never deleted — refolding those is enough)
+    ids = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(state_dir)
+        if name.startswith("batch_id=")
+        and name != f"batch_id={STAGING_ID}"
+    )
+    if not ids or ids == [BASE_ID]:
+        return (
+            spark.read.parquet(state_dir).where(
+                F.col("batch_id") == BASE_ID
+            ).count()
+            if ids
+            else 0
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    folded = (
+        spark.read.parquet(state_dir)
+        .where(F.col("batch_id").isin(ids))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .withColumn("batch_id", F.lit(STAGING_ID))
+    )
+    overwrite_partitions(folded, state_dir, ["batch_id"])
+    n = spark.read.parquet(staging).count()
+    # promote: old base aside (its bits are in the staged fold, and
+    # folding the aside alongside stays correct by idempotence until
+    # the deletes below remove it), staged fold in
+    if os.path.isdir(base):
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(base, aside)
+    os.rename(staging, base)
+    for bid in ids:
+        if bid == BASE_ID:
+            continue
+        shutil.rmtree(
+            os.path.join(state_dir, f"batch_id={bid}"),
+            ignore_errors=True,
+        )
+    shutil.rmtree(aside, ignore_errors=True)
+    return n

@@ -408,3 +408,81 @@ def test_streaming_bloom_fold_equals_one_pass_and_probe(spark, tmp_path):
     }
     assert got["fp0"] == 1 and got["fp39"] == 1
     assert got["never-seen-xyz"] == 0
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "point", ["after_stage", "after_aside", "after_promote", "mid_delete"]
+)
+def test_bloom_compaction_readable_correct_at_every_kill_point(
+    spark, tmp_path, point
+):
+    """The idempotence argument, demonstrated: kill compact_bloom at
+    any point and read_bloom — with NO recovery step, no intent
+    machinery — still returns the exact membership bits (duplicate
+    partitions cannot corrupt a bit_or fold).  A subsequent compaction
+    converges to a single base partition with the same bits."""
+    import os as _os
+    import shutil as _sh
+    from unittest import mock
+
+    from projetbigdatastreaming_spark.streaming import sketches as sk
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        bloom_batch_writer,
+        compact_bloom,
+        read_bloom,
+    )
+
+    state = str(tmp_path / f"bloomc_{point}")
+    write = bloom_batch_writer(state)
+    write(spark.createDataFrame([(f"a{i}",) for i in range(30)], "fp string"), 0)
+    write(spark.createDataFrame([(f"b{i}",) for i in range(30)], "fp string"), 1)
+    compact_bloom(spark, state)  # existing base for the aside path
+    write(spark.createDataFrame([(f"c{i}",) for i in range(30)], "fp string"), 2)
+    want = {(r.word, r.bits) for r in read_bloom(spark, state).collect()}
+
+    real_rename, real_rmtree = _os.rename, _sh.rmtree
+    state_holder = {"staged": False, "deletes": 0}
+
+    def dying_rename(src, dst):
+        if point == "after_stage" and src.endswith(
+            f"batch_id={sk.STAGING_ID}"
+        ) is False and src.endswith(f"batch_id={sk.BASE_ID}"):
+            raise RuntimeError("killed after stage, before aside-rename")
+        real_rename(src, dst)
+        if point == "after_aside" and src.endswith(
+            f"batch_id={sk.BASE_ID}"
+        ):
+            raise RuntimeError("killed between aside and promote")
+        if point == "after_promote" and src.endswith(
+            f"batch_id={sk.STAGING_ID}"
+        ):
+            raise RuntimeError("killed after promote, before deletes")
+
+    def dying_rmtree(path, **kw):
+        if point == "mid_delete" and "batch_id=1" in str(path):
+            raise RuntimeError("killed mid-delete")
+        real_rmtree(path, **kw)
+
+    with mock.patch.object(sk.os, "rename", side_effect=dying_rename), \
+         mock.patch.object(sk.shutil, "rmtree", side_effect=dying_rmtree):
+        try:
+            compact_bloom(spark, state)
+        except RuntimeError:
+            pass
+
+    # NO recovery call: the raw fold over whatever survived is exact
+    got = {(r.word, r.bits) for r in read_bloom(spark, state).collect()}
+    assert got == want, point
+
+    # and the next compaction converges to a single base
+    compact_bloom(spark, state)
+    parts = [
+        n for n in _os.listdir(state) if n.startswith("batch_id=")
+    ]
+    assert parts == [f"batch_id={sk.BASE_ID}"], parts
+    assert {
+        (r.word, r.bits) for r in read_bloom(spark, state).collect()
+    } == want
