@@ -29,10 +29,13 @@ disk):
 
 Scale: per-batch work is the same map-side extraction the batch
 operators use, on batch-sized input; state grows linearly with corpus
-token count at bounded row width, partitioned by batch_id (compact by
-rewriting the fold as one partition if batch-count file overhead ever
-matters, as `streaming/sketches.compact_cms` does for grids).  The
-reader's two keyed exchanges match the batch plan's.
+token count at bounded row width, partitioned by batch_id.
+`compact_state` rewrites the partitions into one base when batch-count
+file overhead matters — crash-safe WITHOUT the CMS intent protocol,
+because these rows are unique per natural key (not additive) and the
+readers dedup (`_dedup_state`), so any crash-state duplication folds
+to the same answer.  The reader's keyed exchanges match the batch
+plan's plus the one dedup aggregate.
 """
 
 from __future__ import annotations
@@ -72,6 +75,18 @@ def substring_fp_batch_writer(
     return write
 
 
+def _dedup_state(state: DataFrame, keys: list[str], val: str) -> DataFrame:
+    """Collapse duplicate state rows by natural key.  Each document's
+    feature rows are unique corpus-wide (a doc arrives once; replays
+    RESTATE their partition), so duplicates can only be crash-state
+    copies — identical rows in a source partition AND the compacted
+    base — and max(val) == val.  This makes the readers IDEMPOTENT
+    under any partition multiset, which is what lets `compact_state`
+    use the bloom-style crash-safety-by-idempotence sequence instead
+    of the CMS intent protocol."""
+    return state.groupBy(*keys).agg(F.max(val).alias(val))
+
+
 def read_substring_profile(
     spark: SparkSession, state_dir: str
 ) -> DataFrame:
@@ -79,7 +94,7 @@ def read_substring_profile(
     duplication profile — row-identical to running the batch
     ``substring_dedup`` over the union of every ingested batch."""
     state = spark.read.schema(SUBSTRING_STATE_SCHEMA).parquet(state_dir)
-    return substring_profile(state.select("doc_id", "fp", "cnt"))
+    return substring_profile(_dedup_state(state, ["doc_id", "fp"], "cnt"))
 
 
 def dsir_batch_writer(state_dir: str) -> Callable[[DataFrame, int], None]:
@@ -101,7 +116,9 @@ def read_dsir_importance(spark: SparkSession, state_dir: str) -> DataFrame:
     corpus-so-far bucket distributions — row-identical to the batch
     ``dsir_importance`` over the union of every ingested batch."""
     state = spark.read.schema(DSIR_STATE_SCHEMA).parquet(state_dir)
-    return dsir_score(state.select("doc_id", "lang", "bucket", "tf"))
+    return dsir_score(
+        _dedup_state(state, ["doc_id", "lang", "bucket"], "tf")
+    )
 
 
 def read_dsir_distributions(
@@ -110,7 +127,11 @@ def read_dsir_distributions(
     """The ≤DSIR_BUCKETS-row source/target bucket distributions from
     the folded state — the monitoring view (the per-doc scores above
     are the selection output)."""
-    state = spark.read.schema(DSIR_STATE_SCHEMA).parquet(state_dir)
+    state = _dedup_state(
+        spark.read.schema(DSIR_STATE_SCHEMA).parquet(state_dir),
+        ["doc_id", "lang", "bucket"],
+        "tf",
+    )
     return (
         state.groupBy("bucket")
         .agg(
@@ -121,3 +142,76 @@ def read_dsir_distributions(
         )
         .orderBy("bucket")
     )
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> int:
+    """Rewrite all batch partitions of a curation state table into a
+    single base partition (``batch_id=-1``), dropping the per-batch
+    partitions — the read-side fold input goes from one file set per
+    batch back to one.  Returns the compacted row count.
+
+    Unlike the CMS grids, curation state rows are NOT additive — each
+    (doc, key) row is unique corpus-wide — so compaction is a pure
+    rewrite, and because the readers dedup by natural key
+    (`_dedup_state`), a crash-state where a row exists BOTH in a
+    source partition and in the staged/promoted base folds to the
+    same answer.  That buys the `compact_bloom`
+    crash-safety-by-idempotence sequence: stage the rewrite, rename
+    the old base aside, promote, delete sources — readable-correct at
+    every kill point with no intent file and no recovery procedure
+    (kill-point tests assert it).  Schema-agnostic: works for both
+    the substring and DSIR state layouts.
+
+    Safe while the stream runs (snapshot ids only are deleted); like
+    `compact_cms`, only compact past the stream's redelivery horizon —
+    a replay of a compacted batch_id would re-add rows the base
+    already holds, which the dedup readers absorb, but the restated
+    partition would then linger until the next compaction.
+    """
+    import os
+    import shutil
+
+    from .sketches import BASE_ID, OLD_ID, STAGING_ID
+
+    if not os.path.isdir(state_dir):
+        return 0
+    staging = os.path.join(state_dir, f"batch_id={STAGING_ID}")
+    base = os.path.join(state_dir, f"batch_id={BASE_ID}")
+    aside = os.path.join(state_dir, f"batch_id={OLD_ID}")
+    ids = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(state_dir)
+        if name.startswith("batch_id=")
+        and name != f"batch_id={STAGING_ID}"
+    )
+    if not ids or ids == [BASE_ID]:
+        return (
+            spark.read.parquet(state_dir)
+            .where(F.col("batch_id") == BASE_ID)
+            .count()
+            if ids
+            else 0
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    rows = (
+        spark.read.parquet(state_dir)
+        .where(F.col("batch_id").isin(ids))
+        .drop("batch_id")
+        .distinct()
+        .withColumn("batch_id", F.lit(STAGING_ID))
+    )
+    overwrite_partitions(rows, state_dir, ["batch_id"])
+    n = spark.read.parquet(staging).count()
+    if os.path.isdir(base):
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(base, aside)
+    os.rename(staging, base)
+    for bid in ids:
+        if bid == BASE_ID:
+            continue
+        shutil.rmtree(
+            os.path.join(state_dir, f"batch_id={bid}"),
+            ignore_errors=True,
+        )
+    shutil.rmtree(aside, ignore_errors=True)
+    return n

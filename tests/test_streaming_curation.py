@@ -122,3 +122,75 @@ def test_dsir_live_stream_foreachBatch(spark, tmp_path):
 
     folded = _rows(read_dsir_importance(spark, state))
     assert folded == _rows(q_dsir_importance(spark, SF))
+
+
+def test_compact_state_preserves_profiles(spark, tmp_path):
+    """Compaction must not change either reader's output, and must
+    converge to a single base partition."""
+    import os
+
+    from projetbigdatastreaming_spark.streaming.curation import (
+        compact_state,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import BASE_ID
+
+    sub_state = str(tmp_path / "c_sub")
+    dsir_state = str(tmp_path / "c_dsir")
+    subw = substring_fp_batch_writer(sub_state)
+    dsw = dsir_batch_writer(dsir_state)
+    _, batches = _doc_batches(spark)
+    for i, b in enumerate(batches):
+        subw(b, i)
+        dsw(b, i)
+    before_sub = _rows(read_substring_profile(spark, sub_state))
+    before_ds = _rows(read_dsir_importance(spark, dsir_state))
+
+    assert compact_state(spark, sub_state) > 0
+    assert compact_state(spark, dsir_state) > 0
+    for st in (sub_state, dsir_state):
+        parts = [n for n in os.listdir(st) if n.startswith("batch_id=")]
+        assert parts == [f"batch_id={BASE_ID}"], parts
+    assert _rows(read_substring_profile(spark, sub_state)) == before_sub
+    assert _rows(read_dsir_importance(spark, dsir_state)) == before_ds
+    # idempotent: compacting a compacted table is a no-op
+    assert compact_state(spark, sub_state) > 0
+    assert _rows(read_substring_profile(spark, sub_state)) == before_sub
+
+
+def test_compact_state_readable_correct_at_kill_points(spark, tmp_path):
+    """The idempotent-reader argument: kill the compaction between
+    promote and deletes (rows exist BOTH in the base and in source
+    partitions) — the deduping readers still return the exact
+    profile with no recovery step."""
+    import os as _os
+    from unittest import mock
+
+    from projetbigdatastreaming_spark.streaming import curation as cur
+    from projetbigdatastreaming_spark.streaming.sketches import STAGING_ID
+
+    state = str(tmp_path / "c_kill")
+    write = substring_fp_batch_writer(state)
+    _, batches = _doc_batches(spark)
+    for i, b in enumerate(batches):
+        write(b, i)
+    want = _rows(read_substring_profile(spark, state))
+
+    real_rename = _os.rename
+
+    def dying_rename(src, dst):
+        real_rename(src, dst)
+        if src.endswith(f"batch_id={STAGING_ID}"):
+            raise RuntimeError("killed after promote, before deletes")
+
+    with mock.patch("os.rename", side_effect=dying_rename):
+        try:
+            cur.compact_state(spark, state)
+        except RuntimeError:
+            pass
+    # base AND all source partitions present: reader still exact
+    parts = [n for n in _os.listdir(state) if n.startswith("batch_id=")]
+    assert len(parts) == len(batches) + 1, parts
+    assert _rows(read_substring_profile(spark, state)) == want
+    # next compaction converges
+    cur.compact_state(spark, state)
+    assert _rows(read_substring_profile(spark, state)) == want
