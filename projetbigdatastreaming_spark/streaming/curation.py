@@ -215,3 +215,88 @@ def compact_state(spark: SparkSession, state_dir: str) -> int:
         )
     shutil.rmtree(aside, ignore_errors=True)
     return n
+
+
+def exact_dedup_screen_writer(
+    state_dir: str, dups_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Bloom-accelerated exact-dedup at the ingest boundary — the
+    probe-first composition `dedup_bloom` argues for, as a live
+    foreachBatch stage: fingerprint the batch, probe the corpus-so-far
+    8 KB Bloom fold, and run the exact fingerprint semi-join ONLY for
+    the bloom hits (misses are guaranteed-new by the no-false-negative
+    property and skip the corpus-sized join entirely — at 100 TB
+    that's the difference between joining every batch against the
+    full fingerprint table and joining just the suspected-dup
+    sliver).  Confirmed duplicates land in ``dups_dir``; every batch's
+    fingerprints fold into both the Bloom state and the exact
+    fingerprint table.
+
+    Semantics match `dedup_incremental`: batch-vs-corpus-so-far
+    (within-batch duplicates are not each other's corpus).  All three
+    sinks restate their own batch_id partition, and the history reads
+    EXCLUDE the current batch_id — otherwise an at-least-once replay
+    would probe the batch against its own prior fold and flag every
+    redelivered document as a duplicate of itself.  Like
+    `compact_cms`, only compact this state past the stream's
+    redelivery horizon: a compacted base merges batch attributions,
+    so the self-exclusion cannot see through it.
+    """
+    import os
+
+    from ..functions.text import fingerprint
+    from ..operators.sketches import bloom_probe
+    from .sketches import bloom_batch_writer
+
+    bloom_dir = os.path.join(state_dir, "bloom")
+    fps_dir = os.path.join(state_dir, "fps")
+    bloom_write = bloom_batch_writer(bloom_dir)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        d = batch_df.select(
+            "doc_id", fingerprint("text").alias("fp")
+        ).cache()
+        try:
+            if os.path.isdir(bloom_dir):
+                hist_bloom = (
+                    spark.read.schema("word long, bits long, batch_id int")
+                    .parquet(bloom_dir)
+                    .where(F.col("batch_id") != int(batch_id))
+                    .groupBy("word")
+                    .agg(F.bit_or("bits").alias("bits"))
+                )
+                probed = bloom_probe(d, hist_bloom)
+            else:  # first batch: no corpus, nothing can be a dup
+                probed = d.withColumn("bloom_hit", F.lit(0))
+            hits = probed.where(F.col("bloom_hit") == 1).select(
+                "doc_id", "fp"
+            )
+            if os.path.isdir(fps_dir):
+                confirmed = hits.join(
+                    spark.read.schema("fp string, batch_id int")
+                    .parquet(fps_dir)
+                    .where(F.col("batch_id") != int(batch_id))
+                    .select("fp")
+                    .distinct(),
+                    "fp",
+                    "left_semi",
+                )
+            else:
+                confirmed = hits.limit(0)
+            overwrite_partitions(
+                confirmed.withColumn("batch_id", F.lit(int(batch_id))),
+                dups_dir,
+                ["batch_id"],
+            )
+            fps = d.select("fp").distinct()
+            overwrite_partitions(
+                fps.withColumn("batch_id", F.lit(int(batch_id))),
+                fps_dir,
+                ["batch_id"],
+            )
+            bloom_write(fps, batch_id)
+        finally:
+            d.unpersist()
+
+    return write

@@ -194,3 +194,48 @@ def test_compact_state_readable_correct_at_kill_points(spark, tmp_path):
     # next compaction converges
     cur.compact_state(spark, state)
     assert _rows(read_substring_profile(spark, state)) == want
+
+
+def test_exact_dedup_screen_cross_batch(spark, tmp_path):
+    """Bloom-accelerated exact dedup: a later batch's copy of an
+    earlier batch's document is confirmed as a duplicate; novel docs
+    are not; within-batch copies are not (batch-vs-corpus semantics);
+    replaying a batch restates its dup partition."""
+    from projetbigdatastreaming_spark.streaming.curation import (
+        exact_dedup_screen_writer,
+    )
+
+    state = str(tmp_path / "scr_state")
+    dups = str(tmp_path / "scr_dups")
+    write = exact_dedup_screen_writer(state, dups)
+    schema = "doc_id long, text string"
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+         (3, "delta epsilon zeta")],  # within-batch copy: NOT a dup
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma"),  # exact copy of doc 1 -> dup
+         (11, "entirely new words here")],
+        schema,
+    )
+    write(b0, 0)
+    write(b1, 1)
+
+    got = {r.doc_id for r in spark.read.parquet(dups).collect()}
+    assert got == {10}, got
+
+    # replay batch 1: restated, not duplicated
+    write(b1, 1)
+    rows = spark.read.parquet(dups).collect()
+    assert [r.doc_id for r in rows] == [10]
+
+    # a third batch duplicating batch-1 content still flags (the
+    # fingerprint table kept growing through the screen itself)
+    b2 = spark.createDataFrame(
+        [(20, "entirely new words here")], schema
+    )
+    write(b2, 2)
+    got2 = {r.doc_id for r in spark.read.parquet(dups).collect()}
+    assert got2 == {10, 20}
