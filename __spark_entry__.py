@@ -45,10 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the r05 sweep re-greened the first 50 slots, so the oldest signal
 #: left is the 35 r02-vintage block that sat just outside the window.
 #: Order: (1) the 35 r02-vintage queries (oldest signal first);
-#: (2) the 13 queries new in round 6 (first driver verdict); (3)
-#: r03-green (the oldest 2 fill the remaining window slots; the
-#: freshness criterion — no query's newest row predates r03 — holds
-#: regardless); (4) r04-green; (5) r05-green (freshest, so last).
+#: (2) the 15 queries new in round 6 (first driver verdict — they
+#: fill the window with the r02 block; the freshness criterion — no
+#: query's newest row predates r03 — holds regardless); (3)
+#: r03-green; (4) r04-green; (5) r05-green (freshest, so last).
 QUERY_ORDER = (
     # 1) last driver-checked in round 2 (oldest signal)
     "window_sliding", "percentiles", "scalar_functions2",
@@ -66,7 +66,8 @@ QUERY_ORDER = (
     "gopher_quality", "emb_pq_codes", "emb_pq_recall", "emb_pq_refine",
     "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
     "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
-    # 3) green in the round-3 driver run (oldest 15 fill the window)
+    "doc_embedding_stats", "neardup_jaccard_histogram",
+    # 3) green in the round-3 driver run
     "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
     "sql_udf", "quality_classifier", "curation_pipeline",
     "sample_bottomk_mergeable", "cep_pattern_match",

@@ -4076,9 +4076,117 @@ ORDER BY source, lang
 """
 
 
+def q_doc_embedding_stats(spark, sf_dir):
+    """Modality-join feature table: text metadata × vector stats per
+    (source, label) — the integrity-plus-profile view of a multimodal
+    corpus where documents and their embeddings live in separate
+    tables (doc_id = vec_id).  Reports joined doc counts (an inner
+    join, so a missing-embedding or orphan-vector regression shows up
+    as count drift against `profile_table`), mean document length,
+    and mean/max embedding L2 norm (zero or exploding norms are the
+    standard embedding-pipeline failure).
+
+    Scale plan: one equi-join on the shared key (AQE broadcasts the
+    smaller side or shuffles both at lake scale) into a
+    |sources|×|labels|-key hash-agg; norms are per-row map-side folds
+    (float32→float64 widening exact, the emb_centroid determinism
+    recipe), means rounded 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        ).alias("nrm"),
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("source", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_chars"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("source", "label")
+    )
+
+
+SQL_DOC_EMBEDDING_STATS = """
+WITH e AS (
+  SELECT vec_id, label,
+         sqrt(list_aggregate(list_transform(
+             CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS nrm
+  FROM embeddings)
+SELECT d.source, e.label,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+       ROUND(AVG(e.nrm), 6) AS mean_norm,
+       ROUND(MAX(e.nrm), 6) AS max_norm
+FROM documents d JOIN e ON d.doc_id = e.vec_id
+GROUP BY d.source, e.label
+ORDER BY d.source, e.label
+"""
+
+
+def q_neardup_jaccard_histogram(spark, sf_dir):
+    """Verified-jaccard distribution of the MinHash near-dup pairs in
+    0.02 bins over [threshold, 1] — the tuning view for picking a
+    dedup threshold (how much mass sits just above the cut?).  Bins
+    are computed from the 4dp-rounded jaccard (exact integer floor),
+    so binning is engine-deterministic; the completeness caveat is
+    `dedup_minhash_pairs`' own (LSH at ≥0.8 misses a pair with
+    probability ≈2e-4 — the established oracle contract)."""
+    pairs = dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+    return (
+        pairs.select(
+            (F.floor(F.col("jaccard") * 50) / 50).alias("bin_lo")
+        )
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bin_lo")
+    )
+
+
+SQL_NEARDUP_JACCARD_HISTOGRAM = f"""
+WITH sh AS ({{_DUCK_SHINGLES}}),
+pairs AS (
+  SELECT ROUND(len(list_intersect(a.sh, b.sh))
+           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD})
+SELECT FLOOR(j * 50) / 50 AS bin_lo, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY 1
+ORDER BY bin_lo
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(q_gopher_quality, SQL_GOPHER_QUALITY),
     "gopher_report": QuerySpec(q_gopher_report, SQL_GOPHER_REPORT),
+    "doc_embedding_stats": QuerySpec(
+        q_doc_embedding_stats, SQL_DOC_EMBEDDING_STATS
+    ),
+    "neardup_jaccard_histogram": QuerySpec(
+        q_neardup_jaccard_histogram,
+        SQL_NEARDUP_JACCARD_HISTOGRAM.replace(
+            "{_DUCK_SHINGLES}", _DUCK_SHINGLES
+        ),
+    ),
     "corpus_dup_stats": QuerySpec(
         q_corpus_dup_stats, SQL_CORPUS_DUP_STATS
     ),
