@@ -44,6 +44,27 @@ def _build_parser() -> argparse.ArgumentParser:
         default="formatted",
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
+
+    mt = sub.add_parser(
+        "maintain",
+        help="table/state maintenance: repair, compact",
+    )
+    mt.add_argument(
+        "op",
+        choices=[
+            "repair-table",
+            "compact-parquet",
+            "compact-cms",
+            "compact-bloom",
+            "compact-curation",
+        ],
+    )
+    mt.add_argument("path", help="table or state directory")
+    mt.add_argument(
+        "--dst", default=None, help="output dir (compact-parquet only)"
+    )
+    mt.add_argument("--target-mb", type=int, default=256)
+    mt.add_argument("--cluster-by", default=None)
     return p
 
 
@@ -57,6 +78,45 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.cmd == "list":
         for name in queries:
             print(name)
+        return 0
+
+    if args.cmd == "maintain":
+        if spark is None:
+            from .session import get_session
+
+            spark = get_session(app_name=f"cli:maintain:{args.op}")
+        if args.op == "repair-table":
+            from .maintenance import repair_table
+
+            ok = repair_table(args.path)
+            print(f"table {'present' if ok else 'ABSENT'}: {args.path}")
+            return 0 if ok else 1
+        if args.op == "compact-parquet":
+            from .maintenance import compact_parquet
+
+            if not args.dst:
+                print("--dst is required for compact-parquet",
+                      file=sys.stderr)
+                return 2
+            n = compact_parquet(
+                spark, args.path, args.dst,
+                target_mb=args.target_mb, cluster_by=args.cluster_by,
+            )
+            print(f"wrote {n} files to {args.dst}")
+            return 0
+        if args.op == "compact-cms":
+            from .streaming.sketches import compact_cms
+
+            print(f"compacted {compact_cms(spark, args.path)} cells")
+            return 0
+        if args.op == "compact-bloom":
+            from .streaming.sketches import compact_bloom
+
+            print(f"compacted {compact_bloom(spark, args.path)} words")
+            return 0
+        from .streaming.curation import compact_state
+
+        print(f"compacted {compact_state(spark, args.path)} rows")
         return 0
 
     if args.name not in queries:

@@ -27,3 +27,58 @@ def test_cli_run_and_explain(spark, sf_dir, capsys):
 def test_cli_unknown_query(spark, sf_dir, capsys):
     assert main(["run", "nope", "--sf-dir", sf_dir], spark=spark) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_maintain_repair_and_compacts(spark, tmp_path, capsys):
+    """The maintain subcommand drives every maintenance entry point:
+    repair-table heals a mid-swap merge crash; the three state
+    compactions run against real state dirs."""
+    import os
+
+    from projetbigdatastreaming_spark.__main__ import main
+    from projetbigdatastreaming_spark.streaming.curation import (
+        substring_fp_batch_writer,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        bloom_batch_writer,
+        cms_batch_writer,
+    )
+
+    # repair-table on a healthy table is a no-op success
+    table = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(table)
+    assert main(["maintain", "repair-table", table], spark=spark) == 0
+
+    # compact-parquet
+    out = str(tmp_path / "t_compact")
+    assert main(
+        ["maintain", "compact-parquet", table, "--dst", out], spark=spark
+    ) == 0
+    assert spark.read.parquet(out).count() == 1
+
+    # state compactions
+    cms_state = str(tmp_path / "cms")
+    cms_batch_writer(cms_state, "v")(
+        spark.createDataFrame([("a",), ("b",)], "v string"), 0
+    )
+    assert main(["maintain", "compact-cms", cms_state], spark=spark) == 0
+
+    bloom_state = str(tmp_path / "bloom")
+    bloom_batch_writer(bloom_state)(
+        spark.createDataFrame([("f1",), ("f2",)], "fp string"), 0
+    )
+    assert main(["maintain", "compact-bloom", bloom_state], spark=spark) == 0
+
+    cur_state = str(tmp_path / "cur")
+    substring_fp_batch_writer(cur_state)(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        ),
+        0,
+    )
+    assert main(
+        ["maintain", "compact-curation", cur_state], spark=spark
+    ) == 0
+    for st in (cms_state, bloom_state, cur_state):
+        parts = [p for p in os.listdir(st) if p.startswith("batch_id=")]
+        assert parts == ["batch_id=-1"], (st, parts)
