@@ -3663,8 +3663,13 @@ def q_emb_pq_recall(spark, sf_dir):
     rank identical values with vec_id tie-breaks; one row per query
     id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.l2_topk(emb, QUERY_VEC_IDS, TOPK).select(
-        "qid", "vec_id"
+    # persisted: the exact top-k feeds BOTH the hit join and the qid
+    # spine — without the cache the brute-force scoring scan runs
+    # twice (the big_tf persist precedent; ~50·|Q| rows of state)
+    exact = (
+        similarity.l2_topk(emb, QUERY_VEC_IDS, TOPK)
+        .select("qid", "vec_id")
+        .persist()
     )
     ann = similarity.pq_adc_topk(
         emb, QUERY_VEC_IDS, TOPK, m=PQ_M, k=PQ_K
