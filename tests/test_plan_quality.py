@@ -75,6 +75,20 @@ def test_ivf_no_global_exchange(spark, sf_dir):
         assert ", [], [" not in head, f"unpartitioned Window: {head}"
 
 
+def test_pq_search_topk_is_group_limited(spark, sf_dir):
+    """PQ ADC/exact rankings must compile to WindowGroupLimit (partial
+    per-partition top-k BEFORE the qid exchange — only ~k·|Q| rows
+    shuffle) with the codebook/query sides broadcast; the corpus side
+    must never collapse to one partition."""
+    plan = _plan(spark, sf_dir, "emb_pq_recall")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastExchange") >= 2  # codebook row + qtab
+    assert "SinglePartition" not in plan
+    for frag in plan.split("Window [")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert ", [], [" not in head, f"unpartitioned Window: {head}"
+
+
 def test_tpch_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
     # nation⋈region is a broadcast dim build; the three fact-side joins
     # may shuffle but nothing degenerates to a cartesian/BNLJ
