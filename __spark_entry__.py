@@ -67,6 +67,11 @@ QUERY_ORDER = (
     "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
     "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
     "doc_embedding_stats", "neardup_jaccard_histogram",
+    # 2b) new LATE in round 6 — first 50 slots were already full, so
+    # these sit just past the window and take their first driver
+    # verdict in round 7 (put them early in the round-7 rotation)
+    "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
+    "doc_ngram_novelty", "dedup_soft_weights",
     # 3) green in the round-3 driver run
     "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
     "sql_udf", "quality_classifier", "curation_pipeline",

@@ -4180,7 +4180,400 @@ ORDER BY bin_lo
 """
 
 
+# -- sequential filter waterfall (round 6, late) ------------------------------
+
+#: Gate ladder order for the waterfall — mirrors the flag order of
+#: ``q_gopher_quality`` (first-drop attribution is order-sensitive,
+#: which is exactly what this view exists to show).
+_WATERFALL_GATES = ("n_words", "mean_len", "alpha", "stop", "top_unigram")
+
+
+def q_filter_waterfall(spark, sf_dir):
+    """Sequential quality-gate waterfall: for the ordered Gopher rule
+    ladder, how many docs reach each gate, how many that gate drops
+    (given every earlier gate passed), and the conditional drop rate.
+    This is the curation-tuning view `gopher_report` cannot give you —
+    pass/fail counts per rule ignore ordering, while pipeline cost and
+    drop attribution are inherently sequential (RefinedWeb Fig. 2
+    reports exactly this removal-rate cascade).
+
+    Scale plan: one per-doc first-failure projection over the
+    `gopher_quality` flags, then a SINGLE global partial+final
+    aggregate to six counters (one row), and the 5 output rows are
+    exploded from that one row — no join, no window, nothing keyed by
+    doc past the flag aggregation.  drop_rate is one double division
+    of exact bigints (engine-portable).
+    """
+    flags = q_gopher_quality(spark, sf_dir)
+    first_fail = (
+        F.when(F.col("ok_n_words") == 0, 0)
+        .when(F.col("ok_mean_len") == 0, 1)
+        .when(F.col("ok_alpha") == 0, 2)
+        .when(F.col("ok_stop") == 0, 3)
+        .when(F.col("ok_top_unigram") == 0, 4)
+        .otherwise(99)
+    )
+    counts = flags.select(first_fail.alias("ff")).groupBy().agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum(F.when(F.col("ff") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in range(5)
+        ],
+    )
+    gate_structs = []
+    for i, gate in enumerate(_WATERFALL_GATES):
+        n_in = F.col("total")
+        for j in range(i):
+            n_in = n_in - F.col(f"c{j}")
+        gate_structs.append(
+            F.struct(
+                F.lit(gate).alias("gate"),
+                n_in.alias("n_in"),
+                F.col(f"c{i}").alias("n_drop"),
+            )
+        )
+    rows = counts.select(
+        F.posexplode(F.array(*gate_structs)).alias("gate_no", "g")
+    )
+    return rows.select(
+        "gate_no",
+        F.col("g.gate").alias("gate"),
+        F.col("g.n_in").alias("n_in"),
+        F.col("g.n_drop").alias("n_drop"),
+        (F.col("g.n_in") - F.col("g.n_drop")).alias("n_out"),
+        F.when(
+            F.col("g.n_in") > 0,
+            F.col("g.n_drop").cast("double") / F.col("g.n_in"),
+        ).alias("drop_rate"),
+    ).orderBy("gate_no")
+
+
+SQL_FILTER_WATERFALL = f"""
+WITH flags AS (SELECT * FROM ({SQL_GOPHER_QUALITY})),
+ff AS (
+  SELECT CASE WHEN ok_n_words = 0 THEN 0
+              WHEN ok_mean_len = 0 THEN 1
+              WHEN ok_alpha = 0 THEN 2
+              WHEN ok_stop = 0 THEN 3
+              WHEN ok_top_unigram = 0 THEN 4
+              ELSE 99 END AS ff
+  FROM flags),
+c AS (
+  SELECT COUNT(*) AS total,
+         CAST(SUM(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM ff),
+g AS (
+  SELECT * FROM (VALUES
+    (0, 'n_words'), (1, 'mean_len'), (2, 'alpha'),
+    (3, 'stop'), (4, 'top_unigram')) AS t(gate_no, gate)),
+w AS (
+  SELECT gate_no, gate,
+         total - (CASE WHEN gate_no > 0 THEN c0 ELSE 0 END
+                  + CASE WHEN gate_no > 1 THEN c1 ELSE 0 END
+                  + CASE WHEN gate_no > 2 THEN c2 ELSE 0 END
+                  + CASE WHEN gate_no > 3 THEN c3 ELSE 0 END) AS n_in,
+         CASE gate_no WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+                      WHEN 3 THEN c3 ELSE c4 END AS n_drop
+  FROM g CROSS JOIN c)
+SELECT gate_no, gate, n_in, n_drop, n_in - n_drop AS n_out,
+       CASE WHEN n_in > 0
+            THEN n_drop / CAST(n_in AS DOUBLE) END AS drop_rate
+FROM w
+ORDER BY gate_no
+"""
+
+
+# -- temperature language rebalancing (round 6, late) -------------------------
+
+#: Token budget handed to the sampler (the number being allocated
+#: across languages).  s·budget stays far inside int64 up to
+#: corpus sizes of ~10^22 tokens (s = floor(sqrt(tokens)·1e6)).
+_LANG_BALANCE_BUDGET = 1_000_000
+
+
+def q_lang_balance_sample(spark, sf_dir):
+    """Temperature-based multilingual rebalancing (the XLM-R / mT5
+    sampler, alpha = 0.5): per language, raw token share and the
+    temperature-flattened sampling share p_l proportional to
+    sqrt(n_tokens_l), plus the integer token budget each language gets
+    under `_LANG_BALANCE_BUDGET`.  The exact-arithmetic core: the
+    sqrt is scaled to an int64 (floor(sqrt·1e6)) BEFORE normalizing,
+    so the denominator is an exact integer sum (no float-sum
+    order-dependence) and the budget is exact int64 floor division;
+    the two emitted ratios are then single double divisions of exact
+    integers (bit-identical cross-engine; IEEE-754 sqrt is correctly
+    rounded, unlike pow — which is why alpha is 0.5 and not Conneau's
+    0.3).
+
+    Scale plan: one hash-agg corpus pass to |langs| rows, a 1-row
+    total aggregated FROM those rows, and a |langs|x1 broadcast cross
+    join to normalize — the `dsir_importance` scalar-broadcast shape;
+    nothing wide ever shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "s",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    tot = per.groupBy().agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("s").cast("bigint").alias("tot_s"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("tot_tokens")).alias(
+                "p_raw"
+            ),
+            (F.col("s").cast("double") / F.col("tot_s")).alias("p_temp"),
+            F.expr(
+                f"(s * {_LANG_BALANCE_BUDGET}L) div tot_s"
+            ).alias("budget_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_LANG_BALANCE_SAMPLE = f"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+scaled AS (
+  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS s
+  FROM per),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(SUM(s) AS BIGINT) AS tot_s
+  FROM scaled)
+SELECT lang, n_docs, n_tokens,
+       n_tokens / CAST(tot_tokens AS DOUBLE) AS p_raw,
+       s / CAST(tot_s AS DOUBLE) AS p_temp,
+       (s * {_LANG_BALANCE_BUDGET}) // tot_s AS budget_tokens
+FROM scaled CROSS JOIN tot
+ORDER BY lang
+"""
+
+
+# -- tokenizer fertility by language (round 6, late) --------------------------
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility dashboard: per language, BPE-regex tokens
+    per whitespace word (the "fertility" a tokenizer team watches when
+    rebalancing a multilingual vocab) and chars per BPE token.  High
+    fertility = the tokenizer fragments that language's words; the
+    per-language grain is what makes it actionable (`bpe_token_count`
+    carries the per-doc grain).
+
+    Integer-exact sums; the two ratios are single double divisions of
+    exact bigints.  Scale plan: map-only regex projection (codegen, no
+    Python) then ONE hash-agg to |langs| rows — one bounded exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)")
+    )
+    n_ws = F.size(F.split("text", " "))
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_ws).cast("bigint").alias("n_words"),
+        F.sum(n_bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_bpe_tokens")).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_words,
+         CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')))
+              AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+       n_bpe_tokens / CAST(n_words AS DOUBLE) AS fertility,
+       n_chars / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
+FROM per
+ORDER BY lang
+"""
+
+
+# -- per-doc n-gram novelty (round 6, late) -----------------------------------
+
+_NOVELTY_N = 8
+
+
+def q_doc_ngram_novelty(spark, sf_dir):
+    """Per-document 8-gram novelty: the fraction of a doc's word
+    8-grams never seen earlier in the corpus (earlier = smaller
+    (doc_id, position)) — the memorization-risk / marginal-information
+    score of Lee et al. 2022 §5: low-novelty docs are the ones
+    near-dup screens miss but training mostly re-reads.
+
+    Scale plan: shingles are md5-hashed map-side (16-byte keys — the
+    document text never shuffles); first-occurrence is ONE window
+    partitioned by the shingle hash (high cardinality, never a global
+    sort); then one hash-agg back on doc_id.  Same two-exchange shape
+    as `line_dedup`, which the registry already scales.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(w) >= _NOVELTY_N).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - _NOVELTY_N),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(w, i + 1, _NOVELTY_N))
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    win = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flagged = grams.withColumn("rn", F.row_number().over(win))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_ngrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_NGRAM_NOVELTY = f"""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(
+               w[CAST(i + 1 AS INT):CAST(i + {_NOVELTY_N} AS INT)], ' '))
+           AS h
+  FROM toks, UNNEST(range(0, len(w) - {_NOVELTY_N - 1})) AS t(i)
+  WHERE len(w) >= {_NOVELTY_N}),
+f AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM g)
+SELECT doc_id, COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM f
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# -- soft dedup weights (round 6, late) ---------------------------------------
+
+
+def q_dedup_soft_weights(spark, sf_dir):
+    """SoftDedup-style duplicate DOWN-WEIGHTING (He et al. 2024):
+    instead of dropping exact duplicates, every doc gets sampling
+    weight 1/cluster_size (cluster = exact-text md5 group), so each
+    distinct text contributes one document-equivalent of gradient
+    regardless of copy count.  eff_tokens = n_words·weight is the
+    per-doc contribution to the deduped token budget.
+
+    Scale plan: cluster size via a count window PARTITIONED by the
+    16-byte text fingerprint — ONE hash exchange on a high-cardinality
+    key (strictly cheaper than the groupBy+self-join form: no second
+    shuffle, text never moves after the map-side md5).  Ratios are
+    single double divisions of exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    )
+    csize = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    return (
+        sized.withColumn("cluster_size", csize.cast("bigint"))
+        .select(
+            "doc_id",
+            "cluster_size",
+            (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+            (F.col("n_words").cast("double") / F.col("cluster_size")).alias(
+                "eff_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_SOFT_WEIGHTS = """
+WITH sized AS (
+  SELECT doc_id, md5(text) AS fp,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents),
+c AS (
+  SELECT doc_id, n_words,
+         COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+  FROM sized)
+SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(1 AS DOUBLE) / cluster_size AS weight,
+       n_words / CAST(cluster_size AS DOUBLE) AS eff_tokens
+FROM c
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "filter_waterfall": QuerySpec(q_filter_waterfall, SQL_FILTER_WATERFALL),
+    "lang_balance_sample": QuerySpec(
+        q_lang_balance_sample, SQL_LANG_BALANCE_SAMPLE
+    ),
+    "tokenizer_fertility": QuerySpec(
+        q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
+    ),
+    "doc_ngram_novelty": QuerySpec(
+        q_doc_ngram_novelty, SQL_DOC_NGRAM_NOVELTY
+    ),
+    "dedup_soft_weights": QuerySpec(
+        q_dedup_soft_weights, SQL_DEDUP_SOFT_WEIGHTS
+    ),
     "gopher_quality": QuerySpec(q_gopher_quality, SQL_GOPHER_QUALITY),
     "gopher_report": QuerySpec(q_gopher_report, SQL_GOPHER_REPORT),
     "doc_embedding_stats": QuerySpec(

@@ -232,6 +232,9 @@ _BNLJ_ALLOWED = {
     # 24-dim vectors — KB relations joined on an inequality
     "type_profile_similarity",
     "emb_near_dup_lsh",
+    # lang_balance_sample normalizes the |langs|-row aggregate against
+    # its 1-row integer-sum total — the dsir scalar-broadcast shape
+    "lang_balance_sample",
     # corpus_zipf_fit crosses the 1-row vocab-size aggregate against
     # the 1-row regression fit, and ranks the bounded ZIPF_HEAD head
     # via a broadcast freq-histogram self-join — 1x1 / ≤|head|x|head|

@@ -385,3 +385,108 @@ def test_gopher_report_reconciles_with_flags(spark, sf_dir):
     for r in rep:
         assert 0.0 <= r.pass_rate <= 1.0
         assert 0.0 <= r.mean_rules_failed <= 5.0
+
+
+def test_filter_waterfall_cascade_reconciles(spark, sf_dir):
+    """The waterfall must be a true cascade: each gate's survivors are
+    the next gate's input, gate 0 sees the whole corpus, and the final
+    survivors equal the conjunction pass count of gopher_quality."""
+    rows = _run(spark, sf_dir, "filter_waterfall").collect()
+    flags = _run(spark, sf_dir, "gopher_quality").collect()
+    assert [r.gate_no for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].n_in == len(flags)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_out == b.n_in
+        assert a.n_drop >= 0 and a.n_out == a.n_in - a.n_drop
+    assert rows[-1].n_out == sum(f.passes for f in flags)
+    assert sum(r.n_drop for r in rows) + rows[-1].n_out == len(flags)
+
+
+def test_lang_balance_flattens_shares_and_conserves_budget(spark, sf_dir):
+    """Temperature 0.5 must shrink the largest language's share and
+    grow the smallest's; integer budgets must sum to within |langs|
+    floor-rounding slack of the total budget."""
+    from projetbigdatastreaming_spark.plans.llmdata import (
+        _LANG_BALANCE_BUDGET,
+    )
+
+    rows = _run(spark, sf_dir, "lang_balance_sample").collect()
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-9
+    hi = max(rows, key=lambda r: r.p_raw)
+    lo = min(rows, key=lambda r: r.p_raw)
+    if hi.p_raw > lo.p_raw:  # degenerate uniform corpus guard
+        assert hi.p_temp <= hi.p_raw + 1e-12
+        assert lo.p_temp >= lo.p_raw - 1e-12
+    got = sum(r.budget_tokens for r in rows)
+    assert _LANG_BALANCE_BUDGET - len(rows) < got <= _LANG_BALANCE_BUDGET
+
+
+def test_tokenizer_fertility_reconciles_with_doc_grain(spark, sf_dir):
+    """Per-lang sums must equal the bpe_token_count per-doc counts
+    aggregated by language, and fertility >= 1 (the regex never merges
+    across whitespace)."""
+    per_lang = {r.lang: r for r in _run(spark, sf_dir, "tokenizer_fertility").collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    doc_grain = (
+        _run(spark, sf_dir, "bpe_token_count")
+        .join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe_tokens").alias("bpe"),
+            F.sum("n_ws_tokens").alias("ws"),
+        )
+        .collect()
+    )
+    for r in doc_grain:
+        assert per_lang[r.lang].n_bpe_tokens == r.bpe
+        assert per_lang[r.lang].n_words == r.ws
+    for r in per_lang.values():
+        assert r.fertility >= 1.0
+        assert r.chars_per_token > 0
+
+
+def test_ngram_novelty_totals_equal_distinct_grams(spark, sf_dir):
+    """Exactly one occurrence of every distinct 8-gram is novel, so
+    sum(n_novel) == |distinct grams| and each doc's novelty is in
+    (0, 1]; docs shorter than 8 words must be absent."""
+    from projetbigdatastreaming_spark.plans.llmdata import _NOVELTY_N
+
+    rows = _run(spark, sf_dir, "doc_ngram_novelty").collect()
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_short = docs.where(F.size(w) < _NOVELTY_N).count()
+    assert len(rows) == docs.count() - n_short
+    distinct_grams = (
+        docs.where(F.size(w) >= _NOVELTY_N)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - _NOVELTY_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(w, i + 1, _NOVELTY_N)
+                    ),
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == distinct_grams
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_ngrams
+        assert 0.0 <= r.novelty <= 1.0
+
+
+def test_soft_weights_sum_to_distinct_texts(spark, sf_dir):
+    """sum over docs of 1/cluster_size == number of distinct texts
+    (each cluster contributes exactly 1.0), and the weighted token
+    mass equals the deduped token count."""
+    rows = _run(spark, sf_dir, "dedup_soft_weights").collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = docs.select("text").distinct().count()
+    assert abs(sum(r.weight for r in rows) - n_distinct) < 1e-6
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.cluster_size >= 1
+        assert 0 < r.weight <= 1.0
