@@ -21,19 +21,23 @@ marker), MPEG-audio ``duration_ms`` (a recursive-CTE frame-header
 walk twin of `_mp3_frame`, incl. ID3v2 skip and the rate-change stop
 rule), and MP4 ``duration_ms``/``n_tracks`` (a recursive-CTE
 ISO-BMFF box walk twin of `_iter_boxes` with mvhd v0/v1 and
-largesize/to-end size semantics).  Only the genuinely
-non-SQL-decodable columns still come from a literal relation
-REPLAYED by the same pure-Python codecs (via pyarrow, no Spark):
-pixel ``feature_hash`` (zlib/DCT decode), JPEG dimensions (variable
-SOF scan), PCM/MPEG ``rms_q8`` (sample decode), and Y4M
-``motion_q8`` (frame decode).  For replayed columns the driver row
+largesize/to-end size semantics), and — since late round 6 — JPEG
+width/height (a recursive-CTE marker-segment walk twin of
+`jpeg_decode_pixels`'s structural phase, incl. the baseline-profile
+guards; adversarially tested against the decoder on payloads the
+fixture lacks).  Only the genuinely non-SQL-decodable columns still
+come from a literal relation REPLAYED by the same pure-Python codecs
+(via pyarrow, no Spark): pixel ``feature_hash`` (zlib/DCT decode),
+PCM/MPEG ``rms_q8`` (sample decode), and Y4M ``motion_q8`` (frame
+decode).  For replayed columns the driver row
 verifies the whole Spark side (scan → Arrow → dispatch → schema) but
 not the decoder itself; decoder correctness for those is pinned by
 the pytest golden/property suites.
 ``media_manifest`` is fully engine-independent (both engines hash
 the raw payload bytes: md5 over hex, the portable-hash idiom).
-One residual SQL blind spot: PNG zlib-stream integrity cannot be
-checked in SQL, so a payload with a valid IHDR but corrupt IDAT
+Residual SQL blind spots (same class): PNG zlib-stream integrity
+and JPEG entropy-stream / 16-bit-DQT validity cannot be checked in
+SQL, so a payload with valid headers but corrupt compressed data
 would diverge — no such row exists in the committed fixture.
 
 Scale plan: all four queries are map-only over the media scan plus a
@@ -564,28 +568,92 @@ def _replay_values(kind: str, decode, cols: list[str]) -> str:
     return f"(VALUES\n  {body}\n) AS r({', '.join(cols)})"
 
 
-def _oracle_image_stats() -> str:
-    rep = _replay_values(
-        "image", _image_decode, ["media_id", "width", "height", "feature_hash"]
+def _jpeg_walk_ctes() -> str:
+    """Recursive-CTE JPEG marker-segment walk — the byte-math twin of
+    `jpeg.jpeg_decode_pixels`'s STRUCTURAL phase, fully independent of
+    the Python decoder.  Mirrored exactly: SOI required; every segment
+    must be FF-synced; standalone markers (TEM, RST0-7) skip 2 bytes;
+    EOI before SOS kills the row (no scan data -> Python returns
+    None); any non-baseline frame marker (SOF1-15 except DHT) kills
+    the row; SOF0 captures height/width ONLY under the decoder's
+    profile guards (1 or 3 components, all 0x11-sampled, nonzero
+    dims); dims are emitted only when a SOS marker is also reached.
+    Every dynamic read is a TRY_CAST, so truncation mid-segment
+    yields NULL and kills the row exactly where the Python walk's
+    IndexError does.  Documented blind spots (same class as the PNG
+    IDAT caveat in the module docstring): 16-bit DQT tables and
+    entropy-stream integrity are not SQL-checkable — a payload
+    structurally valid through SOS but with corrupt scan data would
+    diverge; no such row exists in the committed fixture."""
+    b0, b1 = _try_byte("pos"), _try_byte("pos + 1")
+    ln = _try_be("pos + 2", 2)
+    hh, ww = _try_be("pos + 5", 2), _try_be("pos + 7", 2)
+    nc = _try_byte("pos + 9")
+    s1, s2, s3 = (
+        _try_byte("pos + 11"),
+        _try_byte("pos + 14"),
+        _try_byte("pos + 17"),
     )
+    standalone = "(1, 208, 209, 210, 211, 212, 213, 214, 215)"
+    non_baseline = "(193, 194, 195, 197, 198, 199, 201, 202, 203, 205, 206, 207)"
     return f"""
-WITH f AS (
+jw AS (
+  SELECT media_id, hx, nb, CAST(2 AS BIGINT) AS pos,
+         CAST(NULL AS BIGINT) AS sofh, CAST(NULL AS BIGINT) AS sofw,
+         FALSE AS sos
+  FROM f
+  WHERE mime = 'image/jpeg' AND nb >= 2 AND substr(hx, 1, 4) = 'FFD8'
+  UNION ALL
+  SELECT media_id, hx, nb,
+         CASE WHEN b1 IN {standalone} THEN pos + 2
+              WHEN b1 = 218 THEN pos
+              ELSE pos + 2 + ln END AS pos,
+         CASE WHEN b1 = 192 THEN hh ELSE sofh END AS sofh,
+         CASE WHEN b1 = 192 THEN ww ELSE sofw END AS sofw,
+         (b1 = 218) AS sos
+  FROM (
+    SELECT media_id, hx, nb, pos, sofh, sofw,
+           {b0} AS b0, {b1} AS b1, {ln} AS ln,
+           {hh} AS hh, {ww} AS ww, {nc} AS nc,
+           {s1} AS s1, {s2} AS s2, {s3} AS s3
+    FROM jw WHERE NOT sos) s
+  WHERE b0 = 255 AND b1 IS NOT NULL
+    AND b1 <> 217
+    AND b1 NOT IN {non_baseline}
+    AND (b1 IN {standalone} OR ln IS NOT NULL)
+    AND (b1 <> 192 OR (hh > 0 AND ww > 0 AND
+         ((nc = 1 AND s1 = 17) OR
+          (nc = 3 AND s1 = 17 AND s2 = 17 AND s3 = 17))))
+),
+jmeta AS (
+  SELECT media_id, sofh AS jh, sofw AS jw_
+  FROM jw WHERE sos AND sofh IS NOT NULL)
+"""
+
+
+def _oracle_image_stats() -> str:
+    rep = _replay_values("image", _image_decode, ["media_id", "feature_hash"])
+    return f"""
+WITH RECURSIVE f AS (
   SELECT media_id, mime, hex(payload) AS hx,
          octet_length(payload) AS nb
-  FROM '{FIXTURE}' WHERE kind = 'image')
+  FROM '{FIXTURE}' WHERE kind = 'image'),
+{_jpeg_walk_ctes()}
 SELECT f.media_id,
        CAST(CASE WHEN f.mime = 'image/bmp'
                  THEN CASE WHEN {_BMP_OK} THEN {_BMP_W} END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {_hx_be(16, 4)} END
-                 ELSE r.width END AS INTEGER) AS width,
+                 ELSE j.jw_ END AS INTEGER) AS width,
        CAST(CASE WHEN f.mime = 'image/bmp'
                  THEN CASE WHEN {_BMP_OK} THEN abs({_BMP_H_RAW}) END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {_hx_be(20, 4)} END
-                 ELSE r.height END AS INTEGER) AS height,
+                 ELSE j.jh END AS INTEGER) AS height,
        CAST(r.feature_hash AS BIGINT) AS feature_hash
-FROM f LEFT JOIN {rep} ON f.media_id = r.media_id
+FROM f
+LEFT JOIN jmeta j ON f.media_id = j.media_id
+LEFT JOIN {rep} ON f.media_id = r.media_id
 ORDER BY f.media_id
 """
 
@@ -670,10 +738,10 @@ def q_media_thumbnails(spark, sf_dir):
     Oracle honesty: ``out_w``/``out_h`` are INDEPENDENT expectations
     (the resizers produce exactly the target dims for any decodable
     source, so the oracle derives decodability from header byte math
-    for BMP/PNG and predicts the constants); ``n_bytes_out`` and
+    — BMP/PNG guards plus, since late round 6, the recursive-CTE JPEG
+    marker walk — and predicts the constants); ``n_bytes_out`` and
     ``thumb_md5`` are replayed by the same pure-Python chain (encoder
-    output bytes aren't SQL-derivable), and JPEG decodability rides
-    the replay.  Scale plan: map-only over the media scan, payloads
+    output bytes aren't SQL-derivable).  Scale plan: map-only over the media scan, payloads
     cross as Arrow batches, one decode+encode per payload.
     """
     media = spark.read.parquet(_media_path(sf_dir)).where(
@@ -732,31 +800,32 @@ def _thumb_replay(mime: str, payload: bytes) -> dict:
 
 def _oracle_media_thumbnails() -> str:
     rep = _replay_values(
-        "image",
-        _thumb_replay,
-        ["media_id", "out_w", "n_bytes_out", "thumb_md5"],
+        "image", _thumb_replay, ["media_id", "n_bytes_out", "thumb_md5"]
     )
     return f"""
-WITH f AS (
+WITH RECURSIVE f AS (
   SELECT media_id, mime, hex(payload) AS hx,
          octet_length(payload) AS nb
-  FROM '{FIXTURE}' WHERE kind = 'image')
+  FROM '{FIXTURE}' WHERE kind = 'image'),
+{_jpeg_walk_ctes()}
 SELECT f.media_id,
        CAST(CASE WHEN f.mime = 'image/bmp'
                  THEN CASE WHEN {_BMP_OK} THEN {THUMB_W} END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {THUMB_W} END
-                 WHEN r.out_w IS NOT NULL THEN {THUMB_W}
+                 WHEN j.media_id IS NOT NULL THEN {THUMB_W}
             END AS INTEGER) AS out_w,
        CAST(CASE WHEN f.mime = 'image/bmp'
                  THEN CASE WHEN {_BMP_OK} THEN {THUMB_H} END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {THUMB_H} END
-                 WHEN r.out_w IS NOT NULL THEN {THUMB_H}
+                 WHEN j.media_id IS NOT NULL THEN {THUMB_H}
             END AS INTEGER) AS out_h,
        CAST(r.n_bytes_out AS INTEGER) AS n_bytes_out,
        r.thumb_md5
-FROM f LEFT JOIN {rep} ON f.media_id = r.media_id
+FROM f
+LEFT JOIN jmeta j ON f.media_id = j.media_id
+LEFT JOIN {rep} ON f.media_id = r.media_id
 ORDER BY f.media_id
 """
 

@@ -279,3 +279,62 @@ def test_media_thumbnails_roundtrip(spark):
     assert hashlib.md5(resized).hexdigest()[:16] == rp["thumb_md5"]
     px = codecs._bmp_pixels(resized)
     assert px is not None and px.shape == (media.THUMB_H, media.THUMB_W, 3)
+
+
+def test_jpeg_sql_walk_matches_decoder_on_adversarial_segments(
+    tmp_path, monkeypatch
+):
+    """The recursive-CTE JPEG marker walk must reproduce
+    `jpeg_decode`'s width/height on payloads the fixture does NOT
+    contain — odd dims, grayscale, a TEM standalone marker mid-walk,
+    progressive (SOF2), subsampled, bad component count, EOI before
+    SOS, truncation before/inside a segment, and garbage — not just
+    replay the committed rows."""
+    import numpy as np
+
+    from projetbigdatastreaming_spark.operators import jpeg
+
+    rgb = (
+        np.arange(17 * 11 * 3, dtype=np.uint8).reshape(11, 17, 3) * 7
+    ) % 251
+    gray = (np.arange(9 * 13, dtype=np.uint8).reshape(13, 9) * 5) % 251
+    base = jpeg.jpeg_encode(rgb)
+    sof = base.find(b"\xff\xc0")
+    sos = base.find(b"\xff\xda")
+    assert sof > 0 and sos > sof
+
+    def patch(data, off, val):
+        b = bytearray(data)
+        b[off] = val
+        return bytes(b)
+
+    payloads = [
+        base,
+        jpeg.jpeg_encode(gray),
+        base[:2] + b"\xff\x01" + base[2:],  # TEM standalone mid-walk
+        patch(base, sof + 1, 0xC2),  # progressive frame -> null
+        patch(base, sof + 11, 0x22),  # subsampled -> out of profile
+        patch(base, sof + 9, 0x02),  # 2 components -> out of profile
+        base[:sos] + b"\xff\xd9",  # EOI before SOS -> no scan
+        base[:sos],  # ends exactly where SOS would start
+        base[: sof + 4],  # truncated inside the SOF header
+        b"\xff\xd8 not really a jpeg",
+        b"",
+    ]
+    rows = [
+        (i, "image", "image/jpeg", p, len(p) if p else None)
+        for i, p in enumerate(payloads)
+    ]
+    try:
+        _swap_fixture(monkeypatch, rows, str(tmp_path / "jpg.parquet"))
+        got = {
+            m: (w, h)
+            for m, w, h, _ in duckdb.connect()
+            .execute(media._oracle_image_stats())
+            .fetchall()
+        }
+    finally:
+        media._fixture_rows.cache_clear()
+    for i, p in enumerate(payloads):
+        want = jpeg.jpeg_decode(p)
+        assert got[i] == (want["width"], want["height"]), (i, got[i], want)
