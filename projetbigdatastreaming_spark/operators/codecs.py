@@ -38,6 +38,7 @@ reasonable scope.
 from __future__ import annotations
 
 import io
+import math
 import struct
 import wave
 from typing import Any
@@ -69,19 +70,37 @@ def wav_features(payload: bytes) -> dict[str, Any]:
             width = w.getsampwidth()
             frames = w.readframes(n_frames)
         dtype = _PCM_DTYPES[width]
-        samples = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+        ints = np.frombuffer(frames, dtype=dtype).astype(np.int64)
         if width == 1:  # 8-bit WAV is unsigned, midpoint 128
-            samples -= 128.0
+            ints -= 128
             full_scale = 128.0
         else:
             full_scale = float(2 ** (8 * width - 1))
         duration_ms = int(n_frames * 1000 // rate) if rate else None
-        if samples.size == 0:
+        if ints.size == 0:
             return {"duration_ms": duration_ms, "rms_q8": 0}
-        rms = float(np.sqrt(np.mean((samples / full_scale) ** 2)))
+        # Exact-integer RMS core (round 6, late): for the SQL-twinned
+        # widths the sum of squares is an EXACT int64 (|s| < 2^15 so
+        # ss <= n * 2^30), and the quantizer is ONE canonical float
+        # expression — sqrt(ss / n) / full_scale * 255 — whose every
+        # step is IEEE correctly rounded (/full_scale is a
+        # power-of-two scaling, hence exact), then half-up
+        # floor(x + 0.5) instead of round() (banker's) so the
+        # quantizer has no .5-tie engine-dependence.  This makes
+        # rms_q8 bit-identical to the DuckDB byte-math oracle
+        # evaluating the same expression shape.  32-bit PCM squares
+        # would overflow int64, so that width keeps a float
+        # mean-square (its oracle column stays replayed).
+        if width <= 2:
+            ss = int((ints * ints).sum())
+            mean_sq = ss / ints.size
+        else:
+            scaled = ints.astype(np.float64)
+            mean_sq = float(np.mean(scaled * scaled))
+        rms255 = math.sqrt(mean_sq) / full_scale * 255.0
         return {
             "duration_ms": duration_ms,
-            "rms_q8": min(255, int(round(rms * 255.0))),
+            "rms_q8": min(255, int(rms255 + 0.5)),
         }
     except (wave.Error, EOFError, KeyError, ValueError, struct.error):
         return {"duration_ms": None, "rms_q8": None}
@@ -479,7 +498,9 @@ def y4m_motion(payload: bytes, every_nth: int = 1) -> dict[str, Any]:
                 yp = np.frombuffer(data, np.uint8, w * h).astype(np.int16)
                 n_sampled += 1
                 if prev is not None:
-                    diffs.append(float(np.abs(yp - prev).mean()))
+                    # exact integer sum of |Δluma| — quantization below
+                    # stays in integer arithmetic end to end
+                    diffs.append(int(np.abs(yp - prev).sum()))
                 prev = yp
             frame_no += 1
             pos = fnl + 1 + fsize
@@ -489,10 +510,19 @@ def y4m_motion(payload: bytes, every_nth: int = 1) -> dict[str, Any]:
                 "motion_q8": 0 if n_sampled else None,
                 "max_motion_q8": 0 if n_sampled else None,
             }
+        # Exact-rational half-up quantizers (round 6, late):
+        # round(sum_of_means / P) == (2*Σad + wh*P) // (2*wh*P) with
+        # NO float step, so the DuckDB byte-math oracle twin computes
+        # the identical integer (float means + banker's round() had
+        # .5-tie and summation-order engine-dependence).
+        wh = w * h
+        n_pairs = len(diffs)
         return {
             "n_frames": n_sampled,
-            "motion_q8": min(255, int(round(sum(diffs) / len(diffs)))),
-            "max_motion_q8": min(255, int(round(max(diffs)))),
+            "motion_q8": min(
+                255, (2 * sum(diffs) + wh * n_pairs) // (2 * wh * n_pairs)
+            ),
+            "max_motion_q8": min(255, (2 * max(diffs) + wh) // (2 * wh)),
         }
     except (ValueError, IndexError):
         return {"n_frames": None, "motion_q8": None, "max_motion_q8": None}

@@ -14,10 +14,15 @@ DuckDB byte math over the raw payload hex, fully independent of our
 Python decoders — BMP width/height (LE fields of BITMAPINFOHEADER,
 with the same validity guards `_bmp_pixels` applies), PNG
 width/height (BE IHDR fields + signature/depth/interlace guards),
-WAV ``duration_ms`` (fmt/data chunk fields, same floor division as
-`wav_features`), Y4M ``n_frames`` (counting the ``FRAME\n`` marker —
-exact on this fixture, where no frame body contains the 6-byte
-marker), MPEG-audio ``duration_ms`` (a recursive-CTE frame-header
+WAV ``duration_ms`` AND ``rms_q8`` (late round 6: an exact-int64
+sum-of-squares over the PCM samples through the same canonical
+IEEE expression as the refactored `wav_features` — bit-identical
+for canonical 8/16-bit PCM; 32-bit and non-canonical layouts fall
+back to replay), Y4M ``n_frames`` AND ``motion_q8`` (late round 6:
+a static-layout frame walk with byte-ALIGNED marker verification —
+retiring the old nibble-blind marker count — and an exact-integer
+half-up motion quantizer; layouts the static model can't certify
+fall back to replay), MPEG-audio ``duration_ms`` (a recursive-CTE frame-header
 walk twin of `_mp3_frame`, incl. ID3v2 skip and the rate-change stop
 rule), and MP4 ``duration_ms``/``n_tracks`` (a recursive-CTE
 ISO-BMFF box walk twin of `_iter_boxes` with mvhd v0/v1 and
@@ -28,8 +33,8 @@ guards; adversarially tested against the decoder on payloads the
 fixture lacks).  Only the genuinely non-SQL-decodable columns still
 come from a literal relation REPLAYED by the same pure-Python codecs
 (via pyarrow, no Spark): pixel ``feature_hash`` (zlib/DCT decode),
-PCM/MPEG ``rms_q8`` (sample decode), and Y4M ``motion_q8`` (frame
-decode).  For replayed columns the driver row
+MPEG ``rms_q8`` (subband sample decode), plus the non-canonical
+fallback classes above.  For replayed columns the driver row
 verifies the whole Spark side (scan → Arrow → dispatch → schema) but
 not the decoder itself; decoder correctness for those is pinned by
 the pytest golden/property suites.
@@ -328,32 +333,7 @@ _PNG_OK = (
 #: stdlib-`wave` canonical layout: RIFF/WAVE, fmt chunk at 12, data
 #: chunk at 36 — the layout `wave.open` itself writes and the only
 #: one it reads without seeking (matches `wav_features`' input space)
-_WAV_OK = (
-    "nb >= 44 AND substr(hx, 1, 8) = '52494646' "  # 'RIFF'
-    "AND substr(hx, 17, 8) = '57415645' "  # 'WAVE'
-    "AND substr(hx, 25, 8) = '666D7420' "  # 'fmt '
-    "AND substr(hx, 73, 8) = '64617461' "  # 'data'
-    f"AND {_hx_le(32, 2)} > 0 "  # block_align
-    f"AND {_hx_le(24, 4)} > 0"  # sample rate
-)
-#: duration_ms = (n_frames * 1000) // rate, n_frames = data_size //
-#: block_align — the same floor arithmetic as `wav_features`
-_WAV_DURATION = (
-    f"(({_hx_le(40, 4)} // {_hx_le(32, 2)}) * 1000) // {_hx_le(24, 4)}"
-)
-
 _Y4M_OK = "substr(hx, 1, 20) = '595556344D5045473220'"  # 'YUV4MPEG2 '
-#: frame count = occurrences of the 6-byte 'FRAME\n' marker in the
-#: payload.  Exact on this fixture: constant-valued frame bodies never
-#: contain the marker bytes.  TWO caveats if the fixture ever gains
-#: varied frame data: (1) the marker bytes could appear inside a frame
-#: body; (2) this hex-substring count is NIBBLE-blind — a match
-#: starting at an odd hex offset (byte-misaligned) would also count.
-#: Both would inflate the count; a positional scan constrained to even
-#: offsets fixes (2), only a real stream walk fixes (1).
-_Y4M_N_FRAMES = (
-    "(length(hx) - length(replace(hx, '4652414D450A', ''))) // 12"
-)
 
 
 def _try_byte(off: str) -> str:
@@ -379,6 +359,145 @@ def _try_be(off: str, nbytes: int) -> str:
 
 def _sql_list(vals) -> str:
     return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
+def _wav_pcm_ctes() -> str:
+    """Byte-math twin of `wav_features` for canonical PCM WAVs
+    (round 6, late): RIFF/WAVE with fmt at 12 and data at 36,
+    wFormatTag = 1, sample width (bits+7)//8 in {1, 2, 4}.  Mirrors
+    the stdlib `wave` arithmetic exactly — frame count from the DATA
+    chunk size over nch*(width) (NOT the nBlockAlign field, which
+    `wave` ignores), the declared data chunk required to be fully
+    present (`wave` raises on a truncated read, so those rows go to
+    replay), trailing junk past the declared size ignored via the
+    LEAST clamp — and evaluates the SAME canonical float
+    expression as the refactored `wav_features`
+    (sqrt(ss/n)/full_scale*255, half-up), over an exact-int64 sum of
+    squares, so 8/16-bit rms_q8 is bit-identical by construction.
+    32-bit PCM squares overflow the exact-int path on BOTH sides, so
+    those rows (rms_sql = false) and every non-canonical layout fall
+    back to the replay relation — the honest boundary, documented in
+    the module docstring."""
+    wb = f"(({_hx_le(34, 2)} + 7) // 8)"
+    b8 = _try_byte("44 + k.k")
+    u16 = f"({_try_byte('44 + 2*k.k')} + 256 * {_try_byte('45 + 2*k.k')})"
+    return f"""
+wcan AS (
+  SELECT media_id, hx, nb,
+         {_hx_le(22, 2)} AS nch, {wb} AS wb,
+         {_hx_le(24, 4)} AS rate, {_hx_le(40, 4)} AS dsz
+  FROM f
+  WHERE mime = 'audio/wav' AND nb >= 44
+    AND substr(hx, 1, 8) = '52494646'
+    AND substr(hx, 17, 8) = '57415645'
+    AND substr(hx, 25, 8) = '666D7420'
+    AND substr(hx, 73, 8) = '64617461'
+    AND {_hx_le(20, 2)} = 1
+    AND {_hx_le(22, 2)} > 0 AND {_hx_le(24, 4)} > 0
+    AND nb >= 44 + {_hx_le(40, 4)}),
+wfrm AS (
+  SELECT media_id, hx, nch, wb, rate,
+         dsz // (nch * wb) AS hdr_frames,
+         LEAST(dsz, nb - 44) // (nch * wb) AS use_frames
+  FROM wcan WHERE wb IN (1, 2, 4)),
+wss AS (
+  SELECT media_id, SUM(sv * sv) AS ss
+  FROM (
+    SELECT w.media_id,
+           CASE WHEN w.wb = 1 THEN {b8} - 128
+                ELSE CASE WHEN {u16} >= 32768 THEN {u16} - 65536
+                     ELSE {u16} END END AS sv
+    FROM wfrm w, UNNEST(range(0, w.use_frames * w.nch)) k(k)
+    WHERE w.wb IN (1, 2)) s
+  GROUP BY media_id),
+wmeta AS (
+  SELECT w.media_id,
+         (w.hdr_frames * 1000) // w.rate AS duration_ms,
+         CASE WHEN w.wb IN (1, 2) THEN
+           CASE WHEN w.use_frames * w.nch = 0 THEN 0
+                ELSE LEAST(255, CAST(FLOOR(
+                  sqrt(s.ss / CAST(w.use_frames * w.nch AS DOUBLE))
+                  / (CASE WHEN w.wb = 1 THEN 128.0 ELSE 32768.0 END)
+                  * 255.0 + 0.5) AS BIGINT)) END
+         END AS rms_q8,
+         w.wb IN (1, 2) AS rms_sql
+  FROM wfrm w LEFT JOIN wss s ON w.media_id = s.media_id)
+"""
+
+
+def _y4m_static_ctes() -> str:
+    """Byte-math twin of `y4m_motion` for STATIC-LAYOUT yuv4mpeg2
+    streams (round 6, late): ASCII header parsed from the decoded
+    first line (W/H numeric tokens, C token must be C420*), then
+    frames assumed at nl+1 + i*(6+fsize) behind param-less
+    ``FRAME\\n`` markers — checked BYTE-ALIGNED at every expected
+    position, which retires the old nibble-blind marker count and its
+    caveats.  ``static_ok`` requires the total count of byte-aligned
+    5-byte ``FRAME`` markers anywhere in the payload to equal the
+    consecutive verified prefix, so param-bearing frame headers,
+    marker bytes inside varied frame bodies, or a marker-bearing
+    truncated tail all disqualify the static model and fall back to
+    the replay relation (which replays the Python walk — always
+    right, never independent).  For static_ok rows n_frames and the
+    motion profile are EXACT integer arithmetic end to end (the
+    half-up rational quantizer of the refactored `y4m_motion`) — no
+    float step at all."""
+    return f"""
+yv AS (
+  SELECT media_id, hx, nb,
+         (SELECT MIN(i) FROM UNNEST(range(0, nb)) t(i)
+          WHERE substr(hx, 2*i + 1, 2) = '0A') AS nl
+  FROM f WHERE mime = 'video/y4m' AND {_Y4M_OK}),
+yhdr AS (
+  SELECT media_id, hx, nb, nl,
+         (SELECT string_agg(chr(CAST('0x' || substr(hx, 2*i + 1, 2)
+                                     AS INT)), '' ORDER BY i)
+          FROM UNNEST(range(0, nl)) t(i)) || ' ' AS padded
+  FROM yv WHERE nl IS NOT NULL),
+ydim AS (
+  SELECT media_id, hx, nb, nl,
+         TRY_CAST(regexp_extract(padded, ' W([0-9]+) ', 1) AS BIGINT)
+           AS w,
+         TRY_CAST(regexp_extract(padded, ' H([0-9]+) ', 1) AS BIGINT)
+           AS h,
+         regexp_extract(padded, ' (C[^ ]*) ', 1) AS ctok
+  FROM yhdr),
+yok AS (
+  SELECT media_id, hx, nb, nl, w, h,
+         w * h + 2 * ((w // 2) * (h // 2)) AS fsize
+  FROM ydim
+  WHERE w > 0 AND h > 0 AND w % 2 = 0 AND h % 2 = 0
+    AND (ctok = '' OR ctok LIKE 'C420%')),
+ypfx AS (
+  SELECT media_id, hx, nb, nl, w, h, fsize,
+         COALESCE((SELECT MIN(i) FROM UNNEST(range(0, cand)) t(i)
+                   WHERE substr(hx, 2*(nl + 1 + i*(6 + fsize)) + 1, 12)
+                         <> '4652414D450A'), cand) AS m,
+         (SELECT COUNT(*) FROM UNNEST(range(0, nb - 4)) t(i)
+          WHERE substr(hx, 2*i + 1, 10) = '4652414D45') AS cnt_any
+  FROM (SELECT *, (nb - nl - 1) // (6 + fsize) AS cand FROM yok) c),
+yad AS (
+  SELECT p.media_id, i.i AS pair_i,
+         SUM(ABS(
+           {_try_byte('p.nl + 1 + i.i*(6 + p.fsize) + 6 + k.k')}
+           - {_try_byte('p.nl + 1 + (i.i - 1)*(6 + p.fsize) + 6 + k.k')}
+         )) AS ad
+  FROM ypfx p, UNNEST(range(1, p.m)) i(i), UNNEST(range(0, p.w * p.h)) k(k)
+  WHERE p.cnt_any = p.m AND p.m >= 2
+  GROUP BY p.media_id, i.i),
+ymot AS (
+  SELECT a.media_id,
+         LEAST(255, (2 * SUM(a.ad) + p.w * p.h * (p.m - 1))
+                    // (2 * p.w * p.h * (p.m - 1))) AS motion_q8
+  FROM yad a JOIN ypfx p ON a.media_id = p.media_id
+  GROUP BY a.media_id, p.w, p.h, p.m),
+ystat AS (
+  SELECT p.media_id, (p.cnt_any = p.m) AS static_ok, p.m,
+         CASE WHEN p.m = 0 THEN NULL
+              WHEN p.m = 1 THEN 0
+              ELSE mo.motion_q8 END AS motion_q8
+  FROM ypfx p LEFT JOIN ymot mo ON p.media_id = mo.media_id)
+"""
 
 
 def _mp3_walk_ctes() -> str:
@@ -667,14 +786,20 @@ WITH RECURSIVE f AS (
   SELECT media_id, mime, hex(payload) AS hx,
          octet_length(payload) AS nb
   FROM '{FIXTURE}' WHERE kind = 'audio'),
+{_wav_pcm_ctes()},
 {_mp3_walk_ctes()}
 SELECT f.media_id,
        CAST(CASE WHEN f.mime = 'audio/wav'
-                 THEN CASE WHEN {_WAV_OK} THEN {_WAV_DURATION} END
+                 THEN CASE WHEN wm.media_id IS NOT NULL
+                           THEN wm.duration_ms
+                           ELSE r.duration_ms END
                  WHEN f.mime = 'audio/mpeg' THEN m.duration_ms
                  ELSE r.duration_ms END AS INTEGER) AS duration_ms,
-       CAST(r.rms_q8 AS INTEGER) AS rms_q8
+       CAST(CASE WHEN f.mime = 'audio/wav' AND wm.rms_sql
+                 THEN wm.rms_q8
+                 ELSE r.rms_q8 END AS INTEGER) AS rms_q8
 FROM f
+LEFT JOIN wmeta wm ON f.media_id = wm.media_id
 LEFT JOIN mdur m ON f.media_id = m.media_id
 LEFT JOIN {rep} ON f.media_id = r.media_id
 ORDER BY f.media_id
@@ -693,17 +818,21 @@ WITH RECURSIVE f AS (
   SELECT media_id, mime, hex(payload) AS hx,
          octet_length(payload) AS nb
   FROM '{FIXTURE}' WHERE kind = 'video'),
+{_y4m_static_ctes()},
 {_mp4_walk_ctes()}
 SELECT f.media_id,
-       CAST(CASE WHEN f.mime = 'video/y4m'
-                 THEN CASE WHEN {_Y4M_OK} THEN {_Y4M_N_FRAMES} END
+       CAST(CASE WHEN f.mime = 'video/y4m' AND ys.static_ok
+                 THEN ys.m
                  ELSE r.n_frames END AS INTEGER) AS n_frames,
-       CAST(r.motion_q8 AS INTEGER) AS motion_q8,
+       CAST(CASE WHEN f.mime = 'video/y4m' AND ys.static_ok
+                 THEN ys.motion_q8
+                 ELSE r.motion_q8 END AS INTEGER) AS motion_q8,
        CAST(CASE WHEN f.mime = 'video/mp4' THEN v.duration_ms
             END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN f.mime = 'video/mp4' THEN v.n_tracks
             END AS INTEGER) AS n_tracks
 FROM f
+LEFT JOIN ystat ys ON f.media_id = ys.media_id
 LEFT JOIN vmeta v ON f.media_id = v.media_id
 LEFT JOIN {rep} ON f.media_id = r.media_id
 ORDER BY f.media_id

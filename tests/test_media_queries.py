@@ -338,3 +338,154 @@ def test_jpeg_sql_walk_matches_decoder_on_adversarial_segments(
     for i, p in enumerate(payloads):
         want = jpeg.jpeg_decode(p)
         assert got[i] == (want["width"], want["height"]), (i, got[i], want)
+
+
+def _cte_query(rows, path, ctes, select, kind):
+    """Run a CTE chain from the builders against an ad-hoc fixture."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from make_media_fixture import write_rows
+
+    write_rows(rows, path)
+    sql = (
+        "WITH RECURSIVE f AS (SELECT media_id, mime, hex(payload) AS hx,"
+        f" octet_length(payload) AS nb FROM '{path}'"
+        f" WHERE kind = '{kind}'), {ctes} {select}"
+    )
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def test_wav_sql_rms_matches_decoder_on_adversarial_pcm(tmp_path):
+    """The WAV byte-math CTE must reproduce the refactored
+    wav_features bit-exactly on canonical PCM payloads the fixture
+    lacks — stereo, 8-bit, silence, empty data, truncation, trailing
+    junk, a lying nBlockAlign field — and must flag the non-exact
+    widths (32-bit) as replay rows rather than guessing."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from projetbigdatastreaming_spark.operators import codecs
+
+    def wav(width, nch, rate, samples):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    t = np.arange(700)
+    s16 = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype("<i2")
+    st = np.stack(
+        [s16, (np.arange(700) * 37 % 25000 - 12500).astype("<i2")], 1
+    ).reshape(-1)
+    s8 = ((np.sin(2 * np.pi * 3 * t / 700) * 100) + 128).astype(np.uint8)
+    base = wav(2, 1, 8000, s16)
+    blk = bytearray(base)
+    blk[32] = 5  # lying nBlockAlign: wave ignores it, so must the SQL
+    payloads = [
+        base,
+        wav(2, 2, 44100, st),
+        wav(1, 1, 16000, s8),
+        wav(2, 1, 8000, np.zeros(0, "<i2")),
+        wav(2, 1, 8000, np.zeros(512, "<i2")),  # digital silence
+        base[: len(base) - 101],  # truncated data chunk
+        base + b"JUNKJUNK",  # trailing bytes past declared dsz
+        bytes(blk),
+        wav(4, 1, 8000, (np.arange(300) * 9973).astype("<i4")),  # 32-bit
+        b"RIFF garbage",
+        b"",
+    ]
+    rows = [
+        (i, "audio", "audio/wav", p, len(p) if p else None)
+        for i, p in enumerate(payloads)
+    ]
+    got = {
+        m: (d, r, s)
+        for m, d, r, s in _cte_query(
+            rows,
+            str(tmp_path / "wav.parquet"),
+            media._wav_pcm_ctes(),
+            "SELECT media_id, duration_ms, rms_q8, rms_sql FROM wmeta",
+            "audio",
+        )
+    }
+    for i, p in enumerate(payloads):
+        want = codecs.wav_features(p)
+        if i in (5, 9, 10):  # non-canonical (truncated data chunk,
+            # garbage, empty): not in wmeta at all — replay class
+            assert i not in got
+            assert want["duration_ms"] is None
+            continue
+        d, r, sqlable = got[i]
+        assert d == want["duration_ms"], (i, d, want)
+        if i == 8:  # 32-bit: duration byte-math, rms replay-flagged
+            assert sqlable is False
+        else:
+            assert sqlable is True
+            assert r == want["rms_q8"], (i, r, want)
+
+
+def test_y4m_sql_motion_matches_decoder_on_adversarial_streams(tmp_path):
+    """The Y4M static-layout CTE must reproduce y4m_motion's
+    n_frames/motion_q8 exactly whenever static_ok, and must REFUSE
+    (static_ok = false -> replay) whenever the layout assumption
+    breaks: param-bearing FRAME headers, marker bytes inside a frame
+    body, a marker-bearing truncated tail."""
+    import numpy as np
+
+    from projetbigdatastreaming_spark.operators import codecs
+
+    w, h = 16, 12
+    fsize = w * h + 2 * ((w // 2) * (h // 2))
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+
+    def frame(seed):
+        rng = np.random.RandomState(seed)
+        body = rng.randint(0, 255, fsize).astype(np.uint8).tobytes()
+        assert b"FRAME" not in body
+        return b"FRAME\n" + body
+
+    varied = head + frame(1) + frame(2) + frame(3) + frame(4)
+    static = head + frame(7) * 3
+    evil_body = b"FRAME\n" + bytes(fsize - 12) + b"FRAME\n" + bytes(6)
+    payloads = [
+        varied,
+        static,
+        head + frame(5),  # single frame
+        head,  # zero frames
+        varied[: len(varied) - 50],  # marker-bearing truncated tail
+        head + evil_body,  # marker inside the frame body
+        head + b"FRAMEX\n" + bytes(fsize) + frame(9),  # param header
+        f"YUV4MPEG2 W15 H12 C420\n".encode() + frame(1),  # odd width
+        f"YUV4MPEG2 W16 H12 C444\n".encode() + frame(1),  # non-420
+        b"YUV4MPEG2 no newline at all",
+    ]
+    rows = [
+        (i, "video", "video/y4m", p, len(p)) for i, p in enumerate(payloads)
+    ]
+    got = {
+        m: (ok, n, mo)
+        for m, ok, n, mo in _cte_query(
+            rows,
+            str(tmp_path / "y4m.parquet"),
+            media._y4m_static_ctes(),
+            "SELECT media_id, static_ok, m, motion_q8 FROM ystat",
+            "video",
+        )
+    }
+    for i in (0, 1, 2, 3):  # static-layout: byte-math must be exact
+        want = codecs.y4m_motion(payloads[i])
+        ok, n, mo = got[i]
+        assert ok is True, i
+        assert n == want["n_frames"], (i, n, want)
+        assert mo == want["motion_q8"], (i, mo, want)
+    for i in (4, 5, 6):  # layout broken: must refuse, not guess
+        assert got[i][0] is False, i
+    for i in (7, 8, 9):  # parse-failure class: Python nulls, no ystat row
+        assert i not in got, i
+        assert codecs.y4m_motion(payloads[i])["n_frames"] is None
