@@ -96,6 +96,10 @@ def main() -> None:
             t0 = time.perf_counter()
             ensure_scaled(spark, SF_DIR, SF2_DIR, SF2_FACTOR)
             build_sec = round(time.perf_counter() - t0, 1)
+            # opt in to the scaled media table for the sf2 sweep only
+            # (correctness runs must stay on the committed fixture the
+            # media oracles are built from — see media._media_path)
+            os.environ["SPARK_GRAFT_MEDIA_SCALED"] = "1"
             t2: dict[str, float] = {}
             for name in SF2_QUERIES if SF2_QUERIES is not None else headline:
                 fn = all_queries[name]
@@ -118,6 +122,8 @@ def main() -> None:
             out["sf2_build_sec"] = build_sec
         except Exception as exc:  # never break the primary contract
             out["sf2_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            os.environ.pop("SPARK_GRAFT_MEDIA_SCALED", None)
 
     print(json.dumps(out))
     spark.stop()

@@ -88,9 +88,16 @@ def wav_features(payload: bytes) -> dict[str, Any]:
         # floor(x + 0.5) instead of round() (banker's) so the
         # quantizer has no .5-tie engine-dependence.  This makes
         # rms_q8 bit-identical to the DuckDB byte-math oracle
-        # evaluating the same expression shape.  32-bit PCM squares
-        # would overflow int64, so that width keeps a float
-        # mean-square (its oracle column stays replayed).
+        # evaluating the same expression shape — PROVIDED ss < 2^53:
+        # Python's int/int division here is correctly rounded at any
+        # magnitude, but the DuckDB twin casts its HUGEINT sum to
+        # double before dividing, so once ss exceeds 2^53 (minutes of
+        # full-scale 16-bit PCM: n > 2^23 samples at |s| ~ 2^15) the
+        # two sides can differ by 1 ulp and flip the half-up quantizer
+        # at an exact boundary.  Fixture payloads are well under the
+        # bound (n < 10^5).  32-bit PCM squares would overflow int64
+        # outright, so that width keeps a float mean-square (its
+        # oracle column stays replayed).
         if width <= 2:
             ss = int((ints * ints).sum())
             mean_sq = ss / ints.size

@@ -26,6 +26,30 @@ from ..functions.text import (
 from ..operators import dedup, sampling, similarity
 from .registry import QuerySpec
 
+#: per-site scoped persist state — see _persist_scoped
+_SCOPED_PERSISTS: dict[str, object] = {}
+
+
+def _persist_scoped(key, df):
+    """``persist()`` whose cache entry is scoped to the latest
+    invocation of its site: repeated calls (bench warm + min-of-3
+    timed runs, correctness sweeps over several sf dirs) first
+    unpersist the previous invocation's relation, so session cache
+    usage stays O(1) per site instead of accumulating one entry per
+    distinct plan (round-7 ADVICE on ``q_emb_pq_recall``; the same
+    fix covers the pre-existing big_tf/rare/tok_tf/tf persists).
+    The current invocation's cache must outlive this function — the
+    returned plan is materialized later by the caller — which is why
+    the scope is previous-invocation, not try/finally."""
+    prev = _SCOPED_PERSISTS.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session may have restarted; stale handle is inert
+    _SCOPED_PERSISTS[key] = df.persist()
+    return df
+
 #: fixed query vectors for the top-k searches (first five vec_ids)
 QUERY_VEC_IDS = [0, 1, 2, 3, 4]
 TOPK = 10
@@ -1852,9 +1876,9 @@ def q_bigram_logprob(spark, sf_dir):
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .where((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    big_tf = pairs.groupBy("doc_id", "w1", "w2").agg(
-        F.count("*").alias("tf")
-    ).persist()
+    big_tf = _persist_scoped("bigram_big_tf", pairs.groupBy(
+        "doc_id", "w1", "w2"
+    ).agg(F.count("*").alias("tf")))
     cb = big_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
     cu = cb.groupBy("w2").agg(F.sum("c12").alias("c2"))
@@ -2382,7 +2406,7 @@ def q_dedup_containment(spark, sf_dir):
         .select("h"),
         "h",
     )
-    rare = rare.persist()
+    rare = _persist_scoped("containment_rare", rare)
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = rare.alias("a"), rare.alias("b")
     pairs = (
@@ -2593,7 +2617,8 @@ def q_unigram_logprob(spark, sf_dir):
     tok_tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").alias("tf")
     )
-    tok_tf = tok_tf.persist()  # feeds vocab AND the scoring join
+    # feeds vocab AND the scoring join
+    tok_tf = _persist_scoped("unigram_tok_tf", tok_tf)
     vocab = tok_tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
     total = vocab.agg(F.sum("ctf").alias("corpus_n"))
     return (
@@ -2752,7 +2777,8 @@ def q_tfidf_topk(spark, sf_dir):
         ).alias("token"),
     ).where(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    tf = tf.persist()  # consumed by df_ AND the scoring join below
+    # consumed by df_ AND the scoring join below
+    tf = _persist_scoped("tfidf_tf", tf)
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df_, "token")
@@ -3666,10 +3692,11 @@ def q_emb_pq_recall(spark, sf_dir):
     # persisted: the exact top-k feeds BOTH the hit join and the qid
     # spine — without the cache the brute-force scoring scan runs
     # twice (the big_tf persist precedent; ~50·|Q| rows of state)
-    exact = (
-        similarity.l2_topk(emb, QUERY_VEC_IDS, TOPK)
-        .select("qid", "vec_id")
-        .persist()
+    exact = _persist_scoped(
+        "pq_recall_exact",
+        similarity.l2_topk(emb, QUERY_VEC_IDS, TOPK).select(
+            "qid", "vec_id"
+        ),
     )
     ann = similarity.pq_adc_topk(
         emb, QUERY_VEC_IDS, TOPK, m=PQ_M, k=PQ_K

@@ -71,14 +71,20 @@ FIXTURE = os.path.abspath(
 
 
 def _media_path(sf_dir: str) -> str:
-    """Prefer a media table in the fixture dir (tools/gen_scale.py
-    writes one at the throughput scale point, so decode work stops
-    being scale-invariant in the bench); fall back to the committed
-    8 KB fixture.  The driver's correctness dirs carry no
-    media.parquet, so every oracle comparison runs on the fixture —
-    whose rows the literal-replay oracles are built from."""
-    scaled = os.path.join(sf_dir, "media.parquet") if sf_dir else ""
-    return scaled if scaled and os.path.exists(scaled) else FIXTURE
+    """Use a scaled media table in the sf dir ONLY when the caller
+    opted in via SPARK_GRAFT_MEDIA_SCALED=1 (bench.py sets it around
+    its sf2 sweep so decode work stops being scale-invariant in the
+    bench); otherwise always the committed 8 KB fixture.  The DuckDB
+    oracles are built from the fixture's rows, so the opt-in gate —
+    rather than implicit on-disk presence — guarantees a correctness
+    run pointed at a dir that happens to carry media.parquet (e.g.
+    .bench_sf1) still compares fixture-vs-fixture instead of
+    red-flagging every media query with a row-count mismatch."""
+    if os.environ.get("SPARK_GRAFT_MEDIA_SCALED") == "1":
+        scaled = os.path.join(sf_dir, "media.parquet") if sf_dir else ""
+        if scaled and os.path.exists(scaled):
+            return scaled
+    return FIXTURE
 
 IMAGE_STATS_SCHEMA = (
     "media_id long, width int, height int, feature_hash long"
@@ -373,7 +379,12 @@ def _wav_pcm_ctes() -> str:
     LEAST clamp — and evaluates the SAME canonical float
     expression as the refactored `wav_features`
     (sqrt(ss/n)/full_scale*255, half-up), over an exact-int64 sum of
-    squares, so 8/16-bit rms_q8 is bit-identical by construction.
+    squares, so 8/16-bit rms_q8 is bit-identical by construction —
+    while ss < 2^53: past that (minutes of full-scale 16-bit PCM)
+    DuckDB's HUGEINT-sum→double cast vs Python's correctly-rounded
+    int/int division can differ by 1 ulp at an exact half-up boundary
+    (see the matching bound note in `codecs.wav_features`); fixture
+    payloads sit orders of magnitude under it.
     32-bit PCM squares overflow the exact-int path on BOTH sides, so
     those rows (rms_sql = false) and every non-canonical layout fall
     back to the replay relation — the honest boundary, documented in
@@ -521,24 +532,30 @@ def _mp3_walk_ctes() -> str:
     sr_idx = f"(({b2} >> 2) & 3)"
     pad = f"(({b2} >> 1) & 1)"
 
+    # kbps/rate templates use unambiguous __VR__/__LYR__/__BRI__/
+    # __SRI__ placeholders (NOT the bare alias names vr/lyr/bri/sri):
+    # they are substituted below with full bit-extraction expressions,
+    # and a plain .replace('bri', ...) would silently corrupt the SQL
+    # the moment any substituted expression or future alias contained
+    # that letter sequence (round-7 ADVICE).
     def _kbps(table):
         return (
-            "CASE lyr"
+            "CASE __LYR__"
             + "".join(
-                f" WHEN {y} THEN ({_sql_list(table[y])})[bri + 1]"
+                f" WHEN {y} THEN ({_sql_list(table[y])})[__BRI__ + 1]"
                 for y in (1, 2, 3)
             )
             + " END"
         )
 
     kbps = (
-        f"CASE WHEN vr = 3 THEN {_kbps(_MP3_BITRATES_V1)} "
+        f"CASE WHEN __VR__ = 3 THEN {_kbps(_MP3_BITRATES_V1)} "
         f"ELSE {_kbps(_MP3_BITRATES_V2)} END"
     )
     rate = (
-        "CASE vr"
+        "CASE __VR__"
         + "".join(
-            f" WHEN {v} THEN ({_sql_list(_MP3_RATES[v])})[sri + 1]"
+            f" WHEN {v} THEN ({_sql_list(_MP3_RATES[v])})[__SRI__ + 1]"
             for v in (3, 2, 0)
         )
         + " END"
@@ -583,9 +600,9 @@ mw AS (
              {b0} AS hd0, {b1} AS hd1,
              {ver} AS vr, {layer} AS lyr,
              {br_idx} AS bri, {sr_idx} AS sri, {pad} AS pd,
-             {kbps.replace('vr', ver).replace('lyr', layer)
-                  .replace('bri', br_idx)} AS kb,
-             {rate.replace('vr', ver).replace('sri', sr_idx)} AS r
+             {kbps.replace('__VR__', ver).replace('__LYR__', layer)
+                  .replace('__BRI__', br_idx)} AS kb,
+             {rate.replace('__VR__', ver).replace('__SRI__', sr_idx)} AS r
       FROM mw) fields) step
   WHERE ok AND (rate IS NULL OR r = rate) AND flen >= 4
 ),

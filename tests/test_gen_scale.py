@@ -76,12 +76,16 @@ def test_scaled_fixture_contract(spark, tmp_path):
     )
 
 
-def test_scaled_media_table(spark, tmp_path):
+def test_scaled_media_table(spark, tmp_path, monkeypatch):
     """Round 6: the scale dir must carry a media table whose row count
     scales with the factor, whose real payloads DECODE (not
     hash-fakes), and which the media queries pick up via sf_dir —
-    while the driver dirs (no media.parquet) keep the fixture
-    fallback, where the oracles live."""
+    but ONLY under the explicit SPARK_GRAFT_MEDIA_SCALED=1 opt-in
+    (set by bench.py around its sf2 sweep).  Without the opt-in,
+    every dir — even one carrying media.parquet — resolves to the
+    committed fixture, where the oracles live (round-7 ADVICE: a
+    correctness run pointed at .bench_sf1 must not silently diverge
+    from the fixture-built oracles)."""
     from gen_scale import build_scaled
 
     from projetbigdatastreaming_spark.plans.media import (
@@ -99,7 +103,13 @@ def test_scaled_media_table(spark, tmp_path):
         r.kind for r in media.select("kind").distinct().collect()
     ) == {"image", "audio", "video"}
 
-    # query path resolution: scale dir -> its table, driver dir -> fixture
+    # without the bench opt-in, even a dir WITH media.parquet keeps
+    # the fixture (oracle safety)
+    monkeypatch.delenv("SPARK_GRAFT_MEDIA_SCALED", raising=False)
+    assert _media_path(out).endswith("fixtures/media.parquet")
+
+    # with the opt-in: scale dir -> its table, driver dir -> fixture
+    monkeypatch.setenv("SPARK_GRAFT_MEDIA_SCALED", "1")
     assert _media_path(out) == os.path.join(out, "media.parquet")
     assert _media_path(src).endswith("fixtures/media.parquet")
 

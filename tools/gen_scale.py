@@ -193,8 +193,9 @@ def build_scaled(
 
     # media scale table: the driver fixture dirs carry no media, so
     # build factor x the per-copy encoder set here (pyarrow-direct,
-    # bounded row count — no Spark needed).  plans/media.py prefers
-    # {sf_dir}/media.parquet when present, fixture fallback otherwise.
+    # bounded row count — no Spark needed).  plans/media.py reads
+    # {sf_dir}/media.parquet only under SPARK_GRAFT_MEDIA_SCALED=1
+    # (bench.py's sf2 sweep); correctness runs always use the fixture.
     # ONE FILE PER COPY, not one file: a single small parquet is one
     # scan split, so the decode stage would serialize on one core —
     # whereas a real media lake is thousands of objects and
