@@ -57,6 +57,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "compact-cms",
             "compact-bloom",
             "compact-curation",
+            "compact-neardup",
         ],
     )
     mt.add_argument("path", help="table or state directory")
@@ -113,6 +114,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             from .streaming.sketches import compact_bloom
 
             print(f"compacted {compact_bloom(spark, args.path)} words")
+            return 0
+        if args.op == "compact-neardup":
+            from .streaming.neardup import compact_neardup
+
+            nb, ns = compact_neardup(spark, args.path)
+            print(f"compacted {nb} band rows, {ns} sig rows")
             return 0
         from .streaming.curation import compact_state
 

@@ -118,7 +118,13 @@ def near_dup_batch_writer(
                     .join(
                         bands_new.alias("b"),
                         (F.col("a.band") == F.col("b.band"))
-                        & (F.col("a.bh") == F.col("b.bh")),
+                        & (F.col("a.bh") == F.col("b.bh"))
+                        # a doc never pairs with itself — also shields a
+                        # replay of an already-COMPACTED batch (whose
+                        # rows now live in the base partition, so the
+                        # batch_id exclusion above can't see them) from
+                        # emitting self-pairs
+                        & (F.col("a.doc_id") != F.col("b.doc_id")),
                     )
                     .select(
                         F.col("a.doc_id").alias("doc_a"),
@@ -127,9 +133,14 @@ def near_dup_batch_writer(
                     .distinct()
                 )
                 pairs = pairs.unionAll(cross)
+                # one sig row per doc: absorbs the compact_neardup
+                # kill-point state where a doc's row exists BOTH in the
+                # promoted base and in a not-yet-deleted source
+                # partition (the idempotent-reader contract that makes
+                # compaction crash-safe without an intent file)
                 sig_store = sig_store.unionAll(
                     sigs_old.select("doc_id", "shingles")
-                )
+                ).dropDuplicates(["doc_id"])
 
             flags = jaccard_verify(pairs, sig_store, threshold).withColumn(
                 "batch_id", F.lit(batch_id)
@@ -154,3 +165,32 @@ def near_dup_batch_writer(
             signed.unpersist()
 
     return _fn
+
+
+def compact_neardup(spark: SparkSession, index_dir: str) -> tuple[int, int]:
+    """Fold the per-batch ``bands``/``sigs`` partitions of a streaming
+    near-dup index into single base partitions (``batch_id=-1``) —
+    without this, a long-running ingest accumulates one parquet
+    partition per micro-batch that the probe join must enumerate
+    (small-files pressure at 10⁹ docs, the problem ``compact-cms``
+    solves for the sketch family).  Returns (band_rows, sig_rows).
+
+    Reuses ``curation.compact_state`` verbatim: like the curation
+    relations, index rows are unique per natural key — (doc_id, band)
+    for bands, doc_id for sigs — not additive, so compaction is a
+    pure distinct-rewrite, and the stage→promote→delete sequence is
+    readable-correct at every kill point because the probe path
+    dedups (the cross-join ``distinct`` for bands, the
+    ``dropDuplicates([doc_id])`` sig fold in the writer).  Same
+    operational rule as ``compact_cms``: only compact past the
+    stream's redelivery horizon — a replayed batch whose rows were
+    compacted into the base restates a fresh partition the base
+    already covers (the readers absorb it; the next compaction folds
+    it away), and its cross-probe is self-pair-guarded.
+    """
+    from .curation import compact_state
+
+    return (
+        compact_state(spark, f"{index_dir}/bands"),
+        compact_state(spark, f"{index_dir}/sigs"),
+    )

@@ -420,6 +420,156 @@ def test_near_dup_stream_flags_cross_batch_pairs(spark, tmp_path):
     assert sorted(r.doc_id for r in sigs2.collect()) == [1, 2, 3]
 
 
+def _nd_seed_index(spark, tmp_path, writer_factory):
+    """Three micro-batches through a near-dup writer: (1, words) and
+    (2, other); (3, near-dup of 1); (5, another near-dup of 1).
+    Returns (index_dir, flags_dir, expected_flag_pairs)."""
+    index_dir = str(tmp_path / "ndc_index")
+    flags_dir = str(tmp_path / "ndc_flags")
+    schema = "doc_id long, text string"
+    words = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " CHANGED"
+    near2 = " ".join(f"w{i}" for i in range(39)) + " ALTERED"
+    other = " ".join(f"x{i}" for i in range(40))
+    writer = writer_factory(index_dir, flags_dir)
+    writer(spark.createDataFrame([(1, words), (2, other)], schema), 0)
+    writer(spark.createDataFrame([(3, near)], schema), 1)
+    writer(spark.createDataFrame([(5, near2)], schema), 2)
+    return index_dir, flags_dir, {(1, 3), (1, 5), (3, 5)}
+
+
+def test_compact_neardup_preserves_probe_results(spark, tmp_path):
+    """Compacting the streaming near-dup index must not change what a
+    subsequent batch's probe flags, must converge bands+sigs to single
+    base partitions, and must be idempotent."""
+    import os
+
+    from projetbigdatastreaming_spark.streaming.neardup import (
+        compact_neardup,
+        near_dup_batch_writer,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import BASE_ID
+
+    def factory(ix, fl):
+        return near_dup_batch_writer(ix, fl, threshold=0.8)
+
+    index_dir, flags_dir, want = _nd_seed_index(spark, tmp_path, factory)
+    flags = spark.read.parquet(flags_dir)
+    assert {(r.doc_a, r.doc_b) for r in flags.collect()} == want
+
+    nb, ns = compact_neardup(spark, index_dir)
+    assert nb > 0 and ns == 4  # 4 docs, one sig row each
+    for sub in ("bands", "sigs"):
+        parts = [
+            n
+            for n in os.listdir(os.path.join(index_dir, sub))
+            if n.startswith("batch_id=")
+        ]
+        assert parts == [f"batch_id={BASE_ID}"], (sub, parts)
+
+    # probe after compaction: a NEW batch near-dup of doc 1 is still
+    # flagged against every earlier copy, exactly as pre-compaction
+    schema = "doc_id long, text string"
+    near3 = " ".join(f"w{i}" for i in range(39)) + " TWEAKED"
+    writer = factory(index_dir, flags_dir)
+    writer(spark.createDataFrame([(7, near3)], schema), 3)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(flags_dir).collect()
+    }
+    assert got == want | {(1, 7), (3, 7), (5, 7)}, got
+
+    # idempotent: compacting again folds batch 3 in, same totals + 1 doc
+    nb2, ns2 = compact_neardup(spark, index_dir)
+    assert ns2 == 5
+
+
+def test_compact_neardup_kill_point_probe_still_exact(spark, tmp_path):
+    """Kill the bands compaction between promote and source deletes
+    (every band row exists BOTH in the base and in its source
+    partition, and sigs were never compacted): the cross-join
+    distinct + the writer's dropDuplicates sig fold keep the next
+    probe's flags exact, with no recovery step; the next compaction
+    converges."""
+    import os as _os
+    from unittest import mock
+
+    from projetbigdatastreaming_spark.streaming import neardup as nd
+    from projetbigdatastreaming_spark.streaming.sketches import STAGING_ID
+
+    def factory(ix, fl):
+        return nd.near_dup_batch_writer(ix, fl, threshold=0.8)
+
+    index_dir, flags_dir, want = _nd_seed_index(spark, tmp_path, factory)
+
+    real_rename = _os.rename
+    killed = {"n": 0}
+
+    def dying_rename(src, dst):
+        real_rename(src, dst)
+        if src.endswith(f"batch_id={STAGING_ID}"):
+            killed["n"] += 1
+            raise RuntimeError("killed after promote, before deletes")
+
+    with mock.patch("os.rename", side_effect=dying_rename):
+        try:
+            nd.compact_neardup(spark, index_dir)
+        except RuntimeError:
+            pass
+    assert killed["n"] == 1
+    # bands compaction died mid-flight: base AND sources both present
+    parts = [
+        n
+        for n in _os.listdir(f"{index_dir}/bands")
+        if n.startswith("batch_id=")
+    ]
+    assert len(parts) == 4, parts  # base + 3 source partitions
+
+    schema = "doc_id long, text string"
+    near3 = " ".join(f"w{i}" for i in range(39)) + " TWEAKED"
+    writer = factory(index_dir, flags_dir)
+    writer(spark.createDataFrame([(7, near3)], schema), 3)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(flags_dir).collect()
+    }
+    assert got == want | {(1, 7), (3, 7), (5, 7)}, got
+
+    # next compaction converges both subtables
+    nb, ns = nd.compact_neardup(spark, index_dir)
+    assert ns == 5
+    writer(spark.createDataFrame([(7, near3)], schema), 3)
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(flags_dir).collect()
+    }
+    assert got2 == got
+
+
+def test_compact_neardup_cli(spark, tmp_path):
+    """`maintain compact-neardup` drives the same fold."""
+    from projetbigdatastreaming_spark.__main__ import main
+    from projetbigdatastreaming_spark.streaming.neardup import (
+        near_dup_batch_writer,
+    )
+
+    def factory(ix, fl):
+        return near_dup_batch_writer(ix, fl, threshold=0.8)
+
+    index_dir, _, _ = _nd_seed_index(spark, tmp_path, factory)
+    rc = main(["maintain", "compact-neardup", index_dir], spark=spark)
+    assert rc == 0
+    import os
+
+    for sub in ("bands", "sigs"):
+        parts = [
+            n
+            for n in os.listdir(os.path.join(index_dir, sub))
+            if n.startswith("batch_id=")
+        ]
+        assert parts == ["batch_id=-1"], (sub, parts)
+
+
 def test_quality_gate_routes_and_survives_replay(
     spark, sf_dir, events_dir, tmp_path
 ):
