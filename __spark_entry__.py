@@ -66,12 +66,12 @@ QUERY_ORDER = (
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "unigram_logprob", "bpe_token_count", "emb_centroid",
     "tfidf_topk", "emb_outliers", "graph_pagerank",
-    # 3) window fill: oldest r04 rows (swapped for round-7 new
-    # queries as they land)
-    "pysource_synthetic_events", "variant_json", "param_query",
-    "bpe_learn_merges",
+    # 3) new in round 7 — first driver verdict (window fill; any
+    # remaining slots carry the oldest r04 rows)
+    "dedup_incremental_bloom",
+    "variant_json", "param_query", "bpe_learn_merges",
     # 4) green in the round-4 driver run
-    "shard_manifest", "tpch_q12",
+    "pysource_synthetic_events", "shard_manifest", "tpch_q12",
     "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
     "stats_agg", "text_quality",
     "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",
@@ -202,6 +202,12 @@ HEADLINE_QUERIES = (
     # 8 KB fixture otherwise, so the sf1 column carries decode
     # throughput while correctness runs stay on the fixture
     "image_stats",
+    # round 7: the Bloom-screened incremental dedup next to its
+    # unscreened parent — the pair of rows is the shuffle-volume
+    # claim made measurable (same answer, corpus never shuffles in
+    # the screened form)
+    "dedup_incremental",
+    "dedup_incremental_bloom",
 )
 
 

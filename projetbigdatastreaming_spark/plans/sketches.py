@@ -358,6 +358,70 @@ ORDER BY a.doc_id
 """
 
 
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """`dedup_incremental` with the Bloom screen WIRED IN as the
+    production composition (the form `q_dedup_bloom`'s docstring
+    promises): probe first, exact-check only the hits.  The screen
+    must not change the answer — the oracle is the SAME relation as
+    `dedup_incremental` (admitted = within-batch winners not in the
+    corpus) — only the shuffle volume, which the plan test pins.
+
+    Pipeline (same batch/corpus split as `dedup_incremental`):
+
+    1. corpus fingerprints fold into the 8 KB bitmap
+       (map-side explode + a ≤{words}-row hash-agg);
+    2. the batch probes the broadcast bitmap map-side;
+    3. ``bloom_hit = 0`` rows are DEFINITELY new (no-false-negative
+       guarantee) — admitted with no corpus join at all;
+    4. only the hits are exact-checked, and even that never shuffles
+       the corpus: the corpus semi-joins the BROADCAST hit
+       fingerprints (map-side), the matched-fp relation that comes
+       back is dup-count-sized, and the hits anti-join THAT.
+
+    Scale plan: the corpus crosses no full-width exchange anywhere —
+    two map-only passes (bitmap positions, semi probe) plus
+    bounded-row aggs; every real exchange is batch- or dup-sized.
+    vs `dedup_incremental`, whose anti-join shuffles every corpus
+    fingerprint per batch.  The forced broadcasts are the batch's
+    hit fingerprints (FP-rate-bounded: ~|dups| + ~0.4%% of |batch| at
+    these parameters); if a huge batch overflowed the broadcast
+    threshold, dropping the hint degrades to shuffling only the hit
+    subset — still never the corpus.
+    """
+    from ..functions.text import fingerprint
+    from ..operators.sketches import bloom_cells, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 8).select("fp")
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+
+    probed = bloom_probe(batch, bloom_cells(corpus))
+    definitely_new = probed.where(F.col("bloom_hit") == 0)
+    hits = probed.where(F.col("bloom_hit") == 1)
+
+    hit_fps = hits.select("fp").distinct()
+    matched = (
+        corpus.join(F.broadcast(hit_fps), "fp", "left_semi").distinct()
+    )
+    new_from_hits = hits.join(F.broadcast(matched), "fp", "left_anti")
+
+    return (
+        definitely_new.select("doc_id", "fp")
+        .unionAll(new_from_hits.select("doc_id", "fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+q_dedup_incremental_bloom.__doc__ = q_dedup_incremental_bloom.__doc__.format(
+    words=BLOOM_BITS // 32
+)
+
+
 KMV_K = 256
 
 
@@ -460,8 +524,16 @@ ORDER BY event_type
 """
 
 
+# the screen must not change the answer: the oracle IS
+# dedup_incremental's (imported lazily to dodge a circular import —
+# llmdata imports nothing from here, but keep the edge one-way)
+from .llmdata import SQL_DEDUP_INCREMENTAL  # noqa: E402
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_bloom": QuerySpec(q_dedup_bloom, SQL_DEDUP_BLOOM),
+    "dedup_incremental_bloom": QuerySpec(
+        q_dedup_incremental_bloom, SQL_DEDUP_INCREMENTAL
+    ),
     "kmv_distinct": QuerySpec(q_kmv_distinct, SQL_KMV_DISTINCT),
     "heavy_hitters_cms": QuerySpec(q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS),
     "hll_rollup_union": QuerySpec(q_hll_rollup_union, SQL_HLL_ROLLUP_UNION),

@@ -89,6 +89,39 @@ def test_pq_search_topk_is_group_limited(spark, sf_dir):
         assert ", [], [" not in head, f"unpartitioned Window: {head}"
 
 
+def test_bloom_screened_dedup_probes_hits_not_corpus(spark, sf_dir):
+    """The production Bloom composition: the exact anti-join's probe
+    input must be the bloom-HIT subset (descend from the bitmap
+    probe's bloom_hit=1 filter), its build side must be the broadcast
+    matched-fp relation, and the corpus must never cross a join
+    shuffle (its only exchanges are the bounded bitmap/matched aggs
+    — no SortMergeJoin anywhere)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_incremental_bloom")
+    assert plan.count("LeftAnti") == 1
+    anti_line = next(ln for ln in plan.splitlines() if "LeftAnti" in ln)
+    assert "BroadcastHashJoin" in anti_line  # matched fps broadcast
+    # probe side of the anti join is the filtered hit subset: within
+    # the anti join's subtree (lines after it, deeper indentation)
+    # there must be a bloom_hit = 1 filter
+    lines = plan.splitlines()
+    i = lines.index(anti_line)
+    depth = len(anti_line) - len(anti_line.lstrip(" :+-"))
+    subtree = []
+    for ln in lines[i + 1:]:
+        if len(ln) - len(ln.lstrip(" :+-")) <= depth:
+            break
+        subtree.append(ln)
+    sub = "\n".join(subtree)
+    assert re.search(r"bloom_hit#\d+ = 1", sub), sub[:500]
+    # the definitely-new path bypasses the corpus entirely
+    assert re.search(r"bloom_hit#\d+ = 0", plan)
+    # corpus-wide join shuffles: none
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
     # nation⋈region is a broadcast dim build; the three fact-side joins
     # may shuffle but nothing degenerates to a cartesian/BNLJ
