@@ -741,11 +741,11 @@ def _pq_cent_row(emb: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _pq_picked(emb: DataFrame, m: int, k: int) -> DataFrame:
-    """emb + `__picks`: per subspace, the argmin codebook entry as
-    struct(cid, d) with d the 4dp-rounded squared-L2 (ties -> lowest
-    cid via strict-< fold over the cid-ascending array)."""
-    picks = f"""
+def _pq_picks_expr(m: int) -> str:
+    """Per subspace, the argmin codebook entry as struct(cid, d) with
+    d the 4dp-rounded squared-L2 (ties -> lowest cid via strict-<
+    fold over the cid-ascending ``__cents`` array)."""
+    return f"""
     transform(sequence(0, {m - 1}), mi ->
       aggregate(
         transform(__cents, c -> struct(
@@ -754,8 +754,12 @@ def _pq_picked(emb: DataFrame, m: int, k: int) -> DataFrame:
         struct(CAST(-1 AS INT) AS cid, CAST(1E300 AS DOUBLE) AS d),
         (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END))
     """
+
+
+def _pq_picked(emb: DataFrame, m: int, k: int) -> DataFrame:
+    """emb + `__picks` under a codebook seeded from emb itself."""
     return emb.crossJoin(F.broadcast(_pq_cent_row(emb, k))).withColumn(
-        "__picks", F.expr(picks)
+        "__picks", F.expr(_pq_picks_expr(m))
     )
 
 
@@ -942,4 +946,126 @@ def pq_refine(
             ).cast("bigint").alias("sum_d_q4"),
         )
         .orderBy("mi", "cid")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_top: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k: int = 8,
+) -> DataFrame:
+    """IVFADC — the composed IVF-PQ index of Jégou et al. 2011 §IV,
+    the actual 100 TB ANN architecture this family builds toward:
+    an IVF coarse quantizer routes each vector to one inverted list,
+    and product quantization encodes the RESIDUAL x − c(list(x))
+    (residuals concentrate around 0, so the same code budget buys
+    much finer cells than PQ on raw vectors); a query probes its
+    nprobe closest lists and ADC-scans only those lists' codes.
+
+    Composition of the r06-green parts: `ivf_assign` (broadcast
+    centroids, map-only routing), `_pq_cent_row`/`_pq_picks_expr`
+    (one shared residual codebook — Jégou's IVFADC shares one PQ
+    codebook across lists — seeded from the k hash-smallest vec_ids'
+    residuals), and the `pq_adc_topk` integer ADC (per-(query, list)
+    m×k table of round(d·1e4) ints, distance = m lookups summed).
+    Deterministic end-to-end, so the DuckDB oracle replays it.
+
+    Scale plan: the corpus never leaves its partitions — assignment,
+    residual (zip_with after a broadcast join on list_id), and code
+    fold are all map-side under broadcast ≤n_lists/≤k-row state; the
+    list probe is a broadcast equi-JOIN on list_id (the inverted-
+    list read: only ~nprobe/n_lists of the code scan survives it,
+    and codes are m small ints per vector, not D floats); per-query
+    top-k is a qid-partitioned window (WindowGroupLimit).  The
+    broadcast sides are the centroid row, the codebook row, and the
+    |Q|·nprobe-row query-table relation.
+    """
+    from pyspark.sql import Window
+
+    assigned, cents = ivf_assign(embeddings, n_lists)
+    resid = assigned.join(F.broadcast(cents), "list_id").select(
+        "vec_id",
+        "list_id",
+        F.expr("zip_with(embedding, cvec, (x, y) -> x - y)").alias(
+            "embedding"
+        ),
+    )
+    cb = _pq_cent_row(resid.select("vec_id", "embedding"), k)
+    codes = (
+        resid.crossJoin(F.broadcast(cb))
+        .withColumn("__picks", F.expr(_pq_picks_expr(m)))
+        .select(
+            "vec_id",
+            "list_id",
+            F.expr("transform(__picks, p -> p.cid)").alias("cids"),
+        )
+    )
+
+    q = assigned.where(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("__sim"), F.asc("list_id")
+    )
+    qres = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "qvec",
+            "list_id",
+            "cvec",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                4,
+            ).alias("__sim"),
+        )
+        .withColumn("__rk", F.row_number().over(wq))
+        .where(F.col("__rk") <= nprobe)
+        .select(
+            "qid",
+            "list_id",
+            F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias(
+                "embedding"
+            ),
+        )
+    )
+    tab = f"""
+    transform(sequence(0, {m - 1}), mi ->
+      transform(__cents, c ->
+        CAST(round({_pq_subdist(m)} * 10000) AS BIGINT)))
+    """
+    qtab = qres.crossJoin(F.broadcast(cb)).select(
+        "qid", "list_id", F.expr(tab).alias("tab")
+    )
+    scored = (
+        codes.alias("v")
+        .join(
+            F.broadcast(qtab).alias("t"),
+            (F.col("v.list_id") == F.col("t.list_id"))
+            & (F.col("v.vec_id") != F.col("t.qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(cids, tab,"
+                " (cid, row) -> element_at(row, cid + 1)),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("adc_q4"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("adc_q4", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k_top)
+        .orderBy("qid", "rk")
     )

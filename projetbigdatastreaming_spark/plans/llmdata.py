@@ -3851,6 +3851,211 @@ ORDER BY mi, cid
 """
 
 
+# -- IVF-PQ (IVFADC): coarse quantizer + PQ on residuals ---------------------
+
+
+def q_emb_ivfpq_topk(spark, sf_dir):
+    """IVFADC search (Jégou et al. 2011 §IV): IVF routes vectors to
+    inverted lists, PQ encodes the RESIDUAL x − c(list(x)) against
+    one shared codebook, and a query ADC-scans only its nprobe
+    probed lists' codes — the composed 100 TB ANN architecture the
+    separately-green IVF ({IVF_N_LISTS} lists, nprobe {IVF_NPROBE})
+    and PQ (m={PQ_M}, k={PQ_K}) families build toward.  Exact-integer
+    ADC distances (round(d·1e4) per subspace), vec_id tie-breaks.
+    See `operators/similarity.ivfpq_topk` for the scale plan
+    (broadcast centroids+codebook, corpus never leaves its
+    partitions, list probe = broadcast equi-join on list_id)."""
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_VEC_IDS,
+        TOPK,
+        n_lists=IVF_N_LISTS,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        k=PQ_K,
+    )
+
+
+q_emb_ivfpq_topk.__doc__ = q_emb_ivfpq_topk.__doc__.format(
+    IVF_N_LISTS=IVF_N_LISTS,
+    IVF_NPROBE=IVF_NPROBE,
+    PQ_M=PQ_M,
+    PQ_K=PQ_K,
+)
+
+#: shared CTE prefix replaying the IVFADC pipeline: IVF centroids +
+#: rounded-cosine assignment (the SQL_ANN_TOPK_IVF recipe), residuals,
+#: the shared hash-seeded residual codebook, per-(vec, subspace)
+#: argmin codes, query probes, and per-(query, list, subspace,
+#: centroid) integer ADC table entries.
+_IVFPQ_CTES = f"""
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS list_id, e AS cvec
+  FROM emb
+  ORDER BY {_PQ_H}, vec_id
+  LIMIT {IVF_N_LISTS}),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY ROUND(list_cosine_similarity(v.e, c.cvec), 4) DESC,
+                       c.list_id ASC) AS rn
+    FROM emb v CROSS JOIN cents c)
+  WHERE rn = 1),
+resid AS (
+  SELECT a.vec_id, a.list_id,
+         list_transform(range(1, len(v.e) + 1),
+                        i -> v.e[i] - c.cvec[i]) AS r
+  FROM assigned a
+  JOIN emb v ON v.vec_id = a.vec_id
+  JOIN cents c ON c.list_id = a.list_id),
+seeds AS (
+  SELECT r AS e, ROW_NUMBER() OVER (ORDER BY {_PQ_H}, vec_id) - 1 AS cid
+  FROM resid
+  ORDER BY {_PQ_H}, vec_id
+  LIMIT {PQ_K}),
+subd AS (
+  SELECT v.vec_id, v.list_id, t.mi, s.cid,
+         list_aggregate(list_transform(
+             range(1, (len(v.r) // {PQ_M}) + 1),
+             i -> (v.r[t.mi * (len(v.r) // {PQ_M}) + i]
+                   - s.e[t.mi * (len(v.r) // {PQ_M}) + i])
+                  * (v.r[t.mi * (len(v.r) // {PQ_M}) + i]
+                     - s.e[t.mi * (len(v.r) // {PQ_M}) + i])),
+           'sum') AS draw
+  FROM resid v
+  CROSS JOIN range(0, {PQ_M}) t(mi)
+  CROSS JOIN seeds s),
+codes AS (
+  SELECT vec_id, list_id, mi, cid FROM (
+    SELECT vec_id, list_id, mi, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+                              ORDER BY ROUND(draw, 4), cid) AS rn
+    FROM subd)
+  WHERE rn = 1),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT q.vec_id AS qid, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ROUND(list_cosine_similarity(q.e, c.cvec), 4) DESC,
+                       c.list_id ASC) AS rn
+    FROM emb q CROSS JOIN cents c
+    WHERE q.vec_id IN ({_PQ_QIDS}))
+  WHERE rn <= {IVF_NPROBE}),
+qresid AS (
+  SELECT p.qid, p.list_id,
+         list_transform(range(1, len(q.e) + 1),
+                        i -> q.e[i] - c.cvec[i]) AS r
+  FROM probes p
+  JOIN emb q ON q.vec_id = p.qid
+  JOIN cents c ON c.list_id = p.list_id),
+qsubd AS (
+  SELECT v.qid, v.list_id, t.mi, s.cid,
+         CAST(ROUND(list_aggregate(list_transform(
+             range(1, (len(v.r) // {PQ_M}) + 1),
+             i -> (v.r[t.mi * (len(v.r) // {PQ_M}) + i]
+                   - s.e[t.mi * (len(v.r) // {PQ_M}) + i])
+                  * (v.r[t.mi * (len(v.r) // {PQ_M}) + i]
+                     - s.e[t.mi * (len(v.r) // {PQ_M}) + i])),
+           'sum') * 10000) AS BIGINT) AS d4
+  FROM qresid v
+  CROSS JOIN range(0, {PQ_M}) t(mi)
+  CROSS JOIN seeds s),
+adc AS (
+  SELECT q.qid, b.vec_id, CAST(SUM(q.d4) AS BIGINT) AS adc_q4
+  FROM codes b
+  JOIN qsubd q ON b.list_id = q.list_id AND b.mi = q.mi
+              AND b.cid = q.cid AND b.vec_id <> q.qid
+  GROUP BY q.qid, b.vec_id),
+ivfpq_ranked AS (
+  SELECT qid, vec_id, adc_q4,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc_q4, vec_id) AS INTEGER) AS rk
+  FROM adc)"""
+
+SQL_EMB_IVFPQ_TOPK = f"""
+WITH {_IVFPQ_CTES}
+SELECT qid, vec_id, adc_q4, rk
+FROM ivfpq_ranked WHERE rk <= {TOPK}
+ORDER BY qid, rk
+"""
+
+
+def q_emb_ivfpq_recall(spark, sf_dir):
+    """recall@k of the IVFADC search against the exact squared-L2
+    top-k — the quality gauge that closes the IVF-PQ loop (the
+    `emb_pq_recall`/`emb_ann_recall` pattern on the composed index).
+    Unlike plain-PQ recall, IVFADC recall is also bounded by the
+    probe: a true neighbor living in an unprobed list can never be
+    found — both engines replay the identical probe, so the measured
+    value is exact, not a tolerance check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _persist_scoped(
+        "ivfpq_recall_exact",
+        similarity.l2_topk(emb, QUERY_VEC_IDS, TOPK).select(
+            "qid", "vec_id"
+        ),
+    )
+    ann = similarity.ivfpq_topk(
+        emb,
+        QUERY_VEC_IDS,
+        TOPK,
+        n_lists=IVF_N_LISTS,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        k=PQ_K,
+    ).select("qid", "vec_id")
+    hits = (
+        exact.join(ann, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("__n_hits"))
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+SQL_EMB_IVFPQ_RECALL = f"""
+WITH {_IVFPQ_CTES},
+ann AS (
+  SELECT qid, vec_id FROM ivfpq_ranked WHERE rk <= {TOPK}),
+exact_d AS (
+  SELECT q.vec_id AS qid, v.vec_id,
+         CAST(ROUND(list_aggregate(list_transform(
+             range(1, len(v.e) + 1),
+             i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])), 'sum')
+           * 10000) AS BIGINT) AS d4
+  FROM emb v
+  JOIN emb q ON q.vec_id IN ({_PQ_QIDS}) AND v.vec_id <> q.vec_id),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY d4, vec_id) AS rk
+    FROM exact_d)
+  WHERE rk <= {TOPK}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY e.qid)
+SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+"""
+
+
 def q_ccnet_ppl_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl
@@ -4622,6 +4827,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_pq_codes": QuerySpec(q_emb_pq_codes, SQL_EMB_PQ_CODES),
     "emb_pq_recall": QuerySpec(q_emb_pq_recall, SQL_EMB_PQ_RECALL),
     "emb_pq_refine": QuerySpec(q_emb_pq_refine, SQL_EMB_PQ_REFINE),
+    "emb_ivfpq_topk": QuerySpec(q_emb_ivfpq_topk, SQL_EMB_IVFPQ_TOPK),
+    "emb_ivfpq_recall": QuerySpec(
+        q_emb_ivfpq_recall, SQL_EMB_IVFPQ_RECALL
+    ),
     "bpe_learn_merges": QuerySpec(q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
     "emb_pca_power": QuerySpec(q_emb_pca_power, SQL_EMB_PCA_POWER),

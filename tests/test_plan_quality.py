@@ -122,6 +122,29 @@ def test_bloom_screened_dedup_probes_hits_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_probe_is_broadcast_equijoin_corpus_stays_put(
+    spark, sf_dir
+):
+    """IVFADC (emb_ivfpq_topk): centroids and codebook are broadcast
+    1-row relations, the inverted-list probe is a broadcast
+    equi-join on list_id (never a shuffle of the corpus codes), the
+    per-query top-k is group-limited map-side, and nothing collapses
+    to one partition."""
+    plan = _plan(spark, sf_dir, "emb_ivfpq_topk")
+    # the list probe: an equi-hash-join keyed on list_id with the
+    # query-table side broadcast
+    assert any(
+        "BroadcastHashJoin [list_id" in ln
+        for ln in plan.splitlines()
+    ), plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+    for frag in plan.split("Window [")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert ", [], [" not in head, f"unpartitioned Window: {head}"
+
+
 def test_tpch_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
     # nation⋈region is a broadcast dim build; the three fact-side joins
     # may shuffle but nothing degenerates to a cartesian/BNLJ
@@ -246,6 +269,12 @@ _BNLJ_ALLOWED = {
     "emb_pq_codes",
     "emb_pq_recall",
     "emb_pq_refine",
+    # IVFADC composes the ivf_assign centroid-row broadcast with the
+    # PQ codebook-row broadcast (both 1-row collected relations
+    # crossed into map-side folds); the list probe itself is a
+    # broadcast equi-JOIN on list_id, not a BNLJ
+    "emb_ivfpq_topk",
+    "emb_ivfpq_recall",
     # emb_pca_power normalizes the d-row iterate against a one-row
     # norm scalar each power step — d x 1 BNLJs over KB relations
     "emb_pca_power",
