@@ -313,6 +313,90 @@ def test_pq_adc_recall_bounds_and_table_equivalence(spark, sf_dir):
             assert vals == sorted(vals)  # ranked by distance
 
 
+def test_ivfpq_candidates_confined_to_probed_lists(spark, sf_dir):
+    """IVFADC invariants: per-query recall in [0,1]; every returned
+    candidate's IVF list is one of that query's nprobe probed lists
+    (the inverted-list confinement that makes the scan ~nprobe/
+    n_lists of the corpus); ranks contiguous, ADC scores ascending,
+    self excluded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from projetbigdatastreaming_spark.operators.similarity import (
+        _dot,
+        ivf_assign,
+        ivfpq_topk,
+    )
+    from projetbigdatastreaming_spark.plans.llmdata import (
+        IVF_N_LISTS,
+        IVF_NPROBE,
+        PQ_K,
+        PQ_M,
+        QUERY_VEC_IDS,
+        TOPK,
+        q_emb_ivfpq_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rec = {
+        r.qid: r.recall_at_k
+        for r in q_emb_ivfpq_recall(spark, sf_dir).collect()
+    }
+    assert set(rec) == set(QUERY_VEC_IDS)
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
+
+    ann = ivfpq_topk(
+        emb, QUERY_VEC_IDS, TOPK,
+        n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE, m=PQ_M, k=PQ_K,
+    ).collect()
+    per = {}
+    for r in ann:
+        per.setdefault(r.qid, []).append(r)
+    for qid, rs in per.items():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert qid not in {r.vec_id for r in rs}
+        vals = [r.adc_q4 for r in rs]
+        assert vals == sorted(vals)
+
+    # recompute each query's probed lists independently and check
+    # confinement: every candidate's assigned list was probed
+    assigned, cents = ivf_assign(emb, IVF_N_LISTS)
+    q = assigned.where(
+        F.col("vec_id").isin(QUERY_VEC_IDS)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("__sim"), F.asc("list_id")
+    )
+    probes = {
+        (r.qid, r.list_id)
+        for r in q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "list_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                4,
+            ).alias("__sim"),
+        )
+        .withColumn("__rk", F.row_number().over(wq))
+        .where(F.col("__rk") <= IVF_NPROBE)
+        .collect()
+    }
+    vec_list = {
+        r.vec_id: r.list_id
+        for r in assigned.select("vec_id", "list_id").collect()
+    }
+    for r in ann:
+        assert (r.qid, vec_list[r.vec_id]) in probes, (
+            r.qid, r.vec_id, vec_list[r.vec_id],
+        )
+
+
 def test_pq_refine_never_increases_total_error(spark, sf_dir):
     """One Lloyd step must not increase total quantization error
     (k-means monotonicity: means minimize within-cell SSE, then
