@@ -69,10 +69,10 @@ QUERY_ORDER = (
     # 3) new in round 7 — first driver verdict (window fill; any
     # remaining slots carry the oldest r04 rows)
     "dedup_incremental_bloom", "emb_ivfpq_topk", "emb_ivfpq_recall",
-    "bpe_learn_merges",
+    "curation_weighted_sample",
     # 4) green in the round-4 driver run
     "pysource_synthetic_events", "variant_json", "param_query",
-    "shard_manifest", "tpch_q12",
+    "bpe_learn_merges", "shard_manifest", "tpch_q12",
     "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
     "stats_agg", "text_quality",
     "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",

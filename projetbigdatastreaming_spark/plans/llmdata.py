@@ -4792,8 +4792,131 @@ ORDER BY doc_id
 """
 
 
+def q_curation_weighted_sample(spark, sf_dir):
+    """Soft-dedup weights applied at mixture-sampling time — the
+    RefinedWeb-style composition of three green parents: each doc's
+    sampling mass is its character count DOWN-WEIGHTED by its exact-
+    dup cluster size (`dedup_soft_weights`), the admission order
+    within each source is the deterministic A-ES weighted draw on
+    that mass (`sample_weighted`), and each source's budget fills
+    until the running EFFECTIVE mass would exceed it
+    (`mixture_budget_sample`'s 3000/1500-char budgets).  So a text
+    duplicated 10× competes for budget with one-tenth the mass per
+    copy instead of being dropped — duplicates are down-weighted,
+    not discarded (He et al. 2024).
+
+    Numerics: effective mass is kept as EXACT integer micro-chars
+    (n_chars·10⁶ DIV cluster_size), so the per-source running sum is
+    a BIGINT cumulative — no float-summation drift anywhere; the A-ES
+    draw key is only ever COMPARED (identical IEEE doubles both
+    engines), never summed.
+
+    Scale plan: one fp exchange for the cluster-size window + one
+    source exchange for the budget window (both high-cardinality /
+    bounded-state respectively), draw key map-only — the same two-
+    exchange shape as its parents combined; nothing global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("fp")
+    )
+    csize = (
+        F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("bigint")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("w0"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(1152921504606846977.0)
+    weighted = (
+        sized.withColumn("cluster_size", csize)
+        .withColumn(
+            "eff_chars_q6",
+            F.expr(
+                "CAST(n_chars AS BIGINT) * 1000000 DIV cluster_size"
+            ),
+        )
+        .withColumn(
+            "__draw",
+            -F.log(u)
+            / (
+                F.col("n_chars").cast("double")
+                / F.col("cluster_size")
+            ),
+        )
+    )
+    budget_q6 = F.when(
+        F.substring("source", -1, 1).isin("0", "1", "2", "3", "4"),
+        F.lit(3000000000),
+    ).otherwise(F.lit(1500000000))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("__draw").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weighted.select(
+            "doc_id",
+            "source",
+            "cluster_size",
+            "eff_chars_q6",
+            F.sum("eff_chars_q6").over(w).cast("bigint").alias(
+                "cum_eff_q6"
+            ),
+            budget_q6.cast("bigint").alias("budget_q6"),
+        )
+        .where(F.col("cum_eff_q6") <= F.col("budget_q6"))
+        .orderBy("source", "cum_eff_q6", "doc_id")
+    )
+
+
+SQL_CURATION_WEIGHTED_SAMPLE = f"""
+WITH sized AS (
+  SELECT doc_id, source, n_chars, md5(text) AS fp FROM documents),
+c AS (
+  SELECT doc_id, source, n_chars,
+         COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+  FROM sized),
+drawn AS (
+  SELECT doc_id, source, cluster_size,
+         CAST(n_chars AS BIGINT) * 1000000 // cluster_size
+           AS eff_chars_q6,
+         -ln(({_DUCK_HASH_W} + 1) / 1152921504606846977.0)
+           / (n_chars / CAST(cluster_size AS DOUBLE)) AS draw
+  FROM c),
+filled AS (
+  SELECT doc_id, source,
+         CAST(cluster_size AS BIGINT) AS cluster_size,
+         eff_chars_q6,
+         CAST(SUM(eff_chars_q6) OVER (PARTITION BY source
+              ORDER BY draw ASC, doc_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_eff_q6,
+         CAST(CASE WHEN substr(source, -1) IN ('0','1','2','3','4')
+              THEN 3000000000 ELSE 1500000000 END AS BIGINT)
+           AS budget_q6
+  FROM drawn)
+SELECT doc_id, source, cluster_size, eff_chars_q6, cum_eff_q6,
+       budget_q6
+FROM filled
+WHERE cum_eff_q6 <= budget_q6
+ORDER BY source, cum_eff_q6, doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "filter_waterfall": QuerySpec(q_filter_waterfall, SQL_FILTER_WATERFALL),
+    "curation_weighted_sample": QuerySpec(
+        q_curation_weighted_sample, SQL_CURATION_WEIGHTED_SAMPLE
+    ),
     "lang_balance_sample": QuerySpec(
         q_lang_balance_sample, SQL_LANG_BALANCE_SAMPLE
     ),
