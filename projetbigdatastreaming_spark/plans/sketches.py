@@ -440,8 +440,10 @@ def q_kmv_distinct(spark, sf_dir):
     Scale plan: one (event_type, hash) distinct agg (map-side
     partials), then a per-type k-smallest — an event_type-PARTITIONED
     window over the distinct-hash relation (bounded by distinct
-    cardinality, never raw events; the mergeable production form
-    keeps per-shard bottom-k state like `sample_bottomk_mergeable`).
+    cardinality, never raw events).  The mergeable production form is
+    `streaming/sketches.kmv_batch_writer`/`read_kmv`: per-shard
+    bottom-k state whose fold is pinned VALUE-equal to this direct
+    estimate, replay-safe and compactable via the curation protocol.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id"

@@ -450,3 +450,106 @@ def compact_bloom(spark: SparkSession, state_dir: str) -> int:
         )
     shutil.rmtree(aside, ignore_errors=True)
     return n
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch — the mergeable production form
+# ---------------------------------------------------------------------------
+
+#: matches plans/sketches.KMV_K (not imported: plans -> operators ->
+#: streaming must stay acyclic); the estimator arithmetic below is the
+#: q_kmv_distinct recipe verbatim, which a pinned test asserts.
+KMV_K = 256
+
+KMV_STATE_SCHEMA = "event_type string, h long, batch_id int"
+
+
+def kmv_batch_writer(
+    state_dir: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = KMV_K,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: reduce the batch to its per-group bottom-k
+    DISTINCT portable hashes — the KMV sketch state (Bar-Yossef et
+    al. 2002) — and restate the batch's own partition.
+
+    Merge-equals-direct is exact, not approximate: any hash among the
+    global k smallest is k-smallest within every batch that saw it,
+    so the fold's rank-k hash equals the one-pass rank-k hash, and
+    when fewer than k distinct hashes exist globally every one is in
+    some batch's state — `read_kmv`'s estimate is IDENTICAL to
+    computing `q_kmv_distinct` over the concatenated batches (pinned
+    by test).  Replay-safe two ways: dynamic partition overwrite
+    restates the partition, and the reader's distinct absorbs the
+    same (group, h) row landing in several batches.
+
+    State is ≤ k rows per group per batch; compaction needs no new
+    machinery — rows are unique per (group, h) natural key and the
+    reader dedups, so `curation.compact_state` applies as-is.
+    """
+    from ..operators.sampling import _portable_hash
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        hashed = batch_df.select(
+            F.col(group_col).alias("event_type"),
+            _portable_hash(F.col(key_col), "kmv0").alias("h"),
+        ).distinct()
+        w = Window.partitionBy("event_type").orderBy("h")
+        state = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select(
+                "event_type", "h", F.lit(int(batch_id)).alias("batch_id")
+            )
+        )
+        overwrite_partitions(state, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_kmv(
+    spark: SparkSession, state_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """Fold every batch's bottom-k state into the corpus-so-far KMV
+    estimate per group: (event_type, n_kept, hk, est_users) with
+    est = n if n < k (the sample IS the distinct set — exact) else
+    floor((k-1)·2^60 / h_k + 0.5) — the Beyer et al. 2007 unbiased
+    form, identical arithmetic to `plans/sketches.q_kmv_distinct`.
+
+    Fold cost is sketch-sized (≤ k·|batches| rows per group), never
+    raw events; `n_kept` is capped at k so the exact/estimate branch
+    sees the same value the one-pass form would.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = (
+        spark.read.schema(KMV_STATE_SCHEMA)
+        .parquet(state_dir)
+        .select("event_type", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.floor(
+            F.lit(float(k - 1))
+            * F.lit(float(1 << 60))
+            / F.col("hk").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    return per.select(
+        "event_type",
+        "n_kept",
+        "hk",
+        est.cast("bigint").alias("est_users"),
+    )

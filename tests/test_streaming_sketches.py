@@ -486,3 +486,78 @@ def test_bloom_compaction_readable_correct_at_every_kill_point(
     assert {
         (r.word, r.bits) for r in read_bloom(spark, state).collect()
     } == want
+
+
+def test_streaming_kmv_fold_equals_direct_estimate(spark, tmp_path):
+    """Merge-equals-direct, pinned VALUE-exact: the per-batch
+    bottom-k fold's estimate must equal q_kmv_distinct's estimate
+    over the same events (the k global-smallest hashes are each
+    k-smallest in their own batch; below k the folded sample IS the
+    distinct set)."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.sketches import (
+        q_kmv_distinct,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        kmv_batch_writer,
+        read_kmv,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    state = str(tmp_path / "kmv_state")
+    write = kmv_batch_writer(state)
+    # three arbitrary shards (uneven on purpose)
+    write(ev.where("user_id % 5 < 2"), 0)
+    write(ev.where("user_id % 5 = 2"), 1)
+    write(ev.where("user_id % 5 > 2"), 2)
+
+    folded = {
+        r.event_type: r.est_users for r in read_kmv(spark, state).collect()
+    }
+    direct = {
+        r.event_type: r.est_users
+        for r in q_kmv_distinct(spark, sf).collect()
+    }
+    assert folded == direct
+
+
+def test_streaming_kmv_replay_and_compaction_idempotent(
+    spark, tmp_path
+):
+    """At-least-once redelivery restates the partition; compaction
+    via the generic curation protocol (rows unique per natural key,
+    reader dedups) preserves every estimate and converges to one
+    base partition."""
+    import os
+
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.streaming.curation import (
+        compact_state,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        BASE_ID,
+        kmv_batch_writer,
+        read_kmv,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id"
+    )
+    state = str(tmp_path / "kmv_state2")
+    write = kmv_batch_writer(state)
+    b1 = ev.where("user_id % 3 = 1")
+    write(ev.where("user_id % 3 <> 1"), 0)
+    write(b1, 1)
+    rows = lambda: sorted(
+        map(tuple, read_kmv(spark, state).collect())
+    )  # noqa: E731
+    before = rows()
+    write(b1, 1)  # redelivery
+    assert rows() == before
+    assert compact_state(spark, state) > 0
+    parts = [
+        n for n in os.listdir(state) if n.startswith("batch_id=")
+    ]
+    assert parts == [f"batch_id={BASE_ID}"], parts
+    assert rows() == before
