@@ -827,3 +827,70 @@ def mp4_encode_minimal(
         + _box(b"moov", _box(b"mvhd", mvhd) + traks)
         + _box(b"mdat", b"")
     )
+
+
+def bmp_structure(payload: bytes) -> dict:
+    """Pure STRUCTURAL header read for image_structure — the Python
+    twin of the `plans/media._BMP_OK` byte-math guard (same
+    conditions, same fields; no pixel decode).  The supported profile
+    is uncompressed 24-bit, so a valid header always reports 3
+    components at 8 bits."""
+    null = {"n_components": None, "bit_depth": None}
+    try:
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return null
+        data_off, header_size = struct.unpack_from("<II", payload, 10)
+        width, height_raw, planes, bpp, compression = struct.unpack_from(
+            "<iihHI", payload, 18
+        )
+        row_bytes = ((width * 3 + 3) // 4) * 4
+        if (
+            header_size < 40
+            or bpp != 24
+            or compression != 0
+            or planes != 1
+            or width <= 0
+            or len(payload) < data_off + row_bytes * abs(height_raw)
+        ):
+            return null
+        return {"n_components": 3, "bit_depth": 8}
+    except struct.error:
+        return null
+
+
+#: PNG color type -> component count (greyscale, RGB, grey+alpha,
+#: RGBA) — the IHDR channels table of the PNG spec §11.2.2
+_PNG_TYPE_COMPONENTS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_structure(payload: bytes) -> dict:
+    """Pure STRUCTURAL IHDR read for image_structure — the Python
+    twin of `plans/media._PNG_OK` (signature, 13-byte IHDR, bit
+    depth 8, color type in {0,2,4,6}, no interlace, nonzero dims);
+    components come from the spec's color-type channel table."""
+    null = {"n_components": None, "bit_depth": None}
+    try:
+        if (
+            len(payload) < 33
+            or payload[:8] != b"\x89PNG\r\n\x1a\n"
+        ):
+            return null
+        (ihdr_len,) = struct.unpack_from(">I", payload, 8)
+        if ihdr_len != 13 or payload[12:16] != b"IHDR":
+            return null
+        w, h = struct.unpack_from(">II", payload, 16)
+        depth, color, _comp, _filt, interlace = payload[24:29]
+        if (
+            depth != 8
+            or color not in _PNG_TYPE_COMPONENTS
+            or interlace != 0
+            or w == 0
+            or h == 0
+        ):
+            return null
+        return {
+            "n_components": _PNG_TYPE_COMPONENTS[color],
+            "bit_depth": 8,
+        }
+    except struct.error:
+        return null

@@ -544,3 +544,65 @@ def jpeg_resize(payload: bytes, w: int, h: int) -> bytes | None:
     ys = (np.arange(h) * px.shape[0] // h).clip(0, px.shape[0] - 1)
     xs = (np.arange(w) * px.shape[1] // w).clip(0, px.shape[1] - 1)
     return jpeg_encode(px[ys][:, xs])
+
+
+def jpeg_structure(payload: bytes) -> dict:
+    """Pure STRUCTURAL marker walk — no entropy decode, no numpy:
+    (n_components, bit_depth) from the SOF0 header of a payload that
+    passes exactly the profile guards `jpeg_decode_pixels`'s
+    structural phase applies (SOI; FF-synced segments; standalone
+    TEM/RSTn skip 2; EOI before SOS kills; non-baseline frame markers
+    kill; SOF0 accepted only with nonzero dims and 1 or 3 components
+    all 0x11-sampled; a SOS must be reached).  This is the Python
+    twin of the `plans/media._jpeg_walk_ctes` DuckDB walk — both
+    sides read the same header bytes, neither invokes the decoder, so
+    the image_structure oracle needs NO replay relation."""
+    null = {"n_components": None, "bit_depth": None}
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return null
+        pos = 2
+        prec = ncomp = None
+        while pos + 1 < len(payload):
+            if payload[pos] != 0xFF:
+                return null
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return null
+            if marker in (0x01, *range(0xD0, 0xD8)):
+                pos += 2
+                continue
+            if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                          0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return null  # non-baseline frame types
+            if pos + 4 > len(payload):
+                return null
+            (ln,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker == 0xC0:
+                if pos + 10 > len(payload):
+                    return null
+                p = payload[pos + 4]
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                nc = payload[pos + 9]
+                samps = [
+                    payload[pos + 11 + 3 * i]
+                    for i in range(nc)
+                    if pos + 12 + 3 * i <= len(payload)
+                ]
+                if (
+                    h == 0
+                    or w == 0
+                    or nc not in (1, 3)
+                    or len(samps) != nc
+                    or any(s != 0x11 for s in samps)
+                ):
+                    return null
+                prec, ncomp = p, nc
+            if marker == 0xDA:  # SOS: structural phase complete
+                if prec is None:
+                    return null
+                return {"n_components": int(ncomp), "bit_depth": int(prec)}
+            pos += 2 + ln
+        return null
+    except (IndexError, struct.error):
+        return null

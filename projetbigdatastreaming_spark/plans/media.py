@@ -30,11 +30,20 @@ largesize/to-end size semantics), and — since late round 6 — JPEG
 width/height (a recursive-CTE marker-segment walk twin of
 `jpeg_decode_pixels`'s structural phase, incl. the baseline-profile
 guards; adversarially tested against the decoder on payloads the
-fixture lacks).  Only the genuinely non-SQL-decodable columns still
-come from a literal relation REPLAYED by the same pure-Python codecs
-(via pyarrow, no Spark): pixel ``feature_hash`` (zlib/DCT decode),
-MPEG ``rms_q8`` (subband sample decode), plus the non-canonical
-fallback classes above.  For replayed columns the driver row
+fixture lacks).  Round 7 adds ``image_structure`` — (n_components,
+bit_depth) from the JPEG SOF0 / PNG IHDR / BMP header — the first
+media query with NO replay relation at all: both engines read only
+header bytes (Python struct walks vs the same DuckDB CTEs),
+adversarially cross-checked on headers the fixture lacks.  The
+remaining replayed set is MINIMAL by construction: pixel
+``feature_hash`` requires zlib inflate (PNG) or Huffman+IDCT (JPEG)
+and MPEG ``rms_q8`` requires subband synthesis — all entropy-coded
+bitstreams whose decode state is data-dependent at bit granularity,
+not expressible as fixed-offset byte math or a linear recursive
+walk; every fixed-layout field either side of the entropy stream is
+already oracle-covered (dims, precision, component count, durations,
+track counts, frame counts, PCM rms).  The non-canonical fallback
+classes above remain replayed because their layouts genuinely vary.  For replayed columns the driver row
 verifies the whole Spark side (scan → Arrow → dispatch → schema) but
 not the decoder itself; decoder correctness for those is pinned by
 the pytest golden/property suites.
@@ -174,6 +183,82 @@ def q_image_stats(spark, sf_dir):
         .mapInPandas(_batches, IMAGE_STATS_SCHEMA)
         .orderBy("media_id")
     )
+
+
+IMAGE_STRUCTURE_SCHEMA = "media_id long, n_components int, bit_depth int"
+
+
+def _image_structure(mime: str, payload: bytes) -> dict:
+    from ..operators import codecs, jpeg
+
+    if payload is None:
+        return {"n_components": None, "bit_depth": None}
+    if mime == "image/bmp":
+        return codecs.bmp_structure(bytes(payload))
+    if mime == "image/png":
+        return codecs.png_structure(bytes(payload))
+    return jpeg.jpeg_structure(bytes(payload))
+
+
+def q_image_structure(spark, sf_dir):
+    """Structural image profile (n_components, bit_depth) — the first
+    media query whose EVERY column is byte-math on both sides (round-7
+    VERDICT item 8): the Python parsers (`codecs.bmp_structure` /
+    `codecs.png_structure` / `jpeg.jpeg_structure`) read only header
+    bytes under exactly the decoders' profile guards, and the DuckDB
+    twin computes the same fields from the payload hex — NO replay
+    relation anywhere, so the driver row checks two fully independent
+    implementations of the structural dispatch path end to end
+    (scan → Arrow → mime dispatch → header walk → schema)."""
+    media = spark.read.parquet(_media_path(sf_dir)).where("kind = 'image'")
+
+    def _batches(it: Iterator) -> Iterator:
+        from ..operators.multimodal import records_to_frame
+
+        for pdf in it:
+            yield records_to_frame(
+                [
+                    _image_structure(m, p)
+                    for m, p in zip(pdf["mime"], pdf["payload"])
+                ],
+                {"media_id": pdf["media_id"]},
+            )
+
+    return (
+        media.select("media_id", "mime", "payload")
+        .mapInPandas(_batches, IMAGE_STRUCTURE_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+def _oracle_image_structure() -> str:
+    # PNG spec §11.2.2 channels-per-color-type table; color type is
+    # the IHDR byte at offset 25
+    png_comp = (
+        f"CASE {_hx_be(25, 1)} WHEN 0 THEN 1 WHEN 2 THEN 3 "
+        "WHEN 4 THEN 2 WHEN 6 THEN 4 END"
+    )
+    return f"""
+WITH RECURSIVE f AS (
+  SELECT media_id, mime, hex(payload) AS hx,
+         octet_length(payload) AS nb
+  FROM '{FIXTURE}' WHERE kind = 'image'),
+{_jpeg_walk_ctes()}
+SELECT f.media_id,
+       CAST(CASE WHEN f.mime = 'image/bmp'
+                 THEN CASE WHEN {_BMP_OK} THEN 3 END
+                 WHEN f.mime = 'image/png'
+                 THEN CASE WHEN {_PNG_OK} THEN {png_comp} END
+                 ELSE j.jn END AS INTEGER) AS n_components,
+       CAST(CASE WHEN f.mime = 'image/bmp'
+                 THEN CASE WHEN {_BMP_OK} THEN 8 END
+                 WHEN f.mime = 'image/png'
+                 THEN CASE WHEN {_PNG_OK} THEN 8 END
+                 ELSE j.jp END AS INTEGER) AS bit_depth
+FROM f
+LEFT JOIN jmeta j ON f.media_id = j.media_id
+ORDER BY f.media_id
+"""
 
 
 def q_audio_stats(spark, sf_dir):
@@ -723,6 +808,7 @@ def _jpeg_walk_ctes() -> str:
     diverge; no such row exists in the committed fixture."""
     b0, b1 = _try_byte("pos"), _try_byte("pos + 1")
     ln = _try_be("pos + 2", 2)
+    pp = _try_byte("pos + 4")
     hh, ww = _try_be("pos + 5", 2), _try_be("pos + 7", 2)
     nc = _try_byte("pos + 9")
     s1, s2, s3 = (
@@ -736,6 +822,7 @@ def _jpeg_walk_ctes() -> str:
 jw AS (
   SELECT media_id, hx, nb, CAST(2 AS BIGINT) AS pos,
          CAST(NULL AS BIGINT) AS sofh, CAST(NULL AS BIGINT) AS sofw,
+         CAST(NULL AS BIGINT) AS sofp, CAST(NULL AS BIGINT) AS sofn,
          FALSE AS sos
   FROM f
   WHERE mime = 'image/jpeg' AND nb >= 2 AND substr(hx, 1, 4) = 'FFD8'
@@ -746,10 +833,12 @@ jw AS (
               ELSE pos + 2 + ln END AS pos,
          CASE WHEN b1 = 192 THEN hh ELSE sofh END AS sofh,
          CASE WHEN b1 = 192 THEN ww ELSE sofw END AS sofw,
+         CASE WHEN b1 = 192 THEN pp ELSE sofp END AS sofp,
+         CASE WHEN b1 = 192 THEN nc ELSE sofn END AS sofn,
          (b1 = 218) AS sos
   FROM (
-    SELECT media_id, hx, nb, pos, sofh, sofw,
-           {b0} AS b0, {b1} AS b1, {ln} AS ln,
+    SELECT media_id, hx, nb, pos, sofh, sofw, sofp, sofn,
+           {b0} AS b0, {b1} AS b1, {ln} AS ln, {pp} AS pp,
            {hh} AS hh, {ww} AS ww, {nc} AS nc,
            {s1} AS s1, {s2} AS s2, {s3} AS s3
     FROM jw WHERE NOT sos) s
@@ -762,7 +851,7 @@ jw AS (
           (nc = 3 AND s1 = 17 AND s2 = 17 AND s3 = 17))))
 ),
 jmeta AS (
-  SELECT media_id, sofh AS jh, sofw AS jw_
+  SELECT media_id, sofh AS jh, sofw AS jw_, sofp AS jp, sofn AS jn
   FROM jw WHERE sos AND sofh IS NOT NULL)
 """
 
@@ -978,6 +1067,9 @@ ORDER BY f.media_id
 
 REGISTRY: dict[str, QuerySpec] = {
     "image_stats": QuerySpec(q_image_stats, _oracle_image_stats()),
+    "image_structure": QuerySpec(
+        q_image_structure, _oracle_image_structure()
+    ),
     "audio_stats": QuerySpec(q_audio_stats, _oracle_audio_stats()),
     "video_stats": QuerySpec(q_video_stats, _oracle_video_stats()),
     "media_manifest": QuerySpec(q_media_manifest, SQL_MEDIA_MANIFEST),

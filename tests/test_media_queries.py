@@ -489,3 +489,89 @@ def test_y4m_sql_motion_matches_decoder_on_adversarial_streams(tmp_path):
     for i in (7, 8, 9):  # parse-failure class: Python nulls, no ystat row
         assert i not in got, i
         assert codecs.y4m_motion(payloads[i])["n_frames"] is None
+
+
+def test_image_structure_sql_matches_python_on_adversarial_headers(
+    tmp_path, monkeypatch
+):
+    """Round-7 fully-replay-free media query: the image_structure
+    oracle (pure byte math) must reproduce the Python structural
+    parsers on headers the fixture does NOT contain — grayscale and
+    12-bit-precision JPEG, all four PNG color types (incl. the
+    gray+alpha and RGBA channel counts), 16-bit-depth and interlaced
+    PNG rejects, BMP with wrong bpp, truncations, and garbage."""
+    import struct
+
+    import numpy as np
+
+    from projetbigdatastreaming_spark.operators import codecs, jpeg
+    from projetbigdatastreaming_spark.plans.media import (
+        _image_structure,
+    )
+
+    def png_hdr(w, h, depth, color, interlace, extra=b"\x00" * 8):
+        # structure queries read only the IHDR; CRC/zlib may be junk
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+            + extra
+        )
+
+    rgb = (
+        np.arange(17 * 11 * 3, dtype=np.uint8).reshape(11, 17, 3) * 7
+    ) % 251
+    gray = (np.arange(9 * 13, dtype=np.uint8).reshape(13, 9) * 5) % 251
+    jbase = jpeg.jpeg_encode(rgb)
+    sof = jbase.find(b"\xff\xc0")
+
+    def patch(data, off, val):
+        b = bytearray(data)
+        b[off] = val
+        return bytes(b)
+
+    px = (np.arange(6 * 6 * 3, dtype=np.uint8).reshape(6, 6, 3)) % 251
+    bmp = codecs.bmp_encode(px)
+    payloads = [
+        ("image/jpeg", jbase),                      # 3 comp, 8 bit
+        ("image/jpeg", jpeg.jpeg_encode(gray)),     # 1 comp
+        ("image/jpeg", patch(jbase, sof + 4, 12)),  # 12-bit precision
+        ("image/jpeg", patch(jbase, sof + 1, 0xC2)),  # progressive
+        ("image/jpeg", jbase[: sof + 4]),           # truncated SOF
+        ("image/png", png_hdr(4, 3, 8, 0, 0)),      # gray: 1 comp
+        ("image/png", png_hdr(4, 3, 8, 2, 0)),      # rgb: 3 comp
+        ("image/png", png_hdr(4, 3, 8, 4, 0)),      # gray+alpha: 2
+        ("image/png", png_hdr(4, 3, 8, 6, 0)),      # rgba: 4
+        ("image/png", png_hdr(4, 3, 16, 2, 0)),     # 16-bit reject
+        ("image/png", png_hdr(4, 3, 8, 2, 1)),      # interlaced reject
+        ("image/png", png_hdr(0, 3, 8, 2, 0)),      # zero width reject
+        ("image/png", png_hdr(4, 3, 8, 2, 0)[:30]),  # truncated
+        ("image/bmp", bmp),                          # 3 comp, 8 bit
+        ("image/bmp", patch(bmp, 28, 8)),            # 8-bpp reject
+        ("image/bmp", bmp[:40]),                     # truncated
+        ("image/jpeg", b"not an image at all"),
+    ]
+    rows = [
+        (i, "image", mime, p, len(p) if p else None)
+        for i, (mime, p) in enumerate(payloads)
+    ]
+    try:
+        _swap_fixture(monkeypatch, rows, str(tmp_path / "st.parquet"))
+        got = {
+            m: (nc, bd)
+            for m, nc, bd in duckdb.connect()
+            .execute(media._oracle_image_structure())
+            .fetchall()
+        }
+    finally:
+        media._fixture_rows.cache_clear()
+    for i, (mime, p) in enumerate(payloads):
+        want = _image_structure(mime, p)
+        assert got[i] == (
+            want["n_components"],
+            want["bit_depth"],
+        ), (i, mime, got[i], want)
+    # the interesting positives really are positive
+    assert got[1] == (1, 8) and got[2] == (3, 12)
+    assert got[7] == (2, 8) and got[8] == (4, 8)
