@@ -58,6 +58,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "compact-bloom",
             "compact-curation",
             "compact-neardup",
+            "compact-ann",
         ],
     )
     mt.add_argument("path", help="table or state directory")
@@ -120,6 +121,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             nb, ns = compact_neardup(spark, args.path)
             print(f"compacted {nb} band rows, {ns} sig rows")
+            return 0
+        if args.op == "compact-ann":
+            from .streaming.annindex import compact_ann_index
+
+            print(f"compacted {compact_ann_index(spark, args.path)} codes")
             return 0
         from .streaming.curation import compact_state
 

@@ -949,53 +949,70 @@ def pq_refine(
     )
 
 
-def ivfpq_topk(
-    embeddings: DataFrame,
-    query_ids: list[int],
-    k_top: int = 10,
-    n_lists: int = 16,
-    nprobe: int = 4,
-    m: int = 4,
-    k: int = 8,
-) -> DataFrame:
-    """IVFADC — the composed IVF-PQ index of Jégou et al. 2011 §IV,
-    the actual 100 TB ANN architecture this family builds toward:
-    an IVF coarse quantizer routes each vector to one inverted list,
-    and product quantization encodes the RESIDUAL x − c(list(x))
-    (residuals concentrate around 0, so the same code budget buys
-    much finer cells than PQ on raw vectors); a query probes its
-    nprobe closest lists and ADC-scans only those lists' codes.
-
-    Composition of the r06-green parts: `ivf_assign` (broadcast
-    centroids, map-only routing), `_pq_cent_row`/`_pq_picks_expr`
-    (one shared residual codebook — Jégou's IVFADC shares one PQ
-    codebook across lists — seeded from the k hash-smallest vec_ids'
-    residuals), and the `pq_adc_topk` integer ADC (per-(query, list)
-    m×k table of round(d·1e4) ints, distance = m lookups summed).
-    Deterministic end-to-end, so the DuckDB oracle replays it.
-
-    Scale plan: the corpus never leaves its partitions — assignment,
-    residual (zip_with after a broadcast join on list_id), and code
-    fold are all map-side under broadcast ≤n_lists/≤k-row state; the
-    list probe is a broadcast equi-JOIN on list_id (the inverted-
-    list read: only ~nprobe/n_lists of the code scan survives it,
-    and codes are m small ints per vector, not D floats); per-query
-    top-k is a qid-partitioned window (WindowGroupLimit).  The
-    broadcast sides are the centroid row, the codebook row, and the
-    |Q|·nprobe-row query-table relation.
-    """
-    from pyspark.sql import Window
-
+def ivfpq_model(
+    embeddings: DataFrame, n_lists: int = 16, k: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVFADC model from a corpus: (cents, cb) where cents
+    is the (list_id, cvec, cnrm) IVF centroid relation (`ivf_assign`
+    seeding) and cb is the 1-row broadcastable shared RESIDUAL
+    codebook (`_pq_cent_row` over x − c(list(x)) residuals).  Both
+    are bounded (n_lists / k rows) and persistable — the streaming
+    ingest index trains once and encodes every later batch under the
+    same frozen model, exactly like a production IVFPQ build."""
     assigned, cents = ivf_assign(embeddings, n_lists)
-    resid = assigned.join(F.broadcast(cents), "list_id").select(
+    resid = _ivfpq_residuals(assigned, cents)
+    cb = _pq_cent_row(resid.select("vec_id", "embedding"), k)
+    return cents, cb
+
+
+def _cent_row_from(cents: DataFrame) -> DataFrame:
+    """Collapse a (list_id, cvec, cnrm) centroid relation into the
+    1-row broadcastable `__cents` form `ivf_assign` builds inline."""
+    return cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct("list_id", "cvec", "cnrm"))
+        ).alias("__cents")
+    )
+
+
+def _assign_to(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-only IVF routing of (vec_id, embedding) against an
+    EXTERNAL centroid relation — `ivf_assign`'s argmax fold, with the
+    model supplied instead of seeded from the input (the frozen-model
+    path the streaming index needs).  Returns (vec_id, embedding,
+    nrm, list_id)."""
+    emb = _as_double(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    return (
+        emb.crossJoin(F.broadcast(_cent_row_from(cents)))
+        .withColumn("list_id", F.expr(f"({_ARGMAX_CENT_EXPR}).lid"))
+        .select("vec_id", "embedding", "nrm", "list_id")
+    )
+
+
+def _ivfpq_residuals(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, list_id, embedding=residual) — map-side broadcast
+    join on list_id + zip_with subtraction; the corpus never moves."""
+    return assigned.join(F.broadcast(cents), "list_id").select(
         "vec_id",
         "list_id",
         F.expr("zip_with(embedding, cvec, (x, y) -> x - y)").alias(
             "embedding"
         ),
     )
-    cb = _pq_cent_row(resid.select("vec_id", "embedding"), k)
-    codes = (
+
+
+def ivfpq_encode(
+    embeddings: DataFrame, cents: DataFrame, cb: DataFrame, m: int = 4
+) -> DataFrame:
+    """Encode vectors under a FROZEN IVFADC model: route to lists,
+    subtract the list centroid, PQ-code the residual.  Map-only under
+    the two broadcasts; output (vec_id, list_id, cids) — m small ints
+    per vector, the memory layout the ADC scan reads."""
+    assigned = _assign_to(embeddings, cents)
+    resid = _ivfpq_residuals(assigned, cents)
+    return (
         resid.crossJoin(F.broadcast(cb))
         .withColumn("__picks", F.expr(_pq_picks_expr(m)))
         .select(
@@ -1005,12 +1022,28 @@ def ivfpq_topk(
         )
     )
 
-    q = assigned.where(
-        F.col("vec_id").isin([int(i) for i in query_ids])
-    ).select(
+
+def ivfpq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    k_top: int = 10,
+    nprobe: int = 4,
+    m: int = 4,
+) -> DataFrame:
+    """ADC search of (vec_id, embedding) queries against an encoded
+    corpus: probe the nprobe closest lists per query, residualize the
+    query against each probed centroid, build the per-(query, list)
+    m×k integer distance table, and scan only those lists' codes via
+    a broadcast equi-join on list_id.  Output (qid, vec_id, adc_q4,
+    rk ≤ k_top); self-matches excluded."""
+    from pyspark.sql import Window
+
+    q = _as_double(queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
+        _norm(F.col("embedding")).alias("qnrm"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.desc("__sim"), F.asc("list_id")
@@ -1069,3 +1102,48 @@ def ivfpq_topk(
         .where(F.col("rk") <= k_top)
         .orderBy("qid", "rk")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_top: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k: int = 8,
+) -> DataFrame:
+    """IVFADC — the composed IVF-PQ index of Jégou et al. 2011 §IV,
+    the actual 100 TB ANN architecture this family builds toward:
+    an IVF coarse quantizer routes each vector to one inverted list,
+    and product quantization encodes the RESIDUAL x − c(list(x))
+    (residuals concentrate around 0, so the same code budget buys
+    much finer cells than PQ on raw vectors); a query probes its
+    nprobe closest lists and ADC-scans only those lists' codes.
+
+    Train-encode-search composition (each piece reusable standalone —
+    the streaming ingest index persists the model and encodes batch
+    by batch): `ivfpq_model` (broadcastable centroids + shared
+    residual codebook, hash-seeded — Jégou's IVFADC shares one PQ
+    codebook across lists), `ivfpq_encode` (map-only routing +
+    residual + code fold), `ivfpq_search` (per-(query, list) integer
+    ADC tables, broadcast equi-join probe on list_id).  Deterministic
+    end-to-end, so the DuckDB oracle replays it.
+
+    Scale plan: the corpus never leaves its partitions — assignment,
+    residual (zip_with after a broadcast join on list_id), and code
+    fold are all map-side under broadcast ≤n_lists/≤k-row state; the
+    list probe is a broadcast equi-JOIN on list_id (the inverted-
+    list read: only ~nprobe/n_lists of the code scan survives it,
+    and codes are m small ints per vector, not D floats); per-query
+    top-k is a qid-partitioned window (WindowGroupLimit).  The
+    broadcast sides are the centroid row, the codebook row, and the
+    |Q|·nprobe-row query-table relation.
+    """
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    cents, cb = ivfpq_model(emb, n_lists, k)
+    codes = ivfpq_encode(emb, cents, cb, m)
+    queries = emb.where(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    )
+    return ivfpq_search(codes, queries, cents, cb, k_top, nprobe, m)

@@ -1,0 +1,179 @@
+"""Streaming embedding ANN index — IVFADC at the ingest boundary.
+
+The embedding twin of `streaming/neardup.py`: a document/embedding
+firehose is encoded batch-by-batch under a FROZEN IVFADC model
+(`operators/similarity.ivfpq_model`, trained once — the production
+shape: codebooks are trained on a corpus sample, then every later
+shard is encoded under the same model so codes stay comparable), each
+incoming batch is ADC-probed against the corpus-so-far code index,
+and then folded into the index.
+
+State layout (same replay-safety contract as the near-dup index —
+dynamic partition overwrite restates a redelivered batch's own
+partition):
+
+- ``<index_dir>/model/cents``:    (list_id, cvec, cnrm) — written ONCE
+- ``<index_dir>/model/codebook``: (cid, cvec)           — written ONCE
+- ``<index_dir>/codes``: (vec_id, list_id, cids, batch_id) — m small
+  ints per ingested vector, the ADC scan layout
+- ``<flags_dir>``: (qid, vec_id, adc_q4, rk, batch_id) — for each new
+  vector (qid), its top-k approximate neighbors among EARLIER vectors
+  (batch-vs-corpus semantics, like `exact_dedup_screen_writer`)
+
+Scale: per-batch work is the map-only encode (broadcast model) plus
+an ADC probe that touches only the probed lists' codes via a
+broadcast equi-join on list_id — the corpus index is never rescanned
+whole, and nothing ever shuffles an embedding.  Index rows are unique
+per vec_id (natural key), so `curation.compact_state` folds the
+per-batch partitions crash-safely with no new machinery, exactly as
+for the near-dup index (`maintain compact-neardup` precedent).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ivfpq_encode, ivfpq_model, ivfpq_search
+from ..sinks.files import overwrite_partitions
+
+logger = logging.getLogger(__name__)
+
+CODES_STATE_SCHEMA = (
+    "vec_id long, list_id long, cids array<int>, batch_id int"
+)
+
+
+def build_ann_model(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_lists: int = 16,
+    k: int = 8,
+) -> None:
+    """Train and persist the frozen IVFADC model (centroids + shared
+    residual codebook) from a training corpus — run once before the
+    stream starts.  Overwrites any existing model: changing the model
+    invalidates every stored code, so re-training implies re-encoding
+    (the same contract as any production ANN index rebuild)."""
+    cents, cb = ivfpq_model(embeddings, n_lists, k)
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/model/cents"
+    )
+    cb.select(F.explode("__cents").alias("c")).select(
+        "c.cid", "c.cvec"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/model/codebook"
+    )
+
+
+def load_ann_model(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(cents, cb) in the shapes `ivfpq_encode`/`ivfpq_search` take;
+    cb is rebuilt into the 1-row `__cents` form (sort_array on the
+    struct array orders by cid, matching `_pq_cent_row`)."""
+    cents = spark.read.parquet(f"{index_dir}/model/cents")
+    cb = (
+        spark.read.parquet(f"{index_dir}/model/codebook")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("cid", "cvec"))
+            ).alias("__cents")
+        )
+    )
+    return cents, cb
+
+
+def ann_ingest_writer(
+    index_dir: str,
+    flags_dir: str,
+    k_top: int = 10,
+    nprobe: int = 4,
+    m: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch stage: encode the batch under the frozen model,
+    flag each new vector's top-k approximate neighbors among the
+    corpus-so-far, then fold the batch's codes into the index.
+
+    Batch-vs-corpus semantics: within-batch neighbor pairs are NOT
+    flagged (mirror of `exact_dedup_screen_writer`) — the flags
+    answer "what already-ingested vectors does this new one sit
+    near", the ingest-time question (near-dup routing, cluster
+    assignment, novelty scoring).  A replayed batch excludes its own
+    prior index partition so a vector never matches its earlier
+    delivery; the `dropDuplicates(vec_id)` fold absorbs the
+    compaction kill-point dual state, and the search's qid<>vec_id
+    guard shields replays of already-compacted batches from
+    self-pairs (the near-dup index contract, verbatim).
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cents, cb = load_ann_model(spark, index_dir)
+        codes_new = ivfpq_encode(
+            batch_df.select("vec_id", "embedding"), cents, cb, m
+        )
+
+        try:
+            codes_old = spark.read.schema(CODES_STATE_SCHEMA).parquet(
+                f"{index_dir}/codes"
+            )
+        except Exception:  # first batch: no index yet
+            codes_old = None
+        if codes_old is not None:
+            corpus = (
+                codes_old.where(F.col("batch_id") != batch_id)
+                .dropDuplicates(["vec_id"])
+                .select("vec_id", "list_id", "cids")
+            )
+            flags = ivfpq_search(
+                corpus,
+                batch_df.select("vec_id", "embedding"),
+                cents,
+                cb,
+                k_top,
+                nprobe,
+                m,
+            ).withColumn("batch_id", F.lit(int(batch_id)))
+        else:
+            flags = spark.createDataFrame(
+                [],
+                "qid long, vec_id long, adc_q4 long, rk int, batch_id int",
+            )
+        overwrite_partitions(flags, flags_dir, ["batch_id"])
+        overwrite_partitions(
+            codes_new.withColumn("batch_id", F.lit(int(batch_id))),
+            f"{index_dir}/codes",
+            ["batch_id"],
+        )
+        logger.info("batch %s: ann index updated", batch_id)
+
+    return _fn
+
+
+def read_ann_codes(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The corpus-so-far code index, deduped by natural key — the
+    relation `ivfpq_search` queries run against (and the fold
+    `compact_state` rewrites)."""
+    return (
+        spark.read.schema(CODES_STATE_SCHEMA)
+        .parquet(f"{index_dir}/codes")
+        .dropDuplicates(["vec_id"])
+        .select("vec_id", "list_id", "cids")
+    )
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold the per-batch code partitions into a single base
+    partition — `curation.compact_state` verbatim (rows unique per
+    vec_id, readers dedup); returns the compacted row count.  Same
+    operational rule as `compact_neardup`: compact past the stream's
+    redelivery horizon."""
+    from .curation import compact_state
+
+    return compact_state(spark, f"{index_dir}/codes")

@@ -1,0 +1,174 @@
+"""Streaming IVFADC ingest index: frozen-model encode per batch,
+batch-vs-corpus ADC probe, replay safety, compaction — and the
+headline pin: the stream-folded index answers queries EXACTLY like
+the one-pass batch operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projetbigdatastreaming_spark.catalog import load_table
+from projetbigdatastreaming_spark.plans.llmdata import (
+    IVF_N_LISTS,
+    IVF_NPROBE,
+    PQ_K,
+    PQ_M,
+    QUERY_VEC_IDS,
+    TOPK,
+)
+from projetbigdatastreaming_spark.streaming.annindex import (
+    ann_ingest_writer,
+    build_ann_model,
+    compact_ann_index,
+    load_ann_model,
+    read_ann_codes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ingest_in_batches(spark, tmp_path, n_batches=3):
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    index_dir = str(tmp_path / "ann_index")
+    flags_dir = str(tmp_path / "ann_flags")
+    build_ann_model(emb, index_dir, n_lists=IVF_N_LISTS, k=PQ_K)
+    write = ann_ingest_writer(
+        index_dir, flags_dir, k_top=TOPK, nprobe=IVF_NPROBE, m=PQ_M
+    )
+    for b in range(n_batches):
+        write(emb.where(F.col("vec_id") % n_batches == b), b)
+    return emb, index_dir, flags_dir, write
+
+
+def test_stream_folded_index_equals_batch_ivfpq(spark, tmp_path):
+    """After full ingest, searching the folded code index under the
+    persisted model must return EXACTLY the batch operator's rows —
+    the model round-trips through parquet, the per-batch encodes
+    equal the one-pass encode, and the fold loses nothing."""
+    from projetbigdatastreaming_spark.operators.similarity import (
+        ivfpq_search,
+        ivfpq_topk,
+    )
+
+    emb, index_dir, _, _ = _ingest_in_batches(spark, tmp_path)
+    cents, cb = load_ann_model(spark, index_dir)
+    queries = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS))
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                read_ann_codes(spark, index_dir),
+                queries,
+                cents,
+                cb,
+                TOPK,
+                IVF_NPROBE,
+                PQ_M,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb,
+                QUERY_VEC_IDS,
+                TOPK,
+                n_lists=IVF_N_LISTS,
+                nprobe=IVF_NPROBE,
+                m=PQ_M,
+                k=PQ_K,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == len(QUERY_VEC_IDS) * TOPK
+
+
+def test_ann_flags_cross_batch_and_replay(spark, tmp_path):
+    """A later batch's vector is flagged against EARLIER vectors only
+    (batch-vs-corpus); the first batch flags nothing; replaying a
+    batch under the same batch_id restates its partitions without
+    duplication."""
+    emb, index_dir, flags_dir, write = _ingest_in_batches(
+        spark, tmp_path
+    )
+    flags = spark.read.parquet(flags_dir)
+    n_batches = 3
+    # first batch probes an empty corpus
+    assert flags.where("batch_id = 0").count() == 0
+    # every flagged neighbor was ingested in an EARLIER batch, every
+    # query vector in the flagging batch itself, never a self-pair
+    for r in flags.collect():
+        assert r.vec_id % n_batches < r.batch_id
+        assert r.qid % n_batches == r.batch_id
+        assert r.qid != r.vec_id
+    # later batches do flag neighbors (10 per new vector at k=TOPK
+    # once the corpus is big enough)
+    assert flags.where("batch_id = 2").count() > 0
+
+    before_flags = sorted(map(tuple, flags.collect()))
+    before_codes = sorted(
+        map(tuple, read_ann_codes(spark, index_dir).collect())
+    )
+    write(emb.where(F.col("vec_id") % 3 == 2), 2)  # redelivery
+    assert (
+        sorted(map(tuple, spark.read.parquet(flags_dir).collect()))
+        == before_flags
+    )
+    assert (
+        sorted(map(tuple, read_ann_codes(spark, index_dir).collect()))
+        == before_codes
+    )
+
+
+def test_ann_index_compaction_preserves_answers(spark, tmp_path):
+    """compact_ann_index folds codes to one base partition; searches
+    and subsequent ingests are unchanged; the CLI op drives it."""
+    import os
+
+    from projetbigdatastreaming_spark.__main__ import main
+    from projetbigdatastreaming_spark.operators.similarity import (
+        ivfpq_search,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import BASE_ID
+
+    emb, index_dir, flags_dir, write = _ingest_in_batches(
+        spark, tmp_path
+    )
+    cents, cb = load_ann_model(spark, index_dir)
+    queries = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS))
+
+    def answers():
+        return sorted(
+            map(
+                tuple,
+                ivfpq_search(
+                    read_ann_codes(spark, index_dir),
+                    queries,
+                    cents,
+                    cb,
+                    TOPK,
+                    IVF_NPROBE,
+                    PQ_M,
+                ).collect(),
+            )
+        )
+
+    before = answers()
+    assert compact_ann_index(spark, index_dir) > 0
+    parts = [
+        n
+        for n in os.listdir(f"{index_dir}/codes")
+        if n.startswith("batch_id=")
+    ]
+    assert parts == [f"batch_id={BASE_ID}"], parts
+    assert answers() == before
+
+    # a post-compaction ingest still probes and folds correctly
+    rc = main(["maintain", "compact-ann", index_dir], spark=spark)
+    assert rc == 0
+    write(emb.where(F.col("vec_id") % 3 == 1), 7)
+    assert spark.read.parquet(flags_dir).where("batch_id = 7").count() > 0
+    assert answers() == before  # dedup absorbs the restated vectors
