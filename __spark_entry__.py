@@ -208,9 +208,12 @@ HEADLINE_QUERIES = (
     # throughput while correctness runs stay on the fixture
     "image_stats",
     # round 7: the Bloom-screened incremental dedup next to its
-    # unscreened parent — the pair of rows is the shuffle-volume
-    # claim made measurable (same answer, corpus never shuffles in
-    # the screened form)
+    # unscreened parent.  Expect the screened row to read SLOWER at
+    # sf0.1/sf1: the screen trades a corpus-wide fingerprint shuffle
+    # (few MB here, the whole point at 100 TB) for three bounded
+    # broadcast jobs of fixed local-mode latency — the scale property
+    # is pinned by the plan test (no SortMergeJoin, corpus never
+    # exchanged), not by toy-scale wall-clock
     "dedup_incremental",
     "dedup_incremental_bloom",
 )

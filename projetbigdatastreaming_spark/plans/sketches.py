@@ -387,9 +387,20 @@ def q_dedup_incremental_bloom(spark, sf_dir):
     these parameters); if a huge batch overflowed the broadcast
     threshold, dropping the hint degrades to shuffling only the hit
     subset — still never the corpus.
+
+    Bench honesty (r07 rows, sf0.1/sf1): this form reads SLOWER than
+    its parent at toy scale — the screen costs three extra bounded
+    jobs (bitmap broadcast, hit-fps broadcast, matched broadcast),
+    each ~0.2-0.3 s of FIXED local-mode latency, while the corpus
+    shuffle it eliminates is only a few MB there.  The crossover is
+    where a corpus-wide fingerprint exchange stops being free; the
+    plan test (no SortMergeJoin, corpus never exchanged) pins the
+    property the wall-clock can't show at sf1.
     """
     from ..functions.text import fingerprint
     from ..operators.sketches import bloom_cells, bloom_probe
+
+    from .llmdata import _persist_scoped
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
@@ -397,7 +408,15 @@ def q_dedup_incremental_bloom(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 10 < 8).select("fp")
     batch = docs.where(F.col("doc_id") % 10 >= 8)
 
-    probed = bloom_probe(batch, bloom_cells(corpus))
+    # persisted: probed feeds THREE consumers (the miss branch, the
+    # hit branch, and — through hit_fps — the semi-join's broadcast
+    # side); without the cache the whole probe subtree INCLUDING the
+    # corpus bitmap build re-runs per consumer (the r07 bench showed
+    # 3x the unscreened parent's wall from exactly that).  State is
+    # batch-sized; scoped like the llmdata persists.
+    probed = _persist_scoped(
+        "dedup_bloom_probed", bloom_probe(batch, bloom_cells(corpus))
+    )
     definitely_new = probed.where(F.col("bloom_hit") == 0)
     hits = probed.where(F.col("bloom_hit") == 1)
 
