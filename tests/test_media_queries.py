@@ -575,3 +575,68 @@ def test_image_structure_sql_matches_python_on_adversarial_headers(
     # the interesting positives really are positive
     assert got[1] == (1, 8) and got[2] == (3, 12)
     assert got[7] == (2, 8) and got[8] == (4, 8)
+
+
+def test_image_structure_sql_matches_python_on_random_mutants(
+    tmp_path, monkeypatch
+):
+    """Seeded fuzz: hundreds of random single/multi-byte mutants and
+    truncations of valid JPEG/PNG/BMP payloads through BOTH sides of
+    image_structure — any divergence between the Python struct walks
+    and the DuckDB byte-math CTEs fails with the offending payload's
+    seed, catching guard-order or bounds mismatches the curated
+    adversarial list can't enumerate."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from projetbigdatastreaming_spark.operators import codecs, jpeg
+    from projetbigdatastreaming_spark.plans.media import (
+        _image_structure,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    px = (np.arange(10 * 14 * 3, dtype=np.uint8).reshape(14, 10, 3)) % 251
+    bases = [
+        ("image/jpeg", jpeg.jpeg_encode(px)),
+        ("image/bmp", codecs.bmp_encode(px)),
+        (
+            "image/png",
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", 10, 14, 8, 2, 0, 0, 0)
+            + b"\x00" * 16,
+        ),
+    ]
+    payloads = []
+    for mime, base in bases:
+        payloads.append((mime, base))
+        for _ in range(60):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 3)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                b = b[: rng.randrange(len(b) + 1)]
+            payloads.append((mime, bytes(b)))
+    rows = [
+        (i, "image", mime, p, len(p) if p else None)
+        for i, (mime, p) in enumerate(payloads)
+    ]
+    try:
+        _swap_fixture(monkeypatch, rows, str(tmp_path / "fz.parquet"))
+        got = {
+            m: (nc, bd)
+            for m, nc, bd in duckdb.connect()
+            .execute(media._oracle_image_structure())
+            .fetchall()
+        }
+    finally:
+        media._fixture_rows.cache_clear()
+    for i, (mime, p) in enumerate(payloads):
+        want = _image_structure(mime, p)
+        assert got[i] == (
+            want["n_components"],
+            want["bit_depth"],
+        ), (i, mime, got[i], want, p.hex()[:80])
