@@ -104,7 +104,8 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def sniff_format(payload: bytes) -> str | None:
     """Identify a payload's container format from its magic bytes.
 
-    Returns one of ``bmp png jpeg wav y4m mp4 mpeg_audio`` or None.
+    Returns one of ``bmp png jpeg gif wav y4m mp4 mpeg_audio`` or
+    None.
     Signature-based (not the mime column) so mislabeled rows still
     decode and garbage mislabeled as media nulls out instead of
     crashing a real codec.
@@ -118,6 +119,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if p[:2] == b"\xff\xd8":
         return "jpeg"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "wav"
     if p[:9] == b"YUV4MPEG2":
@@ -158,6 +161,10 @@ def auto_image_decode(payload: bytes, strict: bool = False) -> dict[str, Any]:
         return codecs.png_decode(bytes(payload))
     if fmt == "jpeg":
         return jpeg.jpeg_decode(bytes(payload))
+    if fmt == "gif":
+        from . import gif
+
+        return gif.gif_decode(bytes(payload))
     _unsupported("image-decode", fmt, strict)
     return dict(_NULL_IMAGE)
 
@@ -224,7 +231,7 @@ def auto_image_resize(
     payload: bytes, w: int, h: int, strict: bool = False
 ) -> bytes | None:
     """Signature-dispatched real nearest-neighbor resize, re-encoded
-    in the source format (BMP/PNG/JPEG).  Unrecognized formats ->
+    in the source format (BMP/PNG/JPEG/GIF).  Unrecognized formats ->
     None (or NotImplementedError under strict)."""
     from . import codecs, jpeg
 
@@ -235,6 +242,10 @@ def auto_image_resize(
         return codecs.png_resize(bytes(payload), w, h)
     if fmt == "jpeg":
         return jpeg.jpeg_resize(bytes(payload), w, h)
+    if fmt == "gif":
+        from . import gif
+
+        return gif.gif_resize(bytes(payload), w, h)
     _unsupported("image-resize", fmt, strict)
     return None
 

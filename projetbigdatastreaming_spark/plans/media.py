@@ -1,5 +1,5 @@
 """Driver-visible queries over the in-repo media fixture — the
-correctness surface for the codec family (BMP/PNG/JPEG/WAV/Y4M/MP4).
+correctness surface for the codec family (BMP/PNG/JPEG/GIF/WAV/Y4M/MP4).
 
 Until round 4 the codecs were pytest-only: the driver's tables carry
 no binary media, so decode plumbing had zero CORRECTNESS_r* signal.
@@ -49,10 +49,14 @@ not the decoder itself; decoder correctness for those is pinned by
 the pytest golden/property suites.
 ``media_manifest`` is fully engine-independent (both engines hash
 the raw payload bytes: md5 over hex, the portable-hash idiom).
-Residual SQL blind spots (same class): PNG zlib-stream integrity
-and JPEG entropy-stream / 16-bit-DQT validity cannot be checked in
-SQL, so a payload with valid headers but corrupt compressed data
-would diverge — no such row exists in the committed fixture.
+Residual SQL blind spots (same class): PNG zlib-stream integrity,
+JPEG entropy-stream / 16-bit-DQT validity, and GIF LZW-stream /
+image-descriptor validity (the descriptor sits past the variable-
+length extension chain) cannot be checked in SQL, so a payload with
+a valid header but corrupt compressed data (or an out-of-profile
+descriptor) would diverge — no such row exists in the committed
+fixture.  ``image_structure`` is immune by construction: its GIF
+fields read only the fixed 13-byte header on both sides.
 
 Scale plan: all four queries are map-only over the media scan plus a
 ≤|kinds|-key hash-agg (manifest); payloads cross into Python only as
@@ -123,7 +127,7 @@ VIDEO_STATS_SCHEMA = (
 
 
 def _image_decode(mime: str, payload: bytes) -> dict:
-    from ..operators import codecs, jpeg
+    from ..operators import codecs, gif, jpeg
 
     if payload is None:
         return {"width": None, "height": None, "feature_hash": None}
@@ -131,6 +135,8 @@ def _image_decode(mime: str, payload: bytes) -> dict:
         return codecs.bmp_decode(bytes(payload))
     if mime == "image/png":
         return codecs.png_decode(bytes(payload))
+    if mime == "image/gif":
+        return gif.gif_decode(bytes(payload))
     return jpeg.jpeg_decode(bytes(payload))
 
 
@@ -189,7 +195,7 @@ IMAGE_STRUCTURE_SCHEMA = "media_id long, n_components int, bit_depth int"
 
 
 def _image_structure(mime: str, payload: bytes) -> dict:
-    from ..operators import codecs, jpeg
+    from ..operators import codecs, gif, jpeg
 
     if payload is None:
         return {"n_components": None, "bit_depth": None}
@@ -197,6 +203,8 @@ def _image_structure(mime: str, payload: bytes) -> dict:
         return codecs.bmp_structure(bytes(payload))
     if mime == "image/png":
         return codecs.png_structure(bytes(payload))
+    if mime == "image/gif":
+        return gif.gif_structure(bytes(payload))
     return jpeg.jpeg_structure(bytes(payload))
 
 
@@ -249,11 +257,16 @@ SELECT f.media_id,
                  THEN CASE WHEN {_BMP_OK} THEN 3 END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {png_comp} END
+                 WHEN f.mime = 'image/gif'
+                 THEN CASE WHEN {_GIF_OK} THEN 3 END
                  ELSE j.jn END AS INTEGER) AS n_components,
        CAST(CASE WHEN f.mime = 'image/bmp'
                  THEN CASE WHEN {_BMP_OK} THEN 8 END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN 8 END
+                 WHEN f.mime = 'image/gif'
+                 THEN CASE WHEN {_GIF_OK}
+                      THEN ({_hx_le(10, 1)} & 7) + 1 END
                  ELSE j.jp END AS INTEGER) AS bit_depth
 FROM f
 LEFT JOIN jmeta j ON f.media_id = j.media_id
@@ -419,6 +432,20 @@ _PNG_OK = (
     f"AND {_hx_be(25, 1)} IN (0, 2, 4, 6) "  # color type
     f"AND {_hx_be(28, 1)} = 0 "  # interlace
     f"AND {_hx_be(16, 4)} > 0 AND {_hx_be(20, 4)} > 0"
+)
+
+_GIF_W = _hx_le(6, 2)
+_GIF_H = _hx_le(8, 2)
+#: header-only guards, mirrored EXACTLY by `gif.gif_structure` (and
+#: by the dims gate of `_gif_pixels`' profile): GIF87a/89a magic,
+#: nonzero logical-screen dims, global color table present.  Reads
+#: nothing past byte 12 — see the entropy-boundary note in the module
+#: docstring (the LZW stream is GIF's zlib/Huffman analogue).
+_GIF_OK = (
+    "nb >= 13 AND substr(hx, 1, 8) = '47494638' "
+    "AND substr(hx, 9, 4) IN ('3761', '3961') "
+    f"AND ({_hx_le(10, 1)} & 128) = 128 "
+    f"AND {_GIF_W} > 0 AND {_GIF_H} > 0"
 )
 
 #: stdlib-`wave` canonical layout: RIFF/WAVE, fmt chunk at 12, data
@@ -869,11 +896,15 @@ SELECT f.media_id,
                  THEN CASE WHEN {_BMP_OK} THEN {_BMP_W} END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {_hx_be(16, 4)} END
+                 WHEN f.mime = 'image/gif'
+                 THEN CASE WHEN {_GIF_OK} THEN {_GIF_W} END
                  ELSE j.jw_ END AS INTEGER) AS width,
        CAST(CASE WHEN f.mime = 'image/bmp'
                  THEN CASE WHEN {_BMP_OK} THEN abs({_BMP_H_RAW}) END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {_hx_be(20, 4)} END
+                 WHEN f.mime = 'image/gif'
+                 THEN CASE WHEN {_GIF_OK} THEN {_GIF_H} END
                  ELSE j.jh END AS INTEGER) AS height,
        CAST(r.feature_hash AS BIGINT) AS feature_hash
 FROM f
@@ -1048,12 +1079,16 @@ SELECT f.media_id,
                  THEN CASE WHEN {_BMP_OK} THEN {THUMB_W} END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {THUMB_W} END
+                 WHEN f.mime = 'image/gif'
+                 THEN CASE WHEN {_GIF_OK} THEN {THUMB_W} END
                  WHEN j.media_id IS NOT NULL THEN {THUMB_W}
             END AS INTEGER) AS out_w,
        CAST(CASE WHEN f.mime = 'image/bmp'
                  THEN CASE WHEN {_BMP_OK} THEN {THUMB_H} END
                  WHEN f.mime = 'image/png'
                  THEN CASE WHEN {_PNG_OK} THEN {THUMB_H} END
+                 WHEN f.mime = 'image/gif'
+                 THEN CASE WHEN {_GIF_OK} THEN {THUMB_H} END
                  WHEN j.media_id IS NOT NULL THEN {THUMB_H}
             END AS INTEGER) AS out_h,
        CAST(r.n_bytes_out AS INTEGER) AS n_bytes_out,

@@ -98,7 +98,7 @@ def test_scaled_media_table(spark, tmp_path, monkeypatch):
     build_scaled(spark, src, out, factor=2)
 
     media = spark.read.parquet(os.path.join(out, "media.parquet"))
-    assert media.count() == 2 * 12 + 3  # per-copy set + garbage rows
+    assert media.count() == 2 * 13 + 3  # per-copy set + garbage rows
     assert set(
         r.kind for r in media.select("kind").distinct().collect()
     ) == {"image", "audio", "video"}
@@ -115,7 +115,7 @@ def test_scaled_media_table(spark, tmp_path, monkeypatch):
 
     rows = {r.media_id: r for r in q_image_stats(spark, out).collect()}
     decoded = [r for r in rows.values() if r.width is not None]
-    assert len(decoded) == 12  # 6 image payloads x 2 copies, all real
+    assert len(decoded) == 14  # 7 image payloads x 2 copies, all real
     # copies are perturbed, not byte-identical: same dims, new hashes
     assert rows[1].feature_hash != rows[1001].feature_hash
     assert (rows[1].width, rows[1].height) == (

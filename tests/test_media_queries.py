@@ -27,12 +27,14 @@ def test_fixture_is_reproducible(tmp_path, monkeypatch):
 
 def test_image_stats_decodes_real_payloads(spark):
     out = {r.media_id: r for r in media.q_image_stats(spark, None).collect()}
-    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
     assert (out[1].width, out[1].height) == (16, 9)  # BMP gradient
     assert (out[2].width, out[2].height) == (12, 7)  # PNG gradient
     assert (out[3].width, out[3].height) == (24, 16)  # baseline JPEG
+    assert (out[7].width, out[7].height) == (13, 11)  # GIF gradient
     assert out[5].width is None  # garbage jpeg rejected cleanly
     assert out[6].feature_hash is None  # NULL payload
+    assert out[8].width is None  # header-reject gif (GCT flag clear)
 
 
 def test_audio_video_stats(spark):
@@ -67,7 +69,10 @@ def test_sql_header_math_is_decoder_independent():
     assert img[1] == struct.unpack_from("<i", rows[1][1], 18)[0]
     assert img[4] == struct.unpack_from("<i", rows[4][1], 18)[0]
     assert img[2] == struct.unpack_from(">I", rows[2][1], 16)[0]
+    # GIF: little-endian u16 logical-screen width at byte 6
+    assert img[7] == struct.unpack_from("<H", rows[7][1], 6)[0]
     assert img[5] is None and img[6] is None  # guards reject garbage
+    assert img[8] is None  # gif header reject (GCT flag clear)
 
     aud = duck(
         "SELECT media_id, duration_ms FROM ("
@@ -258,8 +263,8 @@ def test_media_thumbnails_roundtrip(spark):
         r.media_id: r
         for r in media.q_media_thumbnails(spark, None).collect()
     }
-    assert set(out) == {1, 2, 3, 4, 5, 6}
-    for mid in (1, 2, 3, 4):  # bmp, png, jpeg, 1x1 bmp (upscale)
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
+    for mid in (1, 2, 3, 4, 7):  # bmp, png, jpeg, 1x1 bmp, gif
         assert (out[mid].out_w, out[mid].out_h) == (
             media.THUMB_W, media.THUMB_H,
         ), mid
@@ -267,6 +272,7 @@ def test_media_thumbnails_roundtrip(spark):
         assert len(out[mid].thumb_md5) == 16
     assert out[5].out_w is None and out[5].thumb_md5 is None
     assert out[6].out_w is None
+    assert out[8].out_w is None  # header-reject gif
 
     # the BMP thumbnail is a genuinely valid BMP whose pixels parse
     rows = {r[0]: r[3] for r in media._fixture_rows()}
@@ -598,9 +604,12 @@ def test_image_structure_sql_matches_python_on_random_mutants(
 
     rng = random.Random(0xC0FFEE)
     px = (np.arange(10 * 14 * 3, dtype=np.uint8).reshape(14, 10, 3)) % 251
+    from projetbigdatastreaming_spark.operators import gif as gifmod
+
     bases = [
         ("image/jpeg", jpeg.jpeg_encode(px)),
         ("image/bmp", codecs.bmp_encode(px)),
+        ("image/gif", gifmod.gif_encode(px % 64)),  # <=64 colors
         (
             "image/png",
             b"\x89PNG\r\n\x1a\n"

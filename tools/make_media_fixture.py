@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from projetbigdatastreaming_spark.operators import (  # noqa: E402
     codecs,
+    gif,
     jpeg,
     mpeg_audio,
 )
@@ -91,6 +92,12 @@ def build_rows() -> list[tuple]:
     add(4, "image", "image/bmp", codecs.bmp_encode(_gradient(1, 1)))
     add(5, "image", "image/jpeg", b"\xff\xd8 not really a jpeg")
     add(6, "image", "image/png", None)
+    # round 7: GIF rows — a real LZW-compressed image (11x13 gradient,
+    # 143 pixels so the palette stays under the 256-color limit) and
+    # a magic-valid header reject (byte 10 = 'r' has the GCT flag
+    # clear, so BOTH engines null it from the header alone)
+    add(7, "image", "image/gif", gif.gif_encode(_gradient(11, 13)))
+    add(8, "image", "image/gif", b"GIF89a not really a gif")
     add(10, "audio", "audio/wav", _wav(440, 8000, 2000, 2))
     add(11, "audio", "audio/wav", _wav(1000, 16000, 800, 1))
     add(12, "audio", "audio/wav", b"RIFF garbage payload")
@@ -169,6 +176,12 @@ def scaled_rows(factor: int) -> list[tuple]:
             jpeg.jpeg_encode(_shade(_gradient(96, 96), c), 85))
         add(base + 6, "image", "image/jpeg",
             jpeg.jpeg_encode(_shade(_gradient(128, 128), 2 * c + 1), 75))
+        # GIF at scale: palette-indexed synthetic texture (<=200
+        # colors by construction, real LZW work per copy)
+        yy, xx = np.mgrid[0:96, 0:128]
+        idx = ((xx * 3 + yy * 5 + 11 * c) % 200).astype(np.int64)
+        pal = _shade(_gradient(20, 10), 13 * c).reshape(-1, 3)[:200]
+        add(base + 13, "image", "image/gif", gif.gif_encode(pal[idx]))
         add(base + 7, "audio", "audio/wav", _wav(300 + 17 * c, 16000, 8000, 2))
         add(base + 8, "audio", "audio/wav", _wav(500 + 23 * c, 8000, 4000, 1))
         t = np.arange(1152 * 4) / 44100.0
