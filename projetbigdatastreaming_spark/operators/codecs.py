@@ -894,3 +894,83 @@ def png_structure(payload: bytes) -> dict:
         }
     except struct.error:
         return null
+
+
+def wav_structure(payload: bytes) -> dict[str, Any]:
+    """HEADER-ONLY structural fields for `audio_structure` —
+    (n_channels, sample_bits, sample_rate) from the canonical
+    RIFF/WAVE layout, under exactly the guards the `_wav_pcm_ctes`
+    byte-math twin applies (incl. the declared-data-present check
+    that mirrors `wave` raising on a truncated read).  No sample is
+    read, so the DuckDB twin is exact on any payload."""
+    null = {
+        "n_channels": None,
+        "sample_bits": None,
+        "sample_rate": None,
+        "codec_layer": None,
+    }
+    try:
+        if (
+            payload is None
+            or len(payload) < 44
+            or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"
+            or payload[12:16] != b"fmt "
+            or payload[36:40] != b"data"
+        ):
+            return null
+        tag, nch = struct.unpack_from("<HH", payload, 20)
+        rate = struct.unpack_from("<I", payload, 24)[0]
+        bits = struct.unpack_from("<H", payload, 34)[0]
+        dsz = struct.unpack_from("<I", payload, 40)[0]
+        if tag != 1 or nch <= 0 or rate <= 0 or len(payload) < 44 + dsz:
+            return null
+        return {
+            "n_channels": int(nch),
+            "sample_bits": int(bits),
+            "sample_rate": int(rate),
+            "codec_layer": None,
+        }
+    except struct.error:
+        return null
+
+
+def mpeg_structure(payload: bytes) -> dict[str, Any]:
+    """HEADER-ONLY structural fields for `audio_structure` — channel
+    count (mono iff mode bits == 3), sample rate, and layer from the
+    FIRST MPEG frame header after the ID3v2 skip, under exactly
+    `_mp3_frame`'s validity guards.  Reads four bytes; the DuckDB
+    twin computes the same fields from the payload hex."""
+    null = {
+        "n_channels": None,
+        "sample_bits": None,
+        "sample_rate": None,
+        "codec_layer": None,
+    }
+    try:
+        if not payload or len(payload) < 4:
+            return null
+        pos = 0
+        if payload[:3] == b"ID3" and len(payload) >= 10:
+            size = 0
+            for b in payload[6:10]:
+                size = (size << 7) | (b & 0x7F)
+            pos = 10 + size
+            if payload[3] >= 4 and payload[5] & 0x10:
+                pos += 10
+        fr = _mp3_frame(payload, pos)
+        if fr is None:
+            return null
+        b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+        version = (b1 >> 3) & 3
+        layer = 4 - ((b1 >> 1) & 3)
+        sr_idx = (b2 >> 2) & 3
+        mode = (b3 >> 6) & 3
+        return {
+            "n_channels": 1 if mode == 3 else 2,
+            "sample_bits": None,
+            "sample_rate": int(_MP3_RATES[version][sr_idx]),
+            "codec_layer": int(layer),
+        }
+    except (IndexError, struct.error):
+        return null

@@ -274,6 +274,118 @@ ORDER BY f.media_id
 """
 
 
+AUDIO_STRUCTURE_SCHEMA = (
+    "media_id long, n_channels int, sample_bits int, "
+    "sample_rate int, codec_layer int"
+)
+
+
+def _audio_structure(mime: str, payload: bytes) -> dict:
+    from ..operators import codecs
+
+    if payload is None:
+        return {
+            "n_channels": None,
+            "sample_bits": None,
+            "sample_rate": None,
+            "codec_layer": None,
+        }
+    if mime == "audio/mpeg":
+        return codecs.mpeg_structure(bytes(payload))
+    return codecs.wav_structure(bytes(payload))
+
+
+def q_audio_structure(spark, sf_dir):
+    """Structural audio profile — the audio sibling of
+    ``image_structure`` (round 7): (n_channels, sample_bits,
+    sample_rate, codec_layer) from the canonical RIFF/WAVE header or
+    the first MPEG frame header after the ID3v2 skip.  Both sides are
+    pure header reads — `codecs.wav_structure`/`mpeg_structure` vs
+    DuckDB byte math (the MPEG arm reuses the frame walk's first step
+    for validity, so flen>=4 and the index-table guards match
+    `_mp3_frame` exactly) — NO replay relation anywhere."""
+    media = spark.read.parquet(_media_path(sf_dir)).where("kind = 'audio'")
+
+    def _batches(it: Iterator) -> Iterator:
+        from ..operators.multimodal import records_to_frame
+
+        for pdf in it:
+            yield records_to_frame(
+                [
+                    _audio_structure(m, p)
+                    for m, p in zip(pdf["mime"], pdf["payload"])
+                ],
+                {"media_id": pdf["media_id"]},
+            )
+
+    return (
+        media.select("media_id", "mime", "payload")
+        .mapInPandas(_batches, AUDIO_STRUCTURE_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+def _oracle_audio_structure() -> str:
+    # WAV guards: exactly codecs.wav_structure's (the wcan set)
+    wav_ok = (
+        "nb >= 44"
+        " AND substr(hx, 1, 8) = '52494646'"
+        " AND substr(hx, 17, 8) = '57415645'"
+        " AND substr(hx, 25, 8) = '666D7420'"
+        " AND substr(hx, 73, 8) = '64617461'"
+        f" AND {_hx_le(20, 2)} = 1"
+        f" AND {_hx_le(22, 2)} > 0 AND {_hx_le(24, 4)} > 0"
+        f" AND nb >= 44 + {_hx_le(40, 4)}"
+    )
+    # MPEG first-frame fields at pos = the ID3 skip; validity = the
+    # duration walk reached n_frames = 1 (same guards as _mp3_frame,
+    # including the flen >= 4 stop rule)
+    p1 = _try_byte("pos + 1")
+    p2 = _try_byte("pos + 2")
+    p3 = _try_byte("pos + 3")
+    from ..operators.codecs import _MP3_RATES
+
+    rate_case = (
+        f"CASE (({p1} >> 3) & 3)"
+        + "".join(
+            f" WHEN {v} THEN ({_sql_list(_MP3_RATES[v])})"
+            f"[((({p2} >> 2) & 3)) + 1]"
+            for v in (3, 2, 0)
+        )
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE f AS (
+  SELECT media_id, mime, hex(payload) AS hx,
+         octet_length(payload) AS nb
+  FROM '{FIXTURE}' WHERE kind = 'audio'),
+{_mp3_walk_ctes()},
+mok AS (SELECT DISTINCT media_id FROM mw WHERE n_frames = 1),
+mfields AS (
+  SELECT s.media_id,
+         CASE WHEN ((({p3} >> 6) & 3)) = 3 THEN 1 ELSE 2 END AS nch,
+         {rate_case} AS rate,
+         4 - (({p1} >> 1) & 3) AS lyr
+  FROM (SELECT media_id, hx, nb, pos FROM mw WHERE n_frames = 0) s
+  JOIN mok USING (media_id))
+SELECT f.media_id,
+       CAST(CASE WHEN f.mime = 'audio/wav'
+                 THEN CASE WHEN {wav_ok} THEN {_hx_le(22, 2)} END
+                 ELSE m.nch END AS INTEGER) AS n_channels,
+       CAST(CASE WHEN f.mime = 'audio/wav'
+                 THEN CASE WHEN {wav_ok} THEN {_hx_le(34, 2)} END
+            END AS INTEGER) AS sample_bits,
+       CAST(CASE WHEN f.mime = 'audio/wav'
+                 THEN CASE WHEN {wav_ok} THEN {_hx_le(24, 4)} END
+                 ELSE m.rate END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN f.mime = 'audio/wav' THEN NULL
+                 ELSE m.lyr END AS INTEGER) AS codec_layer
+FROM f
+LEFT JOIN mfields m ON f.media_id = m.media_id
+ORDER BY f.media_id
+"""
+
+
 def q_audio_stats(spark, sf_dir):
     """Real audio metadata over the audio rows: stdlib-wave decode +
     numpy RMS for WAV, MPEG frame-header-walk duration for MP3."""
@@ -623,6 +735,21 @@ ystat AS (
 """
 
 
+def _mp3_id3_skip() -> str:
+    """First-frame offset: the ID3v2 skip (syncsafe 28-bit size +
+    v2.4 footer), static offsets guarded by the nb/magic CASE arms —
+    shared by the duration walk and the audio_structure oracle."""
+    return (
+        "CASE WHEN nb >= 10 AND substr(hx, 1, 6) = '494433' THEN "
+        f"10 + ({_hx_be(6, 1)} & 127) * 2097152 "
+        f"+ ({_hx_be(7, 1)} & 127) * 16384 "
+        f"+ ({_hx_be(8, 1)} & 127) * 128 + ({_hx_be(9, 1)} & 127) "
+        f"+ CASE WHEN {_hx_be(3, 1)} >= 4 "
+        f"AND ({_hx_be(5, 1)} & 16) = 16 THEN 10 ELSE 0 END "
+        "ELSE 0 END"
+    )
+
+
 def _mp3_walk_ctes() -> str:
     """Recursive-CTE MPEG-audio frame-header walk — the byte-math
     twin of `codecs._mp3_frame` + the `mp3_metadata` duration loop,
@@ -672,17 +799,7 @@ def _mp3_walk_ctes() -> str:
         )
         + " END"
     )
-    # ID3v2 skip (syncsafe 28-bit size + v2.4 footer), static offsets
-    # guarded by the nb/magic CASE arms
-    id3 = (
-        "CASE WHEN nb >= 10 AND substr(hx, 1, 6) = '494433' THEN "
-        f"10 + ({_hx_be(6, 1)} & 127) * 2097152 "
-        f"+ ({_hx_be(7, 1)} & 127) * 16384 "
-        f"+ ({_hx_be(8, 1)} & 127) * 128 + ({_hx_be(9, 1)} & 127) "
-        f"+ CASE WHEN {_hx_be(3, 1)} >= 4 "
-        f"AND ({_hx_be(5, 1)} & 16) = 16 THEN 10 ELSE 0 END "
-        "ELSE 0 END"
-    )
+    id3 = _mp3_id3_skip()
     return f"""
 mw AS (
   SELECT media_id, hx, nb, CAST({id3} AS BIGINT) AS pos,
@@ -1104,6 +1221,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_stats": QuerySpec(q_image_stats, _oracle_image_stats()),
     "image_structure": QuerySpec(
         q_image_structure, _oracle_image_structure()
+    ),
+    "audio_structure": QuerySpec(
+        q_audio_structure, _oracle_audio_structure()
     ),
     "audio_stats": QuerySpec(q_audio_stats, _oracle_audio_stats()),
     "video_stats": QuerySpec(q_video_stats, _oracle_video_stats()),

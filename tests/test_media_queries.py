@@ -649,3 +649,91 @@ def test_image_structure_sql_matches_python_on_random_mutants(
             want["n_components"],
             want["bit_depth"],
         ), (i, mime, got[i], want, p.hex()[:80])
+
+
+def test_audio_structure_sql_matches_python_on_adversarial_headers(
+    tmp_path, monkeypatch
+):
+    """Round-7 replay-free audio query: the audio_structure oracle
+    must reproduce the Python header parsers on payloads the fixture
+    lacks — multichannel/8-bit/24-bit-declared WAV, truncated-data
+    WAV, non-PCM fmt tag, mono and MPEG2 and ID3-prefixed MPEG
+    frames, Layer II, truncation, garbage."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from projetbigdatastreaming_spark.operators import codecs, mpeg_audio
+    from projetbigdatastreaming_spark.plans.media import (
+        _audio_structure,
+    )
+
+    def wav(nch, width, rate, n=50):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(bytes(n * nch * width))
+        return buf.getvalue()
+
+    def patch(data, off, val):
+        b = bytearray(data)
+        b[off] = val
+        return bytes(b)
+
+    base = codecs.mp3_encode_minimal(3, 128, 44100)
+    # force mono: mode bits (byte 3 >> 6) = 3
+    mono = patch(base, 3, (base[3] & 0x3F) | 0xC0)
+    t = np.arange(1152) / 44100.0
+    payloads = [
+        ("audio/wav", wav(2, 2, 22050)),
+        ("audio/wav", wav(1, 1, 8000)),        # 8-bit
+        ("audio/wav", wav(2, 3, 48000)),       # 24-bit declared
+        ("audio/wav", wav(1, 2, 16000)[:-20]),  # truncated data
+        ("audio/wav", patch(wav(1, 2, 16000), 20, 3)),  # non-PCM tag
+        ("audio/wav", b"RIFF garbage payload"),
+        ("audio/mpeg", base),                   # MPEG1 L3 stereo
+        ("audio/mpeg", mono),                   # mono mode
+        # hand-built MPEG2 L3 header: sync, version=2, layer bits 01,
+        # bitrate idx 5, sample-rate idx 0 (22050), stereo
+        ("audio/mpeg", bytes([0xFF, 0xF3, 0x50, 0x00])),
+        ("audio/mpeg", b"ID3" + bytes([3, 0, 0, 0, 0, 0, 20])
+         + bytes(20) + base),                   # ID3v2.3 prefix
+        ("audio/mpeg",
+         mpeg_audio.mp2_encode(0.2 * np.sin(2 * np.pi * 440 * t),
+                               44100, 64)),     # Layer II
+        ("audio/mpeg", base[:3]),               # truncated header
+        ("audio/mpeg", b"\xff\xe0 bad header"),
+        ("audio/mpeg", b""),
+    ]
+    rows = [
+        (i, "audio", mime, p, len(p) if p else None)
+        for i, (mime, p) in enumerate(payloads)
+    ]
+    try:
+        _swap_fixture(monkeypatch, rows, str(tmp_path / "as.parquet"))
+        got = {
+            m: rest
+            for m, *rest in duckdb.connect()
+            .execute(media._oracle_audio_structure())
+            .fetchall()
+        }
+    finally:
+        media._fixture_rows.cache_clear()
+    for i, (mime, p) in enumerate(payloads):
+        want = _audio_structure(mime, p)
+        assert got[i] == [
+            want["n_channels"],
+            want["sample_bits"],
+            want["sample_rate"],
+            want["codec_layer"],
+        ], (i, mime, got[i], want)
+    # the interesting positives really are positive
+    assert got[0] == [2, 16, 22050, None]
+    assert got[2] == [2, 24, 48000, None]
+    assert got[6][0] == 2 and got[6][3] == 3
+    assert got[7][0] == 1
+    assert got[10][3] == 2  # Layer II
