@@ -73,7 +73,7 @@ QUERY_ORDER = (
     # 3b) new in round 7 AFTER the 50-slot window filled — first
     # driver verdict lands next rotation (same honest bookkeeping as
     # round 6's §2b; local oracle gate green)
-    "image_structure", "audio_structure",
+    "image_structure", "audio_structure", "video_structure",
     # 4) green in the round-4 driver run
     "pysource_synthetic_events", "variant_json", "param_query",
     "bpe_learn_merges", "shard_manifest", "tpch_q12",

@@ -974,3 +974,47 @@ def mpeg_structure(payload: bytes) -> dict[str, Any]:
         }
     except (IndexError, struct.error):
         return null
+
+
+def y4m_structure(payload: bytes) -> dict[str, Any]:
+    """HEADER-ONLY structural fields for `video_structure` — (width,
+    height, fps_num, fps_den) from the yuv4mpeg2 stream header, under
+    exactly the SQL twin's semantics: the header line is decoded
+    byte-per-char (latin-1 = SQL chr()), padded with one space, and
+    the SAME regexes extract the tokens, so parity holds on any
+    payload with a newline-terminated header."""
+    import re
+
+    null = {
+        "width": None,
+        "height": None,
+        "fps_num": None,
+        "fps_den": None,
+    }
+    if not payload or not payload.startswith(b"YUV4MPEG2 "):
+        return null
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return null
+    padded = payload[:nl].decode("latin-1") + " "
+    mw = re.search(r" W([0-9]+) ", padded)
+    mh = re.search(r" H([0-9]+) ", padded)
+    mc = re.search(r" (C[^ ]*) ", padded)
+    w = int(mw.group(1)) if mw else None
+    h = int(mh.group(1)) if mh else None
+    ctok = mc.group(1) if mc else ""
+    if (
+        not w
+        or not h
+        or w % 2
+        or h % 2
+        or not (ctok == "" or ctok.startswith("C420"))
+    ):
+        return null
+    mf = re.search(r" F([0-9]+):([0-9]+) ", padded)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "fps_num": int(mf.group(1)) if mf else None,
+        "fps_den": int(mf.group(2)) if mf else None,
+    }

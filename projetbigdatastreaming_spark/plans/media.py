@@ -735,6 +735,162 @@ ystat AS (
 """
 
 
+VIDEO_STRUCTURE_SCHEMA = (
+    "media_id long, width int, height int, fps_num int, fps_den int"
+)
+
+
+def _video_structure(mime: str, payload: bytes) -> dict:
+    from ..operators import codecs
+
+    null = {
+        "width": None,
+        "height": None,
+        "fps_num": None,
+        "fps_den": None,
+    }
+    if payload is None:
+        return null
+    if mime == "video/mp4":
+        m = codecs.mp4_metadata(bytes(payload))
+        return {**null, "width": m["width"], "height": m["height"]}
+    return codecs.y4m_structure(bytes(payload))
+
+
+def q_video_structure(spark, sf_dir):
+    """Structural video profile — completes the round-7 replay-free
+    structure trio (image/audio/video): Y4M (width, height, fps_num,
+    fps_den) from the stream header via the SAME regex semantics on
+    both sides, MP4 (width, height) from the first trak's tkhd 16.16
+    fixed-point dims via a grandchild extension of the ISO-BMFF box
+    walk.  NO replay relation anywhere."""
+    media = spark.read.parquet(_media_path(sf_dir)).where("kind = 'video'")
+
+    def _batches(it: Iterator) -> Iterator:
+        from ..operators.multimodal import records_to_frame
+
+        for pdf in it:
+            yield records_to_frame(
+                [
+                    _video_structure(m, p)
+                    for m, p in zip(pdf["mime"], pdf["payload"])
+                ],
+                {"media_id": pdf["media_id"]},
+            )
+
+    return (
+        media.select("media_id", "mime", "payload")
+        .mapInPandas(_batches, VIDEO_STRUCTURE_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+def _mp4_trak_dims_ctes() -> str:
+    """Grandchild extension of `_mp4_walk_ctes`: walk each trak box's
+    children and surface the FIRST (trak order, then box order) tkhd
+    with nonzero 16.16 pixel dims — `mp4_metadata`'s selection rule
+    verbatim."""
+
+    def _gstep() -> str:
+        return f"""
+  FROM (
+    SELECT *, CASE WHEN raw = 1 THEN {_try_be("pos + 8", 8)}
+                   WHEN raw = 0 THEN scope - pos
+                   ELSE raw END AS sz,
+              CASE WHEN raw = 1 THEN 16 ELSE 8 END AS hdr
+    FROM (SELECT *, {_try_be("pos", 4)} AS raw FROM __SRC__) x) y
+  WHERE pos + 8 <= scope AND sz >= hdr AND pos + sz <= scope"""
+
+    gkid = _gstep().replace("__SRC__", "vgkid")
+    tw = f"({_try_be('pos + sz - 8', 4)} >> 16)"
+    th = f"({_try_be('pos + sz - 4', 4)} >> 16)"
+    return f"""
+vgkid AS (
+  SELECT media_id, hx, nb, pos + hdr AS pos, pos + sz AS scope,
+         pos AS trak_pos
+  FROM vkbox WHERE btype = '7472616B'
+  UNION ALL
+  SELECT media_id, hx, nb, pos + sz, scope, trak_pos {gkid}
+),
+vgbox AS (
+  SELECT media_id, pos, sz, trak_pos, {tw} AS tw, {th} AS th
+  FROM (
+    SELECT media_id, hx, nb, pos, sz, hdr, scope, trak_pos,
+           substr(hx, 2*pos + 9, 8) AS btype {gkid}) g
+  WHERE btype = '746B6864'
+),
+vdims AS (
+  -- (trak order, then box order) as one scalar key: positions are
+  -- byte offsets < 2^32, so trak_pos*2^32 + pos orders exactly
+  SELECT media_id,
+         min_by({{'w': tw, 'h': th}},
+                trak_pos * 4294967296 + pos)
+           FILTER (WHERE tw > 0 AND th > 0) AS d
+  FROM vgbox GROUP BY media_id
+)"""
+
+
+def _oracle_video_structure() -> str:
+    return f"""
+WITH RECURSIVE f AS (
+  SELECT media_id, mime, hex(payload) AS hx,
+         octet_length(payload) AS nb
+  FROM '{FIXTURE}' WHERE kind = 'video'),
+{_y4m_struct_ctes()},
+{_mp4_walk_ctes()},
+{_mp4_trak_dims_ctes()}
+SELECT f.media_id,
+       CAST(CASE WHEN f.mime = 'video/mp4' THEN v.d.w
+                 ELSE y.w END AS INTEGER) AS width,
+       CAST(CASE WHEN f.mime = 'video/mp4' THEN v.d.h
+                 ELSE y.h END AS INTEGER) AS height,
+       CAST(CASE WHEN f.mime = 'video/mp4' THEN NULL
+                 ELSE y.fn END AS INTEGER) AS fps_num,
+       CAST(CASE WHEN f.mime = 'video/mp4' THEN NULL
+                 ELSE y.fd END AS INTEGER) AS fps_den
+FROM f
+LEFT JOIN vdims v ON f.media_id = v.media_id
+LEFT JOIN ystr y ON f.media_id = y.media_id
+ORDER BY f.media_id
+"""
+
+
+def _y4m_struct_ctes() -> str:
+    """Header-only Y4M fields: W/H under the yok guards plus the F
+    fps token — the same regex semantics `codecs.y4m_structure`
+    applies to the latin-1-decoded header."""
+    return f"""
+syv AS (
+  SELECT media_id, hx, nb,
+         (SELECT MIN(i) FROM UNNEST(range(0, nb)) t(i)
+          WHERE substr(hx, 2*i + 1, 2) = '0A') AS nl
+  FROM f WHERE mime = 'video/y4m' AND {_Y4M_OK}),
+syhdr AS (
+  SELECT media_id,
+         (SELECT string_agg(chr(CAST('0x' || substr(hx, 2*i + 1, 2)
+                                     AS INT)), '' ORDER BY i)
+          FROM UNNEST(range(0, nl)) t(i)) || ' ' AS padded
+  FROM syv WHERE nl IS NOT NULL),
+sydim AS (
+  SELECT media_id,
+         TRY_CAST(regexp_extract(padded, ' W([0-9]+) ', 1) AS BIGINT)
+           AS w,
+         TRY_CAST(regexp_extract(padded, ' H([0-9]+) ', 1) AS BIGINT)
+           AS h,
+         regexp_extract(padded, ' (C[^ ]*) ', 1) AS ctok,
+         TRY_CAST(regexp_extract(padded, ' F([0-9]+):([0-9]+) ', 1)
+                  AS BIGINT) AS fn,
+         TRY_CAST(regexp_extract(padded, ' F([0-9]+):([0-9]+) ', 2)
+                  AS BIGINT) AS fd
+  FROM syhdr),
+ystr AS (
+  SELECT media_id, w, h, fn, fd
+  FROM sydim
+  WHERE w > 0 AND h > 0 AND w % 2 = 0 AND h % 2 = 0
+    AND (ctok = '' OR ctok LIKE 'C420%'))
+"""
+
+
 def _mp3_id3_skip() -> str:
     """First-frame offset: the ID3v2 skip (syncsafe 28-bit size +
     v2.4 footer), static offsets guarded by the nb/magic CASE arms —
@@ -1224,6 +1380,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "audio_structure": QuerySpec(
         q_audio_structure, _oracle_audio_structure()
+    ),
+    "video_structure": QuerySpec(
+        q_video_structure, _oracle_video_structure()
     ),
     "audio_stats": QuerySpec(q_audio_stats, _oracle_audio_stats()),
     "video_stats": QuerySpec(q_video_stats, _oracle_video_stats()),

@@ -737,3 +737,68 @@ def test_audio_structure_sql_matches_python_on_adversarial_headers(
     assert got[6][0] == 2 and got[6][3] == 3
     assert got[7][0] == 1
     assert got[10][3] == 2  # Layer II
+
+
+def test_video_structure_sql_matches_python_on_adversarial_headers(
+    tmp_path, monkeypatch
+):
+    """Round-7 replay-free video query: Y4M header variants (no F
+    token, extra tokens, odd dims, C444 reject, headerless) and MP4
+    trak/tkhd selection (first NONZERO-dim track wins even when a
+    zero-dim track precedes it; largesize boxes; track-free moov;
+    garbage) must match the Python parsers exactly."""
+    from projetbigdatastreaming_spark.operators import codecs
+    from projetbigdatastreaming_spark.plans.media import (
+        _video_structure,
+    )
+
+    def y4m(hdr, n_frames=1, w=4, h=4):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+        return hdr + b"".join(
+            b"FRAME\n" + bytes(fsize) for _ in range(n_frames)
+        )
+
+    payloads = [
+        ("video/y4m", y4m(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n")),
+        ("video/y4m", y4m(b"YUV4MPEG2 W4 H4 Ip\n")),  # no F token
+        ("video/y4m", y4m(b"YUV4MPEG2 W4 H4 F30000:1001 C420\n")),
+        ("video/y4m", y4m(b"YUV4MPEG2 W3 H4 F25:1\n", w=3)),  # odd
+        ("video/y4m", b"YUV4MPEG2 W4 H4 C444\n" + bytes(48)),  # C444
+        ("video/y4m", b"YUV4MPEG2 W4 H4 no newline at all"),
+        ("video/y4m", b"not y4m"),
+        ("video/mp4",
+         codecs.mp4_encode_minimal(5000, tracks=((640, 360),))),
+        ("video/mp4",
+         codecs.mp4_encode_minimal(
+             5000, tracks=((0, 0), (320, 240), (111, 222))
+         )),  # zero-dim first: second wins
+        ("video/mp4", codecs.mp4_encode_minimal(5000, tracks=())),
+        ("video/mp4", b"\x00\x00\x00\x08free junk"),
+        ("video/mp4", b""),
+    ]
+    rows = [
+        (i, "video", mime, p, len(p) if p else None)
+        for i, (mime, p) in enumerate(payloads)
+    ]
+    try:
+        _swap_fixture(monkeypatch, rows, str(tmp_path / "vs.parquet"))
+        got = {
+            m: rest
+            for m, *rest in duckdb.connect()
+            .execute(media._oracle_video_structure())
+            .fetchall()
+        }
+    finally:
+        media._fixture_rows.cache_clear()
+    for i, (mime, p) in enumerate(payloads):
+        want = _video_structure(mime, p)
+        assert got[i] == [
+            want["width"],
+            want["height"],
+            want["fps_num"],
+            want["fps_den"],
+        ], (i, mime, got[i], want)
+    assert got[0] == [4, 4, 25, 1]
+    assert got[1] == [4, 4, None, None]
+    assert got[2] == [4, 4, 30000, 1001]
+    assert got[8] == [320, 240, None, None]  # first nonzero wins
