@@ -959,10 +959,21 @@ def ivfpq_model(
     are bounded (n_lists / k rows) and persistable — the streaming
     ingest index trains once and encodes every later batch under the
     same frozen model, exactly like a production IVFPQ build."""
+    cents, cb, _ = _ivfpq_model_resid(embeddings, n_lists, k)
+    return cents, cb
+
+
+def _ivfpq_model_resid(
+    embeddings: DataFrame, n_lists: int, k: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Model training plus the residual relation it was derived from,
+    so `ivfpq_topk` can reuse the assignment/residual fold for its
+    codes instead of re-deriving the corpus-wide map work a second
+    time (round-7 review finding)."""
     assigned, cents = ivf_assign(embeddings, n_lists)
     resid = _ivfpq_residuals(assigned, cents)
     cb = _pq_cent_row(resid.select("vec_id", "embedding"), k)
-    return cents, cb
+    return cents, cb, resid
 
 
 def _cent_row_from(cents: DataFrame) -> DataFrame:
@@ -1003,15 +1014,11 @@ def _ivfpq_residuals(assigned: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def ivfpq_encode(
-    embeddings: DataFrame, cents: DataFrame, cb: DataFrame, m: int = 4
+def _codes_from_residuals(
+    resid: DataFrame, cb: DataFrame, m: int
 ) -> DataFrame:
-    """Encode vectors under a FROZEN IVFADC model: route to lists,
-    subtract the list centroid, PQ-code the residual.  Map-only under
-    the two broadcasts; output (vec_id, list_id, cids) — m small ints
-    per vector, the memory layout the ADC scan reads."""
-    assigned = _assign_to(embeddings, cents)
-    resid = _ivfpq_residuals(assigned, cents)
+    """(vec_id, list_id, cids) from a residual relation + codebook —
+    the shared tail of `ivfpq_encode` and `ivfpq_topk`."""
     return (
         resid.crossJoin(F.broadcast(cb))
         .withColumn("__picks", F.expr(_pq_picks_expr(m)))
@@ -1020,6 +1027,19 @@ def ivfpq_encode(
             "list_id",
             F.expr("transform(__picks, p -> p.cid)").alias("cids"),
         )
+    )
+
+
+def ivfpq_encode(
+    embeddings: DataFrame, cents: DataFrame, cb: DataFrame, m: int = 4
+) -> DataFrame:
+    """Encode vectors under a FROZEN IVFADC model: route to lists,
+    subtract the list centroid, PQ-code the residual.  Map-only under
+    the two broadcasts; output (vec_id, list_id, cids) — m small ints
+    per vector, the memory layout the ADC scan reads."""
+    assigned = _assign_to(embeddings, cents)
+    return _codes_from_residuals(
+        _ivfpq_residuals(assigned, cents), cb, m
     )
 
 
@@ -1141,8 +1161,8 @@ def ivfpq_topk(
     |Q|·nprobe-row query-table relation.
     """
     emb = _as_double(embeddings).select("vec_id", "embedding")
-    cents, cb = ivfpq_model(emb, n_lists, k)
-    codes = ivfpq_encode(emb, cents, cb, m)
+    cents, cb, resid = _ivfpq_model_resid(emb, n_lists, k)
+    codes = _codes_from_residuals(resid, cb, m)
     queries = emb.where(
         F.col("vec_id").isin([int(i) for i in query_ids])
     )

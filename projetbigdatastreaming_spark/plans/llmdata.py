@@ -4823,20 +4823,9 @@ def q_curation_weighted_sample(spark, sf_dir):
     csize = (
         F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("bigint")
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("doc_id").cast("string"), F.lit("w0"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        + 1
-    ) / F.lit(1152921504606846977.0)
+    from ..operators.sampling import _U_DENOM, _portable_hash
+
+    u = (_portable_hash(F.col("doc_id"), "w0") + 1) / F.lit(_U_DENOM)
     weighted = (
         sized.withColumn("cluster_size", csize)
         .withColumn(

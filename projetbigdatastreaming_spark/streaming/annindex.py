@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import ivfpq_encode, ivfpq_model, ivfpq_search
 from ..sinks.files import overwrite_partitions
+from .neardup import _read_or_none
 
 logger = logging.getLogger(__name__)
 
@@ -119,12 +120,9 @@ def ann_ingest_writer(
             batch_df.select("vec_id", "embedding"), cents, cb, m
         )
 
-        try:
-            codes_old = spark.read.schema(CODES_STATE_SCHEMA).parquet(
-                f"{index_dir}/codes"
-            )
-        except Exception:  # first batch: no index yet
-            codes_old = None
+        codes_old = _read_or_none(
+            spark, f"{index_dir}/codes", CODES_STATE_SCHEMA
+        )
         if codes_old is not None:
             corpus = (
                 codes_old.where(F.col("batch_id") != batch_id)

@@ -66,9 +66,14 @@ def _band_keys(signed: DataFrame) -> DataFrame:
     ).select("doc_id", "bk.band", "bk.bh")
 
 
-def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+def _read_or_none(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame | None:
+    """Missing-path-tolerant state read, shared by the streaming
+    index families (near-dup bands/sigs, the ANN code index)."""
+    reader = spark.read.schema(schema) if schema else spark.read
     try:
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     except Exception:  # AnalysisException: path does not exist yet
         return None
 

@@ -94,8 +94,8 @@ def build_rows() -> list[tuple]:
     add(6, "image", "image/png", None)
     # round 7: GIF rows — a real LZW-compressed image (11x13 gradient,
     # 143 pixels so the palette stays under the 256-color limit) and
-    # a magic-valid header reject (byte 10 = 'r' has the GCT flag
-    # clear, so BOTH engines null it from the header alone)
+    # a magic-valid header reject (byte 10 = 0x20, a space, has the
+    # GCT flag clear, so BOTH engines null it from the header alone)
     add(7, "image", "image/gif", gif.gif_encode(_gradient(11, 13)))
     add(8, "image", "image/gif", b"GIF89a not really a gif")
     add(10, "audio", "audio/wav", _wav(440, 8000, 2000, 2))
