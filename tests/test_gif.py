@@ -162,3 +162,28 @@ def test_fixture_gif_rows_decode(spark, sf_dir):
     assert (rows[7].width, rows[7].height) == (13, 11)
     assert rows[7].feature_hash is not None
     assert rows[8].width is None and rows[8].feature_hash is None
+
+
+def test_decoder_never_hangs_or_raises_on_fuzzed_bytes():
+    """Seeded byte-level fuzz against the full decoder: random
+    mutations, truncations, and pure noise either decode or null —
+    never raise, never loop (the sub-block/LZW walks must always
+    advance)."""
+    import random
+
+    rng = random.Random(0xDEC0DE)
+    px = ((np.arange(8 * 12).reshape(8, 12) * 7) % 5).astype(np.uint8)
+    base = G.gif_encode(np.dstack([px * 30, px * 50, 255 - px * 40]))
+    for trial in range(300):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        if rng.random() < 0.4:
+            b = b[: rng.randrange(len(b) + 1)]
+        out = G.gif_decode(bytes(b))
+        assert set(out) == {"width", "height", "feature_hash"}
+    for trial in range(100):
+        n = rng.randrange(0, 200)
+        noise = bytes(rng.randrange(256) for _ in range(n))
+        G.gif_decode(b"GIF89a" + noise)
+        G.gif_decode(noise)
