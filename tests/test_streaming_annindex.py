@@ -172,3 +172,71 @@ def test_ann_index_compaction_preserves_answers(spark, tmp_path):
     write(emb.where(F.col("vec_id") % 3 == 1), 7)
     assert spark.read.parquet(flags_dir).where("batch_id = 7").count() > 0
     assert answers() == before  # dedup absorbs the restated vectors
+
+
+def test_ann_compaction_kill_point_probe_still_exact(spark, tmp_path):
+    """Kill the code compaction between promote and source deletes
+    (every code row exists BOTH in the base and in its source
+    partition): read_ann_codes' dropDuplicates keeps searches exact
+    with no recovery step, a post-kill ingest still probes/folds
+    correctly, and the next compaction converges."""
+    import os as _os
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.operators.similarity import (
+        ivfpq_search,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import STAGING_ID
+
+    emb, index_dir, flags_dir, write = _ingest_in_batches(
+        spark, tmp_path
+    )
+    cents, cb = load_ann_model(spark, index_dir)
+    queries = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS))
+
+    def answers():
+        return sorted(
+            map(
+                tuple,
+                ivfpq_search(
+                    read_ann_codes(spark, index_dir),
+                    queries,
+                    cents,
+                    cb,
+                    TOPK,
+                    IVF_NPROBE,
+                    PQ_M,
+                ).collect(),
+            )
+        )
+
+    want = answers()
+    real_rename = _os.rename
+
+    def dying_rename(src, dst):
+        real_rename(src, dst)
+        if src.endswith(f"batch_id={STAGING_ID}"):
+            raise RuntimeError("killed after promote, before deletes")
+
+    with mock.patch("os.rename", side_effect=dying_rename):
+        try:
+            compact_ann_index(spark, index_dir)
+        except RuntimeError:
+            pass
+    # base AND all source partitions present: reader still exact
+    parts = [
+        n
+        for n in _os.listdir(f"{index_dir}/codes")
+        if n.startswith("batch_id=")
+    ]
+    assert len(parts) == 4, parts  # base + 3 sources
+    assert answers() == want
+    # a post-kill ingest probes and folds correctly
+    write(emb.where(F.col("vec_id") % 3 == 1), 9)
+    assert spark.read.parquet(flags_dir).where("batch_id = 9").count() > 0
+    assert answers() == want
+    # next compaction converges
+    assert compact_ann_index(spark, index_dir) > 0
+    assert answers() == want
