@@ -1167,3 +1167,75 @@ def ivfpq_topk(
         F.col("vec_id").isin([int(i) for i in query_ids])
     )
     return ivfpq_search(codes, queries, cents, cb, k_top, nprobe, m)
+
+
+#: bits packed per word in the binary-quantized layout: 63, not 64 —
+#: bit 63 is the sign bit, and BOTH engines' BIGINT shift/sum
+#: semantics stay trivially exact when it is never set (the same
+#: no-sign-bit-divergence rule the Bloom bitmap uses with 32-bit
+#: words).
+BQ_WORD_BITS = 63
+
+
+def bq_pack(embeddings: DataFrame) -> DataFrame:
+    """Binary quantization: each embedding becomes ceil(d/63) BIGINT
+    words of sign bits (bit i of word w = 1 iff e[63w + i] >= 0) —
+    the 32×-compression layout modern vector stores use as a
+    first-pass filter (a 64-dim float32 vector becomes 16 bytes).
+    Map-only fold; output (vec_id, words array<bigint>)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    words = f"""
+    transform(sequence(0, (size(embedding) - 1) DIV {BQ_WORD_BITS}),
+      w -> aggregate(
+             sequence(0, {BQ_WORD_BITS - 1}),
+             CAST(0 AS BIGINT),
+             (acc, i) -> CASE
+               WHEN get(embedding, w * {BQ_WORD_BITS} + i) >= 0D
+               THEN acc + shiftleft(CAST(1 AS BIGINT), i)
+               ELSE acc END))
+    """
+    return emb.select("vec_id", F.expr(words).alias("words"))
+
+
+def bq_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Hamming top-k over the binary-quantized corpus: distance =
+    popcount(xor) summed over words — integer-exact, so both engines
+    rank identical values (ties -> vec_id).  Output (qid, vec_id,
+    hamming, rk ≤ k).
+
+    Scale plan: the corpus is packed map-side and scanned once
+    touching ceil(d/63) longs per vector instead of d floats; the
+    query side is a tiny broadcast; per-query top-k is a
+    qid-partitioned WindowGroupLimit.  The quality gauge against the
+    exact float top-k is `emb_bq_recall` — binary quantization's
+    whole trade is scan bytes for recall, which that row makes
+    visible."""
+    from pyspark.sql import Window
+
+    packed = bq_pack(embeddings)
+    q = packed.where(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("words").alias("qwords")
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(words, qwords,"
+                " (x, y) -> bit_count(x ^ y)),"
+                " 0, (a, x) -> a + x)"
+            ).cast("int").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .orderBy("qid", "rk")
+    )

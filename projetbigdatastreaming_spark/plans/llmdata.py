@@ -723,11 +723,100 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_emb_bq_topk(spark, sf_dir):
+    """Binary-quantized (sign-bit) Hamming top-k — the 32x-compression
+    first-pass filter modern vector stores run before exact rescoring
+    (each 64-dim float32 vector becomes 16 bytes of sign bits; scan
+    cost drops to a popcount-of-xor per candidate).  Integer-exact
+    distances, vec_id tie-breaks, fully oracle-replayed.  See
+    `operators/similarity.bq_pack`/`bq_topk` for the 63-bit word
+    layout (no sign-bit divergence) and the scale plan."""
+    return similarity.bq_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, TOPK
+    )
+
+
+_BQ_PACKED_CTE = f"""
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+packed AS (
+  SELECT vec_id,
+         list_transform(range(0, (len(e) - 1) // 63 + 1),
+           w -> list_aggregate(list_transform(range(0, 63),
+                  i -> CASE WHEN w * 63 + i < len(e)
+                            AND e[w * 63 + i + 1] >= 0
+                       THEN (CAST(1 AS BIGINT) << i)
+                       ELSE CAST(0 AS BIGINT) END), 'sum')) AS words
+  FROM emb),
+bq_ranked AS (
+  SELECT qid, vec_id, hamming,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY hamming, vec_id) AS INTEGER) AS rk
+  FROM (
+    SELECT q.vec_id AS qid, v.vec_id,
+           CAST(list_aggregate(list_transform(
+                  range(1, len(v.words) + 1),
+                  j -> bit_count(xor(v.words[j], q.words[j]))),
+                'sum') AS INTEGER) AS hamming
+    FROM packed v
+    JOIN packed q ON q.vec_id IN ({', '.join(map(str, QUERY_VEC_IDS))})
+                 AND v.vec_id <> q.vec_id) s)"""
+
+SQL_EMB_BQ_TOPK = f"""
+WITH {_BQ_PACKED_CTE}
+SELECT qid, vec_id, hamming, rk
+FROM bq_ranked WHERE rk <= {TOPK}
+ORDER BY qid, rk
+"""
+
+
+def q_emb_bq_recall(spark, sf_dir):
+    """recall@k of the binary-quantized Hamming ranking against the
+    exact cosine top-k — the gauge that makes BQ's scan-bytes-for-
+    recall trade visible (sign bits approximate ANGULAR order, so
+    exact cosine is the right ground truth)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    ann = similarity.bq_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("__n_hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
 # WITH-in-subquery composition: replays the exact and the LSH pipelines
 # (both defined above) and intersects their top-k sets per query.
 SQL_ANN_RECALL = f"""
 WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
 ann AS (SELECT qid, vec_id FROM ({SQL_ANN_TOPK_LSH})),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY e.qid)
+SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+"""
+
+SQL_EMB_BQ_RECALL = f"""
+WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
+ann AS (SELECT qid, vec_id FROM ({SQL_EMB_BQ_TOPK})),
 hits AS (
   SELECT e.qid, COUNT(*) AS n
   FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
@@ -4940,6 +5029,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_pq_recall": QuerySpec(q_emb_pq_recall, SQL_EMB_PQ_RECALL),
     "emb_pq_refine": QuerySpec(q_emb_pq_refine, SQL_EMB_PQ_REFINE),
     "emb_ivfpq_topk": QuerySpec(q_emb_ivfpq_topk, SQL_EMB_IVFPQ_TOPK),
+    "emb_bq_topk": QuerySpec(q_emb_bq_topk, SQL_EMB_BQ_TOPK),
+    "emb_bq_recall": QuerySpec(q_emb_bq_recall, SQL_EMB_BQ_RECALL),
     "emb_ivfpq_recall": QuerySpec(
         q_emb_ivfpq_recall, SQL_EMB_IVFPQ_RECALL
     ),

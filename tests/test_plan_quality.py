@@ -279,6 +279,11 @@ _BNLJ_ALLOWED = {
     # norm scalar each power step — d x 1 BNLJs over KB relations
     "emb_pca_power",
     "emb_ann_recall",
+    # binary quantization: query side is a tiny broadcast crossed
+    # into the packed-corpus scan with a non-equi (vec_id <> qid)
+    # predicate — the cosine_topk shape over 32x fewer bytes
+    "emb_bq_topk",
+    "emb_bq_recall",
     # BPE training broadcasts the 1-row winning pair into the merge
     # step each iteration — the same scalar-broadcast shape as
     # emb_pca_power, over a vocabulary-sized (≤200-row) relation
