@@ -574,3 +574,45 @@ def test_soft_weights_sum_to_distinct_texts(spark, sf_dir):
     for r in rows:
         assert r.cluster_size >= 1
         assert 0 < r.weight <= 1.0
+
+
+def test_bq_pack_and_hamming_invariants(spark):
+    """Binary quantization invariants: a vector's twin with one sign
+    flipped sits at Hamming 1 and ranks first; identical signs rank
+    at distance 0; word packing covers every dimension exactly once
+    (63 bits per word, tail word partial)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.operators.similarity import (
+        bq_pack,
+        bq_topk,
+    )
+
+    d = 70  # forces a 2-word layout with a 7-bit tail
+    base = [1.0 if i % 3 else -1.0 for i in range(d)]
+    twin = list(base)
+    twin[65] = -twin[65]  # flip one sign in the tail word
+    far = [-x for x in base]
+    emb = spark.createDataFrame(
+        [(0, base), (1, twin), (2, far), (3, base)],
+        "vec_id long, embedding array<double>",
+    )
+    packed = {r.vec_id: r.words for r in bq_pack(emb).collect()}
+    assert all(len(w) == 2 for w in packed.values())
+    # identical vectors pack identically; all words fit in 63 bits
+    assert packed[0] == packed[3]
+    assert all(0 <= w < (1 << 63) for ws in packed.values() for w in ws)
+    # hamming(base, twin) = 1, hamming(base, far) = d
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert ham(packed[0], packed[1]) == 1
+    assert ham(packed[0], packed[2]) == d
+
+    out = {
+        (r.qid, r.rk): (r.vec_id, r.hamming)
+        for r in bq_topk(emb, [0], k=3).collect()
+    }
+    assert out[(0, 1)] == (3, 0)  # exact twin first
+    assert out[(0, 2)] == (1, 1)  # one-bit flip second
+    assert out[(0, 3)] == (2, d)  # antipode last
