@@ -74,7 +74,7 @@ QUERY_ORDER = (
     # driver verdict lands next rotation (same honest bookkeeping as
     # round 6's §2b; local oracle gate green)
     "image_structure", "audio_structure", "video_structure",
-    "emb_bq_topk", "emb_bq_recall",
+    "emb_bq_topk", "emb_bq_recall", "emb_bq_rerank",
     # 4) green in the round-4 driver run
     "pysource_synthetic_events", "variant_json", "param_query",
     "bpe_learn_merges", "shard_manifest", "tpch_q12",

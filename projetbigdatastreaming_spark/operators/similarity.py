@@ -1239,3 +1239,65 @@ def bq_topk(
         .where(F.col("rk") <= k)
         .orderBy("qid", "rk")
     )
+
+
+def bq_rerank_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The two-stage production retrieval pattern: binary-quantized
+    Hamming SHORTLIST (cheap scan over ceil(d/63) longs per vector)
+    followed by exact cosine RERANKING of only the shortlist —
+    recall approaches exact search while the float math touches
+    shortlist·|Q| vectors instead of the corpus.
+
+    Deterministic end-to-end: the shortlist is `bq_topk`'s integer
+    ranking (vec_id ties), the rescore is the 4dp-rounded cosine with
+    vec_id ties — both fully oracle-replayable.  Output matches
+    `cosine_topk`: (qid, vec_id, cos_sim, rk ≤ k).
+
+    Scale plan: stage 1 is the `bq_topk` shape (packed scan, tiny
+    broadcast queries, qid-partitioned WindowGroupLimit); stage 2
+    joins the ≤|Q|·shortlist-row shortlist BROADCAST against the
+    embedding scan (map-side — the corpus is filtered, not shuffled),
+    then rescores and group-limits.  The only full-width work after
+    stage 1 is one more corpus scan projecting (vec_id, embedding).
+    """
+    from pyspark.sql import Window
+
+    emb = _as_double(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    short = bq_topk(embeddings, query_ids, shortlist).select(
+        "qid", "vec_id"
+    )
+    q = emb.where(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rescored = (
+        emb.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .orderBy("qid", "rk")
+    )

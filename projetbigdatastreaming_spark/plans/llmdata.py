@@ -770,6 +770,51 @@ ORDER BY qid, rk
 """
 
 
+BQ_SHORTLIST = 50
+
+
+def q_emb_bq_rerank(spark, sf_dir):
+    """Two-stage retrieval: BQ Hamming shortlist (top-{BQ_SHORTLIST})
+    then exact cosine rerank of only the shortlist — the production
+    pattern that buys near-exact recall at a fraction of the float
+    scan (stage 2 touches shortlist·|Q| vectors, never the corpus).
+    Output matches `emb_cosine_topk`'s schema; the oracle replays
+    both stages."""
+    return similarity.bq_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_VEC_IDS,
+        TOPK,
+        shortlist=BQ_SHORTLIST,
+    )
+
+
+q_emb_bq_rerank.__doc__ = q_emb_bq_rerank.__doc__.replace(
+    "{BQ_SHORTLIST}", str(BQ_SHORTLIST)
+)
+
+SQL_EMB_BQ_RERANK = f"""
+WITH {_BQ_PACKED_CTE},
+short AS (
+  SELECT qid, vec_id FROM bq_ranked WHERE rk <= {BQ_SHORTLIST}),
+rescored AS (
+  SELECT s.qid, s.vec_id,
+         ROUND(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = s.qid),
+reranked AS (
+  SELECT qid, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rk
+  FROM rescored)
+SELECT qid, vec_id, cos_sim, rk
+FROM reranked WHERE rk <= {TOPK}
+ORDER BY qid, rk
+"""
+
+
 def q_emb_bq_recall(spark, sf_dir):
     """recall@k of the binary-quantized Hamming ranking against the
     exact cosine top-k — the gauge that makes BQ's scan-bytes-for-
@@ -5030,6 +5075,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_pq_refine": QuerySpec(q_emb_pq_refine, SQL_EMB_PQ_REFINE),
     "emb_ivfpq_topk": QuerySpec(q_emb_ivfpq_topk, SQL_EMB_IVFPQ_TOPK),
     "emb_bq_topk": QuerySpec(q_emb_bq_topk, SQL_EMB_BQ_TOPK),
+    "emb_bq_rerank": QuerySpec(q_emb_bq_rerank, SQL_EMB_BQ_RERANK),
     "emb_bq_recall": QuerySpec(q_emb_bq_recall, SQL_EMB_BQ_RECALL),
     "emb_ivfpq_recall": QuerySpec(
         q_emb_ivfpq_recall, SQL_EMB_IVFPQ_RECALL

@@ -284,6 +284,7 @@ _BNLJ_ALLOWED = {
     # predicate — the cosine_topk shape over 32x fewer bytes
     "emb_bq_topk",
     "emb_bq_recall",
+    "emb_bq_rerank",
     # BPE training broadcasts the 1-row winning pair into the merge
     # step each iteration — the same scalar-broadcast shape as
     # emb_pca_power, over a vocabulary-sized (≤200-row) relation
