@@ -41,41 +41,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Explicit registry order.  The grading driver checks queries in
 #: iteration order with a cap (50 per round so far), so ordering is
-#: part of the contract.  Round-7 rotation (VERDICT r06 next-item 1):
-#: (1) the 5 late-round-6 queries that have never had a driver
-#: verdict; (2) the 41 r03-vintage rows (oldest remaining signal);
-#: (3) the 4 oldest r04 rows to fill the 50-slot window — replaced
-#: by round-7's new queries as they land so new operators get their
-#: first verdict inside the window; (4) the rest of r04; (5) r05;
-#: (6) r06-green (freshest signal, so last).  After this round no
-#: registered query lacks a driver row and nothing predates r04.
+#: part of the contract.  Round-8 rotation (VERDICT r07 next-item 1):
+#: (1) the 6 round-7 §3b queries that have never had a driver
+#: verdict (structure trio + BQ family); (2) round-8's own new
+#: queries as they land, so new operators get their first verdict
+#: inside the window — each addition pushes one §3 row below the
+#: 50-slot boundary; (3) the 50 r04-vintage rows (oldest remaining
+#: signal) — the first 50-(len §1)-(len §2) fill the window, the
+#: tail goes FIRST in round 9's window; (4) r05; (5) r06; (6) r07
+#: (freshest signal, so last).  Standing freshness invariant: no
+#: query's latest driver row may be older than two rotations — after
+#: round 8 the oldest signal is the §3 tail (r04) which round 9
+#: must lead with.
 QUERY_ORDER = (
-    # 1) registered late in round 6 — never driver-checked yet
-    "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
-    "doc_ngram_novelty", "dedup_soft_weights",
-    # 2) last driver-checked in round 3 (oldest remaining signal)
-    "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
-    "sql_udf", "quality_classifier", "curation_pipeline",
-    "sample_bottomk_mergeable", "cep_pattern_match",
-    "emb_matryoshka_recall", "file_provenance", "bigram_logprob",
-    "dedup_minhash_est", "constraint_check", "k_anonymity",
-    "fuzzy_match", "user_streaks", "ewma_smooth", "line_dedup",
-    "emb_semantic_dedup", "dedup_source_overlap", "doc_lang_mismatch",
-    "emb_pca_power", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "unigram_logprob", "bpe_token_count", "emb_centroid",
-    "tfidf_topk", "emb_outliers", "graph_pagerank",
-    # 3) new in round 7 — first driver verdict (window fill; any
-    # remaining slots carry the oldest r04 rows)
-    "dedup_incremental_bloom", "emb_ivfpq_topk", "emb_ivfpq_recall",
-    "curation_weighted_sample",
-    # 3b) new in round 7 AFTER the 50-slot window filled — first
-    # driver verdict lands next rotation (same honest bookkeeping as
-    # round 6's §2b; local oracle gate green)
+    # 1) registered late in round 7 (§3b) — never driver-checked yet
     "image_structure", "audio_structure", "video_structure",
     "emb_bq_topk", "emb_bq_recall", "emb_bq_rerank",
-    # 4) green in the round-4 driver run
+    # 2) new in round 8 — first driver verdict inside the window
+    # 3) last driver-checked in round 4 (oldest remaining signal);
+    # window cap lands mid-section, tail leads round 9's rotation
     "pysource_synthetic_events", "variant_json", "param_query",
     "bpe_learn_merges", "shard_manifest", "tpch_q12",
     "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
@@ -93,7 +77,7 @@ QUERY_ORDER = (
     "zorder_layout", "text_sentiment", "type_profile_similarity",
     "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
     "quarter_hour_case", "agg_groupby", "agg_analytic_window",
-    # 5) green in the round-5 driver run (freshest signal, so last)
+    # 4) green in the round-5 driver run
     "conditional_columns", "scalar_functions", "time_functions",
     "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
@@ -110,7 +94,7 @@ QUERY_ORDER = (
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
     "join_salted",
-    # 6) green in the round-6 driver run (freshest signal, so last)
+    # 5) green in the round-6 driver run
     "window_sliding", "percentiles", "scalar_functions2",
     "subq_exists", "subq_not_exists", "subq_scalar",
     "subq_in_having", "subq_not_in", "subq_correlated_scalar",
@@ -126,6 +110,23 @@ QUERY_ORDER = (
     "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
     "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
     "doc_embedding_stats", "neardup_jaccard_histogram",
+    # 6) green in the round-7 driver run (freshest signal, so last)
+    "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
+    "doc_ngram_novelty", "dedup_soft_weights",
+    "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
+    "sql_udf", "quality_classifier", "curation_pipeline",
+    "sample_bottomk_mergeable", "cep_pattern_match",
+    "emb_matryoshka_recall", "file_provenance", "bigram_logprob",
+    "dedup_minhash_est", "constraint_check", "k_anonymity",
+    "fuzzy_match", "user_streaks", "ewma_smooth", "line_dedup",
+    "emb_semantic_dedup", "dedup_source_overlap", "doc_lang_mismatch",
+    "emb_pca_power", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "unigram_logprob", "bpe_token_count", "emb_centroid",
+    "tfidf_topk", "emb_outliers", "graph_pagerank",
+    "dedup_incremental_bloom", "emb_ivfpq_topk", "emb_ivfpq_recall",
+    "curation_weighted_sample",
 )
 
 
