@@ -10,6 +10,7 @@ all-pairs scan on deterministic data.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -693,19 +694,15 @@ ORDER BY qid, rk
 """
 
 
-def q_ann_recall(spark, sf_dir):
-    """recall@k of the LSH ANN result against the exact top-k — the
-    standard quality gauge for an ANN index.  One row per query id with
-    `recall_at_k` = |ANN ∩ exact| / k.  Deterministic because both
-    sides are (md5 planes, rounded sims, fixed tie-breaks), so the
-    DuckDB oracle reproduces the same number."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.cosine_topk(emb, QUERY_VEC_IDS, TOPK).select(
-        "qid", "vec_id"
-    )
-    ann = similarity.ann_topk_lsh(emb, QUERY_VEC_IDS, TOPK).select(
-        "qid", "vec_id"
-    )
+def _recall_gauge(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Shared recall@k gauge: one row per query id with
+    ``recall_at_k`` = |ann ∩ exact| / TOPK, 4dp.  ``exact`` and
+    ``ann`` are (qid, vec_id) relations of ≤ |Q|·k rows each, so
+    every join here is broadcast-sized regardless of corpus size.
+    ``exact`` feeds BOTH the hit join and the qid spine — callers
+    whose exact side has an expensive lineage persist it first (see
+    ``q_emb_pq_recall``).  Six gauges share this body: LSH, BQ,
+    matryoshka, JL, PQ-ADC, IVFADC."""
     hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").agg(
         F.count("*").alias("__n_hits")
     )
@@ -721,6 +718,36 @@ def q_ann_recall(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+#: SQL twin of ``_recall_gauge``: the shared recall@k tail.  Assumes
+#: the enclosing WITH already defined CTEs ``exact`` and ``ann``,
+#: both (qid, vec_id).  Append after a trailing comma.
+_SQL_RECALL_TAIL = f"""hits AS (
+  SELECT e.qid, COUNT(*) AS n
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY e.qid)
+SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM exact) q
+LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+"""
+
+
+def q_ann_recall(spark, sf_dir):
+    """recall@k of the LSH ANN result against the exact top-k — the
+    standard quality gauge for an ANN index.  One row per query id with
+    `recall_at_k` = |ANN ∩ exact| / k.  Deterministic because both
+    sides are (md5 planes, rounded sims, fixed tie-breaks), so the
+    DuckDB oracle reproduces the same number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    ann = similarity.ann_topk_lsh(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id"
+    )
+    return _recall_gauge(exact, ann)
 
 
 def q_emb_bq_topk(spark, sf_dir):
@@ -827,21 +854,7 @@ def q_emb_bq_recall(spark, sf_dir):
     ann = similarity.bq_topk(emb, QUERY_VEC_IDS, TOPK).select(
         "qid", "vec_id"
     )
-    hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count("*").alias("__n_hits")
-    )
-    return (
-        exact.select("qid")
-        .distinct()
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.round(
-                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
-            ).alias("recall_at_k"),
-        )
-        .orderBy("qid")
-    )
+    return _recall_gauge(exact, ann)
 
 
 # WITH-in-subquery composition: replays the exact and the LSH pipelines
@@ -849,28 +862,12 @@ def q_emb_bq_recall(spark, sf_dir):
 SQL_ANN_RECALL = f"""
 WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
 ann AS (SELECT qid, vec_id FROM ({SQL_ANN_TOPK_LSH})),
-hits AS (
-  SELECT e.qid, COUNT(*) AS n
-  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
-  GROUP BY e.qid)
-SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
-FROM (SELECT DISTINCT qid FROM exact) q
-LEFT JOIN hits h ON q.qid = h.qid
-ORDER BY q.qid
-"""
+{_SQL_RECALL_TAIL}"""
 
 SQL_EMB_BQ_RECALL = f"""
 WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
 ann AS (SELECT qid, vec_id FROM ({SQL_EMB_BQ_TOPK})),
-hits AS (
-  SELECT e.qid, COUNT(*) AS n
-  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
-  GROUP BY e.qid)
-SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
-FROM (SELECT DISTINCT qid FROM exact) q
-LEFT JOIN hits h ON q.qid = h.qid
-ORDER BY q.qid
-"""
+{_SQL_RECALL_TAIL}"""
 
 
 MRL_DIMS = 16
@@ -890,21 +887,7 @@ def q_emb_matryoshka_recall(spark, sf_dir):
     trunc = similarity.matryoshka_topk(
         emb, QUERY_VEC_IDS, TOPK, MRL_DIMS
     ).select("qid", "vec_id")
-    hits = exact.join(trunc, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count("*").alias("__n_hits")
-    )
-    return (
-        exact.select("qid")
-        .distinct()
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.round(
-                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
-            ).alias("recall_at_k"),
-        )
-        .orderBy("qid")
-    )
+    return _recall_gauge(exact, trunc)
 
 
 SQL_EMB_MATRYOSHKA_RECALL = f"""
@@ -919,22 +902,14 @@ tscored AS (
                CAST(e.embedding[1:{MRL_DIMS}] AS DOUBLE[])), 4)
            AS cos_sim
   FROM tq JOIN embeddings e ON e.vec_id <> tq.qid),
-trunc AS (
+ann AS (
   SELECT qid, vec_id
   FROM (SELECT qid, vec_id,
                ROW_NUMBER() OVER (PARTITION BY qid
                     ORDER BY cos_sim DESC, vec_id ASC) AS rk
         FROM tscored)
   WHERE rk <= {TOPK}),
-hits AS (
-  SELECT e.qid, COUNT(*) AS n
-  FROM exact e JOIN trunc t ON e.qid = t.qid AND e.vec_id = t.vec_id
-  GROUP BY e.qid)
-SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
-FROM (SELECT DISTINCT qid FROM exact) q
-LEFT JOIN hits h ON q.qid = h.qid
-ORDER BY q.qid
-"""
+{_SQL_RECALL_TAIL}"""
 
 
 JL_DIMS = 16
@@ -956,21 +931,7 @@ def q_emb_jl_recall(spark, sf_dir):
     proj = similarity.random_projection_topk(
         emb, QUERY_VEC_IDS, TOPK, JL_DIMS
     ).select("qid", "vec_id")
-    hits = exact.join(proj, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count("*").alias("__n_hits")
-    )
-    return (
-        exact.select("qid")
-        .distinct()
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.round(
-                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
-            ).alias("recall_at_k"),
-        )
-        .orderBy("qid")
-    )
+    return _recall_gauge(exact, proj)
 
 
 def _sql_emb_jl_recall() -> str:
@@ -996,22 +957,14 @@ pscored AS (
   SELECT pq.qid, p.vec_id,
          ROUND(list_cosine_similarity(pq.qvec, p.pvec), 4) AS cos_sim
   FROM pq JOIN proj p ON p.vec_id <> pq.qid),
-ptop AS (
+ann AS (
   SELECT qid, vec_id
   FROM (SELECT qid, vec_id,
                ROW_NUMBER() OVER (PARTITION BY qid
                     ORDER BY cos_sim DESC, vec_id ASC) AS rk
         FROM pscored)
   WHERE rk <= {TOPK}),
-hits AS (
-  SELECT e.qid, COUNT(*) AS n
-  FROM exact e JOIN ptop t ON e.qid = t.qid AND e.vec_id = t.vec_id
-  GROUP BY e.qid)
-SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
-FROM (SELECT DISTINCT qid FROM exact) q
-LEFT JOIN hits h ON q.qid = h.qid
-ORDER BY q.qid
-"""
+{_SQL_RECALL_TAIL}"""
 
 
 CHUNK_TOKENS = 50
@@ -3835,23 +3788,7 @@ def q_emb_pq_recall(spark, sf_dir):
     ann = similarity.pq_adc_topk(
         emb, QUERY_VEC_IDS, TOPK, m=PQ_M, k=PQ_K
     ).select("qid", "vec_id")
-    hits = (
-        exact.join(ann, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count("*").alias("__n_hits"))
-    )
-    return (
-        exact.select("qid")
-        .distinct()
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.round(
-                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
-            ).alias("recall_at_k"),
-        )
-        .orderBy("qid")
-    )
+    return _recall_gauge(exact, ann)
 
 
 _PQ_QIDS = ", ".join(map(str, QUERY_VEC_IDS))
@@ -3920,15 +3857,7 @@ exact AS (
                               ORDER BY d4, vec_id) AS rk
     FROM exact_d)
   WHERE rk <= {TOPK}),
-hits AS (
-  SELECT e.qid, COUNT(*) AS n
-  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
-  GROUP BY e.qid)
-SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
-FROM (SELECT DISTINCT qid FROM exact) q
-LEFT JOIN hits h ON q.qid = h.qid
-ORDER BY q.qid
-"""
+{_SQL_RECALL_TAIL}"""
 
 
 def q_emb_pq_refine(spark, sf_dir):
@@ -4141,23 +4070,7 @@ def q_emb_ivfpq_recall(spark, sf_dir):
         m=PQ_M,
         k=PQ_K,
     ).select("qid", "vec_id")
-    hits = (
-        exact.join(ann, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count("*").alias("__n_hits"))
-    )
-    return (
-        exact.select("qid")
-        .distinct()
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.round(
-                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(TOPK), 4
-            ).alias("recall_at_k"),
-        )
-        .orderBy("qid")
-    )
+    return _recall_gauge(exact, ann)
 
 
 SQL_EMB_IVFPQ_RECALL = f"""
@@ -4179,15 +4092,7 @@ exact AS (
                               ORDER BY d4, vec_id) AS rk
     FROM exact_d)
   WHERE rk <= {TOPK}),
-hits AS (
-  SELECT e.qid, COUNT(*) AS n
-  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
-  GROUP BY e.qid)
-SELECT q.qid, ROUND(COALESCE(h.n, 0) / {TOPK}.0, 4) AS recall_at_k
-FROM (SELECT DISTINCT qid FROM exact) q
-LEFT JOIN hits h ON q.qid = h.qid
-ORDER BY q.qid
-"""
+{_SQL_RECALL_TAIL}"""
 
 
 def q_ccnet_ppl_buckets(spark, sf_dir):
