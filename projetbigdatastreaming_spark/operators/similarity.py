@@ -1215,8 +1215,14 @@ def bq_topk(
     from pyspark.sql import Window
 
     packed = bq_pack(embeddings)
-    q = packed.where(
-        F.col("vec_id").isin([int(i) for i in query_ids])
+    # the broadcast side packs ONLY the |Q| filtered rows: filtering
+    # BEFORE bq_pack keeps the query-side lineage an In(vec_id)-pushed
+    # scan of |Q| rows rather than a full corpus pack that Catalyst
+    # must prune (plan-pinned by test_bq_query_side_scan_is_pruned)
+    q = bq_pack(
+        embeddings.where(
+            F.col("vec_id").isin([int(i) for i in query_ids])
+        )
     ).select(
         F.col("vec_id").alias("qid"), F.col("words").alias("qwords")
     )

@@ -356,6 +356,31 @@ def test_mixture_budget_window_is_source_partitioned(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_bq_query_side_scan_is_pruned(spark, sf_dir):
+    # bq_topk's broadcast side must pack ONLY the |Q| query rows: the
+    # scan under the BroadcastExchange carries the pushed In(vec_id)
+    # filter (|Q| rows' lineage), the corpus-side scan does not, and
+    # the per-query top-k stays group-limited (no global sort of the
+    # Hamming scores)
+    plan = _plan(spark, sf_dir, "emb_bq_topk")
+    assert plan.count("BroadcastExchange") == 1
+    corpus_side, bcast_side = plan.split("BroadcastExchange", 1)
+    assert "In(vec_id" in bcast_side
+    assert "In(vec_id" not in corpus_side
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bq_rerank_stage2_filters_corpus_no_smj(spark, sf_dir):
+    # two-stage retrieval: the exact-cosine rescore joins the tiny
+    # shortlist BROADCAST against the corpus scan — the corpus is
+    # filtered in place, never exchanged for a sort-merge join
+    plan = _plan(spark, sf_dir, "emb_bq_rerank")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_tfidf_reuses_persisted_tf(spark, sf_dir):
     # the tf relation must come from the cache on at least one side
     # (without the persist the corpus explode re-ran per consumer)
