@@ -47,7 +47,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     mt = sub.add_parser(
         "maintain",
-        help="table/state maintenance: repair, compact",
+        help="table/state maintenance: repair, compact, retract",
     )
     mt.add_argument(
         "op",
@@ -59,6 +59,9 @@ def _build_parser() -> argparse.ArgumentParser:
             "compact-curation",
             "compact-neardup",
             "compact-ann",
+            "retract-neardup",
+            "retract-ann",
+            "retract-curation",
         ],
     )
     mt.add_argument("path", help="table or state directory")
@@ -67,6 +70,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     mt.add_argument("--target-mb", type=int, default=256)
     mt.add_argument("--cluster-by", default=None)
+    mt.add_argument(
+        "--ids",
+        default=None,
+        help="comma-separated doc/vec ids (retract-* only)",
+    )
     return p
 
 
@@ -127,9 +135,28 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             print(f"compacted {compact_ann_index(spark, args.path)} codes")
             return 0
-        from .streaming.curation import compact_state
+        if args.op.startswith("retract-"):
+            if not args.ids:
+                print("--ids is required for retract-*", file=sys.stderr)
+                return 2
+            ids = [int(s) for s in args.ids.split(",") if s.strip()]
+            if args.op == "retract-neardup":
+                from .streaming.neardup import retract_docs
 
-        print(f"compacted {compact_state(spark, args.path)} rows")
+                n = retract_docs(spark, args.path, ids)
+            elif args.op == "retract-ann":
+                from .streaming.annindex import retract_vectors
+
+                n = retract_vectors(spark, args.path, ids)
+            else:
+                from .streaming.curation import retract_curation_docs
+
+                n = retract_curation_docs(spark, args.path, ids)
+            print(f"tombstoned {n} ids")
+            return 0
+        from .streaming.curation import compact_curation
+
+        print(f"compacted {compact_curation(spark, args.path)} rows")
         return 0
 
     if args.name not in queries:

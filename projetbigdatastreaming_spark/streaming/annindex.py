@@ -88,6 +88,20 @@ def load_ann_model(
     return cents, cb
 
 
+def retract_vectors(
+    spark: SparkSession, index_dir: str, vec_ids: list[int]
+) -> int:
+    """Takedown for the ANN code index: append vec_id tombstones at
+    ``<index_dir>/tombstones``.  Retracted vectors stop appearing as
+    neighbors on the very next micro-batch (the probe's corpus side
+    anti-joins pending tombstones) and in `read_ann_codes`;
+    `compact_ann_index` physically drops their code rows and consumes
+    the tombstones.  See `streaming/tombstones.py`."""
+    from .tombstones import write_tombstones
+
+    return write_tombstones(spark, f"{index_dir}/tombstones", vec_ids)
+
+
 def ann_ingest_writer(
     index_dir: str,
     flags_dir: str,
@@ -124,8 +138,19 @@ def ann_ingest_writer(
             spark, f"{index_dir}/codes", CODES_STATE_SCHEMA
         )
         if codes_old is not None:
+            from .tombstones import (
+                apply_tombstones,
+                read_pending_tombstones,
+            )
+
             corpus = (
-                codes_old.where(F.col("batch_id") != batch_id)
+                apply_tombstones(
+                    codes_old.where(F.col("batch_id") != batch_id),
+                    read_pending_tombstones(
+                        spark, f"{index_dir}/tombstones"
+                    ),
+                    "vec_id",
+                )
                 .dropDuplicates(["vec_id"])
                 .select("vec_id", "list_id", "cids")
             )
@@ -155,12 +180,19 @@ def ann_ingest_writer(
 
 
 def read_ann_codes(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The corpus-so-far code index, deduped by natural key — the
-    relation `ivfpq_search` queries run against (and the fold
-    `compact_state` rewrites)."""
+    """The corpus-so-far code index, deduped by natural key and with
+    pending retractions applied — the relation `ivfpq_search` queries
+    run against (and the fold `compact_state` rewrites)."""
+    from .tombstones import apply_tombstones, read_pending_tombstones
+
     return (
-        spark.read.schema(CODES_STATE_SCHEMA)
-        .parquet(f"{index_dir}/codes")
+        apply_tombstones(
+            spark.read.schema(CODES_STATE_SCHEMA).parquet(
+                f"{index_dir}/codes"
+            ),
+            read_pending_tombstones(spark, f"{index_dir}/tombstones"),
+            "vec_id",
+        )
         .dropDuplicates(["vec_id"])
         .select("vec_id", "list_id", "cids")
     )
@@ -169,9 +201,20 @@ def read_ann_codes(spark: SparkSession, index_dir: str) -> DataFrame:
 def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
     """Fold the per-batch code partitions into a single base
     partition — `curation.compact_state` verbatim (rows unique per
-    vec_id, readers dedup); returns the compacted row count.  Same
-    operational rule as `compact_neardup`: compact past the stream's
-    redelivery horizon."""
+    vec_id, readers dedup); returns the compacted row count.
+    Tombstone-aware: the pending vec_id tombstone snapshot is dropped
+    from the rewrite and consumed after the promote (the
+    `compact_neardup` sequence, one state table).  Same operational
+    rule: compact past the stream's redelivery horizon."""
     from .curation import compact_state
+    from .tombstones import (
+        delete_tombstone_files,
+        pending_tombstone_files,
+        read_tombstone_ids,
+    )
 
-    return compact_state(spark, f"{index_dir}/codes")
+    files = pending_tombstone_files(f"{index_dir}/tombstones")
+    tombs = read_tombstone_ids(spark, files)
+    n = compact_state(spark, f"{index_dir}/codes", tombs, "vec_id")
+    delete_tombstone_files(files)
+    return n

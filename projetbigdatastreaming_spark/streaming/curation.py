@@ -75,6 +75,40 @@ def substring_fp_batch_writer(
     return write
 
 
+def curation_tomb_dir(state_dir: str) -> str:
+    """The tombstone directory for a curation state table — a SIBLING
+    of the parquet root (a subdir would break Spark's batch_id
+    partition discovery)."""
+    return state_dir.rstrip("/") + ".tombstones"
+
+
+def retract_curation_docs(
+    spark: SparkSession, state_dir: str, doc_ids: list[int]
+) -> int:
+    """Takedown for a curation state table: append doc_id tombstones.
+    Readers exclude the documents immediately; `compact_curation`
+    physically drops their rows and consumes the tombstones.  See
+    `streaming/tombstones.py` for the full lifecycle."""
+    from .tombstones import write_tombstones
+
+    return write_tombstones(spark, curation_tomb_dir(state_dir), doc_ids)
+
+
+def _live_state(
+    spark: SparkSession, state_dir: str, schema: str
+) -> DataFrame:
+    """State read with pending retractions applied — every curation
+    reader goes through this, so a takedown is effective on the very
+    next read (broadcast anti-join; the state side never shuffles)."""
+    from .tombstones import apply_tombstones, read_pending_tombstones
+
+    return apply_tombstones(
+        spark.read.schema(schema).parquet(state_dir),
+        read_pending_tombstones(spark, curation_tomb_dir(state_dir)),
+        "doc_id",
+    )
+
+
 def _dedup_state(state: DataFrame, keys: list[str], val: str) -> DataFrame:
     """Collapse duplicate state rows by natural key.  Each document's
     feature rows are unique corpus-wide (a doc arrives once; replays
@@ -93,7 +127,7 @@ def read_substring_profile(
     """Fold all batch partitions into the corpus-wide per-doc
     duplication profile — row-identical to running the batch
     ``substring_dedup`` over the union of every ingested batch."""
-    state = spark.read.schema(SUBSTRING_STATE_SCHEMA).parquet(state_dir)
+    state = _live_state(spark, state_dir, SUBSTRING_STATE_SCHEMA)
     return substring_profile(_dedup_state(state, ["doc_id", "fp"], "cnt"))
 
 
@@ -115,7 +149,7 @@ def read_dsir_importance(spark: SparkSession, state_dir: str) -> DataFrame:
     """Fold all batch partitions and rescore every document under the
     corpus-so-far bucket distributions — row-identical to the batch
     ``dsir_importance`` over the union of every ingested batch."""
-    state = spark.read.schema(DSIR_STATE_SCHEMA).parquet(state_dir)
+    state = _live_state(spark, state_dir, DSIR_STATE_SCHEMA)
     return dsir_score(
         _dedup_state(state, ["doc_id", "lang", "bucket"], "tf")
     )
@@ -128,7 +162,7 @@ def read_dsir_distributions(
     the folded state — the monitoring view (the per-doc scores above
     are the selection output)."""
     state = _dedup_state(
-        spark.read.schema(DSIR_STATE_SCHEMA).parquet(state_dir),
+        _live_state(spark, state_dir, DSIR_STATE_SCHEMA),
         ["doc_id", "lang", "bucket"],
         "tf",
     )
@@ -144,7 +178,12 @@ def read_dsir_distributions(
     )
 
 
-def compact_state(spark: SparkSession, state_dir: str) -> int:
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    tombs: DataFrame | None = None,
+    id_col: str | None = None,
+) -> int:
     """Rewrite all batch partitions of a curation state table into a
     single base partition (``batch_id=-1``), dropping the per-batch
     partitions — the read-side fold input goes from one file set per
@@ -167,11 +206,19 @@ def compact_state(spark: SparkSession, state_dir: str) -> int:
     a replay of a compacted batch_id would re-add rows the base
     already holds, which the dedup readers absorb, but the restated
     partition would then linger until the next compaction.
+
+    ``tombs``/``id_col`` (retraction, see `streaming/tombstones.py`):
+    when given, rows whose ``id_col`` is tombstoned are DROPPED from
+    the rewrite — this is the step that makes a takedown physical.
+    The caller owns the tombstone-file snapshot/consume sequence
+    (family wrappers like `compact_neardup` apply ONE snapshot across
+    all their state tables, then consume it once).
     """
     import os
     import shutil
 
     from .sketches import BASE_ID, OLD_ID, STAGING_ID
+    from .tombstones import apply_tombstones
 
     if not os.path.isdir(state_dir):
         return 0
@@ -184,7 +231,9 @@ def compact_state(spark: SparkSession, state_dir: str) -> int:
         if name.startswith("batch_id=")
         and name != f"batch_id={STAGING_ID}"
     )
-    if not ids or ids == [BASE_ID]:
+    # a pending retraction forces the rewrite even when only the base
+    # partition exists — that's what makes the takedown physical
+    if not ids or (ids == [BASE_ID] and tombs is None):
         return (
             spark.read.parquet(state_dir)
             .where(F.col("batch_id") == BASE_ID)
@@ -194,8 +243,11 @@ def compact_state(spark: SparkSession, state_dir: str) -> int:
         )
     shutil.rmtree(staging, ignore_errors=True)
     rows = (
-        spark.read.parquet(state_dir)
-        .where(F.col("batch_id").isin(ids))
+        apply_tombstones(
+            spark.read.parquet(state_dir).where(F.col("batch_id").isin(ids)),
+            tombs,
+            id_col,
+        )
         .drop("batch_id")
         .distinct()
         .withColumn("batch_id", F.lit(STAGING_ID))
@@ -214,6 +266,27 @@ def compact_state(spark: SparkSession, state_dir: str) -> int:
             ignore_errors=True,
         )
     shutil.rmtree(aside, ignore_errors=True)
+    return n
+
+
+def compact_curation(spark: SparkSession, state_dir: str) -> int:
+    """Tombstone-aware compaction for one curation state table:
+    snapshot the pending doc_id tombstones, fold the partitions with
+    the tombstoned rows dropped, then consume exactly that snapshot.
+    Crash-safe at every kill point: killed before the promote, the
+    tombstones stay pending (readers keep anti-joining them); killed
+    after the promote but before the consume, the already-applied
+    tombstones anti-join nothing and the next run consumes them."""
+    from .tombstones import (
+        delete_tombstone_files,
+        pending_tombstone_files,
+        read_tombstone_ids,
+    )
+
+    files = pending_tombstone_files(curation_tomb_dir(state_dir))
+    tombs = read_tombstone_ids(spark, files)
+    n = compact_state(spark, state_dir, tombs, "doc_id")
+    delete_tombstone_files(files)
     return n
 
 

@@ -78,6 +78,20 @@ def _read_or_none(
         return None
 
 
+def retract_docs(
+    spark: SparkSession, index_dir: str, doc_ids: list[int]
+) -> int:
+    """Takedown for the near-dup index: append doc_id tombstones at
+    ``<index_dir>/tombstones``.  The retracted documents stop matching
+    incoming batches on the very next micro-batch (the writer
+    anti-joins pending tombstones when it probes the corpus-so-far);
+    `compact_neardup` physically drops their band/sig rows and
+    consumes the tombstones.  See `streaming/tombstones.py`."""
+    from .tombstones import write_tombstones
+
+    return write_tombstones(spark, f"{index_dir}/tombstones", doc_ids)
+
+
 def near_dup_batch_writer(
     index_dir: str,
     flags_dir: str,
@@ -111,6 +125,11 @@ def near_dup_batch_writer(
 
             bands_old = _read_or_none(spark, f"{index_dir}/bands")
             if bands_old is not None:
+                from .tombstones import (
+                    apply_tombstones,
+                    read_pending_tombstones,
+                )
+
                 sigs_old = spark.read.parquet(f"{index_dir}/sigs")
                 # corpus-vs-batch candidates: old doc is doc_a, new doc
                 # is doc_b (replayed batches exclude their own prior
@@ -118,6 +137,14 @@ def near_dup_batch_writer(
                 # itself)
                 bands_old = bands_old.where(F.col("batch_id") != batch_id)
                 sigs_old = sigs_old.where(F.col("batch_id") != batch_id)
+                # retracted documents stop matching IMMEDIATELY —
+                # pending tombstones anti-join the corpus side here,
+                # compaction makes the drop physical later
+                tombs = read_pending_tombstones(
+                    spark, f"{index_dir}/tombstones"
+                )
+                bands_old = apply_tombstones(bands_old, tombs, "doc_id")
+                sigs_old = apply_tombstones(sigs_old, tombs, "doc_id")
                 cross = (
                     bands_old.alias("a")
                     .join(
@@ -180,6 +207,12 @@ def compact_neardup(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     (small-files pressure at 10⁹ docs, the problem ``compact-cms``
     solves for the sketch family).  Returns (band_rows, sig_rows).
 
+    Tombstone-aware (see `retract_docs`): ONE snapshot of the pending
+    doc_id tombstones is applied across BOTH state tables, then
+    consumed once — a kill between the two compactions leaves the
+    tombstones pending, which every reader keeps anti-joining, so the
+    retraction stays effective and the next run converges.
+
     Reuses ``curation.compact_state`` verbatim: like the curation
     relations, index rows are unique per natural key — (doc_id, band)
     for bands, doc_id for sigs — not additive, so compaction is a
@@ -194,8 +227,17 @@ def compact_neardup(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     it away), and its cross-probe is self-pair-guarded.
     """
     from .curation import compact_state
-
-    return (
-        compact_state(spark, f"{index_dir}/bands"),
-        compact_state(spark, f"{index_dir}/sigs"),
+    from .tombstones import (
+        delete_tombstone_files,
+        pending_tombstone_files,
+        read_tombstone_ids,
     )
+
+    files = pending_tombstone_files(f"{index_dir}/tombstones")
+    tombs = read_tombstone_ids(spark, files)
+    out = (
+        compact_state(spark, f"{index_dir}/bands", tombs, "doc_id"),
+        compact_state(spark, f"{index_dir}/sigs", tombs, "doc_id"),
+    )
+    delete_tombstone_files(files)
+    return out
