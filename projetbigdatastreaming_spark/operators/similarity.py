@@ -1124,6 +1124,124 @@ def ivfpq_search(
     )
 
 
+def bq_adc_search(
+    codes: DataFrame,
+    packed: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    k_top: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+) -> DataFrame:
+    """Two-stage search over an ENCODED corpus: binary-quantized
+    Hamming shortlist (stage 1, `bq_search` over the stored sign-bit
+    words) then ADC rescore of ONLY the shortlist's codes (stage 2).
+    BQ replaces IVF's nprobe as the candidate generator — candidates
+    can come from ANY inverted list, so recall is no longer bounded
+    by the probe — while the float math never runs at all: stage 2
+    reads m small ints per candidate against per-(query, list)
+    integer distance tables, built only for the ≤|Q|·shortlist
+    (query, list) pairs the shortlist actually touches.
+
+    Inputs are the persisted index relations (the streaming ANN
+    index's state families): ``codes`` (vec_id, list_id, cids),
+    ``packed`` (vec_id, words), plus (vec_id, embedding) queries and
+    the frozen model (cents, cb).  Output (qid, vec_id, adc_q4,
+    rk ≤ k_top); deterministic (integer Hamming + integer ADC,
+    vec_id ties), so DuckDB replays it.
+
+    Scale plan: stage 1 is the `bq_search` shape (packed scan, tiny
+    broadcast queries, WindowGroupLimit); stage 2 semi-filters the
+    code index by the BROADCAST shortlist — the corpus codes are
+    filtered in place, never shuffled — and every model/table
+    relation stays a bounded broadcast."""
+    from pyspark.sql import Window
+
+    packed_q = bq_pack(queries).select(
+        F.col("vec_id").alias("qid"), F.col("words").alias("qwords")
+    )
+    short = bq_search(packed, packed_q, shortlist).select(
+        "qid", "vec_id"
+    )
+    cand = codes.join(F.broadcast(short), "vec_id").select(
+        "qid", "vec_id", "list_id", "cids"
+    )
+    # ADC tables only for the (query, list) pairs the shortlist
+    # touches — ≤ |Q|·shortlist rows, usually far fewer
+    needed = cand.select("qid", "list_id").distinct()
+    q = _as_double(queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qres = (
+        needed.join(F.broadcast(cents), "list_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "list_id",
+            F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias(
+                "embedding"
+            ),
+        )
+    )
+    tab = f"""
+    transform(sequence(0, {m - 1}), mi ->
+      transform(__cents, c ->
+        CAST(round({_pq_subdist(m)} * 10000) AS BIGINT)))
+    """
+    qtab = qres.crossJoin(F.broadcast(cb)).select(
+        "qid", "list_id", F.expr(tab).alias("tab")
+    )
+    scored = (
+        cand.alias("v")
+        .join(
+            F.broadcast(qtab).alias("t"),
+            (F.col("v.qid") == F.col("t.qid"))
+            & (F.col("v.list_id") == F.col("t.list_id")),
+        )
+        .select(
+            F.col("v.qid").alias("qid"),
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(cids, tab,"
+                " (cid, row) -> element_at(row, cid + 1)),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("adc_q4"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("adc_q4", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k_top)
+        .orderBy("qid", "rk")
+    )
+
+
+def bq_ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_top: int = 10,
+    n_lists: int = 16,
+    m: int = 4,
+    k: int = 8,
+    shortlist: int = 50,
+) -> DataFrame:
+    """One-pass batch twin of the two-stage index search: train the
+    IVFADC model, encode + BQ-pack the corpus, then `bq_adc_search`.
+    The composition a user runs ad hoc; the streaming ingest index
+    (`streaming/annindex.bq_ann_ingest_writer`) maintains the same
+    two relations incrementally and is pinned stream/batch-equal."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    cents, cb, resid = _ivfpq_model_resid(emb, n_lists, k)
+    codes = _codes_from_residuals(resid, cb, m)
+    queries = emb.where(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    )
+    return bq_adc_search(
+        codes, bq_pack(emb), queries, cents, cb, k_top, shortlist, m
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1197,37 +1315,23 @@ def bq_pack(embeddings: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.expr(words).alias("words"))
 
 
-def bq_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10
+def bq_search(
+    packed: DataFrame, packed_q: DataFrame, k: int = 10
 ) -> DataFrame:
-    """Hamming top-k over the binary-quantized corpus: distance =
-    popcount(xor) summed over words — integer-exact, so both engines
-    rank identical values (ties -> vec_id).  Output (qid, vec_id,
-    hamming, rk ≤ k).
+    """Hamming top-k of packed queries against a packed corpus:
+    distance = popcount(xor) summed over words — integer-exact, so
+    both engines rank identical values (ties -> vec_id).  ``packed``
+    is (vec_id, words); ``packed_q`` is (qid, qwords) — the streaming
+    ANN index calls this against its persisted ``bqwords`` state.
+    Output (qid, vec_id, hamming, rk ≤ k); self-matches excluded.
 
-    Scale plan: the corpus is packed map-side and scanned once
-    touching ceil(d/63) longs per vector instead of d floats; the
-    query side is a tiny broadcast; per-query top-k is a
-    qid-partitioned WindowGroupLimit.  The quality gauge against the
-    exact float top-k is `emb_bq_recall` — binary quantization's
-    whole trade is scan bytes for recall, which that row makes
-    visible."""
+    Scale plan: the corpus side is scanned once touching ceil(d/63)
+    longs per vector; the query side is a tiny broadcast; per-query
+    top-k is a qid-partitioned WindowGroupLimit."""
     from pyspark.sql import Window
 
-    packed = bq_pack(embeddings)
-    # the broadcast side packs ONLY the |Q| filtered rows: filtering
-    # BEFORE bq_pack keeps the query-side lineage an In(vec_id)-pushed
-    # scan of |Q| rows rather than a full corpus pack that Catalyst
-    # must prune (plan-pinned by test_bq_query_side_scan_is_pruned)
-    q = bq_pack(
-        embeddings.where(
-            F.col("vec_id").isin([int(i) for i in query_ids])
-        )
-    ).select(
-        F.col("vec_id").alias("qid"), F.col("words").alias("qwords")
-    )
     scored = (
-        packed.crossJoin(F.broadcast(q))
+        packed.crossJoin(F.broadcast(packed_q))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -1245,6 +1349,35 @@ def bq_topk(
         .where(F.col("rk") <= k)
         .orderBy("qid", "rk")
     )
+
+
+def bq_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Hamming top-k over the binary-quantized corpus — `bq_pack`
+    both sides, then `bq_search`.  Output (qid, vec_id, hamming,
+    rk ≤ k).
+
+    Scale plan: the corpus is packed map-side and scanned once
+    touching ceil(d/63) longs per vector instead of d floats; the
+    query side is a tiny broadcast; per-query top-k is a
+    qid-partitioned WindowGroupLimit.  The quality gauge against the
+    exact float top-k is `emb_bq_recall` — binary quantization's
+    whole trade is scan bytes for recall, which that row makes
+    visible."""
+    packed = bq_pack(embeddings)
+    # the broadcast side packs ONLY the |Q| filtered rows: filtering
+    # BEFORE bq_pack keeps the query-side lineage an In(vec_id)-pushed
+    # scan of |Q| rows rather than a full corpus pack that Catalyst
+    # must prune (plan-pinned by test_bq_query_side_scan_is_pruned)
+    q = bq_pack(
+        embeddings.where(
+            F.col("vec_id").isin([int(i) for i in query_ids])
+        )
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("words").alias("qwords")
+    )
+    return bq_search(packed, q, k)
 
 
 def bq_rerank_topk(

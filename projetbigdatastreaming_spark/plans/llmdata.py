@@ -763,10 +763,10 @@ def q_emb_bq_topk(spark, sf_dir):
     )
 
 
-_BQ_PACKED_CTE = f"""
-emb AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-packed AS (
+#: the pack+rank CTEs alone (no `emb`), so compositions that already
+#: define `emb` — SQL_EMB_BQ_IVFPQ_RERANK atop _IVFPQ_CTES — can
+#: append them without a duplicate-CTE clash
+_BQ_PACK_CTES = f"""packed AS (
   SELECT vec_id,
          list_transform(range(0, (len(e) - 1) // 63 + 1),
            w -> list_aggregate(list_transform(range(0, 63),
@@ -788,6 +788,11 @@ bq_ranked AS (
     FROM packed v
     JOIN packed q ON q.vec_id IN ({', '.join(map(str, QUERY_VEC_IDS))})
                  AND v.vec_id <> q.vec_id) s)"""
+
+_BQ_PACKED_CTE = f"""
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+{_BQ_PACK_CTES}"""
 
 SQL_EMB_BQ_TOPK = f"""
 WITH {_BQ_PACKED_CTE}
@@ -4095,6 +4100,76 @@ exact AS (
 {_SQL_RECALL_TAIL}"""
 
 
+def q_emb_bq_ivfpq_rerank(spark, sf_dir):
+    """Two-stage index search — BQ Hamming SHORTLIST over the packed
+    sign bits, then IVFADC integer rescore of ONLY the shortlist's
+    codes (`operators/similarity.bq_adc_search`): the composition the
+    streaming ANN index (`streaming/annindex.bq_ann_ingest_writer`)
+    runs per batch.  BQ replaces IVF's nprobe as candidate generator,
+    so recall is no longer probe-bounded, while the float math never
+    runs: stage 2 reads m small ints per candidate against
+    per-(query, list) integer distance tables built only for the
+    (query, list) pairs the shortlist touches.  Output matches
+    `emb_ivfpq_topk`: (qid, vec_id, adc_q4, rk ≤ k); deterministic
+    (integer Hamming + integer ADC, vec_id ties), so DuckDB replays
+    both stages."""
+    return similarity.bq_ivfpq_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_VEC_IDS,
+        TOPK,
+        n_lists=IVF_N_LISTS,
+        m=PQ_M,
+        k=PQ_K,
+        shortlist=BQ_SHORTLIST,
+    )
+
+
+SQL_EMB_BQ_IVFPQ_RERANK = f"""
+WITH {_IVFPQ_CTES},
+{_BQ_PACK_CTES},
+cand AS (
+  SELECT s.qid, c.vec_id, c.list_id, c.mi, c.cid
+  FROM (SELECT qid, vec_id FROM bq_ranked
+        WHERE rk <= {BQ_SHORTLIST}) s
+  JOIN codes c ON c.vec_id = s.vec_id),
+needed AS (
+  SELECT DISTINCT qid, list_id FROM cand),
+qresid2 AS (
+  SELECT n.qid, n.list_id,
+         list_transform(range(1, len(q.e) + 1),
+                        i -> q.e[i] - c.cvec[i]) AS r
+  FROM needed n
+  JOIN emb q ON q.vec_id = n.qid
+  JOIN cents c ON c.list_id = n.list_id),
+qsubd2 AS (
+  SELECT v.qid, v.list_id, t.mi, s.cid,
+         CAST(ROUND(list_aggregate(list_transform(
+             range(1, (len(v.r) // {PQ_M}) + 1),
+             i -> (v.r[t.mi * (len(v.r) // {PQ_M}) + i]
+                   - s.e[t.mi * (len(v.r) // {PQ_M}) + i])
+                  * (v.r[t.mi * (len(v.r) // {PQ_M}) + i]
+                     - s.e[t.mi * (len(v.r) // {PQ_M}) + i])),
+           'sum') * 10000) AS BIGINT) AS d4
+  FROM qresid2 v
+  CROSS JOIN range(0, {PQ_M}) t(mi)
+  CROSS JOIN seeds s),
+rescored AS (
+  SELECT b.qid, b.vec_id, CAST(SUM(q.d4) AS BIGINT) AS adc_q4
+  FROM cand b
+  JOIN qsubd2 q ON b.qid = q.qid AND b.list_id = q.list_id
+               AND b.mi = q.mi AND b.cid = q.cid
+  GROUP BY b.qid, b.vec_id),
+reranked AS (
+  SELECT qid, vec_id, adc_q4,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc_q4, vec_id) AS INTEGER) AS rk
+  FROM rescored)
+SELECT qid, vec_id, adc_q4, rk
+FROM reranked WHERE rk <= {TOPK}
+ORDER BY qid, rk
+"""
+
+
 def q_ccnet_ppl_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl
@@ -4981,6 +5056,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_ivfpq_topk": QuerySpec(q_emb_ivfpq_topk, SQL_EMB_IVFPQ_TOPK),
     "emb_bq_topk": QuerySpec(q_emb_bq_topk, SQL_EMB_BQ_TOPK),
     "emb_bq_rerank": QuerySpec(q_emb_bq_rerank, SQL_EMB_BQ_RERANK),
+    "emb_bq_ivfpq_rerank": QuerySpec(
+        q_emb_bq_ivfpq_rerank, SQL_EMB_BQ_IVFPQ_RERANK
+    ),
     "emb_bq_recall": QuerySpec(q_emb_bq_recall, SQL_EMB_BQ_RECALL),
     "emb_ivfpq_recall": QuerySpec(
         q_emb_ivfpq_recall, SQL_EMB_IVFPQ_RECALL

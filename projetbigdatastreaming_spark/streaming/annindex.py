@@ -37,7 +37,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ivfpq_encode, ivfpq_model, ivfpq_search
+from ..operators.similarity import (
+    bq_adc_search,
+    bq_pack,
+    ivfpq_encode,
+    ivfpq_model,
+    ivfpq_search,
+)
 from ..sinks.files import overwrite_partitions
 from .neardup import _read_or_none
 
@@ -46,6 +52,7 @@ logger = logging.getLogger(__name__)
 CODES_STATE_SCHEMA = (
     "vec_id long, list_id long, cids array<int>, batch_id int"
 )
+BQWORDS_STATE_SCHEMA = "vec_id long, words array<long>, batch_id int"
 
 
 def build_ann_model(
@@ -179,6 +186,119 @@ def ann_ingest_writer(
     return _fn
 
 
+def bq_ann_ingest_writer(
+    index_dir: str,
+    flags_dir: str,
+    k_top: int = 10,
+    m: int = 4,
+    shortlist: int = 50,
+) -> Callable[[DataFrame, int], None]:
+    """Two-stage ingest: the `ann_ingest_writer` contract with the
+    batch's probe upgraded to BQ-shortlist + ADC-rescore
+    (`operators/similarity.bq_adc_search`) — the production pattern
+    where the cheap popcount scan generates candidates from ANY
+    inverted list (recall no longer bounded by nprobe) and the ADC
+    integer math runs only on the ≤|Q|·shortlist survivors.
+
+    The index dir gains a ``bqwords`` state family — (vec_id, words,
+    batch_id), the packed sign bits stored ALONGSIDE the IVFADC
+    codes — folded, tombstoned, and compacted by exactly the
+    machinery the codes use (unique per vec_id, deduping readers, one
+    tombstone snapshot across both tables).  Same replay safety:
+    batch-vs-corpus semantics, own-partition exclusion, restating
+    writes."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cents, cb = load_ann_model(spark, index_dir)
+        batch = batch_df.select("vec_id", "embedding")
+        codes_new = ivfpq_encode(batch, cents, cb, m)
+        words_new = bq_pack(batch)
+
+        codes_old = _read_or_none(
+            spark, f"{index_dir}/codes", CODES_STATE_SCHEMA
+        )
+        words_old = _read_or_none(
+            spark, f"{index_dir}/bqwords", BQWORDS_STATE_SCHEMA
+        )
+        if codes_old is not None and words_old is not None:
+            from .tombstones import (
+                apply_tombstones,
+                read_pending_tombstones,
+            )
+
+            tombs = read_pending_tombstones(
+                spark, f"{index_dir}/tombstones"
+            )
+            corpus_codes = (
+                apply_tombstones(
+                    codes_old.where(F.col("batch_id") != batch_id),
+                    tombs,
+                    "vec_id",
+                )
+                .dropDuplicates(["vec_id"])
+                .select("vec_id", "list_id", "cids")
+            )
+            corpus_words = (
+                apply_tombstones(
+                    words_old.where(F.col("batch_id") != batch_id),
+                    tombs,
+                    "vec_id",
+                )
+                .dropDuplicates(["vec_id"])
+                .select("vec_id", "words")
+            )
+            flags = bq_adc_search(
+                corpus_codes,
+                corpus_words,
+                batch,
+                cents,
+                cb,
+                k_top,
+                shortlist,
+                m,
+            ).withColumn("batch_id", F.lit(int(batch_id)))
+        else:
+            flags = spark.createDataFrame(
+                [],
+                "qid long, vec_id long, adc_q4 long, rk int, batch_id int",
+            )
+        overwrite_partitions(flags, flags_dir, ["batch_id"])
+        overwrite_partitions(
+            codes_new.withColumn("batch_id", F.lit(int(batch_id))),
+            f"{index_dir}/codes",
+            ["batch_id"],
+        )
+        overwrite_partitions(
+            words_new.withColumn("batch_id", F.lit(int(batch_id))),
+            f"{index_dir}/bqwords",
+            ["batch_id"],
+        )
+        logger.info("batch %s: two-stage ann index updated", batch_id)
+
+    return _fn
+
+
+def read_ann_words(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The corpus-so-far packed sign-bit words, deduped and with
+    pending retractions applied — stage 1's scan relation."""
+    from .tombstones import apply_tombstones, read_pending_tombstones
+
+    return (
+        apply_tombstones(
+            spark.read.schema(BQWORDS_STATE_SCHEMA).parquet(
+                f"{index_dir}/bqwords"
+            ),
+            read_pending_tombstones(spark, f"{index_dir}/tombstones"),
+            "vec_id",
+        )
+        .dropDuplicates(["vec_id"])
+        .select("vec_id", "words")
+    )
+
+
 def read_ann_codes(spark: SparkSession, index_dir: str) -> DataFrame:
     """The corpus-so-far code index, deduped by natural key and with
     pending retractions applied — the relation `ivfpq_search` queries
@@ -199,13 +319,16 @@ def read_ann_codes(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
-    """Fold the per-batch code partitions into a single base
-    partition — `curation.compact_state` verbatim (rows unique per
-    vec_id, readers dedup); returns the compacted row count.
-    Tombstone-aware: the pending vec_id tombstone snapshot is dropped
-    from the rewrite and consumed after the promote (the
-    `compact_neardup` sequence, one state table).  Same operational
-    rule: compact past the stream's redelivery horizon."""
+    """Fold the per-batch code partitions — and, when the two-stage
+    writer is in use, the ``bqwords`` partitions — into single base
+    partitions; `curation.compact_state` verbatim (rows unique per
+    vec_id, readers dedup).  Returns the compacted CODE row count.
+    Tombstone-aware: ONE pending vec_id tombstone snapshot is applied
+    across both state tables, then consumed once (the
+    `compact_neardup` sequence — a kill between the two compactions
+    leaves the tombstones pending for every reader and the rerun).
+    Same operational rule: compact past the stream's redelivery
+    horizon."""
     from .curation import compact_state
     from .tombstones import (
         delete_tombstone_files,
@@ -216,5 +339,6 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
     files = pending_tombstone_files(f"{index_dir}/tombstones")
     tombs = read_tombstone_ids(spark, files)
     n = compact_state(spark, f"{index_dir}/codes", tombs, "vec_id")
+    compact_state(spark, f"{index_dir}/bqwords", tombs, "vec_id")
     delete_tombstone_files(files)
     return n

@@ -285,6 +285,10 @@ _BNLJ_ALLOWED = {
     "emb_bq_topk",
     "emb_bq_recall",
     "emb_bq_rerank",
+    # two-stage BQ+IVFADC: inherits the bq_topk query-side broadcast
+    # cross (stage 1) and the IVFADC model-row broadcasts; stage 2's
+    # shortlist and table joins are broadcast EQUI-joins
+    "emb_bq_ivfpq_rerank",
     # BPE training broadcasts the 1-row winning pair into the merge
     # step each iteration — the same scalar-broadcast shape as
     # emb_pca_power, over a vocabulary-sized (≤200-row) relation

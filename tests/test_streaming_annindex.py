@@ -240,3 +240,253 @@ def test_ann_compaction_kill_point_probe_still_exact(spark, tmp_path):
     # next compaction converges
     assert compact_ann_index(spark, index_dir) > 0
     assert answers() == want
+
+
+BQ_SHORT = 30
+
+
+def _bq_ingest_in_batches(spark, tmp_path, n_batches=3):
+    from projetbigdatastreaming_spark.streaming.annindex import (
+        bq_ann_ingest_writer,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    index_dir = str(tmp_path / "bq_ann_index")
+    flags_dir = str(tmp_path / "bq_ann_flags")
+    build_ann_model(emb, index_dir, n_lists=IVF_N_LISTS, k=PQ_K)
+    write = bq_ann_ingest_writer(
+        index_dir, flags_dir, k_top=TOPK, m=PQ_M, shortlist=BQ_SHORT
+    )
+    for b in range(n_batches):
+        write(emb.where(F.col("vec_id") % n_batches == b), b)
+    return emb, index_dir, flags_dir, write
+
+
+def test_bq_stream_folded_index_equals_batch_two_stage(spark, tmp_path):
+    """The two-stage (BQ shortlist + ADC rescore) search over the
+    stream-folded codes+bqwords state must return EXACTLY the one-pass
+    batch operator's rows — the bqwords family folds losslessly next
+    to the codes, under the same frozen model."""
+    from projetbigdatastreaming_spark.operators.similarity import (
+        bq_adc_search,
+        bq_ivfpq_rerank_topk,
+    )
+    from projetbigdatastreaming_spark.streaming.annindex import (
+        read_ann_words,
+    )
+
+    emb, index_dir, _, _ = _bq_ingest_in_batches(spark, tmp_path)
+    cents, cb = load_ann_model(spark, index_dir)
+    queries = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS))
+    got = sorted(
+        map(
+            tuple,
+            bq_adc_search(
+                read_ann_codes(spark, index_dir),
+                read_ann_words(spark, index_dir),
+                queries,
+                cents,
+                cb,
+                TOPK,
+                BQ_SHORT,
+                PQ_M,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            bq_ivfpq_rerank_topk(
+                emb,
+                QUERY_VEC_IDS,
+                TOPK,
+                n_lists=IVF_N_LISTS,
+                m=PQ_M,
+                k=PQ_K,
+                shortlist=BQ_SHORT,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == len(QUERY_VEC_IDS) * TOPK
+
+
+def test_bq_ingest_flags_and_replay(spark, tmp_path):
+    """Batch-vs-corpus semantics and replay safety for the two-stage
+    writer: first batch flags nothing, neighbors always come from
+    earlier batches, and a redelivery restates without duplication."""
+    emb, index_dir, flags_dir, write = _bq_ingest_in_batches(
+        spark, tmp_path
+    )
+    from projetbigdatastreaming_spark.streaming.annindex import (
+        read_ann_words,
+    )
+
+    flags = spark.read.parquet(flags_dir)
+    assert flags.where("batch_id = 0").count() == 0
+    for r in flags.collect():
+        assert r.vec_id % 3 < r.batch_id
+        assert r.qid % 3 == r.batch_id
+        assert r.qid != r.vec_id
+    assert flags.where("batch_id = 2").count() > 0
+
+    before_flags = sorted(map(tuple, flags.collect()))
+    before_words = sorted(
+        map(tuple, read_ann_words(spark, index_dir).collect())
+    )
+    write(emb.where(F.col("vec_id") % 3 == 2), 2)  # redelivery
+    assert (
+        sorted(map(tuple, spark.read.parquet(flags_dir).collect()))
+        == before_flags
+    )
+    assert (
+        sorted(map(tuple, read_ann_words(spark, index_dir).collect()))
+        == before_words
+    )
+
+
+def test_bq_index_retraction_and_compaction(spark, tmp_path):
+    """Retraction flows through BOTH stages: a tombstoned vector
+    leaves read_ann_words/read_ann_codes and the next batch's flags
+    immediately; compaction drops its rows from codes AND bqwords,
+    consumes the tombstones, and the folded search then equals the
+    frozen-model batch search over corpus-minus-victim."""
+    from projetbigdatastreaming_spark.operators.similarity import (
+        bq_adc_search,
+        bq_pack,
+        ivfpq_encode,
+    )
+    from projetbigdatastreaming_spark.streaming.annindex import (
+        read_ann_words,
+        retract_vectors,
+    )
+    from projetbigdatastreaming_spark.streaming.tombstones import (
+        pending_tombstone_files,
+    )
+
+    emb, index_dir, flags_dir, write = _bq_ingest_in_batches(
+        spark, tmp_path, n_batches=2
+    )
+    victim = int(
+        spark.read.parquet(flags_dir)
+        .groupBy("vec_id")
+        .count()
+        .orderBy(F.desc("count"), "vec_id")
+        .first()["vec_id"]
+    )
+    retract_vectors(spark, index_dir, [victim])
+    assert victim not in {
+        r.vec_id for r in read_ann_words(spark, index_dir).collect()
+    }
+
+    write(emb.where(F.col("vec_id") % 3 == 2), 2)
+    b2 = {
+        r.vec_id
+        for r in spark.read.parquet(flags_dir)
+        .where("batch_id = 2")
+        .collect()
+    }
+    assert b2 and victim not in b2
+
+    assert compact_ann_index(spark, index_dir) > 0
+    for fam in ("codes", "bqwords"):
+        raw = {
+            r.vec_id
+            for r in spark.read.parquet(f"{index_dir}/{fam}").collect()
+        }
+        assert victim not in raw
+    assert pending_tombstone_files(f"{index_dir}/tombstones") == []
+
+    # folded search == frozen-model batch search over corpus-minus-victim
+    cents, cb = load_ann_model(spark, index_dir)
+    kept = emb.where(F.col("vec_id") != victim)
+    queries = kept.where(F.col("vec_id").isin(QUERY_VEC_IDS))
+    got = sorted(
+        map(
+            tuple,
+            bq_adc_search(
+                read_ann_codes(spark, index_dir),
+                read_ann_words(spark, index_dir),
+                queries,
+                cents,
+                cb,
+                TOPK,
+                BQ_SHORT,
+                PQ_M,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            bq_adc_search(
+                ivfpq_encode(kept, cents, cb, PQ_M),
+                bq_pack(kept),
+                queries,
+                cents,
+                cb,
+                TOPK,
+                BQ_SHORT,
+                PQ_M,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_bq_index_compaction_kill_between_families(
+    spark, tmp_path, monkeypatch
+):
+    """Kill compact_ann_index after the codes table compacted but
+    before bqwords: tombstones stay pending, both readers stay
+    retraction-true, the rerun converges and consumes."""
+    import pytest
+
+    from projetbigdatastreaming_spark.streaming import annindex, curation
+    from projetbigdatastreaming_spark.streaming.annindex import (
+        read_ann_words,
+        retract_vectors,
+    )
+    from projetbigdatastreaming_spark.streaming.tombstones import (
+        pending_tombstone_files,
+    )
+
+    emb, index_dir, flags_dir, write = _bq_ingest_in_batches(
+        spark, tmp_path, n_batches=2
+    )
+    victim = int(
+        spark.read.parquet(flags_dir).select("vec_id").first()["vec_id"]
+    )
+    retract_vectors(spark, index_dir, [victim])
+
+    real = curation.compact_state
+    calls = {"n": 0}
+
+    def killer(spark_, state_dir, tombs=None, id_col=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed between codes and bqwords")
+        return real(spark_, state_dir, tombs, id_col)
+
+    monkeypatch.setattr(curation, "compact_state", killer)
+    with pytest.raises(RuntimeError):
+        annindex.compact_ann_index(spark, index_dir)
+    monkeypatch.undo()
+
+    assert pending_tombstone_files(f"{index_dir}/tombstones") != []
+    assert victim not in {
+        r.vec_id for r in read_ann_codes(spark, index_dir).collect()
+    }
+    assert victim not in {
+        r.vec_id for r in read_ann_words(spark, index_dir).collect()
+    }
+
+    assert compact_ann_index(spark, index_dir) > 0
+    assert pending_tombstone_files(f"{index_dir}/tombstones") == []
+    for fam in ("codes", "bqwords"):
+        raw = {
+            r.vec_id
+            for r in spark.read.parquet(f"{index_dir}/{fam}").collect()
+        }
+        assert victim not in raw
