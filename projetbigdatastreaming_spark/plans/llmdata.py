@@ -3829,6 +3829,27 @@ best AS (
     FROM subd)
   WHERE rn = 1)"""
 
+#: exact squared-L2 top-k ground truth + the shared recall tail — the
+#: closing CTEs of every L2-family recall gauge (PQ-ADC, IVFADC,
+#: BQ+IVFADC).  Assumes the enclosing WITH defines `emb` and an `ann`
+#: CTE of (qid, vec_id).
+_SQL_L2_EXACT_AND_TAIL = f"""exact_d AS (
+  SELECT q.vec_id AS qid, v.vec_id,
+         CAST(ROUND(list_aggregate(list_transform(
+             range(1, len(v.e) + 1),
+             i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])), 'sum')
+           * 10000) AS BIGINT) AS d4
+  FROM emb v
+  JOIN emb q ON q.vec_id IN ({_PQ_QIDS}) AND v.vec_id <> q.vec_id),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY d4, vec_id) AS rk
+    FROM exact_d)
+  WHERE rk <= {TOPK}),
+{_SQL_RECALL_TAIL}"""
+
 SQL_EMB_PQ_RECALL = f"""
 WITH {_PQ_CTES},
 qtab AS (
@@ -3847,22 +3868,7 @@ ann AS (
                               ORDER BY adc_q4, vec_id) AS rk
     FROM adc)
   WHERE rk <= {TOPK}),
-exact_d AS (
-  SELECT q.vec_id AS qid, v.vec_id,
-         CAST(ROUND(list_aggregate(list_transform(
-             range(1, len(v.e) + 1),
-             i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])), 'sum')
-           * 10000) AS BIGINT) AS d4
-  FROM emb v
-  JOIN emb q ON q.vec_id IN ({_PQ_QIDS}) AND v.vec_id <> q.vec_id),
-exact AS (
-  SELECT qid, vec_id FROM (
-    SELECT qid, vec_id,
-           ROW_NUMBER() OVER (PARTITION BY qid
-                              ORDER BY d4, vec_id) AS rk
-    FROM exact_d)
-  WHERE rk <= {TOPK}),
-{_SQL_RECALL_TAIL}"""
+{_SQL_L2_EXACT_AND_TAIL}"""
 
 
 def q_emb_pq_refine(spark, sf_dir):
@@ -4082,22 +4088,7 @@ SQL_EMB_IVFPQ_RECALL = f"""
 WITH {_IVFPQ_CTES},
 ann AS (
   SELECT qid, vec_id FROM ivfpq_ranked WHERE rk <= {TOPK}),
-exact_d AS (
-  SELECT q.vec_id AS qid, v.vec_id,
-         CAST(ROUND(list_aggregate(list_transform(
-             range(1, len(v.e) + 1),
-             i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])), 'sum')
-           * 10000) AS BIGINT) AS d4
-  FROM emb v
-  JOIN emb q ON q.vec_id IN ({_PQ_QIDS}) AND v.vec_id <> q.vec_id),
-exact AS (
-  SELECT qid, vec_id FROM (
-    SELECT qid, vec_id,
-           ROW_NUMBER() OVER (PARTITION BY qid
-                              ORDER BY d4, vec_id) AS rk
-    FROM exact_d)
-  WHERE rk <= {TOPK}),
-{_SQL_RECALL_TAIL}"""
+{_SQL_L2_EXACT_AND_TAIL}"""
 
 
 def q_emb_bq_ivfpq_rerank(spark, sf_dir):
@@ -4124,10 +4115,10 @@ def q_emb_bq_ivfpq_rerank(spark, sf_dir):
     )
 
 
-SQL_EMB_BQ_IVFPQ_RERANK = f"""
-WITH {_IVFPQ_CTES},
-{_BQ_PACK_CTES},
-cand AS (
+#: shared stage-2 of the two-stage oracle (appended after _IVFPQ_CTES
+#: + _BQ_PACK_CTES): Hamming shortlist -> candidate codes -> ADC
+#: tables for only the touched (query, list) pairs -> integer rescore
+_BQ_ADC_CTES = f"""cand AS (
   SELECT s.qid, c.vec_id, c.list_id, c.mi, c.cid
   FROM (SELECT qid, vec_id FROM bq_ranked
         WHERE rk <= {BQ_SHORTLIST}) s
@@ -4158,7 +4149,12 @@ rescored AS (
   FROM cand b
   JOIN qsubd2 q ON b.qid = q.qid AND b.list_id = q.list_id
                AND b.mi = q.mi AND b.cid = q.cid
-  GROUP BY b.qid, b.vec_id),
+  GROUP BY b.qid, b.vec_id)"""
+
+SQL_EMB_BQ_IVFPQ_RERANK = f"""
+WITH {_IVFPQ_CTES},
+{_BQ_PACK_CTES},
+{_BQ_ADC_CTES},
 reranked AS (
   SELECT qid, vec_id, adc_q4,
          CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -4168,6 +4164,47 @@ SELECT qid, vec_id, adc_q4, rk
 FROM reranked WHERE rk <= {TOPK}
 ORDER BY qid, rk
 """
+
+
+def q_emb_bq_ivfpq_recall(spark, sf_dir):
+    """recall@k of the two-stage BQ+IVFADC search against the exact
+    squared-L2 top-k — closes the gauge set for the retrieval ladder
+    (LSH, BQ, matryoshka, JL, PQ-ADC, IVFADC, and now the composed
+    two-stage index).  Unlike `emb_ivfpq_recall`, recall here is
+    bounded by the Hamming SHORTLIST rather than the IVF probe — the
+    exact trade `bq_adc_search` makes; both engines replay the
+    identical shortlist, so the measured value is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _persist_scoped(
+        "bq_ivfpq_recall_exact",
+        similarity.l2_topk(emb, QUERY_VEC_IDS, TOPK).select(
+            "qid", "vec_id"
+        ),
+    )
+    ann = similarity.bq_ivfpq_rerank_topk(
+        emb,
+        QUERY_VEC_IDS,
+        TOPK,
+        n_lists=IVF_N_LISTS,
+        m=PQ_M,
+        k=PQ_K,
+        shortlist=BQ_SHORTLIST,
+    ).select("qid", "vec_id")
+    return _recall_gauge(exact, ann)
+
+
+SQL_EMB_BQ_IVFPQ_RECALL = f"""
+WITH {_IVFPQ_CTES},
+{_BQ_PACK_CTES},
+{_BQ_ADC_CTES},
+ann AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY adc_q4, vec_id) AS rk
+    FROM rescored)
+  WHERE rk <= {TOPK}),
+{_SQL_L2_EXACT_AND_TAIL}"""
 
 
 def q_ccnet_ppl_buckets(spark, sf_dir):
@@ -5058,6 +5095,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_bq_rerank": QuerySpec(q_emb_bq_rerank, SQL_EMB_BQ_RERANK),
     "emb_bq_ivfpq_rerank": QuerySpec(
         q_emb_bq_ivfpq_rerank, SQL_EMB_BQ_IVFPQ_RERANK
+    ),
+    "emb_bq_ivfpq_recall": QuerySpec(
+        q_emb_bq_ivfpq_recall, SQL_EMB_BQ_IVFPQ_RECALL
     ),
     "emb_bq_recall": QuerySpec(q_emb_bq_recall, SQL_EMB_BQ_RECALL),
     "emb_ivfpq_recall": QuerySpec(

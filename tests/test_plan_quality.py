@@ -287,8 +287,10 @@ _BNLJ_ALLOWED = {
     "emb_bq_rerank",
     # two-stage BQ+IVFADC: inherits the bq_topk query-side broadcast
     # cross (stage 1) and the IVFADC model-row broadcasts; stage 2's
-    # shortlist and table joins are broadcast EQUI-joins
+    # shortlist and table joins are broadcast EQUI-joins; the recall
+    # gauge adds the exact-L2 ground-truth broadcast cross
     "emb_bq_ivfpq_rerank",
+    "emb_bq_ivfpq_recall",
     # BPE training broadcasts the 1-row winning pair into the merge
     # step each iteration — the same scalar-broadcast shape as
     # emb_pca_power, over a vocabulary-sized (≤200-row) relation
