@@ -62,6 +62,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "retract-neardup",
             "retract-ann",
             "retract-curation",
+            "index-status",
         ],
     )
     mt.add_argument("path", help="table or state directory")
@@ -134,6 +135,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             from .streaming.annindex import compact_ann_index
 
             print(f"compacted {compact_ann_index(spark, args.path)} codes")
+            return 0
+        if args.op == "index-status":
+            from .streaming.monitoring import index_status
+
+            index_status(spark, args.path).show(100, truncate=False)
             return 0
         if args.op.startswith("retract-"):
             if not args.ids:

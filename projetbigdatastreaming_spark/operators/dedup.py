@@ -78,17 +78,12 @@ def with_minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
-def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
-    """LSH banding: explode each doc into N_BANDS (band, band_hash)
-    keys, self-join on the key.  Returns distinct candidate
-    (doc_a, doc_b) with doc_a < doc_b.
-
-    Scale: the join is a plain equi-join on the band key; with AQE,
-    skewed buckets (e.g. boilerplate-heavy corpora) are split at
-    runtime.  Bucket sizes stay bounded because identical band-hash
-    means 4 identical minhashes — a strong similarity signal.
-    """
-    bands = signed.select(
+def band_keys(signed: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) LSH probe keys — N_BANDS keys per signed
+    doc.  Shared by the self-join (`lsh_candidate_pairs`), the
+    bipartite join (`minhash_cross_near_duplicates`), and the
+    streaming ingest index (`streaming/neardup.py`)."""
+    return signed.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -103,6 +98,19 @@ def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bh")
+
+
+def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
+    """LSH banding: explode each doc into N_BANDS (band, band_hash)
+    keys, self-join on the key.  Returns distinct candidate
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale: the join is a plain equi-join on the band key; with AQE,
+    skewed buckets (e.g. boilerplate-heavy corpora) are split at
+    runtime.  Bucket sizes stay bounded because identical band-hash
+    means 4 identical minhashes — a strong similarity signal.
+    """
+    bands = band_keys(signed)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -179,6 +187,56 @@ def minhash_near_duplicates(
     if cache_signatures:
         signed = signed.persist()
     return jaccard_verify(lsh_candidate_pairs(signed), signed, threshold)
+
+
+def minhash_cross_near_duplicates(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    cache_signatures: bool = True,
+) -> DataFrame:
+    """Bipartite MinHash-LSH near-dups between a training corpus and
+    a benchmark set — FUZZY decontamination: where the n-gram screen
+    (`plans/llmdata.q_decontaminate`) catches verbatim leakage, this
+    catches near-verbatim/lightly-edited benchmark copies (the fuzzy
+    pass production pipelines run next to the exact one).  Output:
+    (doc_a=corpus doc, doc_b=benchmark doc, jaccard >= threshold),
+    every candidate exact-Jaccard-verified.
+
+    Scale plan — and why this is NOT `minhash_near_duplicates` on the
+    union: the benchmark side is a fixed, tiny suite (thousands of
+    docs against a 10⁹-doc corpus), so its band keys BROADCAST and
+    the candidate step is a map-side broadcast-hash-join probe of the
+    corpus bands — the corpus never enters a band self-join (which
+    would also waste work on corpus-corpus pairs decontamination
+    doesn't ask about).  The verify join touches only candidate ids.
+    """
+    sa = with_minhash_signature(spread(corpus)).select(
+        "doc_id", "shingles", "sig"
+    )
+    sb = with_minhash_signature(benchmark).select(
+        "doc_id", "shingles", "sig"
+    )
+    if cache_signatures:
+        sa = sa.persist()
+        sb = sb.persist()
+    ka = band_keys(sa).alias("a")
+    kb = band_keys(sb).alias("b")
+    pairs = (
+        ka.join(
+            F.broadcast(kb),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sigs = sa.unionAll(sb).dropDuplicates(["doc_id"])
+    return jaccard_verify(pairs, sigs, threshold)
 
 
 def duplicate_clusters(

@@ -2298,6 +2298,42 @@ ORDER BY doc_id
 """
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY benchmark decontamination: MinHash-LSH near-duplicate
+    matches between the training split and the held-out benchmark
+    slice (doc_id % 50 = 0), exact-Jaccard verified ≥ 0.8 — the
+    companion pass to `decontaminate`'s verbatim n-gram screen that
+    catches lightly-edited benchmark copies.  Output (doc_a=train
+    doc, doc_b=benchmark doc, jaccard), ordered.
+
+    Scale plan (`operators/dedup.minhash_cross_near_duplicates`): the
+    benchmark suite is fixed and tiny next to a 10⁹-doc corpus, so
+    its band keys BROADCAST and the candidate step is a map-side
+    broadcast-hash-join probe of the corpus bands — no corpus band
+    self-join, no corpus-corpus pair work.  Oracle = brute-force
+    cross Jaccard (the LSH miss probability at j≥0.8 with 16×4
+    banding is ~2e-4, same contract as `dedup_minhash_pairs`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_cross_near_duplicates(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        JACCARD_THRESHOLD,
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_DECONTAMINATE_FUZZY = f"""
+WITH sh AS ({_DUCK_SHINGLES})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.sh, b.sh))
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # -- sequence packing --------------------------------------------------------
 
 _PACK_BUDGET = 512
@@ -5169,6 +5205,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "text_pii": QuerySpec(q_text_pii, SQL_TEXT_PII),
     "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
+    "decontaminate_fuzzy": QuerySpec(
+        q_decontaminate_fuzzy, SQL_DECONTAMINATE_FUZZY
+    ),
     "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
     "length_histogram": QuerySpec(q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "oov_rate": QuerySpec(q_oov_rate, SQL_OOV_RATE),

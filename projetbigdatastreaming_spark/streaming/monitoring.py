@@ -72,3 +72,59 @@ def attach(spark: SparkSession) -> ProgressLoggingListener:
 
 def detach(spark: SparkSession, listener: ProgressLoggingListener) -> None:
     spark.streams.removeListener(listener)
+
+
+def index_status(spark: SparkSession, index_dir: str):
+    """Operational status of a streaming index/state directory: one
+    row per state family — (family, n_rows, n_batch_partitions,
+    compacted) — plus a ``tombstones`` row with the pending-retraction
+    count.  The view an operator checks before/after `maintain
+    compact-*` / `retract-*`: is the partition count creeping (time to
+    compact past the redelivery horizon), are tombstones pending
+    (retractions not yet physical).
+
+    Works for every family layout in the repo: near-dup ``bands``/
+    ``sigs``, ANN ``codes``/``bqwords`` (each a parquet root
+    partitioned by batch_id), the one-shot ``model`` relations, and
+    the ``tombstones`` append dir.  Driver-side work is one listdir +
+    one count per family — bounded by family count, never data size.
+    """
+    import os
+
+    from .sketches import BASE_ID
+    from .tombstones import pending_tombstone_files, read_tombstone_ids
+
+    rows = []
+    for fam in sorted(os.listdir(index_dir)):
+        path = os.path.join(index_dir, fam)
+        if not os.path.isdir(path):
+            continue
+        if fam == "tombstones":
+            files = pending_tombstone_files(path)
+            tombs = read_tombstone_ids(spark, files)
+            rows.append(
+                (fam, int(tombs.count()) if tombs is not None else 0, 0, False)
+            )
+            continue
+        if fam == "model":
+            for sub in sorted(os.listdir(path)):
+                rel = spark.read.parquet(os.path.join(path, sub))
+                rows.append((f"model/{sub}", int(rel.count()), 0, True))
+            continue
+        parts = [
+            n for n in os.listdir(path) if n.startswith("batch_id=")
+        ]
+        rel = spark.read.parquet(path)
+        rows.append(
+            (
+                fam,
+                int(rel.count()),
+                len(parts),
+                parts == [f"batch_id={BASE_ID}"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "family string, n_rows long, n_batch_partitions int,"
+        " compacted boolean",
+    ).orderBy("family")

@@ -36,8 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    N_BANDS,
-    ROWS_PER_BAND,
+    band_keys,
     jaccard_verify,
     lsh_candidate_pairs,
     with_minhash_signature,
@@ -45,25 +44,6 @@ from ..operators.dedup import (
 from ..sinks.files import overwrite_partitions
 
 logger = logging.getLogger(__name__)
-
-
-def _band_keys(signed: DataFrame) -> DataFrame:
-    """(doc_id, band, bh) probe keys from a signed batch."""
-    return signed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"""
-                transform(sequence(0, {N_BANDS - 1}),
-                  b -> named_struct(
-                         'band', b,
-                         'bh', xxhash64(concat_ws(',',
-                                 slice(sig, b * {ROWS_PER_BAND} + 1,
-                                       {ROWS_PER_BAND})), b)))
-                """
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
 
 
 def _read_or_none(
@@ -117,7 +97,7 @@ def near_dup_batch_writer(
         )
         signed.persist()
         try:
-            bands_new = _band_keys(signed)
+            bands_new = band_keys(signed)
 
             # within-batch candidates (doc_a < doc_b)
             pairs = lsh_candidate_pairs(signed)

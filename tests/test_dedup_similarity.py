@@ -224,3 +224,24 @@ def test_substring_dedup_detects_shifted_shared_runs(spark, tmp_path):
     assert out[2].n_dup_windows >= 1, "shifted run missed in doc B"
     assert out[3].n_dup_windows == 0
     assert 0.0 < out[1].dup_frac <= 1.0
+
+
+def test_minhash_cross_near_duplicates_bipartite(spark):
+    """Bipartite fuzzy decontamination: a corpus doc near-duplicating
+    a benchmark doc is flagged (corpus id as doc_a, benchmark id as
+    doc_b); corpus-corpus near-dups are NOT (not this operator's
+    question); unrelated docs never flag."""
+    corpus = _docs(spark, [BASE, NEAR, OTHER])  # 0 ~ 1, 2 unrelated
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text=BASE), Row(doc_id=101, text="zz " * 40)]
+    )
+    pairs = dedup.minhash_cross_near_duplicates(
+        corpus, bench, threshold=0.5
+    ).collect()
+    got = {(p.doc_a, p.doc_b) for p in pairs}
+    # corpus docs 0 AND its near-dup 1 both match benchmark doc 100;
+    # the corpus-internal (0, 1) pair must NOT appear
+    assert (0, 100) in got
+    assert all(b in (100, 101) for _, b in got)
+    assert (0, 1) not in got and (1, 0) not in got
+    assert not any(b == 101 for _, b in got)

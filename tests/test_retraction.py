@@ -329,3 +329,38 @@ def test_retract_cli(spark, tmp_path):
     assert main(
         ["maintain", "retract-ann", str(tmp_path / "nope")], spark=spark
     ) == 2
+
+
+def test_index_status_reflects_lifecycle(spark, tmp_path):
+    """index_status tracks the ingest -> retract -> compact lifecycle:
+    per-batch partition counts, pending tombstones, and the compacted
+    flag flipping once everything folds to the base partition."""
+    from projetbigdatastreaming_spark.streaming.monitoring import (
+        index_status,
+    )
+
+    index_dir, flags_dir, writer = _seed(spark, tmp_path)
+
+    def status():
+        return {
+            r.family: (r.n_rows, r.n_batch_partitions, r.compacted)
+            for r in index_status(spark, index_dir).collect()
+        }
+
+    s = status()
+    assert s["sigs"][1] == 2 and not s["sigs"][2]  # 2 batches, not compacted
+    assert "tombstones" not in s
+
+    retract_docs(spark, index_dir, [1])
+    s = status()
+    assert s["tombstones"][0] == 1  # one pending retraction
+
+    compact_neardup(spark, index_dir)
+    s = status()
+    assert s["sigs"] == (2, 1, True)  # doc 1 dropped, folded to base
+    assert s["bands"][1] == 1 and s["bands"][2]
+    assert "tombstones" not in s or s["tombstones"][0] == 0
+
+    from projetbigdatastreaming_spark.__main__ import main
+
+    assert main(["maintain", "index-status", index_dir], spark=spark) == 0
