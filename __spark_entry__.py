@@ -219,6 +219,11 @@ HEADLINE_QUERIES = (
     # exchanged), not by toy-scale wall-clock
     "dedup_incremental",
     "dedup_incremental_bloom",
+    # round 8: the composed two-stage retrieval (BQ Hamming shortlist
+    # + candidate-confined IVFADC rescore) — the heaviest new ANN
+    # shape, benched because it is the production search path the
+    # streaming index runs per batch
+    "emb_bq_ivfpq_rerank",
 )
 
 

@@ -179,6 +179,103 @@ def near_dup_batch_writer(
     return _fn
 
 
+def build_benchmark_index(
+    spark: SparkSession,
+    benchmark: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Sign and band the held-out benchmark suite ONCE — the frozen
+    side of streaming fuzzy decontamination (the `build_ann_model`
+    contract: benchmarks change rarely; re-building implies
+    re-screening).  Writes ``<index_dir>/bench_bands`` (doc_id, band,
+    bh) and ``<index_dir>/bench_sigs`` (doc_id, shingles).  Benchmark
+    suites are tiny next to the corpus, so both relations broadcast
+    at probe time."""
+    from ..operators.dedup import band_keys as _bk
+
+    signed = with_minhash_signature(benchmark, text_col).select(
+        "doc_id", "shingles", "sig"
+    )
+    signed.persist()
+    try:
+        _bk(signed).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/bench_bands"
+        )
+        signed.select("doc_id", "shingles").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/bench_sigs")
+    finally:
+        signed.unpersist()
+
+
+def benchmark_screen_writer(
+    index_dir: str,
+    flags_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch stage: streaming FUZZY DECONTAMINATION — flag each
+    incoming document that near-duplicates a benchmark document, so
+    contaminated docs are caught at the ingest boundary instead of
+    after they land in training shards.  The streaming twin of
+    `plans/llmdata.q_decontaminate_fuzzy` (`operators/dedup.
+    minhash_cross_near_duplicates`): each batch is signed once, its
+    band keys probe the FROZEN broadcast benchmark bands, candidates
+    are exact-Jaccard verified, and flags restate the batch's own
+    partition (replay-safe, like every writer in this module).
+
+    Because the benchmark side is frozen, batches screen
+    independently — the streamed flag fold equals the one-pass batch
+    operator over the union of every ingested batch EXACTLY (no
+    cross-batch state at all), which the tests pin.  Output rows:
+    (doc_a = incoming doc, doc_b = benchmark doc, jaccard, batch_id).
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from ..operators.dedup import band_keys as _bk
+
+        signed = with_minhash_signature(batch_df, text_col).select(
+            "doc_id", "shingles", "sig"
+        )
+        signed.persist()
+        try:
+            bench_bands = spark.read.parquet(f"{index_dir}/bench_bands")
+            bench_sigs = spark.read.parquet(f"{index_dir}/bench_sigs")
+            pairs = (
+                _bk(signed)
+                .alias("a")
+                .join(
+                    F.broadcast(bench_bands).alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            sigs = (
+                signed.select("doc_id", "shingles")
+                .unionAll(bench_sigs)
+                .dropDuplicates(["doc_id"])
+            )
+            flags = jaccard_verify(pairs, sigs, threshold).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            )
+            overwrite_partitions(flags, flags_dir, ["batch_id"])
+            logger.info("batch %s: benchmark screen flags written", batch_id)
+        finally:
+            signed.unpersist()
+
+    return _fn
+
+
 def compact_neardup(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     """Fold the per-batch ``bands``/``sigs`` partitions of a streaming
     near-dup index into single base partitions (``batch_id=-1``) —

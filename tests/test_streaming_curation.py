@@ -239,3 +239,47 @@ def test_exact_dedup_screen_cross_batch(spark, tmp_path):
     write(b2, 2)
     got2 = {r.doc_id for r in spark.read.parquet(dups).collect()}
     assert got2 == {10, 20}
+
+
+def test_benchmark_screen_stream_equals_batch(spark, tmp_path):
+    """Streaming fuzzy decontamination: the flag fold over 3
+    micro-batches equals the one-pass batch operator EXACTLY (the
+    benchmark side is frozen, so batches screen independently), and a
+    redelivery restates its partition without duplication."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.plans.llmdata import (
+        q_decontaminate_fuzzy,
+    )
+    from projetbigdatastreaming_spark.streaming.neardup import (
+        benchmark_screen_writer,
+        build_benchmark_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.where("doc_id % 50 = 0")
+    train = docs.where("doc_id % 50 <> 0")
+    index_dir = str(tmp_path / "bench_ix")
+    flags_dir = str(tmp_path / "bench_flags")
+    build_benchmark_index(spark, bench, index_dir)
+    write = benchmark_screen_writer(index_dir, flags_dir)
+    for i in range(3):
+        write(train.where(f"doc_id % 3 = {i}"), i)
+
+    def flags():
+        return sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in spark.read.parquet(flags_dir)
+            .select("doc_a", "doc_b", "jaccard")
+            .collect()
+        )
+
+    got = flags()
+    want = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q_decontaminate_fuzzy(spark, SF).collect()
+    )
+    assert got == want and len(got) >= 1  # fixture has cross pairs
+
+    write(train.where("doc_id % 3 = 1"), 1)  # redelivery
+    assert flags() == got
