@@ -1161,11 +1161,23 @@ def bq_adc_search(
     packed_q = bq_pack(queries).select(
         F.col("vec_id").alias("qid"), F.col("words").alias("qwords")
     )
-    short = bq_search(packed, packed_q, shortlist).select(
-        "qid", "vec_id"
+    # persist the two TINY intermediates (≤|Q|·shortlist rows): `cand`
+    # feeds BOTH the table branch (via `needed`) and the score branch —
+    # without the cache the corpus-wide Hamming scan and the code scan
+    # in its lineage re-run once per branch (3x the corpus read at
+    # scale).  Lazy persist: no extra job, blocks computed on first
+    # touch, reused across branches/actions, freed by the
+    # ContextCleaner when the plan is GC'd (the minhash
+    # cache_signatures precedent).
+    short = (
+        bq_search(packed, packed_q, shortlist)
+        .select("qid", "vec_id")
+        .persist()
     )
-    cand = codes.join(F.broadcast(short), "vec_id").select(
-        "qid", "vec_id", "list_id", "cids"
+    cand = (
+        codes.join(F.broadcast(short), "vec_id")
+        .select("qid", "vec_id", "list_id", "cids")
+        .persist()
     )
     # ADC tables only for the (query, list) pairs the shortlist
     # touches — ≤ |Q|·shortlist rows, usually far fewer
