@@ -63,6 +63,8 @@ def _build_parser() -> argparse.ArgumentParser:
             "retract-ann",
             "retract-curation",
             "index-status",
+            "table-history",
+            "vacuum-versions",
         ],
     )
     mt.add_argument("path", help="table or state directory")
@@ -75,6 +77,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--ids",
         default=None,
         help="comma-separated doc/vec ids (retract-* only)",
+    )
+    mt.add_argument(
+        "--keep-last",
+        type=int,
+        default=None,
+        help="versions to keep (vacuum-versions only)",
     )
     return p
 
@@ -140,6 +148,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             from .streaming.monitoring import index_status
 
             index_status(spark, args.path).show(100, truncate=False)
+            return 0
+        if args.op == "table-history":
+            from .sinks.versioned import table_history
+
+            for h in table_history(args.path):
+                print(
+                    f"v{h['version']} parent={h['parent']} "
+                    f"op={h['op']} files={h['n_files']}"
+                )
+            return 0
+        if args.op == "vacuum-versions":
+            from .sinks.versioned import vacuum
+
+            m, f = vacuum(args.path, keep_last=args.keep_last)
+            print(f"removed {m} manifests, {f} orphan files")
             return 0
         if args.op.startswith("retract-"):
             if not args.ids:

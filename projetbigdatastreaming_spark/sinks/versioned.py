@@ -1,0 +1,211 @@
+"""Versioned parquet tables — snapshot isolation and time travel
+without a table-format dependency (Iceberg/Delta are not in this
+container; the mechanism below is the same idea at minimum viable
+size: immutable data files + an atomic manifest pointer per version).
+
+Why a training-data engine needs this: reproducibility.  "Training
+run X consumed data version N" must stay answerable after the table
+is appended to, re-curated, or compacted — `shard_manifest` pins the
+content fingerprint of one version, this module keeps every version
+readable.  It also gives writers crash safety: a reader can never
+observe a half-written version.
+
+Layout::
+
+    <table_dir>/data/<uuid>.parquet     immutable data files
+    <table_dir>/_versions/v<N>.json     manifest: the file list of
+                                        version N (+ op, parent)
+
+Protocol (single writer, like every state-maintenance protocol in
+this repo — see SCALING.md "Streaming"):
+
+1. Write the new data files into ``data/`` (invisible: no manifest
+   references them yet).
+2. Compose the new manifest (append = parent files + new files;
+   overwrite = new files only) and write it to a temp name, then
+   ``os.rename`` it to ``v<N>.json`` — atomic on POSIX, so a version
+   either exists completely or not at all.
+
+A crash between 1 and 2 leaves ORPHAN data files that no reader can
+see; ``vacuum`` deletes files referenced by no manifest.  Readers
+resolve ``version=None`` to the highest committed manifest, so a
+concurrent reader sees the previous version until the rename lands —
+snapshot isolation by construction.
+
+Scale: the manifest holds file PATHS (one line per parquet file, the
+Iceberg manifest-list idea) — reading version N is
+``spark.read.parquet(*files)``, pruned and parallelized exactly like
+any parquet scan; no driver-side data movement.  Version count grows
+with write count, not data size; ``vacuum(keep_last=K)`` retires old
+manifests and their unshared files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DATA = "data"
+_VERSIONS = "_versions"
+
+
+def _versions_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _VERSIONS)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_versions_dir(table_dir), f"v{version}.json")
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """Committed version numbers, ascending (empty for a new table)."""
+    vdir = _versions_dir(table_dir)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def _write_files(df: DataFrame, table_dir: str) -> list[str]:
+    """Write ``df`` as new immutable files under ``data/`` via a
+    staging dir (Spark owns the dir write; files are then moved to
+    content-addressed-ish unique names).  Returns paths RELATIVE to
+    ``table_dir`` so the table stays relocatable."""
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(table_dir, _DATA)
+    os.makedirs(data_dir, exist_ok=True)
+    rel_files = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        new_name = f"{uuid.uuid4().hex}.parquet"
+        os.rename(
+            os.path.join(staging, name), os.path.join(data_dir, new_name)
+        )
+        rel_files.append(f"{_DATA}/{new_name}")
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return rel_files
+
+
+def _commit(table_dir: str, files: list[str], op: str) -> int:
+    """Atomically publish a new version whose file list is ``files``."""
+    vdir = _versions_dir(table_dir)
+    os.makedirs(vdir, exist_ok=True)
+    versions = list_versions(table_dir)
+    new_v = (versions[-1] + 1) if versions else 1
+    manifest = {
+        "version": new_v,
+        "parent": versions[-1] if versions else None,
+        "op": op,
+        "files": sorted(files),
+    }
+    tmp = os.path.join(vdir, f".tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.rename(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+def versioned_overwrite(df: DataFrame, table_dir: str) -> int:
+    """Publish a new version containing EXACTLY ``df`` (prior versions
+    stay readable).  Returns the new version number."""
+    return _commit(table_dir, _write_files(df, table_dir), "overwrite")
+
+
+def versioned_append(df: DataFrame, table_dir: str) -> int:
+    """Publish a new version = parent's files + ``df``'s new files
+    (the parent's files are REFERENCED, not copied — append cost is
+    the new data only)."""
+    versions = list_versions(table_dir)
+    parent_files = (
+        _read_manifest(table_dir, versions[-1])["files"] if versions else []
+    )
+    new_files = _write_files(df, table_dir)
+    return _commit(table_dir, parent_files + new_files, "append")
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: version N's exact file list (default: the
+    latest committed version).  A version is immutable — re-reading it
+    after later appends/overwrites/vacuums returns identical rows."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not in {table_dir} (have {versions}; "
+            "it may have been vacuumed)"
+        )
+    files = _read_manifest(table_dir, v)["files"]
+    if not files:
+        raise FileNotFoundError(f"version {v} is empty")
+    return spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in files]
+    )
+
+
+def table_history(table_dir: str) -> list[dict]:
+    """(version, parent, op, n_files) per committed version — the
+    audit view."""
+    return [
+        {
+            "version": m["version"],
+            "parent": m["parent"],
+            "op": m["op"],
+            "n_files": len(m["files"]),
+        }
+        for m in (
+            _read_manifest(table_dir, v) for v in list_versions(table_dir)
+        )
+    ]
+
+
+def vacuum(table_dir: str, keep_last: int | None = None) -> tuple[int, int]:
+    """Garbage-collect: delete ORPHAN data files (written by a crashed
+    commit, referenced by no manifest) and, when ``keep_last`` is
+    given, retire all but the newest K manifests first (their
+    exclusively-held files become orphans and are deleted too).
+    Returns (manifests_removed, files_removed).  Crash-safe in either
+    order of interleaving: manifests are removed before the files
+    they exclusively held, so a reader never holds a manifest whose
+    files are gone; a vacuum killed midway just leaves fewer orphans
+    for the next run."""
+    removed_manifests = 0
+    versions = list_versions(table_dir)
+    if keep_last is not None and len(versions) > keep_last:
+        for v in versions[: len(versions) - keep_last]:
+            os.remove(_manifest_path(table_dir, v))
+            removed_manifests += 1
+        versions = list_versions(table_dir)
+    live = set()
+    for v in versions:
+        live.update(_read_manifest(table_dir, v)["files"])
+    data_dir = os.path.join(table_dir, _DATA)
+    removed_files = 0
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            rel = f"{_DATA}/{name}"
+            if name.endswith(".parquet") and rel not in live:
+                os.remove(os.path.join(data_dir, name))
+                removed_files += 1
+    return removed_manifests, removed_files

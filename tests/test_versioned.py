@@ -1,0 +1,129 @@
+"""Versioned parquet tables: snapshot isolation, time travel,
+crash-safe commits, vacuum — the reproducibility layer a training
+pipeline pins data versions with."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from projetbigdatastreaming_spark.sinks.versioned import (
+    list_versions,
+    read_version,
+    table_history,
+    vacuum,
+    versioned_append,
+    versioned_overwrite,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"d{i}") for i in ids], "id long, v string")
+
+
+def test_versions_are_immutable_snapshots(spark, tmp_path):
+    """Appends and overwrites publish NEW versions; every prior
+    version re-reads bit-identically afterward (time travel)."""
+    t = str(tmp_path / "vt")
+    assert versioned_overwrite(_df(spark, [1, 2]), t) == 1
+    assert versioned_append(_df(spark, [3]), t) == 2
+    v1 = _rows(read_version(spark, t, 1))
+    v2 = _rows(read_version(spark, t, 2))
+    assert versioned_overwrite(_df(spark, [9]), t) == 3
+
+    assert _rows(read_version(spark, t, 1)) == v1 == _rows(_df(spark, [1, 2]))
+    assert _rows(read_version(spark, t, 2)) == v2 == _rows(_df(spark, [1, 2, 3]))
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [9]))
+    assert [h["op"] for h in table_history(t)] == [
+        "overwrite",
+        "append",
+        "overwrite",
+    ]
+    # append referenced, didn't copy: v2 = v1's files + new ones
+    assert table_history(t)[1]["n_files"] > table_history(t)[0]["n_files"]
+
+
+def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path, monkeypatch):
+    """Kill a write AFTER the data files land but BEFORE the manifest
+    rename: readers still see the old version; vacuum removes the
+    orphans; a retried write commits cleanly."""
+    from projetbigdatastreaming_spark.sinks import versioned
+
+    t = str(tmp_path / "vt2")
+    versioned_overwrite(_df(spark, [1]), t)
+
+    real = versioned._commit
+
+    def boom(table_dir, files, op):
+        raise RuntimeError("killed before manifest rename")
+
+    monkeypatch.setattr(versioned, "_commit", boom)
+    with pytest.raises(RuntimeError):
+        versioned_append(_df(spark, [2]), t)
+    monkeypatch.undo()
+
+    # reader unaffected; orphan files exist
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [1]))
+    n_data = len(os.listdir(os.path.join(t, "data")))
+    live = table_history(t)[-1]["n_files"]
+    assert n_data > live
+
+    mrm, frm = vacuum(t)
+    assert mrm == 0 and frm == n_data - live
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [1]))
+
+    # retried write commits as version 2
+    assert versioned_append(_df(spark, [2]), t) == 2
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [1, 2]))
+
+
+def test_vacuum_keep_last_retires_versions_not_shared_files(spark, tmp_path):
+    """vacuum(keep_last=1) drops old manifests and their EXCLUSIVE
+    files, but files shared into the surviving version stay; the
+    survivor re-reads identically, the retired version errors
+    clearly."""
+    t = str(tmp_path / "vt3")
+    versioned_overwrite(_df(spark, [1]), t)
+    versioned_append(_df(spark, [2]), t)  # v2 shares v1's files
+    want = _rows(read_version(spark, t, 2))
+
+    mrm, frm = vacuum(t, keep_last=1)
+    assert mrm == 1 and frm == 0  # v1's files all live on in v2
+    assert list_versions(t) == [2]
+    assert _rows(read_version(spark, t, 2)) == want
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_version(spark, t, 1)
+
+    # an overwrite makes v2's files exclusive to it; keep_last=1 then
+    # physically deletes them
+    versioned_overwrite(_df(spark, [7]), t)
+    mrm, frm = vacuum(t, keep_last=1)
+    assert mrm == 1 and frm > 0
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [7]))
+
+
+def test_empty_table_and_missing_version_errors(spark, tmp_path):
+    t = str(tmp_path / "vt4")
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t)
+    versioned_overwrite(_df(spark, [1]), t)
+    with pytest.raises(FileNotFoundError, match="not in"):
+        read_version(spark, t, 99)
+
+
+def test_versioned_cli(spark, tmp_path):
+    from projetbigdatastreaming_spark.__main__ import main
+
+    t = str(tmp_path / "vt5")
+    versioned_overwrite(_df(spark, [1]), t)
+    versioned_append(_df(spark, [2]), t)
+    assert main(["maintain", "table-history", t], spark=spark) == 0
+    assert main(
+        ["maintain", "vacuum-versions", t, "--keep-last", "1"], spark=spark
+    ) == 0
+    assert list_versions(t) == [2]
