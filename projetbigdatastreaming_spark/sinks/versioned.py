@@ -141,6 +141,62 @@ def versioned_append(df: DataFrame, table_dir: str) -> int:
     return _commit(table_dir, parent_files + new_files, "append")
 
 
+def versioned_append_batch(
+    df: DataFrame, table_dir: str, batch_id: int
+) -> int:
+    """Replay-safe streaming append: publish a new version whose file
+    list is the parent's MINUS any files previously attributed to this
+    ``batch_id`` PLUS ``df``'s new files — the foreachBatch
+    restatement contract (`sinks/files.overwrite_partitions`) lifted
+    onto versioned tables.  An at-least-once redelivery therefore
+    RESTATES its batch in a fresh version instead of duplicating rows,
+    while every prior version (including the pre-redelivery one)
+    stays readable — restatement AND time travel.
+
+    The per-batch attribution lives in the manifest (``batches``:
+    batch_id → its files), so replay safety costs no data movement:
+    only the redelivered batch's files are rewritten."""
+    versions = list_versions(table_dir)
+    parent_batches: dict[str, list[str]] = {}
+    if versions:
+        m = _read_manifest(table_dir, versions[-1])
+        parent_batches = dict(m.get("batches") or {})
+        if m.get("batches") is None and m["files"]:
+            # table written by plain overwrite/append before the first
+            # batch commit: attribute its files to a base pseudo-batch
+            parent_batches = {"__base__": m["files"]}
+    new_files = _write_files(df, table_dir)
+    parent_batches[str(int(batch_id))] = new_files
+    files = [f for fs in parent_batches.values() for f in fs]
+    vdir = _versions_dir(table_dir)
+    os.makedirs(vdir, exist_ok=True)
+    new_v = (versions[-1] + 1) if versions else 1
+    manifest = {
+        "version": new_v,
+        "parent": versions[-1] if versions else None,
+        "op": f"append_batch:{int(batch_id)}",
+        "files": sorted(files),
+        "batches": parent_batches,
+    }
+    tmp = os.path.join(vdir, f".tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.rename(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+def versioned_batch_writer(table_dir: str):
+    """foreachBatch sink: every micro-batch commits a new table
+    version via `versioned_append_batch` — the stream's consumers get
+    snapshot isolation (a training job pins the version it read) and
+    redeliveries restate instead of duplicating."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        versioned_append_batch(batch_df, table_dir, batch_id)
+
+    return write
+
+
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:

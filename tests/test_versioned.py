@@ -127,3 +127,46 @@ def test_versioned_cli(spark, tmp_path):
         ["maintain", "vacuum-versions", t, "--keep-last", "1"], spark=spark
     ) == 0
     assert list_versions(t) == [2]
+
+
+def test_versioned_batch_append_restates_on_replay(spark, tmp_path):
+    """Streaming versioned appends: 3 batches -> latest == union;
+    an at-least-once redelivery of batch 1 publishes a NEW version
+    with IDENTICAL rows (restatement, not duplication) while the
+    pre-replay versions stay time-travelable."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        versioned_batch_writer,
+    )
+
+    t = str(tmp_path / "vt6")
+    write = versioned_batch_writer(t)
+    for b in range(3):
+        write(_df(spark, [b * 10, b * 10 + 1]), b)
+    want = _rows(_df(spark, [0, 1, 10, 11, 20, 21]))
+    assert _rows(read_version(spark, t)) == want
+    v3 = _rows(read_version(spark, t, 3))
+
+    write(_df(spark, [10, 11]), 1)  # redelivery restates batch 1
+    assert list_versions(t) == [1, 2, 3, 4]
+    assert _rows(read_version(spark, t, 4)) == want
+    assert _rows(read_version(spark, t, 3)) == v3
+    assert table_history(t)[-1]["op"] == "append_batch:1"
+
+    # vacuum keep_last=1 keeps the latest content readable
+    vacuum(t, keep_last=1)
+    assert _rows(read_version(spark, t)) == want
+
+
+def test_versioned_batch_append_over_plain_table(spark, tmp_path):
+    """A batch append onto a table seeded by plain overwrite keeps the
+    base rows (attributed to a pseudo-batch) alongside the batches."""
+    t = str(tmp_path / "vt7")
+    versioned_overwrite(_df(spark, [1]), t)
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        versioned_append_batch,
+    )
+
+    versioned_append_batch(_df(spark, [2]), t, 0)
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [1, 2]))
+    versioned_append_batch(_df(spark, [3]), t, 0)  # restates batch 0
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [1, 3]))
