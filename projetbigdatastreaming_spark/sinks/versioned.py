@@ -220,6 +220,53 @@ def read_version(
     )
 
 
+def version_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change feed between two committed versions — CDC derived from
+    snapshots (what Delta calls Change Data Feed, computed rather
+    than stored): full-outer join the two versions on ``key_cols``
+    and classify each key as insert / delete / update; unchanged rows
+    are dropped.  Output: key columns + ``change``.
+
+    Scale: one full-outer hash join on the key columns; the value
+    comparison rides a single xxhash64 over the non-key columns, so
+    wide rows compare in one 8-byte equality."""
+    from pyspark.sql import functions as F
+
+    a = read_version(spark, table_dir, v_from)
+    b = read_version(spark, table_dir, v_to)
+    if a.columns != b.columns:
+        raise ValueError(
+            f"schema changed between v{v_from} and v{v_to}: "
+            f"{a.columns} vs {b.columns}"
+        )
+    val_cols = [c for c in a.columns if c not in key_cols]
+
+    def hashed(df, name):
+        return df.select(
+            *key_cols, F.xxhash64(*val_cols).alias(name)
+        )
+
+    joined = hashed(a, "__ha").join(
+        hashed(b, "__hb"), key_cols, "full_outer"
+    )
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("__ha").isNull(), F.lit("insert"))
+            .when(F.col("__hb").isNull(), F.lit("delete"))
+            .when(F.col("__ha") != F.col("__hb"), F.lit("update")),
+        )
+        .where(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )
+
+
 def table_history(table_dir: str) -> list[dict]:
     """(version, parent, op, n_files) per committed version — the
     audit view."""

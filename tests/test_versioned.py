@@ -170,3 +170,36 @@ def test_versioned_batch_append_over_plain_table(spark, tmp_path):
     assert _rows(read_version(spark, t)) == _rows(_df(spark, [1, 2]))
     versioned_append_batch(_df(spark, [3]), t, 0)  # restates batch 0
     assert _rows(read_version(spark, t)) == _rows(_df(spark, [1, 3]))
+
+
+def test_version_changes_cdc(spark, tmp_path):
+    """Change feed between versions: insert/delete/update classified,
+    unchanged keys absent, schema drift rejected."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        version_changes,
+    )
+
+    t = str(tmp_path / "vt8")
+    versioned_overwrite(
+        spark.createDataFrame(
+            [(1, "d1"), (2, "d2"), (4, "same")], "id long, v string"
+        ),
+        t,
+    )
+    versioned_overwrite(
+        spark.createDataFrame(
+            [(2, "d2x"), (3, "d3"), (4, "same")], "id long, v string"
+        ),
+        t,
+    )
+    got = {
+        (r.id, r.change)
+        for r in version_changes(spark, t, 1, 2, ["id"]).collect()
+    }
+    assert got == {(1, "delete"), (2, "update"), (3, "insert")}
+
+    versioned_overwrite(
+        spark.createDataFrame([(1, 2.0)], "id long, other double"), t
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        version_changes(spark, t, 2, 3, ["id"])
