@@ -550,7 +550,136 @@ ORDER BY event_type
 # llmdata imports nothing from here, but keep the edge one-way)
 from .llmdata import SQL_DEDUP_INCREMENTAL  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# quantile_histogram — fixed-bin mergeable quantiles
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 50
+HIST_WIDTH = 10.0
+HIST_QS = (500, 900, 990)  # milli-quantiles: p50 / p90 / p99
+
+
+def hist_bin_counts(values) -> "DataFrame":  # noqa: F821
+    """(bin, cnt) fixed-bin histogram of a ``value`` column — the
+    mergeable state: bins are STATIC (width {HIST_WIDTH}, top bin
+    clamps), so per-partition / per-batch counts merge by plain sum;
+    this is what rides map-side combine at 100 TB and what the
+    streaming twin persists per batch."""
+    return (
+        values.select(
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor(F.col("value") / HIST_WIDTH),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(counts) -> "DataFrame":
+    """Quantile estimates from a folded (bin, cnt) histogram: for each
+    q, the UPPER EDGE of the first bin whose cumulative count reaches
+    ceil(q·n) — integer-exact targets (no float cumulative sums), so
+    the oracle replays the identical bins.  Everything below operates
+    on the ≤{HIST_BINS}-row counts relation: the bounded self-join
+    cumulative and the 3-row quantile probe never touch raw data."""
+    spark = counts.sparkSession
+    cum = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum(F.col("b.cnt")).alias("cum"))
+    )
+    n = counts.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in HIST_QS])
+        ).alias("q_milli")
+    )
+    target = qs.crossJoin(n).select(
+        "q_milli",
+        F.expr("CAST((q_milli * n_total + 999) DIV 1000 AS BIGINT)").alias(
+            "target"
+        ),
+        "n_total",
+    )
+    return (
+        target.join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("q_milli", "n_total")
+        .agg(F.min("bin").alias("est_bin"))
+        .select(
+            "q_milli",
+            "est_bin",
+            ((F.col("est_bin") + 1) * F.lit(HIST_WIDTH)).alias("est_hi"),
+            "n_total",
+        )
+        .orderBy("q_milli")
+    )
+
+
+def q_quantile_histogram(spark, sf_dir):
+    """Fixed-bin histogram quantiles over ``events.value`` — the
+    mergeable-by-construction quantile sketch (the Prometheus /
+    monitoring-histogram method): {HIST_BINS} static bins of width
+    {HIST_WIDTH}, estimate = upper edge of the first bin whose
+    cumulative count reaches ceil(q·n).  Completes the mergeable
+    summary quartet (CMS frequencies, HLL distincts, KMV distincts,
+    bottom-k samples) with quantiles: unlike percentile_approx's
+    engine-specific GK sketch (`approx_quantile_check`), the fixed-bin
+    state is deterministic, so the estimate VALUE itself is
+    oracle-checked, and per-batch states merge by plain sum
+    (`streaming/sketches.hist_batch_writer` is the live twin, pinned
+    fold==batch).  Output (q_milli, est_bin, est_hi, n_total); error
+    bound = one bin width by construction.
+
+    Scale plan: one map-side-combined hash-agg over {HIST_BINS}
+    static bins (the ONLY pass over raw data); the cumulative
+    self-join and quantile probe run on the ≤{HIST_BINS}-row counts
+    relation — bounded BNLJs over KB-sized state."""
+    return histogram_quantiles(
+        hist_bin_counts(
+            load_table(spark, sf_dir, "events").select("value")
+        )
+    )
+
+
+for _f in (hist_bin_counts, histogram_quantiles, q_quantile_histogram):
+    _f.__doc__ = _f.__doc__.replace("{HIST_BINS}", str(HIST_BINS)).replace(
+        "{HIST_WIDTH}", str(HIST_WIDTH)
+    )
+
+SQL_QUANTILE_HISTOGRAM = f"""
+WITH binned AS (
+  SELECT LEAST({HIST_BINS - 1},
+               CAST(FLOOR(value / {HIST_WIDTH}) AS INT)) AS bin
+  FROM events),
+counts AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+cum AS (
+  SELECT a.bin, SUM(b.cnt) AS cum
+  FROM counts a JOIN counts b ON b.bin <= a.bin
+  GROUP BY a.bin),
+qs AS (SELECT unnest([{", ".join(map(str, HIST_QS))}]) AS q_milli),
+t AS (
+  SELECT CAST(q_milli AS INT) AS q_milli,
+         (q_milli * n_total + 999) // 1000 AS target, n_total
+  FROM qs, n)
+SELECT q_milli, CAST(MIN(c.bin) AS INT) AS est_bin,
+       CAST((MIN(c.bin) + 1) * {HIST_WIDTH} AS DOUBLE) AS est_hi,
+       n_total
+FROM t JOIN cum c ON c.cum >= t.target
+GROUP BY q_milli, n_total
+ORDER BY q_milli
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "quantile_histogram": QuerySpec(
+        q_quantile_histogram, SQL_QUANTILE_HISTOGRAM
+    ),
     "dedup_bloom": QuerySpec(q_dedup_bloom, SQL_DEDUP_BLOOM),
     "dedup_incremental_bloom": QuerySpec(
         q_dedup_incremental_bloom, SQL_DEDUP_INCREMENTAL

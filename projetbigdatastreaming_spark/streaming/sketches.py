@@ -553,3 +553,47 @@ def read_kmv(
         "hk",
         est.cast("bigint").alias("est_users"),
     )
+
+
+HIST_STATE_SCHEMA = "bin int, cnt bigint, batch_id int"
+
+
+def hist_batch_writer(
+    state_dir: str, value_col: str = "value"
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: reduce the batch to its fixed-bin histogram
+    counts (`plans/sketches.hist_bin_counts` — static bins, so states
+    merge by plain sum) and restate the batch's own partition.
+
+    ADDITIVE state, like the CMS grids and unlike the id-keyed
+    families: a crash-duplicated partition would double-count, which
+    the dynamic-partition-overwrite restatement prevents for replays.
+    State is ≤ HIST_BINS rows per batch; when batch-count file
+    overhead matters, compaction must follow `compact_cms`'s
+    staged+intent protocol (sum-fold, NOT the idempotent-reader
+    distinct rewrite — summing twice is wrong), applied to the
+    (bin, cnt) schema.
+    """
+    from ..plans.sketches import hist_bin_counts
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        counts = hist_bin_counts(
+            batch_df.select(F.col(value_col).alias("value"))
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        overwrite_partitions(counts, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_histogram(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold every batch's bin counts into the corpus-so-far histogram
+    — (bin, cnt) by plain sum.  Feed to
+    `plans/sketches.histogram_quantiles` for the quantile view; the
+    fold is pinned EXACTLY equal to the one-pass batch histogram
+    (static bins make merge lossless, not approximate)."""
+    return (
+        spark.read.schema(HIST_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

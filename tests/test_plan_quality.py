@@ -291,6 +291,11 @@ _BNLJ_ALLOWED = {
     # gauge adds the exact-L2 ground-truth broadcast cross
     "emb_bq_ivfpq_rerank",
     "emb_bq_ivfpq_recall",
+    # fixed-bin histogram quantiles: the cumulative self-join (bin <=
+    # bin range condition) and the 3-row quantile probe both run on
+    # the <=50-row counts relation — bounded BNLJs over KB state; the
+    # one pass over raw data is the map-side-combined bin hash-agg
+    "quantile_histogram",
     # BPE training broadcasts the 1-row winning pair into the merge
     # step each iteration — the same scalar-broadcast shape as
     # emb_pca_power, over a vocabulary-sized (≤200-row) relation

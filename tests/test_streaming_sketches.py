@@ -561,3 +561,50 @@ def test_streaming_kmv_replay_and_compaction_idempotent(
     ]
     assert parts == [f"batch_id={BASE_ID}"], parts
     assert rows() == before
+
+
+def test_hist_stream_fold_equals_batch_and_replay(spark, tmp_path):
+    """Fixed-bin histogram twin: fold of 3 micro-batches == one-pass
+    batch histogram AND the quantile view over the fold == the batch
+    quantile_histogram query; a redelivery restates, never
+    double-counts."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.sketches import (
+        hist_bin_counts,
+        histogram_quantiles,
+        q_quantile_histogram,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        hist_batch_writer,
+        read_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    state = str(tmp_path / "hist_state")
+    write = hist_batch_writer(state)
+    for b in range(3):
+        write(ev.where(f"event_id % 3 = {b}"), b)
+
+    folded = sorted(
+        map(tuple, read_histogram(spark, state).collect())
+    )
+    one_pass = sorted(
+        map(tuple, hist_bin_counts(ev.select("value")).collect())
+    )
+    assert folded == one_pass
+
+    got_q = sorted(
+        map(
+            tuple,
+            histogram_quantiles(read_histogram(spark, state)).collect(),
+        )
+    )
+    want_q = sorted(map(tuple, q_quantile_histogram(spark, sf).collect()))
+    assert got_q == want_q and len(got_q) == 3
+
+    write(ev.where("event_id % 3 = 1"), 1)  # at-least-once redelivery
+    assert (
+        sorted(map(tuple, read_histogram(spark, state).collect()))
+        == folded
+    )
