@@ -56,6 +56,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "compact-parquet",
             "compact-cms",
             "compact-bloom",
+            "compact-hist",
             "compact-curation",
             "compact-neardup",
             "compact-ann",
@@ -132,6 +133,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             from .streaming.sketches import compact_bloom
 
             print(f"compacted {compact_bloom(spark, args.path)} words")
+            return 0
+        if args.op == "compact-hist":
+            from .streaming.sketches import compact_hist
+
+            print(f"compacted {compact_hist(spark, args.path)} bins")
             return 0
         if args.op == "compact-neardup":
             from .streaming.neardup import compact_neardup

@@ -86,8 +86,17 @@ def _grid_hash(rows) -> str:
     return hashlib.sha256(str(sorted(rows)).encode()).hexdigest()[:16]
 
 
+#: the CMS grid's (key..., value) column tuple — the default for the
+#: additive-state machinery below, which round 8 generalized so the
+#: histogram family rides the identical intent protocol
+_CMS_COLS = ("d", "b", "cnt")
+
+
 def _partition_hash(
-    spark: SparkSession, state_dir: str, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    cols: tuple[str, ...] = _CMS_COLS,
 ) -> str:
     """Content hash of one batch partition (≤ d·w rows — cheap)."""
     p = os.path.join(state_dir, f"batch_id={batch_id}")
@@ -95,8 +104,8 @@ def _partition_hash(
         return "empty"
     try:
         rows = [
-            (r.d, r.b, r.cnt)
-            for r in spark.read.parquet(p).select("d", "b", "cnt").collect()
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(p).select(*cols).collect()
         ]
     except Exception:  # partial/corrupt staging from a mid-write kill
         return "unreadable"
@@ -126,7 +135,11 @@ def _delete_partitions(state_dir: str, ids: list[int]) -> bool:
     return ok
 
 
-def _resolve_intent(spark: SparkSession, state_dir: str) -> None:
+def _resolve_intent(
+    spark: SparkSession,
+    state_dir: str,
+    cols: tuple[str, ...] = _CMS_COLS,
+) -> None:
     """Finish or discard an interrupted compaction (see module
     docstring for the state machine)."""
     intent = _read_intent(state_dir)
@@ -137,7 +150,7 @@ def _resolve_intent(spark: SparkSession, state_dir: str) -> None:
     base = os.path.join(state_dir, f"batch_id={BASE_ID}")
     staging = os.path.join(state_dir, f"batch_id={STAGING_ID}")
     aside = os.path.join(state_dir, f"batch_id={OLD_ID}")
-    if _partition_hash(spark, state_dir, STAGING_ID) == want:
+    if _partition_hash(spark, state_dir, STAGING_ID, cols) == want:
         # staged fold is durable: promote it (aside-rename protocol —
         # atomic renames only, never a reader-visible delete window)
         try:
@@ -146,7 +159,7 @@ def _resolve_intent(spark: SparkSession, state_dir: str) -> None:
             os.rename(staging, base)
         except OSError:
             return  # rename blocked (permissions?); keep intent, retry
-    elif _partition_hash(spark, state_dir, BASE_ID) != want:
+    elif _partition_hash(spark, state_dir, BASE_ID, cols) != want:
         # neither staged nor promoted: the attempt aborted before the
         # staging write completed — restore an aside base if a freak
         # mid-swap kill left one (staging must then have rotted on
@@ -165,7 +178,11 @@ def _resolve_intent(spark: SparkSession, state_dir: str) -> None:
         os.remove(os.path.join(state_dir, _INTENT))
 
 
-def _stale_folded_ids(spark: SparkSession, state_dir: str) -> list[int]:
+def _stale_folded_ids(
+    spark: SparkSession,
+    state_dir: str,
+    cols: tuple[str, ...] = _CMS_COLS,
+) -> list[int]:
     """Batch ids already folded into a durable grid (staged or
     promoted) that still sit on disk — the reader must exclude them."""
     intent = _read_intent(state_dir)
@@ -173,8 +190,8 @@ def _stale_folded_ids(spark: SparkSession, state_dir: str) -> list[int]:
         return []
     want = intent.get("folded_hash")
     if (
-        _partition_hash(spark, state_dir, STAGING_ID) == want
-        or _partition_hash(spark, state_dir, BASE_ID) == want
+        _partition_hash(spark, state_dir, STAGING_ID, cols) == want
+        or _partition_hash(spark, state_dir, BASE_ID, cols) == want
     ):
         return [int(i) for i in intent.get("ids", [])]
     return []
@@ -201,7 +218,10 @@ def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def _intent_exclusions(
-    spark: SparkSession, state_dir: str, intent: dict
+    spark: SparkSession,
+    state_dir: str,
+    intent: dict,
+    cols: tuple[str, ...] = _CMS_COLS,
 ) -> list[int]:
     """Which batch_id partitions a reader must exclude while an
     intent file is present.
@@ -222,11 +242,11 @@ def _intent_exclusions(
     ids = [int(i) for i in intent.get("ids", [])]
     prev = None
     for _ in range(20):
-        bh = _partition_hash(spark, state_dir, BASE_ID)
+        bh = _partition_hash(spark, state_dir, BASE_ID, cols)
         if bh == want:
             # promoted, deletes unfinished: base replaces the ids
             return [*ids, STAGING_ID, OLD_ID]
-        sh = _partition_hash(spark, state_dir, STAGING_ID)
+        sh = _partition_hash(spark, state_dir, STAGING_ID, cols)
         if sh == want:
             # staged but not yet promoted: the staging partition IS
             # the fold of (ids + old base) — read it instead
@@ -268,10 +288,30 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
     State lives on a local filesystem path (the repo's sink contract);
     promotion and deletes use local fs ops.
     """
+    # schema mirrors cms_cells exactly (d: lit int32, b: 60-bit
+    # portable hash mod width -> bigint, cnt: count -> bigint) so the
+    # promoted base partition is schema-identical to batch partitions
+    return _compact_additive(
+        spark, state_dir, ("d", "b"), "d int, b bigint, cnt bigint"
+    )
+
+
+def _compact_additive(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: tuple[str, ...],
+    schema: str,
+) -> int:
+    """The staged-partition + intent compaction for ADDITIVE
+    (sum-merged) state, generic over the key columns — `compact_cms`'s
+    protocol verbatim with (key..., cnt) parametrized, so the
+    histogram family (`compact_hist`) rides the identical state
+    machine and kill-point guarantees."""
+    cols = (*key_cols, "cnt")
     if not os.path.isdir(state_dir):
         return 0
 
-    _resolve_intent(spark, state_dir)
+    _resolve_intent(spark, state_dir, cols)
     if _read_intent(state_dir) is not None:
         # recovery could not finish (e.g. a partition refused to
         # delete): don't stack a second attempt on top
@@ -297,10 +337,10 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
     folded = (
         spark.read.parquet(state_dir)
         .where(F.col("batch_id").isin(ids))
-        .groupBy("d", "b")
+        .groupBy(*key_cols)
         .agg(F.sum("cnt").alias("cnt"))
     )
-    rows = [(r.d, r.b, r.cnt) for r in folded.collect()]
+    rows = [tuple(r[c] for c in cols) for r in folded.collect()]
     n = len(rows)
     folded_hash = _grid_hash(rows)
 
@@ -308,10 +348,7 @@ def compact_cms(spark: SparkSession, state_dir: str) -> int:
     # from every read), then record intent, then promote
     staging = os.path.join(state_dir, f"batch_id={STAGING_ID}")
     shutil.rmtree(staging, ignore_errors=True)
-    # schema mirrors cms_cells exactly (d: lit int32, b: 60-bit
-    # portable hash mod width -> bigint, cnt: count -> bigint) so the
-    # promoted base partition is schema-identical to batch partitions
-    spark.createDataFrame(rows, "d int, b bigint, cnt bigint").coalesce(
+    spark.createDataFrame(rows, schema).coalesce(
         1
     ).write.mode("overwrite").parquet(staging)
 
@@ -568,11 +605,10 @@ def hist_batch_writer(
     ADDITIVE state, like the CMS grids and unlike the id-keyed
     families: a crash-duplicated partition would double-count, which
     the dynamic-partition-overwrite restatement prevents for replays.
-    State is ≤ HIST_BINS rows per batch; when batch-count file
-    overhead matters, compaction must follow `compact_cms`'s
-    staged+intent protocol (sum-fold, NOT the idempotent-reader
-    distinct rewrite — summing twice is wrong), applied to the
-    (bin, cnt) schema.
+    State is ≤ HIST_BINS rows per batch; `compact_hist` folds the
+    partitions under the same staged+intent protocol as `compact_cms`
+    (sum-fold — the idempotent-reader distinct rewrite would be wrong
+    for additive rows).
     """
     from ..plans.sketches import hist_bin_counts
 
@@ -590,10 +626,30 @@ def read_histogram(spark: SparkSession, state_dir: str) -> DataFrame:
     — (bin, cnt) by plain sum.  Feed to
     `plans/sketches.histogram_quantiles` for the quantile view; the
     fold is pinned EXACTLY equal to the one-pass batch histogram
-    (static bins make merge lossless, not approximate)."""
+    (static bins make merge lossless, not approximate).
+    Crash-consistent like `read_cms`: staging/aside partitions are
+    excluded, and a durable mid-compaction fold stands in for the
+    partitions it already consumed."""
+    df = spark.read.schema(HIST_STATE_SCHEMA).parquet(state_dir)
+    intent = _read_intent(state_dir)
+    if intent is not None:
+        exclude = _intent_exclusions(
+            spark, state_dir, intent, ("bin", "cnt")
+        )
+    else:
+        exclude = [STAGING_ID, OLD_ID]
     return (
-        spark.read.schema(HIST_STATE_SCHEMA)
-        .parquet(state_dir)
+        df.where(~F.col("batch_id").isin(exclude))
         .groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_hist(spark: SparkSession, state_dir: str) -> int:
+    """Fold the per-batch histogram partitions into a single base —
+    `compact_cms`'s staged+intent protocol on the (bin, cnt) schema
+    (additive state: sum-fold, reader-exact at every kill point).
+    Same operational rule: compact past the redelivery horizon."""
+    return _compact_additive(
+        spark, state_dir, ("bin",), "bin int, cnt bigint"
     )

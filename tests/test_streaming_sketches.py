@@ -353,9 +353,9 @@ def test_read_with_stale_aborted_intent_short_circuits(spark, tmp_path):
     calls = {"n": 0}
     real = sk._partition_hash
 
-    def counting(spark_, dir_, bid):
+    def counting(spark_, dir_, bid, cols=sk._CMS_COLS):
         calls["n"] += 1
-        return real(spark_, dir_, bid)
+        return real(spark_, dir_, bid, cols)
 
     with mock.patch.object(sk, "_partition_hash", side_effect=counting):
         got = _grid(read_cms(spark, state))
@@ -608,3 +608,80 @@ def test_hist_stream_fold_equals_batch_and_replay(spark, tmp_path):
         sorted(map(tuple, read_histogram(spark, state).collect()))
         == folded
     )
+
+
+def test_hist_compaction_preserves_and_recovers(spark, tmp_path):
+    """compact_hist folds the per-batch bin partitions to one base
+    under the CMS intent protocol: the folded histogram (and its
+    quantile view) is identical before/after, a kill during the
+    source deletes leaves the reader exact and the rerun converges,
+    and a post-compaction batch still sums in."""
+    import os
+
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.sketches import (
+        histogram_quantiles,
+    )
+    from projetbigdatastreaming_spark.streaming import sketches as sk
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        BASE_ID,
+        compact_hist,
+        hist_batch_writer,
+        read_histogram,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value"
+    )
+    state = str(tmp_path / "hist_c")
+    write = hist_batch_writer(state)
+    for b in range(3):
+        write(ev.where(f"event_id % 3 = {b}"), b)
+    before = sorted(map(tuple, read_histogram(spark, state).collect()))
+    before_q = sorted(
+        map(
+            tuple,
+            histogram_quantiles(read_histogram(spark, state)).collect(),
+        )
+    )
+
+    assert compact_hist(spark, state) > 0
+    parts = [n for n in os.listdir(state) if n.startswith("batch_id=")]
+    assert parts == [f"batch_id={BASE_ID}"]
+    assert sorted(map(tuple, read_histogram(spark, state).collect())) == before
+    assert (
+        sorted(
+            map(
+                tuple,
+                histogram_quantiles(read_histogram(spark, state)).collect(),
+            )
+        )
+        == before_q
+    )
+
+    # kill during the deletes: intent survives, reader stays exact,
+    # rerun resolves and converges
+    write(ev.where("event_id % 3 = 1"), 10)
+    after_add = sorted(map(tuple, read_histogram(spark, state).collect()))
+
+    real = sk._delete_partitions
+    try:
+        sk._delete_partitions = lambda *a, **k: False
+        compact_hist(spark, state)
+    finally:
+        sk._delete_partitions = real
+    assert os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+    assert (
+        sorted(map(tuple, read_histogram(spark, state).collect()))
+        == after_add
+    )
+    assert compact_hist(spark, state) > 0
+    assert not os.path.exists(os.path.join(state, "_COMPACT_INTENT.json"))
+    assert (
+        sorted(map(tuple, read_histogram(spark, state).collect()))
+        == after_add
+    )
+
+    from projetbigdatastreaming_spark.__main__ import main
+
+    assert main(["maintain", "compact-hist", state], spark=spark) == 0
