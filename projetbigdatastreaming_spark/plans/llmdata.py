@@ -4353,6 +4353,60 @@ def q_train_split(spark, sf_dir):
     )
 
 
+def q_train_split_leakage_safe(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test assignment — `train_split` with the
+    split hash keyed on the near-dup CLUSTER label instead of the
+    doc_id (GroupKFold semantics): every member of a near-duplicate
+    cluster lands in the SAME split, so an eval document can never
+    have a near-copy in train — the contamination mode a plain
+    per-doc hash split cannot prevent and eval integrity requires
+    preventing.  Group key = connected-component label from
+    `dedup_clusters` (singletons fall back to their own doc_id).
+    One manifest row per (source, split): doc count, char volume, the
+    order-independent membership fingerprint, and `n_cluster_bound` —
+    how many docs' split was DECIDED by a cluster label other than
+    their own id (the rows a per-doc split could have scattered).
+
+    Scale plan: the cluster-label relation covers only near-dup
+    members (a small fraction of the corpus), joined to the corpus on
+    doc_id (AQE picks broadcast when it fits); everything else is the
+    `train_split` shape — map-side hash + one |sources|x3-key
+    hash-agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.duplicate_clusters(docs, JACCARD_THRESHOLD).select(
+        "doc_id", "cluster_id"
+    )
+    d = docs.join(labels, "doc_id", "left").withColumn(
+        "gkey", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    bucket = sampling._portable_hash(F.col("gkey"), "sp0") % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    fp = sampling._portable_hash(F.col("doc_id"), "sfp") % 1_000_000
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            "n_chars",
+            fp.alias("fp"),
+            (F.col("gkey") != F.col("doc_id"))
+            .cast("bigint")
+            .alias("bound"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("fp").cast("bigint").alias("fingerprint"),
+            F.sum("bound").cast("bigint").alias("n_cluster_bound"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 SQL_TRAIN_SPLIT = f"""
 WITH d AS (
   SELECT source, n_chars,
@@ -4369,6 +4423,50 @@ SELECT source,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
        CAST(SUM(fp) AS BIGINT) AS fingerprint
 FROM d
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+
+SQL_TRAIN_SPLIT_LEAKAGE_SAFE = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach (id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+d AS (
+  SELECT doc.source, doc.n_chars,
+         COALESCE(l.cluster_id, doc.doc_id) AS gkey,
+         CASE WHEN COALESCE(l.cluster_id, doc.doc_id) <> doc.doc_id
+              THEN 1 ELSE 0 END AS bound,
+         CAST(concat('0x', substr(md5(
+              CAST(doc.doc_id AS VARCHAR) || 'sfp'),
+              1, 15)) AS BIGINT) % 1000000 AS fp
+  FROM documents doc LEFT JOIN lab l ON l.doc_id = doc.doc_id),
+b AS (
+  SELECT source, n_chars, fp, bound,
+         CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR) || 'sp0'),
+              1, 15)) AS BIGINT) % 100 AS bucket
+  FROM d)
+SELECT source,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(fp) AS BIGINT) AS fingerprint,
+       CAST(SUM(bound) AS BIGINT) AS n_cluster_bound
+FROM b
 GROUP BY 1, 2
 ORDER BY source, split
 """
@@ -5120,6 +5218,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_corpus_dup_stats, SQL_CORPUS_DUP_STATS
     ),
     "train_split": QuerySpec(q_train_split, SQL_TRAIN_SPLIT),
+    "train_split_leakage_safe": QuerySpec(
+        q_train_split_leakage_safe, SQL_TRAIN_SPLIT_LEAKAGE_SAFE
+    ),
     "ccnet_ppl_buckets": QuerySpec(
         q_ccnet_ppl_buckets, SQL_CCNET_PPL_BUCKETS
     ),

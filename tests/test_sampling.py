@@ -42,3 +42,52 @@ def test_stratified_sample_exact_n_per_stratum(spark):
     # reproducible under repartitioning too
     out2 = sampling.stratified_sample(df.repartition(13), "lang", "doc_id", 7).collect()
     assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """The GroupKFold property: every near-dup cluster's members land
+    in ONE split under the leakage-safe assignment — and the per-doc
+    hash split would have scattered at least one cluster (so the
+    operator genuinely changes outcomes, not just relabels)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.operators import dedup, sampling
+    from projetbigdatastreaming_spark.plans.llmdata import (
+        JACCARD_THRESHOLD,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.duplicate_clusters(docs, JACCARD_THRESHOLD).select(
+        "doc_id", "cluster_id"
+    )
+
+    def split_of(key_col):
+        b = sampling._portable_hash(key_col, "sp0") % 100
+        return (
+            F.when(b < SPLIT_TRAIN_PCT, "train")
+            .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    d = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        split_of(
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        ).alias("safe_split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+    )
+    per_cluster = (
+        d.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(
+            F.countDistinct("safe_split").alias("n_safe"),
+            F.countDistinct("naive_split").alias("n_naive"),
+        )
+    )
+    assert per_cluster.where("n_safe > 1").count() == 0
+    # the fixture has at least one cluster the naive split scatters
+    assert per_cluster.where("n_naive > 1").count() > 0
