@@ -60,6 +60,7 @@ QUERY_ORDER = (
     # 2) new in round 8 — first driver verdict inside the window
     "emb_bq_ivfpq_rerank", "emb_bq_ivfpq_recall", "decontaminate_fuzzy",
     "quantile_histogram", "train_split_leakage_safe",
+    "quality_calibration",
     # 3) last driver-checked in round 4 (oldest remaining signal);
     # window cap lands mid-section, tail leads round 9's rotation
     "pysource_synthetic_events", "variant_json", "param_query",

@@ -3709,8 +3709,9 @@ def q_gopher_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-SQL_GOPHER_QUALITY = f"""
-WITH tf AS (
+#: the gopher rule-gate CTE chain (tf -> per -> flagged) alone, so
+#: compositions (quality_calibration) can reuse it next to other CTEs
+_GOPHER_CTES = f"""tf AS (
   SELECT doc_id, token, COUNT(*) AS tf
   FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
         FROM documents)
@@ -3738,7 +3739,10 @@ flagged AS (
          CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop,
          CASE WHEN 5 * max_tf <= n_words
               THEN 1 ELSE 0 END AS ok_top_unigram
-  FROM per)
+  FROM per)"""
+
+SQL_GOPHER_QUALITY = f"""
+WITH {_GOPHER_CTES}
 SELECT doc_id, n_words, ok_n_words, ok_mean_len, ok_alpha, ok_stop,
        ok_top_unigram,
        ok_n_words * ok_mean_len * ok_alpha * ok_stop * ok_top_unigram

@@ -594,9 +594,105 @@ ORDER BY b.doc_id
 """
 
 
+QC_CAL_BAND_MILLI = 5_000  # calibration band width around the keep cut
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Classifier-vs-rules CALIBRATION curve — the validation step
+    before trusting a cheap ranking classifier to gate 100 TB: for
+    each fixed score band around `quality_classifier`'s keep
+    threshold (width 5000 milli, clamped to bands −5..4), the
+    `gopher_quality` rule-gate pass rate and mean rules failed.  A
+    well-calibrated classifier shows pass_rate rising monotonically
+    through band 0 (the decision boundary); a flat curve says the
+    score carries no rule-gate signal at that cut.  Bands are fixed
+    integer math (never data-derived quantiles), so the curve is
+    mergeable across shards and the oracle replays it exactly.
+
+    Scale plan: composes two green parents — the classifier is
+    map-side expressions, the gopher flags are two bounded keyed
+    exchanges — plus one doc_id equi-join and a ≤10-key hash-agg."""
+    from .llmdata import q_gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _qc_scored(docs).select("doc_id", "score_milli")
+    flags = q_gopher_quality(spark, sf_dir).select(
+        "doc_id",
+        "ok_n_words",
+        "ok_mean_len",
+        "ok_alpha",
+        "ok_stop",
+        "ok_top_unigram",
+        "passes",
+    )
+    band = F.least(
+        F.lit(4),
+        F.greatest(
+            F.lit(-5),
+            F.floor(
+                (F.col("score_milli") - F.lit(_QC_KEEP_MILLI))
+                / F.lit(float(QC_CAL_BAND_MILLI))
+            ),
+        ),
+    ).cast("int")
+    n_failed = F.lit(5) - (
+        F.col("ok_n_words")
+        + F.col("ok_mean_len")
+        + F.col("ok_alpha")
+        + F.col("ok_stop")
+        + F.col("ok_top_unigram")
+    )
+    return (
+        scored.join(flags, "doc_id")
+        .select(band.alias("band"), "passes", n_failed.alias("n_failed"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("passes").cast("bigint").alias("n_pass"),
+            F.round(F.sum("passes") / F.count(F.lit(1)), 4).alias(
+                "pass_rate"
+            ),
+            F.round(F.sum("n_failed") / F.count(F.lit(1)), 4).alias(
+                "mean_rules_failed"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+def _sql_quality_calibration() -> str:
+    from .llmdata import _GOPHER_CTES
+
+    return f"""
+WITH {_QC_SCORED_CTES},
+{_GOPHER_CTES},
+j AS (
+  SELECT LEAST(4, GREATEST(-5,
+           CAST(FLOOR((s.score_milli - {_QC_KEEP_MILLI})
+                      / {QC_CAL_BAND_MILLI}.0) AS BIGINT))) AS band,
+         f.ok_n_words * f.ok_mean_len * f.ok_alpha * f.ok_stop
+           * f.ok_top_unigram AS passes,
+         5 - (f.ok_n_words + f.ok_mean_len + f.ok_alpha + f.ok_stop
+              + f.ok_top_unigram) AS n_failed
+  FROM scored s JOIN flagged f USING (doc_id))
+SELECT CAST(band AS INT) AS band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(passes) AS BIGINT) AS n_pass,
+       ROUND(SUM(passes) / CAST(COUNT(*) AS DOUBLE), 4) AS pass_rate,
+       ROUND(SUM(n_failed) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS mean_rules_failed
+FROM j
+GROUP BY band
+ORDER BY band
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "quality_classifier": QuerySpec(
         q_quality_classifier, SQL_QUALITY_CLASSIFIER
+    ),
+    "quality_calibration": QuerySpec(
+        q_quality_calibration, _sql_quality_calibration()
     ),
     "curation_pipeline": QuerySpec(
         q_curation_pipeline, SQL_CURATION_PIPELINE
