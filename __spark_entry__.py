@@ -41,46 +41,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Explicit registry order.  The grading driver checks queries in
 #: iteration order with a cap (50 per round so far), so ordering is
-#: part of the contract.  Round-8 rotation (VERDICT r07 next-item 1):
-#: (1) the 6 round-7 §3b queries that have never had a driver
-#: verdict (structure trio + BQ family); (2) round-8's own new
-#: queries as they land, so new operators get their first verdict
-#: inside the window — each addition pushes one §3 row below the
-#: 50-slot boundary; (3) the 50 r04-vintage rows (oldest remaining
-#: signal) — the first 50-(len §1)-(len §2) fill the window, the
-#: tail goes FIRST in round 9's window; (4) r05; (5) r06; (6) r07
-#: (freshest signal, so last).  Standing freshness invariant: no
-#: query's latest driver row may be older than two rotations — after
-#: round 8 the oldest signal is the §3 tail (r04) which round 9
-#: must lead with.
+#: part of the contract.  Round-9 rotation (VERDICT r08 next-item 1):
+#: (1) the 12 rows whose latest signal is still r04 (the §3 tail
+#: that missed round 8's window) — the literal freshness bar;
+#: (2) round-9's own new queries as they land, so new operators get
+#: their first verdict inside the window; (3) the r05-vintage block
+#: (next-oldest signal) — the window cap lands mid-section, the tail
+#: leads round 10; (4) r06; (5) r07; (6) the rows green in the
+#: round-8 driver run (freshest signal, so last).  Standing
+#: freshness invariant: no query's latest driver row may be older
+#: than two rotations — after round 9 the oldest signal is the r05
+#: tail which round 10 must lead with.
 QUERY_ORDER = (
-    # 1) registered late in round 7 (§3b) — never driver-checked yet
-    "image_structure", "audio_structure", "video_structure",
-    "emb_bq_topk", "emb_bq_recall", "emb_bq_rerank",
-    # 2) new in round 8 — first driver verdict inside the window
-    "emb_bq_ivfpq_rerank", "emb_bq_ivfpq_recall", "decontaminate_fuzzy",
-    "quantile_histogram", "train_split_leakage_safe",
-    "quality_calibration",
-    # 3) last driver-checked in round 4 (oldest remaining signal);
-    # window cap lands mid-section, tail leads round 9's rotation
-    "pysource_synthetic_events", "variant_json", "param_query",
-    "bpe_learn_merges", "shard_manifest", "tpch_q12",
-    "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
-    "stats_agg", "text_quality",
-    "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",
-    "window_value_functions", "mixture_budget_sample", "dedup_prefix",
-    "event_transitions", "doc_entropy", "active_users_rolling",
-    "corpus_zipf_fit", "supplier_scorecard", "revenue_pareto",
-    "approx_distinct_check", "rolling_avg_range",
-    "window_rank_functions", "profile_table", "dedup_survivorship",
-    "tpch_q18", "bitwise_functions", "user_features",
-    "profile_frequent_values", "time_gap_stats",
-    "image_stats", "audio_stats", "video_stats", "media_manifest",
-    "emb_jl_recall", "substring_dedup", "dsir_importance",
+    # 1) last driver-checked in round 4 (oldest remaining signal)
+    "substring_dedup", "dsir_importance",
     "zorder_layout", "text_sentiment", "type_profile_similarity",
     "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
     "quarter_hour_case", "agg_groupby", "agg_analytic_window",
-    # 4) green in the round-5 driver run
+    # 2) new in round 9 — first driver verdict inside the window
+    "version_changes",
+    # 3) green in the round-5 driver run (next-oldest signal);
+    # window cap lands mid-section, tail leads round 10's rotation
     "conditional_columns", "scalar_functions", "time_functions",
     "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
@@ -97,7 +78,7 @@ QUERY_ORDER = (
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
     "join_salted",
-    # 5) green in the round-6 driver run
+    # 4) green in the round-6 driver run
     "window_sliding", "percentiles", "scalar_functions2",
     "subq_exists", "subq_not_exists", "subq_scalar",
     "subq_in_having", "subq_not_in", "subq_correlated_scalar",
@@ -113,7 +94,7 @@ QUERY_ORDER = (
     "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
     "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
     "doc_embedding_stats", "neardup_jaccard_histogram",
-    # 6) green in the round-7 driver run (freshest signal, so last)
+    # 5) green in the round-7 driver run
     "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
     "doc_ngram_novelty", "dedup_soft_weights",
     "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
@@ -130,6 +111,26 @@ QUERY_ORDER = (
     "tfidf_topk", "emb_outliers", "graph_pagerank",
     "dedup_incremental_bloom", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "curation_weighted_sample",
+    # 6) green in the round-8 driver run (freshest signal, so last)
+    "image_structure", "audio_structure", "video_structure",
+    "emb_bq_topk", "emb_bq_recall", "emb_bq_rerank",
+    "emb_bq_ivfpq_rerank", "emb_bq_ivfpq_recall", "decontaminate_fuzzy",
+    "quantile_histogram", "train_split_leakage_safe",
+    "quality_calibration",
+    "pysource_synthetic_events", "variant_json", "param_query",
+    "bpe_learn_merges", "shard_manifest", "tpch_q12",
+    "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
+    "stats_agg", "text_quality",
+    "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",
+    "window_value_functions", "mixture_budget_sample", "dedup_prefix",
+    "event_transitions", "doc_entropy", "active_users_rolling",
+    "corpus_zipf_fit", "supplier_scorecard", "revenue_pareto",
+    "approx_distinct_check", "rolling_avg_range",
+    "window_rank_functions", "profile_table", "dedup_survivorship",
+    "tpch_q18", "bitwise_functions", "user_features",
+    "profile_frequent_values", "time_gap_stats",
+    "image_stats", "audio_stats", "video_stats", "media_manifest",
+    "emb_jl_recall",
 )
 
 

@@ -128,11 +128,22 @@ def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, signed: DataFrame, threshold: float
+    pairs: DataFrame,
+    signed: DataFrame,
+    threshold: float,
+    signed_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for each candidate pair; keeps pairs
-    with jaccard >= threshold.  Output: (doc_a, doc_b, jaccard)."""
+    with jaccard >= threshold.  Output: (doc_a, doc_b, jaccard).
+
+    ``signed_b`` makes the verify BIPARTITE: ``doc_a`` resolves its
+    shingles from ``signed`` and ``doc_b`` from ``signed_b``, so the
+    two sides may use overlapping doc_id spaces (each side's ids only
+    need to be unique within that side)."""
     sh = signed.select("doc_id", "shingles")
+    sh_b = (signed_b if signed_b is not None else signed).select(
+        "doc_id", "shingles"
+    )
     return (
         pairs.join(
             sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
@@ -141,7 +152,7 @@ def jaccard_verify(
             "doc_a",
         )
         .join(
-            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+            sh_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
                 "shingles", "sh_b"
             ),
             "doc_b",
@@ -210,6 +221,13 @@ def minhash_cross_near_duplicates(
     corpus bands — the corpus never enters a band self-join (which
     would also waste work on corpus-corpus pairs decontamination
     doesn't ask about).  The verify join touches only candidate ids.
+
+    Id spaces: the two sides are fully independent relations — ids
+    only need to be unique WITHIN each side.  A corpus doc and a
+    benchmark doc that happen to share an id are different documents
+    and are compared like any other cross pair (the verify resolves
+    doc_a against the corpus signatures and doc_b against the
+    benchmark's — `jaccard_verify(signed_b=...)`).
     """
     sa = with_minhash_signature(spread(corpus)).select(
         "doc_id", "shingles", "sig"
@@ -226,8 +244,7 @@ def minhash_cross_near_duplicates(
         ka.join(
             F.broadcast(kb),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.bh") == F.col("b.bh")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -235,8 +252,7 @@ def minhash_cross_near_duplicates(
         )
         .distinct()
     )
-    sigs = sa.unionAll(sb).dropDuplicates(["doc_id"])
-    return jaccard_verify(pairs, sigs, threshold)
+    return jaccard_verify(pairs, sa, threshold, signed_b=sb)
 
 
 def duplicate_clusters(

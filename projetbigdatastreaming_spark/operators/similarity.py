@@ -1165,19 +1165,20 @@ def bq_adc_search(
     # feeds BOTH the table branch (via `needed`) and the score branch —
     # without the cache the corpus-wide Hamming scan and the code scan
     # in its lineage re-run once per branch (3x the corpus read at
-    # scale).  Lazy persist: no extra job, blocks computed on first
-    # touch, reused across branches/actions, freed by the
-    # ContextCleaner when the plan is GC'd (the minhash
-    # cache_signatures precedent).
-    short = (
-        bq_search(packed, packed_q, shortlist)
-        .select("qid", "vec_id")
-        .persist()
+    # scale).  Scoped persist (round-8 ADVICE): bq_ann_ingest_writer
+    # calls this every micro-batch, so each invocation must free the
+    # previous one's blocks instead of waiting on the ContextCleaner.
+    from ..cache import persist_scoped
+
+    short = persist_scoped(
+        "bq_adc_short",
+        bq_search(packed, packed_q, shortlist).select("qid", "vec_id"),
     )
-    cand = (
-        codes.join(F.broadcast(short), "vec_id")
-        .select("qid", "vec_id", "list_id", "cids")
-        .persist()
+    cand = persist_scoped(
+        "bq_adc_cand",
+        codes.join(F.broadcast(short), "vec_id").select(
+            "qid", "vec_id", "list_id", "cids"
+        ),
     )
     # ADC tables only for the (query, list) pairs the shortlist
     # touches — ≤ |Q|·shortlist rows, usually far fewer

@@ -533,6 +533,72 @@ ORDER BY z_cell
 SQL_ZORDER_LAYOUT = _sql_zorder_layout()
 
 
+def q_version_changes(spark, sf_dir):
+    """Change feed (CDC) between two committed versions of a versioned
+    parquet table (`sinks/versioned.py` — snapshot isolation + time
+    travel without a table-format dependency).  The query materializes
+    two deterministic curation passes over ``documents`` as table
+    versions v1 and v2 via `versioned_overwrite`, then derives the
+    insert/delete/update feed with `version_changes`:
+
+    * v1 = docs with ``doc_id % 10 < 8`` (doc_id, lang, n_chars)
+    * v2 = docs with ``doc_id % 10 >= 2``, where buckets 4–5 get
+      ``n_chars + 1`` (a re-curation that touched those docs)
+
+    ⇒ buckets 0–1 delete, 8–9 insert, 4–5 update, 2–3/6–7 unchanged
+    (dropped).  The oracle replays the same two logical slices with a
+    full-outer join and direct value comparison — the Spark side's
+    xxhash64 value fingerprint must classify identically.
+
+    Scale plan: version materialization is two plain parquet writes;
+    the diff is ONE full-outer hash join on the key with the row
+    payload collapsed to an 8-byte xxhash64 before the shuffle, so
+    a 100 TB-wide table diffs at key+hash width.
+    """
+    import tempfile
+
+    from ..catalog import load_table as _lt
+    from ..sinks.versioned import version_changes, versioned_overwrite
+
+    docs = _lt(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "n_chars"
+    )
+    v1 = docs.where("doc_id % 10 < 8")
+    v2 = docs.where("doc_id % 10 >= 2").selectExpr(
+        "doc_id",
+        "lang",
+        "CASE WHEN doc_id % 10 IN (4, 5) THEN n_chars + 1 "
+        "ELSE n_chars END AS n_chars",
+    )
+    table_dir = tempfile.mkdtemp(prefix="sg_version_changes_")
+    va = versioned_overwrite(v1, table_dir)
+    vb = versioned_overwrite(v2, table_dir)
+    return version_changes(
+        spark, table_dir, va, vb, ["doc_id"]
+    ).orderBy("doc_id")
+
+
+SQL_VERSION_CHANGES = """
+WITH v1 AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 8),
+v2 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 IN (4, 5) THEN n_chars + 1
+              ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 10 >= 2)
+SELECT doc_id, change FROM (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'insert'
+              WHEN v2.doc_id IS NULL THEN 'delete'
+              WHEN v1.lang IS DISTINCT FROM v2.lang
+                OR v1.n_chars IS DISTINCT FROM v2.n_chars THEN 'update'
+         END AS change
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+WHERE change IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov statistics over each user's event sequence:
     (from_type → to_type) counts and row-normalized transition
@@ -1727,6 +1793,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "percentiles": QuerySpec(q_percentiles, SQL_PERCENTILES),
     "scalar_functions2": QuerySpec(q_scalar_functions2, SQL_SCALAR_FUNCTIONS2),
     "zorder_layout": QuerySpec(q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "version_changes": QuerySpec(q_version_changes, SQL_VERSION_CHANGES),
     "event_transitions": QuerySpec(
         q_event_transitions, SQL_EVENT_TRANSITIONS
     ),

@@ -27,29 +27,10 @@ from ..functions.text import (
 from ..operators import dedup, sampling, similarity
 from .registry import QuerySpec
 
-#: per-site scoped persist state — see _persist_scoped
-_SCOPED_PERSISTS: dict[str, object] = {}
-
-
-def _persist_scoped(key, df):
-    """``persist()`` whose cache entry is scoped to the latest
-    invocation of its site: repeated calls (bench warm + min-of-3
-    timed runs, correctness sweeps over several sf dirs) first
-    unpersist the previous invocation's relation, so session cache
-    usage stays O(1) per site instead of accumulating one entry per
-    distinct plan (round-7 ADVICE on ``q_emb_pq_recall``; the same
-    fix covers the pre-existing big_tf/rare/tok_tf/tf persists).
-    The current invocation's cache must outlive this function — the
-    returned plan is materialized later by the caller — which is why
-    the scope is previous-invocation, not try/finally."""
-    prev = _SCOPED_PERSISTS.pop(key, None)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session may have restarted; stale handle is inert
-    _SCOPED_PERSISTS[key] = df.persist()
-    return df
+#: canonical implementation lives in cache.py so the operators layer
+#: can use it too (round-8 ADVICE: bq_adc_search); this alias keeps
+#: the historical call sites unchanged
+from ..cache import persist_scoped as _persist_scoped  # noqa: E402
 
 #: fixed query vectors for the top-k searches (first five vec_ids)
 QUERY_VEC_IDS = [0, 1, 2, 3, 4]

@@ -104,8 +104,17 @@ def _write_files(df: DataFrame, table_dir: str) -> list[str]:
     return rel_files
 
 
-def _commit(table_dir: str, files: list[str], op: str) -> int:
-    """Atomically publish a new version whose file list is ``files``."""
+def _commit(
+    table_dir: str,
+    files: list[str],
+    op: str,
+    batches: dict[str, list[str]] | None = None,
+) -> int:
+    """Atomically publish a new version whose file list is ``files``.
+    ``batches`` (batch_id → files) is the streaming-replay attribution
+    map; every writer passes one so a plain append/overwrite can never
+    strand a prior batch's files under the wrong attribution (see
+    `versioned_append_batch`)."""
     vdir = _versions_dir(table_dir)
     os.makedirs(vdir, exist_ok=True)
     versions = list_versions(table_dir)
@@ -116,6 +125,8 @@ def _commit(table_dir: str, files: list[str], op: str) -> int:
         "op": op,
         "files": sorted(files),
     }
+    if batches is not None:
+        manifest["batches"] = batches
     tmp = os.path.join(vdir, f".tmp_{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
@@ -123,22 +134,50 @@ def _commit(table_dir: str, files: list[str], op: str) -> int:
     return new_v
 
 
+def _parent_batches(table_dir: str, versions: list[int]) -> dict:
+    """Latest version's batch-attribution map; files committed by a
+    manifest that predates attribution fall under the ``__base__``
+    pseudo-batch (they belong to no replayable batch)."""
+    if not versions:
+        return {}
+    m = _read_manifest(table_dir, versions[-1])
+    batches = dict(m.get("batches") or {})
+    if m.get("batches") is None and m["files"]:
+        batches = {"__base__": m["files"]}
+    return batches
+
+
 def versioned_overwrite(df: DataFrame, table_dir: str) -> int:
     """Publish a new version containing EXACTLY ``df`` (prior versions
-    stay readable).  Returns the new version number."""
-    return _commit(table_dir, _write_files(df, table_dir), "overwrite")
+    stay readable).  Returns the new version number.
+
+    Resets batch attribution: the table's whole content becomes the
+    ``__base__`` pseudo-batch, so a later at-least-once redelivery of
+    a pre-overwrite batch_id RESTATES on top of the overwritten
+    content (it cannot know whether the overwrite already folded its
+    rows in — interleaving overwrites with a live batch stream
+    redefines the stream's base, document accordingly)."""
+    new_files = _write_files(df, table_dir)
+    return _commit(
+        table_dir, new_files, "overwrite", batches={"__base__": new_files}
+    )
 
 
 def versioned_append(df: DataFrame, table_dir: str) -> int:
     """Publish a new version = parent's files + ``df``'s new files
     (the parent's files are REFERENCED, not copied — append cost is
-    the new data only)."""
+    the new data only).
+
+    Preserves the parent's per-batch attribution (the new files join
+    the ``__base__`` pseudo-batch), so interleaving plain appends with
+    `versioned_append_batch` stays replay-safe: a redelivered batch_id
+    still restates only ITS OWN files, never the appended ones."""
     versions = list_versions(table_dir)
-    parent_files = (
-        _read_manifest(table_dir, versions[-1])["files"] if versions else []
-    )
+    batches = _parent_batches(table_dir, versions)
     new_files = _write_files(df, table_dir)
-    return _commit(table_dir, parent_files + new_files, "append")
+    batches["__base__"] = list(batches.get("__base__", [])) + new_files
+    files = [f for fs in batches.values() for f in fs]
+    return _commit(table_dir, files, "append", batches=batches)
 
 
 def versioned_append_batch(
@@ -157,32 +196,16 @@ def versioned_append_batch(
     batch_id → its files), so replay safety costs no data movement:
     only the redelivered batch's files are rewritten."""
     versions = list_versions(table_dir)
-    parent_batches: dict[str, list[str]] = {}
-    if versions:
-        m = _read_manifest(table_dir, versions[-1])
-        parent_batches = dict(m.get("batches") or {})
-        if m.get("batches") is None and m["files"]:
-            # table written by plain overwrite/append before the first
-            # batch commit: attribute its files to a base pseudo-batch
-            parent_batches = {"__base__": m["files"]}
+    parent_batches = _parent_batches(table_dir, versions)
     new_files = _write_files(df, table_dir)
     parent_batches[str(int(batch_id))] = new_files
     files = [f for fs in parent_batches.values() for f in fs]
-    vdir = _versions_dir(table_dir)
-    os.makedirs(vdir, exist_ok=True)
-    new_v = (versions[-1] + 1) if versions else 1
-    manifest = {
-        "version": new_v,
-        "parent": versions[-1] if versions else None,
-        "op": f"append_batch:{int(batch_id)}",
-        "files": sorted(files),
-        "batches": parent_batches,
-    }
-    tmp = os.path.join(vdir, f".tmp_{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    os.rename(tmp, _manifest_path(table_dir, new_v))
-    return new_v
+    return _commit(
+        table_dir,
+        files,
+        f"append_batch:{int(batch_id)}",
+        batches=parent_batches,
+    )
 
 
 def versioned_batch_writer(table_dir: str):
@@ -233,6 +256,13 @@ def version_changes(
     and classify each key as insert / delete / update; unchanged rows
     are dropped.  Output: key columns + ``change``.
 
+    Precondition: ``key_cols`` must be UNIQUE within each version —
+    duplicate keys fan out through the full-outer join and
+    misclassify (the caller owns that invariant, like any CDC key).
+    When ``key_cols`` covers every column there are no values to
+    diff, so rows can only be inserted or deleted (a constant stands
+    in for the value hash — existence-only compare).
+
     Scale: one full-outer hash join on the key columns; the value
     comparison rides a single xxhash64 over the non-key columns, so
     wide rows compare in one 8-byte equality."""
@@ -248,9 +278,8 @@ def version_changes(
     val_cols = [c for c in a.columns if c not in key_cols]
 
     def hashed(df, name):
-        return df.select(
-            *key_cols, F.xxhash64(*val_cols).alias(name)
-        )
+        h = F.xxhash64(*val_cols) if val_cols else F.lit(0)
+        return df.select(*key_cols, h.alias(name))
 
     joined = hashed(a, "__ha").join(
         hashed(b, "__hb"), key_cols, "full_outer"

@@ -245,3 +245,26 @@ def test_minhash_cross_near_duplicates_bipartite(spark):
     assert all(b in (100, 101) for _, b in got)
     assert (0, 1) not in got and (1, 0) not in got
     assert not any(b == 101 for _, b in got)
+
+
+def test_minhash_cross_overlapping_id_spaces(spark):
+    """Regression (ADVICE r08): the two sides are independent
+    relations — a benchmark doc sharing an id with an unrelated corpus
+    doc must still match its true corpus near-dup, and each side's
+    shingles must resolve from its OWN relation (the old union-based
+    verify picked an arbitrary side for a shared id)."""
+    corpus = _docs(spark, [BASE, NEAR, OTHER])  # ids 0,1,2
+    bench = spark.createDataFrame(
+        [Row(doc_id=0, text=BASE), Row(doc_id=2, text="zz " * 40)]
+    )  # bench id 0 == corpus id 0, bench id 2 collides with OTHER
+    got = {
+        (p.doc_a, p.doc_b)
+        for p in dedup.minhash_cross_near_duplicates(
+            corpus, bench, threshold=0.5
+        ).collect()
+    }
+    # corpus 0 (BASE) and 1 (NEAR) both match benchmark 0 (BASE),
+    # including the same-id cross pair (0, 0); the colliding-but-
+    # unrelated id 2 never flags despite sharing an id
+    assert (0, 0) in got and (1, 0) in got
+    assert not any(b == 2 for _, b in got)

@@ -59,7 +59,7 @@ def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path, monkeypatch
 
     real = versioned._commit
 
-    def boom(table_dir, files, op):
+    def boom(table_dir, files, op, batches=None):
         raise RuntimeError("killed before manifest rename")
 
     monkeypatch.setattr(versioned, "_commit", boom)
@@ -170,6 +170,51 @@ def test_versioned_batch_append_over_plain_table(spark, tmp_path):
     assert _rows(read_version(spark, t)) == _rows(_df(spark, [1, 2]))
     versioned_append_batch(_df(spark, [3]), t, 0)  # restates batch 0
     assert _rows(read_version(spark, t)) == _rows(_df(spark, [1, 3]))
+
+
+def test_plain_append_between_batches_stays_replay_safe(spark, tmp_path):
+    """Regression (ADVICE r08): a plain versioned_append committed
+    AFTER batch commits used to drop the manifest's 'batches'
+    attribution — a later redelivery of an old batch_id then kept the
+    old batch's files under '__base__' AND wrote restated files,
+    duplicating that batch's rows.  Attribution now survives plain
+    appends and overwrites."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        versioned_append_batch,
+    )
+
+    t = str(tmp_path / "vt9")
+    versioned_append_batch(_df(spark, [1]), t, 0)
+    versioned_append_batch(_df(spark, [2]), t, 1)
+    versioned_append(_df(spark, [3]), t)  # plain append interleaved
+    # redelivery of batch 1 must RESTATE, not duplicate
+    versioned_append_batch(_df(spark, [2]), t, 1)
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [1, 2, 3]))
+
+    # an overwrite resets attribution to __base__; a redelivered batch
+    # restates on top of it without disturbing the base rows
+    versioned_overwrite(_df(spark, [7]), t)
+    versioned_append_batch(_df(spark, [8]), t, 2)
+    versioned_append_batch(_df(spark, [9]), t, 2)  # restates batch 2
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, [7, 9]))
+
+
+def test_version_changes_all_columns_are_keys(spark, tmp_path):
+    """Regression (ADVICE r08): key_cols covering every column used to
+    raise (xxhash64 needs >=1 arg); now an existence-only compare —
+    inserts/deletes only, updates impossible by construction."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        version_changes,
+    )
+
+    t = str(tmp_path / "vt10")
+    versioned_overwrite(_df(spark, [1, 2]), t)
+    versioned_overwrite(_df(spark, [2, 3]), t)
+    got = {
+        (r.id, r.v, r.change)
+        for r in version_changes(spark, t, 1, 2, ["id", "v"]).collect()
+    }
+    assert got == {(1, "d1", "delete"), (3, "d3", "insert")}
 
 
 def test_version_changes_cdc(spark, tmp_path):
