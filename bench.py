@@ -56,6 +56,15 @@ SF3_QUERIES: tuple[str, ...] = (
     "substring_dedup",
     "dedup_incremental",
     "dedup_incremental_bloom",
+    # round 9: the retrieval ladder's scale points (VERDICT r08
+    # missing #2) — the exact brute-force anchor and the two-stage
+    # BQ-shortlist + ADC-rescore production path.  gen_scale perturbs
+    # embeddings per copy, so sf10 is ~1 M distinct vectors.  The
+    # acceptance shape: stage-2 cost tracks |Q|·shortlist (constant
+    # across decades), so the two-stage search should grow strictly
+    # slower than the brute-force anchor decade-over-decade.
+    "emb_cosine_topk",
+    "emb_bq_ivfpq_rerank",
 )
 
 #: queries re-timed at the scaled fixture.  ``None`` means "every
@@ -92,17 +101,19 @@ def main() -> None:
 
     def _timed_min3(fn, sf_dir):
         """Warm once, then min-of-3 full noop-sink executions — with a
-        forced JVM GC before the timed loop: at the 48g heap a full GC
+        forced JVM GC before EVERY timed run: at the 48g heap a full GC
         pause is multi-second and lands on whichever query is running
-        (r07 adjudication: star_join 7.8s in one session, 1.9s isolated,
-        while timeseries_gapfill did the reverse), so collections are
-        taken OUTSIDE the timed window instead of inside a random one."""
+        (r07 adjudication: star_join 7.8s in one session, 1.9s isolated;
+        r09 adjudication: dsir_importance escalated 2→10→30s across
+        runs in ONE JVM without per-run GC and sat flat at 1.9-2.1s
+        with it — a single pre-loop GC does not protect run 2+).
+        Collections are taken OUTSIDE the timed window, every time."""
         fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()  # warm (JIT, scan cache)
-        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -157,12 +168,12 @@ def main() -> None:
                 fn(spark, SF3_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()  # warm
-                spark.sparkContext._jvm.System.gc()
                 # min-of-2 (not the 0.2-2s points' min-of-3): at 2-40s
                 # per run the second sample halves the IO-cache band
                 # SCALING.md documents without doubling the sweep again
                 best = float("inf")
                 for _ in range(2):
+                    spark.sparkContext._jvm.System.gc()
                     t0 = time.perf_counter()
                     fn(spark, SF3_DIR).write.format("noop").mode(
                         "overwrite"

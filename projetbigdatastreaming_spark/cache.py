@@ -12,7 +12,24 @@ entry per distinct plan until the ContextCleaner happens to GC them
 
 The current invocation's cache must outlive the call — the returned
 plan is materialized later by the caller — which is why the scope is
-previous-invocation, not try/finally."""
+previous-invocation, not try/finally.
+
+Semantic memoization (``memoize=True``, OPT-IN): when the new
+invocation's plan is ``sameSemantics`` as the cached one (same
+inputs, same params — e.g. a search re-run against the same built
+index), the EXISTING cached relation is returned instead of evicting
+and recomputing; only a semantically different plan (other sf dir,
+new model params) evicts.  Without this, re-invoking a site paid
+full recomputation every time — the r09 sf10 profile of
+``bq_ivfpq_rerank_topk``: the index relations' lineage is ~4 corpus
+passes, so each re-search re-trained the whole index.
+
+Memoize ONLY relations derived from immutable inputs (fixture
+parquet, a frozen model).  A plan that re-reads a MUTABLE path
+(streaming state dirs rewritten between micro-batches) is
+sameSemantics across rewrites while its data changed — memoizing it
+would serve stale state; such sites keep the default evict-always
+behavior."""
 
 from __future__ import annotations
 
@@ -22,12 +39,15 @@ from pyspark.sql import DataFrame
 _SCOPED_PERSISTS: dict[str, DataFrame] = {}
 
 
-def persist_scoped(key: str, df: DataFrame) -> DataFrame:
-    prev = _SCOPED_PERSISTS.pop(key, None)
+def persist_scoped(key: str, df: DataFrame, memoize: bool = False) -> DataFrame:
+    prev = _SCOPED_PERSISTS.get(key)
     if prev is not None:
         try:
+            if memoize and prev.sameSemantics(df):
+                return prev
             prev.unpersist(blocking=False)
         except Exception:
             pass  # session may have restarted; stale handle is inert
+        _SCOPED_PERSISTS.pop(key, None)
     _SCOPED_PERSISTS[key] = df.persist()
     return df

@@ -1243,15 +1243,38 @@ def bq_ivfpq_rerank_topk(
     IVFADC model, encode + BQ-pack the corpus, then `bq_adc_search`.
     The composition a user runs ad hoc; the streaming ingest index
     (`streaming/annindex.bq_ann_ingest_writer`) maintains the same
-    two relations incrementally and is pinned stream/batch-equal."""
+    two relations incrementally and is pinned stream/batch-equal.
+
+    The four index relations — model (cents 16 rows, cb 1 row) and
+    encoded corpus (codes, packed words) — are scoped-persisted: they
+    are the STORED STATE in the production streaming index, but as
+    lazy plans every downstream action re-derived them from scratch
+    (the codebook's lineage alone is a full corpus assign+residual
+    pass, so one search paid ~4 corpus passes — the r09 sf10 profile:
+    17 s composed vs 0.8 s stage-1 + 0.3 s stage-2 once materialized).
+    Persisting here restores the index semantics the operator's
+    signature (prebuilt relations into `bq_adc_search`) already
+    promises."""
+    from ..cache import persist_scoped
+
     emb = _as_double(embeddings).select("vec_id", "embedding")
     cents, cb, resid = _ivfpq_model_resid(emb, n_lists, k)
-    codes = _codes_from_residuals(resid, cb, m)
+    # memoize=True: inputs are immutable fixture parquet, so a
+    # re-invocation with the same corpus + params reuses the built
+    # index instead of re-training (the search intermediates inside
+    # bq_adc_search stay evict-scoped — they're what a re-search must
+    # actually recompute)
+    cents = persist_scoped("bq_ivfpq_cents", cents, memoize=True)
+    cb = persist_scoped("bq_ivfpq_cb", cb, memoize=True)
+    codes = persist_scoped(
+        "bq_ivfpq_codes", _codes_from_residuals(resid, cb, m), memoize=True
+    )
+    packed = persist_scoped("bq_ivfpq_packed", bq_pack(emb), memoize=True)
     queries = emb.where(
         F.col("vec_id").isin([int(i) for i in query_ids])
     )
     return bq_adc_search(
-        codes, bq_pack(emb), queries, cents, cb, k_top, shortlist, m
+        codes, packed, queries, cents, cb, k_top, shortlist, m
     )
 
 

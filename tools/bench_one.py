@@ -35,6 +35,11 @@ def main() -> None:
         action="store_true",
         help="use the scaled media fixture (bench.py sets this for sf2)",
     )
+    ap.add_argument(
+        "--gc-each",
+        action="store_true",
+        help="force a full JVM GC before EVERY timed run, not just once",
+    )
     args = ap.parse_args()
     if args.media_scaled:
         os.environ["SPARK_GRAFT_MEDIA_SCALED"] = "1"
@@ -59,6 +64,8 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(args.n):
+            if args.gc_each:
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, args.sf_dir).write.format("noop").mode(
                 "overwrite"
