@@ -63,6 +63,8 @@ def _build_parser() -> argparse.ArgumentParser:
             "retract-neardup",
             "retract-ann",
             "retract-curation",
+            "compact-tombstones",
+            "rebuild-sketches",
             "index-status",
             "table-history",
             "vacuum-versions",
@@ -85,6 +87,29 @@ def _build_parser() -> argparse.ArgumentParser:
         default=None,
         help="versions to keep (vacuum-versions only)",
     )
+    mt.add_argument(
+        "--base",
+        default=None,
+        help="base-relation parquet path (rebuild-sketches only)",
+    )
+    mt.add_argument(
+        "--kind",
+        default=None,
+        choices=["cms", "bloom", "kmv", "hist"],
+        help="sketch family (rebuild-sketches only)",
+    )
+    mt.add_argument(
+        "--tomb-dir",
+        default=None,
+        help="tombstone dir to filter the base with (rebuild-sketches)",
+    )
+    mt.add_argument("--id-col", default="doc_id")
+    mt.add_argument(
+        "--column",
+        default=None,
+        help="sketched column: CMS/KMV key, Bloom fp, hist value",
+    )
+    mt.add_argument("--group-col", default="event_type")
     return p
 
 
@@ -149,6 +174,34 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             from .streaming.annindex import compact_ann_index
 
             print(f"compacted {compact_ann_index(spark, args.path)} codes")
+            return 0
+        if args.op == "rebuild-sketches":
+            from .maintenance import rebuild_sketches
+
+            if not (args.base and args.kind and args.column):
+                print(
+                    "--base, --kind and --column are required for "
+                    "rebuild-sketches",
+                    file=sys.stderr,
+                )
+                return 2
+            n = rebuild_sketches(
+                spark,
+                spark.read.parquet(args.base),
+                args.path,
+                args.kind,
+                tomb_dir=args.tomb_dir,
+                id_col=args.id_col,
+                column=args.column,
+                group_col=args.group_col,
+            )
+            print(f"rebuilt {args.kind} state: {n} rows")
+            return 0
+        if args.op == "compact-tombstones":
+            from .streaming.tombstones import compact_tombstones
+
+            nf, ni = compact_tombstones(spark, args.path)
+            print(f"folded {nf} tombstone files into 1 ({ni} ids)")
             return 0
         if args.op == "index-status":
             from .streaming.monitoring import index_status

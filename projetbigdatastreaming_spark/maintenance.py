@@ -234,3 +234,108 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def rebuild_sketches(
+    spark,
+    base,
+    state_dir: str,
+    kind: str,
+    *,
+    tomb_dir: str | None = None,
+    id_col: str = "doc_id",
+    column: str | None = None,
+    group_col: str = "event_type",
+    k: int | None = None,
+):
+    """Rebuild a sketch state family from a retraction-capable base
+    relation — the additive-sketch takedown answer SCALING.md's
+    "Retraction" section promises: Bloom bits / CMS counts / histogram
+    bins / KMV bottom-k cannot delete a document's contribution, so a
+    takedown's effect on them comes from periodically REBUILDING the
+    sketch over the tombstone-filtered base relation.
+
+    ``base``: the id-keyed relation the sketch summarizes (curation
+    fingerprints, the corpus table, an events slice).  When
+    ``tomb_dir`` is given, pending tombstones are applied to ``base``
+    first (broadcast anti-join on ``id_col``) — so one call does
+    filter + rebuild.  ``column`` is the sketched column (CMS key,
+    Bloom fingerprint, KMV key, histogram value).  Returns the rebuilt
+    state's row count.
+
+    Safe while the stream keeps appending: the state dir's partitions
+    are snapshot before the rebuilt grid is staged, so a micro-batch
+    landing mid-rebuild survives and keeps folding alongside the new
+    base (the idempotent-reader protocol — see
+    `streaming/sketches.rebuild_additive` / `rebuild_idempotent` for
+    the kill-point story).  Horizon contract: ``base`` must cover
+    every document in the snapshot partitions (rebuild from the state
+    family the stream feeds, past the redelivery horizon) — the same
+    operational rule as compaction.
+
+    HLL has no streaming state family in this engine (its batch query
+    `hll_rollup_union` recomputes registers from base data directly),
+    so a takedown needs no rebuild there.
+
+    Scale: one pass over the base relation into a bounded grid
+    (≤ d·w cells / ≤ bits/63 words / ≤ bins / ≤ k·|groups| rows) —
+    the same cost as the sketch's original construction, amortized
+    over the takedown cadence rather than paid per batch.
+    """
+    from pyspark.sql import functions as F
+
+    from .streaming.tombstones import (
+        apply_tombstones,
+        read_pending_tombstones,
+    )
+
+    if tomb_dir is not None:
+        base = apply_tombstones(
+            base, read_pending_tombstones(spark, tomb_dir), id_col
+        )
+
+    if kind == "cms":
+        from .operators.sketches import cms_cells
+        from .streaming.sketches import rebuild_additive
+
+        cells = cms_cells(base.select(column), column)
+        return rebuild_additive(
+            spark, state_dir, ("d", "b"), "d int, b bigint, cnt bigint",
+            cells,
+        )
+    if kind == "hist":
+        from .plans.sketches import hist_bin_counts
+        from .streaming.sketches import rebuild_additive
+
+        counts = hist_bin_counts(
+            base.select(F.col(column).alias("value"))
+        )
+        return rebuild_additive(
+            spark, state_dir, ("bin",), "bin int, cnt bigint", counts
+        )
+    if kind == "bloom":
+        from .operators.sketches import bloom_cells
+        from .streaming.sketches import rebuild_idempotent
+
+        return rebuild_idempotent(
+            spark, state_dir, bloom_cells(base, column)
+        )
+    if kind == "kmv":
+        from pyspark.sql.window import Window
+
+        from .operators.sampling import _portable_hash
+        from .streaming.sketches import KMV_K, rebuild_idempotent
+
+        kk = KMV_K if k is None else int(k)
+        hashed = base.select(
+            F.col(group_col).alias("event_type"),
+            _portable_hash(F.col(column), "kmv0").alias("h"),
+        ).distinct()
+        w = Window.partitionBy("event_type").orderBy("h")
+        state = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= kk)
+            .select("event_type", "h")
+        )
+        return rebuild_idempotent(spark, state_dir, state)
+    raise ValueError(f"unknown sketch kind: {kind!r}")

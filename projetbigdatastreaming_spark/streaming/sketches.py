@@ -340,6 +340,24 @@ def _compact_additive(
         .groupBy(*key_cols)
         .agg(F.sum("cnt").alias("cnt"))
     )
+    return _stage_promote_delete(
+        spark, state_dir, ids, folded, schema, cols
+    )
+
+
+def _stage_promote_delete(
+    spark: SparkSession,
+    state_dir: str,
+    ids: list[int],
+    folded: DataFrame,
+    schema: str,
+    cols: tuple[str, ...],
+) -> int:
+    """The staged-partition + intent tail shared by `_compact_additive`
+    and `rebuild_additive`: materialize ``folded`` as the new base
+    grid, record intent, promote via atomic renames, delete exactly
+    the snapshot ``ids`` — every kill point recovered by
+    `_resolve_intent`, readers exact throughout."""
     rows = [tuple(r[c] for c in cols) for r in folded.collect()]
     n = len(rows)
     folded_hash = _grid_hash(rows)
@@ -653,3 +671,110 @@ def compact_hist(spark: SparkSession, state_dir: str) -> int:
     return _compact_additive(
         spark, state_dir, ("bin",), "bin int, cnt bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch REBUILD after retraction — the additive-state takedown answer
+# ---------------------------------------------------------------------------
+#
+# Additive sketches (Bloom bits, CMS counts, histogram bins) and the
+# KMV bottom-k cannot delete a document's contribution (SCALING.md
+# "Retraction"); the production answer is a periodic REBUILD from a
+# retraction-capable base relation (id-keyed rows, tombstone-filtered
+# by the caller — `maintenance.rebuild_sketches` wires that up).  A
+# rebuild is a compaction whose new base grid comes from the base
+# relation instead of from folding the old partitions:
+#
+# - snapshot the existing partition ids FIRST, so a batch the live
+#   stream lands mid-rebuild is neither consumed nor deleted — it
+#   folds alongside the rebuilt base exactly like it folds alongside
+#   a compacted one (the idempotent-reader protocol unchanged);
+# - the additive families ride `_stage_promote_delete` (staging +
+#   intent + atomic renames), so readers stay exact at every kill
+#   point and a crashed rebuild is recovered by the next
+#   compaction/rebuild's `_resolve_intent`;
+# - the id-keyed/idempotent families (Bloom bit_or, KMV min-k) use
+#   the `compact_bloom` durability sequence — duplicates during the
+#   window cannot corrupt, deletes finish the swap.
+#
+# Horizon contract (the caller's, same as compaction's): the base
+# relation must cover every document in the snapshot partitions —
+# i.e. rebuild from the same state family the stream feeds (curation
+# fingerprints, versioned corpus), past the redelivery horizon.  The
+# retracted document's contribution disappears at promote+delete —
+# the same instant compaction physically drops tombstoned id-keyed
+# rows.
+
+
+def rebuild_additive(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: tuple[str, ...],
+    schema: str,
+    cells: DataFrame,
+) -> int:
+    """Replace an ADDITIVE state dir's entire content with ``cells``
+    (the grid rebuilt from the base relation; no batch_id column).
+    Same preamble + staged/intent/promote tail as `_compact_additive`.
+    """
+    cols = (*key_cols, "cnt")
+    os.makedirs(state_dir, exist_ok=True)
+    _resolve_intent(spark, state_dir, cols)
+    if _read_intent(state_dir) is not None:
+        raise RuntimeError(
+            f"unresolved compaction intent in {state_dir}; "
+            "fix the blocking partition and re-run"
+        )
+    shutil.rmtree(
+        os.path.join(state_dir, f"batch_id={OLD_ID}"), ignore_errors=True
+    )
+    ids = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(state_dir)
+        if name.startswith("batch_id=")
+        and name not in (f"batch_id={STAGING_ID}", f"batch_id={OLD_ID}")
+    )
+    folded = cells.groupBy(*key_cols).agg(F.sum("cnt").alias("cnt"))
+    return _stage_promote_delete(
+        spark, state_dir, ids, folded, schema, cols
+    )
+
+
+def rebuild_idempotent(
+    spark: SparkSession, state_dir: str, state: DataFrame
+) -> int:
+    """Replace an IDEMPOTENT-fold state dir's content with ``state``
+    (rebuilt rows; no batch_id column) — the `compact_bloom`
+    durability sequence with the fold swapped for the external
+    rebuild: stage, promote old base aside, swap staging in, delete
+    the snapshot.  A kill at any point leaves a fold-correct
+    combination (duplicates cannot corrupt bit_or / min-k / distinct
+    readers); the retracted contribution is gone once the deletes
+    finish."""
+    os.makedirs(state_dir, exist_ok=True)
+    staging = os.path.join(state_dir, f"batch_id={STAGING_ID}")
+    base = os.path.join(state_dir, f"batch_id={BASE_ID}")
+    aside = os.path.join(state_dir, f"batch_id={OLD_ID}")
+    ids = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(state_dir)
+        if name.startswith("batch_id=")
+        and name != f"batch_id={STAGING_ID}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    staged = state.withColumn("batch_id", F.lit(STAGING_ID))
+    overwrite_partitions(staged, state_dir, ["batch_id"])
+    n = spark.read.parquet(staging).count()
+    if os.path.isdir(base):
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(base, aside)
+    os.rename(staging, base)
+    for bid in ids:
+        if bid == BASE_ID:
+            continue
+        shutil.rmtree(
+            os.path.join(state_dir, f"batch_id={bid}"),
+            ignore_errors=True,
+        )
+    shutil.rmtree(aside, ignore_errors=True)
+    return n

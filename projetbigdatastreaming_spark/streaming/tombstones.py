@@ -137,3 +137,35 @@ def delete_tombstone_files(files: list[str]) -> None:
             os.remove(path)
         except FileNotFoundError:
             pass
+
+
+def compact_tombstones(spark: SparkSession, tomb_dir: str) -> tuple[int, int]:
+    """Fold the pending tombstone part files into ONE (distinct ids
+    preserved).  Returns (files_folded, distinct_ids).
+
+    Why: ``write_tombstones`` appends one part file per call — right
+    for takedown latency, but a high-frequency retraction stream
+    grows the pending-file count until the next state compaction
+    consumes them, and every reader's anti-join build side pays a
+    file-listing + small-file scan per read.  This fold bounds it:
+    run from the maintenance CLI (``maintain compact-tombstones``) on
+    whatever cadence keeps the pending set at O(1) files.  The
+    bounded-file invariant: between folds the file count grows only
+    by retraction calls since the last fold; each fold returns it
+    to 1.
+
+    Crash-safe by the same snapshot-consume protocol as state
+    compaction: the fold writes the snapshot's distinct ids as a NEW
+    appended part file (not in the snapshot), then deletes exactly
+    the snapshot — a kill between the two leaves duplicate ids, which
+    every consumer's ``distinct`` absorbs and the next fold removes;
+    a tombstone written mid-fold is not in the snapshot and
+    survives untouched."""
+    files = pending_tombstone_files(tomb_dir)
+    if len(files) <= 1:
+        return (0, 0)
+    ids = read_tombstone_ids(spark, files)
+    n = ids.count()
+    ids.coalesce(1).write.mode("append").parquet(tomb_dir)
+    delete_tombstone_files(files)
+    return (len(files), n)
