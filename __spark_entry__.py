@@ -59,7 +59,7 @@ QUERY_ORDER = (
     "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
     "quarter_hour_case", "agg_groupby", "agg_analytic_window",
     # 2) new in round 9 — first driver verdict inside the window
-    "version_changes",
+    "version_changes", "bm25_topk", "graph_triangles", "psi_drift",
     # 3) green in the round-5 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 10's rotation
     "conditional_columns", "scalar_functions", "time_functions",

@@ -162,6 +162,88 @@ LIMIT {_TOPK}
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the supplier co-occurrence graph
+    (suppliers linked when they supply the same order) — the classic
+    clustering/cohesion metric, and with PageRank and the dedup
+    connected components it completes the graph-primitive trio.
+    Output: top-20 suppliers by triangle participation.
+
+    The trade graph itself is bipartite (customer↔supplier — zero
+    triangles by construction), so the unipartite projection is the
+    co-supply relation: distinct (s1 < s2) pairs within an order.
+
+    Scale plan: the ORIENTED edge list (a < b, distinct) makes each
+    triangle countable exactly once as a<b<c — the standard
+    worst-case-optimal shape: two equi-join shuffles on the edge
+    relation (e1(a,b) ⋈ e2(b,c) on b, result ⋈ e3(a,c) on (a,c)),
+    never an all-pairs expansion.  Co-occurrence edges are bounded by
+    C(suppliers-per-order, 2) per order — pair density, not order
+    count².  At 100 TB the refinement is degree-ordering orientation
+    (high-degree nodes get few out-edges, bounding the wedge join's
+    skew); id-ordering here keeps the oracle trivially identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    per_node = (
+        tri.selectExpr("explode(array(x, y, z)) AS suppkey")
+        .groupBy("suppkey")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return per_node.orderBy(F.desc("n_tri"), F.asc("suppkey")).limit(20)
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+nodes AS (
+  SELECT unnest([x, y, z]) AS suppkey FROM tri)
+SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM nodes GROUP BY suppkey
+ORDER BY n_tri DESC, suppkey ASC
+LIMIT 20
+"""
+
+
 REGISTRY = {
     "graph_pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
+    "graph_triangles": QuerySpec(q_graph_triangles, SQL_GRAPH_TRIANGLES),
 }

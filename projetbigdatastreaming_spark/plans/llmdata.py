@@ -2937,6 +2937,123 @@ ORDER BY doc_id, rnk
 """
 
 
+# -- BM25 retrieval scoring ---------------------------------------------------
+
+#: fixed query terms (high-mid frequency in the synthetic vocab) and
+#: the standard Robertson/Sparck-Jones parameters
+BM25_TERMS = ("hash", "vector", "stream")
+BM25_TOPN = 20
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 document ranking for a fixed term query — the lexical
+    retrieval baseline every RAG/search stack starts from (Robertson &
+    Zaragoza 2009): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    b + b·dl/avgdl)) with k1=1.2, b=0.75 and the +1-smoothed idf.
+    Complements `tfidf_topk` (per-doc keyword extraction) with the
+    query-side ranking direction.
+
+    Determinism: every ln() input is a ratio of exact integers (+0.5
+    halves, exact in binary), dl/avgdl is computed as the single
+    division (dl·N)/Σdl, and the three per-term scores are summed in
+    fixed written order — both engines walk identical doubles; output
+    det6 floor-rounded (the dsir recipe).
+
+    Scale plan: ONE corpus explode collapses to a per-doc row (dl +
+    one conditional tf per query term — map-side combine, the only
+    corpus-sized shuffle); corpus statistics (N, Σdl, per-term df)
+    come from a single 1-row aggregate of that relation and broadcast
+    back (allowed 1-row BNLJ); the top-N compiles to
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    terms = " + ".join(
+        f"(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * 2.2)"
+        f" / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs) / sum_dl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id",
+            f"CAST(floor(({terms}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS bm25",
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPN)
+    )
+
+
+def _sql_bm25_topk() -> str:
+    tf_sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * 2.2)"
+        f" / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs) / sum_dl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+         {tf_sums}
+  FROM toks WHERE token <> '' GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_sums}
+  FROM per_doc)
+SELECT doc_id,
+       FLOOR(({terms}) * 1e6 + 0.5) / 1e6 AS bm25
+FROM per_doc, stats
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPN}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25_topk()
+
+
 # -- embedding outliers vs label centroid ------------------------------------
 
 def q_emb_outliers(spark, sf_dir):
@@ -5242,6 +5359,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_emb_kmeans_refine, SQL_EMB_KMEANS_REFINE
     ),
     "tfidf_topk": QuerySpec(q_tfidf_topk, SQL_TFIDF_TOPK),
+    "bm25_topk": QuerySpec(q_bm25_topk, SQL_BM25_TOPK),
     "emb_outliers": QuerySpec(q_emb_outliers, SQL_EMB_OUTLIERS),
     "bpe_token_count": QuerySpec(q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "emb_centroid": QuerySpec(q_emb_centroid, SQL_EMB_CENTROID),

@@ -687,7 +687,134 @@ ORDER BY band
 """
 
 
+def drift_feature_bins(docs):
+    """(feature, bin) rows for the two monitored document features —
+    ``n_chars`` in 6 fixed 100-wide bins and the ``lang`` categorical.
+    Shared verbatim by the batch PSI query and the streaming drift
+    monitor (`streaming/curation.drift_monitor_writer`), so the two
+    can't diverge on binning."""
+    return docs.selectExpr(
+        "stack(2, 'n_chars',"
+        " CAST(least(5, n_chars DIV 100) AS STRING), 'lang', lang)"
+        " AS (feature, bin)"
+    )
+
+
+def psi_from_counts(counts):
+    """(feature, psi) from a (feature, bin, ref_cnt, cur_cnt) relation
+    — Laplace-smoothed exact-integer ratios into ln, det6
+    floor-rounded; the math half shared by batch and stream."""
+    totals = counts.groupBy(F.col("feature").alias("tf")).agg(
+        F.sum("ref_cnt").cast("long").alias("ref_tot"),
+        F.sum("cur_cnt").cast("long").alias("cur_tot"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    term = (
+        "((cur_cnt + 1) / CAST(cur_tot + n_bins AS DOUBLE)"
+        " - (ref_cnt + 1) / CAST(ref_tot + n_bins AS DOUBLE))"
+        " * ln(((cur_cnt + 1) / CAST(cur_tot + n_bins AS DOUBLE))"
+        " / ((ref_cnt + 1) / CAST(ref_tot + n_bins AS DOUBLE)))"
+    )
+    return (
+        counts.join(
+            F.broadcast(totals), F.col("feature") == F.col("tf")
+        )
+        .selectExpr("feature", f"{term} AS t")
+        .groupBy("feature")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(t) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            ).alias("psi")
+        )
+        .orderBy("feature")
+    )
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population-stability-index drift report between a reference and
+    a current corpus slice — the standard production gate for "did the
+    incoming data's distribution move?" (credit-scoring lineage; the
+    PSI is the symmetrized KL estimate Σ (p_cur − p_ref)·ln(p_cur /
+    p_ref) over fixed bins).  Two monitored features over `documents`:
+    ``n_chars`` in 6 fixed 100-wide bins and the ``lang`` categorical;
+    slices are the even/odd doc_id halves (the deterministic stand-in
+    for last-period vs this-period).  Output: (feature, psi) — psi ~ 0
+    means stable; the conventional alert bars are 0.1 / 0.25.
+
+    Determinism: bin probabilities are Laplace-smoothed exact-integer
+    ratios ((cnt + 1) / (slice_total + n_bins_present)), so ln() sees
+    engine-identical doubles; per-feature PSI sums over ≤~10 bins in a
+    keyed aggregate (addition order inside one engine-side sum over so
+    few near-magnitude terms is hash-order stable across both engines
+    at det6 granularity); det6 floor-rounded.
+
+    Scale plan: ONE corpus pass aggregates to (feature, bin,
+    ref_cnt, cur_cnt) — conditional sums, map-side combine, bounded
+    output (≤ bins + langs rows); the probability/PSI math runs on
+    that KB-sized relation, with slice totals as a broadcast 1-row
+    aggregate per feature (computed by re-aggregating the bounded
+    relation, never the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    both = docs.selectExpr("doc_id % 2 = 0 AS is_ref", "n_chars", "lang")
+    # the stack expr mirrors drift_feature_bins with the slice flag
+    # carried through (stack + an extra passthrough column)
+    binned = both.selectExpr(
+        "is_ref",
+        "stack(2, 'n_chars',"
+        " CAST(least(5, n_chars DIV 100) AS STRING), 'lang', lang)"
+        " AS (feature, bin)",
+    )
+    counts = binned.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("ref_cnt"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("cur_cnt"),
+    )
+    return psi_from_counts(counts)
+
+
+SQL_PSI_DRIFT = """
+WITH docs AS (
+  SELECT doc_id % 2 = 0 AS is_ref,
+         CAST(least(5, n_chars // 100) AS VARCHAR) AS chars_bin,
+         lang
+  FROM documents),
+binned AS (
+  SELECT is_ref, 'n_chars' AS feature, chars_bin AS bin FROM docs
+  UNION ALL
+  SELECT is_ref, 'lang' AS feature, lang AS bin FROM docs),
+counts AS (
+  SELECT feature, bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+           AS ref_cnt,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+           AS cur_cnt
+  FROM binned GROUP BY feature, bin),
+totals AS (
+  SELECT feature AS tf,
+         CAST(SUM(ref_cnt) AS BIGINT) AS ref_tot,
+         CAST(SUM(cur_cnt) AS BIGINT) AS cur_tot,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM counts GROUP BY feature),
+terms AS (
+  SELECT feature,
+         ((cur_cnt + 1) / CAST(cur_tot + n_bins AS DOUBLE)
+          - (ref_cnt + 1) / CAST(ref_tot + n_bins AS DOUBLE))
+         * ln(((cur_cnt + 1) / CAST(cur_tot + n_bins AS DOUBLE))
+              / ((ref_cnt + 1) / CAST(ref_tot + n_bins AS DOUBLE)))
+           AS t
+  FROM counts JOIN totals ON feature = tf)
+SELECT feature, FLOOR(SUM(t) * 1e6 + 0.5) / 1e6 AS psi
+FROM terms GROUP BY feature
+ORDER BY feature
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "psi_drift": QuerySpec(q_psi_drift, SQL_PSI_DRIFT),
     "quality_classifier": QuerySpec(
         q_quality_classifier, SQL_QUALITY_CLASSIFIER
     ),

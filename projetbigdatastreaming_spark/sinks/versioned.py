@@ -341,3 +341,77 @@ def vacuum(table_dir: str, keep_last: int | None = None) -> tuple[int, int]:
                 os.remove(os.path.join(data_dir, name))
                 removed_files += 1
     return removed_manifests, removed_files
+
+
+def changes_since(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    key_cols: list[str],
+) -> tuple[DataFrame, int]:
+    """All changes AFTER ``since_version`` up to the latest committed
+    version, plus that latest version number — one diff, regardless of
+    how many versions landed in between (CDC between snapshots
+    composes: the since→latest diff equals the folded per-version
+    feeds).  ``since_version == latest`` returns an empty feed."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    latest = versions[-1]
+    if since_version == latest:
+        empty = version_changes(
+            spark, table_dir, latest, latest, key_cols
+        )
+        return empty, latest
+    return (
+        version_changes(spark, table_dir, since_version, latest, key_cols),
+        latest,
+    )
+
+
+def consume_changes(
+    spark: SparkSession,
+    table_dir: str,
+    key_cols: list[str],
+    cursor_path: str,
+):
+    """Durable-cursor change-feed consumption — "subscribe to a
+    versioned table": each call returns (changes_df, latest_version,
+    commit) where ``changes_df`` is everything since the cursor's last
+    acknowledged version and ``commit()`` advances the cursor to
+    ``latest_version`` AFTER the consumer durably processed the feed.
+
+    At-least-once by construction: a consumer that crashes before
+    commit() re-reads the same feed next call (versions are immutable,
+    so the re-read is bit-identical); a consumer that crashes after
+    commit() never sees those changes again.  The cursor write is
+    write-temp + ``os.rename`` — atomic, so a half-written cursor can
+    never be observed.
+
+    First call (no cursor) treats the EARLIEST committed version as
+    the baseline — consumers start from the oldest readable snapshot;
+    pass an explicit cursor file containing a version number to start
+    elsewhere.  Vacuum interaction: keep at least the cursor's version
+    (``vacuum(keep_last=...)`` sized to consumer lag), else the next
+    diff raises FileNotFoundError rather than silently skipping.
+
+    Scale: each consumption is ONE key-hash full-outer diff of two
+    snapshots (`version_changes` — row payloads collapsed to xxhash64
+    before the shuffle); the cursor is a single integer file, no
+    driver-side data movement."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    since = versions[0]
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            since = int(fh.read().strip())
+    changes, latest = changes_since(spark, table_dir, since, key_cols)
+
+    def commit() -> None:
+        tmp = cursor_path + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(latest))
+        os.rename(tmp, cursor_path)
+
+    return changes, latest, commit

@@ -373,3 +373,86 @@ def exact_dedup_screen_writer(
             d.unpersist()
 
     return write
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor at the ingest boundary (round 9)
+# ---------------------------------------------------------------------------
+
+DRIFT_REF_SCHEMA = "feature string, bin string, ref_cnt bigint"
+DRIFT_METRIC_SCHEMA = "feature string, psi double, batch_id int"
+
+
+def build_drift_reference(docs: DataFrame, ref_dir: str) -> int:
+    """Freeze the REFERENCE bin counts from a vetted corpus slice —
+    the yardstick every incoming batch is PSI-scored against (the
+    frozen-benchmark-index pattern from `neardup.build_benchmark_index`
+    applied to distribution monitoring).  One pass over the reference,
+    ≤ bins+langs rows written; returns the bin count."""
+    from ..plans.quality import drift_feature_bins
+
+    counts = (
+        drift_feature_bins(docs)
+        .groupBy("feature", "bin")
+        .agg(F.count("*").cast("long").alias("ref_cnt"))
+    )
+    counts.coalesce(1).write.mode("overwrite").parquet(ref_dir)
+    return counts.count()
+
+
+def drift_monitor_writer(
+    ref_dir: str, metric_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: PSI-score each incoming batch's feature
+    distributions against the frozen reference and append one
+    (feature, psi, batch_id) metric row per feature — the live "did
+    the incoming data move?" alarm (alert bars 0.1 / 0.25).
+
+    The PSI math is `plans/quality.psi_from_counts` VERBATIM (the
+    batch query `psi_drift`'s second half), so stream and batch
+    cannot drift on the drift metric itself — pinned by test.
+
+    Scale: per batch, one map-side-combined hash-agg of the batch to
+    ≤ bins rows, a broadcast join against the KB reference, and an
+    append of |features| metric rows.  Replay: at-least-once
+    redelivery re-appends the same (feature, psi, batch_id) rows;
+    readers dedup by natural key (the restatement-reader rule)."""
+    from ..plans.quality import drift_feature_bins, psi_from_counts
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref = spark.read.schema(DRIFT_REF_SCHEMA).parquet(ref_dir)
+        cur = (
+            drift_feature_bins(batch_df)
+            .groupBy("feature", "bin")
+            .agg(F.count("*").cast("long").alias("cur_cnt"))
+        )
+        # full outer on (feature, bin): a bin present in only one side
+        # still contributes its smoothed term
+        counts = (
+            ref.join(cur, ["feature", "bin"], "full_outer")
+            .select(
+                "feature",
+                "bin",
+                F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+                F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+            )
+        )
+        metrics = psi_from_counts(counts).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        metrics.coalesce(1).write.mode("append").parquet(metric_dir)
+
+    return write
+
+
+def read_drift_metrics(spark: SparkSession, metric_dir: str) -> DataFrame:
+    """(batch_id, feature, psi), deduped by natural key (replay-safe),
+    ordered by batch then feature — the drift dashboard relation."""
+    return (
+        spark.read.schema(DRIFT_METRIC_SCHEMA)
+        .parquet(metric_dir)
+        .dropDuplicates(["batch_id", "feature"])
+        .select("batch_id", "feature", "psi")
+        .orderBy("batch_id", "feature")
+    )

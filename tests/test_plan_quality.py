@@ -307,6 +307,9 @@ _BNLJ_ALLOWED = {
     # dsir crosses the ≤64-bucket distribution against its 1-row
     # totals — a |buckets|x1 BNLJ over KB relations
     "dsir_importance",
+    # bm25 crosses each per-doc row against the 1-row corpus stats
+    # (N, Σdl, per-term df) — the dsir scalar-broadcast shape
+    "bm25_topk",
     # the pairwise stage is |event types|² (bounded domain, ~5) over
     # 24-dim vectors — KB relations joined on an inequality
     "type_profile_similarity",

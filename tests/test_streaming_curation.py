@@ -283,3 +283,47 @@ def test_benchmark_screen_stream_equals_batch(spark, tmp_path):
 
     write(train.where("doc_id % 3 = 1"), 1)  # redelivery
     assert flags() == got
+
+
+def test_drift_monitor_stream_equals_batch_psi(spark, tmp_path):
+    """The streaming drift monitor's PSI for (reference=even docs,
+    batch=odd docs) must EQUAL the batch `psi_drift` query (which
+    splits the same table the same way) — the stream/batch twin pin
+    for the drift metric itself.  Replay re-appends, readers dedup."""
+    from projetbigdatastreaming_spark.plans.quality import q_psi_drift
+    from projetbigdatastreaming_spark.streaming.curation import (
+        build_drift_reference,
+        drift_monitor_writer,
+        read_drift_metrics,
+    )
+
+    ref_dir = str(tmp_path / "drift_ref")
+    metric_dir = str(tmp_path / "drift_metrics")
+    docs = load_table(spark, SF, "documents")
+    n = build_drift_reference(docs.where("doc_id % 2 = 0"), ref_dir)
+    assert n > 0
+
+    write = drift_monitor_writer(ref_dir, metric_dir)
+    write(docs.where("doc_id % 2 = 1"), 0)
+
+    got = {
+        (r.feature, r.psi)
+        for r in read_drift_metrics(spark, metric_dir).collect()
+    }
+    want = {
+        (r.feature, r.psi) for r in q_psi_drift(spark, SF).collect()
+    }
+    assert got == {(f, p) for f, p in want}
+
+    # at-least-once replay: same rows re-appended, reader dedups
+    write(docs.where("doc_id % 2 = 1"), 0)
+    again = {
+        (r.feature, r.psi)
+        for r in read_drift_metrics(spark, metric_dir).collect()
+    }
+    assert again == got
+
+    # a DIFFERENT batch appends new metric rows under its batch_id
+    write(docs.where("doc_id % 4 = 1"), 1)
+    m = read_drift_metrics(spark, metric_dir)
+    assert m.where("batch_id = 1").count() == 2

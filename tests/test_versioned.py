@@ -217,6 +217,45 @@ def test_version_changes_all_columns_are_keys(spark, tmp_path):
     assert got == {(1, "d1", "delete"), (3, "d3", "insert")}
 
 
+def test_consume_changes_durable_cursor(spark, tmp_path):
+    """Subscribe-to-table: consume_changes returns everything since
+    the cursor, commit() advances it durably, a crash before commit
+    re-reads the identical feed (at-least-once), multi-version gaps
+    fold into one diff."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        consume_changes,
+    )
+
+    t = str(tmp_path / "vt11")
+    cursor = str(tmp_path / "cursor")
+    versioned_overwrite(_df(spark, [1, 2]), t)  # v1 = baseline
+
+    # no changes yet: first call baselines at the earliest version
+    ch, latest, commit = consume_changes(spark, t, ["id"], cursor)
+    assert latest == 1 and ch.count() == 0
+    commit()
+
+    versioned_overwrite(_df(spark, [2, 3]), t)  # v2: -1 +3
+    versioned_overwrite(_df(spark, [3, 4]), t)  # v3: -2 +4
+    ch, latest, commit = consume_changes(spark, t, ["id"], cursor)
+    got = {(r.id, r.change) for r in ch.collect()}
+    # v1 -> v3 folded: 1,2 deleted; 3,4 inserted
+    assert latest == 3
+    assert got == {
+        (1, "delete"), (2, "delete"), (3, "insert"), (4, "insert"),
+    }
+
+    # crash before commit: the SAME feed comes back
+    ch2, latest2, commit2 = consume_changes(spark, t, ["id"], cursor)
+    assert latest2 == 3
+    assert {(r.id, r.change) for r in ch2.collect()} == got
+    commit2()
+
+    # after commit: empty until the next version lands
+    ch3, latest3, _ = consume_changes(spark, t, ["id"], cursor)
+    assert latest3 == 3 and ch3.count() == 0
+
+
 def test_version_changes_cdc(spark, tmp_path):
     """Change feed between versions: insert/delete/update classified,
     unchanged keys absent, schema drift rejected."""
