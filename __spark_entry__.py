@@ -227,6 +227,11 @@ HEADLINE_QUERIES = (
     # shape, benched because it is the production search path the
     # streaming index runs per batch
     "emb_bq_ivfpq_rerank",
+    # round 9: BM25 (one corpus explode to per-doc stats + 1-row
+    # broadcast) and triangle counting (two edge equi-join shuffles) —
+    # the heaviest new text-retrieval and graph shapes
+    "bm25_topk",
+    "graph_triangles",
 )
 
 

@@ -221,11 +221,22 @@ def versioned_batch_writer(table_dir: str):
 
 
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Time-travel read: version N's exact file list (default: the
     latest committed version).  A version is immutable — re-reading it
-    after later appends/overwrites/vacuums returns identical rows."""
+    after later appends/overwrites/vacuums returns identical rows.
+
+    Schema evolution: an append whose DataFrame carries NEW columns
+    commits fine (files are independent parquet); reading such a
+    version with ``merge_schema=True`` unions the file schemas —
+    pre-evolution rows surface NULL for the added columns (the
+    standard additive-evolution contract).  The default (False) keeps
+    the cheap single-footer schema inference, which is correct for
+    any table written with one schema."""
     versions = list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
@@ -238,7 +249,10 @@ def read_version(
     files = _read_manifest(table_dir, v)["files"]
     if not files:
         raise FileNotFoundError(f"version {v} is empty")
-    return spark.read.parquet(
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
         *[os.path.join(table_dir, f) for f in files]
     )
 

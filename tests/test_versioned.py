@@ -217,6 +217,26 @@ def test_version_changes_all_columns_are_keys(spark, tmp_path):
     assert got == {(1, "d1", "delete"), (3, "d3", "insert")}
 
 
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive schema evolution: an append with a new column commits;
+    merge_schema=True reads the union schema with NULLs for
+    pre-evolution rows; the default read and old-version time travel
+    are unaffected."""
+    t = str(tmp_path / "vt12")
+    versioned_overwrite(_df(spark, [1]), t)
+    wide = spark.createDataFrame(
+        [(2, "d2", 9.5)], "id long, v string, score double"
+    )
+    versioned_append(wide, t)
+
+    merged = read_version(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {(r.id, r.v, r.score) for r in merged.collect()}
+    assert got == {(1, "d1", None), (2, "d2", 9.5)}
+    # v1 time travel unaffected by the evolution
+    assert _rows(read_version(spark, t, 1)) == _rows(_df(spark, [1]))
+
+
 def test_consume_changes_durable_cursor(spark, tmp_path):
     """Subscribe-to-table: consume_changes returns everything since
     the cursor, commit() advances it durably, a crash before commit
