@@ -183,6 +183,76 @@ ORDER BY n_name, c_mktsegment, bal_band
 """
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit — k-anonymity's required companion
+    (Machanavajjhala et al. 2007): a group can be large (k-anonymous)
+    yet leak its SENSITIVE attribute if every member shares one value
+    (the homogeneity attack).  Over the same quasi-identifier groups
+    as `k_anonymity` (nation, market segment, balance band), count
+    DISTINCT sensitive values — here the order priority of each
+    customer's orders — and gate on l >= 2.  Customers with no orders
+    carry a 'none' sentinel (absence is itself a disclosure class).
+
+    Scale plan: one left join customer→orders (AQE picks the
+    strategy; at 100 TB the orders side aggregates to (custkey,
+    priority) grain first via the distinct), then one hash-agg on
+    the bounded quasi-identifier tuple with a count_distinct — which
+    Spark executes as the expand/two-phase distinct-agg, fine for ONE
+    distinct column (the multi-count_distinct EXPAND trap documented
+    in SCALING.md needs two+).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    band = (
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 3000)
+        .cast("int")
+        .alias("bal_band")
+    )
+    base = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .select("c_custkey", "n_name", "c_mktsegment", band)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "bal_band",
+            F.coalesce("o_orderpriority", F.lit("none")).alias(
+                "sensitive"
+            ),
+        )
+    )
+    return (
+        base.groupBy("n_name", "c_mktsegment", "bal_band")
+        .agg(
+            F.count_distinct("sensitive").cast("long").alias("l_div")
+        )
+        .withColumn("homogeneous", F.col("l_div") < 2)
+        .orderBy("n_name", "c_mktsegment", "bal_band")
+    )
+
+
+SQL_L_DIVERSITY = """
+WITH base AS (
+  SELECT n_name, c_mktsegment,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 3000) AS INT)
+           AS bal_band,
+         COALESCE(o_orderpriority, 'none') AS sensitive
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN orders ON c_custkey = o_custkey)
+SELECT n_name, c_mktsegment, bal_band,
+       CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_div,
+       COUNT(DISTINCT sensitive) < 2 AS homogeneous
+FROM base GROUP BY 1, 2, 3
+ORDER BY n_name, c_mktsegment, bal_band
+"""
+
+
 # ---------------------------------------------------------------------------
 # fuzzy_match — blocked edit-distance self-join (entity reconciliation)
 # ---------------------------------------------------------------------------
@@ -826,6 +896,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "constraint_check": QuerySpec(q_constraint_check, SQL_CONSTRAINT_CHECK),
     "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
+    "l_diversity": QuerySpec(q_l_diversity, SQL_L_DIVERSITY),
     "fuzzy_match": QuerySpec(q_fuzzy_match, SQL_FUZZY_MATCH),
     "snapshot_diff": QuerySpec(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }
