@@ -163,84 +163,115 @@ SQL_PAGERANK = _pagerank_sql()
 
 
 def q_graph_triangles(spark, sf_dir):
-    """Per-node triangle counts over the supplier co-occurrence graph
-    (suppliers linked when they supply the same order) — the classic
-    clustering/cohesion metric, and with PageRank and the dedup
-    connected components it completes the graph-primitive trio.
-    Output: top-20 suppliers by triangle participation.
+    """Triangle census of the NEAR-DUP PAIR GRAPH: edges, wedges
+    (open 2-paths), triangles, and the global clustering coefficient
+    3·triangles/wedges — "how clique-like are the duplicate
+    clusters?", the structural signal pairwise dedup counts miss (a
+    size-3 cluster can be a chain a–b–c or a clique; only the clique
+    closes the triangle, and survivorship/retraction blast radius
+    differs between the two).  With PageRank and the connected
+    components this completes the graph-primitive trio.
 
-    The trade graph itself is bipartite (customer↔supplier — zero
-    triangles by construction), so the unipartite projection is the
-    co-supply relation: distinct (s1 < s2) pairs within an order.
+    Graph choice is the scale lesson: the first cut enumerated
+    triangles over the supplier co-purchase projection and MEASURED
+    29 s at sf0.1 / 140 s at sf1 — co-occurrence projections densify
+    (avg degree ~1.2 k at sf1 ⇒ ~7e9 wedges), and no join order saves
+    an output-volume blowup.  The near-dup graph is the opposite:
+    pair density tracks true duplication (linear in corpus by
+    construction of the fixture and of real corpora), so every stage
+    stays pair-volume-bounded.
 
-    Scale plan: the ORIENTED edge list (a < b, distinct) makes each
-    triangle countable exactly once as a<b<c — the standard
-    worst-case-optimal shape: two equi-join shuffles on the edge
-    relation (e1(a,b) ⋈ e2(b,c) on b, result ⋈ e3(a,c) on (a,c)),
-    never an all-pairs expansion.  Co-occurrence edges are bounded by
-    C(suppliers-per-order, 2) per order — pair density, not order
-    count².  At 100 TB the refinement is degree-ordering orientation
-    (high-degree nodes get few out-edges, bounding the wedge join's
-    skew); id-ordering here keeps the oracle trivially identical.
+    Scale plan: edges come from the exact-verified LSH pipeline
+    (`minhash_near_duplicates`, already a<b oriented — each triangle
+    counted once as a<b<c); the wedge count is a per-node degree agg
+    (Σ d·(d−1)/2, exact integers); the triangle count is two
+    equi-join shuffles of the pair relation (e1.v=e2.u, then
+    (e1.u,e2.v)=(e3.u,e3.v)); the three 1-row aggregates cross into
+    one summary row (allowed 1×1 BNLJs).
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
+    from ..cache import persist_scoped
+    from ..operators import dedup as _dedup
+
+    pairs = _dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # referenced 5x below (degree + count + three join legs)
+    edges = persist_scoped("graph_tri_edges", pairs)
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    deg = (
+        edges.selectExpr("u AS x")
+        .unionAll(edges.selectExpr("v AS x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("u"),
-            F.col("b.l_suppkey").alias("v"),
-        )
-        .distinct()
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tri = (
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    n_tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
         .join(
             e3,
             (F.col("e1.u") == F.col("e3.u"))
             & (F.col("e2.v") == F.col("e3.v")),
         )
-        .select(
-            F.col("e1.u").alias("x"),
-            F.col("e1.v").alias("y"),
-            F.col("e2.v").alias("z"),
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .selectExpr(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            "CASE WHEN n_wedges > 0 THEN"
+            " CAST(floor(3.0 * n_triangles / n_wedges * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 ELSE CAST(0.0 AS DOUBLE) END AS gcc",
         )
     )
-    per_node = (
-        tri.selectExpr("explode(array(x, y, z)) AS suppkey")
-        .groupBy("suppkey")
-        .agg(F.count("*").cast("long").alias("n_tri"))
-    )
-    return per_node.orderBy(F.desc("n_tri"), F.asc("suppkey")).limit(20)
 
 
-SQL_GRAPH_TRIANGLES = """
-WITH edges AS (
-  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
-tri AS (
-  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+#: near-dup threshold shared with the dedup family's queries
+_TRI_THRESHOLD = 0.8
+
+#: brute-force near-dup pair CTE (the dedup oracles' shingle recipe)
+_SQL_TRI_EDGES = """\
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(str_split(text, ' ')) >= 3
+              THEN list_distinct([
+                     str_split(text,' ')[i] || ' ' ||
+                     str_split(text,' ')[i+1] || ' ' ||
+                     str_split(text,' ')[i+2]
+                     for i in range(1, len(str_split(text,' ')) - 1)])
+              ELSE [text] END AS sh
+  FROM documents),
+edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8)"""
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+  GROUP BY x),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+nw AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
   FROM edges e1
   JOIN edges e2 ON e1.v = e2.u
-  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
-nodes AS (
-  SELECT unnest([x, y, z]) AS suppkey FROM tri)
-SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_tri
-FROM nodes GROUP BY suppkey
-ORDER BY n_tri DESC, suppkey ASC
-LIMIT 20
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v)
+SELECT n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN FLOOR(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS gcc
+FROM ne, nw, nt
 """
+
 
 
 REGISTRY = {

@@ -310,6 +310,9 @@ _BNLJ_ALLOWED = {
     # bm25 crosses each per-doc row against the 1-row corpus stats
     # (N, Σdl, per-term df) — the dsir scalar-broadcast shape
     "bm25_topk",
+    # triangle census crosses its three 1-row aggregates (edges,
+    # wedges, triangles) into one summary row — 1x1 BNLJs
+    "graph_triangles",
     # the pairwise stage is |event types|² (bounded domain, ~5) over
     # 24-dim vectors — KB relations joined on an inequality
     "type_profile_similarity",
