@@ -119,9 +119,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 
+    from projetbigdatastreaming_spark.cache import clear_scoped
+
     timings: dict[str, float] = {}
     for name in headline:
         timings[name] = _timed_min3(all_queries[name], SF_DIR)
+    clear_scoped()
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -154,6 +157,7 @@ def main() -> None:
             out["sf2_error"] = f"{type(exc).__name__}: {exc}"[:200]
         finally:
             os.environ.pop("SPARK_GRAFT_MEDIA_SCALED", None)
+            clear_scoped()
 
     if SF3_FACTOR > 1:
         try:

@@ -39,6 +39,23 @@ from pyspark.sql import DataFrame
 _SCOPED_PERSISTS: dict[str, DataFrame] = {}
 
 
+def clear_scoped() -> int:
+    """Unpersist every scoped cache entry (returns how many).  Called
+    by bench.py between scale sweeps so one scale point's memoized
+    index relations can't occupy executor memory — and skew page-cache
+    behavior — while another scale's queries are being timed."""
+    n = 0
+    for key in list(_SCOPED_PERSISTS):
+        prev = _SCOPED_PERSISTS.pop(key, None)
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=True)
+            except Exception:
+                pass
+            n += 1
+    return n
+
+
 def persist_scoped(key: str, df: DataFrame, memoize: bool = False) -> DataFrame:
     prev = _SCOPED_PERSISTS.get(key)
     if prev is not None:
