@@ -69,3 +69,59 @@ def test_curate_publish_takedown_republish(spark, tmp_path):
         "overwrite",
         "overwrite",
     ]
+
+
+def test_subscriber_follows_published_table_through_takedown(
+    spark, tmp_path
+):
+    """Round-9 extension of the publish/takedown story: a DOWNSTREAM
+    SUBSCRIBER (a trainer's data-loading job) follows the versioned
+    table through a durable cursor — it sees the initial corpus as
+    inserts-from-baseline, sleeps through several publishes, then
+    receives the FOLDED diff including the takedown's deletes; a
+    crash before commit replays identically."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        consume_changes,
+        versioned_append,
+    )
+
+    table = str(tmp_path / "published")
+    cursor = str(tmp_path / "subscriber.cursor")
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    v1_rows = docs.where("doc_id % 3 = 0")
+    versioned_overwrite(v1_rows, table)
+
+    # subscriber bootstraps: baseline = earliest version, no changes
+    ch, latest, commit = consume_changes(spark, table, ["doc_id"], cursor)
+    assert latest == 1 and ch.count() == 0
+    commit()
+
+    # publisher: appends a batch, then a takedown republish drops two
+    added = docs.where("doc_id % 3 = 1").limit(5)
+    versioned_append(added, table)
+    gone = [r.doc_id for r in v1_rows.limit(2).collect()]
+    from projetbigdatastreaming_spark.sinks.versioned import read_version
+
+    versioned_overwrite(
+        read_version(spark, table).where(~F.col("doc_id").isin(gone)),
+        table,
+    )
+
+    # subscriber wakes: ONE folded diff covering both publishes
+    ch, latest, commit = consume_changes(spark, table, ["doc_id"], cursor)
+    got = {(r.doc_id, r.change) for r in ch.collect()}
+    added_ids = {r.doc_id for r in added.collect()}
+    assert latest == 3
+    assert got == {(i, "insert") for i in added_ids} | {
+        (g, "delete") for g in gone
+    }
+
+    # crash before commit: identical replay (versions are immutable)
+    ch2, _, commit2 = consume_changes(spark, table, ["doc_id"], cursor)
+    assert {(r.doc_id, r.change) for r in ch2.collect()} == got
+    commit2()
+    ch3, _, _ = consume_changes(spark, table, ["doc_id"], cursor)
+    assert ch3.count() == 0
