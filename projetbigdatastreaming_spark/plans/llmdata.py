@@ -2967,6 +2967,19 @@ def q_bm25_topk(spark, sf_dir):
     TakeOrderedAndProject, never a global sort.
     """
     docs = load_table(spark, sf_dir, "documents")
+    per_doc = bm25_per_doc(docs)
+    stats = bm25_corpus_stats(per_doc)
+    return (
+        bm25_scored(per_doc, stats)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPN)
+    )
+
+
+def bm25_per_doc(docs):
+    """(doc_id, dl, tf0..tfK) — document length + per-query-term tf in
+    ONE corpus explode.  Shared by the batch query and the streaming
+    relevance screen (`streaming/curation.bm25_screen_writer`)."""
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -2975,7 +2988,7 @@ def q_bm25_topk(spark, sf_dir):
             )
         ).alias("token"),
     ).where(F.col("token") != "")
-    per_doc = toks.groupBy("doc_id").agg(
+    return toks.groupBy("doc_id").agg(
         F.count("*").alias("dl"),
         *[
             F.sum(F.when(F.col("token") == t, 1).otherwise(0))
@@ -2984,8 +2997,14 @@ def q_bm25_topk(spark, sf_dir):
             for i, t in enumerate(BM25_TERMS)
         ],
     )
-    stats = per_doc.agg(
-        F.count("*").alias("n_docs"),
+
+
+def bm25_corpus_stats(per_doc):
+    """1-row (n_docs, sum_dl, df0..dfK) corpus statistics — the
+    'model' of BM25; freeze it to score new docs under a fixed
+    reference (learn-then-apply)."""
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
         *[
             F.sum((F.col(f"tf{i}") > 0).cast("int"))
@@ -2994,20 +3013,20 @@ def q_bm25_topk(spark, sf_dir):
             for i in range(len(BM25_TERMS))
         ],
     )
+
+
+def bm25_scored(per_doc, stats):
+    """(doc_id, bm25) under the given stats relation — the shared
+    scoring expression (fixed term order, det6 floor)."""
     terms = " + ".join(
         f"(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
         f" * (tf{i} * 2.2)"
         f" / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs) / sum_dl)))"
         for i in range(len(BM25_TERMS))
     )
-    return (
-        per_doc.crossJoin(F.broadcast(stats))
-        .selectExpr(
-            "doc_id",
-            f"CAST(floor(({terms}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS bm25",
-        )
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(BM25_TOPN)
+    return per_doc.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id",
+        f"CAST(floor(({terms}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS bm25",
     )
 
 

@@ -456,3 +456,63 @@ def read_drift_metrics(spark: SparkSession, metric_dir: str) -> DataFrame:
         .select("batch_id", "feature", "psi")
         .orderBy("batch_id", "feature")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance screen at the ingest boundary (round 9)
+# ---------------------------------------------------------------------------
+
+BM25_STATS_SCHEMA_HINT = "built by build_bm25_stats; read whole-file"
+BM25_SCORE_SCHEMA = "doc_id long, bm25 double, batch_id int"
+
+
+def build_bm25_stats(docs: DataFrame, ref_dir: str) -> None:
+    """Freeze the BM25 corpus statistics (N, Σdl, per-term df for the
+    fixed query terms) from a reference corpus — the 'model' new
+    batches are scored under, like the drift monitor's reference bins
+    and the decontamination screen's frozen band index.  1 row."""
+    from ..plans.llmdata import bm25_corpus_stats, bm25_per_doc
+
+    bm25_corpus_stats(bm25_per_doc(docs)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ref_dir)
+
+
+def bm25_screen_writer(
+    ref_dir: str, out_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: score each incoming document's relevance to
+    the fixed query terms under the FROZEN reference statistics and
+    restate the batch's (doc_id, bm25) partition — the lexical
+    relevance screen a domain-targeted ingest runs ("keep what looks
+    like my domain"), the learn-then-apply twin of `bm25_topk`.
+
+    Scoring rides `plans/llmdata.bm25_scored` VERBATIM (same fixed
+    term order, same det6 floor), so the stream score under stats S
+    equals the batch score under S by construction — pinned by test.
+
+    Scale: per batch one explode→per-doc agg (map-side combine), a
+    1-row broadcast of the frozen stats, and a partition restatement;
+    replay-safe via dynamic partition overwrite."""
+    from ..plans.llmdata import bm25_per_doc, bm25_scored
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stats = spark.read.parquet(ref_dir)
+        scored = bm25_scored(bm25_per_doc(batch_df), stats).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        overwrite_partitions(scored, out_dir, ["batch_id"])
+
+    return write
+
+
+def read_bm25_scores(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(doc_id, bm25) across all screened batches, deduped by doc_id
+    (replay-safe restatement + the reader rule)."""
+    return (
+        spark.read.schema(BM25_SCORE_SCHEMA)
+        .parquet(out_dir)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "bm25")
+    )

@@ -327,3 +327,39 @@ def test_drift_monitor_stream_equals_batch_psi(spark, tmp_path):
     write(docs.where("doc_id % 4 = 1"), 1)
     m = read_drift_metrics(spark, metric_dir)
     assert m.where("batch_id = 1").count() == 2
+
+
+def test_bm25_screen_stream_equals_batch(spark, tmp_path):
+    """Streaming BM25 under frozen stats == batch scoring under the
+    same stats, bit-equal (shared expression); replay restates."""
+    from projetbigdatastreaming_spark.plans.llmdata import (
+        bm25_corpus_stats,
+        bm25_per_doc,
+        bm25_scored,
+    )
+    from projetbigdatastreaming_spark.streaming.curation import (
+        bm25_screen_writer,
+        build_bm25_stats,
+        read_bm25_scores,
+    )
+
+    ref_dir = str(tmp_path / "bm25_ref")
+    out_dir = str(tmp_path / "bm25_scores")
+    docs, batches = _doc_batches(spark)
+    build_bm25_stats(docs, ref_dir)
+
+    write = bm25_screen_writer(ref_dir, out_dir)
+    for i, b in enumerate(batches):
+        write(b, i)
+    write(batches[1], 1)  # at-least-once replay restates
+
+    got = _rows(read_bm25_scores(spark, out_dir))
+    stats = spark.read.parquet(ref_dir)
+    want = _rows(
+        bm25_scored(bm25_per_doc(docs), stats).select("doc_id", "bm25")
+    )
+    assert got == want
+    # sanity: the frozen stats equal recomputing them from the corpus
+    assert stats.collect() == bm25_corpus_stats(
+        bm25_per_doc(docs)
+    ).collect()
