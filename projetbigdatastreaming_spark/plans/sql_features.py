@@ -254,7 +254,83 @@ ORDER BY o_orderpriority
 """
 
 
+_LATERAL_SQL = """
+SELECT n_name, c_name, bal
+FROM nation,
+LATERAL (
+  SELECT c_name, c_acctbal AS bal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+)
+ORDER BY n_name, bal DESC, c_name
+"""
+
+
+def q_join_lateral(spark, sf_dir):
+    """LATERAL correlated subquery in FROM (SQL:1999; Spark 3.2+,
+    DuckDB native): per nation, the top-2 customers by account
+    balance — the "per-row top-k lookup" shape analysts write
+    directly, IDENTICAL query text on both engines.
+
+    Scale plan: Spark DECORRELATES the lateral limit — the executed
+    plan is a DomainJoin rewrite ending in a per-nation window limit
+    + equi-join, never a per-outer-row re-scan of customer; at 100 TB
+    this is the same cost class as `window_topk_per_group`.  The
+    registry-wide plan audit (no CartesianProduct, window must be
+    partitioned) keeps that honest.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, only=("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
+
+
+SQL_JOIN_LATERAL = _LATERAL_SQL
+
+
+_SET_OPS_ALL_SQL = """
+WITH a AS (SELECT o_orderpriority AS p FROM orders
+           WHERE o_orderkey % 3 = 0),
+b AS (SELECT o_orderpriority AS p FROM orders
+      WHERE o_orderkey % 2 = 0)
+SELECT op, p, n FROM (
+  SELECT 'except_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b) GROUP BY p
+  UNION ALL
+  SELECT 'intersect_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b) GROUP BY p
+)
+ORDER BY op, p
+"""
+
+
+def q_set_ops_all(spark, sf_dir):
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL:
+    unlike the distinct forms (`except_`, `intersect`), the ALL forms
+    subtract/intersect per-OCCURRENCE (a row appearing 5× and 3×
+    survives EXCEPT ALL twice), which is what reconciliation and
+    inventory-style comparisons actually need.  Identical query text
+    on both engines; output aggregated per value so the answer is
+    bounded.
+
+    Scale plan: Spark compiles both ALL forms to a hash aggregate
+    computing per-key multiplicities then a generate/replicate —
+    one shuffle per side on the compared columns, no join blowup.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(_SET_OPS_ALL_SQL)
+
+
+SQL_SET_OPS_ALL = _SET_OPS_ALL_SQL
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "join_lateral": QuerySpec(q_join_lateral, SQL_JOIN_LATERAL),
+    "set_ops_all": QuerySpec(q_set_ops_all, SQL_SET_OPS_ALL),
     "recursive_cte": QuerySpec(q_recursive_cte, SQL_RECURSIVE_CTE),
     "sql_udf": QuerySpec(q_sql_udf, SQL_SQL_UDF),
     "file_provenance": QuerySpec(q_file_provenance, SQL_FILE_PROVENANCE),
