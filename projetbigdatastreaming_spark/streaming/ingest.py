@@ -87,3 +87,136 @@ def curation_ingest_writer(
             batch_df.unpersist()
 
     return _fn
+
+
+def full_ingest_writer(
+    checks: dict[str, str],
+    good_path: str,
+    quarantine_path: str,
+    dedup_state_dir: str,
+    dups_dir: str,
+    benchmark_index_dir: str,
+    contam_flags_dir: str,
+    drift_ref_dir: str,
+    drift_metric_dir: str,
+    bm25_ref_dir: str,
+    bm25_scores_dir: str,
+    neardup_index_dir: str,
+    neardup_flags_dir: str,
+    cms_state_dir: str,
+    table_dir: str,
+    neardup_threshold: float = 0.8,
+    cms_key_col: str = "source",
+) -> Callable[[DataFrame, int], None]:
+    """THE full ingest boundary, composed: every screen this engine
+    ships, chained over each micro-batch, ending in a versioned
+    publish of the admitted set —
+
+    1. quality gate (violators → quarantine with failed-check names)
+    2. Bloom-accelerated EXACT-dedup screen vs the corpus so far
+    3. fuzzy DECONTAMINATION vs the frozen benchmark band index
+    4. PSI drift metric vs the frozen reference distribution
+    5. BM25 relevance score under the frozen corpus statistics
+    6. MinHash near-dup flagging + band-index fold
+    7. CMS heavy-hitter fold
+    8. versioned publish: gated ∧ not-exact-dup ∧ not-contaminated
+       rows land in a new TABLE VERSION via `versioned_append_batch`
+       (training runs pin the version; takedowns republish; the
+       change feed and `consume_changes` subscribe downstream)
+
+    Every stage restates its own batch_id partition and the publish
+    restates its batch's files, so the COMPOSITION inherits
+    at-least-once → effectively-exactly-once end to end: one
+    redelivered batch rewrites its own slice of all ten tables.
+
+    Admission reads back THIS batch's dup/contamination partitions
+    (batch-sized, written moments earlier) rather than recomputing
+    the screens — the screens' outputs are the record of why a doc
+    was held, and admission must agree with that record by
+    construction.
+
+    Scale: the batch is cached once and consumed by all stages; each
+    stage is the documented bounded shape (codegen gate, Bloom
+    broadcast + hit-sliver join, frozen broadcast probes, ≤bins/1-row
+    stats, band equi-join, ≤d·w fold, one parquet write)."""
+    from ..sinks.versioned import versioned_append_batch
+    from .curation import (
+        bm25_screen_writer,
+        drift_monitor_writer,
+        exact_dedup_screen_writer,
+    )
+    from .neardup import benchmark_screen_writer
+
+    gate = quality_gate_writer(checks, good_path, quarantine_path)
+    dedup = exact_dedup_screen_writer(dedup_state_dir, dups_dir)
+    contam = benchmark_screen_writer(
+        benchmark_index_dir, contam_flags_dir, threshold=neardup_threshold
+    )
+    drift = drift_monitor_writer(drift_ref_dir, drift_metric_dir)
+    bm25 = bm25_screen_writer(bm25_ref_dir, bm25_scores_dir)
+    near = near_dup_batch_writer(
+        neardup_index_dir, neardup_flags_dir, threshold=neardup_threshold
+    )
+    cms = cms_batch_writer(cms_state_dir, cms_key_col)
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.cache()
+        try:
+            gate(batch_df, batch_id)
+            passed = batch_df.where(
+                F.expr(
+                    " AND ".join(
+                        f"coalesce(({e}), true)" for e in checks.values()
+                    )
+                )
+                if checks
+                else F.lit(True)
+            ).cache()
+            try:
+                dedup(passed, batch_id)
+                contam(passed, batch_id)
+                drift(passed, batch_id)
+                bm25(passed, batch_id)
+                near(passed, batch_id)
+                cms(passed, batch_id)
+
+                held = None
+                if os.path.isdir(dups_dir):
+                    held = (
+                        spark.read.schema(
+                            "doc_id long, fp string, batch_id int"
+                        )
+                        .parquet(dups_dir)
+                        .where(F.col("batch_id") == int(batch_id))
+                        .select("doc_id")
+                    )
+                if os.path.isdir(contam_flags_dir):
+                    c = (
+                        spark.read.schema(
+                            "doc_a long, doc_b long, jaccard double,"
+                            " batch_id int"
+                        )
+                        .parquet(contam_flags_dir)
+                        .where(F.col("batch_id") == int(batch_id))
+                        .select(F.col("doc_a").alias("doc_id"))
+                    )
+                    held = c if held is None else held.unionAll(c)
+                admitted = passed
+                if held is not None:
+                    admitted = passed.join(
+                        F.broadcast(held.distinct()), "doc_id", "left_anti"
+                    )
+                versioned_append_batch(admitted, table_dir, batch_id)
+            finally:
+                passed.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return _fn
