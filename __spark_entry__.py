@@ -60,7 +60,7 @@ QUERY_ORDER = (
     "quarter_hour_case", "agg_groupby", "agg_analytic_window",
     # 2) new in round 9 — first driver verdict inside the window
     "version_changes", "bm25_topk", "graph_triangles", "psi_drift",
-    "l_diversity", "join_lateral", "set_ops_all",
+    "l_diversity", "join_lateral", "set_ops_all", "basket_lift",
     # 3) green in the round-5 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 10's rotation
     "conditional_columns", "scalar_functions", "time_functions",

@@ -39,7 +39,7 @@ SF3_DIR = os.path.join(
 )
 
 #: third scale point, one decade past sf1 (~60 M lineitem rows, ~1 M
-#: documents): the five scaling-curve queries the 100x claims lean on —
+#: documents): the scaling-curve queries the 100x claims lean on —
 #: the widest TPC-H join, the corpus-wide line dedup, the banded
 #: near-dup join, the window-fingerprint profile, and the Bloom screen
 #: NEXT TO its unscreened parent (the docstring predicts the screen's

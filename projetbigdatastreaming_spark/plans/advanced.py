@@ -533,6 +533,127 @@ ORDER BY z_cell
 SQL_ZORDER_LAYOUT = _sql_zorder_layout()
 
 
+#: market-basket thresholds: pairs co-ordered at least this often
+_BASKET_MIN_SUPPORT = 3
+_BASKET_TOPN = 30
+
+
+def q_basket_lift(spark, sf_dir):
+    """Market-basket association mining over order line items — the
+    A-priori first pass (Agrawal & Srikant 1994): for every pair of
+    part BRANDS co-occurring in an order, support, confidence and
+    lift, thresholded at min-support and ranked by lift.  The
+    recommender/affinity primitive ("customers who bought X also
+    bought Y") this engine was missing.
+
+    Brands (25 distinct), not raw parts: at fixture scale raw
+    part-pair support is almost always 1 — the threshold would
+    either keep nothing or mean nothing.  The brand roll-up is also
+    the realistic production grain (item hierarchies tame sparsity).
+
+    Determinism: support counts are exact integers; confidence and
+    lift are integer ratios det6 floor-rounded; ties broken by the
+    pair's names.
+
+    Scale plan: baskets = one (order, brand) distinct pass; pairs via
+    a SINGLE self-equi-join on l_orderkey with a.brand < b.brand —
+    candidate volume is C(brands-per-order, 2) per order (bounded by
+    the order's width, not the catalog); per-item supports come from
+    the same basket relation and join back as a broadcast (25 rows);
+    the min-support filter prunes before the lift math.  This is the
+    supplier co-occurrence shape that was REJECTED for triangle
+    enumeration (`graph.q_graph_triangles`) — fine here because the
+    pair AGGREGATE is the output, never pair×pair expansion.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    item = baskets.groupBy("brand").agg(
+        F.count("*").cast("long").alias("item_n")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    return (
+        pair.join(
+            F.broadcast(item.withColumnRenamed("brand", "brand_a")
+                        .withColumnRenamed("item_n", "n_a")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(item.withColumnRenamed("brand", "brand_b")
+                        .withColumnRenamed("item_n", "n_b")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .selectExpr(
+            "brand_a",
+            "brand_b",
+            "support",
+            "CAST(floor(support / CAST(n_a AS DOUBLE) * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS confidence",
+            "CAST(floor(support * n_orders"
+            " / CAST(n_a * n_b AS DOUBLE) * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS lift",
+        )
+        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(_BASKET_TOPN)
+    )
+
+
+SQL_BASKET_LIFT = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM baskets),
+item AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS item_n
+  FROM baskets GROUP BY brand),
+pair AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT})
+SELECT brand_a, brand_b, support,
+       FLOOR(support / CAST(ia.item_n AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS confidence,
+       FLOOR(support * n_orders
+             / CAST(ia.item_n * ib.item_n AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS lift
+FROM pair
+JOIN item ia ON ia.brand = brand_a
+JOIN item ib ON ib.brand = brand_b
+CROSS JOIN n
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT {_BASKET_TOPN}
+"""
+
+
 def q_version_changes(spark, sf_dir):
     """Change feed (CDC) between two committed versions of a versioned
     parquet table (`sinks/versioned.py` — snapshot isolation + time
@@ -1794,6 +1915,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions2": QuerySpec(q_scalar_functions2, SQL_SCALAR_FUNCTIONS2),
     "zorder_layout": QuerySpec(q_zorder_layout, SQL_ZORDER_LAYOUT),
     "version_changes": QuerySpec(q_version_changes, SQL_VERSION_CHANGES),
+    "basket_lift": QuerySpec(q_basket_lift, SQL_BASKET_LIFT),
     "event_transitions": QuerySpec(
         q_event_transitions, SQL_EVENT_TRANSITIONS
     ),

@@ -313,6 +313,9 @@ _BNLJ_ALLOWED = {
     # triangle census crosses its three 1-row aggregates (edges,
     # wedges, triangles) into one summary row — 1x1 BNLJs
     "graph_triangles",
+    # basket lift crosses the 1-row basket count into the pruned
+    # pair relation — the dsir scalar-broadcast shape
+    "basket_lift",
     # the pairwise stage is |event types|² (bounded domain, ~5) over
     # 24-dim vectors — KB relations joined on an inequality
     "type_profile_similarity",
