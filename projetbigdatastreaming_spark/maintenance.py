@@ -136,10 +136,14 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     partition_by: list[str] | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> None:
     """Copy-on-write MERGE (upsert) into a parquet table: rows whose
     ``key_cols`` match an update are replaced, new keys are inserted,
-    everything else is untouched.
+    everything else is untouched.  ``delete_keys`` (a key-columns-only
+    relation) extends it to full MERGE semantics: matching rows are
+    DROPPED in the same rewrite — what a CDC change feed's deletes
+    need (`sinks/versioned.replicate_versioned`).
 
     Without a transactional format (Delta/Iceberg jars absent in this
     environment), MERGE on parquet is copy-on-write.  The scale lever
@@ -173,10 +177,18 @@ def merge_upsert(
     target = spark.read.parquet(table_path)
     cols = target.columns
     if partition_by:
-        # prune target read to the partitions the batch touches
+        # prune target read to the partitions the batch touches.
+        # NOTE: deletes don't carry partition values, so a pruned
+        # merge with delete_keys requires the caller to pass deletes'
+        # partitions inside updates' — replicate_versioned uses the
+        # unpartitioned path; partitioned CDC replicas should carry
+        # the partition columns in the key.
         pvals = updates.select(*partition_by).distinct()
         target = target.join(F.broadcast(pvals), partition_by, "left_semi")
-    kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
+    gone = updates.select(*key_cols)
+    if delete_keys is not None:
+        gone = gone.unionByName(delete_keys.select(*key_cols))
+    kept = target.join(gone, key_cols, "left_anti")
     merged = kept.select(*cols).unionByName(updates.select(*cols))
     if partition_by:
         overwrite_partitions(merged, table_path, partition_by)

@@ -307,3 +307,52 @@ def test_version_changes_cdc(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema changed"):
         version_changes(spark, t, 2, 3, ["id"])
+
+
+def test_replicate_versioned_incremental(spark, tmp_path):
+    """CDC-driven replica: bootstrap full copy, then each sync applies
+    only the delta (upserts + deletes) and the replica equals the
+    source's latest version; a crash before the cursor commit
+    re-applies the same diff idempotently."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        replicate_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "replica")
+    cursor = str(tmp_path / "replica.cursor")
+
+    versioned_overwrite(_df(spark, [1, 2, 3]), src)
+    n = replicate_versioned(spark, src, dst, ["id"], cursor)
+    assert n == 3  # bootstrap copies the full latest version
+    assert _rows(spark.read.parquet(dst)) == _rows(_df(spark, [1, 2, 3]))
+
+    # source evolves: 1 deleted, 2 updated, 4 inserted (two versions)
+    versioned_overwrite(
+        spark.createDataFrame(
+            [(2, "UPDATED"), (3, "d3")], "id long, v string"
+        ),
+        src,
+    )
+    versioned_append(_df(spark, [4]), src)
+    n = replicate_versioned(spark, src, dst, ["id"], cursor)
+    assert n == 3  # delete(1) + update(2) + insert(4), folded
+    want = sorted([(2, "UPDATED"), (3, "d3"), (4, "d4")])
+    assert _rows(spark.read.parquet(dst)) == want
+
+    # in sync: zero-row delta, replica untouched
+    assert replicate_versioned(spark, src, dst, ["id"], cursor) == 0
+
+    # crash before cursor commit: re-applying the same diff converges
+    versioned_overwrite(
+        spark.createDataFrame([(4, "d4")], "id long, v string"), src
+    )
+    import os
+
+    pre = open(cursor).read()
+    replicate_versioned(spark, src, dst, ["id"], cursor)
+    with open(cursor, "w") as fh:  # simulate lost cursor commit
+        fh.write(pre)
+    n = replicate_versioned(spark, src, dst, ["id"], cursor)
+    assert n == 2  # the same delete(2)+delete(3) diff re-applies
+    assert _rows(spark.read.parquet(dst)) == [(4, "d4")]
