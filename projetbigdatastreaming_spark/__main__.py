@@ -68,6 +68,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "index-status",
             "table-history",
             "vacuum-versions",
+            "replicate",
         ],
     )
     mt.add_argument("path", help="table or state directory")
@@ -110,6 +111,16 @@ def _build_parser() -> argparse.ArgumentParser:
         help="sketched column: CMS/KMV key, Bloom fp, hist value",
     )
     mt.add_argument("--group-col", default="event_type")
+    mt.add_argument(
+        "--key-cols",
+        default=None,
+        help="comma-separated CDC key columns (replicate only)",
+    )
+    mt.add_argument(
+        "--cursor",
+        default=None,
+        help="durable cursor file path (replicate only)",
+    )
     return p
 
 
@@ -196,6 +207,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 group_col=args.group_col,
             )
             print(f"rebuilt {args.kind} state: {n} rows")
+            return 0
+        if args.op == "replicate":
+            from .sinks.versioned import replicate_versioned
+
+            if not (args.dst and args.key_cols and args.cursor):
+                print(
+                    "--dst, --key-cols and --cursor are required for "
+                    "replicate",
+                    file=sys.stderr,
+                )
+                return 2
+            n = replicate_versioned(
+                spark,
+                args.path,
+                args.dst,
+                [c for c in args.key_cols.split(",") if c.strip()],
+                args.cursor,
+            )
+            print(f"applied {n} change rows to {args.dst}")
             return 0
         if args.op == "compact-tombstones":
             from .streaming.tombstones import compact_tombstones

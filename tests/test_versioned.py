@@ -356,3 +356,21 @@ def test_replicate_versioned_incremental(spark, tmp_path):
     n = replicate_versioned(spark, src, dst, ["id"], cursor)
     assert n == 2  # the same delete(2)+delete(3) diff re-applies
     assert _rows(spark.read.parquet(dst)) == [(4, "d4")]
+
+
+def test_replicate_cli(spark, tmp_path):
+    from projetbigdatastreaming_spark.__main__ import main
+
+    src = str(tmp_path / "src2")
+    dst = str(tmp_path / "replica2")
+    cursor = str(tmp_path / "r2.cursor")
+    versioned_overwrite(_df(spark, [1, 2]), src)
+    assert main(
+        [
+            "maintain", "replicate", src,
+            "--dst", dst, "--key-cols", "id", "--cursor", cursor,
+        ],
+        spark=spark,
+    ) == 0
+    assert _rows(spark.read.parquet(dst)) == _rows(_df(spark, [1, 2]))
+    assert main(["maintain", "replicate", src], spark=spark) == 2
