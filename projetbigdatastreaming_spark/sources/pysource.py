@@ -34,10 +34,16 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = [
     "SyntheticEventsDataSource",
+    "SyntheticEventsStreamDataSource",
     "JavaPropertiesDataSource",
     "register_python_sources",
 ]
@@ -74,12 +80,19 @@ class _SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            uid = _h60(str(i), "sy-u") % 500
-            etype = _EVENT_TYPES[_h60(str(i), "sy-e") % len(_EVENT_TYPES)]
-            # integer centi-units: exact in any engine, summed as BIGINT
-            value_c = _h60(str(i), "sy-v") % 1_000_000
-            yield (i, f"u{uid:03d}", etype, value_c)
+        return _event_rows(partition.start, partition.end)
+
+
+def _event_rows(start: int, end: int) -> Iterator[tuple]:
+    """The deterministic generator itself — shared verbatim by the
+    batch reader and the streaming reader so the stream's union of
+    micro-batches is bit-equal to one batch read (pinned by test)."""
+    for i in range(start, end):
+        uid = _h60(str(i), "sy-u") % 500
+        etype = _EVENT_TYPES[_h60(str(i), "sy-e") % len(_EVENT_TYPES)]
+        # integer centi-units: exact in any engine, summed as BIGINT
+        value_c = _h60(str(i), "sy-v") % 1_000_000
+        yield (i, f"u{uid:03d}", etype, value_c)
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -176,7 +189,60 @@ class JavaPropertiesDataSource(DataSource):
         return _PropertiesReader(self.options)
 
 
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reader over the same deterministic
+    generator: the offset is simply the next row id, so the engine's
+    offset log (checkpoint) gives exactly-once row delivery for free
+    and `readBetweenOffsets` replays any committed range
+    bit-identically after a restart."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", "100"))
+        self.max_rows = int(options.get("max_rows", "1000"))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch_rows, self.max_rows)
+        # a LIST ITERATOR, not a bare generator: the prefetch cache
+        # pickles the rows for executor replay (generators can't
+        # pickle) AND calls next() to probe emptiness when the offset
+        # stops advancing (bare lists aren't iterators) — iter(list)
+        # satisfies both sides of the simple-reader protocol
+        return iter(list(_event_rows(lo, hi))), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_event_rows(int(start["pos"]), int(end["pos"]))))
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")
+    .option("batch_rows", B).option("max_rows", N).load()`` — the
+    STREAMING face of the generator (Spark 4
+    ``SimpleDataSourceStreamReader``): each micro-batch advances the
+    row-id offset by ``batch_rows`` until ``max_rows``, after which
+    the offset stops moving (an ``availableNow`` run terminates; a
+    continuous run idles).  Row values are the batch source's
+    generator verbatim, so stream == batch is pinned by test."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, user_id string, event_type string,"
+            " value_c bigint"
+        )
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticEventsStreamReader(self.options)
+
+
 def register_python_sources(spark) -> None:
-    """Idempotent registration of both sources on a session."""
+    """Idempotent registration of the sources on a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
     spark.dataSource.register(JavaPropertiesDataSource)

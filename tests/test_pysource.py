@@ -166,3 +166,56 @@ def test_udtf_lateral_expansion(spark):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 4
+
+
+def test_synthetic_events_stream_equals_batch(spark, tmp_path):
+    """The streaming Python DataSource (Spark 4
+    SimpleDataSourceStreamReader): successive availableNow runs over
+    the same checkpoint advance the engine-tracked offset one
+    prefetched micro-batch at a time (the simple-reader protocol)
+    until max_rows; the union of all micro-batches is EXACTLY the
+    batch source's rows (same generator), and a further restart
+    delivers nothing."""
+    from projetbigdatastreaming_spark.sources.pysource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("synthetic_events_stream")
+            .option("batch_rows", "40")
+            .option("max_rows", "100")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    counts = []
+    for _ in range(3):  # 100 rows / 40-row batches -> 3 runs drain it
+        run()
+        counts.append(spark.read.parquet(out).count())
+    assert counts == [40, 80, 100], counts
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_events")
+        .option("rows", "100")
+        .load()
+        .collect()
+    )
+    assert got == want
+
+    # restart from the checkpoint: offset is at max_rows, nothing new
+    run()
+    assert (
+        spark.read.parquet(out).count() == 100
+    ), "restart re-delivered rows despite the committed offset"
