@@ -127,6 +127,12 @@ def _commit(
     }
     if batches is not None:
         manifest["batches"] = batches
+    import time as _time
+
+    # wall-clock commit stamp for AS OF reads; version numbers remain
+    # the canonical pin (monotonic by construction where clocks from a
+    # single writer may not be — read_version_asof documents this)
+    manifest["committed_at"] = _time.time()
     tmp = os.path.join(vdir, f".tmp_{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
@@ -499,3 +505,31 @@ def replicate_versioned(
         return n
     finally:
         changes.unpersist()
+
+
+def version_asof(table_dir: str, ts: float) -> int:
+    """The highest version committed AT OR BEFORE wall-clock ``ts``
+    (unix seconds) — timestamp time travel ("what did training run X,
+    launched at T, read?" when the run logged a time, not a version).
+    Version numbers stay the canonical pin: they are monotonic by
+    construction, while commit stamps are a single writer's clock
+    (manifests from before stamping sort as version order via the
+    -inf default).  Raises if ``ts`` predates the first commit."""
+    versions = list_versions(table_dir)
+    best = None
+    for v in versions:
+        at = _read_manifest(table_dir, v).get("committed_at")
+        if (at is None or at <= ts) and (best is None or v > best):
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version committed at or before {ts} in {table_dir}"
+        )
+    return best
+
+
+def read_version_asof(
+    spark: SparkSession, table_dir: str, ts: float
+) -> DataFrame:
+    """Time-travel read by TIMESTAMP: the snapshot visible at ``ts``."""
+    return read_version(spark, table_dir, version_asof(table_dir, ts))

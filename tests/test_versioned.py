@@ -374,3 +374,27 @@ def test_replicate_cli(spark, tmp_path):
     ) == 0
     assert _rows(spark.read.parquet(dst)) == _rows(_df(spark, [1, 2]))
     assert main(["maintain", "replicate", src], spark=spark) == 2
+
+
+def test_read_version_asof_timestamp(spark, tmp_path):
+    """Timestamp time travel: the snapshot visible at T is the highest
+    version committed at or before T; pre-first-commit times raise."""
+    import time
+
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        read_version_asof,
+        version_asof,
+    )
+
+    t = str(tmp_path / "vt_asof")
+    before = time.time()
+    versioned_overwrite(_df(spark, [1]), t)
+    mid = time.time()
+    time.sleep(0.05)
+    versioned_overwrite(_df(spark, [2]), t)
+
+    assert version_asof(t, mid) == 1
+    assert _rows(read_version_asof(spark, t, mid)) == _rows(_df(spark, [1]))
+    assert version_asof(t, time.time()) == 2
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        version_asof(t, before - 10)
