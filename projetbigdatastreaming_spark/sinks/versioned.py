@@ -317,14 +317,16 @@ def version_changes(
 
 
 def table_history(table_dir: str) -> list[dict]:
-    """(version, parent, op, n_files) per committed version — the
-    audit view."""
+    """(version, parent, op, n_files, committed_at) per committed
+    version — the audit view (committed_at is None for manifests
+    written before stamping)."""
     return [
         {
             "version": m["version"],
             "parent": m["parent"],
             "op": m["op"],
             "n_files": len(m["files"]),
+            "committed_at": m.get("committed_at"),
         }
         for m in (
             _read_manifest(table_dir, v) for v in list_versions(table_dir)
