@@ -413,10 +413,11 @@ def drift_monitor_writer(
     cannot drift on the drift metric itself — pinned by test.
 
     Scale: per batch, one map-side-combined hash-agg of the batch to
-    ≤ bins rows, a broadcast join against the KB reference, and an
-    append of |features| metric rows.  Replay: at-least-once
-    redelivery re-appends the same (feature, psi, batch_id) rows;
-    readers dedup by natural key (the restatement-reader rule)."""
+    ≤ bins rows, a broadcast join against the KB reference, and a
+    |features|-row partition restatement.  Replay: at-least-once
+    redelivery REWRITES its own batch_id partition (the module-wide
+    restatement contract), and the reader's natural-key dedup absorbs
+    any historical appends."""
     from ..plans.quality import drift_feature_bins, psi_from_counts
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -441,7 +442,7 @@ def drift_monitor_writer(
         metrics = psi_from_counts(counts).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
-        metrics.coalesce(1).write.mode("append").parquet(metric_dir)
+        overwrite_partitions(metrics.coalesce(1), metric_dir, ["batch_id"])
 
     return write
 
