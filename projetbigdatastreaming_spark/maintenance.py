@@ -177,13 +177,29 @@ def merge_upsert(
     target = spark.read.parquet(table_path)
     cols = target.columns
     if partition_by:
-        # prune target read to the partitions the batch touches.
-        # NOTE: deletes don't carry partition values, so a pruned
-        # merge with delete_keys requires the caller to pass deletes'
-        # partitions inside updates' — replicate_versioned uses the
-        # unpartitioned path; partitioned CDC replicas should carry
-        # the partition columns in the key.
+        # prune target read to the partitions the batch touches — the
+        # scale lever.  Deletes participate in the pruning too: a
+        # delete whose row lives in a partition no update touches
+        # would otherwise be silently skipped (the pruned target never
+        # reads it), so delete_keys MUST carry the partition columns —
+        # their values extend the pruning set, and the combination is
+        # rejected loudly when they don't.
         pvals = updates.select(*partition_by).distinct()
+        if delete_keys is not None:
+            missing = [
+                c for c in partition_by if c not in delete_keys.columns
+            ]
+            if missing:
+                raise ValueError(
+                    "merge_upsert: partitioned merge with delete_keys "
+                    f"requires the partition columns {missing} in "
+                    "delete_keys — without them, deletes in partitions "
+                    "the updates don't touch would be silently skipped "
+                    "(pass them, or use the unpartitioned path)"
+                )
+            pvals = pvals.unionByName(
+                delete_keys.select(*partition_by)
+            ).distinct()
         target = target.join(F.broadcast(pvals), partition_by, "left_semi")
     gone = updates.select(*key_cols)
     if delete_keys is not None:
@@ -191,7 +207,28 @@ def merge_upsert(
     kept = target.join(gone, key_cols, "left_anti")
     merged = kept.select(*cols).unionByName(updates.select(*cols))
     if partition_by:
+        emptied = []
+        if delete_keys is not None:
+            # a delete that empties a partition leaves no rows for the
+            # dynamic overwrite to restate — find those partitions NOW
+            # (the overwrite replaces the files this lineage reads, so
+            # this must run before it; bounded: the emptied set is a
+            # subset of the touched-partition values, never a table
+            # scan) and drop their directories after the write
+            emptied = [
+                r.asDict()
+                for r in pvals.join(
+                    merged.select(*partition_by).distinct(),
+                    partition_by,
+                    "left_anti",
+                ).collect()
+            ]
         overwrite_partitions(merged, table_path, partition_by)
+        for vals in emptied:
+            sub = "/".join(f"{c}={vals[c]}" for c in partition_by)
+            shutil.rmtree(
+                os.path.join(table_path, sub), ignore_errors=True
+            )
     else:
         # full copy-on-write via staged promotion: write the merge to
         # a sibling dir (source files still intact — the job reads

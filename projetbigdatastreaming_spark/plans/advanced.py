@@ -678,6 +678,8 @@ def q_version_changes(spark, sf_dir):
     payload collapsed to an 8-byte xxhash64 before the shuffle, so
     a 100 TB-wide table diffs at key+hash width.
     """
+    import os
+    import shutil
     import tempfile
 
     from ..catalog import load_table as _lt
@@ -693,7 +695,13 @@ def q_version_changes(spark, sf_dir):
         "CASE WHEN doc_id % 10 IN (4, 5) THEN n_chars + 1 "
         "ELSE n_chars END AS n_chars",
     )
-    table_dir = tempfile.mkdtemp(prefix="sg_version_changes_")
+    # deterministic per-process dir, cleared on every invocation —
+    # mkdtemp here leaked a fresh 2-version table per call across
+    # bench warmups and correctness sweeps (round-9 ADVICE)
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"sg_version_changes_{os.getpid()}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
     va = versioned_overwrite(v1, table_dir)
     vb = versioned_overwrite(v2, table_dir)
     return version_changes(

@@ -16,15 +16,21 @@ Layout::
     <table_dir>/_versions/v<N>.json     manifest: the file list of
                                         version N (+ op, parent)
 
-Protocol (single writer, like every state-maintenance protocol in
-this repo — see SCALING.md "Streaming"):
+Protocol (optimistic concurrency, last-writer-retries — unlike the
+single-writer state-maintenance protocols elsewhere in this repo,
+commits here tolerate concurrent writers; see SCALING.md
+"Streaming"):
 
 1. Write the new data files into ``data/`` (invisible: no manifest
    references them yet).
 2. Compose the new manifest (append = parent files + new files;
-   overwrite = new files only) and write it to a temp name, then
-   ``os.rename`` it to ``v<N>.json`` — atomic on POSIX, so a version
-   either exists completely or not at all.
+   overwrite = new files only), write it COMPLETELY to a temp name,
+   then ``os.link`` it to ``v<N>.json`` — link is atomic AND
+   create-exclusive on POSIX, so a version either exists completely
+   or not at all, and two writers can never both claim N: the loser
+   gets EEXIST, re-lists versions, recomposes its file list against
+   the winner's manifest (appends fold the winner's files into their
+   lineage), and retries as N+1.  No commit is ever silently lost.
 
 A crash between 1 and 2 leaves ORPHAN data files that no reader can
 see; ``vacuum`` deletes files referenced by no manifest.  Readers
@@ -106,38 +112,62 @@ def _write_files(df: DataFrame, table_dir: str) -> list[str]:
 
 def _commit(
     table_dir: str,
-    files: list[str],
+    files: list[str] | None,
     op: str,
     batches: dict[str, list[str]] | None = None,
+    compose=None,
 ) -> int:
     """Atomically publish a new version whose file list is ``files``.
     ``batches`` (batch_id → files) is the streaming-replay attribution
     map; every writer passes one so a plain append/overwrite can never
     strand a prior batch's files under the wrong attribution (see
-    `versioned_append_batch`)."""
+    `versioned_append_batch`).
+
+    OPTIMISTIC CONCURRENCY (two independent writers may commit
+    concurrently; neither commit is silently lost): the manifest is
+    fully written to a temp name, then ``os.link``-ed to
+    ``v<N>.json`` — ``link`` is create-EXCLUSIVE, so if another
+    writer claimed version N first it fails with EEXIST and we
+    re-list versions and retry as N+1.  Readers still only ever see
+    complete manifests (the linked file is the finished temp file —
+    the old rename protocol's atomic-content guarantee is kept).
+    ``compose`` (``versions -> (files, batches)``) lets append-style
+    ops recompute their file list against the NEW parent on retry, so
+    a lost race never drops the winner's files from the lineage;
+    plain overwrites retry with the same content.  Progress is
+    guaranteed: each retry means another writer committed."""
     vdir = _versions_dir(table_dir)
     os.makedirs(vdir, exist_ok=True)
-    versions = list_versions(table_dir)
-    new_v = (versions[-1] + 1) if versions else 1
-    manifest = {
-        "version": new_v,
-        "parent": versions[-1] if versions else None,
-        "op": op,
-        "files": sorted(files),
-    }
-    if batches is not None:
-        manifest["batches"] = batches
     import time as _time
 
-    # wall-clock commit stamp for AS OF reads; version numbers remain
-    # the canonical pin (monotonic by construction where clocks from a
-    # single writer may not be — read_version_asof documents this)
-    manifest["committed_at"] = _time.time()
-    tmp = os.path.join(vdir, f".tmp_{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    os.rename(tmp, _manifest_path(table_dir, new_v))
-    return new_v
+    while True:
+        versions = list_versions(table_dir)
+        if compose is not None:
+            files, batches = compose(versions)
+        new_v = (versions[-1] + 1) if versions else 1
+        manifest = {
+            "version": new_v,
+            "parent": versions[-1] if versions else None,
+            "op": op,
+            "files": sorted(files),
+        }
+        if batches is not None:
+            manifest["batches"] = batches
+        # wall-clock commit stamp for AS OF reads; version numbers
+        # remain the canonical pin (monotonic by construction where
+        # clocks from a single writer may not be — read_version_asof
+        # documents this)
+        manifest["committed_at"] = _time.time()
+        tmp = os.path.join(vdir, f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        try:
+            os.link(tmp, _manifest_path(table_dir, new_v))
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        return new_v
 
 
 def _parent_batches(table_dir: str, versions: list[int]) -> dict:
@@ -177,17 +207,57 @@ def versioned_append(df: DataFrame, table_dir: str) -> int:
     Preserves the parent's per-batch attribution (the new files join
     the ``__base__`` pseudo-batch), so interleaving plain appends with
     `versioned_append_batch` stays replay-safe: a redelivered batch_id
-    still restates only ITS OWN files, never the appended ones."""
-    versions = list_versions(table_dir)
-    batches = _parent_batches(table_dir, versions)
+    still restates only ITS OWN files, never the appended ones.
+
+    Concurrent-writer safe: the file list is composed INSIDE the
+    commit retry loop, against whatever parent actually won — two
+    concurrent appends serialize as N and N+1 with both contents in
+    N+1's lineage."""
     new_files = _write_files(df, table_dir)
-    batches["__base__"] = list(batches.get("__base__", [])) + new_files
-    files = [f for fs in batches.values() for f in fs]
-    return _commit(table_dir, files, "append", batches=batches)
+
+    def compose(versions):
+        batches = _parent_batches(table_dir, versions)
+        batches["__base__"] = (
+            list(batches.get("__base__", [])) + new_files
+        )
+        return [f for fs in batches.values() for f in fs], batches
+
+    return _commit(table_dir, None, "append", compose=compose)
+
+
+def _retire_attributions(
+    batches: dict[str, list[str]], current_id: int, horizon: int
+) -> dict[str, list[str]]:
+    """Fold batch attributions at or past the redelivery horizon
+    (``batch_id <= current_id - horizon``) into the ``__base__``
+    pseudo-batch.  Without retirement every manifest re-serializes
+    the full batch map for the stream's LIFETIME; with it, manifest
+    attribution size is bounded by the horizon.  The trade is the
+    standard horizon contract used across this repo's streaming
+    state: a redelivery OLDER than the horizon can no longer restate
+    (its files sit in ``__base__``) — pick the horizon past the
+    source's maximum redelivery distance."""
+    base = list(batches.get("__base__", []))
+    kept: dict[str, list[str]] = {}
+    for k, fs in batches.items():
+        if k == "__base__":
+            continue
+        if int(k) <= current_id - horizon:
+            base.extend(fs)
+        else:
+            kept[k] = fs
+    out: dict[str, list[str]] = {}
+    if base:
+        out["__base__"] = base
+    out.update(kept)
+    return out
 
 
 def versioned_append_batch(
-    df: DataFrame, table_dir: str, batch_id: int
+    df: DataFrame,
+    table_dir: str,
+    batch_id: int,
+    retire_horizon: int | None = None,
 ) -> int:
     """Replay-safe streaming append: publish a new version whose file
     list is the parent's MINUS any files previously attributed to this
@@ -200,30 +270,101 @@ def versioned_append_batch(
 
     The per-batch attribution lives in the manifest (``batches``:
     batch_id → its files), so replay safety costs no data movement:
-    only the redelivered batch's files are rewritten."""
-    versions = list_versions(table_dir)
-    parent_batches = _parent_batches(table_dir, versions)
+    only the redelivered batch's files are rewritten.
+    ``retire_horizon`` bounds that map: attributions more than
+    ``retire_horizon`` batches old fold into ``__base__`` at commit
+    (see `_retire_attributions`), so a long-lived stream's manifests
+    carry at most ~horizon attribution entries instead of one per
+    batch ever ingested; pair with `compact_versioned` to bound the
+    FILE list too.
+
+    Concurrent-writer safe like `versioned_append`: attribution is
+    recomposed against the winning parent inside the commit retry."""
     new_files = _write_files(df, table_dir)
-    parent_batches[str(int(batch_id))] = new_files
-    files = [f for fs in parent_batches.values() for f in fs]
+
+    def compose(versions):
+        parent_batches = _parent_batches(table_dir, versions)
+        parent_batches[str(int(batch_id))] = new_files
+        if retire_horizon is not None:
+            parent_batches = _retire_attributions(
+                parent_batches, int(batch_id), retire_horizon
+            )
+        return (
+            [f for fs in parent_batches.values() for f in fs],
+            parent_batches,
+        )
+
     return _commit(
         table_dir,
-        files,
+        None,
         f"append_batch:{int(batch_id)}",
-        batches=parent_batches,
+        compose=compose,
     )
 
 
-def versioned_batch_writer(table_dir: str):
+def versioned_batch_writer(
+    table_dir: str, retire_horizon: int | None = None
+):
     """foreachBatch sink: every micro-batch commits a new table
     version via `versioned_append_batch` — the stream's consumers get
     snapshot isolation (a training job pins the version it read) and
-    redeliveries restate instead of duplicating."""
+    redeliveries restate instead of duplicating.  ``retire_horizon``
+    passes through to bound manifest attribution size on long-lived
+    streams."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        versioned_append_batch(batch_df, table_dir, batch_id)
+        versioned_append_batch(
+            batch_df, table_dir, batch_id, retire_horizon=retire_horizon
+        )
 
     return write
+
+
+def compact_versioned(
+    spark: SparkSession, table_dir: str, target_mb: int = 128
+) -> tuple[int, int]:
+    """Rewrite the ``__base__`` pseudo-batch's files into
+    ~``target_mb`` outputs and commit the result as a new version —
+    the versioned-table form of small-file compaction.  ONLY the
+    retired base is compacted; files still attributed to a live
+    batch_id are left untouched, so redelivery restatement within the
+    horizon keeps working (this is why `_retire_attributions` folds
+    into ``__base__`` instead of deleting: retirement feeds
+    compaction).  Returns (new_version, n_files_compacted); a base of
+    ≤1 file is a no-op returning the current latest version.
+
+    Old versions keep referencing the pre-compaction files (time
+    travel unbroken); `vacuum` reclaims them once their manifests
+    retire.  Concurrent-writer safe: the compose step re-reads the
+    winning parent and keeps any base files that landed after our
+    snapshot, so a concurrent plain append is never dropped."""
+    import math
+
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    snap_batches = _parent_batches(table_dir, versions)
+    base_files = list(snap_batches.get("__base__", []))
+    if len(base_files) <= 1:
+        return versions[-1], 0
+    paths = [os.path.join(table_dir, f) for f in base_files]
+    total = sum(os.path.getsize(p) for p in paths)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    new_files = _write_files(
+        spark.read.parquet(*paths).repartition(n_out), table_dir
+    )
+    snap_base = set(base_files)
+
+    def compose(vs):
+        batches = _parent_batches(table_dir, vs)
+        current_base = list(batches.get("__base__", []))
+        batches["__base__"] = new_files + [
+            f for f in current_base if f not in snap_base
+        ]
+        return [f for fs in batches.values() for f in fs], batches
+
+    v = _commit(table_dir, None, "compact", compose=compose)
+    return v, len(base_files)
 
 
 def read_version(
@@ -381,8 +522,19 @@ def changes_since(
         raise FileNotFoundError(f"no committed versions in {table_dir}")
     latest = versions[-1]
     if since_version == latest:
-        empty = version_changes(
-            spark, table_dir, latest, latest, key_cols
+        # in-sync fast path: building version_changes(latest, latest)
+        # would full-outer-join the snapshot with itself just to yield
+        # zero rows — and an idle replicate sync then pays two full
+        # scans + a shuffle per poll.  Return a zero-row frame with
+        # the same schema (key columns, typed from the snapshot, plus
+        # the change classifier) without touching the data files.
+        from pyspark.sql import functions as F
+
+        snap = read_version(spark, table_dir, latest)
+        empty = (
+            snap.select(*key_cols)
+            .withColumn("change", F.lit(None).cast("string"))
+            .limit(0)
         )
         return empty, latest
     return (

@@ -230,6 +230,14 @@ def benchmark_screen_writer(
     operator over the union of every ingested batch EXACTLY (no
     cross-batch state at all), which the tests pin.  Output rows:
     (doc_a = incoming doc, doc_b = benchmark doc, jaccard, batch_id).
+
+    The verify is BIPARTITE, matching the batch twin: corpus and
+    benchmark doc_id spaces may overlap (each side's ids only need to
+    be unique within that side), so the band probe keeps self-id
+    pairs and ``jaccard_verify`` resolves doc_a shingles from the
+    batch and doc_b shingles from the frozen benchmark store — an
+    incoming doc whose doc_id happens to collide with a benchmark
+    doc_id is screened like any other.
     """
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -251,8 +259,7 @@ def benchmark_screen_writer(
                 .join(
                     F.broadcast(bench_bands).alias("b"),
                     (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bh") == F.col("b.bh"))
-                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                    & (F.col("a.bh") == F.col("b.bh")),
                 )
                 .select(
                     F.col("a.doc_id").alias("doc_a"),
@@ -260,14 +267,9 @@ def benchmark_screen_writer(
                 )
                 .distinct()
             )
-            sigs = (
-                signed.select("doc_id", "shingles")
-                .unionAll(bench_sigs)
-                .dropDuplicates(["doc_id"])
-            )
-            flags = jaccard_verify(pairs, sigs, threshold).withColumn(
-                "batch_id", F.lit(int(batch_id))
-            )
+            flags = jaccard_verify(
+                pairs, signed, threshold, signed_b=bench_sigs
+            ).withColumn("batch_id", F.lit(int(batch_id)))
             overwrite_partitions(flags, flags_dir, ["batch_id"])
             logger.info("batch %s: benchmark screen flags written", batch_id)
         finally:

@@ -762,8 +762,14 @@ def rebuild_idempotent(
         and name != f"batch_id={STAGING_ID}"
     )
     shutil.rmtree(staging, ignore_errors=True)
-    staged = state.withColumn("batch_id", F.lit(STAGING_ID))
-    overwrite_partitions(staged, state_dir, ["batch_id"])
+    # materialize staging with a direct write (like
+    # `_stage_promote_delete`): a plain parquet write creates the
+    # staging directory even for ZERO rows, whereas dynamic-partition
+    # overwrite of an empty frame writes no partition at all — and a
+    # takedown that retracts every document must still promote an
+    # empty base, or the retraction silently never lands and the old
+    # base is left renamed aside
+    state.coalesce(1).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
     if os.path.isdir(base):
         shutil.rmtree(aside, ignore_errors=True)

@@ -1,0 +1,509 @@
+"""Round-10 verdict/advice closures: optimistic versioned commits,
+attribution retirement + base compaction, the in-sync CDC fast path,
+bipartite streaming decontamination under colliding doc_id spaces,
+empty-state sketch rebuild, partitioned merge deletes, and the
+drift/BM25 gates at the ingest boundary."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from projetbigdatastreaming_spark.sinks.versioned import (
+    _read_manifest,
+    changes_since,
+    compact_versioned,
+    list_versions,
+    read_version,
+    versioned_append,
+    versioned_append_batch,
+    versioned_overwrite,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"d{i}") for i in ids], "id long, v string"
+    ).coalesce(1)
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (VERDICT r09 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_interleaved_commit_retries_and_loses_nothing(spark, tmp_path):
+    """Deterministic two-writer interleave: writer A's compose step is
+    interrupted by writer B committing first.  A's create-exclusive
+    link on vN must fail, A must retry against B's manifest, and the
+    final lineage must contain BOTH appends — no commit silently
+    lost (the old rename protocol would have clobbered B's vN)."""
+    from projetbigdatastreaming_spark.sinks import versioned
+
+    t = str(tmp_path / "vt_occ")
+    versioned_overwrite(_df(spark, [1]), t)
+
+    new_files = versioned._write_files(_df(spark, [2]), t)
+    state = {"interleaved": False}
+
+    def compose(versions):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            # writer B lands a full append AFTER A listed versions
+            versioned_append(_df(spark, [3]), t)
+        batches = versioned._parent_batches(t, versions)
+        batches["__base__"] = list(batches.get("__base__", [])) + new_files
+        return [f for fs in batches.values() for f in fs], batches
+
+    v = versioned._commit(t, None, "append", compose=compose)
+    # B claimed v2; A retried as v3 with B's files folded in
+    assert v == 3 and list_versions(t) == [1, 2, 3]
+    assert _rows(read_version(spark, t, 3)) == _rows(_df(spark, [1, 2, 3]))
+    assert _rows(read_version(spark, t, 2)) == _rows(_df(spark, [1, 3]))
+
+
+def test_concurrent_append_threads_all_commit(spark, tmp_path):
+    """Four racing appenders: every row set must appear in the final
+    version and version numbers must be a contiguous 1..5."""
+    t = str(tmp_path / "vt_race")
+    versioned_overwrite(_df(spark, [0]), t)
+
+    def appender(i):
+        versioned_append(_df(spark, [100 + i]), t)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert list_versions(t) == [1, 2, 3, 4, 5]
+    assert _rows(read_version(spark, t)) == _rows(
+        _df(spark, [0, 100, 101, 102, 103])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attribution retirement + base compaction (VERDICT r09 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_retire_attributions_bounds_map():
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        _retire_attributions,
+    )
+
+    batches = {str(i): [f"data/f{i}.parquet"] for i in range(200)}
+    out = _retire_attributions(batches, 199, 10)
+    # ids 0..189 fold into __base__, 190..199 stay attributed
+    assert set(out) == {"__base__"} | {str(i) for i in range(190, 200)}
+    assert sorted(out["__base__"]) == sorted(
+        f"data/f{i}.parquet" for i in range(190)
+    )
+    # nothing lost: every file still referenced exactly once
+    assert sorted(f for fs in out.values() for f in fs) == sorted(
+        f for fs in batches.values() for f in fs
+    )
+
+
+def test_long_stream_manifest_plateaus_and_replays(spark, tmp_path):
+    """60 batch commits with retire_horizon=5 and a base compaction
+    every 15: the manifest's attribution map stays ≤ horizon+1
+    entries and its byte size PLATEAUS (late-stream manifests are no
+    bigger than mid-stream ones) instead of growing with stream
+    lifetime; a redelivery within the horizon still restates."""
+    t = str(tmp_path / "vt_long")
+    sizes = {}
+    for b in range(60):
+        versioned_append_batch(
+            _df(spark, [b]), t, b, retire_horizon=5
+        )
+        if (b + 1) % 15 == 0:
+            compact_versioned(spark, t, target_mb=128)
+        latest = list_versions(t)[-1]
+        m = _read_manifest(t, latest)
+        assert len([k for k in m["batches"] if k != "__base__"]) <= 5
+        sizes[b] = os.path.getsize(
+            os.path.join(t, "_versions", f"v{latest}.json")
+        )
+    # plateau: the post-compaction manifest at batch 59 is no bigger
+    # than the one at batch 29 (both are horizon+1-base shaped)
+    assert sizes[59] <= sizes[29] * 1.2
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, range(60)))
+
+    # redelivery INSIDE the horizon restates (no duplication)
+    versioned_append_batch(_df(spark, [59]), t, 59, retire_horizon=5)
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, range(60)))
+
+
+def test_compact_versioned_preserves_content_and_history(spark, tmp_path):
+    t = str(tmp_path / "vt_cmp")
+    for b in range(8):
+        versioned_append_batch(
+            _df(spark, [b]), t, b, retire_horizon=2
+        )
+    before = _rows(read_version(spark, t))
+    pre_v = list_versions(t)[-1]
+    pre_base = len(
+        _read_manifest(t, pre_v)["batches"].get("__base__", [])
+    )
+    assert pre_base > 1
+    v, n = compact_versioned(spark, t, target_mb=128)
+    assert v == pre_v + 1 and n == pre_base
+    m = _read_manifest(t, v)
+    assert len(m["batches"]["__base__"]) < pre_base
+    assert _rows(read_version(spark, t, v)) == before
+    # time travel unbroken: the pre-compaction version still reads
+    assert _rows(read_version(spark, t, pre_v)) == before
+    # attributed recent batches survived untouched
+    assert {k for k in m["batches"] if k != "__base__"} == {"6", "7"}
+
+
+# ---------------------------------------------------------------------------
+# In-sync CDC fast path (ADVICE r09 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_changes_since_in_sync_is_empty_and_scan_free(spark, tmp_path):
+    t = str(tmp_path / "vt_sync")
+    versioned_overwrite(_df(spark, [1, 2]), t)
+    feed, latest = changes_since(spark, t, 1, ["id"])
+    assert latest == 1 and feed.count() == 0
+    assert feed.columns == ["id", "change"]
+    assert dict(feed.dtypes)["change"] == "string"
+    # the fast path must not build the self full-outer diff
+    assert "Join" not in feed._jdf.queryExecution().optimizedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# Bipartite streaming decontamination (ADVICE r09 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_benchmark_screen_flags_colliding_doc_id(spark, tmp_path):
+    """An incoming doc whose doc_id COLLIDES with a benchmark doc_id
+    must still be flagged — the band probe keeps self-id pairs and
+    the verify resolves each side's shingles from its own store
+    (stream twin of the bipartite batch fix)."""
+    from projetbigdatastreaming_spark.streaming.neardup import (
+        benchmark_screen_writer,
+        build_benchmark_index,
+    )
+
+    bench_text = " ".join(f"benchword{i}" for i in range(40))
+    benchmark = spark.createDataFrame(
+        [(7, bench_text)], "doc_id long, text string"
+    )
+    index_dir = str(tmp_path / "ix")
+    flags_dir = str(tmp_path / "flags")
+    build_benchmark_index(spark, benchmark, index_dir)
+
+    # same doc_id=7, near-duplicate text (one word edited)
+    batch = spark.createDataFrame(
+        [
+            (7, bench_text.replace("benchword3", "EDITED", 1)),
+            (8, "totally unrelated words that share no shingles at all"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark_screen_writer(index_dir, flags_dir, threshold=0.8)(batch, 0)
+    flags = spark.read.parquet(flags_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in flags} == {(7, 7)}
+    assert all(r.jaccard >= 0.8 for r in flags)
+
+
+# ---------------------------------------------------------------------------
+# Empty-state rebuild (ADVICE r09 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_rebuild_idempotent_empty_state_lands(spark, tmp_path):
+    """A takedown that retracts EVERY document must still complete:
+    the rebuild promotes an EMPTY base (zero rows) and the bloom
+    probe reports nothing — previously the staging dir was never
+    materialized and the rebuild raised after renaming the old base
+    aside."""
+    from projetbigdatastreaming_spark.maintenance import rebuild_sketches
+    from projetbigdatastreaming_spark.operators.sketches import bloom_probe
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        bloom_batch_writer,
+        read_bloom,
+    )
+
+    state = str(tmp_path / "bloom")
+    docs = spark.createDataFrame(
+        [(i, f"fp{i}") for i in range(5)], "doc_id long, fp string"
+    )
+    bloom_batch_writer(state)(docs, 0)
+
+    empty_base = docs.where("doc_id < 0")  # retraction took everything
+    n = rebuild_sketches(spark, empty_base, state, "bloom", column="fp")
+    assert n == 0
+    assert os.path.isdir(os.path.join(state, "batch_id=-1"))
+    probe = spark.createDataFrame([("fp1",)], "fp string")
+    got = bloom_probe(probe, read_bloom(spark, state)).collect()
+    assert [r.bloom_hit for r in got] == [0]
+
+    # the stream keeps appending afterwards — state dir still valid
+    bloom_batch_writer(state)(docs.where("doc_id = 1"), 1)
+    got2 = bloom_probe(probe, read_bloom(spark, state)).collect()
+    assert [r.bloom_hit for r in got2] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Partitioned merge deletes (ADVICE r09 item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_partitioned_delete_requires_partition_cols(
+    spark, tmp_path
+):
+    from projetbigdatastreaming_spark.maintenance import merge_upsert
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, p string, v double"
+    )
+    base.write.partitionBy("p").parquet(t)
+    with pytest.raises(ValueError, match="partition columns"):
+        merge_upsert(
+            spark,
+            t,
+            spark.createDataFrame([(1, "a", 11.0)], base.schema),
+            ["k"],
+            partition_by=["p"],
+            delete_keys=spark.createDataFrame([(2,)], "k long"),
+        )
+
+
+def test_merge_upsert_partitioned_delete_untouched_partition(
+    spark, tmp_path
+):
+    """Deletes whose rows live in partitions NO update touches must
+    still land (the delete's partition values extend the pruning
+    set), including a delete that EMPTIES its partition."""
+    from projetbigdatastreaming_spark.maintenance import merge_upsert
+
+    t = str(tmp_path / "tbl2")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "b"), (4, 40.0, "c")],
+        "k long, v double, p string",
+    )
+    base.write.partitionBy("p").parquet(t)
+
+    merge_upsert(
+        spark,
+        t,
+        spark.createDataFrame([(1, 11.0, "a")], base.schema),
+        ["k"],
+        partition_by=["p"],
+        # delete 2 (partition b — untouched by updates) and 4
+        # (partition c — emptied entirely by the delete)
+        delete_keys=spark.createDataFrame(
+            [(2, "b"), (4, "c")], "k long, p string"
+        ),
+    )
+    got = sorted(
+        (r.k, r.v, r.p) for r in spark.read.parquet(t).collect()
+    )
+    assert got == [(1, 11.0, "a"), (3, 30.0, "b")]
+    assert not os.path.isdir(os.path.join(t, "p=c"))
+
+
+# ---------------------------------------------------------------------------
+# Drift + BM25 gates at the ingest boundary (VERDICT r09 item 7)
+# ---------------------------------------------------------------------------
+
+
+def _gate_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+
+def test_ingest_gates_quarantine_drift_and_hold_low_bm25(
+    spark, tmp_path
+):
+    """A distribution-shifted batch quarantines with the offending
+    PSI metric attached (and pollutes no corpus state); the next
+    clean batch publishes; docs under the BM25 bar are held like
+    dups; the CDC subscriber sees only admitted rows."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        consume_changes,
+    )
+    from projetbigdatastreaming_spark.streaming.curation import (
+        build_bm25_stats,
+        build_drift_reference,
+    )
+    from projetbigdatastreaming_spark.streaming.ingest import (
+        full_ingest_writer,
+    )
+    from projetbigdatastreaming_spark.streaming.neardup import (
+        build_benchmark_index,
+    )
+
+    d = lambda n: str(tmp_path / n)
+    benchmark = spark.createDataFrame(
+        [(900, " ".join(f"benchword{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    build_benchmark_index(spark, benchmark, d("bench_idx"))
+    # reference: english docs, mid-length (n_chars bin 1), containing
+    # the fixed BM25 query terms so the frozen stats carry nonzero df
+    reference = _gate_docs(
+        spark,
+        [
+            (
+                500 + i,
+                f"reference document {i} about stream processing "
+                + "filler words here " * 5,
+            )
+            for i in range(20)
+        ],
+    )
+    build_drift_reference(reference, d("drift_ref"))
+    build_bm25_stats(reference, d("bm25_ref"))
+
+    write = full_ingest_writer(
+        checks={"long_enough": "length(text) >= 20"},
+        good_path=d("good"),
+        quarantine_path=d("quarantine"),
+        dedup_state_dir=d("dedup_state"),
+        dups_dir=d("dups"),
+        benchmark_index_dir=d("bench_idx"),
+        contam_flags_dir=d("contam"),
+        drift_ref_dir=d("drift_ref"),
+        drift_metric_dir=d("drift_metrics"),
+        bm25_ref_dir=d("bm25_ref"),
+        bm25_scores_dir=d("bm25_scores"),
+        neardup_index_dir=d("nd_idx"),
+        neardup_flags_dir=d("nd_flags"),
+        cms_state_dir=d("cms"),
+        table_dir=d("published"),
+        psi_alert_threshold=0.25,
+        drift_quarantine_dir=d("drift_quarantine"),
+        min_bm25=1e-9,
+    )
+
+    # batch 0: distribution-shifted (all docs a different language and
+    # wildly longer than the reference) → PSI over the bar
+    shifted = spark.createDataFrame(
+        [
+            (i, "mots francais differents " * 40, "fr", "srcX",
+             len("mots francais differents " * 40))
+            for i in range(3)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    write(shifted, 0)
+    assert not os.path.isdir(d("published"))  # publish skipped
+    assert not os.path.isdir(d("nd_idx"))  # corpus state unpolluted
+    q = spark.read.parquet(d("drift_quarantine"))
+    assert q.count() == 3
+    first = q.select("drift_feature", "psi").first()
+    assert first.psi > 0.25 and first.drift_feature
+
+    # batch 1: clean docs matching the reference (same length bin,
+    # same lang, query-term hits) + one zero-relevance doc that stays
+    # in the reference's length bin but shares no BM25 query term
+    clean = _gate_docs(
+        spark,
+        [
+            (
+                10,
+                "reference document ten about stream processing "
+                + "filler words here " * 5,
+            ),
+            (
+                11,
+                "clean document eleven with a vector inside it "
+                + "filler words here " * 5,
+            ),
+            (12, "zzz qqq xxx vvv " * 8),
+        ],
+    )
+    write(clean, 1)
+    published = read_version(spark, d("published"))
+    assert {r.doc_id for r in published.collect()} == {10, 11}
+    scores = {
+        r.doc_id: r.bm25
+        for r in spark.read.parquet(d("bm25_scores")).collect()
+    }
+    assert scores[12] < 1e-9 <= scores[10]
+
+    # subscriber baselines at the earliest version (batch 1's publish)
+    feed, latest, commit = consume_changes(
+        spark, d("published"), ["doc_id"], d("cursor")
+    )
+    assert feed.count() == 0
+    commit()
+
+    # batch 2: one admitted doc + one held-for-relevance doc — the
+    # feed subscriber sees ONLY the admitted row
+    write(
+        _gate_docs(
+            spark,
+            [
+                (
+                    13,
+                    "reference document thirteen about stream things "
+                    + "filler words here " * 5,
+                ),
+                (14, "yyy www uuu ooo " * 8),
+            ],
+        ),
+        2,
+    )
+    feed, latest, commit = consume_changes(
+        spark, d("published"), ["doc_id"], d("cursor")
+    )
+    assert {(r.doc_id, r.change) for r in feed.collect()} == {
+        (13, "insert")
+    }
+    commit()
+
+    # redelivery of the shifted batch re-quarantines, still no publish
+    write(shifted, 0)
+    assert {
+        r.doc_id
+        for r in read_version(spark, d("published")).collect()
+    } == {10, 11, 13}
+    assert spark.read.parquet(d("drift_quarantine")).count() == 3
+
+
+def test_ingest_psi_gate_requires_quarantine_dir():
+    from projetbigdatastreaming_spark.streaming.ingest import (
+        full_ingest_writer,
+    )
+
+    with pytest.raises(ValueError, match="drift_quarantine_dir"):
+        full_ingest_writer(
+            checks={},
+            good_path="g",
+            quarantine_path="q",
+            dedup_state_dir="ds",
+            dups_dir="du",
+            benchmark_index_dir="bi",
+            contam_flags_dir="cf",
+            drift_ref_dir="dr",
+            drift_metric_dir="dm",
+            bm25_ref_dir="br",
+            bm25_scores_dir="bs",
+            neardup_index_dir="ni",
+            neardup_flags_dir="nf",
+            cms_state_dir="cs",
+            table_dir="t",
+            psi_alert_threshold=0.1,
+        )

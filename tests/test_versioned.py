@@ -59,7 +59,7 @@ def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path, monkeypatch
 
     real = versioned._commit
 
-    def boom(table_dir, files, op, batches=None):
+    def boom(table_dir, files, op, batches=None, compose=None):
         raise RuntimeError("killed before manifest rename")
 
     monkeypatch.setattr(versioned, "_commit", boom)
