@@ -41,37 +41,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Explicit registry order.  The grading driver checks queries in
 #: iteration order with a cap (50 per round so far), so ordering is
-#: part of the contract.  Round-9 rotation (VERDICT r08 next-item 1):
-#: (1) the 12 rows whose latest signal is still r04 (the §3 tail
-#: that missed round 8's window) — the literal freshness bar;
-#: (2) round-9's own new queries as they land, so new operators get
-#: their first verdict inside the window; (3) the r05-vintage block
-#: (next-oldest signal) — the window cap lands mid-section, the tail
-#: leads round 10; (4) r06; (5) r07; (6) the rows green in the
-#: round-8 driver run (freshest signal, so last).  Standing
-#: freshness invariant: no query's latest driver row may be older
-#: than two rotations — after round 9 the oldest signal is the r05
-#: tail which round 10 must lead with.
+#: part of the contract.  Round-10 rotation (VERDICT r09 next-item
+#: 1): (1) the 20 r05-vintage tail rows that missed round 9's window
+#: (map_functions … join_salted) — the literal freshness bar;
+#: (2) round-10's own new queries, so new operators get their first
+#: verdict inside the window; (3) the r06 block (next-oldest signal)
+#: — the 50-row cap lands mid-section (20+10+20), the r06 tail leads
+#: round 11; (4) r07; (5) r08; (6) the rows green in the round-9
+#: driver run (freshest signal, so last).  Standing freshness
+#: invariant: no query's latest driver row may be older than two
+#: rotations — after round 10 the oldest signal is the r06 tail
+#: which round 11 must lead with.
 QUERY_ORDER = (
-    # 1) last driver-checked in round 4 (oldest remaining signal)
-    "substring_dedup", "dsir_importance",
-    "zorder_layout", "text_sentiment", "type_profile_similarity",
-    "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
-    "quarter_hour_case", "agg_groupby", "agg_analytic_window",
-    # 2) new in round 9 — first driver verdict inside the window
-    "version_changes", "bm25_topk", "graph_triangles", "psi_drift",
-    "l_diversity", "join_lateral", "set_ops_all", "basket_lift",
-    # 3) green in the round-5 driver run (next-oldest signal);
-    # window cap lands mid-section, tail leads round 10's rotation
-    "conditional_columns", "scalar_functions", "time_functions",
-    "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
-    "dedup_simhash_pairs", "emb_cosine_topk", "doc_chunking",
-    "text_stats", "text_language_id", "sessionize",
-    "window_topk_per_group", "join_broadcast_inner",
-    "join_left", "join_full_outer", "join_semi", "join_anti",
-    "union_all", "intersect", "except_", "pivot", "rollup", "cube",
-    "window_lag_running", "map_functions", "scd2_history",
+    # 1) r05-vintage tail (oldest remaining signal)
+    "map_functions", "scd2_history",
     "null_semantics", "unpivot", "string_agg", "dedup_ngram_jaccard",
     "dedup_char_ngram", "emb_cosine_pairs",
     "array_functions",
@@ -79,7 +62,13 @@ QUERY_ORDER = (
     "multires_rollup", "session_window_agg", "sql_grouping_sets",
     "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
     "join_salted",
-    # 4) green in the round-6 driver run
+    # 2) new in round 10 — first driver verdict inside the window
+    "interval_overlap", "ohlc_bars", "time_weighted_avg",
+    "benford_fit", "mutual_information", "anomaly_mad",
+    "gini_concentration", "rfm_segmentation", "crossval_folds",
+    "bigram_pmi",
+    # 3) green in the round-6 driver run (next-oldest signal);
+    # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",
     "subq_exists", "subq_not_exists", "subq_scalar",
     "subq_in_having", "subq_not_in", "subq_correlated_scalar",
@@ -132,6 +121,23 @@ QUERY_ORDER = (
     "profile_frequent_values", "time_gap_stats",
     "image_stats", "audio_stats", "video_stats", "media_manifest",
     "emb_jl_recall",
+    # 6) green in the round-9 driver run (freshest signal, so last):
+    # the refreshed r04 tail, round 9's new queries, and the r05 head
+    "substring_dedup", "dsir_importance",
+    "zorder_layout", "text_sentiment", "type_profile_similarity",
+    "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
+    "quarter_hour_case", "agg_groupby", "agg_analytic_window",
+    "version_changes", "bm25_topk", "graph_triangles", "psi_drift",
+    "l_diversity", "join_lateral", "set_ops_all", "basket_lift",
+    "conditional_columns", "scalar_functions", "time_functions",
+    "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
+    "dedup_simhash_pairs", "emb_cosine_topk", "doc_chunking",
+    "text_stats", "text_language_id", "sessionize",
+    "window_topk_per_group", "join_broadcast_inner",
+    "join_left", "join_full_outer", "join_semi", "join_anti",
+    "union_all", "intersect", "except_", "pivot", "rollup", "cube",
+    "window_lag_running",
 )
 
 

@@ -65,6 +65,16 @@ SF3_QUERIES: tuple[str, ...] = (
     # slower than the brute-force anchor decade-over-decade.
     "emb_cosine_topk",
     "emb_bq_ivfpq_rerank",
+    # round 10: the round-9 heavyweights' scale points (VERDICT r09
+    # missing #2) — the text-retrieval explode (expected ~linear:
+    # one corpus explode + 1-row stats broadcast), the triangle
+    # census over the near-dup pair graph (pair-volume-bounded), and
+    # the order-width-bounded basket self-join (measured 5.4x/decade
+    # by hand in round 9; this puts the claim in the shipped
+    # artifact)
+    "bm25_topk",
+    "graph_triangles",
+    "basket_lift",
 )
 
 #: queries re-timed at the scaled fixture.  ``None`` means "every

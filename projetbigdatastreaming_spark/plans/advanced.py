@@ -1894,7 +1894,198 @@ ORDER BY event_type, k_decile
 """
 
 
+# ---------------------------------------------------------------------------
+# rfm_segmentation — recency/frequency/monetary quartiles (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — the classic marketing/churn grid
+    (Hughes 1994): per customer compute Recency (days since last
+    order, anchored to the corpus max date), Frequency (order count)
+    and Monetary (exact-cents spend), quartile each with ntile(4),
+    and report the segment grid with its population and average
+    spend.  The same shape stratifies any entity table before
+    sampling ("don't let the top spend quartile dominate the
+    training mix").
+
+    Determinism: every ntile ordering carries o_custkey as the tie
+    breaker (equal metric values are common — frequency especially);
+    monetary accumulates as BIGINT cents with one double division in
+    the output; recency is a whole-day date_diff of DATEs.
+
+    Scale plan: one hash-agg of orders to per-customer rows, a 1-row
+    max-date broadcast (the tpch_q11 scalar shape), then three ntile
+    windows over the SAME segment hash-partitioning (one Exchange,
+    three in-partition sorts).  Quartiles are computed WITHIN market
+    segment — the analytically standard per-cohort form, and the
+    form that keeps every window hash-partitioned (a corpus-global
+    ntile would serialize; the audit bans it registry-wide).
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+    )
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("anchor")
+    )
+    feat = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "c_mktsegment",
+        "o_custkey",
+        F.datediff("anchor", "last_day").cast("bigint").alias(
+            "recency_days"
+        ),
+        "freq",
+        "cents",
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    rq = F.ntile(4).over(
+        seg.orderBy("recency_days", "o_custkey")
+    )
+    fq = F.ntile(4).over(
+        seg.orderBy(F.col("freq").desc(), F.col("o_custkey"))
+    )
+    mq = F.ntile(4).over(
+        seg.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    )
+    graded = feat.select(
+        "c_mktsegment",
+        "cents",
+        rq.alias("r_quartile"),
+        fq.alias("f_quartile"),
+        mq.alias("m_quartile"),
+    )
+    return (
+        graded.groupBy(
+            "c_mktsegment", "r_quartile", "f_quartile", "m_quartile"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (
+                F.sum("cents").cast("double")
+                / F.count("*")
+                / F.lit(100.0)
+            ).alias("avg_spend"),
+        )
+        .orderBy(
+            "c_mktsegment", "r_quartile", "f_quartile", "m_quartile"
+        )
+    )
+
+
+SQL_RFM_SEGMENTATION = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         MAX(CAST(o.o_orderdate AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+feat AS (
+  SELECT c_mktsegment, o_custkey,
+         CAST(date_diff('day', last_day, anchor) AS BIGINT)
+           AS recency_days,
+         freq, cents
+  FROM per_cust, anchor),
+graded AS (
+  SELECT c_mktsegment, cents,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY recency_days, o_custkey) AS r_quartile,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY freq DESC, o_custkey) AS f_quartile,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY cents DESC, o_custkey) AS m_quartile
+  FROM feat)
+SELECT c_mktsegment, r_quartile, f_quartile, m_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS avg_spend
+FROM graded
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# crossval_folds — deterministic stratified k-fold assignment (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_crossval_folds(spark, sf_dir):
+    """Deterministic STRATIFIED k-fold assignment — the evaluation-
+    split primitive (`train_split`'s k-way sibling): within each
+    stratum (market segment) customers are ranked by key and dealt
+    round-robin into k=5 folds, so every fold carries the same
+    stratum proportions (±1 row) and the assignment is reproducible
+    from the data alone — no RNG, no state, rerunnable anywhere.
+    Output: per (fold, segment) population and exact-cents balance
+    total, which is also the balance audit (near-equal columns ⇒ the
+    deal is fair).
+
+    Scale plan: ONE hash exchange on the stratum for the row_number
+    window (strata are bounded; for low-cardinality strata at 100 TB
+    the documented two-level rewrite applies: deal within
+    (stratum, shard) then rebalance shard offsets — the modulo deal
+    composes), then a map-side-combined agg to the ≤k·|strata| grid.
+    """
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    dealt = cust.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_cents"),
+        ((F.row_number().over(w) - 1) % 5).cast("int").alias("fold"),
+    )
+    return (
+        dealt.groupBy("fold", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents_sum"),
+        )
+        .orderBy("fold", "c_mktsegment")
+    )
+
+
+SQL_CROSSVAL_FOLDS = """
+WITH dealt AS (
+  SELECT c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         CAST((row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_custkey) - 1) % 5 AS INT)
+           AS fold
+  FROM customer)
+SELECT fold, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+FROM dealt
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "rfm_segmentation": QuerySpec(
+        q_rfm_segmentation, SQL_RFM_SEGMENTATION
+    ),
+    "crossval_folds": QuerySpec(q_crossval_folds, SQL_CROSSVAL_FOLDS),
     "variant_json": QuerySpec(q_variant_json, SQL_VARIANT_JSON),
     "cep_pattern_match": QuerySpec(
         q_cep_pattern_match, SQL_CEP_PATTERN_MATCH

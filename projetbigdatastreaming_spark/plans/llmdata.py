@@ -5307,7 +5307,112 @@ ORDER BY source, cum_eff_q6, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram_pmi — collocation mining via pointwise mutual information
+# (round 10)
+# ---------------------------------------------------------------------------
+
+#: minimum bigram count for a PMI candidate (PMI explodes on
+#: hapaxes — the standard collocation floor; Church & Hanks 1990)
+PMI_MIN_COUNT = 5
+PMI_TOPN = 20
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Top collocations by pointwise mutual information — the phrase
+    -mining primitive (Church & Hanks 1990) a tokenizer pipeline runs
+    to decide which adjacent word pairs deserve a merged vocabulary
+    entry: PMI = ln(c(w1,w2)·N / (c(w1·)·c(·w2))) over the corpus
+    bigram table, floored at count ≥ 5 because PMI explodes on
+    hapaxes.  `bigram_logprob`'s counts answer "how surprising is
+    this document?"; the SAME counts here answer "which pairs stick
+    together?".
+
+    Determinism: every probability ratio is built from exact integer
+    counts (identical doubles on both engines before the det6 floor);
+    the top-20 order is total — (pmi DESC, w1, w2) — so the cut line
+    cannot flip on ties.
+
+    Scale plan: ONE corpus explode into the bigram-count relation
+    (persisted — it feeds both marginals and the scorer), marginals
+    as two further hash-aggs of THAT table (vocabulary-sized, never
+    the corpus again), the grand total a 1-row broadcast, and the
+    head a TakeOrderedAndProject (no global sort materializes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    pairs = (
+        docs.select(arr.alias("a"))
+        .where(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("a"), 1, F.size("a") - 1).alias("w1"),
+                    F.slice(F.col("a"), 2, F.size("a") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cb = _persist_scoped(
+        "pmi_bigram_counts",
+        pairs.groupBy("w1", "w2").agg(
+            F.count("*").cast("bigint").alias("c12")
+        ),
+    )
+    c1 = cb.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    c2 = cb.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    total = cb.agg(F.sum("c12").cast("bigint").alias("n_big"))
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    pmi = "ln((c12 * n_big) / (CAST(c1 AS DOUBLE) * c2))"
+    return (
+        cb.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "w1", "w2", "c12", det6.format(expr=pmi) + " AS pmi"
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOPN)
+    )
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                          'g')), ' ') AS a
+  FROM documents
+  WHERE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+        'g')), ' ')) >= 2),
+pairs AS (
+  SELECT a[i] AS w1, a[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+  WHERE a[i] <> '' AND a[i + 1] <> ''),
+cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM cb GROUP BY w2),
+total AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_big FROM cb)
+SELECT w1, w2, c12,
+       CAST(FLOOR(ln((c12 * n_big) / (CAST(c1 AS DOUBLE) * c2))
+                  * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pmi
+FROM cb
+JOIN c1 USING (w1)
+JOIN c2 USING (w2)
+CROSS JOIN total
+WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOPN}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "bigram_pmi": QuerySpec(q_bigram_pmi, SQL_BIGRAM_PMI),
     "filter_waterfall": QuerySpec(q_filter_waterfall, SQL_FILTER_WATERFALL),
     "curation_weighted_sample": QuerySpec(
         q_curation_weighted_sample, SQL_CURATION_WEIGHTED_SAMPLE

@@ -883,7 +883,375 @@ ORDER BY feature
 """
 
 
+# ---------------------------------------------------------------------------
+# benford_fit — first-digit distribution audit (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_benford_fit(spark, sf_dir):
+    """First-significant-digit audit of ``l_extendedprice`` against
+    Benford's law — the standard forensic screen for fabricated or
+    unit-corrupted numeric columns (Benford 1938; Nigrini's audit
+    practice): naturally occurring multi-scale amounts put digit d
+    first with probability log10(1+1/d), and a synthetic or truncated
+    feed visibly doesn't.  Output per digit: count, observed share,
+    expected share, and the χ² contribution n·(obs−exp)²/exp.
+
+    Determinism: the digit is extracted from the EXACT integer cents
+    (floor(x·100+0.5) → BIGINT → decimal string → first char), never
+    from floor(log10(x)) — log10 lands below the true value at exact
+    powers of ten and misclassifies them, and integer→string renders
+    identically on both engines where double formatting doesn't.
+
+    Scale plan: one map-side-combined hash-agg to ≤9 rows, a 1-row
+    total broadcast (the tpch_q11 scalar shape); the fact table is
+    scanned once, projection-pruned to one column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    obs = "cnt / CAST(n AS DOUBLE)"
+    exp = "ln(1.0 + 1.0 / digit) / ln(10.0)"
+    chi2 = f"n * power(({obs}) - ({exp}), 2) / ({exp})"
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "digit",
+            "cnt",
+            det6.format(expr=obs) + " AS observed_p",
+            det6.format(expr=exp) + " AS expected_p",
+            det6.format(expr=chi2) + " AS chi2_term",
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_FIT = """
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                        AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts)
+SELECT digit, cnt,
+       CAST(FLOOR((cnt / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE)
+         / 1e6 AS observed_p,
+       CAST(FLOOR((ln(1.0 + 1.0 / digit) / ln(10.0)) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS expected_p,
+       CAST(FLOOR((n * power(cnt / CAST(n AS DOUBLE)
+                             - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                   / (ln(1.0 + 1.0 / digit) / ln(10.0))) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS chi2_term
+FROM counts, total
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# mutual_information — categorical dependence audit (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_mutual_information(spark, sf_dir):
+    """Mutual information between two categorical columns (customer
+    market segment × nation) — the feature-dependence audit a
+    training pipeline runs before trusting a stratification key or
+    looking for leakage between metadata columns (MI = Σ p(x,y)
+    ln(p(x,y)/(p(x)p(y))); Cover & Thomas ch. 2).  Output: one row
+    per observed (nation, segment) cell with its count, PMI, and MI
+    contribution — all ratios formed from exact integer counts, so
+    both engines compute bit-identical doubles before the det6 floor.
+
+    Scale plan: broadcast the 25-row nation dim into the customer
+    scan, ONE map-side-combined hash-agg to the ≤|x|·|y| joint grid;
+    marginals ride PARTITIONED window sums over that tiny grid and
+    the grand total is the tpch_q11 1-row scalar broadcast (the
+    repo's blessed shape for an uncorrelated scalar — a global window
+    would serialize, and the audit bans it registry-wide).  The grid
+    is KB-sized at any corpus scale, so the second tiny aggregate
+    over it costs nothing next to the fact scan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    joint = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wx = Window.partitionBy("n_name")
+    wy = Window.partitionBy("c_mktsegment")
+    total = joint.agg(F.sum("cnt").cast("bigint").alias("n"))
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    pmi = "ln((cnt * n) / (CAST(cx AS DOUBLE) * cy))"
+    mi = f"(cnt / CAST(n AS DOUBLE)) * ({pmi})"
+    return (
+        joint.select(
+            "n_name",
+            "c_mktsegment",
+            "cnt",
+            F.sum("cnt").over(wx).alias("cx"),
+            F.sum("cnt").over(wy).alias("cy"),
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "n_name",
+            "c_mktsegment",
+            "cnt",
+            det6.format(expr=pmi) + " AS pmi",
+            det6.format(expr=mi) + " AS mi_term",
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH joint AS (
+  SELECT n.n_name, c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM joint),
+g AS (
+  SELECT n_name, c_mktsegment, cnt,
+         SUM(cnt) OVER (PARTITION BY n_name) AS cx,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS cy,
+         n
+  FROM joint, total)
+SELECT n_name, c_mktsegment, cnt,
+       CAST(FLOOR(ln((cnt * n) / (CAST(cx AS DOUBLE) * cy)) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS pmi,
+       CAST(FLOOR(((cnt / CAST(n AS DOUBLE))
+                   * ln((cnt * n) / (CAST(cx AS DOUBLE) * cy)))
+                  * 1e6 + 0.5) AS DOUBLE) / 1e6 AS mi_term
+FROM g
+ORDER BY n_name, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# anomaly_mad — median/MAD robust outlier census (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_anomaly_mad(spark, sf_dir):
+    """Robust per-group outlier census: a value is anomalous when its
+    absolute deviation from the group MEDIAN exceeds 3 robust sigmas
+    (1.4826 × MAD — the median absolute deviation consistency
+    constant for a normal population; Hampel's rule).  Unlike the
+    mean/stddev z-score (`iqr_outliers`' cousin), one wild sensor
+    reading cannot drag the threshold, which is why production drift
+    monitors prefer it.  Output per event type: median, MAD, outlier
+    count and share.
+
+    Determinism: both medians are det6-floored BEFORE the threshold
+    comparison — Spark and DuckDB interpolate even-count medians with
+    differently associated expressions (lo+(hi−lo)·f vs lo·(1−f)+hi·f)
+    that can differ in the last ulp, and a raw-ulp threshold would
+    flip boundary rows.
+
+    Scale plan: exact medians are two sort-based aggs per group (the
+    5-row result broadcasts back into the scan each time) — the exact
+    path is the CORRECTNESS baseline; at 100 TB swap stage 1 for
+    approx_percentile(0.5) (t-digest, one pass, mergeable) without
+    touching the census stage.  Three scans of one pruned column, no
+    self-joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    med = ev.groupBy("event_type").agg(
+        F.expr(det6.format(expr="median(value)")).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                det6.format(expr="median(abs(value - med))")
+            ).alias("mad")
+        )
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .selectExpr(
+            "event_type",
+            "med",
+            "mad",
+            "n_outliers",
+            det6.format(expr="n_outliers / CAST(n AS DOUBLE)")
+            + " AS outlier_share",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ANOMALY_MAD = """
+WITH med AS (
+  SELECT event_type,
+         CAST(FLOOR(median(value) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type,
+         CAST(FLOOR(median(abs(e.value - m.med)) * 1e6 + 0.5) AS DOUBLE)
+           / 1e6 AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY 1),
+census AS (
+  SELECT e.event_type, m.med, d.mad,
+         CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events e
+  JOIN med m ON e.event_type = m.event_type
+  JOIN mad d ON e.event_type = d.event_type
+  GROUP BY 1, 2, 3)
+SELECT event_type, med, mad, n_outliers,
+       CAST(FLOOR((n_outliers / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS outlier_share
+FROM census
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# gini_concentration — inequality coefficient of customer spend (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_gini_concentration(spark, sf_dir):
+    """Per-nation Gini coefficient of customer spend — the
+    concentration audit ("how skewed is my key within each group?") a
+    pipeline runs before trusting a partition or sampling key, and
+    the economics-standard inequality measure.  Uses the sorted-rank
+    identity G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending
+    spend within each nation (Sen 1973) — one ranked pass, never the
+    O(n²) pairwise |xᵢ−xⱼ| definition.
+
+    Determinism: spend accumulates as BIGINT cents; rank ties break
+    on custkey; both Σ terms stay integers until the single final
+    division (i·xᵢ ≤ n·max_cents keeps Σ i·xᵢ inside int64 through
+    sf100).
+
+    Scale plan: one hash-agg to per-customer rows with the 25-row
+    nation dim broadcast in, then NATION-PARTITIONED rank + aggregate
+    (hashpartitioning — the audit bans global windows registry-wide,
+    and the grouped form is also the analytically useful one; a
+    whole-corpus Gini at 100 TB is the two-level rank-by-range
+    composition this grouped operator's math drops into unchanged).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(
+            cust.join(
+                F.broadcast(nat),
+                cust.c_nationkey == nat.n_nationkey,
+            ).select("c_custkey", "n_name"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "n_name",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    gini = (
+        "(2 * sum_ix - (n + 1) * sum_x) / (n * CAST(sum_x AS DOUBLE))"
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_x"),
+            F.sum(F.col("i") * F.col("cents")).cast("bigint").alias(
+                "sum_ix"
+            ),
+        )
+        .selectExpr(
+            "n_name",
+            "n AS n_customers",
+            det6.format(expr=gini) + " AS gini",
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_GINI_CONCENTRATION = """
+WITH spend AS (
+  SELECT n.n_name, o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT n_name, cents,
+         CAST(row_number() OVER (PARTITION BY n_name
+                                 ORDER BY cents, o_custkey) AS BIGINT)
+           AS i
+  FROM spend),
+agg AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_x,
+         CAST(SUM(i * cents) AS BIGINT) AS sum_ix
+  FROM ranked GROUP BY 1)
+SELECT n_name, n AS n_customers,
+       CAST(FLOOR(((2 * sum_ix - (n + 1) * sum_x)
+                   / (n * CAST(sum_x AS DOUBLE))) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS gini
+FROM agg
+ORDER BY n_name
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "benford_fit": QuerySpec(q_benford_fit, SQL_BENFORD_FIT),
+    "mutual_information": QuerySpec(
+        q_mutual_information, SQL_MUTUAL_INFORMATION
+    ),
+    "anomaly_mad": QuerySpec(q_anomaly_mad, SQL_ANOMALY_MAD),
+    "gini_concentration": QuerySpec(
+        q_gini_concentration, SQL_GINI_CONCENTRATION
+    ),
     "psi_drift": QuerySpec(q_psi_drift, SQL_PSI_DRIFT),
     "quality_classifier": QuerySpec(
         q_quality_classifier, SQL_QUALITY_CLASSIFIER

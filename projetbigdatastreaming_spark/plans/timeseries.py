@@ -414,7 +414,250 @@ ORDER BY event_type, day
 """
 
 
+# ---------------------------------------------------------------------------
+# interval_overlap — sweep-line max concurrency (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Maximum CONCURRENT intervals per event type — the classic
+    sweep-line: each event is an interval [ts, ts + value minutes);
+    every boundary becomes a +1/−1 delta row, a per-type running sum
+    walks the boundaries in time order, and the max of that sum is
+    the peak concurrency (how many sessions/calls/jobs were live at
+    once).  Half-open semantics: at an identical instant, ends sort
+    BEFORE starts (delta −1 < +1), so two intervals that merely touch
+    never count as overlapping; remaining ties break on event_id.
+
+    Scale plan: the interval relation never self-joins (the naive
+    overlap query is O(n²)); it explodes 2× to boundary rows and
+    takes ONE hash exchange on event_type for the running-sum window.
+    The low-cardinality partition key is the honest caveat: with 5
+    event types, 100 TB of boundaries serialize through 5 sort
+    partitions — the production rewrite is the two-level parallel
+    prefix sum (chunk the timeline, partial-sum each chunk in
+    parallel, prefix the per-chunk totals — one extra tiny shuffle),
+    which this operator's shape composes into without changing the
+    boundary relation.  Timestamps stay NTZ end-to-end (tz-free
+    ordering); the value→minutes cast goes through FLOOR because
+    DuckDB's double→int cast ROUNDS while Spark's truncates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(FLOOR(value) AS INT), ts)"
+        ).alias("end_ts"),
+        "event_id",
+    )
+    pts = iv.select(
+        "event_type",
+        F.col("start_ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionAll(
+        iv.select(
+            "event_type",
+            F.col("end_ts").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = pts.withColumn("conc", F.sum("delta").over(w))
+    return (
+        conc.groupBy("event_type")
+        .agg(
+            F.max("conc").cast("bigint").alias("max_concurrent"),
+            F.count("*").cast("bigint").alias("n_boundaries"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH iv AS (
+  SELECT event_type, ts AS start_ts,
+         ts + CAST(FLOOR(value) AS INT) * INTERVAL 1 MINUTE AS end_ts,
+         event_id
+  FROM events),
+pts AS (
+  SELECT event_type, start_ts AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT event_type, end_ts AS t, -1 AS delta, event_id FROM iv),
+conc AS (
+  SELECT event_type,
+         SUM(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts)
+SELECT event_type,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries
+FROM conc
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ohlc_bars — open/high/low/close candle aggregation (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_bars(spark, sf_dir):
+    """Daily OHLC candles per event type: open = first value of the
+    day in time order, close = last, high/low = extremes, plus event
+    count and exact-integer-cents volume — the financial-bars shape
+    every metrics store reimplements.
+
+    Scale plan: ONE hash exchange on the (event_type, day) grain; the
+    first/last picks are two row_number windows over the SAME
+    partitioning (Catalyst plans one Exchange, two in-partition
+    sorts), never a self-join back to the raw rows.  The key space
+    grows with days × types, so parallelism scales with data span —
+    unlike the sweep-line's fixed-key caveat.  Determinism: time ties
+    break on event_id; volume accumulates as BIGINT cents (one cast,
+    no double-sum order sensitivity); ``day`` is a DATE on both
+    engines (Spark date_trunc's LTZ timestamp vs DuckDB's naive one
+    is the r03 hash-divergence class).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = t.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        r.groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias(
+                "close"
+            ),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("volume_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_OHLC_BARS = """
+WITH t AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents
+FROM r
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg — TWAP over irregular samples (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per event type over IRREGULARLY
+    spaced samples: each observation holds until the next one, so its
+    weight is the gap to its successor (the TWAP every market-data
+    and sensor pipeline needs — a plain AVG over-counts bursts).
+    The last observation per type has no successor and drops out.
+
+    Scale plan: one lead() window per type (single hash exchange +
+    in-partition sort — same low-cardinality-key caveat and two-level
+    rewrite as the sweep-line), then a map-side-combinable agg.
+    Determinism: the weighted sum accumulates as BIGINT
+    cents × gap-microseconds (value is 2-decimal, the gap is an exact
+    integer, and Σgap is bounded by the corpus time span, so the
+    product sum stays far inside int64) with ONE double division at
+    the end — no float-summation order sensitivity on either engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, ts,"
+            " lead(ts) OVER (PARTITION BY event_type"
+            " ORDER BY ts, event_id))"
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("cents") * F.col("gap_us")).cast("double")
+                / F.sum("gap_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twap"),
+            F.count("*").cast("bigint").alias("n_gaps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH g AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT event_type,
+       CAST(SUM(cents * gap_us) AS DOUBLE)
+         / CAST(SUM(gap_us) AS DOUBLE) / 100.0 AS twap,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM g
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "interval_overlap": QuerySpec(q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "ohlc_bars": QuerySpec(q_ohlc_bars, SQL_OHLC_BARS),
+    "time_weighted_avg": QuerySpec(
+        q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG
+    ),
     "mv_incremental_refresh": QuerySpec(
         q_mv_incremental_refresh, SQL_MV_INCREMENTAL_REFRESH
     ),

@@ -661,6 +661,38 @@ def replicate_versioned(
         changes.unpersist()
 
 
+def cdc_subscriber_writer(
+    src_table_dir: str,
+    dst_path: str,
+    key_cols: list[str],
+    cursor_path: str,
+):
+    """foreachBatch sink turning `replicate_versioned` into a
+    CONTINUOUS consumer: attach it to any ticking stream (rate
+    source, the synthetic DataSource, a timer) and the replica
+    converges to the publisher's latest version while the publisher
+    keeps appending — publish/subscribe with no manual sync calls.
+    The tick batch's CONTENT is ignored; it is only the clock.
+
+    Inherits replicate_versioned's whole contract: per tick ONE
+    key+hash diff since the durable cursor (zero-cost when in sync —
+    the `changes_since` fast path), values moved only for changed
+    keys, crash-before-cursor-commit replays convergently.  Ticks
+    are strictly ordered within a streaming query (foreachBatch is
+    serial), so cursor updates never interleave."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        replicate_versioned(
+            batch_df.sparkSession,
+            src_table_dir,
+            dst_path,
+            key_cols,
+            cursor_path,
+        )
+
+    return _fn
+
+
 def version_asof(table_dir: str, ts: float) -> int:
     """The highest version committed AT OR BEFORE wall-clock ``ts``
     (unix seconds) — timestamp time travel ("what did training run X,

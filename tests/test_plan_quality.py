@@ -244,6 +244,14 @@ _BNLJ_ALLOWED = {
     # one-scan metric row x the orphan count) before exploding to the
     # per-constraint rows — a 1x1 BNLJ
     "constraint_check",
+    # round-10 single-row scalar broadcasts: benford_fit's digit-total,
+    # mutual_information's grand total over the joint grid,
+    # rfm_segmentation's corpus max-date anchor, bigram_pmi's bigram
+    # grand total — each the Q11 uncorrelated-scalar shape
+    "benford_fit",
+    "mutual_information",
+    "rfm_segmentation",
+    "bigram_pmi",
     # timeseries_gapfill crosses the distinct event types against the
     # one-row global min/max bounds to build the hour spine — a
     # |types|x1 BNLJ over aggregated (broadcast-size) inputs

@@ -483,6 +483,62 @@ def test_ingest_gates_quarantine_drift_and_hold_low_bm25(
     assert spark.read.parquet(d("drift_quarantine")).count() == 3
 
 
+def test_continuous_cdc_subscriber_converges(spark, tmp_path):
+    """`cdc_subscriber_writer` runs the CDC replica sync as a real
+    streaming consumer (foreachBatch over a ticking rate stream):
+    interleaved publishes and ticks — including a multi-version gap
+    and a delete-heavy republish — end with the replica BIT-IDENTICAL
+    to the publisher's latest version, and an in-sync tick is a
+    no-op."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        cdc_subscriber_writer,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "replica")
+    cursor = str(tmp_path / "cursor")
+    sync = cdc_subscriber_writer(src, dst, ["id"], cursor)
+
+    def tick():
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .writeStream.foreachBatch(sync)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def replica():
+        return _rows(spark.read.parquet(dst))
+
+    versioned_overwrite(_df(spark, [1, 2, 3]), src)
+    tick()  # bootstrap
+    assert replica() == _rows(read_version(spark, src))
+
+    # publisher keeps appending BETWEEN ticks — two versions fold
+    # into one diff at the next tick
+    versioned_append(_df(spark, [4]), src)
+    versioned_append(_df(spark, [5]), src)
+    tick()
+    assert replica() == _rows(read_version(spark, src))
+
+    # delete-heavy republish (takedown): replica drops the rows
+    versioned_overwrite(
+        read_version(spark, src).where("id not in (2, 4)"), src
+    )
+    tick()
+    assert replica() == _rows(read_version(spark, src)) == _rows(
+        _df(spark, [1, 3, 5])
+    )
+
+    # in-sync tick: nothing changes, nothing breaks
+    before = replica()
+    tick()
+    assert replica() == before
+
+
 def test_ingest_psi_gate_requires_quarantine_dir():
     from projetbigdatastreaming_spark.streaming.ingest import (
         full_ingest_writer,
