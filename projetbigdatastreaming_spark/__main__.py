@@ -68,6 +68,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "index-status",
             "table-history",
             "vacuum-versions",
+            "compact-versioned",
             "replicate",
         ],
     )
@@ -252,6 +253,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
             m, f = vacuum(args.path, keep_last=args.keep_last)
             print(f"removed {m} manifests, {f} orphan files")
+            return 0
+        if args.op == "compact-versioned":
+            from .sinks.versioned import compact_versioned
+
+            v, n = compact_versioned(
+                spark, args.path, target_mb=args.target_mb
+            )
+            print(f"compacted {n} base files into version {v}")
             return 0
         if args.op.startswith("retract-"):
             if not args.ids:

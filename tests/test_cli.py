@@ -82,3 +82,32 @@ def test_cli_maintain_repair_and_compacts(spark, tmp_path, capsys):
     for st in (cms_state, bloom_state, cur_state):
         parts = [p for p in os.listdir(st) if p.startswith("batch_id=")]
         assert parts == ["batch_id=-1"], (st, parts)
+
+
+def test_cli_compact_versioned(spark, tmp_path, capsys):
+    """`maintain compact-versioned` folds the retired __base__ files
+    of a versioned table into ~target_mb outputs, preserving content
+    and recent batch attribution."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        _read_manifest,
+        list_versions,
+        read_version,
+        versioned_append_batch,
+    )
+
+    t = str(tmp_path / "vt")
+    for b in range(6):
+        versioned_append_batch(
+            spark.createDataFrame([(b,)], "id long").coalesce(1),
+            t,
+            b,
+            retire_horizon=2,
+        )
+    before = sorted(r.id for r in read_version(spark, t).collect())
+    assert (
+        main(["maintain", "compact-versioned", t], spark=spark) == 0
+    )
+    assert "compacted" in capsys.readouterr().out
+    v = list_versions(t)[-1]
+    assert sorted(r.id for r in read_version(spark, t, v).collect()) == before
+    assert len(_read_manifest(t, v)["batches"]["__base__"]) == 1

@@ -363,3 +363,31 @@ def test_bm25_screen_stream_equals_batch(spark, tmp_path):
     assert stats.collect() == bm25_corpus_stats(
         bm25_per_doc(docs)
     ).collect()
+
+
+def test_ohlc_stream_fold_equals_batch(spark, tmp_path):
+    """Streaming OHLC: the fold of per-batch partial candles over 3
+    micro-batches equals the one-pass batch query EXACTLY (mergeable
+    aggregate — open/close travel with their (ts, event_id) keys),
+    and a redelivery restates its partition without double-counting."""
+    from projetbigdatastreaming_spark.plans.timeseries import q_ohlc_bars
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        ohlc_batch_writer,
+        read_ohlc,
+    )
+
+    ev = load_table(spark, SF, "events")
+    state = str(tmp_path / "ohlc")
+    write = ohlc_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    want = rows(q_ohlc_bars(spark, SF))
+    got = rows(read_ohlc(spark, state))
+    assert got == want and len(got) > 0
+
+    write(ev.where("event_id % 3 = 1"), 1)  # at-least-once redelivery
+    assert rows(read_ohlc(spark, state)) == want
