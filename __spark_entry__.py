@@ -66,7 +66,8 @@ QUERY_ORDER = (
     "interval_overlap", "ohlc_bars", "time_weighted_avg",
     "benford_fit", "mutual_information", "anomaly_mad",
     "gini_concentration", "rfm_segmentation", "crossval_folds",
-    "bigram_pmi",
+    "bigram_pmi", "pareto_frontier", "text_readability",
+    "graph_assortativity",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",

@@ -2081,7 +2081,100 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# pareto_frontier — 2-D skyline per group (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_frontier(spark, sf_dir):
+    """Per-segment Pareto frontier (skyline) of customers over
+    (spend, order count): the non-dominated set — no other customer
+    in the segment is ≥ on both axes and strictly better on one.
+    The skyline operator (Börzsönyi et al. 2001) is what "show me the
+    efficient frontier" dashboards and multi-objective data-selection
+    passes (quality vs dedup-penalty) run.
+
+    NOT the O(n²) dominance self-join: after one hash-agg to
+    per-customer rows, dominance collapses to two window lookups —
+    ``mx_gt`` = max(freq) among STRICTLY higher spend (a RANGE frame
+    starting 1 following on integer cents) and ``mx_eq`` = max(freq)
+    at equal spend — a row survives iff mx_gt < freq (or none) and
+    mx_eq ≤ freq.  Equal (spend, freq) duplicates are mutually
+    non-dominating and both survive, which the strict-inequality
+    reading of dominance requires.
+
+    Scale plan: one orders hash-agg, one segment hash exchange for
+    the windows (both windows share the partitioning; the RANGE frame
+    needs integer ordering, which is why spend stays BIGINT cents),
+    frontier filter is codegen.  Output is the frontier only —
+    skylines are small (O(log n) expected for independent dims).
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    feat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+    )
+    w_gt = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("cents")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy("c_mktsegment", "cents")
+    flagged = feat.select(
+        "c_mktsegment",
+        "o_custkey",
+        "freq",
+        "cents",
+        F.max("freq").over(w_gt).alias("mx_gt"),
+        F.max("freq").over(w_eq).alias("mx_eq"),
+    )
+    return (
+        flagged.where(
+            (F.col("mx_gt").isNull() | (F.col("mx_gt") < F.col("freq")))
+            & (F.col("mx_eq") <= F.col("freq"))
+        )
+        .select("c_mktsegment", "o_custkey", "freq", "cents")
+        .orderBy("c_mktsegment", F.col("cents").desc(), "o_custkey")
+    )
+
+
+SQL_PARETO_FRONTIER = """
+WITH feat AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT c_mktsegment, o_custkey, freq, cents,
+         MAX(freq) OVER (PARTITION BY c_mktsegment ORDER BY cents
+                         RANGE BETWEEN 1 FOLLOWING
+                         AND UNBOUNDED FOLLOWING) AS mx_gt,
+         MAX(freq) OVER (PARTITION BY c_mktsegment, cents) AS mx_eq
+  FROM feat)
+SELECT c_mktsegment, o_custkey, freq, cents
+FROM flagged
+WHERE (mx_gt IS NULL OR mx_gt < freq) AND mx_eq <= freq
+ORDER BY c_mktsegment, cents DESC, o_custkey
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "pareto_frontier": QuerySpec(q_pareto_frontier, SQL_PARETO_FRONTIER),
     "rfm_segmentation": QuerySpec(
         q_rfm_segmentation, SQL_RFM_SEGMENTATION
     ),

@@ -274,7 +274,99 @@ FROM ne, nw, nt
 
 
 
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the near-dup pair graph — the Pearson
+    correlation of endpoint degrees over edges (Newman 2002): r > 0
+    means hub documents duplicate other hubs (one template family
+    snowballing), r < 0 means hubs attach to leaves (a star — one
+    canonical doc with many variants).  With the triangle census this
+    tells takedown planning whether removing a hub shatters a clique
+    or a star.
+
+    Determinism: every moment (Σd, Σd², Σdᵤdᵥ over both edge
+    orientations — symmetric, so Sx=Sy and Sxx=Syy) accumulates as
+    exact BIGINTs; ONE double division + sqrt at the end, det6
+    floored.  At extreme degree scales the int64 moments would need a
+    double switch — the near-dup graph's degrees are duplication
+    multiplicities, far below that bound.
+
+    Scale plan: same pair-volume-bounded edge relation as
+    `graph_triangles` (exact-verified LSH — never a co-occurrence
+    projection); degrees are one hash-agg; the two degree lookups are
+    equi-joins AQE broadcasts (the degree table is |nodes-with-dups|
+    rows); the moments collapse to ONE row.
+    """
+    from ..cache import persist_scoped
+    from ..operators import dedup as _dedup
+
+    pairs = _dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = persist_scoped("graph_assort_edges", pairs)
+    deg = (
+        edges.selectExpr("u AS x")
+        .unionAll(edges.selectExpr("v AS x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    j = (
+        edges.join(deg.selectExpr("x AS u", "d AS du"), "u")
+        .join(deg.selectExpr("x AS v", "d AS dv"), "v")
+    )
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    r = (
+        "(n * sxy - sx * sx)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    )
+    return j.agg(
+        (F.count("*") * 2).cast("long").alias("n"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("sx"),
+        F.sum(F.lit(2) * F.col("du") * F.col("dv"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("long")
+        .alias("sxx"),
+    ).selectExpr(
+        "CAST(n DIV 2 AS BIGINT) AS n_edges",
+        "CASE WHEN n * sxx - sx * sx > 0 THEN "
+        + det6.format(expr=r)
+        + " ELSE CAST(0.0 AS DOUBLE) END AS assortativity",
+    )
+
+
+SQL_GRAPH_ASSORTATIVITY = f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+  GROUP BY x),
+j AS (
+  SELECT a.d AS du, b.d AS dv
+  FROM edges e
+  JOIN deg a ON e.u = a.x
+  JOIN deg b ON e.v = b.x),
+m AS (
+  SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n,
+         CAST(SUM(du + dv) AS BIGINT) AS sx,
+         CAST(SUM(2 * du * dv) AS BIGINT) AS sxy,
+         CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx
+  FROM j)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(FLOOR(((n * sxy - sx * sx)
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)) * 1e6 + 0.5)
+                 AS DOUBLE) / 1e6
+            ELSE CAST(0.0 AS DOUBLE) END AS assortativity
+FROM m
+"""
+
+
 REGISTRY = {
     "graph_pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
     "graph_triangles": QuerySpec(q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_assortativity": QuerySpec(
+        q_graph_assortativity, SQL_GRAPH_ASSORTATIVITY
+    ),
 }

@@ -5411,7 +5411,91 @@ LIMIT {PMI_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# text_readability — Flesch reading-ease profile per language (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_text_readability(spark, sf_dir):
+    """Per-language Flesch reading-ease profile — the grade-level
+    signal curation recipes use next to the Gopher length/symbol
+    rules (FRE = 206.835 − 1.015·W/S − 84.6·Y/W over words W,
+    sentences S, syllables Y; Flesch 1948; Kincaid et al. 1975).
+    Syllables use the standard vowel-group proxy ([aeiouy]+ runs) —
+    the deterministic, language-agnostic estimator every large-scale
+    readability pass uses, since dictionary syllabification doesn't
+    distribute.
+
+    Computed MACRO-LEVEL: the per-language W/S/Y totals are exact
+    BIGINTs and FRE is evaluated on the aggregate ratios — summing
+    per-doc float scores would be float-order-sensitive across
+    engines, integer totals are not (the stats_agg discipline).
+
+    Scale plan: three regexp_count projections (codegen, no explode —
+    the counts never materialize token rows), one map-side-combined
+    hash-agg to ≤|langs| rows.  One corpus scan, text column only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.selectExpr(
+        "lang",
+        r"regexp_count(text, '\\S+') AS w",
+        r"greatest(regexp_count(text, '[.!?]+'), 1) AS s",
+        r"greatest(regexp_count(lower(text), '[aeiouy]+'), 1) AS y",
+    )
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    fre = (
+        "206.835 - 1.015 * (words / CAST(sentences AS DOUBLE))"
+        " - 84.6 * (syllables / CAST(words AS DOUBLE))"
+    )
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("words"),
+            F.sum("s").cast("bigint").alias("sentences"),
+            F.sum("y").cast("bigint").alias("syllables"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "words",
+            "sentences",
+            "syllables",
+            det6.format(expr=fre) + " AS flesch",
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_READABILITY = r"""
+WITH counted AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\S+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS y
+  FROM documents),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS words,
+         CAST(SUM(s) AS BIGINT) AS sentences,
+         CAST(SUM(y) AS BIGINT) AS syllables
+  FROM counted GROUP BY lang)
+SELECT lang, n_docs, words, sentences, syllables,
+       CAST(FLOOR((206.835
+                   - 1.015 * (words / CAST(sentences AS DOUBLE))
+                   - 84.6 * (syllables / CAST(words AS DOUBLE)))
+                  * 1e6 + 0.5) AS DOUBLE) / 1e6 AS flesch
+FROM agg
+ORDER BY lang
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "text_readability": QuerySpec(
+        q_text_readability, SQL_TEXT_READABILITY
+    ),
     "bigram_pmi": QuerySpec(q_bigram_pmi, SQL_BIGRAM_PMI),
     "filter_waterfall": QuerySpec(q_filter_waterfall, SQL_FILTER_WATERFALL),
     "curation_weighted_sample": QuerySpec(
