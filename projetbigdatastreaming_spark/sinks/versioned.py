@@ -335,9 +335,17 @@ def compact_versioned(
 
     Old versions keep referencing the pre-compaction files (time
     travel unbroken); `vacuum` reclaims them once their manifests
-    retire.  Concurrent-writer safe: the compose step re-reads the
+    retire.  Concurrent-APPEND safe: the compose step re-reads the
     winning parent and keeps any base files that landed after our
-    snapshot, so a concurrent plain append is never dropped."""
+    snapshot, so a concurrent plain append is never dropped.  NOT
+    safe concurrent with an OVERWRITE (takedown republish): the
+    compose merge would re-introduce the compacted copy of content
+    the overwrite just removed — so if the base we snapshot has
+    vanished from the winning parent entirely (the overwrite
+    signature), the compaction ABORTS as a no-op instead of
+    resurrecting it.  Run compaction and takedown republishes from
+    the same maintenance lane (the operational rule every compaction
+    in this engine already follows)."""
     import math
 
     versions = list_versions(table_dir)
@@ -355,15 +363,27 @@ def compact_versioned(
     )
     snap_base = set(base_files)
 
+    class _Abort(Exception):
+        pass
+
     def compose(vs):
         batches = _parent_batches(table_dir, vs)
         current_base = list(batches.get("__base__", []))
+        if not snap_base & set(current_base):
+            # an interleaved overwrite replaced the table: committing
+            # our compacted copy would resurrect removed content —
+            # abort without committing (the new_files become orphans
+            # for vacuum, like any crashed write)
+            raise _Abort()
         batches["__base__"] = new_files + [
             f for f in current_base if f not in snap_base
         ]
         return [f for fs in batches.values() for f in fs], batches
 
-    v = _commit(table_dir, None, "compact", compose=compose)
+    try:
+        v = _commit(table_dir, None, "compact", compose=compose)
+    except _Abort:
+        return list_versions(table_dir)[-1], 0
     return v, len(base_files)
 
 

@@ -563,3 +563,39 @@ def test_ingest_psi_gate_requires_quarantine_dir():
             table_dir="t",
             psi_alert_threshold=0.1,
         )
+
+
+def test_compact_versioned_aborts_on_interleaved_overwrite(
+    spark, tmp_path, monkeypatch
+):
+    """A takedown republish interleaving with a base compaction must
+    NOT be resurrected by the compaction's compose merge: when the
+    snapshot base has vanished from the winning parent entirely, the
+    compaction aborts without committing."""
+    from projetbigdatastreaming_spark.sinks import versioned
+
+    t = str(tmp_path / "vt_abort")
+    for b in range(4):
+        versioned_append_batch(
+            _df(spark, [b]), t, b, retire_horizon=1
+        )
+    pre = list_versions(t)[-1]
+
+    real = versioned._write_files
+
+    def write_then_overwrite(df, table_dir):
+        files = real(df, table_dir)
+        # takedown republish lands AFTER compaction wrote its files
+        # but BEFORE its commit
+        monkeypatch.undo()
+        versioned_overwrite(_df(spark, [99]), table_dir)
+        return files
+
+    monkeypatch.setattr(versioned, "_write_files", write_then_overwrite)
+    v, n = compact_versioned(spark, t, target_mb=128)
+    assert n == 0  # aborted, nothing compacted
+    latest = list_versions(t)[-1]
+    assert _rows(read_version(spark, t, latest)) == _rows(
+        _df(spark, [99])
+    )  # the takedown's content stands; nothing resurrected
+    assert pre + 1 == latest  # no extra compact version committed
