@@ -540,3 +540,91 @@ def test_sniff_and_auto_decode_never_crash(spark, payload):
     assert mm.auto_image_resize(payload, 4, 4) is None or isinstance(
         mm.auto_image_resize(payload, 4, 4), bytes
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # freq
+            st.integers(min_value=0, max_value=50),  # cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_pareto_frontier_matches_bruteforce_dominance(spark, rows):
+    """The windowed skyline equals the O(n²) dominance definition:
+    keep (f, c) iff no other row has f' >= f AND c' >= c with one
+    strict."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [Row(k=i, freq=f, cents=c) for i, (f, c) in enumerate(rows)]
+    )
+    w_gt = Window.orderBy("cents").rangeBetween(1, Window.unboundedFollowing)
+    w_eq = Window.partitionBy("cents")
+    got = {
+        r.k
+        for r in df.select(
+            "k",
+            "freq",
+            F.max("freq").over(w_gt).alias("mx_gt"),
+            F.max("freq").over(w_eq).alias("mx_eq"),
+        )
+        .where(
+            (F.col("mx_gt").isNull() | (F.col("mx_gt") < F.col("freq")))
+            & (F.col("mx_eq") <= F.col("freq"))
+        )
+        .collect()
+    }
+    want = set()
+    for i, (f, c) in enumerate(rows):
+        dominated = any(
+            (f2 >= f and c2 >= c and (f2 > f or c2 > c))
+            for j, (f2, c2) in enumerate(rows)
+            if j != i
+        )
+        # an identical duplicate of (f, c) does NOT dominate it — but
+        # the brute force above treats a twin row (f2==f, c2==c) as
+        # non-dominating already since neither strict holds
+        if not dominated:
+            want.add(i)
+    assert got == want, (rows, got, want)
+
+
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),  # start
+            st.integers(min_value=1, max_value=30),  # duration
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_sweepline_concurrency_matches_bruteforce(spark, iv):
+    """The +1/−1 running-sum max equals brute-force point-stabbing
+    max over half-open intervals [s, s+d)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [Row(i=i, s=s, e=s + d) for i, (s, d) in enumerate(iv)]
+    )
+    pts = df.selectExpr("s AS t", "1 AS delta", "i").unionAll(
+        df.selectExpr("e AS t", "-1 AS delta", "i")
+    )
+    w = Window.orderBy("t", "delta", "i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = (
+        pts.withColumn("conc", F.sum("delta").over(w))
+        .agg(F.max("conc"))
+        .collect()[0][0]
+    )
+    want = max(
+        sum(1 for (s, d) in iv if s <= p < s + d)
+        for p in (s for (s, _d) in iv)
+    )  # max concurrency is attained at some interval start
+    assert got == want, (iv, got, want)
