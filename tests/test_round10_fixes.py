@@ -599,3 +599,60 @@ def test_compact_versioned_aborts_on_interleaved_overwrite(
         _df(spark, [99])
     )  # the takedown's content stands; nothing resurrected
     assert pre + 1 == latest  # no extra compact version committed
+
+
+# ---------------------------------------------------------------------------
+# Two-level parallel prefix sum (the global-window rewrite the
+# sweep-line/TWAP docstrings promise)
+# ---------------------------------------------------------------------------
+
+
+def test_running_sum_two_level_matches_global_window(spark):
+    """The bucketed prefix sum equals the single global window on a
+    total order, for several bucket counts (including more buckets
+    than rows), and the row-level relation never passes through an
+    unpartitioned window."""
+    from pyspark.sql import Window
+
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.operators.windows import (
+        running_sum_two_level,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.event_id: r.rs
+        for r in ev.withColumn("rs", F.sum("cents").over(w)).collect()
+    }
+    for nb in (4, 64, 100_000):
+        got = {
+            r.event_id: r.running_sum
+            for r in running_sum_two_level(
+                ev, ["ts", "event_id"], "cents", n_buckets=nb
+            ).collect()
+        }
+        assert got == want, nb
+
+    # plan shape: the row-level window is PARTITIONED by the bucket
+    # (its windowspecdefinition leads with __bucket as a partition
+    # column); the only order-only (global) window spec is the one
+    # over the ≤n_buckets __total aggregate rows
+    out = running_sum_two_level(ev, ["ts", "event_id"], "cents")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "sum(__total" in plan  # the tiny offset window exists
+    # every row-level (sum(cents)) window spec leads with __bucket as
+    # a PARTITION column, never order-only
+    row_specs = plan.split("Window [sum(cents")[1:]
+    assert row_specs
+    for frag in row_specs:
+        spec = frag.split("windowspecdefinition(", 1)[1]
+        assert spec.startswith("__bucket#"), spec[:80]
