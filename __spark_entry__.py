@@ -67,7 +67,7 @@ QUERY_ORDER = (
     "benford_fit", "mutual_information", "anomaly_mad",
     "gini_concentration", "rfm_segmentation", "crossval_folds",
     "bigram_pmi", "pareto_frontier", "text_readability",
-    "graph_assortativity",
+    "graph_assortativity", "funnel_time_to_convert",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",
@@ -240,6 +240,11 @@ HEADLINE_QUERIES = (
     # the heaviest new text-retrieval and graph shapes
     "bm25_topk",
     "graph_triangles",
+    # round 10: the pair-volume-bounded basket self-join joins the
+    # headline set so its full sf0.1/sf1/sf10 curve ships in the
+    # bench artifact (round 9 measured 5.4x/decade by hand; the sf10
+    # column alone can't show growth)
+    "basket_lift",
 )
 
 

@@ -2173,7 +2173,93 @@ ORDER BY c_mktsegment, cents DESC, o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# funnel_time_to_convert — conversion latency per cohort (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_time_to_convert(spark, sf_dir):
+    """Conversion LATENCY distribution — `funnel_steps` counts who
+    converted, this measures how long it took: per user, first signup
+    → first subsequent purchase, aggregated per signup-week cohort
+    (n converted, median/min/max hours) — the time-to-value panel
+    every growth dashboard pairs with the funnel counts.
+
+    Determinism: each latency is an exact integer microsecond gap
+    divided once to hours (identical doubles on both engines); the
+    median interpolates over those small-magnitude doubles (ulp
+    ~1e-13 — safely under the det6 grid, unlike a median over raw
+    microsecond BIGINTs whose ulp at 1e12 magnitude would survive
+    det6 rounding); cohort weeks are ISO Monday-start DATEs on both
+    engines.
+
+    Scale plan: two filtered hash-aggs to per-user firsts, one
+    equi-join on user_id with the time predicate (purchases after the
+    signup), then a map-side-combined agg to ≤|weeks| cohort rows.
+    The exact median is the correctness baseline; the lake-scale swap
+    is approx_percentile over the same hours column.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("p_ts") > F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("first_p"))
+        .selectExpr(
+            "CAST(date_trunc('week', s_ts) AS DATE) AS cohort_week",
+            "timestampdiff(MICROSECOND, s_ts, first_p) / 3.6e9 AS hours",
+        )
+    )
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    return (
+        conv.groupBy("cohort_week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            F.expr(det6.format(expr="median(hours)")).alias(
+                "median_hours"
+            ),
+            F.expr(det6.format(expr="min(hours)")).alias("min_hours"),
+            F.expr(det6.format(expr="max(hours)")).alias("max_hours"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+SQL_FUNNEL_TIME_TO_CONVERT = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT CAST(date_trunc('week', s.s_ts) AS DATE) AS cohort_week,
+         date_diff('microsecond', s.s_ts, MIN(e.ts)) / 3.6e9 AS hours
+  FROM s JOIN events e
+    ON e.user_id = s.user_id
+   AND e.event_type = 'purchase' AND e.ts > s.s_ts
+  GROUP BY s.user_id, s.s_ts)
+SELECT cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(FLOOR(median(hours) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS median_hours,
+       CAST(FLOOR(MIN(hours) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS min_hours,
+       CAST(FLOOR(MAX(hours) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS max_hours
+FROM conv
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "funnel_time_to_convert": QuerySpec(
+        q_funnel_time_to_convert, SQL_FUNNEL_TIME_TO_CONVERT
+    ),
     "pareto_frontier": QuerySpec(q_pareto_frontier, SQL_PARETO_FRONTIER),
     "rfm_segmentation": QuerySpec(
         q_rfm_segmentation, SQL_RFM_SEGMENTATION
