@@ -656,3 +656,97 @@ def test_running_sum_two_level_matches_global_window(spark):
     for frag in row_specs:
         spec = frag.split("windowspecdefinition(", 1)[1]
         assert spec.startswith("__bucket#"), spec[:80]
+
+
+def test_full_ingest_stream_checkpoint_continuation(spark, tmp_path):
+    """The composed ingest boundary driven by a REAL file-source
+    stream: availableNow run 1 publishes batch A; a restart from the
+    SAME checkpoint processes only the newly arrived file, and the
+    exact-dedup screen's cross-batch state catches a batch-B copy of
+    a batch-A document across the restart."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        read_version,
+    )
+    from projetbigdatastreaming_spark.streaming.curation import (
+        build_bm25_stats,
+        build_drift_reference,
+    )
+    from projetbigdatastreaming_spark.streaming.ingest import (
+        full_ingest_writer,
+    )
+    from projetbigdatastreaming_spark.streaming.neardup import (
+        build_benchmark_index,
+    )
+
+    d = lambda n: str(tmp_path / n)
+    schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    benchmark = spark.createDataFrame(
+        [(900, " ".join(f"benchword{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    build_benchmark_index(spark, benchmark, d("bench_idx"))
+    reference = _gate_docs(
+        spark,
+        [(500 + i, f"ref doc {i} " + "filler words here " * 6)
+         for i in range(10)],
+    )
+    build_drift_reference(reference, d("drift_ref"))
+    build_bm25_stats(reference, d("bm25_ref"))
+
+    writer = full_ingest_writer(
+        checks={"long_enough": "length(text) >= 20"},
+        good_path=d("good"),
+        quarantine_path=d("quarantine"),
+        dedup_state_dir=d("dedup_state"),
+        dups_dir=d("dups"),
+        benchmark_index_dir=d("bench_idx"),
+        contam_flags_dir=d("contam"),
+        drift_ref_dir=d("drift_ref"),
+        drift_metric_dir=d("drift_metrics"),
+        bm25_ref_dir=d("bm25_ref"),
+        bm25_scores_dir=d("bm25_scores"),
+        neardup_index_dir=d("nd_idx"),
+        neardup_flags_dir=d("nd_flags"),
+        cms_state_dir=d("cms"),
+        table_dir=d("published"),
+    )
+
+    spool = d("spool")
+    text_a = "first original document about several topics " * 3
+    text_b = "second unrelated body of words for the corpus " * 3
+    _gate_docs(spark, [(1, text_a), (2, text_b)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(spool)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(spool)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", d("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {
+        r.doc_id
+        for r in read_version(spark, d("published")).collect()
+    } == {1, 2}
+
+    # batch B arrives: one fresh doc + one exact copy of doc 1's text
+    text_c = "a third clean body of text with plenty of words " * 3
+    _gate_docs(spark, [(3, text_c), (4, text_a)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(spool)
+    run()  # restart from the SAME checkpoint — only the new file runs
+    assert {
+        r.doc_id
+        for r in read_version(spark, d("published")).collect()
+    } == {1, 2, 3}
+    dups = {r.doc_id for r in spark.read.parquet(d("dups")).collect()}
+    assert dups == {4}  # cross-batch dedup state survived the restart
