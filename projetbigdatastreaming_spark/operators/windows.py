@@ -56,8 +56,6 @@ def running_sum_two_level(
     without a global window — see module docstring.  Output: the
     input columns + ``out_col``.  ``order_cols`` must be a total
     order (include a tie-breaker)."""
-    from ..cache import persist_scoped
-
     bucketed = (
         df.repartitionByRange(n_buckets, *order_cols)
         .withColumn("__bucket", F.spark_partition_id())
@@ -67,14 +65,19 @@ def running_sum_two_level(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # persist the locally-prefixed relation: range bucketing SAMPLES
-    # its bounds per execution, so the offset side must read the SAME
-    # materialized bucketing the row side does — re-deriving the
-    # lineage twice could bucket differently and misalign offsets
-    local = persist_scoped(
-        "prefix_two_level_local",
-        bucketed.withColumn("__local", F.sum(value_col).over(w_local)),
-    )
+    # pin the locally-prefixed relation with a LINEAGE-TRUNCATING
+    # checkpoint, not a persist: range bucketing SAMPLES its bounds
+    # per execution, and the offset side must read the SAME
+    # materialized bucketing the row side does.  A persist could be
+    # evicted under memory pressure and silently re-derive a
+    # DIFFERENT bucketing (misaligned offsets — wrong answers);
+    # localCheckpoint removes the lineage entirely, so a lost block
+    # is a loud failure, never a silent wrong result (the
+    # SCALING.md "plan-size and rewrite traps" tool, applied for
+    # determinism rather than plan growth)
+    local = bucketed.withColumn(
+        "__local", F.sum(value_col).over(w_local)
+    ).localCheckpoint(eager=False)
     totals = local.groupBy("__bucket").agg(
         F.max("__local").alias("__total")
     )
