@@ -430,18 +430,23 @@ def q_interval_overlap(spark, sf_dir):
     never count as overlapping; remaining ties break on event_id.
 
     Scale plan: the interval relation never self-joins (the naive
-    overlap query is O(n²)); it explodes 2× to boundary rows and
-    takes ONE hash exchange on event_type for the running-sum window.
-    The low-cardinality partition key is the honest caveat: with 5
-    event types, 100 TB of boundaries serialize through 5 sort
-    partitions — the production rewrite is the two-level parallel
-    prefix sum (chunk the timeline, partial-sum each chunk in
-    parallel, prefix the per-chunk totals — one extra tiny shuffle),
-    which this operator's shape composes into without changing the
-    boundary relation.  Timestamps stay NTZ end-to-end (tz-free
-    ordering); the value→minutes cast goes through FLOOR because
-    DuckDB's double→int cast ROUNDS while Spark's truncates.
+    overlap query is O(n²)); it explodes 2× to boundary rows and the
+    running sum rides `operators/windows.running_sum_two_level`
+    GROUPED on event_type — with 5 event types a plain
+    Window.partitionBy(type) serializes 100 TB of boundaries through
+    5 sort partitions, and the sf10 scale point MEASURED that cost:
+    26.7 s (12×/decade, super-linear, one core doing all the work)
+    with the plain window vs 2.06 s sf1 / 16.96 s sf10 with the
+    two-level prefix (range-bucket within type → parallel per-bucket
+    prefixes → ≤n_buckets offset stitch).  The remaining sf10 cost is
+    bytes-bound and parallel — the 2n-row boundary relation crossing
+    one range exchange plus its determinism checkpoint — i.e. ~linear
+    in data with all 32 cores busy, where the plain window's tail was
+    5 cores sorting alone.  Timestamps stay NTZ end-to-end
+    (tz-free ordering); the value→minutes cast goes through FLOOR
+    because DuckDB's double→int cast ROUNDS while Spark's truncates.
     """
+    from ..operators.windows import running_sum_two_level
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "event_type",
@@ -464,12 +469,13 @@ def q_interval_overlap(spark, sf_dir):
             "event_id",
         )
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("t", "delta", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    conc = running_sum_two_level(
+        pts,
+        ["t", "delta", "event_id"],
+        "delta",
+        out_col="conc",
+        partition_cols=["event_type"],
     )
-    conc = pts.withColumn("conc", F.sum("delta").over(w))
     return (
         conc.groupBy("event_type")
         .agg(
@@ -598,25 +604,37 @@ def q_time_weighted_avg(spark, sf_dir):
     and sensor pipeline needs — a plain AVG over-counts bursts).
     The last observation per type has no successor and drops out.
 
-    Scale plan: one lead() window per type (single hash exchange +
-    in-partition sort — same low-cardinality-key caveat and two-level
-    rewrite as the sweep-line), then a map-side-combinable agg.
+    Scale plan: the successor lookup rides
+    `operators/windows.lead_key_two_level` grouped on event_type —
+    the plain 5-partition lead window MEASURED super-linear at the
+    sf10 point (15.4 s, 9×/decade); the two-level form (per-bucket
+    leads in parallel + a ≤n_buckets boundary stitch) reads 2.07 s
+    sf1 / 4.42 s sf10 — 2.1×/decade.  Then a map-side-combinable agg.
     Determinism: the weighted sum accumulates as BIGINT
     cents × gap-microseconds (value is 2-decimal, the gap is an exact
     integer, and Σgap is bounded by the corpus time span, so the
     product sum stays far inside int64) with ONE double division at
     the end — no float-summation order sensitivity on either engine.
     """
+    from ..operators.windows import lead_key_two_level
+
     ev = load_table(spark, sf_dir, "events")
-    g = ev.select(
+    base = ev.select(
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5))
         .cast("bigint")
         .alias("cents"),
+        "ts",
+        "event_id",
+    )
+    led = lead_key_two_level(
+        base, ["ts", "event_id"], ["event_type"]
+    )
+    g = led.select(
+        "event_type",
+        "cents",
         F.expr(
-            "timestampdiff(MICROSECOND, ts,"
-            " lead(ts) OVER (PARTITION BY event_type"
-            " ORDER BY ts, event_id))"
+            "timestampdiff(MICROSECOND, ts, __next.ts)"
         ).alias("gap_us"),
     ).where(F.col("gap_us").isNotNull())
     return (

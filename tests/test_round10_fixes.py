@@ -653,7 +653,9 @@ def test_running_sum_two_level_matches_global_window(spark):
     # operator documents); the ONLY window in the visible plan is the
     # offset prefix over the ≤n_buckets __total aggregate rows
     assert "sum(__total" in plan
-    assert "sum(cents" not in plan
+    # sum(cents) appears only as the bucket-total AGGREGATE, never as
+    # a window over row-level data
+    assert "Window [sum(cents" not in plan
     assert plan.count("windowspecdefinition(") == 1
 
 
