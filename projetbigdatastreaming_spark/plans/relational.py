@@ -265,14 +265,24 @@ def q_agg_analytic_window(spark, sf_dir):
     ORDER BY k) — ORDER BY equals PARTITION BY so every row is a peer
     and the analytic degenerates to a replicated group total, exactly as
     in the reference SQL (IndicateursStreaming.scala:152-172).
+
+    Computed AS that degenerate form: one hash-agg to the ≤|types|
+    totals, broadcast back onto the rows — semantically identical to
+    the window (the oracle keeps the literal analytic SQL), but a
+    literal Window.partitionBy(event_type) over raw events would sort
+    100 TB through 5 tasks (the round-10 low-cardinality-window
+    lesson); the group-total join is map-only on the fact side.
     """
-    w = Window.partitionBy("event_type").orderBy("event_type")
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.count("event_id").over(w).alias("type_count"),
-        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).over(w).alias("type_high"),
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type").agg(
+        F.count("event_id").alias("type_count"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias(
+            "type_high"
+        ),
     )
+    return ev.select("event_id", "event_type").join(
+        F.broadcast(totals), "event_type"
+    ).select("event_id", "event_type", "type_count", "type_high")
 
 
 SQL_AGG_ANALYTIC_WINDOW = """

@@ -473,12 +473,25 @@ def q_kmv_distinct(spark, sf_dir):
     ).distinct()
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("h")
-    ranked = hashed.withColumn("rn", F.row_number().over(w))
-    per = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_distinct_hashes"),
-        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+    # split the two per-type statistics so neither sorts the full
+    # distinct-hash relation through |types| tasks: the count is a
+    # plain hash-agg, and the k-th-smallest rides a rank window
+    # FILTERED to rn <= k — Spark's WindowGroupLimit then keeps only
+    # each map task's local top-k before the exchange, so the 5
+    # per-type sort tasks receive k·n_tasks rows, never the
+    # 100M-distinct-users relation (the round-10 low-cardinality-
+    # window lesson applied to rank-limits)
+    counts = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_hashes")
     )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"))
+    )
+    per = counts.join(kth, "event_type")
     est = F.when(
         F.col("n_distinct_hashes") < KMV_K, F.col("n_distinct_hashes")
     ).otherwise(
