@@ -67,7 +67,7 @@ QUERY_ORDER = (
     "benford_fit", "mutual_information", "anomaly_mad",
     "gini_concentration", "rfm_segmentation", "crossval_folds",
     "bigram_pmi", "pareto_frontier", "text_readability",
-    "graph_assortativity", "funnel_time_to_convert",
+    "graph_assortativity", "funnel_time_to_convert", "kmv_jaccard",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",

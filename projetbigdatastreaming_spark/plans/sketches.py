@@ -689,7 +689,175 @@ ORDER BY q_milli
 """
 
 
+# ---------------------------------------------------------------------------
+# kmv_jaccard — set operations ON the sketch: audience overlap
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_jaccard(spark, sf_dir):
+    """Pairwise audience overlap between event types, estimated from
+    KMV sketches — the set-OPERATION side of `kmv_distinct` (Beyer et
+    al. 2007 §4; the theta-sketch idea): the bottom-k hash sample of
+    A∪B is itself a uniform sample of the union, so
+    J(A,B) ≈ |M ∩ A ∩ B| / |M| with M = bottom-k of the two sketches'
+    union — overlap analytics from two 2-KB sketches instead of a
+    user-level join.  Reported next to the EXACT Jaccard (same
+    one-pass distinct relation) with a ±0.10 tolerance flag
+    (σ ≈ √(J(1−J)/k) ≈ 0.03 at k=256).
+
+    Determinism: the hash is the portable md5 formula, so the
+    estimate VALUE itself is oracle-replayed (the `kmv_distinct` /
+    `dedup_minhash_est` rule — fixed-hash sketches get full-value
+    oracles, not tolerance-only rows).
+
+    Scale plan: one distinct hash-agg, per-type bottom-k via the
+    rn≤k rank window (WindowGroupLimit prunes to per-task top-k
+    before the exchange), then ALL pair math on the ≤|types|-row
+    sketch relation (array ops over ≤2k-element lists; the pair grid
+    is an allowlisted tiny BNLJ).  The exact side is one
+    user-keyed equi-join of the distinct relation — the thing the
+    sketch path exists to avoid at 10⁹ users, kept here as the
+    oracle's measuring stick.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _portable_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    hashed = ev.select(
+        "event_type",
+        _portable_hash(F.col("user_id"), "kmv0").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    pairs = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.hs").alias("ha"),
+            F.col("b.hs").alias("hb"),
+        )
+        .withColumn(
+            "m",
+            F.expr(
+                f"slice(array_sort(array_union(ha, hb)), 1, {KMV_K})"
+            ),
+        )
+        .withColumn(
+            "est_j",
+            F.expr(
+                "size(array_intersect(m, array_intersect(ha, hb)))"
+                " / CAST(size(m) AS DOUBLE)"
+            ),
+        )
+        .select("type_a", "type_b", "est_j")
+    )
+    du = ev.distinct()
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    sizes = du.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    return (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .join(
+            sizes.selectExpr("event_type AS type_a", "n AS na"), "type_a"
+        )
+        .join(
+            sizes.selectExpr("event_type AS type_b", "n AS nb"), "type_b"
+        )
+        .selectExpr(
+            "type_a",
+            "type_b",
+            det6.format(expr="est_j") + " AS est_jaccard",
+            det6.format(
+                expr="COALESCE(ni, 0)"
+                " / CAST(na + nb - COALESCE(ni, 0) AS DOUBLE)"
+            )
+            + " AS exact_jaccard",
+            "abs(est_j - COALESCE(ni, 0)"
+            " / CAST(na + nb - COALESCE(ni, 0) AS DOUBLE)) <= 0.10"
+            " AS within_tol",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_KMV_JACCARD = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {_DUCK_KMV_HASH} AS h FROM events),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+bk AS (
+  SELECT event_type, list(h ORDER BY h) AS hs
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.hs AS ha, b.hs AS hb,
+         list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:{KMV_K}]
+           AS m
+  FROM bk a JOIN bk b ON a.event_type < b.event_type),
+est AS (
+  SELECT type_a, type_b,
+         len(list_filter(m, x -> list_contains(ha, x)
+                                 AND list_contains(hb, x)))
+           / CAST(len(m) AS DOUBLE) AS est_j
+  FROM pairs),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS ni
+  FROM du x JOIN du y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM du GROUP BY 1)
+SELECT e.type_a, e.type_b,
+       CAST(FLOOR(e.est_j * 1e6 + 0.5) AS DOUBLE) / 1e6 AS est_jaccard,
+       CAST(FLOOR((COALESCE(i.ni, 0)
+                   / CAST(sa.n + sb.n - COALESCE(i.ni, 0) AS DOUBLE))
+                  * 1e6 + 0.5) AS DOUBLE) / 1e6 AS exact_jaccard,
+       abs(e.est_j - COALESCE(i.ni, 0)
+           / CAST(sa.n + sb.n - COALESCE(i.ni, 0) AS DOUBLE)) <= 0.10
+         AS within_tol
+FROM est e
+LEFT JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+JOIN sizes sa ON sa.event_type = e.type_a
+JOIN sizes sb ON sb.event_type = e.type_b
+ORDER BY e.type_a, e.type_b
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "kmv_jaccard": QuerySpec(q_kmv_jaccard, SQL_KMV_JACCARD),
     "quantile_histogram": QuerySpec(
         q_quantile_histogram, SQL_QUANTILE_HISTOGRAM
     ),

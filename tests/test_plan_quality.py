@@ -252,6 +252,9 @@ _BNLJ_ALLOWED = {
     "mutual_information",
     "rfm_segmentation",
     "bigram_pmi",
+    # kmv_jaccard's pair grid is a <|types|²-row BNLJ over the
+    # ≤|types|-row sketch relation (arrays of ≤k hashes per row)
+    "kmv_jaccard",
     # timeseries_gapfill crosses the distinct event types against the
     # one-row global min/max bounds to build the hour spine — a
     # |types|x1 BNLJ over aggregated (broadcast-size) inputs
