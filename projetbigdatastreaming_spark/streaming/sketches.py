@@ -610,6 +610,60 @@ def read_kmv(
     )
 
 
+def read_kmv_jaccard(
+    spark: SparkSession, state_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise audience-overlap estimates from the STORED KMV state —
+    the streaming twin of `plans/sketches.q_kmv_jaccard`'s estimator
+    half: fold each group's per-batch bottom-k partitions to the
+    corpus-so-far bottom-k, then run the union-sample Jaccard
+    (J ≈ |M ∩ A ∩ B| / |M|, M = bottom-k of the sketch union) on the
+    ≤|groups|-row sketch relation.  This is the POINT of mergeable
+    sketches: overlap between any two streams' audiences without ever
+    joining raw ids — the same state `read_kmv` estimates
+    cardinalities from.  Output: (type_a, type_b, est_jaccard det6),
+    pinned EQUAL to the batch query's estimate column over the same
+    ingested rows."""
+    from pyspark.sql.window import Window
+
+    hashed = (
+        spark.read.schema(KMV_STATE_SCHEMA)
+        .parquet(state_dir)
+        .select("event_type", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    bk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    return (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .selectExpr(
+            "a.event_type AS type_a",
+            "b.event_type AS type_b",
+            f"slice(array_sort(array_union(a.hs, b.hs)), 1, {k}) AS m",
+            "a.hs AS ha",
+            "b.hs AS hb",
+        )
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "CAST(FLOOR(size(array_intersect(m,"
+            " array_intersect(ha, hb)))"
+            " / CAST(size(m) AS DOUBLE) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS est_jaccard",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 HIST_STATE_SCHEMA = "bin int, cnt bigint, batch_id int"
 
 

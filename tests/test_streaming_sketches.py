@@ -685,3 +685,36 @@ def test_hist_compaction_preserves_and_recovers(spark, tmp_path):
     from projetbigdatastreaming_spark.__main__ import main
 
     assert main(["maintain", "compact-hist", state], spark=spark) == 0
+
+
+def test_streaming_kmv_jaccard_fold_equals_batch(spark, tmp_path):
+    """Audience-overlap estimates computed FROM the stored KMV state
+    equal the batch q_kmv_jaccard estimator over the same rows — the
+    set-operation payoff of a mergeable sketch (no raw-id join)."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.sketches import (
+        q_kmv_jaccard,
+    )
+    from projetbigdatastreaming_spark.streaming.sketches import (
+        kmv_batch_writer,
+        read_kmv_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    state = str(tmp_path / "kmv_state")
+    write = kmv_batch_writer(state)
+    write(ev.where("user_id % 3 = 0"), 0)
+    write(ev.where("user_id % 3 = 1"), 1)
+    write(ev.where("user_id % 3 = 2"), 2)
+    write(ev.where("user_id % 3 = 1"), 1)  # redelivery restates
+
+    folded = {
+        (r.type_a, r.type_b): r.est_jaccard
+        for r in read_kmv_jaccard(spark, state).collect()
+    }
+    batch = {
+        (r.type_a, r.type_b): r.est_jaccard
+        for r in q_kmv_jaccard(spark, sf).collect()
+    }
+    assert folded == batch and len(folded) == 10
