@@ -670,7 +670,116 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# cusum_changepoints — sequential shift detection (round 10)
+# ---------------------------------------------------------------------------
+
+#: relative CUSUM alarm bar: flag a day when the accumulated positive
+#: drift exceeds 5% of the series' total mass
+CUSUM_THETA_NUM = 1
+CUSUM_THETA_DEN = 20
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """CUSUM changepoint detection over daily per-type revenue — the
+    sequential "did the level shift?" monitor (Page 1954) that pairs
+    with the distributional PSI gate: PSI asks "does this batch look
+    different?", CUSUM asks "WHEN did the running level move?".
+
+    The recurrence S_i = max(0, S_{i−1} + dev_i) looks
+    window-inexpressible, but has the classic prefix identity
+    S_i = P_i − min_{j≤i} P_j (P = prefix sum of deviations), so two
+    per-type windows over the DAILY relation compute it exactly — no
+    UDF, no iteration.
+
+    Determinism: deviations are SCALED BY n instead of divided
+    (dev_i = cents_i·n − total — exact BIGINTs; a mean-subtraction
+    would inject a float into every prefix), the alarm compares
+    20·S_i > n·total in integers, and the reported cusum value pays
+    ONE double division at the end.
+
+    Scale plan: one hash-agg to (type, day) rows; every window runs
+    over that bounded aggregated relation (days × types — KB at any
+    corpus scale), the same pre-aggregate-then-window discipline as
+    `ewma_smooth`.  int64 headroom: cents·n·days stays under 2⁶³
+    through sf1000 for this fixture's 30-day span.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    w_p = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "dev", F.col("cents") * F.col("n") - F.col("total")
+        )
+        .withColumn("pfx", F.sum("dev").over(w_p))
+        .withColumn("pmin", F.min("pfx").over(w_p))
+    )
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    s = "(pfx - LEAST(pmin, 0))"
+    return p.selectExpr(
+        "event_type",
+        "day",
+        det6.format(expr=f"{s} / (n * 100.0)") + " AS cusum_dollars",
+        f"{CUSUM_THETA_DEN} * {s} > {CUSUM_THETA_NUM} * n * total"
+        " AS is_shift",
+    ).orderBy("event_type", "day")
+
+
+SQL_CUSUM_CHANGEPOINTS = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total
+  FROM daily GROUP BY 1),
+pf AS (
+  SELECT d.event_type, d.day, s.n, s.total,
+         SUM(d.cents * s.n - s.total) OVER w AS pfx
+  FROM daily d JOIN stats s USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+p AS (
+  SELECT event_type, day, n, total, pfx,
+         MIN(pfx) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW) AS pmin
+  FROM pf)
+SELECT event_type, day,
+       CAST(FLOOR(((pfx - LEAST(pmin, 0)) / (n * 100.0)) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS cusum_dollars,
+       {CUSUM_THETA_DEN} * (pfx - LEAST(pmin, 0))
+         > {CUSUM_THETA_NUM} * n * total AS is_shift
+FROM p
+ORDER BY event_type, day
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "cusum_changepoints": QuerySpec(
+        q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS
+    ),
     "interval_overlap": QuerySpec(q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "ohlc_bars": QuerySpec(q_ohlc_bars, SQL_OHLC_BARS),
     "time_weighted_avg": QuerySpec(

@@ -628,3 +628,34 @@ def test_sweepline_concurrency_matches_bruteforce(spark, iv):
         for p in (s for (s, _d) in iv)
     )  # max concurrency is attained at some interval start
     assert got == want, (iv, got, want)
+
+
+@given(
+    devs=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_cusum_prefix_identity_matches_recurrence(spark, devs):
+    """S_i = P_i − min(0, min_{j≤i} P_j) (the windowed form
+    cusum_changepoints uses) equals the textbook recurrence
+    S_i = max(0, S_{i−1} + dev_i)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [Row(i=i, dev=d) for i, d in enumerate(devs)]
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    got = [
+        r.s
+        for r in df.withColumn("pfx", F.sum("dev").over(w))
+        .withColumn("pmin", F.min("pfx").over(w))
+        .selectExpr("i", "pfx - LEAST(pmin, 0) AS s")
+        .orderBy("i")
+        .collect()
+    ]
+    want, s = [], 0
+    for d in devs:
+        s = max(0, s + d)
+        want.append(s)
+    assert got == want, (devs, got, want)
