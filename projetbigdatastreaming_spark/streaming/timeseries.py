@@ -94,6 +94,85 @@ def ohlc_batch_writer(
     return write
 
 
+#: daily-cents partial schema for the CUSUM monitor state
+CUSUM_STATE_SCHEMA = (
+    "event_type string, day date, cents bigint, batch_id int"
+)
+
+
+def cusum_batch_writer(
+    state_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for the level-shift monitor: reduce the batch
+    to per-(event_type, day) cents partials and restate its own
+    batch_id partition.  Daily sums are ADDITIVE across batches (like
+    the histogram/CMS families), so replay safety comes from the
+    restatement, and the reader's fold equals the one-pass daily
+    relation exactly."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.select(
+                "event_type",
+                F.to_date("ts").alias("day"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.sum("cents").cast("bigint").alias("cents"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        overwrite_partitions(partials, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_cusum(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the daily partials and run the CUSUM prefix identity over
+    them — column-identical to `plans/timeseries.q_cusum_changepoints`
+    over the union of the ingested batches (pinned by test).  The
+    level-shift alarm stays queryable while the stream runs, the
+    sequential companion to the drift monitor's distributional PSI."""
+    from pyspark.sql import Window
+
+    from ..plans.timeseries import (
+        CUSUM_THETA_DEN,
+        CUSUM_THETA_NUM,
+    )
+
+    daily = (
+        spark.read.schema(CUSUM_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    w_p = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("dev", F.col("cents") * F.col("n") - F.col("total"))
+        .withColumn("pfx", F.sum("dev").over(w_p))
+        .withColumn("pmin", F.min("pfx").over(w_p))
+    )
+    s = "(pfx - LEAST(pmin, 0))"
+    return p.selectExpr(
+        "event_type",
+        "day",
+        f"CAST(FLOOR(({s} / (n * 100.0)) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        " AS cusum_dollars",
+        f"{CUSUM_THETA_DEN} * {s} > {CUSUM_THETA_NUM} * n * total"
+        " AS is_shift",
+    ).orderBy("event_type", "day")
+
+
 def read_ohlc(spark: SparkSession, state_dir: str) -> DataFrame:
     """Fold every batch's partial candles into the corpus-so-far daily
     bars — column-identical to `plans/timeseries.q_ohlc_bars` over the

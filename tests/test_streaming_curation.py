@@ -391,3 +391,32 @@ def test_ohlc_stream_fold_equals_batch(spark, tmp_path):
 
     write(ev.where("event_id % 3 = 1"), 1)  # at-least-once redelivery
     assert rows(read_ohlc(spark, state)) == want
+
+
+def test_cusum_stream_fold_equals_batch(spark, tmp_path):
+    """Streaming CUSUM monitor: additive daily partials over 3
+    micro-batches fold to EXACTLY the batch changepoint query, and a
+    redelivery restates instead of double-counting (which would shift
+    every prefix and corrupt the alarm)."""
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_cusum_changepoints,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        cusum_batch_writer,
+        read_cusum,
+    )
+
+    ev = load_table(spark, SF, "events")
+    state = str(tmp_path / "cusum")
+    write = cusum_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    want = rows(q_cusum_changepoints(spark, SF))
+    assert rows(read_cusum(spark, state)) == want and len(want) > 0
+
+    write(ev.where("event_id % 3 = 2"), 2)  # at-least-once redelivery
+    assert rows(read_cusum(spark, state)) == want
