@@ -509,6 +509,122 @@ ORDER BY qid, rk
 """
 
 
+#: kNN weak-labeling parameters: every 50th vector is "unlabeled",
+#: labels come from the 3 nearest labeled neighbors' majority
+KNN_QUERY_MOD = 50
+KNN_K = 3
+
+
+def q_emb_knn_label(spark, sf_dir):
+    """Weak labeling by retrieval — the kNN classifier over the
+    embedding space (Fix & Hodges 1951, the workhorse of
+    label-propagation and pseudo-labeling passes): every 50th vector
+    plays "unlabeled", gets the majority label of its 3 nearest
+    LABELED neighbors by cosine, and is scored against its held-out
+    true label.  The output is both the prediction table and the
+    audit (accuracy is the aggregate downstream dashboards read).
+
+    Determinism: cosine rounds to 4 dp BEFORE ranking (the
+    `emb_cosine_topk` rule), neighbor ties break on vec_id, vote ties
+    on the smaller label.
+
+    Scale plan: this is the EXACT kernel — labeled corpus scanned
+    once, query side broadcast, per-query top-k via a rank window
+    (WindowGroupLimit prunes map-side).  The broadcast query side
+    grows with the corpus here (2%), so at lake scale the scorer
+    swaps for the BQ-shortlist + rescore path
+    (`emb_bq_ivfpq_rerank`) with the vote stage UNCHANGED — this
+    query is the correctness baseline that swap is measured against,
+    exactly like `emb_cosine_topk` anchors the ANN ladder.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import _as_double, _dot, _norm
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    unl = emb.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    lab = emb.where(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    scored = (
+        lab.crossJoin(F.broadcast(unl))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    nn = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KNN_K
+    )
+    votes = nn.groupBy("qid", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .where(F.col("vrk") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("label").alias("pred_label"),
+            "true_label",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMB_KNN_LABEL = f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+unl AS (
+  SELECT vec_id AS qid, label AS true_label, v AS qvec
+  FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
+scored AS (
+  SELECT u.qid, u.true_label, e.vec_id, e.label,
+         ROUND(list_cosine_similarity(u.qvec, e.v), 4) AS cos_sim
+  FROM emb e JOIN unl u ON e.vec_id % {KNN_QUERY_MOD} <> 0),
+nn AS (
+  SELECT qid, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM scored),
+votes AS (
+  SELECT qid, true_label, label, COUNT(*) AS n_votes
+  FROM nn WHERE rk <= {KNN_K}
+  GROUP BY qid, true_label, label),
+pick AS (
+  SELECT qid, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY n_votes DESC, label ASC) AS vrk
+  FROM votes)
+SELECT qid AS vec_id, label AS pred_label, true_label,
+       label = true_label AS correct
+FROM pick WHERE vrk = 1
+ORDER BY vec_id
+"""
+
+
 def q_cosine_pairs(spark, sf_dir):
     return similarity.cosine_pairs_above(
         load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
@@ -5607,6 +5723,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_char_ngram": QuerySpec(q_char_ngram_pairs, SQL_CHAR_NGRAM_PAIRS),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
+    "emb_knn_label": QuerySpec(q_emb_knn_label, SQL_EMB_KNN_LABEL),
     "emb_cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS),
     "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, SQL_ANN_TOPK_LSH),
     "emb_ann_topk_ivf": QuerySpec(q_ann_topk_ivf, SQL_ANN_TOPK_IVF),
