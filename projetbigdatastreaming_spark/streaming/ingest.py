@@ -291,3 +291,38 @@ def full_ingest_writer(
             batch_df.unpersist()
 
     return _fn
+
+
+def reingest_quarantined(
+    spark,
+    drift_quarantine_dir: str,
+    batch_id: int,
+    writer: Callable[[DataFrame, int], None],
+) -> int:
+    """Close the drift-quarantine loop: re-drive a held batch through
+    the ingest boundary after the operator has adjudicated the alert
+    (raised ``psi_alert_threshold``, or accepted the shift by
+    rebuilding the reference with `curation.build_drift_reference`).
+
+    Reads the batch's quarantine partition, strips the attached
+    metric columns, and calls ``writer`` with the ORIGINAL batch_id —
+    so every downstream table treats the re-ingest as the
+    at-least-once redelivery it is (restatement, never duplication),
+    and a batch that still trips the gate simply re-quarantines (its
+    partition is restated, not duplicated).  Returns the number of
+    rows re-driven (0 = nothing quarantined under that id)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(drift_quarantine_dir):
+        return 0
+    held = (
+        spark.read.parquet(drift_quarantine_dir)
+        .where(F.col("batch_id") == int(batch_id))
+        .drop("drift_feature", "psi", "batch_id")
+    )
+    n = held.count()
+    if n:
+        writer(held, int(batch_id))
+    return n

@@ -751,3 +751,86 @@ def test_full_ingest_stream_checkpoint_continuation(spark, tmp_path):
     } == {1, 2, 3}
     dups = {r.doc_id for r in spark.read.parquet(d("dups")).collect()}
     assert dups == {4}  # cross-batch dedup state survived the restart
+
+
+def test_reingest_quarantined_after_reference_update(spark, tmp_path):
+    """A drift-quarantined batch re-drives through the boundary once
+    the operator accepts the shift (reference rebuilt): the re-ingest
+    uses the ORIGINAL batch_id, so it publishes as a restatement; a
+    batch that still trips the gate just re-quarantines."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        read_version,
+    )
+    from projetbigdatastreaming_spark.streaming.curation import (
+        build_bm25_stats,
+        build_drift_reference,
+    )
+    from projetbigdatastreaming_spark.streaming.ingest import (
+        full_ingest_writer,
+        reingest_quarantined,
+    )
+    from projetbigdatastreaming_spark.streaming.neardup import (
+        build_benchmark_index,
+    )
+
+    d = lambda n: str(tmp_path / n)
+    build_benchmark_index(
+        spark,
+        spark.createDataFrame(
+            [(900, " ".join(f"benchword{i}" for i in range(40)))],
+            "doc_id long, text string",
+        ),
+        d("bench_idx"),
+    )
+    reference = _gate_docs(
+        spark,
+        [(500 + i, f"ref doc {i} " + "filler words here " * 6)
+         for i in range(10)],
+    )
+    build_drift_reference(reference, d("drift_ref"))
+    build_bm25_stats(reference, d("bm25_ref"))
+
+    write = full_ingest_writer(
+        checks={},
+        good_path=d("good"),
+        quarantine_path=d("quarantine"),
+        dedup_state_dir=d("dedup_state"),
+        dups_dir=d("dups"),
+        benchmark_index_dir=d("bench_idx"),
+        contam_flags_dir=d("contam"),
+        drift_ref_dir=d("drift_ref"),
+        drift_metric_dir=d("drift_metrics"),
+        bm25_ref_dir=d("bm25_ref"),
+        bm25_scores_dir=d("bm25_scores"),
+        neardup_index_dir=d("nd_idx"),
+        neardup_flags_dir=d("nd_flags"),
+        cms_state_dir=d("cms"),
+        table_dir=d("published"),
+        psi_alert_threshold=0.25,
+        drift_quarantine_dir=d("drift_q"),
+    )
+
+    shifted = spark.createDataFrame(
+        [
+            (i, "mots francais differents " * 40, "fr", "srcX",
+             len("mots francais differents " * 40))
+            for i in range(3)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    write(shifted, 0)
+    assert not os.path.isdir(d("published"))
+    # still shifted vs the old reference: re-ingest re-quarantines
+    assert reingest_quarantined(spark, d("drift_q"), 0, write) == 3
+    assert not os.path.isdir(d("published"))
+    assert spark.read.parquet(d("drift_q")).count() == 3
+
+    # operator accepts the new distribution: reference rebuilt from
+    # the shifted population, then the held batch re-drives clean
+    build_drift_reference(shifted, d("drift_ref"))
+    assert reingest_quarantined(spark, d("drift_q"), 0, write) == 3
+    assert {
+        r.doc_id
+        for r in read_version(spark, d("published")).collect()
+    } == {0, 1, 2}
