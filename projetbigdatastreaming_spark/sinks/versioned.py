@@ -495,7 +495,17 @@ def table_history(table_dir: str) -> list[dict]:
     ]
 
 
-def vacuum(table_dir: str, keep_last: int | None = None) -> tuple[int, int]:
+#: vacuum's orphan grace window: a dataless-looking file younger than
+#: this may belong to an IN-FLIGHT optimistic commit (files land
+#: before the manifest claims them), so it is never deleted
+VACUUM_GRACE_SECONDS = 600.0
+
+
+def vacuum(
+    table_dir: str,
+    keep_last: int | None = None,
+    grace_seconds: float = VACUUM_GRACE_SECONDS,
+) -> tuple[int, int]:
     """Garbage-collect: delete ORPHAN data files (written by a crashed
     commit, referenced by no manifest) and, when ``keep_last`` is
     given, retire all but the newest K manifests first (their
@@ -504,7 +514,18 @@ def vacuum(table_dir: str, keep_last: int | None = None) -> tuple[int, int]:
     order of interleaving: manifests are removed before the files
     they exclusively held, so a reader never holds a manifest whose
     files are gone; a vacuum killed midway just leaves fewer orphans
-    for the next run."""
+    for the next run.
+
+    CONCURRENT-COMMIT safe via ``grace_seconds`` (the Delta/Iceberg
+    vacuum-retention rule): under the optimistic protocol a writer's
+    data files exist BEFORE any manifest references them, so an
+    unreferenced file younger than the grace window is
+    indistinguishable from an in-flight commit and is left alone —
+    only orphans older than the window (a crashed or lost commit) are
+    reclaimed.  Pass ``grace_seconds=0`` only when no writer can be
+    live (the crash-recovery CLI path)."""
+    import time as _time
+
     removed_manifests = 0
     versions = list_versions(table_dir)
     if keep_last is not None and len(versions) > keep_last:
@@ -517,11 +538,19 @@ def vacuum(table_dir: str, keep_last: int | None = None) -> tuple[int, int]:
         live.update(_read_manifest(table_dir, v)["files"])
     data_dir = os.path.join(table_dir, _DATA)
     removed_files = 0
+    now = _time.time()
     if os.path.isdir(data_dir):
         for name in sorted(os.listdir(data_dir)):
             rel = f"{_DATA}/{name}"
             if name.endswith(".parquet") and rel not in live:
-                os.remove(os.path.join(data_dir, name))
+                path = os.path.join(data_dir, name)
+                try:
+                    age = now - os.path.getmtime(path)
+                except FileNotFoundError:
+                    continue  # another vacuum won the race
+                if age < grace_seconds:
+                    continue  # possibly an in-flight commit's file
+                os.remove(path)
                 removed_files += 1
     return removed_manifests, removed_files
 

@@ -834,3 +834,39 @@ def test_reingest_quarantined_after_reference_update(spark, tmp_path):
         r.doc_id
         for r in read_version(spark, d("published")).collect()
     } == {0, 1, 2}
+
+
+def test_vacuum_grace_protects_inflight_commit_files(spark, tmp_path):
+    """Under the optimistic protocol a writer's data files exist
+    BEFORE any manifest references them; vacuum must not reclaim a
+    young unreferenced file (possible in-flight commit), only orphans
+    older than the grace window."""
+    from projetbigdatastreaming_spark.sinks import versioned
+
+    t = str(tmp_path / "vt_grace")
+    versioned_overwrite(_df(spark, [1]), t)
+    # an "in-flight" commit: files written, manifest not yet claimed
+    inflight = versioned._write_files(_df(spark, [2]), t)
+
+    m, f = versioned.vacuum(t)  # default grace window
+    assert f == 0  # young unreferenced files survive
+    # ...and the in-flight commit can still complete afterwards
+    v = versioned._commit(
+        t,
+        None,
+        "append",
+        compose=lambda vs: (
+            versioned._parent_batches(t, vs).get("__base__", [])
+            + inflight,
+            None,
+        ),
+    )
+    assert _rows(read_version(spark, t, v)) == _rows(_df(spark, [1, 2]))
+
+    # age a genuine orphan past the window: it is reclaimed
+    orphan = versioned._write_files(_df(spark, [9]), t)
+    path = os.path.join(t, orphan[0])
+    old = os.path.getmtime(path) - 7200
+    os.utime(path, (old, old))
+    m, f = versioned.vacuum(t)
+    assert f == 1 and not os.path.exists(path)

@@ -73,7 +73,7 @@ def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path, monkeypatch
     live = table_history(t)[-1]["n_files"]
     assert n_data > live
 
-    mrm, frm = vacuum(t)
+    mrm, frm = vacuum(t, grace_seconds=0)
     assert mrm == 0 and frm == n_data - live
     assert _rows(read_version(spark, t)) == _rows(_df(spark, [1]))
 
@@ -92,7 +92,7 @@ def test_vacuum_keep_last_retires_versions_not_shared_files(spark, tmp_path):
     versioned_append(_df(spark, [2]), t)  # v2 shares v1's files
     want = _rows(read_version(spark, t, 2))
 
-    mrm, frm = vacuum(t, keep_last=1)
+    mrm, frm = vacuum(t, keep_last=1, grace_seconds=0)
     assert mrm == 1 and frm == 0  # v1's files all live on in v2
     assert list_versions(t) == [2]
     assert _rows(read_version(spark, t, 2)) == want
@@ -102,7 +102,7 @@ def test_vacuum_keep_last_retires_versions_not_shared_files(spark, tmp_path):
     # an overwrite makes v2's files exclusive to it; keep_last=1 then
     # physically deletes them
     versioned_overwrite(_df(spark, [7]), t)
-    mrm, frm = vacuum(t, keep_last=1)
+    mrm, frm = vacuum(t, keep_last=1, grace_seconds=0)
     assert mrm == 1 and frm > 0
     assert _rows(read_version(spark, t)) == _rows(_df(spark, [7]))
 
@@ -153,7 +153,7 @@ def test_versioned_batch_append_restates_on_replay(spark, tmp_path):
     assert table_history(t)[-1]["op"] == "append_batch:1"
 
     # vacuum keep_last=1 keeps the latest content readable
-    vacuum(t, keep_last=1)
+    vacuum(t, keep_last=1, grace_seconds=0)
     assert _rows(read_version(spark, t)) == want
 
 
