@@ -141,16 +141,19 @@ def full_ingest_writer(
     The monitors GATE when asked (round-9 verdict item: the operator
     computed the alert bars' input and nothing consumed them):
 
-    * ``psi_alert_threshold`` — after the drift metric lands, the
+    * ``psi_alert_threshold`` — the drift metric lands FIRST and the
       batch's max PSI is read back (a ≤|features|-row metric
       relation; the one-row ``first()`` is metadata-bounded like the
       DESCRIBE reads, not a data collect).  A batch over the bar is
       POPULATION-shifted: the whole batch lands in
       ``drift_quarantine_dir`` with the offending metric attached
-      (feature + psi columns), and near-dup/CMS folds AND the
-      versioned publish are skipped — quarantined data must not
-      pollute corpus state.  Redelivery restates the quarantine
-      partition (same contract as every sink here).
+      (feature + psi columns), and EVERY stateful stage is skipped —
+      the exact-dedup fingerprint fold, the near-dup index fold, the
+      CMS fold, and the versioned publish — because quarantined data
+      must pollute no corpus state (a later batch must never flag as
+      a dup of a document that was never admitted; re-drive held
+      batches with `reingest_quarantined`).  Redelivery restates the
+      quarantine partition (same contract as every sink here).
     * ``min_bm25`` — per-DOC relevance gate: docs scoring below the
       bar under the frozen stats join the held set exactly like
       dups/contamination (the score partition is the record; the
@@ -207,10 +210,13 @@ def full_ingest_writer(
                 else F.lit(True)
             ).cache()
             try:
-                dedup(passed, batch_id)
-                contam(passed, batch_id)
+                # the drift metric + gate run BEFORE every stateful
+                # screen: the exact-dedup stage FOLDS the batch's
+                # fingerprints into corpus-so-far state, and a
+                # quarantined batch must pollute no corpus state at
+                # all (a later batch would otherwise flag as a dup of
+                # a document that was never admitted)
                 drift(passed, batch_id)
-                bm25(passed, batch_id)
 
                 if psi_alert_threshold is not None:
                     from ..sinks.files import overwrite_partitions
@@ -242,6 +248,9 @@ def full_ingest_writer(
                         )
                         return
 
+                dedup(passed, batch_id)
+                contam(passed, batch_id)
+                bm25(passed, batch_id)
                 near(passed, batch_id)
                 cms(passed, batch_id)
 

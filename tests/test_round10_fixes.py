@@ -410,6 +410,10 @@ def test_ingest_gates_quarantine_drift_and_hold_low_bm25(
     write(shifted, 0)
     assert not os.path.isdir(d("published"))  # publish skipped
     assert not os.path.isdir(d("nd_idx"))  # corpus state unpolluted
+    # the dedup fingerprint fold is corpus state too: a quarantined
+    # batch must not make later batches flag as dups of never-admitted
+    # docs (round-10 reorder: the gate runs before every stateful stage)
+    assert not os.path.isdir(d("dedup_state"))
     q = spark.read.parquet(d("drift_quarantine"))
     assert q.count() == 3
     first = q.select("drift_feature", "psi").first()
