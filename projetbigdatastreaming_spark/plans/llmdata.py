@@ -5454,6 +5454,8 @@ def q_bigram_pmi(spark, sf_dir):
     as two further hash-aggs of THAT table (vocabulary-sized, never
     the corpus again), the grand total a 1-row broadcast, and the
     head a TakeOrderedAndProject (no global sort materializes).
+    Measured (bench_one --gc-each): sf1 1.83 s → sf10 3.74 s,
+    2.0×/decade — sub-linear on 32 cores, scan-bound.
     """
     docs = load_table(spark, sf_dir, "documents")
     arr = F.split(

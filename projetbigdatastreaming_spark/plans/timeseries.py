@@ -527,7 +527,8 @@ def q_ohlc_bars(spark, sf_dir):
     partitioning (Catalyst plans one Exchange, two in-partition
     sorts), never a self-join back to the raw rows.  The key space
     grows with days × types, so parallelism scales with data span —
-    unlike the sweep-line's fixed-key caveat.  Determinism: time ties
+    unlike the sweep-line's fixed-key caveat.  Measured (bench_one
+    --gc-each): sf1 1.03 s → sf10 3.72 s, 3.6×/decade.  Determinism: time ties
     break on event_id; volume accumulates as BIGINT cents (one cast,
     no double-sum order sensitivity); ``day`` is a DATE on both
     engines (Spark date_trunc's LTZ timestamp vs DuckDB's naive one
