@@ -552,6 +552,20 @@ def vacuum(
                     continue  # possibly an in-flight commit's file
                 os.remove(path)
                 removed_files += 1
+    # a crash between the temp-manifest write and its os.link claim
+    # strands a .tmp_*.json in _versions — reclaim those past the
+    # same grace window (younger ones may be a commit in flight)
+    vdir = _versions_dir(table_dir)
+    if os.path.isdir(vdir):
+        for name in os.listdir(vdir):
+            if not name.startswith(".tmp_"):
+                continue
+            path = os.path.join(vdir, name)
+            try:
+                if now - os.path.getmtime(path) >= grace_seconds:
+                    os.remove(path)
+            except FileNotFoundError:
+                continue
     return removed_manifests, removed_files
 
 

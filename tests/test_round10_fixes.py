@@ -874,3 +874,25 @@ def test_vacuum_grace_protects_inflight_commit_files(spark, tmp_path):
     os.utime(path, (old, old))
     m, f = versioned.vacuum(t)
     assert f == 1 and not os.path.exists(path)
+
+
+def test_vacuum_reclaims_stranded_temp_manifests(spark, tmp_path):
+    """A crash between the temp-manifest write and its link claim
+    strands .tmp_*.json in _versions; vacuum reclaims those past the
+    grace window and leaves young ones (possible in-flight commit)."""
+    from projetbigdatastreaming_spark.sinks import versioned
+
+    t = str(tmp_path / "vt_tmp")
+    versioned_overwrite(_df(spark, [1]), t)
+    vdir = os.path.join(t, "_versions")
+    young = os.path.join(vdir, ".tmp_young.json")
+    stale = os.path.join(vdir, ".tmp_stale.json")
+    for p in (young, stale):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    old = os.path.getmtime(stale) - 7200
+    os.utime(stale, (old, old))
+
+    versioned.vacuum(t)
+    assert os.path.exists(young) and not os.path.exists(stale)
+    assert list_versions(t) == [1]  # committed manifests untouched
