@@ -68,7 +68,7 @@ QUERY_ORDER = (
     "gini_concentration", "rfm_segmentation", "crossval_folds",
     "bigram_pmi", "pareto_frontier", "text_readability",
     "graph_assortativity", "funnel_time_to_convert", "kmv_jaccard",
-    "cusum_changepoints", "emb_knn_label",
+    "cusum_changepoints", "emb_knn_label", "emb_hard_negatives",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",

@@ -625,6 +625,114 @@ ORDER BY vec_id
 """
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Contrastive training-pair mining: for each anchor vector, the
+    nearest SAME-label neighbor (the positive) and the nearest
+    DIFFERENT-label neighbor (the HARD negative — the near-miss that
+    teaches a contrastive/embedding model its decision boundary;
+    in-batch random negatives are too easy, which is why production
+    recipes mine hard ones; Schroff et al. 2015's semi-hard insight).
+    Output per anchor: positive id+sim, hard-negative id+sim, and the
+    margin between them (negative margin = the anchor's neighborhood
+    is dominated by another class — a labeling-error signal too).
+
+    Determinism: the `emb_cosine_topk` rules — cosine rounds to 4 dp
+    before ranking, ties break on vec_id.
+
+    Scale plan: the anchor set (the fixed `QUERY_VEC_IDS`) broadcasts
+    into ONE corpus scan; per-(anchor, side) top-1 rides a rank
+    window filtered to rn=1 (WindowGroupLimit prunes map-side).  At
+    mining scale (every vector an anchor) the scorer swaps for the
+    BQ-shortlist exactly as `emb_knn_label` documents; the pair
+    SELECTION stage is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import _as_double, _dot, _norm
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    anchors = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("same"),
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid", "same").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    top1 = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    pos = top1.where(F.col("same")).select(
+        "qid",
+        F.col("vec_id").alias("pos_id"),
+        F.col("cos_sim").alias("pos_sim"),
+    )
+    neg = top1.where(~F.col("same")).select(
+        "qid",
+        F.col("vec_id").alias("neg_id"),
+        F.col("cos_sim").alias("neg_sim"),
+    )
+    return (
+        pos.join(neg, "qid")
+        .selectExpr(
+            "qid",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            "CAST(FLOOR((pos_sim - neg_sim) * 1e6 + 0.5) AS DOUBLE)"
+            " / 1e6 AS margin",
+        )
+        .orderBy("qid")
+    )
+
+
+SQL_EMB_HARD_NEGATIVES = f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+anchors AS (
+  SELECT vec_id AS qid, label AS q_label, v AS qvec
+  FROM emb WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+scored AS (
+  SELECT a.qid, e.vec_id, e.label = a.q_label AS same,
+         ROUND(list_cosine_similarity(a.qvec, e.v), 4) AS cos_sim
+  FROM emb e JOIN anchors a ON e.vec_id <> a.qid),
+top1 AS (
+  SELECT qid, vec_id, same, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid, same
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM scored)
+SELECT p.qid, p.vec_id AS pos_id, p.cos_sim AS pos_sim,
+       n.vec_id AS neg_id, n.cos_sim AS neg_sim,
+       CAST(FLOOR((p.cos_sim - n.cos_sim) * 1e6 + 0.5) AS DOUBLE)
+         / 1e6 AS margin
+FROM top1 p JOIN top1 n ON p.qid = n.qid
+WHERE p.rk = 1 AND p.same AND n.rk = 1 AND NOT n.same
+ORDER BY p.qid
+"""
+
+
 def q_cosine_pairs(spark, sf_dir):
     return similarity.cosine_pairs_above(
         load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
@@ -5726,6 +5834,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_char_ngram": QuerySpec(q_char_ngram_pairs, SQL_CHAR_NGRAM_PAIRS),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "emb_knn_label": QuerySpec(q_emb_knn_label, SQL_EMB_KNN_LABEL),
+    "emb_hard_negatives": QuerySpec(
+        q_emb_hard_negatives, SQL_EMB_HARD_NEGATIVES
+    ),
     "emb_cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS),
     "emb_ann_topk_lsh": QuerySpec(q_ann_topk_lsh, SQL_ANN_TOPK_LSH),
     "emb_ann_topk_ivf": QuerySpec(q_ann_topk_ivf, SQL_ANN_TOPK_IVF),

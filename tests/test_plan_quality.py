@@ -255,10 +255,11 @@ _BNLJ_ALLOWED = {
     # kmv_jaccard's pair grid is a <|types|²-row BNLJ over the
     # ≤|types|-row sketch relation (arrays of ≤k hashes per row)
     "kmv_jaccard",
-    # emb_knn_label broadcasts the query-vector side into the labeled
-    # corpus scan (the emb_cosine_topk shape; the lake-scale swap is
-    # the BQ shortlist, documented in the docstring)
+    # emb_knn_label / emb_hard_negatives broadcast the anchor-vector
+    # side into the corpus scan (the emb_cosine_topk shape; the
+    # lake-scale swap is the BQ shortlist, documented in-docstring)
     "emb_knn_label",
+    "emb_hard_negatives",
     # timeseries_gapfill crosses the distinct event types against the
     # one-row global min/max bounds to build the hour spine — a
     # |types|x1 BNLJ over aggregated (broadcast-size) inputs
