@@ -44,10 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: part of the contract.  Round-10 rotation (VERDICT r09 next-item
 #: 1): (1) the 20 r05-vintage tail rows that missed round 9's window
 #: (map_functions … join_salted) — the literal freshness bar;
-#: (2) round-10's own new queries, so new operators get their first
-#: verdict inside the window; (3) the r06 block (next-oldest signal)
-#: — the 50-row cap lands mid-section (20+10+20), the r06 tail leads
-#: round 11; (4) r07; (5) r08; (6) the rows green in the round-9
+#: (2) round-10's own new queries (18), so new operators get their
+#: first verdict inside the window; (3) the r06 block (next-oldest
+#: signal) — the 50-row cap lands mid-section (20+18+12), the r06
+#: tail leads round 11; (4) r07; (5) r08; (6) the rows green in the
+#: round-9
 #: driver run (freshest signal, so last).  Standing freshness
 #: invariant: no query's latest driver row may be older than two
 #: rotations — after round 10 the oldest signal is the r06 tail
