@@ -44,9 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: part of the contract.  Round-10 rotation (VERDICT r09 next-item
 #: 1): (1) the 20 r05-vintage tail rows that missed round 9's window
 #: (map_functions … join_salted) — the literal freshness bar;
-#: (2) round-10's own new queries (18), so new operators get their
+#: (2) round-10's own new queries (24), so new operators get their
 #: first verdict inside the window; (3) the r06 block (next-oldest
-#: signal) — the 50-row cap lands mid-section (20+18+12), the r06
+#: signal) — the 50-row cap lands mid-section (20+24+6), the r06
 #: tail leads round 11; (4) r07; (5) r08; (6) the rows green in the
 #: round-9
 #: driver run (freshest signal, so last).  Standing freshness
@@ -70,6 +70,9 @@ QUERY_ORDER = (
     "bigram_pmi", "pareto_frontier", "text_readability",
     "graph_assortativity", "funnel_time_to_convert", "kmv_jaccard",
     "cusum_changepoints", "emb_knn_label", "emb_hard_negatives",
+    "t_closeness", "yoy_growth", "linreg_ols", "acf_lags",
+    "seasonal_dow_index", "ams_f2", "graph_clustering_coeff",
+    "graph_kcore",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",

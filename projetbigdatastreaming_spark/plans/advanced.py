@@ -2256,7 +2256,245 @@ ORDER BY cohort_week
 """
 
 
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth per nation — the warehouse
+    reporting staple (every TPC-DS-style sales mart has this shape):
+    revenue per (nation, year), then LAG one year within the nation
+    and report the percentage delta.
+
+    Determinism: revenue is exact cents (BIGINT); the growth ratio
+    pays one double division rounded at 6 dp; the first year of each
+    nation is NULL in both engines (LAG default).
+
+    Scale plan: orders ⋈ customer shuffles on custkey (customer is
+    fact-scale at sf1000, so AQE picks SMJ/shuffled-hash there); the
+    25-row nation side broadcasts.  One hash-agg to (nation, year)
+    grain, then the LAG window runs over the POST-AGGREGATE relation
+    (nations × years ≤ a few hundred rows at any corpus scale) — the
+    pre-aggregate-then-window discipline.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "yr")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return (
+        rev.withColumn("prev_cents", F.lag("revenue_cents").over(w))
+        .selectExpr(
+            "n_name",
+            "yr",
+            "revenue_cents",
+            "CAST(FLOOR((revenue_cents - prev_cents) * 100.0"
+            " / prev_cents * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS growth_pct",
+        )
+        .orderBy("n_name", "yr")
+    )
+
+
+SQL_YOY_GROWTH = """
+WITH rev AS (
+  SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+lagged AS (
+  SELECT n_name, CAST(yr AS INT) AS yr, revenue_cents,
+         LAG(revenue_cents) OVER (PARTITION BY n_name ORDER BY yr)
+           AS prev_cents
+  FROM rev)
+SELECT n_name, yr, revenue_cents,
+       CAST(FLOOR((revenue_cents - prev_cents) * 100.0 / prev_cents
+         * 1e6 + 0.5) AS DOUBLE) / 1e6 AS growth_pct
+FROM lagged
+ORDER BY n_name, yr
+"""
+
+
+# ---------------------------------------------------------------------------
+# linreg_ols — closed-form least squares from ONE aggregation pass
+# ---------------------------------------------------------------------------
+
+#: The OLS solve as a single shared expression program over the exact
+#: integer sufficient statistics (n, sx1, sx2, sy, s11, s12, s22, s1y,
+#: s2y, syy).  The SAME strings compile in Spark and DuckDB, so both
+#: engines execute the identical IEEE-754 expression tree on identical
+#: integer inputs — bitwise-equal doubles, with det6 rounding as belt
+#: and braces.  Centered (moment-matrix) form for conditioning.
+_OLS_PROG = [
+    ("d11", "CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE)"
+            " * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("d12", "CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE)"
+            " * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("d22", "CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE)"
+            " * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("d1y", "CAST(s1y AS DOUBLE) - CAST(sx1 AS DOUBLE)"
+            " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("d2y", "CAST(s2y AS DOUBLE) - CAST(sx2 AS DOUBLE)"
+            " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("det", "d11 * d22 - d12 * d12"),
+    ("b1", "(d1y * d22 - d2y * d12) / det"),
+    ("b2", "(d11 * d2y - d12 * d1y) / det"),
+    ("b0", "(CAST(sy AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE)"
+           " - b2 * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE)"),
+    ("r2", "(b1 * d1y + b2 * d2y)"
+           " / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
+           " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"),
+]
+
+_DET6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {name}"
+
+
+def q_linreg_ols(spark, sf_dir):
+    """Closed-form multiple linear regression — extendedprice (cents)
+    on quantity and discount (hundredths), one model per return flag.
+    The textbook normal-equations solve (X'X)⁻¹X'y, computed the way
+    a 100 TB engine must: the data pass produces only the ten
+    SUFFICIENT STATISTICS (exact BIGINT/DECIMAL sums — mergeable,
+    map-side-combinable), and the 2×2-centered Cramer solve runs on
+    the per-group one-row relation.  This is the same
+    "aggregate-then-solve" shape MLlib's linear regression uses for
+    the normal-equations path; no iteration, no driver collect.
+
+    Determinism: the sums are exact integers (syy = Σcents² exceeds
+    int64 at sf10, so it rides DECIMAL(38,0)/hugeint); the solve is
+    ONE shared expression program (`_OLS_PROG`) compiled identically
+    in both engines — identical IEEE-754 trees on identical integers
+    give bitwise-equal doubles before the 6-dp rounding.  int64
+    headroom elsewhere: s1y ≤ n·50·10⁷ stays under 2⁶³ through
+    sf1000.
+
+    Scale plan: ONE scan → ONE hash-agg keyed by the 3-value return
+    flag (partial aggregation map-side; the shuffle moves ≤3 rows per
+    task), then scalar expressions over ≤3 rows.  Adding a regressor
+    adds accumulators, not passes.  The streaming twin
+    (`streaming/timeseries.py::ols_partials_writer`) appends the same
+    statistics per batch and folds them at read — sums are additive,
+    so stream state == batch aggregate exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return ols_solve(ols_sufficient_stats(li))
+
+
+def ols_solve(stats):
+    """Run the shared OLS expression program over a sufficient-
+    statistics relation (one row per group with columns n, sx1, sx2,
+    sy, s11, s12, s22, s1y, s2y, syy) — used by the batch query and
+    by ``streaming/timeseries.read_ols`` so stream state folds to the
+    IDENTICAL solve."""
+    out = stats
+    for name, expr in _OLS_PROG:
+        out = out.withColumn(name, F.expr(expr))
+    return out.selectExpr(
+        "l_returnflag",
+        "n",
+        _DET6.format(x="b0", name="b0_cents"),
+        _DET6.format(x="b1", name="b1_cents_per_qty"),
+        _DET6.format(x="b2", name="b2_cents_per_disc_pct"),
+        _DET6.format(x="r2", name="r2"),
+    ).orderBy("l_returnflag")
+
+
+def ols_sufficient_stats(df):
+    """Reduce lineitem-shaped rows to the ten exact sufficient
+    statistics per return flag — ONE map-side-combinable hash-agg;
+    additive across shards/batches (every column is a sum), which is
+    what makes the streaming twin exact."""
+    base = df.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(
+            F.col("y").cast("decimal(18,0)")
+            * F.col("y").cast("decimal(18,0)")
+        ).alias("syy"),
+    )
+
+
+def _sql_linreg_ols() -> str:
+    # Chain one CTE per program step so each name is in scope for the
+    # next expression — the SQL twin of the withColumn chain.
+    steps = ""
+    prev = "stats"
+    for i, (name, expr) in enumerate(_OLS_PROG):
+        steps += f", p{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        prev = f"p{i}"
+    outs = ",\n       ".join(
+        "CAST(FLOOR((%s) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS %s" % (x, n)
+        for x, n in [
+            ("b0", "b0_cents"),
+            ("b1", "b1_cents_per_qty"),
+            ("b2", "b2_cents_per_disc_pct"),
+            ("r2", "r2"),
+        ]
+    )
+    return f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+stats AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS sx1,
+         CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         SUM(y * y) AS syy
+  FROM base GROUP BY 1){steps}
+SELECT l_returnflag, n,
+       {outs}
+FROM {prev}
+ORDER BY l_returnflag
+"""
+
+
+SQL_LINREG_OLS = _sql_linreg_ols()
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
+    "linreg_ols": QuerySpec(q_linreg_ols, SQL_LINREG_OLS),
     "funnel_time_to_convert": QuerySpec(
         q_funnel_time_to_convert, SQL_FUNNEL_TIME_TO_CONVERT
     ),

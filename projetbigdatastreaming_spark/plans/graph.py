@@ -365,8 +365,206 @@ FROM m
 """
 
 
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node of the near-dup pair
+    graph — the per-document version of `graph_triangles`' global
+    census: lcc(x) = 2·t(x) / (d(x)·(d(x)−1)) where t(x) counts
+    triangles through x (Watts & Strogatz 1998).  lcc=1 marks a
+    document embedded in a duplication CLIQUE (template family —
+    takedown of any member leaves the others mutually duplicated);
+    lcc=0 on a d≥2 node marks a STAR center (one canonical doc whose
+    variants don't match each other — retraction shatters the
+    cluster).  The per-node refinement of the assortativity/census
+    signals.
+
+    Determinism: t(x) and d(x) are exact integer counts; one double
+    division rounded 6 dp.
+
+    Scale plan: the same pair-volume-bounded edge relation as the
+    census (LSH-banded, never all-pairs), scoped-persisted and
+    referenced by the degree agg and the triangle join.  Per-node
+    triangle counts come from the ONE a<b<c triangle join with its 3
+    corners exploded — 3 rows per triangle, hash-agg on node; output
+    is nodes with d≥2 (triangle-eligible), ordered by node id.
+    """
+    from ..cache import persist_scoped
+    from ..operators import dedup as _dedup
+
+    pairs = _dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = persist_scoped("graph_lcc_edges", pairs)
+    deg = (
+        edges.selectExpr("u AS x")
+        .unionAll(edges.selectExpr("v AS x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tri_per_node = (
+        tri.selectExpr("a AS x")
+        .unionAll(tri.selectExpr("b AS x"))
+        .unionAll(tri.selectExpr("c AS x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tri_per_node, "x", "left")
+        .selectExpr(
+            "x AS doc_id",
+            "d AS degree",
+            "COALESCE(t, 0) AS n_triangles",
+            "CAST(FLOOR(2.0 * COALESCE(t, 0) / (d * (d - 1))"
+            " * 1e6 + 0.5) AS DOUBLE) / 1e6 AS lcc",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_GRAPH_CLUSTERING_COEFF = f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+  GROUP BY x),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+tpn AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
+        UNION ALL SELECT c AS x FROM tri)
+  GROUP BY x)
+SELECT deg.x AS doc_id, d AS degree,
+       COALESCE(t, 0) AS n_triangles,
+       CAST(FLOOR(2.0 * COALESCE(t, 0) / (d * (d - 1)) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS lcc
+FROM deg LEFT JOIN tpn ON deg.x = tpn.x
+WHERE d >= 2
+ORDER BY doc_id
+"""
+
+
+#: k-core parameters: fixed k and a fixed unrolled peel depth (the
+#: PageRank unroll trick applied to a monotone-shrinking computation;
+#: the fixpoint test pins that _KCORE_ROUNDS suffices on the fixture,
+#: and the docstring gives the general bound)
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=2, 6 unrolled peel rounds) of the
+    near-dup pair graph — Seidman 1983: repeatedly delete nodes with
+    degree < k; what survives is the maximal subgraph of minimum
+    degree k.  The 2-core separates documents in CYCLIC duplication
+    structure (template families that must be retracted as a unit)
+    from chain/star periphery that pairwise survivorship handles one
+    edge at a time.  With PageRank (unrolled power iteration),
+    triangles, assortativity, components (`dedup_clusters`) and lcc,
+    this completes the graph-primitive surface.
+
+    Semantics of the fixed unroll: peeling is monotone (the edge set
+    only shrinks), so R rounds compute the exact 2-core whenever the
+    peel converges within R; `test_kcore_fixpoint_reached` pins that
+    on the fixture (convergence needs ≤ the graph's degeneracy-peel
+    depth, which for near-dup graphs — bounded cluster width — is
+    small; raising _KCORE_ROUNDS costs one shuffle per extra round).
+
+    Scale plan: each round is ONE hash-agg (degrees of the current
+    edge relation) + TWO broadcast-able semi-joins filtering the edge
+    list (survivor side is ≤|V| rows of ids); lineage truncates per
+    round via localCheckpoint (the PageRank/PCA unroll lesson), so
+    plan size stays linear in rounds.  Edge volume is pair-bounded by
+    LSH construction, and only shrinks.
+    """
+    from ..cache import persist_scoped
+    from ..operators import dedup as _dedup
+
+    pairs = _dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = persist_scoped("graph_kcore_edges", pairs)
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.selectExpr("u AS x")
+            .unionAll(edges.selectExpr("v AS x"))
+            .groupBy("x")
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("x")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("x", "u"), "u", "left_semi"
+            )
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    core_deg = (
+        edges.selectExpr("u AS x")
+        .unionAll(edges.selectExpr("v AS x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+    return core_deg.selectExpr("x AS doc_id", "core_degree").orderBy(
+        "doc_id"
+    )
+
+
+def _sql_graph_kcore() -> str:
+    # Each round references its predecessor 4x (two IN-filters + the
+    # two-sided degree union); default CTE inlining would duplicate
+    # the shingle self-join 4^R times (DuckDB ran out of file handles
+    # at R=6) — MATERIALIZED pins every round to one evaluation, the
+    # SQL analogue of the Spark side's per-round localCheckpoint.
+    prev = "e_base"
+    steps = f",\ne_base AS MATERIALIZED (SELECT u, v FROM edges)"
+    for i in range(_KCORE_ROUNDS):
+        steps += f""",
+deg{i} AS MATERIALIZED (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM {prev} UNION ALL SELECT v AS x FROM {prev})
+  GROUP BY x),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT x FROM deg{i} WHERE d >= {_KCORE_K})
+    AND v IN (SELECT x FROM deg{i} WHERE d >= {_KCORE_K}))"""
+        prev = f"e{i}"
+    return f"""
+WITH {_SQL_TRI_EDGES}{steps}
+SELECT x AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS x FROM {prev} UNION ALL SELECT v AS x FROM {prev})
+GROUP BY x
+ORDER BY doc_id
+"""
+
+
+SQL_GRAPH_KCORE = _sql_graph_kcore()
+
+
 REGISTRY = {
     "graph_pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
+    "graph_clustering_coeff": QuerySpec(
+        q_graph_clustering_coeff, SQL_GRAPH_CLUSTERING_COEFF
+    ),
+    "graph_kcore": QuerySpec(q_graph_kcore, SQL_GRAPH_KCORE),
     "graph_triangles": QuerySpec(q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_assortativity": QuerySpec(
         q_graph_assortativity, SQL_GRAPH_ASSORTATIVITY

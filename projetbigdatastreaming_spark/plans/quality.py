@@ -253,6 +253,149 @@ ORDER BY n_name, c_mktsegment, bal_band
 """
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit — the third rung of the privacy ladder
+    (Li, Li & Venkatasubramanian, ICDE 2007): an l-diverse group can
+    still leak if its sensitive-value DISTRIBUTION is skewed relative
+    to the table at large (the skewness attack — "this group is 90%
+    URGENT" is a disclosure even with all five priorities present).
+    Over the same quasi-identifier groups as `k_anonymity` /
+    `l_diversity`, t = Earth Mover's Distance between the group's
+    order-priority distribution and the global one, under the ordinal
+    ground distance (priorities 1-URGENT … 5-LOW are ordered; 'none'
+    sits below them as rank 0).  For ordinal domains EMD has a closed
+    form: t = (1/(m−1)) · Σ_j |CumP_g(j) − CumP(j)|.
+
+    Determinism: everything stays in 64-bit integers until the last
+    division — cumulative-count cross products
+    |cum_g(j)·N − gcum(j)·n_g| summed over the first m−1 ranks, the
+    violation flag compared as num > n_g·N (⇔ t > 1/(m−1) = 0.2),
+    and the reported t pays ONE double division rounded at 6 dp.
+    int64 headroom: n_g·N ≤ N² stays under 2⁶³ through N ≈ 3·10⁹
+    customers (far past sf1000).
+
+    Scale plan: NO per-rank densify join and NO window — because the
+    rank domain is fixed (m=6), the per-group CUMULATIVE counts are
+    conditional sums inside ONE hash-agg on the bounded
+    quasi-identifier tuple, and the global distribution is the same
+    aggregate without keys: a 1-row relation broadcast into the
+    group relation (the tpch_q11 uncorrelated-scalar shape, on the
+    plan-audit BNLJ allowlist).  The only full-table work is the
+    customer→orders left join shared with `l_diversity`.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    band = (
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 3000)
+        .cast("int")
+        .alias("bal_band")
+    )
+    base = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .select("c_custkey", "n_name", "c_mktsegment", band)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "bal_band",
+            F.coalesce(
+                F.substring("o_orderpriority", 1, 1).cast("int"),
+                F.lit(0),
+            ).alias("r"),
+        )
+    )
+    cums = [
+        F.sum((F.col("r") <= j).cast("bigint")).alias(f"cum{j}")
+        for j in range(5)
+    ]
+    grp = base.groupBy("n_name", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n"), *cums
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        *[
+            F.sum((F.col("r") <= j).cast("bigint")).alias(f"gcum{j}")
+            for j in range(5)
+        ],
+    )
+    num = sum(
+        F.abs(
+            F.col(f"cum{j}") * F.col("n_total")
+            - F.col(f"gcum{j}") * F.col("group_n")
+        )
+        for j in range(5)
+    )
+    return (
+        grp.crossJoin(F.broadcast(glob))
+        .withColumn("num", num)
+        .selectExpr(
+            "n_name",
+            "c_mktsegment",
+            "bal_band",
+            "group_n",
+            "CAST(FLOOR(CAST(num AS DOUBLE)"
+            " / (5.0 * group_n * n_total) * 1e6 + 0.5) AS DOUBLE)"
+            " / 1e6 AS t_value",
+            "num > group_n * n_total AS violates",
+        )
+        .orderBy("n_name", "c_mktsegment", "bal_band")
+    )
+
+
+def _sql_t_closeness() -> str:
+    cums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN r <= {j} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS cum{j}"
+        for j in range(5)
+    )
+    gcums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN r <= {j} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS gcum{j}"
+        for j in range(5)
+    )
+    num = " + ".join(
+        f"ABS(cum{j} * n_total - gcum{j} * group_n)" for j in range(5)
+    )
+    return f"""
+WITH base AS (
+  SELECT n_name, c_mktsegment,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 3000) AS INT)
+           AS bal_band,
+         COALESCE(CAST(substr(o_orderpriority, 1, 1) AS INT), 0) AS r
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN orders ON c_custkey = o_custkey),
+grp AS (
+  SELECT n_name, c_mktsegment, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS group_n,
+         {cums}
+  FROM base GROUP BY 1, 2, 3),
+gtot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         {gcums}
+  FROM base),
+scored AS (
+  SELECT n_name, c_mktsegment, bal_band, group_n, n_total,
+         CAST({num} AS BIGINT) AS num
+  FROM grp CROSS JOIN gtot)
+SELECT n_name, c_mktsegment, bal_band, group_n,
+       CAST(FLOOR(CAST(num AS DOUBLE)
+         / (5.0 * group_n * n_total) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS t_value,
+       num > group_n * n_total AS violates
+FROM scored
+ORDER BY n_name, c_mktsegment, bal_band
+"""
+
+
+SQL_T_CLOSENESS = _sql_t_closeness()
+
+
 # ---------------------------------------------------------------------------
 # fuzzy_match — blocked edit-distance self-join (entity reconciliation)
 # ---------------------------------------------------------------------------
@@ -1265,6 +1408,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "constraint_check": QuerySpec(q_constraint_check, SQL_CONSTRAINT_CHECK),
     "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
     "l_diversity": QuerySpec(q_l_diversity, SQL_L_DIVERSITY),
+    "t_closeness": QuerySpec(q_t_closeness, SQL_T_CLOSENESS),
     "fuzzy_match": QuerySpec(q_fuzzy_match, SQL_FUZZY_MATCH),
     "snapshot_diff": QuerySpec(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }

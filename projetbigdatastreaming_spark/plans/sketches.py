@@ -856,7 +856,122 @@ ORDER BY e.type_a, e.type_b
 """
 
 
+_AMS_E = 64  #: independent ±1 estimators (std of mean ≈ F2·√(2/E) ≈ 18%)
+
+
+def q_ams_f2(spark, sf_dir):
+    """AMS "tug-of-war" sketch (Alon, Matias & Szegedy 1996)
+    estimating the second frequency moment F₂ = Σ c_k² of
+    ``l_partkey`` — the self-join-size estimate a cost-based
+    optimizer wants before committing to a join strategy.  Each of
+    the 64 estimators hashes every key to ±1 and sums c_k·s_j(k);
+    E[Z²] = F₂ exactly, and averaging 64 independent Z² gives ≈18%
+    relative std.  The deterministic md5 sign hash makes the whole
+    estimator replayable, so the driver row checks the estimate
+    VALUE, not just a tolerance boolean (the `kmv_distinct`
+    precedent); ±3σ is asserted as `within_tol`.
+
+    Determinism: Z_j and the exact F₂ are integer sums; Z² and c²
+    exceed int64 once totals pass ~3·10⁹ rows, so squares ride
+    DECIMAL(18,0)² → DECIMAL(37,0) (hugeint on DuckDB); one double
+    division at the end, 6-dp rounded.
+
+    Scale plan: the raw table collapses FIRST to per-key counts (one
+    hash-agg — the only full-table pass); the ×64 estimator explode
+    runs on the BOUNDED distinct-key relation, so sketch width
+    multiplies |keys|, never |rows|.  The estimator fold is a 64-row
+    agg; exact and estimate single-row relations meet in a 1×1
+    scalar cross join (plan-audit BNLJ allowlist, the tpch_q11
+    shape).  The per-key counts are map-side-combinable, so the
+    shuffle moves |keys| rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = keys.agg(
+        F.sum(
+            F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)")
+        )
+        .cast("bigint")
+        .alias("exact_f2")
+    )
+    signed = keys.select(
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_E - 1))).alias("j"),
+        F.col("l_partkey"),
+    ).select(
+        "j",
+        (
+            F.col("c")
+            * (
+                F.lit(1)
+                - F.lit(2)
+                * (
+                    _portable_hash(
+                        F.concat_ws("#", "l_partkey", "j"), "ams"
+                    )
+                    % 2
+                )
+            )
+        ).alias("cz"),
+    )
+    z = signed.groupBy("j").agg(F.sum("cz").cast("bigint").alias("z"))
+    est = z.agg(
+        F.sum(
+            F.col("z").cast("decimal(18,0)") * F.col("z").cast("decimal(18,0)")
+        ).alias("zz")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            "exact_f2",
+            f"CAST(FLOOR(CAST(zz AS DOUBLE) / {_AMS_E} * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS ams_est",
+            f"CAST(FLOOR((CAST(zz AS DOUBLE) / {_AMS_E}"
+            " - CAST(exact_f2 AS DOUBLE)) / CAST(exact_f2 AS DOUBLE)"
+            " * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rel_err",
+            # |est − F2| ≤ 0.55·F2 (≈3σ at E=64), exact integers:
+            # |zz − E·f2| ≤ 0.55·E·f2  ⇔  20·|zz − E·f2| ≤ 11·E·f2
+            f"20 * ABS(zz - {_AMS_E} * exact_f2)"
+            f" <= 11 * {_AMS_E} * exact_f2 AS within_tol",
+        )
+    )
+
+
+_DUCK_AMS_SIGN = (
+    "(1 - 2 * (CAST(concat('0x', substr(md5(concat("
+    "CAST(l_partkey AS VARCHAR), '#', CAST(j AS VARCHAR), 'ams'))"
+    ", 1, 15)) AS BIGINT) % 2))"
+)
+
+SQL_AMS_F2 = f"""
+WITH keys AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+exact AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM keys),
+signed AS (
+  SELECT j, c * {_DUCK_AMS_SIGN} AS cz
+  FROM keys CROSS JOIN (SELECT unnest(range({_AMS_E})) AS j) js),
+z AS (
+  SELECT j, CAST(SUM(cz) AS BIGINT) AS z FROM signed GROUP BY 1),
+est AS (
+  SELECT SUM(z * z) AS zz FROM z)
+SELECT exact_f2,
+       CAST(FLOOR(CAST(zz AS DOUBLE) / {_AMS_E} * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS ams_est,
+       CAST(FLOOR((CAST(zz AS DOUBLE) / {_AMS_E}
+         - CAST(exact_f2 AS DOUBLE)) / CAST(exact_f2 AS DOUBLE)
+         * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rel_err,
+       20 * ABS(zz - {_AMS_E} * exact_f2)
+         <= 11 * {_AMS_E} * exact_f2 AS within_tol
+FROM est CROSS JOIN exact
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "ams_f2": QuerySpec(q_ams_f2, SQL_AMS_F2),
     "kmv_jaccard": QuerySpec(q_kmv_jaccard, SQL_KMV_JACCARD),
     "quantile_histogram": QuerySpec(
         q_quantile_histogram, SQL_QUANTILE_HISTOGRAM

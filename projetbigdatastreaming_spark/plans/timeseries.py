@@ -777,7 +777,197 @@ ORDER BY event_type, day
 """
 
 
+_ACF_MAX_LAG = 7
+
+
+def q_acf_lags(spark, sf_dir):
+    """Autocorrelation function of the daily event count per event
+    type at lags 1..7 — the diagnostic that tells a forecaster
+    whether a series has weekly structure before fitting anything
+    (Box & Jenkins): r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)².
+
+    Determinism: deviations are SCALED BY n instead of divided
+    (dev_t = n·y_t − S — exact BIGINTs, the `cusum_changepoints`
+    trick); the n² factor cancels in the ratio, so r_k =
+    Σdev_t·dev_{t−k} / Σdev_t² needs no float until ONE final
+    division.  The cross products exceed int64 (dev ~ n·y ~ 10¹⁴ at
+    sf10), so they ride DECIMAL(18,0)×DECIMAL(18,0) → DECIMAL(37,0)
+    products (hugeint on the DuckDB side) — exact through sf1000
+    (dev ≤ 10¹⁵, products ≤ 10³⁰ « 10³⁸).
+
+    Scale plan: one hash-agg to (type, day) grain — the only
+    full-table work; the LAG windows and the dev sums all run over
+    that bounded aggregated relation (days × types), partitioned by
+    event_type.  Lags materialize as 7 window-lag columns in one
+    Window node, not 7 self-joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    dev = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "dev",
+            (F.col("y") * F.col("n") - F.col("s")).cast("decimal(18,0)"),
+        )
+    )
+    for k in range(1, _ACF_MAX_LAG + 1):
+        dev = dev.withColumn(f"dev_l{k}", F.lag("dev", k).over(w))
+    acf = dev.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev") * F.col(f"dev_l{k}")).alias(f"num{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    pairs = ", ".join(
+        f"{k}, CAST(FLOOR(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return (
+        acf.selectExpr(
+            "event_type",
+            f"map({pairs}) AS acf_by_lag_map",
+        )
+        .selectExpr(
+            "event_type",
+            "explode(acf_by_lag_map) AS (lag, acf)",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def _sql_acf_lags() -> str:
+    lag_cols = ",\n         ".join(
+        f"LAG(dev, {k}) OVER w AS dev_l{k}"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    nums = ",\n         ".join(
+        f"SUM(dev * dev_l{k}) AS num{k}"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT event_type, {k} AS lag,"
+        f" CAST(FLOOR(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" * 1e6 + 0.5) AS DOUBLE) / 1e6 AS acf FROM acf"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s
+  FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, (d.y * st.n - st.s) AS dev,
+         {lag_cols}
+  FROM daily d JOIN stats st USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+acf AS (
+  SELECT event_type,
+         SUM(dev * dev) AS den,
+         {nums}
+  FROM dev GROUP BY 1)
+SELECT event_type, CAST(lag AS INT) AS lag, acf FROM (
+{rows}
+)
+ORDER BY event_type, lag
+"""
+
+
+SQL_ACF_LAGS = _sql_acf_lags()
+
+
+def q_seasonal_dow_index(spark, sf_dir):
+    """Day-of-week seasonal index per event type — the
+    ratio-to-average decomposition step (classical seasonal
+    adjustment): index(dow) = mean daily count on that weekday ÷ mean
+    daily count overall.  An index of 1.2 on Mondays says Mondays run
+    20% hot; downstream capacity planning divides by it.
+
+    Determinism: the index is a ratio of two rational numbers with
+    exact integer parts — (s_d·n_t) / (c_d·S_t) — one double
+    division at the end, 6-dp rounded.  int64 headroom: s_d·n_t ≤
+    total_events·days ≈ 10¹² at sf1000's 30-day span.
+
+    Scale plan: one hash-agg to (type, day) grain, a second to
+    (type, dow) grain (≤ types×7 rows), per-type totals broadcast
+    back — no window anywhere, no scalar cross join (totals join on
+    event_type, a normal broadcast equi-join).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    # dayofweek(): Spark is 1=Sunday; ISO via weekday() (0=Monday)
+    dow = (
+        daily.withColumn("dow", F.weekday("day").cast("int"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("y").cast("bigint").alias("s_d"),
+            F.count(F.lit(1)).cast("bigint").alias("c_d"),
+        )
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y").cast("bigint").alias("s_t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_t"),
+    )
+    return (
+        dow.join(F.broadcast(tot), "event_type")
+        .selectExpr(
+            "event_type",
+            "dow",
+            "s_d AS day_events",
+            "CAST(FLOOR(CAST(s_d * n_t AS DOUBLE)"
+            " / CAST(c_d * s_t AS DOUBLE) * 1e6 + 0.5) AS DOUBLE)"
+            " / 1e6 AS seasonal_index",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SQL_SEASONAL_DOW_INDEX = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+dow AS (
+  SELECT event_type, CAST(isodow(day) - 1 AS INT) AS dow,
+         CAST(SUM(y) AS BIGINT) AS s_d,
+         CAST(COUNT(*) AS BIGINT) AS c_d
+  FROM daily GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS s_t,
+         CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM daily GROUP BY 1)
+SELECT event_type, dow, s_d AS day_events,
+       CAST(FLOOR(CAST(s_d * n_t AS DOUBLE)
+         / CAST(c_d * s_t AS DOUBLE) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS seasonal_index
+FROM dow JOIN tot USING (event_type)
+ORDER BY event_type, dow
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
+    "seasonal_dow_index": QuerySpec(
+        q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX
+    ),
     "cusum_changepoints": QuerySpec(
         q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS
     ),

@@ -200,3 +200,67 @@ def read_ohlc(spark: SparkSession, state_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+#: OLS sufficient-statistics state schema (additive sums; syy rides
+#: DECIMAL to survive Σcents² past int64 — same bound analysis as the
+#: batch query's docstring)
+OLS_STATE_SCHEMA = (
+    "l_returnflag string, n bigint, sx1 bigint, sx2 bigint, sy bigint,"
+    " s11 bigint, s12 bigint, s22 bigint, s1y bigint, s2y bigint,"
+    " syy decimal(38,0), batch_id int"
+)
+
+
+def ols_partials_writer(
+    state_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for the streaming regression: reduce the
+    batch of lineitem-shaped rows to the ten exact sufficient
+    statistics per return flag and restate this batch's partition.
+
+    Sums are ADDITIVE across batches, so the fold in `read_ols` equals
+    the one-pass batch aggregate exactly (no approximation, no decay),
+    and replay safety is the module-wide restatement rule: an
+    at-least-once redelivery rewrites its own ``batch_id`` partition
+    instead of double-counting — double-counted sums would bias every
+    coefficient toward the redelivered batch's regime.
+
+    Scale: the state grows one ≤|flags|-row partition per batch; raw
+    rows never land in state.  The model is always queryable mid-
+    stream — `read_ols` is a hash-agg over the bounded state relation
+    plus a ≤|flags|-row scalar solve.
+    """
+    from ..plans.advanced import ols_sufficient_stats
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = ols_sufficient_stats(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        overwrite_partitions(partials, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_ols(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the per-batch sufficient statistics and run the shared OLS
+    expression program — column-identical to
+    `plans/advanced.q_linreg_ols` over the union of the ingested
+    batches (pinned by test)."""
+    from ..plans.advanced import ols_solve
+
+    stats = (
+        spark.read.schema(OLS_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for c in ("sx1", "sx2", "sy", "s11", "s12", "s22",
+                          "s1y", "s2y")
+            ],
+            F.sum("syy").cast("decimal(38,0)").alias("syy"),
+        )
+    )
+    return ols_solve(stats)

@@ -255,6 +255,12 @@ _BNLJ_ALLOWED = {
     # kmv_jaccard's pair grid is a <|types|²-row BNLJ over the
     # ≤|types|-row sketch relation (arrays of ≤k hashes per row)
     "kmv_jaccard",
+    # t_closeness broadcasts the 1-row global sensitive-value
+    # distribution into the bounded quasi-identifier group relation;
+    # ams_f2 crosses its two single-row relations (estimate × exact) —
+    # both the Q11 uncorrelated-scalar shape
+    "t_closeness",
+    "ams_f2",
     # emb_knn_label / emb_hard_negatives broadcast the anchor-vector
     # side into the corpus scan (the emb_cosine_topk shape; the
     # lake-scale swap is the BQ shortlist, documented in-docstring)

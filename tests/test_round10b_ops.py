@@ -1,0 +1,220 @@
+"""Property tests for the round-10 second-wave operators:
+t_closeness, linreg_ols, yoy_growth, acf_lags, seasonal_dow_index,
+ams_f2.  Each asserts an operator-level invariant the DuckDB oracle
+can't express (cross-checks against an independent numpy/pandas
+computation, conservation laws, analytic bounds)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import __spark_entry__ as entry
+
+
+def _q(spark, sf_dir, name):
+    return entry.queries()[name](spark, sf_dir)
+
+
+def test_t_closeness_bounds_and_population_reconciles(spark, sf_dir):
+    rows = _q(spark, sf_dir, "t_closeness").collect()
+    assert rows
+    for r in rows:
+        # EMD under the normalized ordinal ground distance is in [0, 1]
+        assert 0.0 <= r.t_value <= 1.0
+        # the flag is the exact-integer form of t > 0.2; the rounded
+        # t_value can differ from the flag only within rounding slack
+        if r.t_value > 0.200001:
+            assert r.violates
+        if r.t_value < 0.199999:
+            assert not r.violates
+    # group populations cover the customer⋈orders left-join exactly
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expected = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        ).count()
+    )
+    assert sum(r.group_n for r in rows) == expected
+
+
+def test_linreg_ols_matches_numpy_lstsq(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    got = {
+        r.l_returnflag: r
+        for r in _q(spark, sf_dir, "linreg_ols").collect()
+    }
+    for flag, grp in li.groupby("l_returnflag"):
+        x1 = grp["l_quantity"].astype("int64").to_numpy()
+        x2 = np.floor(grp["l_discount"] * 100 + 0.5).astype("int64")
+        y = np.floor(grp["l_extendedprice"] * 100 + 0.5).astype("int64")
+        X = np.column_stack([np.ones(len(grp)), x1, x2])
+        beta, *_ = np.linalg.lstsq(X, y.to_numpy(), rcond=None)
+        r = got[flag]
+        assert r.n == len(grp)
+        assert math.isclose(r.b0_cents, beta[0], rel_tol=1e-4, abs_tol=1e-2)
+        assert math.isclose(
+            r.b1_cents_per_qty, beta[1], rel_tol=1e-4, abs_tol=1e-2
+        )
+        assert math.isclose(
+            r.b2_cents_per_disc_pct, beta[2], rel_tol=1e-4, abs_tol=1e-2
+        )
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_yoy_growth_reconciles_and_first_year_null(spark, sf_dir):
+    rows = _q(spark, sf_dir, "yoy_growth").collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    total_cents = int(np.floor(orders["o_totalprice"] * 100 + 0.5).sum())
+    assert sum(r.revenue_cents for r in rows) == total_cents
+    seen_first = set()
+    for r in rows:  # ordered by (n_name, yr)
+        if r.n_name not in seen_first:
+            assert r.growth_pct is None
+            seen_first.add(r.n_name)
+        else:
+            assert r.growth_pct is not None
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    got = {}
+    for r in _q(spark, sf_dir, "acf_lags").collect():
+        got[(r.event_type, r.lag)] = r.acf
+        assert -1.0 <= r.acf <= 1.0
+    for etype, grp in ev.groupby("event_type"):
+        y = (
+            grp.groupby("day").size().sort_index().to_numpy(dtype="float64")
+        )
+        dev = y - y.mean()
+        den = float(dev @ dev)
+        for k in range(1, 8):
+            if (etype, k) not in got:
+                continue
+            expect = float(dev[k:] @ dev[:-k]) / den
+            assert math.isclose(
+                got[(etype, k)], expect, rel_tol=1e-4, abs_tol=1e-5
+            )
+
+
+def test_seasonal_index_weighted_mean_is_one(spark, sf_dir):
+    # Σ_d index(d) · (c_d / n_t) = Σ_d s_d / S_t = 1 by construction
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "day"]).size().reset_index(name="y")
+    daily["dow"] = [d.weekday() for d in daily["day"]]
+    rows = _q(spark, sf_dir, "seasonal_dow_index").collect()
+    by_type: dict[str, float] = {}
+    for r in rows:
+        grp = daily[daily.event_type == r.event_type]
+        c_d = int((grp.dow == r.dow).sum())
+        n_t = len(grp)
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + (
+            r.seasonal_index * c_d / n_t
+        )
+        assert r.seasonal_index > 0
+        # cross-check the index value itself
+        s_d = int(grp[grp.dow == r.dow]["y"].sum())
+        s_t = int(grp["y"].sum())
+        assert math.isclose(
+            r.seasonal_index,
+            (s_d * n_t) / (c_d * s_t),
+            rel_tol=1e-5,
+            abs_tol=1e-6,
+        )
+    for total in by_type.values():
+        assert math.isclose(total, 1.0, rel_tol=1e-4)
+
+
+def test_ams_f2_exact_moment_and_tolerance(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    counts = li.groupby("l_partkey").size().to_numpy(dtype="int64")
+    f2 = int((counts.astype(object) ** 2).sum())
+    row = _q(spark, sf_dir, "ams_f2").collect()[0]
+    assert row.exact_f2 == f2
+    assert row.within_tol
+    assert abs(row.rel_err) <= 0.55
+
+
+def test_ols_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming OLS: additive sufficient-statistic partials over 3
+    micro-batches fold to EXACTLY the batch regression, and an
+    at-least-once redelivery restates instead of double-counting
+    (double-counted sums would bias every coefficient)."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.advanced import q_linreg_ols
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        ols_partials_writer,
+        read_ols,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    state = str(tmp_path / "ols")
+    write = ols_partials_writer(state)
+    for i in range(3):
+        write(li.where(f"l_orderkey % 3 = {i}"), i)
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    want = rows(q_linreg_ols(spark, sf_dir))
+    assert rows(read_ols(spark, state)) == want and len(want) > 0
+
+    write(li.where("l_orderkey % 3 = 1"), 1)  # redelivery restates
+    assert rows(read_ols(spark, state)) == want
+
+
+def test_kcore_converged_and_sound(spark, sf_dir):
+    """A converged 2-core has min degree >= 2 BY DEFINITION — if the
+    unrolled peel hadn't reached the fixpoint within _KCORE_ROUNDS,
+    some surviving node would still show core_degree < 2.  Also: the
+    core's nodes are a subset of the d>=2 nodes of the full graph."""
+    rows = _q(spark, sf_dir, "graph_kcore").collect()
+    assert rows, "fixture 2-core should be non-empty"
+    assert min(r.core_degree for r in rows) >= 2
+    lcc_nodes = {
+        r.doc_id for r in _q(spark, sf_dir, "graph_clustering_coeff").collect()
+    }
+    assert {r.doc_id for r in rows} <= lcc_nodes
+
+
+def test_clustering_coeff_matches_bruteforce(spark, sf_dir):
+    """Per-node lcc cross-checked against a pure-Python adjacency
+    computation over the same (collected, fixture-small) edge list."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.operators import dedup
+    from projetbigdatastreaming_spark.plans.graph import _TRI_THRESHOLD
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_duplicates(
+            load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
+        ).collect()
+    ]
+    adj: dict[str, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {
+        r.doc_id: r
+        for r in _q(spark, sf_dir, "graph_clustering_coeff").collect()
+    }
+    expect_nodes = {x for x, nb in adj.items() if len(nb) >= 2}
+    assert set(got) == expect_nodes
+    for x in expect_nodes:
+        nb = adj[x]
+        d = len(nb)
+        t = sum(
+            1
+            for a in nb
+            for b in nb
+            if a < b and b in adj.get(a, set())
+        )
+        r = got[x]
+        assert r.degree == d and r.n_triangles == t
+        assert math.isclose(
+            r.lcc, (2.0 * t) / (d * (d - 1)), rel_tol=1e-5, abs_tol=1e-6
+        )
