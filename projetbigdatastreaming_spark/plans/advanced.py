@@ -2492,8 +2492,157 @@ ORDER BY l_returnflag
 SQL_LINREG_OLS = _sql_linreg_ols()
 
 
+def q_robust_trimmed_stats(spark, sf_dir):
+    """Winsorized and truncated means per event type — the robust
+    location estimates (Tukey) a metrics pipeline publishes when raw
+    means are outlier-hostage: clip (winsorize) or drop (truncate)
+    everything outside the exact [p5, p95] value band.
+
+    Percentile semantics: p5 = the smallest value whose cumulative
+    count reaches ⌈0.05·n⌉ (quantile_disc — an ACTUAL data value, no
+    interpolation), computed as the exact-integer predicate
+    20·cum ≥ n on the cumulative histogram; p95 likewise at 19·n.
+    Membership is therefore engine-deterministic, and every mean is
+    an exact BIGINT-cents ratio paying one det6 division.
+
+    Scale plan: the raw table collapses FIRST to the per-(type, cents)
+    HISTOGRAM — one hash-agg whose width is bounded by the VALUE
+    DOMAIN (≤49 002 distinct cents at any corpus scale), the same
+    discipline as `quantile_histogram`.  The cumulative window, the
+    band bounds, and both means all run over that bounded relation;
+    bounds re-attach via a ≤|types|-row broadcast.  No raw-row window
+    (the low-cardinality-window trap), no second scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    cum = hist.join(F.broadcast(tot), "event_type").withColumn(
+        "cum", F.sum("c").over(w)
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 20 >= F.col("n"), F.col("cents")))
+        .alias("p05_cents"),
+        F.min(
+            F.when(F.col("cum") * 20 >= 19 * F.col("n"), F.col("cents"))
+        ).alias("p95_cents"),
+    )
+    scored = hist.join(F.broadcast(bounds), "event_type").join(
+        F.broadcast(tot), "event_type"
+    )
+    return (
+        scored.groupBy("event_type", "n", "p05_cents", "p95_cents")
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.col("p05_cents"),
+                    F.least(F.col("p95_cents"), F.col("cents")),
+                )
+                * F.col("c")
+            )
+            .cast("bigint")
+            .alias("wsum"),
+            F.sum(
+                F.when(
+                    F.col("cents").between(
+                        F.col("p05_cents"), F.col("p95_cents")
+                    ),
+                    F.col("cents") * F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tsum"),
+            F.sum(
+                F.when(
+                    F.col("cents").between(
+                        F.col("p05_cents"), F.col("p95_cents")
+                    ),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tn"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "p05_cents",
+            "p95_cents",
+            "CAST(FLOOR(CAST(wsum AS DOUBLE) / n * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS winsorized_mean_cents",
+            "CAST(FLOOR(CAST(tsum AS DOUBLE) / tn * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS trimmed_mean_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ROBUST_TRIMMED_STATS = """
+WITH hist AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+  FROM hist GROUP BY 1),
+cum AS (
+  SELECT h.event_type, h.cents, h.c, t.n,
+         SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW) AS cum
+  FROM hist h JOIN tot t USING (event_type)),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum * 20 >= n THEN cents END) AS p05_cents,
+         MIN(CASE WHEN cum * 20 >= 19 * n THEN cents END) AS p95_cents
+  FROM cum GROUP BY 1),
+scored AS (
+  SELECT h.event_type, t.n, b.p05_cents, b.p95_cents,
+         CAST(SUM(GREATEST(b.p05_cents,
+                           LEAST(b.p95_cents, h.cents)) * h.c)
+           AS BIGINT) AS wsum,
+         CAST(SUM(CASE WHEN h.cents BETWEEN b.p05_cents AND b.p95_cents
+                       THEN h.cents * h.c ELSE 0 END) AS BIGINT)
+           AS tsum,
+         CAST(SUM(CASE WHEN h.cents BETWEEN b.p05_cents AND b.p95_cents
+                       THEN h.c ELSE 0 END) AS BIGINT) AS tn
+  FROM hist h
+  JOIN bounds b USING (event_type)
+  JOIN tot t USING (event_type)
+  GROUP BY 1, 2, 3, 4)
+SELECT event_type, n, p05_cents, p95_cents,
+       CAST(FLOOR(CAST(wsum AS DOUBLE) / n * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS winsorized_mean_cents,
+       CAST(FLOOR(CAST(tsum AS DOUBLE) / tn * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS trimmed_mean_cents
+FROM scored
+ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
+    "robust_trimmed_stats": QuerySpec(
+        q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
+    ),
     "linreg_ols": QuerySpec(q_linreg_ols, SQL_LINREG_OLS),
     "funnel_time_to_convert": QuerySpec(
         q_funnel_time_to_convert, SQL_FUNNEL_TIME_TO_CONVERT

@@ -970,8 +970,155 @@ FROM est CROSS JOIN exact
 """
 
 
+_AMS_SPLIT = "1998-01-01"
+
+
+def q_ams_join_size(spark, sf_dir):
+    """AMS inner-product join-size estimation (Alon, Gibbons, Matias
+    & Szegedy 1999): |R ⋈ S| on l_partkey where R = lineitem shipped
+    before {split} and S = the rest — the two-relation generalization
+    of `ams_f2` and the actual optimizer question ("how big is this
+    join going to be?") answered from two independently-buildable
+    sketches: E[Z_R·Z_S] = Σ_k c_R(k)·c_S(k) exactly, under the SAME
+    sign hash on both sides.
+
+    Determinism: both per-side counts come from ONE scan (conditional
+    sums per key); the sign hash is the deterministic md5 idiom, so
+    the estimate is replayable and fully value-checked.  Z products
+    and the exact inner product ride DECIMAL past int64.  The ±3σ-ish
+    band uses the AMS variance bound Var ≤ 2·F₂(R)·F₂(S)/E — the
+    tolerance compares doubles built from exact integers through one
+    shared expression, identical in both engines.
+
+    Scale plan: identical to `ams_f2` — one hash-agg to the distinct-
+    key relation, ×{E} explode on THAT (never on raw rows), a {E}-row
+    estimator fold, and 1-row relations meeting in allowlisted scalar
+    cross joins.  In production the two sides' sketches build
+    independently (each is a {E}-value additive vector — mergeable,
+    streamable) and the estimate never touches either table again.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_shipdate") < F.lit(_AMS_SPLIT)).alias("in_r"),
+    )
+    keys = li.groupBy("l_partkey").agg(
+        F.sum(F.col("in_r").cast("bigint")).alias("cr"),
+        F.sum((~F.col("in_r")).cast("bigint")).alias("cs"),
+    )
+    exact = keys.agg(
+        F.sum(
+            F.col("cr").cast("decimal(18,0)")
+            * F.col("cs").cast("decimal(18,0)")
+        )
+        .cast("bigint")
+        .alias("exact_join_size")
+    )
+    f2s = keys.agg(
+        F.sum(
+            F.col("cr").cast("decimal(18,0)")
+            * F.col("cr").cast("decimal(18,0)")
+        ).alias("f2r"),
+        F.sum(
+            F.col("cs").cast("decimal(18,0)")
+            * F.col("cs").cast("decimal(18,0)")
+        ).alias("f2s"),
+    )
+    signed = keys.select(
+        "cr",
+        "cs",
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_E - 1))).alias("j"),
+        F.col("l_partkey"),
+    ).select(
+        "j",
+        (
+            F.lit(1)
+            - F.lit(2)
+            * (
+                _portable_hash(
+                    F.concat_ws("#", "l_partkey", "j"), "amsj"
+                )
+                % 2
+            )
+        ).alias("s"),
+        "cr",
+        "cs",
+    )
+    z = signed.groupBy("j").agg(
+        F.sum(F.col("cr") * F.col("s")).cast("bigint").alias("zr"),
+        F.sum(F.col("cs") * F.col("s")).cast("bigint").alias("zs"),
+    )
+    est = z.agg(
+        F.sum(
+            F.col("zr").cast("decimal(18,0)")
+            * F.col("zs").cast("decimal(18,0)")
+        ).alias("zz")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(f2s))
+        .selectExpr(
+            "exact_join_size",
+            f"CAST(FLOOR(CAST(zz AS DOUBLE) / {_AMS_E} * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS ams_est",
+            f"CAST(FLOOR((CAST(zz AS DOUBLE) / {_AMS_E}"
+            " - CAST(exact_join_size AS DOUBLE))"
+            " / CAST(exact_join_size AS DOUBLE)"
+            " * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rel_err",
+            # |est − exact| ≤ 3·sqrt(2·F2R·F2S/E), doubles from exact
+            # integers through one shared expression tree
+            f"ABS(CAST(zz AS DOUBLE) / {_AMS_E}"
+            " - CAST(exact_join_size AS DOUBLE))"
+            " <= 3.0 * SQRT(2.0 * CAST(f2r AS DOUBLE)"
+            f" * CAST(f2s AS DOUBLE) / {_AMS_E}) AS within_tol",
+        )
+    )
+
+
+_DUCK_AMSJ_SIGN = (
+    "(1 - 2 * (CAST(concat('0x', substr(md5(concat("
+    "CAST(l_partkey AS VARCHAR), '#', CAST(j AS VARCHAR), 'amsj'))"
+    ", 1, 15)) AS BIGINT) % 2))"
+)
+
+SQL_AMS_JOIN_SIZE = f"""
+WITH keys AS (
+  SELECT l_partkey,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{_AMS_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{_AMS_SPLIT}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cs
+  FROM lineitem GROUP BY 1),
+exact AS (
+  SELECT CAST(SUM(cr * cs) AS BIGINT) AS exact_join_size FROM keys),
+f2s AS (
+  SELECT SUM(cr * cr) AS f2r, SUM(cs * cs) AS f2s FROM keys),
+signed AS (
+  SELECT j, {_DUCK_AMSJ_SIGN} AS s, cr, cs
+  FROM keys CROSS JOIN (SELECT unnest(range({_AMS_E})) AS j) js),
+z AS (
+  SELECT j, CAST(SUM(cr * s) AS BIGINT) AS zr,
+         CAST(SUM(cs * s) AS BIGINT) AS zs
+  FROM signed GROUP BY 1),
+est AS (
+  SELECT SUM(zr * zs) AS zz FROM z)
+SELECT exact_join_size,
+       CAST(FLOOR(CAST(zz AS DOUBLE) / {_AMS_E} * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS ams_est,
+       CAST(FLOOR((CAST(zz AS DOUBLE) / {_AMS_E}
+         - CAST(exact_join_size AS DOUBLE))
+         / CAST(exact_join_size AS DOUBLE)
+         * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rel_err,
+       ABS(CAST(zz AS DOUBLE) / {_AMS_E}
+         - CAST(exact_join_size AS DOUBLE))
+         <= 3.0 * SQRT(2.0 * CAST(f2r AS DOUBLE)
+         * CAST(f2s AS DOUBLE) / {_AMS_E}) AS within_tol
+FROM est CROSS JOIN exact CROSS JOIN f2s
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "ams_f2": QuerySpec(q_ams_f2, SQL_AMS_F2),
+    "ams_join_size": QuerySpec(q_ams_join_size, SQL_AMS_JOIN_SIZE),
     "kmv_jaccard": QuerySpec(q_kmv_jaccard, SQL_KMV_JACCARD),
     "quantile_histogram": QuerySpec(
         q_quantile_histogram, SQL_QUANTILE_HISTOGRAM

@@ -261,6 +261,9 @@ _BNLJ_ALLOWED = {
     # both the Q11 uncorrelated-scalar shape
     "t_closeness",
     "ams_f2",
+    # ams_join_size crosses three single-row relations (estimate ×
+    # exact inner product × the two F2 scalars) — 1x1 BNLJs
+    "ams_join_size",
     # emb_knn_label / emb_hard_negatives broadcast the anchor-vector
     # side into the corpus scan (the emb_cosine_topk shape; the
     # lake-scale swap is the BQ shortlist, documented in-docstring)

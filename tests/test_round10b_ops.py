@@ -218,3 +218,39 @@ def test_clustering_coeff_matches_bruteforce(spark, sf_dir):
         assert math.isclose(
             r.lcc, (2.0 * t) / (d * (d - 1)), rel_tol=1e-5, abs_tol=1e-6
         )
+
+
+def test_ams_join_size_exact_and_tolerance(spark, sf_dir):
+    import pandas as pd
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    in_r = li["l_shipdate"] < pd.Timestamp("1998-01-01")
+    cr = li[in_r].groupby("l_partkey").size()
+    cs = li[~in_r].groupby("l_partkey").size()
+    exact = int((cr * cs).dropna().sum())
+    row = _q(spark, sf_dir, "ams_join_size").collect()[0]
+    assert row.exact_join_size == exact
+    assert row.within_tol
+
+
+def test_robust_trimmed_stats_matches_numpy(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for r in _q(spark, sf_dir, "robust_trimmed_stats").collect():
+        x = np.sort(ev.loc[ev.event_type == r.event_type, "cents"])
+        n = len(x)
+        assert r.n == n
+        # quantile_disc: smallest value whose cum count >= ceil(q*n)
+        lo = int(x[math.ceil(0.05 * n) - 1])
+        hi = int(x[math.ceil(0.95 * n) - 1])
+        assert (r.p05_cents, r.p95_cents) == (lo, hi)
+        assert lo <= r.trimmed_mean_cents <= hi
+        assert lo <= r.winsorized_mean_cents <= hi
+        wins = np.clip(x, lo, hi)
+        trim = x[(x >= lo) & (x <= hi)]
+        assert math.isclose(
+            r.winsorized_mean_cents, wins.mean(), rel_tol=1e-6, abs_tol=1e-5
+        )
+        assert math.isclose(
+            r.trimmed_mean_cents, trim.mean(), rel_tol=1e-6, abs_tol=1e-5
+        )
