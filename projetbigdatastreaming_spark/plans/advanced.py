@@ -2524,6 +2524,14 @@ def q_robust_trimmed_stats(spark, sf_dir):
         .groupBy("event_type", "cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    return robust_stats_from_hist(hist)
+
+
+def robust_stats_from_hist(hist):
+    """Exact-quantile winsorized/truncated pipeline over a
+    per-(event_type, cents) histogram — shared by the batch query and
+    ``streaming/timeseries.read_robust_stats`` so folded stream state
+    runs the IDENTICAL computation."""
     from pyspark.sql import Window
 
     w = (
@@ -2638,11 +2646,255 @@ ORDER BY event_type
 """
 
 
+def q_join_temporal_scd2(spark, sf_dir):
+    """Temporal (point-in-validity) join of facts against an SCD2
+    dimension — the warehouse pattern `scd2_history` builds the
+    dimension FOR: every purchase is attributed to the user's tier
+    THAT WAS IN EFFECT at purchase time (tier changes come from
+    signup events; their props.k mod 4 is the tier).  Purchases
+    before any signup attribute to the null tier — a real cohort, not
+    an error.
+
+    Scale plan: the naive form is a range join (fact.ts BETWEEN
+    valid_from AND valid_to) — quadratic blowup risk and no equi-key.
+    Because SCD2 validity intervals PARTITION time per user, the join
+    is equivalent to an AS-OF join, so it runs as the union-merge:
+    tag dim changes and facts, ONE window per user ordered by
+    (ts, src, event_id) — src orders a same-instant change BEFORE the
+    fact, so a tier change taking effect at the purchase timestamp
+    attributes the purchase to the NEW tier — carrying the last
+    non-null tier forward (`join_asof`'s trick at dimension scale).
+    One shuffle on user_id, no interval comparison ever materializes;
+    output aggregates to the ≤5-row tier panel.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(0).alias("src"),
+        (F.get_json_object("props", "$.k").cast("int") % 4).alias(
+            "tier"
+        ),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(1).alias("src"),
+        F.lit(None).cast("int").alias("tier"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = dim.unionAll(fact).withColumn(
+        "tier_at", F.last("tier", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where(F.col("src") == 1)
+        .groupBy("tier_at")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("tier_at").asc_nulls_first())
+    )
+
+
+SQL_JOIN_TEMPORAL_SCD2 = """
+WITH dim AS (
+  SELECT user_id, ts, event_id, 0 AS src,
+         CAST(json_extract_string(props, '$.k') AS INT) % 4 AS tier,
+         CAST(NULL AS BIGINT) AS cents
+  FROM events WHERE event_type = 'signup'),
+fact AS (
+  SELECT user_id, ts, event_id, 1 AS src,
+         CAST(NULL AS INT) AS tier,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+merged AS (
+  SELECT *, LAST_VALUE(tier IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts, src, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS tier_at
+  FROM (SELECT * FROM dim UNION ALL SELECT * FROM fact))
+SELECT tier_at,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM merged WHERE src = 1
+GROUP BY 1
+ORDER BY tier_at ASC NULLS FIRST
+"""
+
+
+#: z-test significance bar (two-sided 5%)
+_AB_Z_CRIT = 1.96
+
+#: the Welch z statistic as one shared expression program on exact
+#: integer sums (same bitwise-equality trick as _OLS_PROG)
+_AB_PROG = [
+    ("mean_a_raw", "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"),
+    ("mean_b_raw", "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)"),
+    # unbiased variance from exact sums: (Σx² − (Σx)²/n) / (n−1)
+    ("var_a", "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)"
+              " * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+              " / (CAST(na AS DOUBLE) - 1.0)"),
+    ("var_b", "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)"
+              " * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+              " / (CAST(nb AS DOUBLE) - 1.0)"),
+    ("z", "(mean_a_raw - mean_b_raw) / SQRT(var_a / CAST(na AS DOUBLE)"
+          " + var_b / CAST(nb AS DOUBLE))"),
+]
+
+
+def q_ab_test_zscore(spark, sf_dir):
+    """A/B experiment readout with a Welch z-test per event type:
+    users split 50/50 by the deterministic hash (variant A = even
+    bucket), the metric is event value in cents, and the panel
+    reports both means, the z statistic, and the 5% two-sided
+    verdict.  The null-effect harness every experimentation platform
+    ships — on a hash split of unmanipulated data the z's should
+    hover near 0, which doubles as an assignment-balance audit.
+
+    The analysis unit is the USER, not the event: events cluster per
+    user (a heavy user's events all land in one arm), so an
+    event-level z understates variance — the metric is each user's
+    total cents within the type, aggregated per user FIRST (the
+    cluster-robust design, and also the scalable one: the user grain
+    is a plain pre-aggregation).
+
+    Determinism: per-variant n, Σx, Σx² are exact integers from ONE
+    conditional hash-agg (Σx² in DECIMAL past int64); the z is one
+    shared expression program (`_AB_PROG`) compiled identically in
+    both engines — bitwise-equal doubles, det6-rounded.
+
+    Scale plan: one scan → hash-agg to the (type, user) grain →
+    hash-agg to the ≤5-value event type; variants are conditional
+    accumulators, not a self-join.  Streaming twin: the (type, user)
+    partials are additive, the `read_ols` fold shape — not
+    duplicated here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.sampling import _portable_hash
+
+    base = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").alias("x"))
+        .select(
+            "event_type",
+            (_portable_hash(F.col("user_id"), "ab0") % 2 == 0).alias(
+                "in_a"
+            ),
+            "x",
+        )
+    )
+    stats = base.groupBy("event_type").agg(
+        F.sum(F.col("in_a").cast("bigint")).alias("na"),
+        F.sum((~F.col("in_a")).cast("bigint")).alias("nb"),
+        F.sum(F.when(F.col("in_a"), F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(~F.col("in_a"), F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(
+            F.when(
+                F.col("in_a"),
+                F.col("x").cast("decimal(18,0)")
+                * F.col("x").cast("decimal(18,0)"),
+            ).otherwise(F.lit(0).cast("decimal(37,0)"))
+        ).alias("qa"),
+        F.sum(
+            F.when(
+                ~F.col("in_a"),
+                F.col("x").cast("decimal(18,0)")
+                * F.col("x").cast("decimal(18,0)"),
+            ).otherwise(F.lit(0).cast("decimal(37,0)"))
+        ).alias("qb"),
+    )
+    out = stats
+    for name, expr in _AB_PROG:
+        out = out.withColumn(name, F.expr(expr))
+    return out.selectExpr(
+        "event_type",
+        "na",
+        "nb",
+        _DET6.format(x="mean_a_raw", name="mean_a_cents"),
+        _DET6.format(x="mean_b_raw", name="mean_b_cents"),
+        _DET6.format(x="z", name="z_score"),
+        f"ABS(z) > {_AB_Z_CRIT} AS significant",
+    ).orderBy("event_type")
+
+
+def _sql_ab_test_zscore() -> str:
+    steps = ""
+    prev = "stats"
+    for i, (name, expr) in enumerate(_AB_PROG):
+        steps += f", p{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        prev = f"p{i}"
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(concat(
+           CAST(user_id AS VARCHAR), 'ab0')), 1, 15)) AS BIGINT)
+           % 2 = 0 AS in_a,
+         x
+  FROM per_user),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE x END) AS BIGINT) AS sb,
+         SUM(CASE WHEN in_a THEN x * x ELSE 0 END) AS qa,
+         SUM(CASE WHEN in_a THEN 0 ELSE x * x END) AS qb
+  FROM base GROUP BY 1){steps}
+SELECT event_type, na, nb,
+       CAST(FLOOR((mean_a_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS mean_a_cents,
+       CAST(FLOOR((mean_b_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS mean_b_cents,
+       CAST(FLOOR((z) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z_score,
+       ABS(z) > {_AB_Z_CRIT} AS significant
+FROM {prev}
+ORDER BY event_type
+"""
+
+
+SQL_AB_TEST_ZSCORE = _sql_ab_test_zscore()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),
+    "join_temporal_scd2": QuerySpec(
+        q_join_temporal_scd2, SQL_JOIN_TEMPORAL_SCD2
+    ),
+    "ab_test_zscore": QuerySpec(q_ab_test_zscore, SQL_AB_TEST_ZSCORE),
     "linreg_ols": QuerySpec(q_linreg_ols, SQL_LINREG_OLS),
     "funnel_time_to_convert": QuerySpec(
         q_funnel_time_to_convert, SQL_FUNNEL_TIME_TO_CONVERT

@@ -963,8 +963,98 @@ ORDER BY event_type, dow
 """
 
 
+def q_forecast_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecast evaluation per event type — the
+    baseline every forecasting system must beat before it ships
+    (Hyndman & Athanasopoulos: "if you can't beat seasonal-naive,
+    don't deploy"): predict each day's count with the count 7 days
+    earlier, score MAE against the 1-day-naive on the SAME eval days,
+    and report the skill 1 − MAE_seasonal/MAE_naive (positive ⇒
+    weekly structure is real and exploitable — the decision `acf_lags`
+    diagnoses, quantified in forecast units).
+
+    Determinism: counts and absolute errors are exact BIGINTs; the
+    two MAEs and the skill pay one det6 division each.  Eval days are
+    exactly those with a lag-7 predecessor, the same set for both
+    baselines (so the comparison is apples-to-apples).
+
+    Scale plan: one hash-agg to the (type, day) grain; both lags come
+    from ONE type-partitioned window node over that bounded relation;
+    the scoring agg is ≤|types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("y7", F.lag("y", 7).over(w)).withColumn(
+        "y1", F.lag("y", 1).over(w)
+    )
+    return (
+        lagged.where(F.col("y7").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_days"),
+            F.sum(F.abs(F.col("y") - F.col("y7")))
+            .cast("bigint")
+            .alias("ae7"),
+            F.sum(F.abs(F.col("y") - F.col("y1")))
+            .cast("bigint")
+            .alias("ae1"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_eval_days",
+            "CAST(FLOOR(CAST(ae7 AS DOUBLE) / n_eval_days * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS mae_seasonal",
+            "CAST(FLOOR(CAST(ae1 AS DOUBLE) / n_eval_days * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS mae_naive",
+            "CAST(FLOOR((1.0 - CAST(ae7 AS DOUBLE)"
+            " / NULLIF(CAST(ae1 AS DOUBLE), 0.0)) * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6 AS skill",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FORECAST_SEASONAL_NAIVE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, day, y,
+         LAG(y, 7) OVER w AS y7,
+         LAG(y, 1) OVER w AS y1
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+scored AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+         CAST(SUM(ABS(y - y7)) AS BIGINT) AS ae7,
+         CAST(SUM(ABS(y - y1)) AS BIGINT) AS ae1
+  FROM lagged WHERE y7 IS NOT NULL
+  GROUP BY 1)
+SELECT event_type, n_eval_days,
+       CAST(FLOOR(CAST(ae7 AS DOUBLE) / n_eval_days * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS mae_seasonal,
+       CAST(FLOOR(CAST(ae1 AS DOUBLE) / n_eval_days * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS mae_naive,
+       CAST(FLOOR((1.0 - CAST(ae7 AS DOUBLE)
+         / NULLIF(CAST(ae1 AS DOUBLE), 0.0)) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS skill
+FROM scored
+ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
+    "forecast_seasonal_naive": QuerySpec(
+        q_forecast_seasonal_naive, SQL_FORECAST_SEASONAL_NAIVE
+    ),
     "seasonal_dow_index": QuerySpec(
         q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX
     ),

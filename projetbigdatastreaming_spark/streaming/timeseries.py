@@ -264,3 +264,54 @@ def read_ols(spark: SparkSession, state_dir: str) -> DataFrame:
         )
     )
     return ols_solve(stats)
+
+
+#: value-histogram state schema (additive counts per cents bucket —
+#: width bounded by the VALUE DOMAIN, not the stream length)
+HIST_STATE_SCHEMA = (
+    "event_type string, cents bigint, c bigint, batch_id int"
+)
+
+
+def hist_partials_writer(
+    state_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for streaming robust statistics: reduce the
+    batch to the per-(event_type, cents) value histogram and restate
+    this batch's partition.  Histogram counts are ADDITIVE, so the
+    fold in `read_robust_stats` reproduces the batch operator's
+    percentile bounds and means EXACTLY — streaming percentiles
+    without t-digest approximation, possible because the value domain
+    (not the stream) bounds the state width."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.select(
+                "event_type",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        overwrite_partitions(partials, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_robust_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the histogram partials and run the exact-quantile
+    winsorized/truncated pipeline — column-identical to
+    `plans/advanced.q_robust_trimmed_stats` over the union of the
+    ingested batches (pinned by test)."""
+    from ..plans.advanced import robust_stats_from_hist
+
+    hist = (
+        spark.read.schema(HIST_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return robust_stats_from_hist(hist)

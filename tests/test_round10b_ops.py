@@ -254,3 +254,114 @@ def test_robust_trimmed_stats_matches_numpy(spark, sf_dir):
         assert math.isclose(
             r.trimmed_mean_cents, trim.mean(), rel_tol=1e-6, abs_tol=1e-5
         )
+
+
+def test_robust_stats_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming exact percentiles: additive histogram partials over 3
+    micro-batches fold to EXACTLY the batch winsorized/trimmed panel;
+    a redelivery restates instead of double-counting (which would
+    shift every cumulative rank and so the percentile bounds)."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.advanced import (
+        q_robust_trimmed_stats,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        hist_partials_writer,
+        read_robust_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "hist")
+    write = hist_partials_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    want = rows(q_robust_trimmed_stats(spark, sf_dir))
+    assert rows(read_robust_stats(spark, state)) == want and len(want) > 0
+
+    write(ev.where("event_id % 3 = 0"), 0)  # redelivery restates
+    assert rows(read_robust_stats(spark, state)) == want
+
+
+def test_temporal_scd2_attribution_correct(spark, sf_dir):
+    """Every purchase attributes to the LATEST signup tier at or
+    before its timestamp — cross-checked by a pure-Python replay."""
+    import json
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type", "value", "props")
+        .collect()
+    )
+    changes: dict = {}
+    for r in ev:
+        if r.event_type == "signup":
+            changes.setdefault(r.user_id, []).append(
+                (r.ts, r.event_id, json.loads(r.props)["k"] % 4)
+            )
+    for v in changes.values():
+        v.sort()
+    agg: dict = {}
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        tier = None
+        for ts, eid, k in changes.get(r.user_id, []):
+            if ts <= r.ts:
+                tier = k
+            else:
+                break
+        n, cents, users = agg.get(tier, (0, 0, set()))
+        users = users | {r.user_id}
+        agg[tier] = (n + 1, cents + int(np.floor(r.value * 100 + 0.5)), users)
+    got = {
+        r.tier_at: (r.n_purchases, r.revenue_cents, r.n_users)
+        for r in _q(spark, sf_dir, "join_temporal_scd2").collect()
+    }
+    expect = {k: (n, c, len(u)) for k, (n, c, u) in agg.items()}
+    assert got == expect
+
+
+def test_ab_split_balanced_and_z_matches_scipy_free_formula(spark, sf_dir):
+    # randomization balance holds at the UNIT of assignment (users) —
+    # event counts cluster per user, so na/nb may legitimately skew
+    from projetbigdatastreaming_spark.operators.sampling import (
+        _portable_hash,
+    )
+    from pyspark.sql import functions as F
+
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .select((_portable_hash(F.col("user_id"), "ab0") % 2 == 0).alias("a"))
+        .collect()
+    )
+    n_users = len(users)
+    n_a = sum(1 for u in users if u.a)
+    assert abs(n_a - n_users / 2) < 5 * math.sqrt(n_users / 4) + 1
+    rows = _q(spark, sf_dir, "ab_test_zscore").collect()
+    assert rows
+    for r in rows:
+        assert r.na > 1 and r.nb > 1
+        # null-effect data: z should be finite and modest
+        assert abs(r.z_score) < 6
+        assert r.significant == (abs(r.z_score) > 1.96) or (
+            abs(abs(r.z_score) - 1.96) < 1e-5
+        )
+
+
+def test_forecast_skill_consistent(spark, sf_dir):
+    for r in _q(spark, sf_dir, "forecast_seasonal_naive").collect():
+        assert r.n_eval_days > 0
+        assert r.mae_seasonal >= 0 and r.mae_naive >= 0
+        if r.skill is not None and r.mae_naive > 0:
+            assert math.isclose(
+                r.skill,
+                1.0 - r.mae_seasonal / r.mae_naive,
+                rel_tol=1e-4,
+                abs_tol=2e-6,
+            )
