@@ -386,6 +386,9 @@ def q_graph_clustering_coeff(spark, sf_dir):
     triangle counts come from the ONE a<b<c triangle join with its 3
     corners exploded — 3 rows per triangle, hash-agg on node; output
     is nodes with d≥2 (triangle-eligible), ordered by node id.
+    Measured (bench_one, min-of-2): sf0.1 1.8 s / sf1 3.1 s / sf10
+    10.1 s — the census family's pair-volume growth, sub-quadratic
+    across both decades.
     """
     from ..cache import persist_scoped
     from ..operators import dedup as _dedup
@@ -492,7 +495,9 @@ def q_graph_kcore(spark, sf_dir):
     list (survivor side is ≤|V| rows of ids); lineage truncates per
     round via localCheckpoint (the PageRank/PCA unroll lesson), so
     plan size stays linear in rounds.  Edge volume is pair-bounded by
-    LSH construction, and only shrinks.
+    LSH construction, and only shrinks.  Measured (bench_one,
+    min-of-2): sf0.1 2.2 s / sf1 4.3 s / sf10 14.7 s — the 6 fixed
+    rounds add a constant stage count; growth stays pair-volume-bound.
     """
     from ..cache import persist_scoped
     from ..operators import dedup as _dedup
