@@ -2886,6 +2886,120 @@ ORDER BY event_type
 SQL_AB_TEST_ZSCORE = _sql_ab_test_zscore()
 
 
+def q_fifo_fill(spark, sf_dir):
+    """FIFO inventory allocation: open demand (linestatus 'O') per
+    part is filled OLDEST-FIRST from the part's finished supply
+    ('F'), and the fill is read out per order priority — do urgent
+    orders actually get stock, or did earlier low-priority demand
+    drain it?  The allocation loop every ERP runs nightly.
+
+    The sequential "walk demand in date order, decrement stock" loop
+    looks window-inexpressible, but FIFO against a single supply pool
+    has a closed form on the demand prefix sums: a demand row holding
+    interval [Dprev, Dcur) of cumulative demand is filled by
+    min(Dcur, S) − min(Dprev, S) units (S = the part's supply) —
+    exactly the interval-clamp identity; no loop, no recursion, and
+    per-row fills are EXACT integers.
+
+    Scale plan: supply is one hash-agg to per-part totals (broadcast-
+    able at dim scale; AQE picks the strategy when parts are
+    fact-scale); the demand prefix sum is ONE window partitioned by
+    partkey (high cardinality — no low-cardinality-window trap);
+    priorities attach via the orders equi-join; final readout is a
+    ≤5-row hash-agg.  Ties inside a (part, date) break on
+    (orderkey, linenumber) — a total order, so both engines allocate
+    identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = (
+        li.where(F.col("l_linestatus") == "F")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("s"))
+    )
+    demand = li.where(F.col("l_linestatus") == "O").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        demand.withColumn("dcur", F.sum("q").over(w))
+        .join(supply, "l_partkey", "left")
+        .withColumn("s", F.coalesce("s", F.lit(0)))
+        .withColumn("dprev", F.col("dcur") - F.col("q"))
+        .withColumn(
+            "fill",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("dcur"), F.col("s"))
+                - F.least(F.col("dprev"), F.col("s")),
+            ),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        filled.join(orders, filled.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("q").cast("bigint").alias("demand_qty"),
+            F.sum("fill").cast("bigint").alias("filled_qty"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n_lines",
+            "demand_qty",
+            "filled_qty",
+            "CAST(FLOOR(CAST(filled_qty AS DOUBLE) / demand_qty"
+            " * 1e6 + 0.5) AS DOUBLE) / 1e6 AS fill_rate",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_FIFO_FILL = """
+WITH supply AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+  FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1),
+demand AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem WHERE l_linestatus = 'O'),
+pfx AS (
+  SELECT d.*,
+         SUM(q) OVER (PARTITION BY l_partkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dcur
+  FROM demand d),
+filled AS (
+  SELECT p.*, COALESCE(s.s, 0) AS s, p.dcur - p.q AS dprev,
+         GREATEST(0, LEAST(p.dcur, COALESCE(s.s, 0))
+                     - LEAST(p.dcur - p.q, COALESCE(s.s, 0))) AS fill
+  FROM pfx p LEFT JOIN supply s USING (l_partkey))
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(q) AS BIGINT) AS demand_qty,
+       CAST(SUM(fill) AS BIGINT) AS filled_qty,
+       CAST(FLOOR(CAST(SUM(fill) AS DOUBLE) / SUM(q) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS fill_rate
+FROM filled JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
     "robust_trimmed_stats": QuerySpec(
@@ -2895,6 +3009,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_join_temporal_scd2, SQL_JOIN_TEMPORAL_SCD2
     ),
     "ab_test_zscore": QuerySpec(q_ab_test_zscore, SQL_AB_TEST_ZSCORE),
+    "fifo_fill": QuerySpec(q_fifo_fill, SQL_FIFO_FILL),
     "linreg_ols": QuerySpec(q_linreg_ols, SQL_LINREG_OLS),
     "funnel_time_to_convert": QuerySpec(
         q_funnel_time_to_convert, SQL_FUNNEL_TIME_TO_CONVERT

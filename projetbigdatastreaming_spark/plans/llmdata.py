@@ -5718,6 +5718,148 @@ ORDER BY lang
 """
 
 
+#: RAKE stopword list (fixed; the fixture vocabulary uses 'a'/'the',
+#: the rest future-proof the splitter) and candidate length cap
+_RAKE_STOPS = ("a", "the", "of", "and", "in", "on", "to", "is")
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 20
+
+
+def q_text_keyphrases_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free word runs (length ≤ 4); each word scores degree/frequency (degree = Σ length of
+    candidate phrases containing it — co-occurrence reach; frequency
+    = its candidate occurrences); a phrase scores the sum of its
+    member words; top-20 phrases corpus-wide.  The unsupervised
+    topic-labeling pass a curation pipeline runs to answer "what is
+    this corpus about?" before mixing it.
+
+    Determinism: word scores are floored to integer micro-units
+    (deg·10⁶ DIV freq) BEFORE the phrase sum, so the sum is an exact
+    integer fold in any order — summing rounded doubles instead would
+    be float-order-sensitive under hash aggregation.  The top-k tie
+    order is (score desc, phrase asc) — total.
+
+    Scale plan: the only corpus-volume stage is the token explode
+    (one pass); phrase-id assignment is a running stopword count —
+    ONE window PARTITIONED BY doc_id over that explode (doc-bounded
+    partitions); phrase assembly sorts ≤doc-length structs inside a
+    hash-agg; word stats and phrase scores are hash-aggs on the
+    bounded candidate vocabulary; the head is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = words.withColumn(
+        "is_stop", F.col("w").isin(*_RAKE_STOPS)
+    ).withColumn(
+        "phrase_id", F.sum(F.col("is_stop").cast("int")).over(w_run)
+    )
+    cands = (
+        marked.where(~F.col("is_stop"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "w"))
+            ).alias("parts")
+        )
+        .select(
+            F.concat_ws(
+                " ", F.transform("parts", lambda s: s["w"])
+            ).alias("phrase"),
+            F.size("parts").alias("plen"),
+        )
+        .where(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    from ..cache import persist_scoped
+
+    cands = persist_scoped("rake_cands", cands)
+    member = cands.select(
+        "phrase",
+        "plen",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wstats = member.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    wscore = wstats.select(
+        "w",
+        F.expr("deg * 1000000 DIV freq").alias("uscore"),
+    )
+    pdist = cands.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    pmember = pdist.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    phrase_scores = (
+        pmember.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("uscore").cast("bigint").alias("uscore_sum"))
+        .join(pdist, "phrase")
+    )
+    return (
+        phrase_scores.selectExpr(
+            "phrase",
+            "n_occurrences",
+            "CAST(uscore_sum AS DOUBLE) / 1e6 AS rake_score",
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(_RAKE_TOPK)
+    )
+
+
+def _sql_text_keyphrases_rake() -> str:
+    # The oracle segments phrases with string surgery instead of a
+    # positional window: doubling the spaces makes each token carry
+    # its own delimiters, so the stopword regex can't eat its
+    # neighbor's boundary, then runs split on the marker.
+    stops = "|".join(_RAKE_STOPS)
+    return f"""
+WITH cands AS MATERIALIZED (
+  SELECT phrase, len(str_split(phrase, ' ')) AS plen
+  FROM (
+    SELECT regexp_replace(trim(p), ' +', ' ', 'g') AS phrase
+    FROM (SELECT str_split(regexp_replace(
+             ' ' || replace(lower(text), ' ', '  ') || ' ',
+             ' ({stops}) ', '|', 'g'), '|') AS ps
+          FROM documents) t, UNNEST(t.ps) AS u(p))
+  WHERE phrase <> ''
+    AND len(str_split(phrase, ' ')) <= {_RAKE_MAX_LEN}),
+member AS (
+  SELECT phrase, plen, unnest(str_split(phrase, ' ')) AS w FROM cands),
+wscore AS (
+  SELECT w, CAST(SUM(plen) AS BIGINT) * 1000000
+            // CAST(COUNT(*) AS BIGINT) AS uscore
+  FROM member GROUP BY 1),
+pdist AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM cands GROUP BY 1),
+pmember AS (
+  SELECT phrase, unnest(str_split(phrase, ' ')) AS w FROM pdist),
+scored AS (
+  SELECT phrase, CAST(SUM(uscore) AS BIGINT) AS uscore_sum
+  FROM pmember JOIN wscore USING (w)
+  GROUP BY 1)
+SELECT s.phrase, p.n_occurrences,
+       CAST(uscore_sum AS DOUBLE) / 1e6 AS rake_score
+FROM scored s JOIN pdist p USING (phrase)
+ORDER BY rake_score DESC, phrase ASC
+LIMIT {_RAKE_TOPK}
+"""
+
+
+SQL_TEXT_KEYPHRASES_RAKE = _sql_text_keyphrases_rake()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_readability": QuerySpec(
         q_text_readability, SQL_TEXT_READABILITY
@@ -5815,6 +5957,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sample_bernoulli": QuerySpec(q_sample_bernoulli, SQL_SAMPLE_BERNOULLI),
     "vocab_topk": QuerySpec(q_vocab_topk, SQL_VOCAB_TOPK),
+    "text_keyphrases_rake": QuerySpec(
+        q_text_keyphrases_rake, SQL_TEXT_KEYPHRASES_RAKE
+    ),
     "doc_repetition": QuerySpec(q_doc_repetition, SQL_DOC_REPETITION),
     "emb_quantize": QuerySpec(q_emb_quantize, SQL_EMB_QUANTIZE),
     "ngram_counts": QuerySpec(q_ngram_counts, SQL_NGRAM_COUNTS),

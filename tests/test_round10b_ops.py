@@ -365,3 +365,77 @@ def test_forecast_skill_consistent(spark, sf_dir):
                 rel_tol=1e-4,
                 abs_tol=2e-6,
             )
+
+
+def test_fifo_fill_conserves_and_matches_replay(spark, sf_dir):
+    """FIFO interval-clamp identity cross-checked by a literal
+    walk-the-demand-in-order Python replay; total filled per part is
+    min(total demand, supply)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    supply = (
+        li[li.l_linestatus == "F"]
+        .groupby("l_partkey")["l_quantity"]
+        .sum()
+        .astype("int64")
+    )
+    demand = li[li.l_linestatus == "O"].sort_values(
+        ["l_partkey", "l_shipdate", "l_orderkey", "l_linenumber"]
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    prio = dict(zip(orders.o_orderkey, orders.o_orderpriority))
+    agg: dict = {}
+    stock: dict = {}
+    for r in demand.itertuples():
+        s = stock.setdefault(r.l_partkey, int(supply.get(r.l_partkey, 0)))
+        q = int(r.l_quantity)
+        fill = min(q, s)
+        stock[r.l_partkey] = s - fill
+        p = prio[r.l_orderkey]
+        n, d, f = agg.get(p, (0, 0, 0))
+        agg[p] = (n + 1, d + q, f + fill)
+    got = {
+        r.o_orderpriority: (r.n_lines, r.demand_qty, r.filled_qty)
+        for r in _q(spark, sf_dir, "fifo_fill").collect()
+    }
+    assert got == agg
+
+
+def test_rake_scores_consistent_with_corpus_stats(spark, sf_dir):
+    """Recompute RAKE from scratch in Python over the raw text and
+    check the returned top-k rows carry the exact same scores."""
+    stops = {"a", "the", "of", "and", "in", "on", "to", "is"}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    freq: dict = {}
+    deg: dict = {}
+    occ: dict = {}
+    for text in docs.text:
+        run: list = []
+        for w in text.lower().split(" ") + ["the"]:
+            if w in stops or w == "":
+                if run and len(run) <= 4:
+                    p = " ".join(run)
+                    occ[p] = occ.get(p, 0) + 1
+                    for x in run:
+                        freq[x] = freq.get(x, 0) + 1
+                        deg[x] = deg.get(x, 0) + len(run)
+                run = []
+            else:
+                run.append(w)
+    uscore = {w: deg[w] * 1000000 // freq[w] for w in freq}
+    rows = _q(spark, sf_dir, "text_keyphrases_rake").collect()
+    assert len(rows) == 20
+    expect_scores = {
+        p: sum(uscore[w] for w in p.split(" ")) / 1e6 for p in occ
+    }
+    for r in rows:
+        assert r.n_occurrences == occ[r.phrase]
+        assert math.isclose(
+            r.rake_score, expect_scores[r.phrase], abs_tol=1e-9
+        )
+    # the returned rows are the true top-k under (score desc, phrase)
+    topk = sorted(
+        expect_scores.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    assert [(r.phrase, r.rake_score) for r in rows] == [
+        (p, s) for p, s in topk
+    ]
