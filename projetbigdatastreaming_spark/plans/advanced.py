@@ -3000,8 +3000,312 @@ ORDER BY o_orderpriority
 """
 
 
+#: experiment clock: the fixture spans 2024-01-01..30; the second
+#: half is the "post" / treatment-exposure period
+_DID_POST_START = "2024-01-16"
+
+#: difference-in-differences + Welch-style SE as one shared exact-sum
+#: expression program (the _OLS_PROG bitwise-equality discipline)
+_DID_PROG = [
+    ("m_t1", "CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)"),
+    ("m_t0", "CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)"),
+    ("m_c1", "CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)"),
+    ("m_c0", "CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)"),
+    ("did", "(m_t1 - m_t0) - (m_c1 - m_c0)"),
+    ("v_t1", "(CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE)"
+             " * CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE))"
+             " / (CAST(n_t1 AS DOUBLE) - 1.0)"),
+    ("v_t0", "(CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE)"
+             " * CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))"
+             " / (CAST(n_t0 AS DOUBLE) - 1.0)"),
+    ("v_c1", "(CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE)"
+             " * CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))"
+             " / (CAST(n_c1 AS DOUBLE) - 1.0)"),
+    ("v_c0", "(CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE)"
+             " * CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))"
+             " / (CAST(n_c0 AS DOUBLE) - 1.0)"),
+    ("se", "SQRT(v_t1 / CAST(n_t1 AS DOUBLE)"
+           " + v_t0 / CAST(n_t0 AS DOUBLE)"
+           " + v_c1 / CAST(n_c1 AS DOUBLE)"
+           " + v_c0 / CAST(n_c0 AS DOUBLE))"),
+    ("z", "did / se"),
+]
+
+_DID_CELLS = ("t1", "t0", "c1", "c0")
+
+
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences readout per event type — the
+    quasi-experimental estimator for when randomization wasn't
+    possible: effect = (treated post − treated pre) − (control post −
+    control pre), which nets out both the group baseline and the
+    common time trend (Card & Krueger's design).  Treatment is the
+    deterministic user hash split, exposure starts mid-fixture; on
+    null-effect data the estimate should hover near 0 — the
+    parallel-trends placebo every DiD deployment runs first.
+
+    Determinism: the four cells' n, Σx, Σx² are exact integers from
+    ONE hash-agg (unit = user×period totals, the `ab_test_zscore`
+    cluster-robust discipline); estimate, SE, and z are one shared
+    expression program — bitwise-equal doubles, det6-rounded.
+
+    Scale plan: one scan → hash-agg to (type, user, post) →
+    conditional accumulators to ≤|types| rows → scalar math.  No
+    join, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.sampling import _portable_hash
+
+    per_unit = (
+        ev.select(
+            "event_type",
+            "user_id",
+            (F.to_date("ts") >= F.lit(_DID_POST_START)).alias("post"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "user_id", "post")
+        .agg(F.sum("cents").alias("x"))
+        .select(
+            "event_type",
+            "post",
+            (_portable_hash(F.col("user_id"), "did0") % 2 == 0).alias(
+                "treat"
+            ),
+            "x",
+        )
+    )
+    cells = {
+        "t1": (F.col("treat") & F.col("post")),
+        "t0": (F.col("treat") & ~F.col("post")),
+        "c1": (~F.col("treat") & F.col("post")),
+        "c0": (~F.col("treat") & ~F.col("post")),
+    }
+    aggs = []
+    for c, cond in cells.items():
+        aggs += [
+            F.sum(cond.cast("bigint")).alias(f"n_{c}"),
+            F.sum(F.when(cond, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s_{c}"),
+            F.sum(
+                F.when(
+                    cond,
+                    F.col("x").cast("decimal(18,0)")
+                    * F.col("x").cast("decimal(18,0)"),
+                ).otherwise(F.lit(0).cast("decimal(37,0)"))
+            ).alias(f"q_{c}"),
+        ]
+    out = per_unit.groupBy("event_type").agg(*aggs)
+    for name, expr in _DID_PROG:
+        out = out.withColumn(name, F.expr(expr))
+    return out.selectExpr(
+        "event_type",
+        "n_t1",
+        "n_c1",
+        _DET6.format(x="did", name="did_cents"),
+        _DET6.format(x="se", name="se_cents"),
+        _DET6.format(x="z", name="z_score"),
+        f"ABS(z) > {_AB_Z_CRIT} AS significant",
+    ).orderBy("event_type")
+
+
+def _sql_diff_in_diff() -> str:
+    cell_sql = {
+        "t1": "treat AND post",
+        "t0": "treat AND NOT post",
+        "c1": "NOT treat AND post",
+        "c0": "NOT treat AND NOT post",
+    }
+    accs = []
+    for c, cond in cell_sql.items():
+        accs.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{c}"
+        )
+        accs.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN x ELSE 0 END) AS BIGINT)"
+            f" AS s_{c}"
+        )
+        accs.append(
+            f"SUM(CASE WHEN {cond} THEN x * x ELSE 0 END) AS q_{c}"
+        )
+    accs_sql = ",\n         ".join(accs)
+    steps = ""
+    prev = "stats"
+    for i, (name, expr) in enumerate(_DID_PROG):
+        steps += f", p{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        prev = f"p{i}"
+    return f"""
+WITH per_unit AS (
+  SELECT event_type,
+         CAST(ts AS DATE) >= DATE '{_DID_POST_START}' AS post,
+         CAST(concat('0x', substr(md5(concat(
+           CAST(user_id AS VARCHAR), 'did0')), 1, 15)) AS BIGINT)
+           % 2 = 0 AS treat,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events GROUP BY 1, 2, 3, user_id),
+stats AS (
+  SELECT event_type,
+         {accs_sql}
+  FROM per_unit GROUP BY 1){steps}
+SELECT event_type, n_t1, n_c1,
+       CAST(FLOOR((did) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS did_cents,
+       CAST(FLOOR((se) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS se_cents,
+       CAST(FLOOR((z) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z_score,
+       ABS(z) > {_AB_Z_CRIT} AS significant
+FROM {prev}
+ORDER BY event_type
+"""
+
+
+SQL_DIFF_IN_DIFF = _sql_diff_in_diff()
+
+
+#: CUPED (controlled-experiment using pre-experiment data, Deng et
+#: al. WSDM 2013): θ = cov(pre, post)/var(pre); the adjusted metric
+#: y − θ·(x − x̄) has variance var(post)·(1 − ρ²) — the variance an
+#: experiment platform actually runs its z-tests on
+_CUPED_PROG = [
+    ("mx", "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("my", "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("vx", "(CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE)"
+           " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) - 1.0)"),
+    ("vy", "(CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE)"
+           " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) - 1.0)"),
+    ("cxy", "(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+            " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0)"),
+    ("theta", "cxy / vx"),
+    ("rho2", "cxy * cxy / (vx * vy)"),
+    ("vy_cuped", "vy * (1.0 - rho2)"),
+]
+
+
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance-reduction readout per event type — the standard
+    pre-period covariate adjustment (Deng et al. 2013) that lets an
+    experiment reach significance on a fraction of the traffic: with
+    x = each user's PRE-period spend and y = their post-period spend,
+    θ = cov(x,y)/var(x) and the adjusted metric y − θ(x − x̄) keeps
+    the same mean but variance var(y)·(1 − ρ²).  The panel reports θ,
+    ρ², both variances, and the variance-reduction percentage —
+    everything `ab_test_zscore` / `diff_in_diff` would gain by
+    switching their z denominators to the CUPED metric.
+
+    Determinism: n, Σx, Σy, Σx², Σy², Σxy are exact integers from ONE
+    hash-agg over the per-user pre/post totals (users missing a
+    period carry an exact 0 — a real cohort, handled by the
+    conditional sums, no outer join); the solve is one shared
+    expression program — bitwise-equal doubles, det6-rounded.
+
+    Scale plan: one scan → hash-agg to (type, user) with conditional
+    pre/post accumulators → hash-agg to ≤|types| rows → scalar math.
+    The six sums are additive, so the panel folds from stream batches
+    exactly like `read_ols`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "event_type",
+            "user_id",
+            (F.to_date("ts") >= F.lit(_DID_POST_START)).alias("post"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.when(~F.col("post"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("post"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    stats = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(18,0)")
+            * F.col("x").cast("decimal(18,0)")
+        ).alias("qx"),
+        F.sum(
+            F.col("y").cast("decimal(18,0)")
+            * F.col("y").cast("decimal(18,0)")
+        ).alias("qy"),
+        F.sum(
+            F.col("x").cast("decimal(18,0)")
+            * F.col("y").cast("decimal(18,0)")
+        ).alias("qxy"),
+    )
+    out = stats
+    for name, expr in _CUPED_PROG:
+        out = out.withColumn(name, F.expr(expr))
+    return out.selectExpr(
+        "event_type",
+        "n",
+        _DET6.format(x="theta", name="theta"),
+        _DET6.format(x="rho2", name="rho2"),
+        _DET6.format(x="vy", name="var_post"),
+        _DET6.format(x="vy_cuped", name="var_cuped"),
+        _DET6.format(x="100.0 * rho2", name="var_reduction_pct"),
+    ).orderBy("event_type")
+
+
+def _sql_cuped_adjustment() -> str:
+    steps = ""
+    prev = "stats"
+    for i, (name, expr) in enumerate(_CUPED_PROG):
+        steps += f", p{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        prev = f"p{i}"
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_DID_POST_START}'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_DID_POST_START}'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(x * x) AS qx,
+         SUM(y * y) AS qy,
+         SUM(x * y) AS qxy
+  FROM per_user GROUP BY 1){steps}
+SELECT event_type, n,
+       CAST(FLOOR((theta) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS theta,
+       CAST(FLOOR((rho2) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rho2,
+       CAST(FLOOR((vy) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS var_post,
+       CAST(FLOOR((vy_cuped) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS var_cuped,
+       CAST(FLOOR((100.0 * rho2) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS var_reduction_pct
+FROM {prev}
+ORDER BY event_type
+"""
+
+
+SQL_CUPED_ADJUSTMENT = _sql_cuped_adjustment()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
+    "diff_in_diff": QuerySpec(q_diff_in_diff, SQL_DIFF_IN_DIFF),
+    "cuped_adjustment": QuerySpec(
+        q_cuped_adjustment, SQL_CUPED_ADJUSTMENT
+    ),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

@@ -439,3 +439,80 @@ def test_rake_scores_consistent_with_corpus_stats(spark, sf_dir):
     assert [(r.phrase, r.rake_score) for r in rows] == [
         (p, s) for p, s in topk
     ]
+
+
+def test_did_placebo_near_zero_and_matches_pandas(spark, sf_dir):
+    """Null-effect placebo: the DiD z should not blow up; and the
+    estimate matches a pandas recomputation of the four cell means."""
+    import pandas as pd
+    from projetbigdatastreaming_spark.operators.sampling import (
+        _portable_hash,
+    )
+    from pyspark.sql import functions as F
+
+    sdf = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        "ts",
+        "value",
+        (_portable_hash(F.col("user_id"), "did0") % 2 == 0).alias("treat"),
+    )
+    ev = sdf.toPandas()
+    ev["post"] = ev["ts"].dt.date >= pd.Timestamp("2024-01-16").date()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    unit = (
+        ev.groupby(["event_type", "user_id", "post", "treat"])["cents"]
+        .sum()
+        .reset_index()
+    )
+    got = {r.event_type: r for r in _q(spark, sf_dir, "diff_in_diff").collect()}
+    for etype, g in unit.groupby("event_type"):
+        m = {
+            (t, p): g[(g.treat == t) & (g.post == p)]["cents"].mean()
+            for t in (True, False)
+            for p in (True, False)
+        }
+        did = (m[(True, True)] - m[(True, False)]) - (
+            m[(False, True)] - m[(False, False)]
+        )
+        r = got[etype]
+        assert math.isclose(r.did_cents, did, rel_tol=1e-6, abs_tol=2e-6)
+        assert abs(r.z_score) < 6  # placebo on null data
+
+
+def test_cuped_variance_identity(spark, sf_dir):
+    """var_cuped == var_post·(1−ρ²) by construction, and the reported
+    θ/ρ² match a numpy recomputation on per-user pre/post totals."""
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["post"] = ev["ts"].dt.date >= pd.Timestamp("2024-01-16").date()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    got = {
+        r.event_type: r
+        for r in _q(spark, sf_dir, "cuped_adjustment").collect()
+    }
+    for etype, g in ev.groupby("event_type"):
+        per_user = g.pivot_table(
+            index="user_id",
+            columns="post",
+            values="cents",
+            aggfunc="sum",
+            fill_value=0,
+        )
+        x = per_user.get(False, 0)
+        y = per_user.get(True, 0)
+        x = np.asarray(x, dtype="float64")
+        y = np.asarray(y, dtype="float64")
+        vx = x.var(ddof=1)
+        vy = y.var(ddof=1)
+        cxy = np.cov(x, y, ddof=1)[0, 1]
+        r = got[etype]
+        assert math.isclose(r.theta, cxy / vx, rel_tol=1e-5, abs_tol=2e-6)
+        rho2 = cxy * cxy / (vx * vy)
+        assert math.isclose(r.rho2, rho2, rel_tol=1e-5, abs_tol=2e-6)
+        assert math.isclose(
+            r.var_cuped, r.var_post * (1 - rho2),
+            rel_tol=1e-5, abs_tol=0.5,
+        )
+        assert 0.0 <= r.rho2 <= 1.0
