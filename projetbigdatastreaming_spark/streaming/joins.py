@@ -142,3 +142,66 @@ def enrich_stream(
     map-only per micro-batch (stateless; the dim is shipped once per
     executor, re-broadcast only when the batch plan is re-created)."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def versioned_enrich_writer(
+    out_dir: str,
+    dim_table_dir: str,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+):
+    """foreachBatch sink: enrich each micro-batch against a VERSIONED
+    dimension table, pinning the dimension VERSION per batch so the
+    enrichment is exactly reproducible — the feature-pipeline
+    contract ("which dim did this training row see?") that a plain
+    stream-static join cannot give once the dim mutates.
+
+    Pinning protocol: the dim version used is recorded as a column of
+    the output partition; on an at-least-once REDELIVERY the writer
+    finds its own existing ``batch_id`` partition, reads back the
+    recorded version, and restates the partition against THAT version
+    — not the current latest — so replay output is bit-identical even
+    if the publisher advanced the dimension in between (versions are
+    immutable, so re-reading one is deterministic).
+
+    Scale: the join is one equi-join per batch (dim broadcast when
+    ``broadcast_dim``; flip off for fact-scale dims and let AQE pick);
+    the version pin is one manifest-list metadata read, no data scan.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sinks.files import overwrite_partitions
+    from ..sinks.versioned import list_versions, read_version
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part_dir = os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        pinned: int | None = None
+        if os.path.isdir(part_dir):
+            prior = spark.read.parquet(part_dir).select(
+                "dim_version"
+            ).limit(1).collect()
+            if prior:
+                pinned = int(prior[0][0])
+        if pinned is None:
+            pinned = list_versions(dim_table_dir)[-1]
+        dim = read_version(spark, dim_table_dir, pinned)
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        enriched = (
+            batch_df.join(dim, on, how)
+            .withColumn("dim_version", F.lit(int(pinned)))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        overwrite_partitions(enriched, out_dir, ["batch_id"])
+
+    return write
+
+
+def read_enriched(spark, out_dir: str) -> DataFrame:
+    """All enriched rows so far, each carrying the dim_version it was
+    joined against."""
+    return spark.read.parquet(out_dir)

@@ -398,3 +398,67 @@ def test_read_version_asof_timestamp(spark, tmp_path):
     assert version_asof(t, time.time()) == 2
     with pytest.raises(FileNotFoundError, match="at or before"):
         version_asof(t, before - 10)
+
+
+def test_versioned_enrich_pins_dim_version_across_replay(spark, tmp_path):
+    """Stream enrichment against a versioned dim: each batch pins the
+    dim version it joined; a redelivery AFTER the dim advanced
+    restates with the PINNED version, so replay output is identical —
+    the reproducible-feature-join contract."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        versioned_overwrite,
+    )
+    from projetbigdatastreaming_spark.streaming.joins import (
+        read_enriched,
+        versioned_enrich_writer,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    out_dir = str(tmp_path / "enriched")
+    v1 = versioned_overwrite(
+        spark.createDataFrame(
+            [(1, "bronze"), (2, "silver")], "user_id int, tier string"
+        ),
+        dim_dir,
+    )
+    write = versioned_enrich_writer(out_dir, dim_dir, on="user_id")
+    batch0 = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "user_id int, cents int"
+    )
+    write(batch0, 0)
+    rows0 = {
+        (r.user_id, r.tier, r.dim_version)
+        for r in read_enriched(spark, out_dir).collect()
+    }
+    assert rows0 == {(1, "bronze", v1), (2, "silver", v1), (3, None, v1)}
+
+    # dim advances (new full snapshot): user 1 promoted, user 3 appears
+    v2 = versioned_overwrite(
+        spark.createDataFrame(
+            [(1, "gold"), (2, "silver"), (3, "bronze")],
+            "user_id int, tier string",
+        ),
+        dim_dir,
+    )
+    assert v2 > v1
+    batch1 = spark.createDataFrame(
+        [(3, 400)], "user_id int, cents int"
+    )
+    write(batch1, 1)
+    got1 = [
+        (r.tier, r.dim_version)
+        for r in read_enriched(spark, out_dir)
+        .where("batch_id = 1")
+        .collect()
+    ]
+    assert got1 == [("bronze", v2)]
+
+    # redelivery of batch 0 AFTER v2 landed: must restate against v1
+    write(batch0, 0)
+    rows0_replayed = {
+        (r.user_id, r.tier, r.dim_version)
+        for r in read_enriched(spark, out_dir)
+        .where("batch_id = 0")
+        .collect()
+    }
+    assert rows0_replayed == rows0
