@@ -135,3 +135,56 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return fact_salted.join(dim_replicated, [key, "__salt"]).drop("__salt")
+
+
+def salted_join_hotkeys(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_threshold: int,
+    salt_buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Inner equi-join that salts ONLY the hot keys — the
+    production-grade refinement of `salted_join`: full salting
+    replicates the ENTIRE dim side ``salt_buckets``× even though skew
+    lives in a handful of keys.  Here one pass over the fact counts
+    per-key rows; keys past ``hot_threshold`` become the (tiny,
+    broadcast) hot list; hot fact rows join the salted-replicated hot
+    dim slice, cold rows join the dim untouched, and the two branches
+    union.  Result-identical to the plain join — the routing predicate
+    partitions the fact exactly.
+
+    Scale: the hot list is by construction small (skew means FEW keys
+    are hot), so both the broadcast routing filter and the hot-dim
+    replication are bounded by |hot|·salt_buckets rows — the dim is
+    never replicated at large.  The per-key count is one map-side
+    combinable hash-agg on the join key the fact was about to shuffle
+    on anyway.  AQE's skew-join handles sort-merge spills reactively;
+    this operator is the PROACTIVE form that also fixes
+    hash-partition-level imbalance AQE can't split (all of one key's
+    rows still land in one task under AQE).
+    """
+    hot = (
+        fact.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > hot_threshold)
+        .select(key)
+    )
+    fact_routed = fact.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), key, "left"
+    )
+    dim_routed = dim.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), key, "left"
+    )
+    cold = (
+        fact_routed.where(F.col("__hot").isNull())
+        .drop("__hot")
+        .join(dim_routed.where(F.col("__hot").isNull()).drop("__hot"), key)
+    )
+    hot_join = salted_join(
+        fact_routed.where(F.col("__hot").isNotNull()).drop("__hot"),
+        dim_routed.where(F.col("__hot").isNotNull()).drop("__hot"),
+        key,
+        salt_buckets,
+    )
+    return cold.unionByName(hot_join)

@@ -113,6 +113,60 @@ ORDER BY o_orderpriority
 """
 
 
+#: per-key fact rows past this count are routed to the salted branch
+_HOTKEY_THRESHOLD = 40
+
+
+def q_join_salted_hotkeys(spark, sf_dir):
+    """Hot-key-only salted join (`operators/joins.salted_join_hotkeys`)
+    — result-identical to the plain lineitem⋈part join (the oracle IS
+    the unsalted SQL): keys whose fact count exceeds the threshold
+    take the salted branch (dim slice replicated per salt), everything
+    else joins plain, branches union.  The proactive skew fix that
+    replicates only the HOT dim slice, where `join_salted` replicates
+    the whole dim and AQE's reactive skew split can't rebalance a
+    single key's hash partition.
+
+    Scale plan: hot detection is one map-side-combined hash-agg on the
+    key the fact was shuffling on anyway; the hot list broadcasts
+    (skew ⇒ few hot keys by definition); revenue stays in exact cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    out = joins.salted_join_hotkeys(
+        li, part, key="p_partkey", hot_threshold=_HOTKEY_THRESHOLD
+    )
+    return (
+        out.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_JOIN_SALTED_HOTKEYS = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+         + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY p_brand
+"""
+
+
 def q_window_sliding(spark, sf_dir):
     """ST6/A7 parity: 3-minute sliding window (1-minute slide) event
     counts per type — the reference's dstream.window(Minutes(3))
@@ -3305,6 +3359,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "diff_in_diff": QuerySpec(q_diff_in_diff, SQL_DIFF_IN_DIFF),
     "cuped_adjustment": QuerySpec(
         q_cuped_adjustment, SQL_CUPED_ADJUSTMENT
+    ),
+    "join_salted_hotkeys": QuerySpec(
+        q_join_salted_hotkeys, SQL_JOIN_SALTED_HOTKEYS
     ),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS

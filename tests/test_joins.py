@@ -120,3 +120,35 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     }
     for et, e in exact.items():
         assert abs(approx[et] - e) / e <= 0.05
+
+
+def test_salted_hotkeys_routes_and_matches_plain(spark, sf_dir):
+    """Hot-key salted join equals the plain join row-for-row, the hot
+    list is genuinely small, and both branches carry rows (the route
+    predicate actually splits)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.operators.joins import (
+        salted_join_hotkeys,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    threshold = 30
+    counts = li.groupBy("p_partkey").count()
+    n_hot = counts.where(F.col("count") > threshold).count()
+    n_keys = counts.count()
+    assert 0 < n_hot < n_keys  # both branches exercised
+
+    got = salted_join_hotkeys(li, part, "p_partkey", threshold)
+    plain = li.join(part, "p_partkey")
+    assert got.count() == plain.count()
+    assert (
+        got.exceptAll(plain).count() == 0
+        and plain.exceptAll(got).count() == 0
+    )
