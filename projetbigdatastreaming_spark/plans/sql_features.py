@@ -328,8 +328,99 @@ def q_set_ops_all(spark, sf_dir):
 SQL_SET_OPS_ALL = _SET_OPS_ALL_SQL
 
 
+def q_nested_hof(spark, sf_dir):
+    """Higher-order-function surface over nested data: each customer's
+    orders collected into a SORTED array of structs, then filtered /
+    transformed / folded / sliced entirely with array lambdas — the
+    denormalized "one row per entity, history as a column" layout a
+    feature store or document-shaped export uses, processed without
+    ever re-exploding.
+
+    Determinism: the array is array_sort'ed on the (date, orderkey)
+    total order before any positional op (collect_list order is
+    engine-arbitrary); money stays exact cents; the fold
+    (F.aggregate / list_sum) is integer addition — order-free.
+
+    Scale plan: one shuffle to collect per-customer arrays (bounded by
+    per-customer order count, the natural entity grain); every lambda
+    then runs inside the row — map-only, no second shuffle, no
+    explode-regroup round trip.  Output is entity-grain (like
+    `scd2_history`), capped here to customers with ≥8 orders to keep
+    the panel focused.
+    """
+    from ..catalog import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.struct(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        ).alias("o"),
+    )
+    nested = orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o")).alias("orders")
+    )
+    return (
+        nested.where(F.size("orders") >= 8)
+        .select(
+            "o_custkey",
+            F.size("orders").cast("bigint").alias("n_orders"),
+            F.size(
+                F.filter("orders", lambda o: o["cents"] > 15_000_00)
+            )
+            .cast("bigint")
+            .alias("n_big"),
+            F.aggregate(
+                F.transform("orders", lambda o: o["cents"]),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("total_cents"),
+            F.array_max(
+                F.transform("orders", lambda o: o["cents"])
+            ).alias("max_cents"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("orders", 1, 3),
+                    lambda o: o["cents"].cast("string"),
+                ),
+            ).alias("first3_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+SQL_NESTED_HOF = """
+WITH nested AS (
+  SELECT o_custkey,
+         list_sort(list({'d': CAST(o_orderdate AS DATE),
+                         'k': o_orderkey,
+                         'cents': CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)})) AS orders
+  FROM orders GROUP BY 1)
+SELECT o_custkey,
+       CAST(len(orders) AS BIGINT) AS n_orders,
+       CAST(len(list_filter(orders, o -> o.cents > 1500000))
+         AS BIGINT) AS n_big,
+       CAST(list_sum(list_transform(orders, o -> o.cents)) AS BIGINT)
+         AS total_cents,
+       CAST(list_max(list_transform(orders, o -> o.cents)) AS BIGINT)
+         AS max_cents,
+       array_to_string(list_transform(orders[1:3],
+                                      o -> CAST(o.cents AS VARCHAR)),
+                       ',') AS first3_cents
+FROM nested
+WHERE len(orders) >= 8
+ORDER BY o_custkey
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "join_lateral": QuerySpec(q_join_lateral, SQL_JOIN_LATERAL),
+    "nested_hof": QuerySpec(q_nested_hof, SQL_NESTED_HOF),
     "set_ops_all": QuerySpec(q_set_ops_all, SQL_SET_OPS_ALL),
     "recursive_cte": QuerySpec(q_recursive_cte, SQL_RECURSIVE_CTE),
     "sql_udf": QuerySpec(q_sql_udf, SQL_SQL_UDF),
