@@ -5860,6 +5860,173 @@ LIMIT {_RAKE_TOPK}
 SQL_TEXT_KEYPHRASES_RAKE = _sql_text_keyphrases_rake()
 
 
+#: RRF fusion constants (Cormack, Clarke & Büttcher 2009): the
+#: classic k=60 dampener, 50-deep arms, 10 fused results per query
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_TOPN = 10
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion — the pattern every
+    modern RAG stack runs: a LEXICAL arm (BM25 over the shared fixed
+    term query) and a DENSE arm (cosine against each query vector;
+    vec_id aligns with doc_id in the fixture) each produce a 50-deep
+    ranking, and fusion scores 1/(60+r_lex) + 1/(60+r_dense) — rank
+    fusion needs no score calibration between arms, which is exactly
+    why RRF won over weighted-sum hybrids.  Docs on one list only get
+    the other arm's term as 0.
+
+    Determinism: both arms' ranks are integer row_numbers under total
+    orders (det6 BM25 desc, doc_id asc; 4-dp cosine desc, vec_id asc);
+    the fused score is 1/(60+r) + 1/(60+r) on small integers —
+    identical doubles in both engines, det6-rounded; final order
+    (fused desc, doc_id asc).
+
+    Scale plan: the dense arm is `cosine_topk`'s broadcast-query scan
+    (one corpus pass, WindowGroupLimit per qid); the lexical arm is
+    the BM25 one-explode pipeline with its 50-deep head compiling to
+    TakeOrderedAndProject, then REPLICATED per query by a cross join
+    against the ≤5-row qid list (a bounded BNLJ — allowlisted) so its
+    rank window is PARTITIONED by qid, never global.  Fusion is a
+    full-outer equi-join of two ≤(|Q|·50)-row relations and a per-qid
+    top-10 WindowGroupLimit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = similarity.cosine_topk(emb, QUERY_VEC_IDS, _RRF_DEPTH).select(
+        "qid", F.col("vec_id").alias("doc_id"), F.col("rk").alias("r_dense")
+    )
+    per_doc = bm25_per_doc(docs)
+    stats = bm25_corpus_stats(per_doc)
+    lex_top = (
+        bm25_scored(per_doc, stats)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    qids = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("qid")
+    )
+    w_lex = Window.partitionBy("qid").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    lex = (
+        lex_top.crossJoin(F.broadcast(qids))
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("qid", "doc_id", "r_lex")
+    )
+    fused = (
+        dense.join(lex, ["qid", "doc_id"], "full_outer")
+        .selectExpr(
+            "qid",
+            "doc_id",
+            "r_dense",
+            "r_lex",
+            f"(CASE WHEN r_dense IS NULL THEN 0.0"
+            f" ELSE 1.0 / ({_RRF_K} + r_dense) END)"
+            f" + (CASE WHEN r_lex IS NULL THEN 0.0"
+            f" ELSE 1.0 / ({_RRF_K} + r_lex) END) AS fused_raw",
+        )
+        .selectExpr(
+            "qid",
+            "doc_id",
+            "r_dense",
+            "r_lex",
+            "CAST(FLOOR(fused_raw * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS rrf_score",
+        )
+    )
+    w_out = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w_out))
+        .where(F.col("rk") <= _RRF_TOPN)
+        .select("qid", "doc_id", "r_dense", "r_lex", "rrf_score", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+def _sql_hybrid_search_rrf() -> str:
+    qid_list = ", ".join(map(str, QUERY_VEC_IDS))
+    tf_sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * 2.2)"
+        f" / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs) / sum_dl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+         {tf_sums}
+  FROM toks WHERE token <> '' GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_sums}
+  FROM per_doc),
+lex_top AS (
+  SELECT doc_id, FLOOR(({terms}) * 1e6 + 0.5) / 1e6 AS bm25
+  FROM per_doc, stats
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_DEPTH}),
+qids AS (
+  SELECT vec_id AS qid FROM embeddings WHERE vec_id IN ({qid_list})),
+lex AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS r_lex
+  FROM lex_top CROSS JOIN qids),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN ({qid_list})),
+dense_scored AS (
+  SELECT q.qid, e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(q.qvec,
+               CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+dense AS (
+  SELECT qid, doc_id, r_dense FROM (
+    SELECT qid, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, doc_id ASC) AS INTEGER)
+             AS r_dense
+    FROM dense_scored)
+  WHERE r_dense <= {_RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(d.qid, l.qid) AS qid,
+         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         d.r_dense, l.r_lex,
+         CAST(FLOOR(((CASE WHEN d.r_dense IS NULL THEN 0.0
+                      ELSE 1.0 / ({_RRF_K} + d.r_dense) END)
+                   + (CASE WHEN l.r_lex IS NULL THEN 0.0
+                      ELSE 1.0 / ({_RRF_K} + l.r_lex) END)) * 1e6 + 0.5)
+           AS DOUBLE) / 1e6 AS rrf_score
+  FROM dense d FULL OUTER JOIN lex l
+       ON d.qid = l.qid AND d.doc_id = l.doc_id)
+SELECT qid, doc_id, r_dense, r_lex, rrf_score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rk
+  FROM fused)
+WHERE rk <= {_RRF_TOPN}
+ORDER BY qid, rk
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_readability": QuerySpec(
         q_text_readability, SQL_TEXT_READABILITY
@@ -5959,6 +6126,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(q_vocab_topk, SQL_VOCAB_TOPK),
     "text_keyphrases_rake": QuerySpec(
         q_text_keyphrases_rake, SQL_TEXT_KEYPHRASES_RAKE
+    ),
+    "hybrid_search_rrf": QuerySpec(
+        q_hybrid_search_rrf, _sql_hybrid_search_rrf()
     ),
     "doc_repetition": QuerySpec(q_doc_repetition, SQL_DOC_REPETITION),
     "emb_quantize": QuerySpec(q_emb_quantize, SQL_EMB_QUANTIZE),

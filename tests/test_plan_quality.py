@@ -264,6 +264,11 @@ _BNLJ_ALLOWED = {
     # ams_join_size crosses three single-row relations (estimate ×
     # exact inner product × the two F2 scalars) — 1x1 BNLJs
     "ams_join_size",
+    # hybrid_search_rrf: the dense arm broadcasts the ≤5 query vectors
+    # into the corpus scan (the emb_cosine_topk shape) and the lexical
+    # arm replicates its LIMIT-50 head per query id (≤5×50 rows) so
+    # its rank window can be qid-partitioned instead of global
+    "hybrid_search_rrf",
     # emb_knn_label / emb_hard_negatives broadcast the anchor-vector
     # side into the corpus scan (the emb_cosine_topk shape; the
     # lake-scale swap is the BQ shortlist, documented in-docstring)

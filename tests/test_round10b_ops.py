@@ -516,3 +516,33 @@ def test_cuped_variance_identity(spark, sf_dir):
             rel_tol=1e-5, abs_tol=0.5,
         )
         assert 0.0 <= r.rho2 <= 1.0
+
+
+def test_rrf_fuses_the_two_arms_consistently(spark, sf_dir):
+    """Every fused row's score recomputes from its two ranks; rows
+    missing an arm contribute 0 for it; per-qid output is the true
+    top-10 under (score desc, doc_id)."""
+    rows = _q(spark, sf_dir, "hybrid_search_rrf").collect()
+    assert rows
+    by_qid: dict = {}
+    for r in rows:
+        expect = 0.0
+        if r.r_dense is not None:
+            expect += 1.0 / (60 + r.r_dense)
+        if r.r_lex is not None:
+            expect += 1.0 / (60 + r.r_lex)
+        assert math.isclose(r.rrf_score, expect, abs_tol=1.1e-6)
+        assert r.r_dense is not None or r.r_lex is not None
+        by_qid.setdefault(r.qid, []).append(r)
+    for qid, rs in by_qid.items():
+        assert [r.rk for r in rs] == list(range(1, 11))
+        scores = [(-r.rrf_score, r.doc_id) for r in rs]
+        assert scores == sorted(scores)
+    # the dense arm agrees with the standalone cosine ranking
+    dense_std = {
+        (r.qid, r.vec_id): r.rk
+        for r in _q(spark, sf_dir, "emb_cosine_topk").collect()
+    }
+    for r in rows:
+        if r.r_dense is not None and r.r_dense <= 10:
+            assert dense_std.get((r.qid, r.doc_id)) == r.r_dense
