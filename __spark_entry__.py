@@ -73,7 +73,7 @@ QUERY_ORDER = (
     "t_closeness", "yoy_growth", "linreg_ols", "acf_lags",
     "seasonal_dow_index", "ams_f2", "graph_clustering_coeff",
     "graph_kcore", "ams_join_size", "robust_trimmed_stats",
-    "join_temporal_scd2", "ab_test_zscore", "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake", "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys", "nested_hof", "hybrid_search_rrf",
+    "join_temporal_scd2", "ab_test_zscore", "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake", "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys", "nested_hof", "hybrid_search_rrf", "top_user_paths",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",

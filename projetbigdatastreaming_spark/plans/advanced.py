@@ -3354,6 +3354,76 @@ ORDER BY event_type
 SQL_CUPED_ADJUSTMENT = _sql_cuped_adjustment()
 
 
+_PATH_LEN = 5
+_PATH_TOPN = 20
+
+
+def q_top_user_paths(spark, sf_dir):
+    """Top user journey paths — each user's first 5 events (by time)
+    concatenated into a path string, counted corpus-wide, top 20
+    reported: the "what do people actually do first" panel product
+    analytics runs before any funnel is designed (the funnel queries
+    assume an order; this one DISCOVERS the orders that exist).
+
+    Determinism: the per-user sequence orders by (ts, event_id) — a
+    total order; path strings and counts are exact.
+
+    Scale plan: one user-partitioned row_number window takes the
+    first 5 events (WindowGroupLimit keeps 5 per user map-side before
+    the exchange); path assembly sorts ≤5 structs inside a hash-agg
+    per user; the path census is a hash-agg on the bounded path
+    vocabulary (≤|types|⁵); the head compiles to
+    TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PATH_LEN)
+    )
+    paths = (
+        firstk.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("steps")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("steps", lambda s: s["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(_PATH_TOPN)
+    )
+
+
+SQL_TOP_USER_PATHS = f"""
+WITH firstk AS (
+  SELECT user_id, event_type, rn FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events)
+  WHERE rn <= {_PATH_LEN}),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM firstk GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths
+GROUP BY 1
+ORDER BY n_users DESC, path ASC
+LIMIT {_PATH_TOPN}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
     "diff_in_diff": QuerySpec(q_diff_in_diff, SQL_DIFF_IN_DIFF),
@@ -3363,6 +3433,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_salted_hotkeys": QuerySpec(
         q_join_salted_hotkeys, SQL_JOIN_SALTED_HOTKEYS
     ),
+    "top_user_paths": QuerySpec(q_top_user_paths, SQL_TOP_USER_PATHS),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

@@ -37,6 +37,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
+    WriterCommitMessage,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -241,8 +243,154 @@ class SyntheticEventsStreamDataSource(DataSource):
         return _SyntheticEventsStreamReader(self.options)
 
 
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str, n_rows: int, sha256: str):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+        self.sha256 = sha256
+
+
+class _JsonlShardsWriter(DataSourceWriter):
+    """Task side of the two-phase commit: each task streams its rows
+    into a UUID-named temp file and reports (name, rows, sha256) in
+    its commit message; nothing under the final names exists until
+    the driver's commit()."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import hashlib
+        import json
+        import os
+        import uuid
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.jsonl"
+        h = hashlib.sha256()
+        n = 0
+        with open(os.path.join(tmp_dir, name), "wb") as f:
+            for row in iterator:
+                line = (
+                    json.dumps(
+                        row.asDict(recursive=True),
+                        sort_keys=True,
+                        default=str,
+                    )
+                    + "\n"
+                ).encode("utf-8")
+                f.write(line)
+                h.update(line)
+                n += 1
+        return _JsonlCommit(name, n, h.hexdigest())
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("shard-") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
+        shards = []
+        for i, m in enumerate(
+            sorted(messages, key=lambda m: m.tmp_name)
+        ):
+            final = f"shard-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(tmp_dir, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            shards.append(
+                {"file": final, "rows": m.n_rows, "sha256": m.sha256}
+            )
+        manifest = {
+            "shards": shards,
+            "total_rows": sum(s["rows"] for s in shards),
+        }
+        tmp_manifest = os.path.join(tmp_dir, "_MANIFEST.json.tmp")
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp_manifest, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        for m in messages:
+            try:
+                os.remove(os.path.join(tmp_dir, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlShardsDataSource(DataSource):
+    """Writable custom Python DataSource (Spark 4 DataSource API write
+    path): JSONL shards with a two-phase file commit and a manifest.
+
+    Write protocol (the exactly-once contract FileOutputCommitter
+    gives parquet, expressed in the public Python API): every task
+    writes a temp shard and returns a commit message; the DRIVER's
+    ``commit`` renames temps to ``shard-NNNNN.jsonl`` and publishes
+    ``_MANIFEST.json`` (per-shard rows + sha256, total rows) LAST, so
+    a reader that requires the manifest never sees a torn write; on
+    task failure/retry ``abort`` removes the orphan temps, and an
+    uncommitted temp is invisible to readers regardless.  Overwrite
+    clears previously committed shards at commit time, not before —
+    a failed overwrite leaves the old data intact.
+
+    Read path: one InputPartition per manifest shard (partition-
+    parallel), rows parsed per the user-supplied schema.  Renames are
+    driver-side POSIX ops — single-filesystem semantics, the same
+    assumption the versioned-table sink documents.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlShardsWriter(self.options["path"], overwrite)
+
+    def reader(self, schema) -> DataSourceReader:
+        return _JsonlShardsReader(self.options["path"], schema)
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class _JsonlShardsReader(DataSourceReader):
+    def __init__(self, path: str, schema):
+        self.path = path
+        self.schema = schema
+
+    def partitions(self):
+        import json
+        import os
+
+        with open(os.path.join(self.path, "_MANIFEST.json")) as f:
+            manifest = json.load(f)
+        return [_ShardPartition(s["file"]) for s in manifest["shards"]]
+
+    def read(self, partition):
+        import json
+        import os
+
+        names = [f.name for f in self.schema.fields]
+        with open(os.path.join(self.path, partition.filename)) as f:
+            for line in f:
+                d = json.loads(line)
+                yield tuple(d.get(n) for n in names)
+
+
 def register_python_sources(spark) -> None:
     """Idempotent registration of the sources on a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(SyntheticEventsStreamDataSource)
     spark.dataSource.register(JavaPropertiesDataSource)
+    spark.dataSource.register(JsonlShardsDataSource)

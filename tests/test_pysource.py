@@ -219,3 +219,69 @@ def test_synthetic_events_stream_equals_batch(spark, tmp_path):
     assert (
         spark.read.parquet(out).count() == 100
     ), "restart re-delivered rows despite the committed offset"
+
+
+def test_jsonl_shards_write_read_roundtrip(spark, tmp_path):
+    """Custom Python DataSource WRITE path (Spark 4 DataSource API):
+    shards land under final names only at commit, the manifest's
+    per-shard counts reconcile, and the partition-parallel read
+    returns the exact rows."""
+    import json
+    import os
+
+    register_python_sources(spark)
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id", "CAST(id * 2 AS STRING) AS s"
+    )
+    df.write.format("jsonl_shards").option("path", out).mode(
+        "append"
+    ).save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 100
+    assert len(manifest["shards"]) == 4  # one shard per task
+    files = sorted(
+        f for f in os.listdir(out) if f.startswith("shard-")
+    )
+    assert files == [s["file"] for s in manifest["shards"]]
+    assert not os.listdir(os.path.join(out, "_tmp"))  # temps all moved
+
+    back = (
+        spark.read.format("jsonl_shards")
+        .schema("id long, s string")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == [
+        (i, str(i * 2)) for i in range(100)
+    ]
+
+
+def test_jsonl_shards_overwrite_replaces_previous_commit(spark, tmp_path):
+    import json
+    import os
+
+    register_python_sources(spark)
+    out = str(tmp_path / "shards2")
+    os.makedirs(out)
+
+    def write(df, mode):
+        df.write.format("jsonl_shards").option("path", out).mode(
+            mode
+        ).save()
+
+    write(spark.range(0, 10, 1, 2), "append")
+    write(spark.range(100, 103, 1, 1), "overwrite")
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 3
+    back = (
+        spark.read.format("jsonl_shards")
+        .schema("id long")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(r.id for r in back.collect()) == [100, 101, 102]
