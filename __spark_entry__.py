@@ -44,15 +44,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: part of the contract.  Round-10 rotation (VERDICT r09 next-item
 #: 1): (1) the 20 r05-vintage tail rows that missed round 9's window
 #: (map_functions … join_salted) — the literal freshness bar;
-#: (2) round-10's own new queries (24), so new operators get their
-#: first verdict inside the window; (3) the r06 block (next-oldest
-#: signal) — the 50-row cap lands mid-section (20+24+6), the r06
-#: tail leads round 11; (4) r07; (5) r08; (6) the rows green in the
-#: round-9
-#: driver run (freshest signal, so last).  Standing freshness
+#: (2) round-10's own new queries (39 across the round's two
+#: sessions), so new operators get first verdicts inside the window —
+#: the 50-row cap lands INSIDE this section (20+30), so the last 9
+#: new queries (forecast_seasonal_naive … top_user_paths) overflow:
+#: they are locally oracle-verified this round and MUST lead round
+#: 11's window, followed by the r06 block (next-oldest driver
+#: signal); (3) r06; (4) r07; (5) r08; (6) the rows green in the
+#: round-9 driver run (freshest signal, so last).  Standing freshness
 #: invariant: no query's latest driver row may be older than two
-#: rotations — after round 10 the oldest signal is the r06 tail
-#: which round 11 must lead with.
+#: rotations — after round 10 the oldest signal is the r06 block,
+#: which round 11 must cover right after the overflow.
 QUERY_ORDER = (
     # 1) r05-vintage tail (oldest remaining signal)
     "map_functions", "scd2_history",
