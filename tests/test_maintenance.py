@@ -293,3 +293,60 @@ def test_zorder_write_improves_two_dim_locality(spark, sf_dir, tmp_path):
     assert z_u < 200, (z_u, z_v)
     # and no rows were lost or altered
     assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_mv_cdc_refresh_equals_recompute_through_churn(spark, tmp_path):
+    """Incrementally-maintained MV == full recompute at every version
+    of a history containing inserts, updates, deletes, and a group
+    that empties out (must vanish from the view)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdatastreaming_spark.maintenance import mv_cdc_refresh
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        read_version,
+        versioned_overwrite,
+    )
+
+    t = str(tmp_path / "fact")
+
+    def snap(rows):
+        return spark.createDataFrame(
+            rows, "id int, grp string, v int"
+        )
+
+    def recompute(version):
+        return (
+            read_version(spark, t, version)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("v").cast("bigint").alias("sum_v"),
+            )
+        )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    v1 = versioned_overwrite(
+        snap([(1, "a", 10), (2, "a", 20), (3, "b", 5)]), t
+    )
+    mv = recompute(v1)
+
+    # v2: update id=1, delete id=3 (group b empties), insert id=4 (new
+    # group c)
+    v2 = versioned_overwrite(
+        snap([(1, "a", 99), (2, "a", 20), (4, "c", 7)]), t
+    )
+    mv = mv_cdc_refresh(
+        spark, mv, t, v1, v2, ["id"], ["grp"], "v"
+    )
+    assert rows(mv) == rows(recompute(v2))
+    assert ("b",) not in {(r[0],) for r in rows(mv)}  # emptied group
+
+    # v3: move id=2 from group a to group c (update that crosses
+    # groups), delete id=4
+    v3 = versioned_overwrite(snap([(1, "a", 99), (2, "c", 20)]), t)
+    mv = mv_cdc_refresh(
+        spark, mv, t, v2, v3, ["id"], ["grp"], "v"
+    )
+    assert rows(mv) == rows(recompute(v3))
