@@ -782,3 +782,42 @@ def read_version_asof(
 ) -> DataFrame:
     """Time-travel read by TIMESTAMP: the snapshot visible at ``ts``."""
     return read_version(spark, table_dir, version_asof(table_dir, ts))
+
+
+def schema_drift(spark: SparkSession, table_dir: str) -> list[dict]:
+    """Schema-evolution report across the table's committed versions:
+    one entry per consecutive version pair with the columns added and
+    removed (additive evolution is the supported contract — see
+    `read_version(merge_schema=...)`; a type change would fail the
+    union read and belongs to a rewrite migration, not a drift
+    report).  The data-contract audit a feed consumer runs before
+    bumping a pinned version.
+
+    Scale: one parquet-footer schema inference per version — metadata
+    reads only, no data scan.
+    """
+    versions = list_versions(table_dir)
+    out: list[dict] = []
+    prev_cols: dict[str, str] | None = None
+    prev_v: int | None = None
+    for v in versions:
+        cols = {
+            f.name: f.dataType.simpleString()
+            for f in read_version(
+                spark, table_dir, v, merge_schema=True
+            ).schema.fields
+        }
+        if prev_cols is not None:
+            added = sorted(set(cols) - set(prev_cols))
+            removed = sorted(set(prev_cols) - set(cols))
+            if added or removed:
+                out.append(
+                    {
+                        "v_from": prev_v,
+                        "v_to": v,
+                        "added": added,
+                        "removed": removed,
+                    }
+                )
+        prev_cols, prev_v = cols, v
+    return out

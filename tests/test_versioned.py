@@ -462,3 +462,27 @@ def test_versioned_enrich_pins_dim_version_across_replay(spark, tmp_path):
         .collect()
     }
     assert rows0_replayed == rows0
+
+
+def test_schema_drift_reports_additive_evolution(spark, tmp_path):
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        schema_drift,
+        versioned_append,
+    )
+
+    t = str(tmp_path / "drift")
+    versioned_overwrite(
+        spark.createDataFrame([(1, "x")], "id int, a string"), t
+    )
+    versioned_append(
+        spark.createDataFrame([(2, "y", 9)], "id int, a string, b int"),
+        t,
+    )
+    versioned_overwrite(
+        spark.createDataFrame([(3,)], "id int"), t
+    )
+    report = schema_drift(spark, t)
+    assert report == [
+        {"v_from": 1, "v_to": 2, "added": ["b"], "removed": []},
+        {"v_from": 2, "v_to": 3, "added": [], "removed": ["a", "b"]},
+    ]
