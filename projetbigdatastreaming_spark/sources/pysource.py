@@ -37,6 +37,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
     InputPartition,
@@ -357,6 +358,60 @@ class JsonlShardsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _JsonlShardsReader(self.options["path"], schema)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _JsonlStreamWriter(self.options["path"])
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the batch writer: every micro-batch's task
+    temps are published under ``batch_id=N/`` by the driver's
+    per-batch commit, which CLEARS any prior content of that batch
+    directory first — so an at-least-once redelivery restates the
+    batch instead of appending duplicates (the module-wide
+    restatement rule, here at the custom-sink layer).  The engine's
+    checkpoint supplies the batchId; the sink itself stays
+    stateless."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        return _JsonlShardsWriter(self.path, overwrite=False).write(
+            iterator
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+        import shutil
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        batch_dir = os.path.join(self.path, f"batch_id={int(batchId)}")
+        if os.path.isdir(batch_dir):
+            shutil.rmtree(batch_dir)
+        os.makedirs(batch_dir)
+        for i, m in enumerate(
+            sorted(
+                (m for m in messages if m is not None),
+                key=lambda m: m.tmp_name,
+            )
+        ):
+            os.replace(
+                os.path.join(tmp_dir, m.tmp_name),
+                os.path.join(batch_dir, f"shard-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(tmp_dir, m.tmp_name))
+            except FileNotFoundError:
+                pass
 
 
 class _ShardPartition(InputPartition):

@@ -285,3 +285,63 @@ def test_jsonl_shards_overwrite_replaces_previous_commit(spark, tmp_path):
         .load()
     )
     assert sorted(r.id for r in back.collect()) == [100, 101, 102]
+
+
+def test_jsonl_stream_sink_full_python_pipeline(spark, tmp_path):
+    """Custom Python STREAM source -> custom Python STREAM sink: three
+    availableNow runs over one checkpoint drain the 120-row generator
+    one prefetched micro-batch at a time (the simple-reader protocol),
+    each landing its own batch_id directory through the
+    DataSourceStreamWriter two-phase commit; rows round-trip exactly,
+    and a redelivered batch RESTATES its directory instead of
+    appending duplicates."""
+    import glob
+    import json
+    import os
+
+    register_python_sources(spark)
+    out = str(tmp_path / "stream_shards")
+    os.makedirs(out)
+
+    def run():
+        q = (
+            spark.readStream.format("synthetic_events_stream")
+            .option("batch_rows", "40")
+            .option("max_rows", "120")
+            .load()
+            .writeStream.format("jsonl_shards")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for _ in range(3):
+        run()
+    batch_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    assert batch_dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+    def all_ids():
+        rows = []
+        for f in glob.glob(os.path.join(out, "batch_id=*", "*.jsonl")):
+            with open(f) as fh:
+                rows += [json.loads(line) for line in fh]
+        return sorted(r["event_id"] for r in rows)
+
+    ids = all_ids()
+    assert ids == list(range(120))
+
+    # redelivery restates: re-committing batch 0's content must
+    # REPLACE its directory, not append duplicate shards
+    from projetbigdatastreaming_spark.sources.pysource import (
+        _JsonlStreamWriter,
+    )
+
+    w = _JsonlStreamWriter(out)
+    msg = w.write(iter(spark.read.json(
+        os.path.join(out, "batch_id=0")).collect()))
+    w.commit([msg], 0)
+    assert all_ids() == ids
