@@ -821,3 +821,94 @@ def schema_drift(spark: SparkSession, table_dir: str) -> list[dict]:
                 )
         prev_cols, prev_v = cols, v
     return out
+
+
+# ---------------------------------------------------------------------------
+# snapshot groups — multi-table consistent reads
+# ---------------------------------------------------------------------------
+
+
+def _group_versions_dir(group_dir: str) -> str:
+    return os.path.join(group_dir, "_group_versions")
+
+
+def list_group_versions(group_dir: str) -> list[int]:
+    d = _group_versions_dir(group_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("g") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def commit_group(group_dir: str, pins: dict[str, int]) -> int:
+    """Publish a CONSISTENT multi-table snapshot: a group version maps
+    table name → pinned table version, committed with the same
+    create-exclusive optimistic protocol as `_commit` — the
+    cross-table transaction the per-table manifests can't express (a
+    reader joining orders v7 with lineitems v3 sees a torn business
+    state even though each table alone is consistent).
+
+    Writers: update every member table first (each table commit is
+    individually atomic), THEN publish the group pinning the exact
+    versions written.  Readers resolving through the group never
+    observe the half-updated interleaving.
+
+    Scale: one small JSON per group commit — metadata only.
+    """
+    vdir = _group_versions_dir(group_dir)
+    os.makedirs(vdir, exist_ok=True)
+    import time as _time
+
+    while True:
+        versions = list_group_versions(group_dir)
+        new_g = (versions[-1] + 1) if versions else 1
+        manifest = {
+            "group_version": new_g,
+            "parent": versions[-1] if versions else None,
+            "pins": dict(sorted(pins.items())),
+            "committed_at": _time.time(),
+        }
+        tmp = os.path.join(vdir, f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        try:
+            os.link(tmp, os.path.join(vdir, f"g{new_g:06d}.json"))
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        return new_g
+
+
+def read_group(
+    spark: SparkSession,
+    group_dir: str,
+    table_dirs: dict[str, str],
+    group_version: int | None = None,
+) -> dict[str, DataFrame]:
+    """Resolve every member table at the versions pinned by one group
+    commit (default: the latest group) — the consistent multi-table
+    read.  Tables keep publishing newer versions freely; this read
+    never mixes them."""
+    versions = list_group_versions(group_dir)
+    if not versions:
+        raise FileNotFoundError(f"no group versions in {group_dir}")
+    g = versions[-1] if group_version is None else group_version
+    if g not in versions:
+        raise FileNotFoundError(
+            f"group version {g} not in {group_dir} (have {versions})"
+        )
+    with open(
+        os.path.join(_group_versions_dir(group_dir), f"g{g:06d}.json")
+    ) as fh:
+        pins = json.load(fh)["pins"]
+    return {
+        name: read_version(spark, table_dirs[name], v)
+        for name, v in pins.items()
+    }

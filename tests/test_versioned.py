@@ -486,3 +486,56 @@ def test_schema_drift_reports_additive_evolution(spark, tmp_path):
         {"v_from": 1, "v_to": 2, "added": ["b"], "removed": []},
         {"v_from": 2, "v_to": 3, "added": [], "removed": ["a", "b"]},
     ]
+
+
+def test_snapshot_group_reads_are_cross_table_consistent(spark, tmp_path):
+    """Snapshot groups: a reader resolving through the group sees the
+    pinned (orders, items) PAIR even while the publisher has already
+    advanced both member tables; the next group commit exposes the
+    new pair atomically."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        commit_group,
+        read_group,
+        versioned_overwrite,
+    )
+
+    orders_t = str(tmp_path / "orders_t")
+    items_t = str(tmp_path / "items_t")
+    group = str(tmp_path / "grp")
+    dirs = {"orders": orders_t, "items": items_t}
+
+    vo1 = versioned_overwrite(
+        spark.createDataFrame([(1, "A")], "okey int, status string"),
+        orders_t,
+    )
+    vi1 = versioned_overwrite(
+        spark.createDataFrame([(1, 10)], "okey int, qty int"), items_t
+    )
+    g1 = commit_group(group, {"orders": vo1, "items": vi1})
+
+    # publisher advances BOTH tables (a new order + its items) but has
+    # not yet committed the group — a mid-update reader must still see
+    # the old consistent pair
+    vo2 = versioned_overwrite(
+        spark.createDataFrame(
+            [(1, "A"), (2, "B")], "okey int, status string"
+        ),
+        orders_t,
+    )
+    snap = read_group(spark, group, dirs)
+    assert snap["orders"].count() == 1 and snap["items"].count() == 1
+
+    vi2 = versioned_overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "okey int, qty int"),
+        items_t,
+    )
+    snap = read_group(spark, group, dirs)  # still the old pair
+    assert snap["orders"].count() == 1 and snap["items"].count() == 1
+
+    g2 = commit_group(group, {"orders": vo2, "items": vi2})
+    assert g2 == g1 + 1
+    snap = read_group(spark, group, dirs)
+    assert snap["orders"].count() == 2 and snap["items"].count() == 2
+    # and the OLD group stays readable (time travel across the group)
+    old = read_group(spark, group, dirs, group_version=g1)
+    assert old["orders"].count() == 1 and old["items"].count() == 1
