@@ -46,8 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (map_functions … join_salted) — the literal freshness bar;
 #: (2) round-10's own new queries (39 across the round's two
 #: sessions), so new operators get first verdicts inside the window —
-#: the 50-row cap lands INSIDE this section (20+30), so the last 9
-#: new queries (forecast_seasonal_naive … top_user_paths) overflow:
+#: the 50-row cap lands INSIDE this section (20+30), so the last 10
+#: new queries (forecast_seasonal_naive … temporal_align) overflow:
 #: they are locally oracle-verified this round and MUST lead round
 #: 11's window, followed by the r06 block (next-oldest driver
 #: signal); (3) r06; (4) r07; (5) r08; (6) the rows green in the
@@ -75,7 +75,13 @@ QUERY_ORDER = (
     "t_closeness", "yoy_growth", "linreg_ols", "acf_lags",
     "seasonal_dow_index", "ams_f2", "graph_clustering_coeff",
     "graph_kcore", "ams_join_size", "robust_trimmed_stats",
-    "join_temporal_scd2", "ab_test_zscore", "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake", "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys", "nested_hof", "hybrid_search_rrf", "top_user_paths",
+    "join_temporal_scd2", "ab_test_zscore",
+    # --- 50-row window cap lands here: the queries below got their
+    # --- first local verification in round 10 and lead round 11
+    "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake",
+    "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys",
+    "nested_hof", "hybrid_search_rrf", "top_user_paths",
+    "temporal_align",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",

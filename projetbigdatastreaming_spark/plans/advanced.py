@@ -3356,6 +3356,118 @@ ORDER BY event_type
 SQL_CUPED_ADJUSTMENT = _sql_cuped_adjustment()
 
 
+def q_temporal_align(spark, sf_dir):
+    """Temporal alignment (the interval-algebra NORMALIZE / temporal
+    join of two SCD histories): given per-user TIER changes (signup
+    events) and LEVEL changes (purchase events), produce the
+    piecewise validity intervals on which BOTH attributes are
+    constant — the table you need before any "state at time t across
+    dimensions" analysis, and the operator SQL:2011 temporal tables
+    conspicuously lack.
+
+    The closed form that avoids interval×interval join blowup: the
+    union of both change streams IS the aligned boundary set, so ONE
+    user-partitioned window pass fills each attribute forward (last
+    non-null), a same-instant collapse keeps the fully-filled row
+    (src-ordered, so a tier and a level change at the same timestamp
+    merge into one interval), and lead() closes each interval.  No
+    range join, no interval intersection — two shuffle-free window
+    passes over one union.
+
+    Determinism: boundaries order by (ts, src, event_id) — total;
+    attributes are exact ints; open intervals carry NULL valid_to.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_id",
+        F.lit(0).alias("src"),
+        (F.get_json_object("props", "$.k").cast("int") % 4).alias(
+            "tier"
+        ),
+        F.lit(None).cast("int").alias("level"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_id",
+        F.lit(1).alias("src"),
+        F.lit(None).cast("int").alias("tier"),
+        (F.get_json_object("props", "$.k").cast("int") % 3).alias(
+            "level"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = a.unionAll(b).select(
+        "user_id",
+        "ts",
+        "src",
+        "event_id",
+        F.last("tier", ignorenulls=True).over(w_fill).alias("tier"),
+        F.last("level", ignorenulls=True).over(w_fill).alias("level"),
+    )
+    # same-instant collapse: the row with the HIGHEST (src, event_id)
+    # at each (user, ts) saw every same-instant change fill forward
+    w_ts = Window.partitionBy("user_id", "ts").orderBy(
+        F.desc("src"), F.desc("event_id")
+    )
+    intervals = (
+        filled.withColumn("rn", F.row_number().over(w_ts))
+        .where(F.col("rn") == 1)
+        .drop("rn", "src", "event_id")
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        intervals.select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w_lead).alias("valid_to"),
+            "tier",
+            "level",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+SQL_TEMPORAL_ALIGN = """
+WITH a AS (
+  SELECT user_id, ts, event_id, 0 AS src,
+         CAST(json_extract_string(props, '$.k') AS INT) % 4 AS tier,
+         CAST(NULL AS INT) AS level
+  FROM events WHERE event_type = 'signup'),
+b AS (
+  SELECT user_id, ts, event_id, 1 AS src,
+         CAST(NULL AS INT) AS tier,
+         CAST(json_extract_string(props, '$.k') AS INT) % 3 AS level
+  FROM events WHERE event_type = 'purchase'),
+filled AS (
+  SELECT user_id, ts, src, event_id,
+         LAST_VALUE(tier IGNORE NULLS) OVER w AS tier,
+         LAST_VALUE(level IGNORE NULLS) OVER w AS level
+  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, src, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+collapsed AS (
+  SELECT user_id, ts, tier, level FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                 ORDER BY src DESC, event_id DESC) AS rn
+    FROM filled)
+  WHERE rn = 1)
+SELECT user_id, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       tier, level
+FROM collapsed
+ORDER BY user_id, valid_from
+"""
+
+
 _PATH_LEN = 5
 _PATH_TOPN = 20
 
@@ -3436,6 +3548,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_join_salted_hotkeys, SQL_JOIN_SALTED_HOTKEYS
     ),
     "top_user_paths": QuerySpec(q_top_user_paths, SQL_TOP_USER_PATHS),
+    "temporal_align": QuerySpec(q_temporal_align, SQL_TEMPORAL_ALIGN),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

@@ -546,3 +546,45 @@ def test_rrf_fuses_the_two_arms_consistently(spark, sf_dir):
     for r in rows:
         if r.r_dense is not None and r.r_dense <= 10:
             assert dense_std.get((r.qid, r.doc_id)) == r.r_dense
+
+
+def test_temporal_align_partitions_time_and_matches_replay(spark, sf_dir):
+    """Aligned intervals per user tile time without gaps or overlaps,
+    and every interval's (tier, level) equals a pure-Python as-of
+    replay at its start instant."""
+    import json
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type", "props")
+        .collect()
+    )
+    changes: dict = {}
+    for r in ev:
+        if r.event_type == "signup":
+            changes.setdefault(r.user_id, []).append(
+                (r.ts, 0, r.event_id, "tier", json.loads(r.props)["k"] % 4)
+            )
+        elif r.event_type == "purchase":
+            changes.setdefault(r.user_id, []).append(
+                (r.ts, 1, r.event_id, "level", json.loads(r.props)["k"] % 3)
+            )
+    rows = _q(spark, sf_dir, "temporal_align").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(changes)
+    for u, ivs in by_user.items():
+        # tiling: consecutive intervals abut; the last one is open
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+        assert ivs[-1].valid_to is None
+        # replay: state at each interval start
+        seq = sorted(changes[u])
+        state: dict = {"tier": None, "level": None}
+        k = 0
+        for iv in ivs:
+            while k < len(seq) and seq[k][0] <= iv.valid_from:
+                state[seq[k][3]] = seq[k][4]
+                k += 1
+            assert (iv.tier, iv.level) == (state["tier"], state["level"])
