@@ -3468,6 +3468,104 @@ ORDER BY user_id, valid_from
 """
 
 
+def q_median_ci(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the median per
+    event type, from order statistics (the binomial argument — no
+    normality assumption, no bootstrap): the interval is
+    [x(lo), x(hi)] with lo = ⌊n/2 − 0.98·√n⌋ and hi = ⌈n/2 + 1 +
+    0.98·√n⌉ (0.98 = z₀.₀₂₅/2), clamped to [1, n] — ranks land on
+    ACTUAL data values, so both engines pick identical cents.
+
+    Determinism: ranks are exact integers computed from n by the same
+    floor/ceil expressions in both engines (√n is IEEE-identical on
+    identical BIGINTs); rank→value resolution rides the cumulative
+    histogram (the `robust_trimmed_stats` discipline) — never a
+    raw-row sort.
+
+    Scale plan: one hash-agg to the value-domain-bounded cents
+    histogram, one type-partitioned cumulative window over it, and a
+    ≤|types|-row min-conditional agg per bound.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranks = (
+        "GREATEST(CAST(1 AS BIGINT),"
+        " CAST(FLOOR(n / 2.0 - 0.98 * SQRT(n)) AS BIGINT)) AS r_lo",
+        "LEAST(n,"
+        " CAST(CEIL(n / 2.0 + 1 + 0.98 * SQRT(n)) AS BIGINT)) AS r_hi",
+        "CAST(CEIL(n / 2.0) AS BIGINT) AS r_med",
+    )
+    cum = (
+        hist.join(F.broadcast(tot), "event_type")
+        .withColumn("cum", F.sum("c").over(w))
+        .selectExpr("event_type", "cents", "cum", "n", *ranks)
+    )
+    return (
+        cum.groupBy("event_type", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("r_med"), F.col("cents"))
+            ).alias("median_cents"),
+            F.min(
+                F.when(F.col("cum") >= F.col("r_lo"), F.col("cents"))
+            ).alias("ci_lo_cents"),
+            F.min(
+                F.when(F.col("cum") >= F.col("r_hi"), F.col("cents"))
+            ).alias("ci_hi_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MEDIAN_CI = """
+WITH hist AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+cum AS (
+  SELECT h.event_type, h.cents, t.n,
+         SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW) AS cum,
+         GREATEST(CAST(1 AS BIGINT),
+           CAST(FLOOR(t.n / 2.0 - 0.98 * SQRT(t.n)) AS BIGINT)) AS r_lo,
+         LEAST(t.n,
+           CAST(CEIL(t.n / 2.0 + 1 + 0.98 * SQRT(t.n)) AS BIGINT))
+           AS r_hi,
+         CAST(CEIL(t.n / 2.0) AS BIGINT) AS r_med
+  FROM hist h JOIN tot t USING (event_type))
+SELECT event_type, n,
+       MIN(CASE WHEN cum >= r_med THEN cents END) AS median_cents,
+       MIN(CASE WHEN cum >= r_lo THEN cents END) AS ci_lo_cents,
+       MIN(CASE WHEN cum >= r_hi THEN cents END) AS ci_hi_cents
+FROM cum
+GROUP BY 1, 2
+ORDER BY event_type
+"""
+
+
 _PATH_LEN = 5
 _PATH_TOPN = 20
 
@@ -3549,6 +3647,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "top_user_paths": QuerySpec(q_top_user_paths, SQL_TOP_USER_PATHS),
     "temporal_align": QuerySpec(q_temporal_align, SQL_TEMPORAL_ALIGN),
+    "median_ci": QuerySpec(q_median_ci, SQL_MEDIAN_CI),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

@@ -588,3 +588,21 @@ def test_temporal_align_partitions_time_and_matches_replay(spark, sf_dir):
                 state[seq[k][3]] = seq[k][4]
                 k += 1
             assert (iv.tier, iv.level) == (state["tier"], state["level"])
+
+
+def test_median_ci_brackets_true_median(spark, sf_dir):
+    """Order-statistic CI: lo <= median <= hi, the median equals the
+    numpy ceil-rank median on cents, and the CI ranks match the
+    binomial formula."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for r in _q(spark, sf_dir, "median_ci").collect():
+        x = np.sort(ev.loc[ev.event_type == r.event_type, "cents"])
+        n = len(x)
+        assert r.n == n
+        assert r.median_cents == int(x[math.ceil(n / 2.0) - 1])
+        lo = max(1, math.floor(n / 2.0 - 0.98 * math.sqrt(n)))
+        hi = min(n, math.ceil(n / 2.0 + 1 + 0.98 * math.sqrt(n)))
+        assert r.ci_lo_cents == int(x[lo - 1])
+        assert r.ci_hi_cents == int(x[hi - 1])
+        assert r.ci_lo_cents <= r.median_cents <= r.ci_hi_cents
