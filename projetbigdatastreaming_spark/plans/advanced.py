@@ -3566,6 +3566,118 @@ ORDER BY event_type
 """
 
 
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test per event type — the
+    nonparametric "are these two value distributions the same?"
+    companion to the mean-level z tests (`ab_test_zscore` compares
+    means; KS catches shape/tail differences a mean can't see): the A
+    arm is the deterministic user hash split, D = sup|F_A − F_B|.
+
+    Determinism: D's numerator is max over distinct values of
+    |cumA·nB − cumB·nA| — EXACT integers on the shared value-domain
+    histogram (sup over a step function is attained at a data value,
+    so the histogram grid is lossless); one det6 division for D, and
+    the α=0.05 rejection compares num against
+    1.358·√((nA+nB)/(nA·nB))·nA·nB in one shared double expression.
+
+    Scale plan: one hash-agg to the (type, cents) histogram with
+    per-arm conditional counts, one type-partitioned cumulative
+    window over it, one ≤|types|-row max-agg.  int64 headroom:
+    cum·n ≤ nA·nB < 2⁶³ through ~3·10⁹ rows per arm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.sampling import _portable_hash
+
+    hist = (
+        ev.select(
+            "event_type",
+            (_portable_hash(F.col("user_id"), "ab0") % 2 == 0).alias(
+                "in_a"
+            ),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.col("in_a").cast("bigint")).alias("ca"),
+            F.sum((~F.col("in_a")).cast("bigint")).alias("cb"),
+        )
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        hist.join(F.broadcast(tot), "event_type")
+        .withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .withColumn(
+            "num",
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")),
+        )
+    )
+    return (
+        cum.groupBy("event_type", "na", "nb")
+        .agg(F.max("num").cast("bigint").alias("num"))
+        .selectExpr(
+            "event_type",
+            "na",
+            "nb",
+            "CAST(FLOOR(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE)"
+            " * CAST(nb AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS ks_d",
+            "CAST(num AS DOUBLE) > 1.358"
+            " * SQRT((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
+            " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"
+            " * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+            " AS reject_h0",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KS_TEST = """
+WITH hist AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(concat(
+             CAST(user_id AS VARCHAR), 'ab0')), 1, 15)) AS BIGINT)
+             % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(concat(
+             CAST(user_id AS VARCHAR), 'ab0')), 1, 15)) AS BIGINT)
+             % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb
+  FROM hist GROUP BY 1),
+cum AS (
+  SELECT h.event_type, t.na, t.nb,
+         ABS(SUM(h.ca) OVER w * t.nb - SUM(h.cb) OVER w * t.na) AS num
+  FROM hist h JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, na, nb,
+       CAST(FLOOR(CAST(MAX(num) AS DOUBLE) / (CAST(na AS DOUBLE)
+         * CAST(nb AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ks_d,
+       CAST(MAX(num) AS DOUBLE) > 1.358
+         * SQRT((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+         * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS reject_h0
+FROM cum
+GROUP BY 1, 2, 3
+ORDER BY event_type
+"""
+
+
 _PATH_LEN = 5
 _PATH_TOPN = 20
 
@@ -3648,6 +3760,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_user_paths": QuerySpec(q_top_user_paths, SQL_TOP_USER_PATHS),
     "temporal_align": QuerySpec(q_temporal_align, SQL_TEMPORAL_ALIGN),
     "median_ci": QuerySpec(q_median_ci, SQL_MEDIAN_CI),
+    "ks_test": QuerySpec(q_ks_test, SQL_KS_TEST),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

@@ -606,3 +606,38 @@ def test_median_ci_brackets_true_median(spark, sf_dir):
         assert r.ci_lo_cents == int(x[lo - 1])
         assert r.ci_hi_cents == int(x[hi - 1])
         assert r.ci_lo_cents <= r.median_cents <= r.ci_hi_cents
+
+
+def test_ks_test_matches_scipy_free_model(spark, sf_dir):
+    """KS D per event type equals a numpy two-sample sup|F_A−F_B| on
+    the same hash split; on a null split D should not reject at
+    alpha=0.05 for most types."""
+    from projetbigdatastreaming_spark.operators.sampling import (
+        _portable_hash,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            "value",
+            (_portable_hash(F.col("user_id"), "ab0") % 2 == 0).alias("a"),
+        )
+        .toPandas()
+    )
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    got = {r.event_type: r for r in _q(spark, sf_dir, "ks_test").collect()}
+    rejected = 0
+    for etype, g in ev.groupby("event_type"):
+        xa = np.sort(g[g.a]["cents"].to_numpy())
+        xb = np.sort(g[~g.a]["cents"].to_numpy())
+        grid = np.unique(np.concatenate([xa, xb]))
+        fa = np.searchsorted(xa, grid, side="right") / len(xa)
+        fb = np.searchsorted(xb, grid, side="right") / len(xb)
+        d = float(np.max(np.abs(fa - fb)))
+        r = got[etype]
+        assert math.isclose(r.ks_d, d, rel_tol=1e-5, abs_tol=2e-6)
+        assert (r.na, r.nb) == (len(xa), len(xb))
+        rejected += bool(r.reject_h0)
+    assert rejected <= 2  # null data: mostly no rejection
