@@ -3678,6 +3678,148 @@ ORDER BY event_type
 """
 
 
+#: Mann-Whitney normal approximation with tie correction, as one
+#: shared expression program on exact integer sums (u2 = 2·U_A,
+#: tie_s = Σ(t³−t) over tied groups, nn = na+nb)
+_MWU_PROG = [
+    ("mu2", "CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"),
+    ("var_u", "CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0"
+              " * ((CAST(nn AS DOUBLE) + 1.0)"
+              " - CAST(tie_s AS DOUBLE) / (CAST(nn AS DOUBLE)"
+              " * (CAST(nn AS DOUBLE) - 1.0)))"),
+    ("z", "(CAST(u2 AS DOUBLE) / 2.0 - mu2 / 2.0) / SQRT(var_u)"),
+]
+
+
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann–Whitney U (Wilcoxon rank-sum) per event type — the
+    rank-based location test completing the two-sample panel: the z
+    test compares MEANS (outlier-hostage), KS compares SHAPES, MWU
+    asks "does one arm stochastically dominate?" and is the standard
+    referee for skewed metrics like spend.
+
+    Exactness through ties: midranks come from the shared cents
+    histogram — DOUBLED midrank mr2(v) = 2·cum(v−1) + c_v + 1 is an
+    exact integer, so the rank sum R2_A = Σ ca_v·mr2(v) and
+    U2 = 2·U_A = R2_A − na(na+1) are exact; the tie correction
+    Σ(t³−t) sums exact cubes over histogram rows.  The normal
+    approximation (mean na·nb/2, tie-corrected variance) runs as one
+    shared expression program — bitwise-equal z in both engines.
+
+    Scale plan: identical shape to `ks_test` — one histogram hash-agg
+    with per-arm counts, one type-partitioned cumulative window, one
+    ≤|types|-row fold.  int64 headroom: mr2 ≤ 2N+1 and ca·mr2 sums
+    stay under 2⁶³ through ~10⁹ rows per type; t³ rides DECIMAL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.sampling import _portable_hash
+
+    hist = (
+        ev.select(
+            "event_type",
+            (_portable_hash(F.col("user_id"), "ab0") % 2 == 0).alias(
+                "in_a"
+            ),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.col("in_a").cast("bigint")).alias("ca"),
+            F.sum((~F.col("in_a")).cast("bigint")).alias("cb"),
+        )
+        .withColumn("t", F.col("ca") + F.col("cb"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = hist.withColumn(
+        "mr2", 2 * F.sum("t").over(w) - F.col("t") + 1
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * F.col("mr2")).cast("bigint").alias("r2a"),
+        F.sum(
+            F.col("t").cast("decimal(18,0)")
+            * F.col("t").cast("decimal(18,0)")
+            * F.col("t").cast("decimal(18,0)")
+            - F.col("t").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie_s"),
+    )
+    out = stats.selectExpr(
+        "event_type",
+        "na",
+        "nb",
+        "na + nb AS nn",
+        "r2a - na * (na + 1) AS u2",
+        "tie_s",
+    )
+    for name, expr in _MWU_PROG:
+        out = out.withColumn(name, F.expr(expr))
+    return out.selectExpr(
+        "event_type",
+        "na",
+        "nb",
+        "CAST(u2 AS DOUBLE) / 2.0 AS u_a",
+        _DET6.format(x="z", name="z_score"),
+        f"ABS(z) > {_AB_Z_CRIT} AS significant",
+    ).orderBy("event_type")
+
+
+def _sql_mann_whitney_u() -> str:
+    steps = ""
+    prev = "base"
+    for i, (name, expr) in enumerate(_MWU_PROG):
+        steps += f", m{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        prev = f"m{i}"
+    return f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(concat(
+             CAST(user_id AS VARCHAR), 'ab0')), 1, 15)) AS BIGINT)
+             % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(concat(
+             CAST(user_id AS VARCHAR), 'ab0')), 1, 15)) AS BIGINT)
+             % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, ca, cb, ca + cb AS t,
+         2 * SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (ca + cb) + 1 AS mr2
+  FROM hist),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(ca * mr2) AS BIGINT) AS r2a,
+         SUM(t * t * t - t) AS tie_s
+  FROM ranked GROUP BY 1),
+base AS (
+  SELECT event_type, na, nb, na + nb AS nn,
+         r2a - na * (na + 1) AS u2, tie_s
+  FROM stats){steps}
+SELECT event_type, na, nb,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       CAST(FLOOR((z) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z_score,
+       ABS(z) > {_AB_Z_CRIT} AS significant
+FROM {prev}
+ORDER BY event_type
+"""
+
+
+SQL_MANN_WHITNEY_U = _sql_mann_whitney_u()
+
+
 _PATH_LEN = 5
 _PATH_TOPN = 20
 
@@ -3761,6 +3903,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "temporal_align": QuerySpec(q_temporal_align, SQL_TEMPORAL_ALIGN),
     "median_ci": QuerySpec(q_median_ci, SQL_MEDIAN_CI),
     "ks_test": QuerySpec(q_ks_test, SQL_KS_TEST),
+    "mann_whitney_u": QuerySpec(q_mann_whitney_u, SQL_MANN_WHITNEY_U),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

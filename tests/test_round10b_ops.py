@@ -641,3 +641,58 @@ def test_ks_test_matches_scipy_free_model(spark, sf_dir):
         assert (r.na, r.nb) == (len(xa), len(xb))
         rejected += bool(r.reject_h0)
     assert rejected <= 2  # null data: mostly no rejection
+
+
+def test_mwu_matches_pure_python_ranksum(spark, sf_dir):
+    """U_A and the tie-corrected z match a from-scratch midrank
+    computation; on a null hash split z stays modest."""
+    from projetbigdatastreaming_spark.operators.sampling import (
+        _portable_hash,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            "value",
+            (_portable_hash(F.col("user_id"), "ab0") % 2 == 0).alias("a"),
+        )
+        .toPandas()
+    )
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    got = {
+        r.event_type: r
+        for r in _q(spark, sf_dir, "mann_whitney_u").collect()
+    }
+    for etype, g in ev.groupby("event_type"):
+        vals = g["cents"].to_numpy()
+        a_mask = g["a"].to_numpy()
+        order = np.argsort(vals, kind="stable")
+        ranks = np.empty(len(vals), dtype="float64")
+        sv = vals[order]
+        i = 0
+        pos = 1
+        tie_s = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            t = j - i
+            mid = pos + (t - 1) / 2.0
+            ranks[order[i:j]] = mid
+            tie_s += t**3 - t
+            pos += t
+            i = j
+        na = int(a_mask.sum())
+        nb = len(vals) - na
+        ra = float(ranks[a_mask].sum())
+        u_a = ra - na * (na + 1) / 2.0
+        nn = na + nb
+        var_u = na * nb / 12.0 * ((nn + 1) - tie_s / (nn * (nn - 1)))
+        z = (u_a - na * nb / 2.0) / math.sqrt(var_u)
+        r = got[etype]
+        assert (r.na, r.nb) == (na, nb)
+        assert math.isclose(r.u_a, u_a, rel_tol=1e-9, abs_tol=1e-6)
+        assert math.isclose(r.z_score, z, rel_tol=1e-5, abs_tol=2e-6)
+        assert abs(r.z_score) < 6
