@@ -205,3 +205,44 @@ def read_enriched(spark, out_dir: str) -> DataFrame:
     """All enriched rows so far, each carrying the dim_version it was
     joined against."""
     return spark.read.parquet(out_dir)
+
+
+def interval_join_streams_semi(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: each left event emits
+    (once, original columns) iff SOME right event lands in
+    ``[left_ts, left_ts + max_delay]`` — the "was this impression
+    clicked at all?" existence screen, without materializing the
+    match rows or duplicating a left row that matched twice.  One of
+    the supported stream-stream join types (inner / outer family /
+    left semi); the state story is the inner join's — both sides'
+    buffers evict past watermark + interval.
+
+    Works identically on batch DataFrames (the batch twin is the
+    oracle in tests)."""
+    lt = F.col(f"__l_{left_ts}")
+    rt = F.col(f"__r_{right_ts}")
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).cast("timestamp").alias(f"__l_{left_ts}"),
+        *[c for c in left.columns if c not in (key, left_ts)],
+    ).withWatermark(f"__l_{left_ts}", watermark)
+    r = right.select(
+        F.col(key).alias("__rkey"),
+        F.col(right_ts).cast("timestamp").alias(f"__r_{right_ts}"),
+    ).withWatermark(f"__r_{right_ts}", watermark)
+    out = l.join(
+        r,
+        (F.col(key) == F.col("__rkey"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {max_delay}")),
+        "left_semi",
+    )
+    return out.withColumnRenamed(f"__l_{left_ts}", left_ts)

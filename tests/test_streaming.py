@@ -886,3 +886,57 @@ def test_interval_join_streams_left_outer_emits_after_watermark(
     assert sorted(
         (r.user_id, r.l_ad, r.r_click_id) for r in batch
     ) == got
+
+
+def test_interval_join_streams_semi(spark, tmp_path):
+    """LEFT SEMI stream-stream interval join: an impression emits once
+    iff any click lands in its window — a double-clicked impression
+    is not duplicated, an unclicked one never appears.  The batch
+    twin is the oracle."""
+    import datetime
+
+    from projetbigdatastreaming_spark.streaming.joins import (
+        interval_join_streams_semi,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    imp_rows = [(1, base, "ad_a"), (2, base, "ad_b"), (3, base, "ad_c")]
+    clk_rows = [
+        (1, base + datetime.timedelta(minutes=5), "c1"),
+        (1, base + datetime.timedelta(minutes=7), "c1b"),  # 2nd match
+        (2, base + datetime.timedelta(minutes=25), "c2"),  # too late
+    ]
+    imp_schema = "user_id long, ts timestamp_ntz, ad string"
+    clk_schema = "user_id long, ts timestamp_ntz, click_id string"
+    imp_dir, clk_dir = str(tmp_path / "imp_s"), str(tmp_path / "clk_s")
+    spark.createDataFrame(imp_rows, imp_schema).write.parquet(imp_dir)
+    spark.createDataFrame(clk_rows, clk_schema).write.parquet(clk_dir)
+
+    joined = interval_join_streams_semi(
+        spark.readStream.schema(imp_schema).parquet(imp_dir),
+        spark.readStream.schema(clk_schema).parquet(clk_dir),
+        key="user_id",
+        max_delay="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_semi_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_semi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.ad)
+        for r in spark.sql("SELECT * FROM ssj_semi_out").collect()
+    )
+    assert got == [(1, "ad_a")]
+
+    batch = interval_join_streams_semi(
+        spark.createDataFrame(imp_rows, imp_schema),
+        spark.createDataFrame(clk_rows, clk_schema),
+        key="user_id",
+        max_delay="10 minutes",
+    )
+    assert sorted((r.user_id, r.ad) for r in batch.collect()) == got
