@@ -253,6 +253,88 @@ ORDER BY n_name, c_mktsegment, bal_band
 """
 
 
+def q_chi2_independence(spark, sf_dir):
+    """Pearson χ² independence audit per contingency cell (customer
+    market segment × nation): expected count E = R·C/N under
+    independence, the cell's χ² contribution (O−E)²/E, and the
+    standardized residual (O−E)/√E with the |resid| > 3 flag — WHICH
+    cells drive the dependence, the actionable form of the test (the
+    global statistic is the sum of the contribution column; like
+    `mutual_information`, the output stays per-cell so no cross-cell
+    float sum exists to be order-sensitive under hash aggregation).
+
+    Determinism: O, R, C, N are exact integers; E, contribution, and
+    residual are fixed single expressions on them — bit-identical
+    doubles in both engines before the det6 floor.
+
+    Scale plan: the `mutual_information` shape exactly — broadcast
+    nation dim, ONE hash-agg to the ≤|x|·|y| grid, partitioned window
+    marginals over that KB-sized grid, 1-row scalar broadcast total.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    joint = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    wx = Window.partitionBy("n_name")
+    wy = Window.partitionBy("c_mktsegment")
+    total = joint.agg(F.sum("o").cast("bigint").alias("n"))
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    e = "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    return (
+        joint.withColumn("r", F.sum("o").over(wx))
+        .withColumn("c", F.sum("o").over(wy))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "n_name",
+            "c_mktsegment",
+            "o",
+            det6.format(expr=e) + " AS expected",
+            det6.format(
+                expr=f"(CAST(o AS DOUBLE) - {e}) * (CAST(o AS DOUBLE)"
+                f" - {e}) / {e}"
+            )
+            + " AS chi2_contrib",
+            det6.format(
+                expr=f"(CAST(o AS DOUBLE) - {e}) / SQRT({e})"
+            )
+            + " AS std_resid",
+            f"ABS((CAST(o AS DOUBLE) - {e}) / SQRT({e})) > 3.0"
+            " AS outlier_cell",
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+def _sql_chi2_independence() -> str:
+    e = "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    det6 = "CAST(FLOOR(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    return f"""
+WITH joint AS (
+  SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+marg AS (
+  SELECT *,
+         SUM(o) OVER (PARTITION BY n_name) AS r,
+         SUM(o) OVER (PARTITION BY c_mktsegment) AS c
+  FROM joint),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM joint)
+SELECT n_name, c_mktsegment, o,
+       {det6.format(expr=e)} AS expected,
+       {det6.format(expr=f"(CAST(o AS DOUBLE) - {e}) * (CAST(o AS DOUBLE) - {e}) / {e}")} AS chi2_contrib,
+       {det6.format(expr=f"(CAST(o AS DOUBLE) - {e}) / SQRT({e})")} AS std_resid,
+       ABS((CAST(o AS DOUBLE) - {e}) / SQRT({e})) > 3.0 AS outlier_cell
+FROM marg CROSS JOIN tot
+ORDER BY n_name, c_mktsegment
+"""
+
+
+SQL_CHI2_INDEPENDENCE = _sql_chi2_independence()
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit — the third rung of the privacy ladder
     (Li, Li & Venkatasubramanian, ICDE 2007): an l-diverse group can
@@ -1409,6 +1491,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
     "l_diversity": QuerySpec(q_l_diversity, SQL_L_DIVERSITY),
     "t_closeness": QuerySpec(q_t_closeness, SQL_T_CLOSENESS),
+    "chi2_independence": QuerySpec(
+        q_chi2_independence, SQL_CHI2_INDEPENDENCE
+    ),
     "fuzzy_match": QuerySpec(q_fuzzy_match, SQL_FUZZY_MATCH),
     "snapshot_diff": QuerySpec(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }

@@ -250,6 +250,9 @@ _BNLJ_ALLOWED = {
     # grand total — each the Q11 uncorrelated-scalar shape
     "benford_fit",
     "mutual_information",
+    # chi2_independence inherits mutual_information's 1-row grand
+    # total broadcast over the contingency grid
+    "chi2_independence",
     "rfm_segmentation",
     "bigram_pmi",
     # kmv_jaccard's pair grid is a <|types|²-row BNLJ over the

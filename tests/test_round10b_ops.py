@@ -696,3 +696,32 @@ def test_mwu_matches_pure_python_ranksum(spark, sf_dir):
         assert math.isclose(r.u_a, u_a, rel_tol=1e-9, abs_tol=1e-6)
         assert math.isclose(r.z_score, z, rel_tol=1e-5, abs_tol=2e-6)
         assert abs(r.z_score) < 6
+
+
+def test_chi2_cells_reconcile_with_pandas(spark, sf_dir):
+    """Expected counts, contributions, and residuals match a pandas
+    contingency computation; expecteds sum to N per row/column."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    # nation names come from the dim join; rebuild via the nation table
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").toPandas()
+    cust = cust.merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    tab = cust.groupby(["n_name", "c_mktsegment"]).size()
+    r = cust.groupby("n_name").size()
+    c = cust.groupby("c_mktsegment").size()
+    n = len(cust)
+    rows = _q(spark, sf_dir, "chi2_independence").collect()
+    assert len(rows) == len(tab)
+    for row in rows:
+        o = int(tab[(row.n_name, row.c_mktsegment)])
+        e = r[row.n_name] * c[row.c_mktsegment] / n
+        assert row.o == o
+        assert math.isclose(row.expected, e, rel_tol=1e-6, abs_tol=2e-6)
+        assert math.isclose(
+            row.chi2_contrib, (o - e) ** 2 / e, rel_tol=1e-5, abs_tol=2e-6
+        )
+        assert math.isclose(
+            row.std_resid, (o - e) / math.sqrt(e),
+            rel_tol=1e-5, abs_tol=2e-6,
+        )
