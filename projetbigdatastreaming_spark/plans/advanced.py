@@ -632,11 +632,13 @@ def q_basket_lift(spark, sf_dir):
 
     # ONE exchange builds the per-order brand-set relation; the pair
     # grid then generates MAP-SIDE from each sorted set (array
-    # combinatorics instead of the orderkey self-join) — measured
-    # like-for-like under identical machine load: 8.7->4.1 s at sf1,
-    # 54.5->35.6 s at sf10 (the self-join's second shuffle of the
-    # basket relation is gone).  collect_set dedupes in the
-    # aggregate, so the standalone distinct also disappears.
+    # combinatorics instead of the orderkey self-join): the
+    # self-join's second full shuffle of the basket relation is gone,
+    # and the standalone distinct folds into the aggregate.  Measured
+    # A/B under identical concurrent load (where the saved shuffle
+    # matters most): sf1 8.7->4.1 s, sf10 54.5->35.6 s min-of-2; at
+    # the idle warm floor the two are comparable (the old form's
+    # shuffles were page-cache-friendly there).
     baskets = persist_scoped(
         "basket_lift_sets",
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
