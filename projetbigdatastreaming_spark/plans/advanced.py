@@ -3839,6 +3839,105 @@ ORDER BY event_type
 SQL_MANN_WHITNEY_U = _sql_mann_whitney_u()
 
 
+def q_sign_test(spark, sf_dir):
+    """Paired sign test per event type — did each user's spend move
+    up or down from the pre to the post period?  The distribution-
+    free PAIRED companion to the two-sample panel (z/KS/MWU compare
+    independent arms; pairing on the user removes between-user
+    variance entirely, and the sign test needs no symmetry assumption
+    the way Wilcoxon's signed-rank does).  Zero-diff users are
+    excluded per the standard treatment, but counted in the panel —
+    their share is itself a signal.
+
+    A Wilcoxon signed-rank twin is deliberately NOT shipped: its
+    ranks run over per-user DIFF magnitudes, whose distinct domain
+    grows with the user population (unlike the raw value domain that
+    bounds `mann_whitney_u`'s histogram), so an exact implementation
+    would put a billion-row relation through |types| sort partitions
+    — the low-cardinality-window trap this repo bans.
+
+    Determinism: n_pos/n_neg/n_zero are exact integers from one
+    hash-agg over per-user pre/post totals; z = (pos−neg)/√(pos+neg)
+    is one shared expression.
+
+    Scale plan: one scan → (type, user) hash-agg with conditional
+    pre/post sums → ≤|types|-row fold.  No window, no join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "event_type",
+            "user_id",
+            (F.to_date("ts") >= F.lit(_DID_POST_START)).alias("post"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("post"), F.col("cents")).otherwise(0))
+                - F.sum(
+                    F.when(~F.col("post"), F.col("cents")).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum((F.col("d") > 0).cast("bigint")).alias("n_pos"),
+            F.sum((F.col("d") < 0).cast("bigint")).alias("n_neg"),
+            F.sum((F.col("d") == 0).cast("bigint")).alias("n_zero"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_pos",
+            "n_neg",
+            "n_zero",
+            "CAST(FLOOR((CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))"
+            " / SQRT(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))"
+            " * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z_score",
+            "ABS((CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))"
+            " / SQRT(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)))"
+            f" > {_AB_Z_CRIT} AS significant",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SIGN_TEST = f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_DID_POST_START}'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END)
+            - SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_DID_POST_START}'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(FLOOR((CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         - CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS DOUBLE))
+         / SQRT(CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         + CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS DOUBLE))
+         * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z_score,
+       ABS((CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         - CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS DOUBLE))
+         / SQRT(CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         + CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS DOUBLE)))
+         > {_AB_Z_CRIT} AS significant
+FROM per_user
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 _PATH_LEN = 5
 _PATH_TOPN = 20
 
@@ -3923,6 +4022,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "median_ci": QuerySpec(q_median_ci, SQL_MEDIAN_CI),
     "ks_test": QuerySpec(q_ks_test, SQL_KS_TEST),
     "mann_whitney_u": QuerySpec(q_mann_whitney_u, SQL_MANN_WHITNEY_U),
+    "sign_test": QuerySpec(q_sign_test, SQL_SIGN_TEST),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

@@ -1050,11 +1050,105 @@ ORDER BY event_type
 """
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise slopes of the daily-count series (Sen 1968): immune to
+    the outlier days that drag `trend_regression`'s OLS slope around
+    (breakdown point 29%).  The robust/classical pair mirrors
+    `robust_trimmed_stats` vs plain means.
+
+    Determinism: slopes are (y_j−y_i)/(day_j−day_i) on exact integers
+    — one deterministic double division per pair; the median is the
+    exact ceil-rank element of the per-type pair relation (an ACTUAL
+    slope value, no interpolation), ties broken stably because equal
+    doubles are interchangeable under rank-min selection.
+
+    Scale plan: the pair grid is built per type from the BOUNDED
+    daily relation (≤days² /2 pairs per type — hundreds of rows at a
+    30-day span regardless of corpus size), via a self-equi-join on
+    event_type with a day inequality; the rank rides a
+    type-partitioned window over that bounded pair relation.  Raw
+    events only ever pass through the one (type, day) hash-agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("y").alias("y2")
+    )
+    pairs = a.join(b, "event_type").where(F.col("d2") > F.col("d1"))
+    slopes = pairs.select(
+        "event_type",
+        (
+            (F.col("y2") - F.col("y1"))
+            / F.datediff("d2", "d1").cast("double")
+        ).alias("slope"),
+    )
+    n = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.withColumn("rk", F.row_number().over(w)).join(
+        F.broadcast(n), "event_type"
+    )
+    return (
+        ranked.where(
+            (F.col("rk") * 2 == F.col("n_pairs"))
+            | (F.col("rk") * 2 == F.col("n_pairs") + 1)
+        )
+        .groupBy("event_type", "n_pairs")
+        .agg(F.min("slope").alias("sen_slope_raw"))
+        .selectExpr(
+            "event_type",
+            "n_pairs",
+            "CAST(FLOOR(sen_slope_raw * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS sen_slope",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         (b.y - a.y) / CAST(date_diff('day', a.day, b.day) AS DOUBLE)
+           AS slope
+  FROM daily a JOIN daily b
+       ON a.event_type = b.event_type AND b.day > a.day),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT p.event_type, p.slope, n.n_pairs,
+         ROW_NUMBER() OVER (PARTITION BY p.event_type
+                            ORDER BY p.slope) AS rk
+  FROM pairs p JOIN n USING (event_type))
+SELECT event_type, n_pairs,
+       CAST(FLOOR(MIN(slope) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS sen_slope
+FROM ranked
+WHERE rk * 2 = n_pairs OR rk * 2 = n_pairs + 1
+GROUP BY 1, 2
+ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
     "forecast_seasonal_naive": QuerySpec(
         q_forecast_seasonal_naive, SQL_FORECAST_SEASONAL_NAIVE
     ),
+    "theil_sen": QuerySpec(q_theil_sen, SQL_THEIL_SEN),
     "seasonal_dow_index": QuerySpec(
         q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX
     ),

@@ -725,3 +725,45 @@ def test_chi2_cells_reconcile_with_pandas(spark, sf_dir):
             row.std_resid, (o - e) / math.sqrt(e),
             rel_tol=1e-5, abs_tol=2e-6,
         )
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    got = {r.event_type: r for r in _q(spark, sf_dir, "theil_sen").collect()}
+    for etype, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size().sort_index()
+        days = list(daily.index)
+        y = daily.to_numpy(dtype="float64")
+        slopes = []
+        for i in range(len(y)):
+            for j in range(i + 1, len(y)):
+                slopes.append((y[j] - y[i]) / (days[j] - days[i]).days)
+        slopes.sort()
+        n = len(slopes)
+        lower_median = slopes[(n - 1) // 2]  # exact ceil(n/2)-th element
+        r = got[etype]
+        assert r.n_pairs == n
+        assert math.isclose(
+            r.sen_slope, lower_median, rel_tol=1e-5, abs_tol=2e-6
+        )
+
+
+def test_sign_test_counts_reconcile(spark, sf_dir):
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["post"] = ev["ts"].dt.date >= pd.Timestamp("2024-01-16").date()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    got = {r.event_type: r for r in _q(spark, sf_dir, "sign_test").collect()}
+    for etype, g in ev.groupby("event_type"):
+        pre = g[~g.post].groupby("user_id")["cents"].sum()
+        post = g[g.post].groupby("user_id")["cents"].sum()
+        users = set(pre.index) | set(post.index)
+        d = {u: post.get(u, 0) - pre.get(u, 0) for u in users}
+        n_pos = sum(1 for v in d.values() if v > 0)
+        n_neg = sum(1 for v in d.values() if v < 0)
+        n_zero = len(users) - n_pos - n_neg
+        r = got[etype]
+        assert (r.n_pos, r.n_neg, r.n_zero) == (n_pos, n_neg, n_zero)
+        assert abs(r.z_score) < 6  # null data
