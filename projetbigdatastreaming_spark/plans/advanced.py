@@ -3938,6 +3938,160 @@ ORDER BY event_type
 """
 
 
+#: Poisson(1) inverse CDF thresholds (e⁻¹·Σ 1/j!), fixed 10-dp
+#: literals so both engines draw identical weights from the same
+#: 60-bit hash fraction; tail capped at w=7 (P ≈ 1e-5)
+_POIS_CDF = (
+    "0.3678794412", "0.7357588823", "0.9196986029", "0.9810118431",
+    "0.9963401532", "0.9994058152", "0.9999167589", "0.9999897508",
+)
+_BOOT_B = 64
+
+
+def _poisson_weight_sql(u: str) -> str:
+    expr = "7"
+    for k in reversed(range(len(_POIS_CDF))):
+        expr = f"CASE WHEN {u} < {_POIS_CDF[k]} THEN {k} ELSE {expr} END"
+    return expr
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap CI for the mean event value per type (Efron
+    via the streaming-friendly Poissonization: resampling n-out-of-n
+    ≈ giving each row an independent Poisson(1) weight — Chamandy et
+    al., Google 2012): 64 replicate weighted means, the 2.5%/97.5%
+    replicate order statistics as the interval.  The
+    assumption-free CI that backs a dashboard when normality is
+    dubious — and the ONLY member of the stats panel whose
+    uncertainty estimate needs no variance formula at all.
+
+    Determinism: weights draw from the portable md5 hash fraction
+    through fixed 10-dp inverse-CDF literals — identical integers in
+    both engines; replicate sums are exact (weight·cents BIGINTs);
+    the percentile is an exact rank over the 64-row replicate
+    relation per type.
+
+    Scale plan: the ×64 replicate explode is corpus-volume map work
+    feeding ONE map-side-combined hash-agg to ≤|types|·64 rows — no
+    shuffle amplification (the AMS-family discipline: fan-out happens
+    inside the map task, the exchange carries only the folded rows).
+    The rank window runs over the 64-row-per-type relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.sampling import _portable_hash
+
+    reps = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("rep"),
+        "event_id",
+    ).select(
+        "event_type",
+        "rep",
+        "cents",
+        (
+            _portable_hash(F.concat_ws("#", "event_id", "rep"), "boot")
+            / F.lit(float(2**60))
+        ).alias("u"),
+    )
+    w = F.expr(_poisson_weight_sql("u")).cast("bigint")
+    rep_means = (
+        reps.select("event_type", "rep", (w * F.col("cents")).alias("wc"), w.alias("w"))
+        .groupBy("event_type", "rep")
+        .agg(
+            F.sum("wc").cast("bigint").alias("swc"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS rep_mean",
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("event_type").orderBy("rep_mean")
+    ranked = rep_means.withColumn("rk", F.row_number().over(wr))
+    lo_rk = max(1, int(0.025 * _BOOT_B))
+    hi_rk = int(0.975 * _BOOT_B) + 1
+    base = ev.groupBy("event_type").agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("sc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        ranked.where(F.col("rk").isin(lo_rk, hi_rk))
+        .groupBy("event_type")
+        .agg(
+            F.min("rep_mean").alias("lo_raw"),
+            F.max("rep_mean").alias("hi_raw"),
+        )
+        .join(base, "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            det6.format(x="CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)",
+                        n="mean_cents"),
+            det6.format(x="lo_raw", n="ci_lo_cents"),
+            det6.format(x="hi_raw", n="ci_hi_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    u = ("(CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),"
+         " '#', CAST(rep AS VARCHAR), 'boot')), 1, 15)) AS BIGINT)"
+         f" / {float(2**60)!r})")
+    wexpr = _poisson_weight_sql(u)
+    lo_rk = max(1, int(0.025 * _BOOT_B))
+    hi_rk = int(0.975 * _BOOT_B) + 1
+    return f"""
+WITH reps AS (
+  SELECT event_type, rep,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST({wexpr} AS BIGINT) AS w
+  FROM events CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS rep) r),
+rep_means AS (
+  SELECT event_type,
+         CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+           AS rep_mean
+  FROM reps GROUP BY event_type, rep),
+ranked AS (
+  SELECT event_type, rep_mean,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY rep_mean) AS rk
+  FROM rep_means),
+ci AS (
+  SELECT event_type, MIN(rep_mean) AS lo_raw, MAX(rep_mean) AS hi_raw
+  FROM ranked WHERE rk IN ({lo_rk}, {hi_rk})
+  GROUP BY 1),
+base AS (
+  SELECT event_type,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1)
+SELECT event_type, n,
+       CAST(FLOOR((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+         AS DOUBLE) / 1e6 AS mean_cents,
+       CAST(FLOOR((lo_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS ci_lo_cents,
+       CAST(FLOOR((hi_raw) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS ci_hi_cents
+FROM ci JOIN base USING (event_type)
+ORDER BY event_type
+"""
+
+
+SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
+
+
 _PATH_LEN = 5
 _PATH_TOPN = 20
 
@@ -4023,6 +4177,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ks_test": QuerySpec(q_ks_test, SQL_KS_TEST),
     "mann_whitney_u": QuerySpec(q_mann_whitney_u, SQL_MANN_WHITNEY_U),
     "sign_test": QuerySpec(q_sign_test, SQL_SIGN_TEST),
+    "bootstrap_ci": QuerySpec(q_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

@@ -767,3 +767,22 @@ def test_sign_test_counts_reconcile(spark, sf_dir):
         r = got[etype]
         assert (r.n_pos, r.n_neg, r.n_zero) == (n_pos, n_neg, n_zero)
         assert abs(r.z_score) < 6  # null data
+
+
+def test_bootstrap_ci_brackets_and_is_tight(spark, sf_dir):
+    """Poisson-bootstrap interval: lo <= hi, the point mean matches
+    pandas exactly, the CI brackets it, and its width is in the CLT
+    ballpark (0.5x-4x the normal-theory width) — i.e. the replicates
+    are genuinely resampling, not collapsing or exploding."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for r in _q(spark, sf_dir, "bootstrap_ci").collect():
+        x = ev.loc[ev.event_type == r.event_type, "cents"].to_numpy()
+        assert r.n == len(x)
+        assert math.isclose(
+            r.mean_cents, x.mean(), rel_tol=1e-9, abs_tol=1e-5
+        )
+        assert r.ci_lo_cents <= r.mean_cents <= r.ci_hi_cents
+        clt_half = 1.96 * x.std(ddof=1) / math.sqrt(len(x))
+        width = r.ci_hi_cents - r.ci_lo_cents
+        assert 0.5 * 2 * clt_half <= width <= 4 * 2 * clt_half
