@@ -46,8 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (map_functions … join_salted) — the literal freshness bar;
 #: (2) round-10's own new queries (39 across the round's two
 #: sessions), so new operators get first verdicts inside the window —
-#: the 50-row cap lands INSIDE this section (20+30), so the last 10
-#: new queries (forecast_seasonal_naive … temporal_align) overflow:
+#: the 50-row cap lands INSIDE this section (20+30), so the
+#: section's tail (forecast_seasonal_naive … bootstrap_ci) overflows:
 #: they are locally oracle-verified this round and MUST lead round
 #: 11's window, followed by the r06 block (next-oldest driver
 #: signal); (3) r06; (4) r07; (5) r08; (6) the rows green in the
@@ -81,7 +81,8 @@ QUERY_ORDER = (
     "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake",
     "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys",
     "nested_hof", "hybrid_search_rrf", "top_user_paths",
-    "temporal_align", "median_ci", "ks_test", "mann_whitney_u", "chi2_independence", "theil_sen", "sign_test", "bootstrap_ci",
+    "temporal_align", "median_ci", "ks_test", "mann_whitney_u",
+    "chi2_independence", "theil_sen", "sign_test", "bootstrap_ci",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",
