@@ -632,13 +632,17 @@ def q_basket_lift(spark, sf_dir):
 
     # ONE exchange builds the per-order brand-set relation; the pair
     # grid then generates MAP-SIDE from each sorted set (array
-    # combinatorics instead of the orderkey self-join): the
-    # self-join's second full shuffle of the basket relation is gone,
-    # and the standalone distinct folds into the aggregate.  Measured
-    # A/B under identical concurrent load (where the saved shuffle
-    # matters most): sf1 8.7->4.1 s, sf10 54.5->35.6 s min-of-2; at
-    # the idle warm floor the two are comparable (the old form's
-    # shuffles were page-cache-friendly there).
+    # combinatorics instead of the orderkey self-join): ONE
+    # full-corpus exchange (groupBy orderkey) instead of the old
+    # form's two (the (orderkey,brand) distinct exchange + the
+    # self-join's orderkey exchange), and the standalone distinct
+    # folds into the aggregate.  Honest A/B record (sf10):
+    # alternating in one JVM, warm — old 11-16 s vs new ~15 s (the
+    # old form's simpler codegen rows win modestly when shuffles are
+    # local memory); under concurrent memory/IO load — old 54.5 s vs
+    # new 35.6 s min-of-2.  Shipped on the cluster argument: at 100 TB
+    # shuffles are network-bound and halving exchanged volume is the
+    # lever; local CPU-bound timing is the one regime that hides it.
     baskets = persist_scoped(
         "basket_lift_sets",
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
