@@ -564,8 +564,113 @@ ORDER BY doc_id
 SQL_GRAPH_KCORE = _sql_graph_kcore()
 
 
+def q_graph_edge_jaccard(spark, sf_dir):
+    """Neighbor-set Jaccard per EDGE of the near-dup pair graph — the
+    classic link-prediction / edge-strength score (Liben-Nowell &
+    Kleinberg 2003): for an edge (u,v), J = |N(u)∩N(v)| /
+    |N(u)\\{v} ∪ N(v)\\{u}|.  J≈1 marks an edge inside a tight clique
+    (redundant — its removal can't disconnect the cluster); J=0 marks
+    a BRIDGE between otherwise-unrelated duplicate groups, the edges
+    a cautious dedup reviewer audits first.
+
+    Determinism: common-neighbor counts are exact (each a<b<c
+    triangle contributes to its three edges); degrees are exact; one
+    det6 division.
+
+    Scale plan: the same pair-volume-bounded machinery as the census
+    — scoped-persisted edges, the ONE triangle join exploded to its
+    three edge slots, degree agg broadcast back onto edges.  No new
+    join shapes, no all-pairs anything.
+    """
+    from ..cache import persist_scoped
+    from ..operators import dedup as _dedup
+
+    pairs = _dedup.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = persist_scoped("graph_ej_edges", pairs)
+    deg = (
+        edges.selectExpr("u AS x")
+        .unionAll(edges.selectExpr("v AS x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tri_per_edge = (
+        tri.selectExpr("a AS u", "b AS v")
+        .unionAll(tri.selectExpr("a AS u", "c AS v"))
+        .unionAll(tri.selectExpr("b AS u", "c AS v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    return (
+        edges.join(tri_per_edge, ["u", "v"], "left")
+        .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .selectExpr(
+            "u AS doc_a",
+            "v AS doc_b",
+            "COALESCE(common, 0) AS common_neighbors",
+            "CASE WHEN du + dv - 2 - COALESCE(common, 0) > 0 THEN"
+            " CAST(FLOOR(CAST(COALESCE(common, 0) AS DOUBLE)"
+            " / (du + dv - 2 - COALESCE(common, 0)) * 1e6 + 0.5)"
+            " AS DOUBLE) / 1e6"
+            " ELSE CAST(1.0 AS DOUBLE) END AS neighbor_jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_GRAPH_EDGE_JACCARD = f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+  GROUP BY x),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+tpe AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common
+  FROM (SELECT a AS u, b AS v FROM tri
+        UNION ALL SELECT a AS u, c AS v FROM tri
+        UNION ALL SELECT b AS u, c AS v FROM tri)
+  GROUP BY u, v)
+SELECT e.u AS doc_a, e.v AS doc_b,
+       COALESCE(t.common, 0) AS common_neighbors,
+       CASE WHEN du.d + dv.d - 2 - COALESCE(t.common, 0) > 0 THEN
+         CAST(FLOOR(CAST(COALESCE(t.common, 0) AS DOUBLE)
+           / (du.d + dv.d - 2 - COALESCE(t.common, 0)) * 1e6 + 0.5)
+           AS DOUBLE) / 1e6
+       ELSE 1.0 END AS neighbor_jaccard
+FROM edges e
+LEFT JOIN tpe t ON e.u = t.u AND e.v = t.v
+JOIN deg du ON e.u = du.x
+JOIN deg dv ON e.v = dv.x
+ORDER BY doc_a, doc_b
+"""
+
+
 REGISTRY = {
     "graph_pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
+    "graph_edge_jaccard": QuerySpec(
+        q_graph_edge_jaccard, SQL_GRAPH_EDGE_JACCARD
+    ),
     "graph_clustering_coeff": QuerySpec(
         q_graph_clustering_coeff, SQL_GRAPH_CLUSTERING_COEFF
     ),

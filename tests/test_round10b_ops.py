@@ -786,3 +786,32 @@ def test_bootstrap_ci_brackets_and_is_tight(spark, sf_dir):
         clt_half = 1.96 * x.std(ddof=1) / math.sqrt(len(x))
         width = r.ci_hi_cents - r.ci_lo_cents
         assert 0.5 * 2 * clt_half <= width <= 4 * 2 * clt_half
+
+
+def test_edge_jaccard_matches_adjacency_model(spark, sf_dir):
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.operators import dedup
+    from projetbigdatastreaming_spark.plans.graph import _TRI_THRESHOLD
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_duplicates(
+            load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
+        ).collect()
+    ]
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rows = _q(spark, sf_dir, "graph_edge_jaccard").collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == set(edges)
+    for r in rows:
+        nu = adj[r.doc_a] - {r.doc_b}
+        nv = adj[r.doc_b] - {r.doc_a}
+        common = len(nu & nv)
+        union = len(nu | nv)
+        assert r.common_neighbors == common
+        expect = common / union if union else 1.0
+        assert math.isclose(
+            r.neighbor_jaccard, expect, rel_tol=1e-5, abs_tol=1e-6
+        )
