@@ -315,3 +315,125 @@ def read_robust_stats(spark: SparkSession, state_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     return robust_stats_from_hist(hist)
+
+
+#: bootstrap replicate-partial state (additive: Σ w·cents and Σ w per
+#: (type, replicate); weights are deterministic per (event_id, rep),
+#: so replays restate identical partials)
+BOOT_STATE_SCHEMA = (
+    "event_type string, rep int, swc bigint, sw bigint,"
+    " sc bigint, n bigint, batch_id int"
+)
+
+
+def bootstrap_partials_writer(
+    state_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for the streaming bootstrap-CI monitor: the
+    batch explodes to its 64 deterministic hash-Poisson replicates and
+    reduces to per-(type, replicate) weighted sums — ADDITIVE, because
+    each event's weight depends only on (event_id, rep), never on
+    which batch delivered it.  So the fold in `read_bootstrap_ci` is
+    EXACTLY the batch query over the union of ingested batches —
+    uncertainty quantification on a stream with exact replay, no
+    approximate merging of intervals."""
+    from ..plans.advanced import _BOOT_B, _poisson_weight_sql
+    from ..operators.sampling import _portable_hash
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        reps = batch_df.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+            ).alias("rep"),
+            "event_id",
+        ).select(
+            "event_type",
+            "rep",
+            "cents",
+            (
+                _portable_hash(
+                    F.concat_ws("#", "event_id", "rep"), "boot"
+                )
+                / F.lit(float(2**60))
+            ).alias("u"),
+        )
+        w = F.expr(_poisson_weight_sql("u")).cast("bigint")
+        partials = (
+            reps.select(
+                "event_type",
+                "rep",
+                (w * F.col("cents")).alias("wc"),
+                w.alias("w"),
+                "cents",
+            )
+            .groupBy("event_type", "rep")
+            .agg(
+                F.sum("wc").cast("bigint").alias("swc"),
+                F.sum("w").cast("bigint").alias("sw"),
+                F.sum("cents").cast("bigint").alias("sc"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        overwrite_partitions(partials, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_bootstrap_ci(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the replicate partials into the corpus-so-far bootstrap
+    interval — column-identical to `plans/advanced.q_bootstrap_ci`
+    over the union of the ingested batches (pinned by test)."""
+    from pyspark.sql import Window
+
+    from ..plans.advanced import _BOOT_B
+
+    st = (
+        spark.read.schema(BOOT_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("event_type", "rep")
+        .agg(
+            F.sum("swc").cast("bigint").alias("swc"),
+            F.sum("sw").cast("bigint").alias("sw"),
+            F.sum("sc").cast("bigint").alias("sc"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+    rep_means = st.selectExpr(
+        "event_type",
+        "CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS rep_mean",
+        "sc",
+        "n",
+    )
+    wr = Window.partitionBy("event_type").orderBy("rep_mean")
+    ranked = rep_means.withColumn("rk", F.row_number().over(wr))
+    lo_rk = max(1, int(0.025 * _BOOT_B))
+    hi_rk = int(0.975 * _BOOT_B) + 1
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    base = st.groupBy("event_type").agg(
+        F.first("sc").alias("sc"), F.first("n").alias("n")
+    )
+    return (
+        ranked.where(F.col("rk").isin(lo_rk, hi_rk))
+        .groupBy("event_type")
+        .agg(
+            F.min("rep_mean").alias("lo_raw"),
+            F.max("rep_mean").alias("hi_raw"),
+        )
+        .join(base, "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            det6.format(
+                x="CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)",
+                n="mean_cents",
+            ),
+            det6.format(x="lo_raw", n="ci_lo_cents"),
+            det6.format(x="hi_raw", n="ci_hi_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -815,3 +815,30 @@ def test_edge_jaccard_matches_adjacency_model(spark, sf_dir):
         assert math.isclose(
             r.neighbor_jaccard, expect, rel_tol=1e-5, abs_tol=1e-6
         )
+
+
+def test_bootstrap_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming bootstrap CI: deterministic per-(event, replicate)
+    weights make replicate sums additive across batches, so the fold
+    equals the batch interval EXACTLY and a redelivery restates."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.advanced import q_bootstrap_ci
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        bootstrap_partials_writer,
+        read_bootstrap_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "boot")
+    write = bootstrap_partials_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    want = rows(q_bootstrap_ci(spark, sf_dir))
+    assert rows(read_bootstrap_ci(spark, state)) == want and len(want) > 0
+
+    write(ev.where("event_id % 3 = 2"), 2)  # redelivery restates
+    assert rows(read_bootstrap_ci(spark, state)) == want
