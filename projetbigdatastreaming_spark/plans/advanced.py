@@ -4096,6 +4096,98 @@ ORDER BY event_type
 SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
 
 
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def q_window_funnel(spark, sf_dir):
+    """Time-bounded funnel depth (the ClickHouse ``windowFunnel``
+    shape): signup → view → purchase, where every later step must
+    land within 7 days of the user's FIRST signup — `funnel_steps`
+    without the window answers "ever converted?"; this answers
+    "converted while the campaign was live?".  Output is the depth
+    census: how many users reached exactly depth 1/2/3.
+
+    Determinism: each stage is a MIN timestamp under exact
+    inequality predicates — no ranks, no floats; the census is exact
+    counts.
+
+    Scale plan: the `funnel_steps` discipline with the deadline
+    threaded through — one conditional min-agg per stage on the
+    (shrinking) user set, chained by user_id equi-joins that stay
+    co-partitioned on the same key (one partitioning reused down the
+    chain; AQE handles the sizes).  No window function at all.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+    deadline = F.col("t1") + F.expr(
+        f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS"
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") >= F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .selectExpr(
+            "CASE WHEN t3 IS NOT NULL THEN 3"
+            " WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth"
+        )
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+SQL_WINDOW_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, ANY_VALUE(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts >= s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    AND e.ts <= s2.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY 1),
+depth AS (
+  SELECT CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth
+  FROM s1
+  LEFT JOIN s2 ON s1.user_id = s2.user_id
+  LEFT JOIN s3 ON s1.user_id = s3.user_id)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM depth
+GROUP BY 1
+ORDER BY depth
+"""
+
+
 _PATH_LEN = 5
 _PATH_TOPN = 20
 
@@ -4182,6 +4274,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "mann_whitney_u": QuerySpec(q_mann_whitney_u, SQL_MANN_WHITNEY_U),
     "sign_test": QuerySpec(q_sign_test, SQL_SIGN_TEST),
     "bootstrap_ci": QuerySpec(q_bootstrap_ci, SQL_BOOTSTRAP_CI),
+    "window_funnel": QuerySpec(q_window_funnel, SQL_WINDOW_FUNNEL),
     "robust_trimmed_stats": QuerySpec(
         q_robust_trimmed_stats, SQL_ROBUST_TRIMMED_STATS
     ),

@@ -842,3 +842,46 @@ def test_bootstrap_stream_fold_equals_batch(spark, sf_dir, tmp_path):
 
     write(ev.where("event_id % 3 = 2"), 2)  # redelivery restates
     assert rows(read_bootstrap_ci(spark, state)) == want
+
+
+def test_window_funnel_matches_replay(spark, sf_dir):
+    """Depth census equals a literal per-user replay of the windowed
+    funnel rules, and depths sum to the signup-user population."""
+    import datetime
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    window = datetime.timedelta(days=7)
+    census: dict = {}
+    n_signup_users = 0
+    for u, rows in by_user.items():
+        t1 = min((t for t, e in rows if e == "signup"), default=None)
+        if t1 is None:
+            continue
+        n_signup_users += 1
+        t2 = min(
+            (t for t, e in rows
+             if e == "view" and t1 <= t <= t1 + window),
+            default=None,
+        )
+        t3 = None
+        if t2 is not None:
+            t3 = min(
+                (t for t, e in rows
+                 if e == "purchase" and t2 <= t <= t1 + window),
+                default=None,
+            )
+        depth = 3 if t3 else 2 if t2 else 1
+        census[depth] = census.get(depth, 0) + 1
+    got = {
+        r.depth: r.n_users
+        for r in _q(spark, sf_dir, "window_funnel").collect()
+    }
+    assert got == census
+    assert sum(got.values()) == n_signup_users
