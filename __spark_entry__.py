@@ -83,7 +83,7 @@ QUERY_ORDER = (
     "nested_hof", "hybrid_search_rrf", "top_user_paths",
     "temporal_align", "median_ci", "ks_test", "mann_whitney_u",
     "chi2_independence", "theil_sen", "sign_test", "bootstrap_ci",
-    "graph_edge_jaccard", "window_funnel",
+    "graph_edge_jaccard", "window_funnel", "burstiness",
     # 3) green in the round-6 driver run (next-oldest signal);
     # window cap lands mid-section, tail leads round 11's rotation
     "window_sliding", "percentiles", "scalar_functions2",

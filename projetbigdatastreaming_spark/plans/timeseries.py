@@ -1143,12 +1143,98 @@ ORDER BY event_type
 """
 
 
+#: burstiness solve on exact integer daily-count sums (n = days,
+#: s = Σy, q = Σy²) — shared expression program
+_BURST_PROG = [
+    ("mean_d", "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("var_d", "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE)"
+              " * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+              " / (CAST(n AS DOUBLE) - 1.0)"),
+    ("fano", "var_d / mean_d"),
+    ("burst", "(SQRT(var_d) - mean_d) / (SQRT(var_d) + mean_d)"),
+]
+
+
+def q_burstiness(spark, sf_dir):
+    """Burstiness descriptors of the daily event-count series per
+    type: the Fano factor (variance/mean — 1 for a Poisson process,
+    >1 overdispersed) and the Goh–Barabási burstiness coefficient
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) (0 ≈ Poisson, →1 bursty, →−1
+    regular).  The one-line answer to "is this event stream
+    clock-like or bursty?" that decides whether rate alerts need
+    Poisson or heavy-tailed thresholds — the descriptive companion to
+    `cusum_changepoints` (level shifts) and `acf_lags` (periodicity).
+
+    Determinism: n, Σy, Σy² are exact integers from the daily
+    hash-agg (Σy² in DECIMAL past int64 at extreme scales); the solve
+    is one shared expression program, det6-rounded.
+
+    Scale plan: one hash-agg to (type, day), one to ≤|types| rows of
+    sums, scalar math.  No window, no join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(
+            F.col("y").cast("decimal(18,0)")
+            * F.col("y").cast("decimal(18,0)")
+        ).alias("q"),
+    )
+    out = stats
+    for name, expr in _BURST_PROG:
+        out = out.withColumn(name, F.expr(expr))
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return out.selectExpr(
+        "event_type",
+        "n AS n_days",
+        det6.format(x="mean_d", n="mean_daily"),
+        det6.format(x="fano", n="fano_factor"),
+        det6.format(x="burst", n="burstiness"),
+    ).orderBy("event_type")
+
+
+def _sql_burstiness() -> str:
+    steps = ""
+    prev = "stats"
+    for i, (name, expr) in enumerate(_BURST_PROG):
+        steps += f", b{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        prev = f"b{i}"
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         SUM(y * y) AS q
+  FROM daily GROUP BY 1){steps}
+SELECT event_type, n AS n_days,
+       CAST(FLOOR((mean_d) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS mean_daily,
+       CAST(FLOOR((fano) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS fano_factor,
+       CAST(FLOOR((burst) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS burstiness
+FROM {prev}
+ORDER BY event_type
+"""
+
+
+SQL_BURSTINESS = _sql_burstiness()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
     "forecast_seasonal_naive": QuerySpec(
         q_forecast_seasonal_naive, SQL_FORECAST_SEASONAL_NAIVE
     ),
     "theil_sen": QuerySpec(q_theil_sen, SQL_THEIL_SEN),
+    "burstiness": QuerySpec(q_burstiness, SQL_BURSTINESS),
     "seasonal_dow_index": QuerySpec(
         q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX
     ),

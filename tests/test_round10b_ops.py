@@ -885,3 +885,24 @@ def test_window_funnel_matches_replay(spark, sf_dir):
     }
     assert got == census
     assert sum(got.values()) == n_signup_users
+
+
+def test_burstiness_matches_numpy(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    got = {r.event_type: r for r in _q(spark, sf_dir, "burstiness").collect()}
+    for etype, g in ev.groupby("event_type"):
+        y = g.groupby("day").size().to_numpy(dtype="float64")
+        mean, var = y.mean(), y.var(ddof=1)
+        r = got[etype]
+        assert r.n_days == len(y)
+        assert math.isclose(r.mean_daily, mean, rel_tol=1e-6, abs_tol=2e-6)
+        assert math.isclose(
+            r.fano_factor, var / mean, rel_tol=1e-5, abs_tol=2e-6
+        )
+        sd = math.sqrt(var)
+        assert math.isclose(
+            r.burstiness, (sd - mean) / (sd + mean),
+            rel_tol=1e-5, abs_tol=2e-6,
+        )
+        assert -1.0 < r.burstiness < 1.0
