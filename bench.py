@@ -75,6 +75,16 @@ SF3_QUERIES: tuple[str, ...] = (
     "bm25_topk",
     "graph_triangles",
     "basket_lift",
+    # round 11 (VERDICT r10 item 4): the two-level-prefix rows and
+    # the hand-measured graph rows enter the shipped artifact.
+    # interval_overlap is the slowest non-basket sf10 row (16.96 s
+    # hand-measured r10, attributed to the 2n-row boundary relation's
+    # range exchange + determinism checkpoint); TWAP rides the same
+    # machinery at 4.42 s — shipping both pins the attribution.
+    "interval_overlap",
+    "time_weighted_avg",
+    "graph_clustering_coeff",
+    "graph_kcore",
 )
 
 #: queries re-timed at the scaled fixture.  ``None`` means "every
@@ -84,10 +94,88 @@ SF3_QUERIES: tuple[str, ...] = (
 #: and made round-over-round drift unadjudicable).
 SF2_QUERIES: tuple[str, ...] | None = None
 
+#: sustained external CPU (whole-machine busy minus this process
+#: tree) above which a sweep is stamped contaminated.  OS background
+#: noise measures <0.2 CPU on this container; a competing pytest/
+#: oracle sweep is 10-30 CPUs.  1.0 splits those by an order of
+#: magnitude each way.
+EXTERNAL_CPU_LIMIT = float(os.environ.get("SPARK_GRAFT_EXT_CPU_LIMIT", "1.0"))
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
     return float(m.group(1)) if m else -1.0
+
+
+def _total_busy_jiffies() -> int:
+    """Whole-machine busy jiffies from /proc/stat (all - idle - iowait)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    v = [int(x) for x in parts]
+    return sum(v) - v[3] - (v[4] if len(v) > 4 else 0)
+
+
+def _proc_tree_jiffies() -> int:
+    """utime+stime jiffies of this process and every live descendant
+    (the bench JVM and its Python workers are children of this PID)."""
+    stats: dict[int, int] = {}
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced a process exit
+        rest = s[s.rindex(")") + 2 :].split()
+        pid = int(d)
+        stats[pid] = int(rest[11]) + int(rest[12])
+        children.setdefault(int(rest[1]), []).append(pid)
+    total = 0
+    stack = [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += stats.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+def sweep_load_begin() -> tuple[float, int, int, float]:
+    return (
+        time.monotonic(),
+        _total_busy_jiffies(),
+        _proc_tree_jiffies(),
+        os.getloadavg()[0],
+    )
+
+
+def sweep_load_end(begin: tuple[float, int, int, float]) -> dict:
+    """Load stamp for one sweep (VERDICT r10 item 2: BENCH_r10 shipped
+    sf1/sf10 columns taken under concurrent load and unflagged).
+    ``external_cpu_avg`` is machine-busy-CPU minus THIS process tree's
+    CPU, averaged over the sweep — raw loadavg alone can't separate
+    bench's own 32 threads from a competitor's."""
+    t0, busy0, tree0, load0 = begin
+    elapsed = max(time.monotonic() - t0, 1e-6)
+    hz = os.sysconf("SC_CLK_TCK")
+    external = (_total_busy_jiffies() - busy0) - (
+        _proc_tree_jiffies() - tree0
+    )
+    ext_cpus = max(0.0, external / hz / elapsed)
+    stamp = {
+        "loadavg_start": round(load0, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "external_cpu_avg": round(ext_cpus, 2),
+        "contaminated": ext_cpus > EXTERNAL_CPU_LIMIT,
+    }
+    if stamp["contaminated"]:
+        print(
+            f"WARNING: sweep ran against {ext_cpus:.1f} external CPUs "
+            "of competing load — timings stamped contaminated",
+            file=sys.stderr,
+        )
+    return stamp
 
 
 def main() -> None:
@@ -132,8 +220,10 @@ def main() -> None:
     from projetbigdatastreaming_spark.cache import clear_scoped
 
     timings: dict[str, float] = {}
+    load_begin = sweep_load_begin()
     for name in headline:
         timings[name] = _timed_min3(all_queries[name], SF_DIR)
+    load_stamps = {"sf": sweep_load_end(load_begin)}
     clear_scoped()
 
     total = round(sum(timings.values()), 4)
@@ -157,8 +247,10 @@ def main() -> None:
             # media oracles are built from — see media._media_path)
             os.environ["SPARK_GRAFT_MEDIA_SCALED"] = "1"
             t2: dict[str, float] = {}
+            load_begin = sweep_load_begin()
             for name in SF2_QUERIES if SF2_QUERIES is not None else headline:
                 t2[name] = _timed_min3(all_queries[name], SF2_DIR)
+            load_stamps["sf2"] = sweep_load_end(load_begin)
             out["sf2"] = round(_sf_from_dir(SF_DIR) * SF2_FACTOR, 4)
             out["queries_sf2"] = t2
             out["value_sf2"] = round(sum(t2.values()), 4)
@@ -177,6 +269,7 @@ def main() -> None:
             ensure_scaled(spark, SF_DIR, SF3_DIR, SF3_FACTOR)
             build_sec = round(time.perf_counter() - t0, 1)
             t3: dict[str, float] = {}
+            load_begin = sweep_load_begin()
             for name in SF3_QUERIES:
                 fn = all_queries[name]
                 fn(spark, SF3_DIR).write.format("noop").mode(
@@ -194,6 +287,7 @@ def main() -> None:
                     ).save()
                     best = min(best, time.perf_counter() - t0)
                 t3[name] = round(best, 4)
+            load_stamps["sf3"] = sweep_load_end(load_begin)
             out["sf3"] = round(_sf_from_dir(SF_DIR) * SF3_FACTOR, 4)
             out["queries_sf3"] = t3
             out["value_sf3"] = round(sum(t3.values()), 4)
@@ -201,6 +295,10 @@ def main() -> None:
         except Exception as exc:  # never break the primary contract
             out["sf3_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    out["load"] = load_stamps
+    out["load_contaminated"] = any(
+        s["contaminated"] for s in load_stamps.values()
+    )
     print(json.dumps(out))
     spark.stop()
 
