@@ -91,7 +91,7 @@ QUERY_ORDER = (
     "doc_embedding_stats", "neardup_jaccard_histogram",
     # 3) new in round 11 — oracle-verified locally this round; they
     # queue behind the r06 tail and lead round 12's window with it
-    # (names appended here as they are registered)
+    "emb_knn_label_bq", "emb_knn_label_recall",
     # 4) green in the round-7 driver run
     "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
     "doc_ngram_novelty", "dedup_soft_weights",

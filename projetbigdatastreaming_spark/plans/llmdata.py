@@ -537,6 +537,13 @@ def q_emb_knn_label(spark, sf_dir):
     query is the correctness baseline that swap is measured against,
     exactly like `emb_cosine_topk` anchors the ANN ladder.
     """
+    return _knn_vote(_knn_exact_nn(spark, sf_dir))
+
+
+def _knn_exact_nn(spark, sf_dir):
+    """Exact top-KNN_K labeled neighbors of every unlabeled vector
+    (qid, true_label, vec_id, label, cos_sim, rk) — the brute-force
+    search stage of `emb_knn_label`, shared with the recall gauge."""
     from pyspark.sql.window import Window
 
     from ..operators.similarity import _as_double, _dot, _norm
@@ -571,9 +578,19 @@ def q_emb_knn_label(spark, sf_dir):
     w = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
-    nn = scored.withColumn("rk", F.row_number().over(w)).where(
+    return scored.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= KNN_K
     )
+
+
+def _knn_vote(nn):
+    """Majority vote over a top-KNN_K neighbor relation (qid,
+    true_label, label, …) — shared by the exact kernel and the
+    BQ-shortlist path so the ANN swap changes ONLY the neighbor
+    search, never the labeling semantics.  Vote ties break on the
+    smaller label (both engines replay it)."""
+    from pyspark.sql.window import Window
+
     votes = nn.groupBy("qid", "true_label", "label").agg(
         F.count("*").alias("n_votes")
     )
@@ -621,6 +638,198 @@ pick AS (
 SELECT qid AS vec_id, label AS pred_label, true_label,
        label = true_label AS correct
 FROM pick WHERE vrk = 1
+ORDER BY vec_id
+"""
+
+
+#: Hamming shortlist width for the ANN-swapped kNN labeler — wide
+#: enough that the exact top-KNN_K almost always survives the
+#: sign-bit pass (gauged by `emb_knn_label_recall`), narrow enough
+#: that stage-2 float math is 𝒪(|Q|·shortlist), never the corpus
+KNN_BQ_SHORTLIST = 20
+
+
+def _knn_bq_nn(spark, sf_dir):
+    """Top-KNN_K labeled neighbors via the two-stage production path:
+    binary-quantized Hamming SHORTLIST (packed sign-bit scan of the
+    labeled corpus against the broadcast unlabeled set) then exact
+    cosine rescore of ONLY the shortlist.  Same output relation as
+    `_knn_exact_nn`; integer-exact stage 1 + 4dp-rounded stage 2 with
+    vec_id ties keep it oracle-replayable end-to-end."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+        bq_pack,
+        bq_search,
+    )
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    lab = emb.where(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    unl = emb.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    packed_q = bq_pack(unl).select(
+        F.col("vec_id").alias("qid"), F.col("words").alias("qwords")
+    )
+    short = bq_search(bq_pack(lab), packed_q, KNN_BQ_SHORTLIST).select(
+        "qid", "vec_id"
+    )
+    lab_vec = lab.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    qvec = unl.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
+    )
+    rescored = (
+        lab_vec.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qvec), "qid")
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return rescored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KNN_K
+    )
+
+
+def q_emb_knn_label_bq(spark, sf_dir):
+    """The lake-scale kNN weak labeler (VERDICT r10 item 3): the
+    exact kernel's brute-force search swapped for the BQ-shortlist +
+    exact-rescore two-stage path, vote stage UNCHANGED (`_knn_vote`).
+    Float math touches |Q|·KNN_BQ_SHORTLIST vectors instead of
+    |Q|·corpus; the corpus-wide pass is the packed sign-bit scan
+    (ceil(d/63) longs per vector).  `emb_knn_label` is the
+    correctness anchor; `emb_knn_label_recall` gauges how often the
+    shortlist preserved the exact neighbor set."""
+    return _knn_vote(_knn_bq_nn(spark, sf_dir))
+
+
+def q_emb_knn_label_recall(spark, sf_dir):
+    """recall@KNN_K of the BQ-shortlist labeler's neighbor SET
+    against the exact kernel's — the quality gauge that makes the
+    sign-bit shortcut's risk visible per query (mirrors
+    `emb_bq_recall` on the retrieval ladder).  Gauges the neighbor
+    sets, not just the final labels: two paths can agree on the vote
+    while disagreeing on the neighbors, and the neighbor set is what
+    the shortlist actually approximates."""
+    exact = _knn_exact_nn(spark, sf_dir).select("qid", "vec_id")
+    ann = _knn_bq_nn(spark, sf_dir).select("qid", "vec_id")
+    hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("__n_hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.round(
+                F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(KNN_K), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+#: shared CTEs of the BQ labeler: pack both sides, Hamming-shortlist
+#: the labeled corpus per unlabeled query, exact-rescore the
+#: shortlist, keep the top KNN_K
+_SQL_KNN_BQ_NN_CTES = f"""emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+kpacked AS (
+  SELECT vec_id, label,
+         list_transform(range(0, (len(v) - 1) // 63 + 1),
+           w -> list_aggregate(list_transform(range(0, 63),
+                  i -> CASE WHEN w * 63 + i < len(v)
+                            AND v[w * 63 + i + 1] >= 0
+                       THEN (CAST(1 AS BIGINT) << i)
+                       ELSE CAST(0 AS BIGINT) END), 'sum')) AS words
+  FROM emb),
+ham AS (
+  SELECT q.vec_id AS qid, q.label AS true_label, c.vec_id, c.label,
+         CAST(list_aggregate(list_transform(
+                range(1, len(c.words) + 1),
+                j -> bit_count(xor(c.words[j], q.words[j]))),
+              'sum') AS INTEGER) AS hamming
+  FROM kpacked c
+  JOIN kpacked q ON q.vec_id % {KNN_QUERY_MOD} = 0
+                AND c.vec_id % {KNN_QUERY_MOD} <> 0),
+short AS (
+  SELECT qid, true_label, vec_id, label
+  FROM (SELECT qid, true_label, vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY hamming, vec_id) AS srk
+        FROM ham)
+  WHERE srk <= {KNN_BQ_SHORTLIST}),
+rescored AS (
+  SELECT s.qid, s.true_label, s.vec_id, s.label,
+         ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+  FROM short s
+  JOIN emb c ON c.vec_id = s.vec_id
+  JOIN emb q ON q.vec_id = s.qid),
+bqnn AS (
+  SELECT qid, true_label, vec_id, label
+  FROM (SELECT qid, true_label, vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM rescored)
+  WHERE rk <= {KNN_K})"""
+
+SQL_EMB_KNN_LABEL_BQ = f"""
+WITH {_SQL_KNN_BQ_NN_CTES},
+votes AS (
+  SELECT qid, true_label, label, COUNT(*) AS n_votes
+  FROM bqnn GROUP BY qid, true_label, label),
+pick AS (
+  SELECT qid, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY n_votes DESC, label ASC) AS vrk
+  FROM votes)
+SELECT qid AS vec_id, label AS pred_label, true_label,
+       label = true_label AS correct
+FROM pick WHERE vrk = 1
+ORDER BY vec_id
+"""
+
+SQL_EMB_KNN_LABEL_RECALL = f"""
+WITH {_SQL_KNN_BQ_NN_CTES},
+escored AS (
+  SELECT u.vec_id AS qid, c.vec_id,
+         ROUND(list_cosine_similarity(u.v, c.v), 4) AS cos_sim
+  FROM emb c
+  JOIN emb u ON u.vec_id % {KNN_QUERY_MOD} = 0
+            AND c.vec_id % {KNN_QUERY_MOD} <> 0),
+enn AS (
+  SELECT qid, vec_id
+  FROM (SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM escored)
+  WHERE rk <= {KNN_K}),
+hits AS (
+  SELECT e.qid, COUNT(*) AS n
+  FROM enn e JOIN bqnn a ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY e.qid)
+SELECT q.qid AS vec_id,
+       ROUND(COALESCE(h.n, 0) / {KNN_K}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM enn) q
+LEFT JOIN hits h ON q.qid = h.qid
 ORDER BY vec_id
 """
 
@@ -6149,6 +6358,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_char_ngram": QuerySpec(q_char_ngram_pairs, SQL_CHAR_NGRAM_PAIRS),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "emb_knn_label": QuerySpec(q_emb_knn_label, SQL_EMB_KNN_LABEL),
+    "emb_knn_label_bq": QuerySpec(
+        q_emb_knn_label_bq, SQL_EMB_KNN_LABEL_BQ
+    ),
+    "emb_knn_label_recall": QuerySpec(
+        q_emb_knn_label_recall, SQL_EMB_KNN_LABEL_RECALL
+    ),
     "emb_hard_negatives": QuerySpec(
         q_emb_hard_negatives, SQL_EMB_HARD_NEGATIVES
     ),

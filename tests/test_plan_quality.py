@@ -277,6 +277,14 @@ _BNLJ_ALLOWED = {
     # lake-scale swap is the BQ shortlist, documented in-docstring)
     "emb_knn_label",
     "emb_hard_negatives",
+    # emb_knn_label_bq's one cross is the bq_topk shape: packed
+    # sign-bit corpus × broadcast packed queries (non-equi <>); the
+    # float rescore is broadcast EQUI-joined on the shortlist (plan-
+    # pinned by test_knn_bq_rescore_never_crosses_corpus).  The
+    # recall gauge additionally replays the exact kernel's anchor
+    # cross (the documented brute-force ground truth)
+    "emb_knn_label_bq",
+    "emb_knn_label_recall",
     # timeseries_gapfill crosses the distinct event types against the
     # one-row global min/max bounds to build the hour spine — a
     # |types|x1 BNLJ over aggregated (broadcast-size) inputs
@@ -422,6 +430,20 @@ def test_bq_query_side_scan_is_pruned(spark, sf_dir):
     assert "In(vec_id" not in corpus_side
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_bq_rescore_never_crosses_corpus(spark, sf_dir):
+    # the ANN-swapped kNN labeler (VERDICT r10 item 3): the ONLY
+    # cross join is stage 1's packed-sign-bit scan against the
+    # broadcast packed query set; the float rescore reaches the
+    # corpus exclusively through broadcast EQUI-joins on the
+    # shortlist (qid, vec_id) — the full-width embedding column is
+    # never crossed against the query set
+    plan = _plan(spark, sf_dir, "emb_knn_label_bq")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
 
 
 def test_bq_rerank_stage2_filters_corpus_no_smj(spark, sf_dir):
