@@ -1178,6 +1178,14 @@ def q_burstiness(spark, sf_dir):
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
+    return burstiness_from_daily(daily)
+
+
+def burstiness_from_daily(daily):
+    """The burstiness solve over a (event_type, day, y) daily-count
+    relation — shared by the batch query and the streaming twin
+    (`streaming/timeseries.read_burstiness`), so the stream fold is
+    column-identical by construction."""
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("s"),

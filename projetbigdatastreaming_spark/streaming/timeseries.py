@@ -437,3 +437,168 @@ def read_bootstrap_ci(spark: SparkSession, state_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: daily event-count partial schema for the burstiness monitor —
+#: additive like the CUSUM daily-cents state
+BURST_STATE_SCHEMA = (
+    "event_type string, day date, y bigint, batch_id int"
+)
+
+
+def burstiness_batch_writer(
+    state_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for the burstiness monitor: reduce the batch
+    to per-(event_type, day) event-count partials and restate its own
+    batch_id partition.  Daily counts are ADDITIVE across batches
+    (the CUSUM state shape), so the fold in `read_burstiness` equals
+    the one-pass daily relation exactly and replay safety is the
+    module-wide restatement rule."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.select(
+                "event_type", F.to_date("ts").alias("day")
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        overwrite_partitions(partials, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_burstiness(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the daily-count partials and run the shared burstiness
+    solve — column-identical to `plans/timeseries.q_burstiness` over
+    the union of the ingested batches (pinned by test).  The
+    Fano/Goh–Barabási panel stays queryable mid-stream, completing
+    the stat-monitor family (CUSUM level shifts, OLS trend, robust
+    stats, bootstrap CI)."""
+    from ..plans.timeseries import burstiness_from_daily
+
+    daily = (
+        spark.read.schema(BURST_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("event_type", "day")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    return burstiness_from_daily(daily)
+
+
+#: time-bounded funnel state: per (user, day, stage) the SORTED
+#: intra-day timestamps.  Mins alone are NOT enough for exact replay:
+#: t2 = min view >= t1, and on day(t1) a view EARLIER than t1 would
+#: mask the true in-window minimum — the intra-day array keeps the
+#: fold exact under ANY batch split.  State rows are bounded by
+#: users x active-days x 3 stages (never per-event rows in the
+#: store); array width is bounded by a user's single-day activity —
+#: the sessionization-state bound, not the stream length.
+FUNNEL_STATE_SCHEMA = (
+    "user_id bigint, day date, event_type string,"
+    " tss array<timestamp_ntz>, batch_id int"
+)
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def funnel_partials(batch_df: DataFrame) -> DataFrame:
+    """Reduce raw events to per-(user, day, stage) sorted timestamp
+    arrays — only the three funnel stages ever land in state."""
+    return (
+        batch_df.where(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day", "event_type")
+        .agg(F.sort_array(F.collect_list("ts")).alias("tss"))
+    )
+
+
+def funnel_batch_writer(
+    state_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for the time-bounded funnel monitor:
+    restate this batch's per-(user, day, stage) partials under its
+    own batch_id partition (replay-safe restatement)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partials = funnel_partials(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        overwrite_partitions(partials, state_dir, ["batch_id"])
+
+    return write
+
+
+def read_window_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the funnel state into the depth census — column-identical
+    to `plans/advanced.q_window_funnel` over the union of the
+    ingested batches (pinned by test), because the per-day arrays
+    preserve exact intra-day timestamps for every stage.
+
+    Scale plan: the batch query's chained-conditional-min discipline
+    over the (user, day, stage) state relation — day-range predicates
+    prune each stage's scan to the 8-day funnel window before the
+    intra-array filter runs; every join is a user_id equi-join that
+    reuses one partitioning down the chain."""
+    from ..plans.advanced import _FUNNEL_WINDOW_DAYS as W
+
+    st = spark.read.schema(FUNNEL_STATE_SCHEMA).parquet(state_dir)
+    s1 = (
+        st.where(F.col("event_type") == "signup")
+        .select("user_id", F.expr("array_min(tss)").alias("t"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    in_window = (
+        "array_min(filter(tss,"
+        f" v -> v >= {{lo}} AND v <= t1 + INTERVAL {W} DAYS))"
+    )
+    day_prune = (
+        f"day >= to_date({{anchor}}) AND "
+        f"day <= to_date(t1 + INTERVAL {W} DAYS)"
+    )
+    s2 = (
+        st.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.expr(day_prune.format(anchor="t1")))
+        .select(
+            "user_id",
+            "t1",
+            F.expr(in_window.format(lo="t1")).alias("cand"),
+        )
+        .where(F.col("cand").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("cand").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        st.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.expr(day_prune.format(anchor="t2")))
+        .select(
+            "user_id",
+            F.expr(in_window.format(lo="t2")).alias("cand"),
+        )
+        .where(F.col("cand").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("cand").alias("t3"))
+    )
+    depth = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .selectExpr(
+            "CASE WHEN t3 IS NOT NULL THEN 3"
+            " WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth"
+        )
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("depth")
+    )
