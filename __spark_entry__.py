@@ -92,6 +92,7 @@ QUERY_ORDER = (
     # 3) new in round 11 — oracle-verified locally this round; they
     # queue behind the r06 tail and lead round 12's window with it
     "emb_knn_label_bq", "emb_knn_label_recall",
+    "pacf_lags", "interarrival_stats", "stl_decompose",
     # 4) green in the round-7 driver run
     "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
     "doc_ngram_novelty", "dedup_soft_weights",

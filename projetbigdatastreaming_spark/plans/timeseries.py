@@ -801,6 +801,29 @@ def q_acf_lags(spark, sf_dir):
     event_type.  Lags materialize as 7 window-lag columns in one
     Window node, not 7 self-joins.
     """
+    acf = _acf_numerators(spark, sf_dir, _ACF_MAX_LAG)
+    pairs = ", ".join(
+        f"{k}, CAST(FLOOR(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return (
+        acf.selectExpr(
+            "event_type",
+            f"map({pairs}) AS acf_by_lag_map",
+        )
+        .selectExpr(
+            "event_type",
+            "explode(acf_by_lag_map) AS (lag, acf)",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def _acf_numerators(spark, sf_dir, max_lag):
+    """(event_type, den, num1..num{max_lag}) — the exact-integer ACF
+    cross products of `q_acf_lags`'s docstring, shared with the PACF
+    solve so both read the identical deviations relation."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select("event_type", F.to_date("ts").alias("day"))
@@ -819,30 +842,14 @@ def q_acf_lags(spark, sf_dir):
             (F.col("y") * F.col("n") - F.col("s")).cast("decimal(18,0)"),
         )
     )
-    for k in range(1, _ACF_MAX_LAG + 1):
+    for k in range(1, max_lag + 1):
         dev = dev.withColumn(f"dev_l{k}", F.lag("dev", k).over(w))
-    acf = dev.groupBy("event_type").agg(
+    return dev.groupBy("event_type").agg(
         F.sum(F.col("dev") * F.col("dev")).alias("den"),
         *[
             F.sum(F.col("dev") * F.col(f"dev_l{k}")).alias(f"num{k}")
-            for k in range(1, _ACF_MAX_LAG + 1)
+            for k in range(1, max_lag + 1)
         ],
-    )
-    pairs = ", ".join(
-        f"{k}, CAST(FLOOR(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
-        f" * 1e6 + 0.5) AS DOUBLE) / 1e6"
-        for k in range(1, _ACF_MAX_LAG + 1)
-    )
-    return (
-        acf.selectExpr(
-            "event_type",
-            f"map({pairs}) AS acf_by_lag_map",
-        )
-        .selectExpr(
-            "event_type",
-            "explode(acf_by_lag_map) AS (lag, acf)",
-        )
-        .orderBy("event_type", "lag")
     )
 
 
@@ -888,6 +895,416 @@ ORDER BY event_type, lag
 
 
 SQL_ACF_LAGS = _sql_acf_lags()
+
+
+_PACF_MAX_LAG = 5
+
+
+def _dl_program(max_lag: int) -> list[tuple[str, str]]:
+    """Durbin–Levinson recursion unrolled to a (name, expr) program
+    over det6-rounded ACF columns r1..r{max_lag} — one shared text so
+    Spark and DuckDB execute bit-identical double arithmetic (the
+    `_BURST_PROG` discipline).  phi_k_k is the PACF at lag k."""
+    steps = [("phi_1_1", "r1")]
+    for k in range(2, max_lag + 1):
+        num = " + ".join(
+            f"phi_{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        )
+        den = " + ".join(
+            f"phi_{k - 1}_{j} * r{j}" for j in range(1, k)
+        )
+        steps.append(
+            (f"phi_{k}_{k}", f"(r{k} - ({num})) / (1.0 - ({den}))")
+        )
+        for j in range(1, k):
+            steps.append(
+                (
+                    f"phi_{k}_{j}",
+                    f"phi_{k - 1}_{j} - phi_{k}_{k} * phi_{k - 1}_{k - j}",
+                )
+            )
+    return steps
+
+
+def q_pacf_lags(spark, sf_dir):
+    """Partial autocorrelation of the daily event-count series per
+    type at lags 1..5 via the Durbin–Levinson recursion (Durbin 1960)
+    over the ACF — the AR-order diagnostic that completes `acf_lags`:
+    ACF says "lag 7 correlates", PACF says whether that is a real
+    AR(7) term or just propagated AR(1) structure (Box & Jenkins'
+    identification step).
+
+    Determinism: the input r_k are det6-rounded BEFORE the recursion
+    (both engines start from identical doubles — the ACF itself is
+    exact-integer cross products, see `_acf_numerators`), and the
+    recursion is one shared unrolled expression program, det6-rounded
+    per output.
+
+    Scale plan: everything after the one (type, day) hash-agg runs on
+    a ≤|types|-row relation — the recursion is scalar column math,
+    no window, no join, no iteration over data.
+    """
+    acf = _acf_numerators(spark, sf_dir, _PACF_MAX_LAG)
+    out = acf
+    for k in range(1, _PACF_MAX_LAG + 1):
+        out = out.withColumn(
+            f"r{k}",
+            F.expr(
+                f"CAST(FLOOR(CAST(num{k} AS DOUBLE)"
+                " / CAST(den AS DOUBLE) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            ),
+        )
+    for name, expr in _dl_program(_PACF_MAX_LAG):
+        out = out.withColumn(name, F.expr(expr))
+    pairs = ", ".join(
+        f"{k}, CAST(FLOOR(phi_{k}_{k} * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        for k in range(1, _PACF_MAX_LAG + 1)
+    )
+    return (
+        out.selectExpr("event_type", f"map({pairs}) AS m")
+        .selectExpr("event_type", "explode(m) AS (lag, pacf)")
+        .orderBy("event_type", "lag")
+    )
+
+
+def _sql_pacf_lags() -> str:
+    lag_cols = ",\n         ".join(
+        f"LAG(dev, {k}) OVER w AS dev_l{k}"
+        for k in range(1, _PACF_MAX_LAG + 1)
+    )
+    nums = ",\n         ".join(
+        f"SUM(dev * dev_l{k}) AS num{k}"
+        for k in range(1, _PACF_MAX_LAG + 1)
+    )
+    rs = ",\n       ".join(
+        f"CAST(FLOOR(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" * 1e6 + 0.5) AS DOUBLE) / 1e6 AS r{k}"
+        for k in range(1, _PACF_MAX_LAG + 1)
+    )
+    steps = ""
+    prev = "r"
+    for i, (name, expr) in enumerate(_dl_program(_PACF_MAX_LAG)):
+        steps += (
+            f", d{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        )
+        prev = f"d{i}"
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT event_type, {k} AS lag,"
+        f" CAST(FLOOR(phi_{k}_{k} * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        f" AS pacf FROM {prev}"
+        for k in range(1, _PACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s
+  FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day,
+         CAST(d.y * st.n - st.s AS DECIMAL(18,0)) AS dev
+  FROM daily d JOIN stats st USING (event_type)),
+lagged AS (
+  SELECT event_type, dev,
+         {lag_cols}
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+acf AS (
+  SELECT event_type, SUM(dev * dev) AS den,
+         {nums}
+  FROM lagged GROUP BY 1),
+r AS (
+  SELECT event_type,
+       {rs}
+  FROM acf){steps}
+SELECT * FROM (
+{rows})
+ORDER BY event_type, lag
+"""
+
+
+SQL_PACF_LAGS = _sql_pacf_lags()
+
+
+#: interarrival mean/CV solve on exact integer gap sums (n, Σg, Σg²)
+#: — shared expression program, the `_BURST_PROG` discipline
+_IAT_PROG = [
+    ("mean_g", "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("var_g", "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE)"
+              " * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+              " / (CAST(n AS DOUBLE) - 1.0)"),
+    ("cv_g", "SQRT(var_g) / mean_g"),
+]
+
+
+def q_interarrival_stats(spark, sf_dir):
+    """Interarrival-time profile of each event type: n, mean, CV and
+    exact discrete p50/p90/max of the gaps (seconds) between
+    consecutive events of the same type — the arrival-process
+    fingerprint that pairs with `burstiness` (that query reads daily
+    counts; this one reads the actual gaps, where a heavy CV tail
+    shows up days before daily aggregates move).
+
+    Determinism: integer-second gaps over the (sec, event_id) total
+    order — tie-breaks included, or the gaps themselves would differ
+    between engines; percentiles are DISCRETE (actual gap values)
+    from the exact gap histogram; mean/CV ride the shared expression
+    program on exact integer sums, det6-rounded.
+
+    Scale plan: consecutive-event gaps per TYPE are the
+    low-cardinality ordered shape `Window.partitionBy(type)` cannot
+    distribute (|types| partitions over 100 TB), so the lead runs on
+    `operators/windows.lead_key_two_level` — range-bucket, lead
+    within buckets in parallel, stitch boundaries through a
+    ≤n_buckets-row relation.  The percentile pass then runs on the
+    (type, gap) HISTOGRAM, whose width is bounded by the time-span
+    value domain, never the stream length (the `robust_trimmed_stats`
+    histogram discipline)."""
+    from ..operators.windows import lead_key_two_level
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    led = lead_key_two_level(
+        ev, ["sec", "event_id"], ["event_type"], "__next"
+    )
+    gaps = led.select(
+        "event_type", (F.col("__next.sec") - F.col("sec")).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    hist = gaps.groupBy("event_type", "gap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("gap") * F.col("c")).cast("bigint").alias("s"),
+        F.sum(
+            F.col("gap").cast("decimal(18,0)")
+            * F.col("gap").cast("decimal(18,0)")
+            * F.col("c")
+        ).alias("q"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.join(F.broadcast(tot.select("event_type", "n")),
+                    "event_type").withColumn(
+        "cum", F.sum("c").over(w)
+    )
+    pcts = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("gap"))
+        ).cast("bigint").alias("p50_gap_s"),
+        F.min(
+            F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("gap"))
+        ).cast("bigint").alias("p90_gap_s"),
+        F.max("gap").cast("bigint").alias("max_gap_s"),
+    )
+    out = tot.join(pcts, "event_type")
+    for name, expr in _IAT_PROG:
+        out = out.withColumn(name, F.expr(expr))
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return out.selectExpr(
+        "event_type",
+        "n AS n_gaps",
+        det6.format(x="mean_g", n="mean_gap_s"),
+        det6.format(x="cv_g", n="cv_gap"),
+        "p50_gap_s",
+        "p90_gap_s",
+        "max_gap_s",
+    ).orderBy("event_type")
+
+
+def _sql_interarrival_stats() -> str:
+    steps = ""
+    prev = "tot"
+    for i, (name, expr) in enumerate(_IAT_PROG):
+        steps += f", i{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        prev = f"i{i}"
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY event_type
+            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+  FROM events),
+hist AS (
+  SELECT event_type, gap, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE gap IS NOT NULL GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(gap * c) AS BIGINT) AS s,
+         SUM(CAST(gap AS DECIMAL(18,0))
+             * CAST(gap AS DECIMAL(18,0)) * c) AS q
+  FROM hist GROUP BY 1),
+cum AS (
+  SELECT h.event_type, h.gap, t.n,
+         SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.gap)
+           AS cum
+  FROM hist h JOIN tot t USING (event_type)),
+pcts AS (
+  SELECT event_type,
+         CAST(MIN(CASE WHEN cum * 2 >= n THEN gap END) AS BIGINT)
+           AS p50_gap_s,
+         CAST(MIN(CASE WHEN cum * 10 >= 9 * n THEN gap END) AS BIGINT)
+           AS p90_gap_s,
+         CAST(MAX(gap) AS BIGINT) AS max_gap_s
+  FROM cum GROUP BY 1){steps}
+SELECT t.event_type, t.n AS n_gaps,
+       CAST(FLOOR((mean_g) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS mean_gap_s,
+       CAST(FLOOR((cv_g) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cv_gap,
+       p.p50_gap_s, p.p90_gap_s, p.max_gap_s
+FROM {prev} t JOIN pcts p USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+SQL_INTERARRIVAL_STATS = _sql_interarrival_stats()
+
+
+#: classical additive decomposition parameters: centered 7-day MA
+#: trend, day-of-week seasonal, 2.5σ residual flag
+_STL_MA = 7
+_STL_SIGMA = 2.5
+
+
+def q_stl_decompose(spark, sf_dir):
+    """Classical additive decomposition of the daily event-count
+    series per type — trend (centered 7-day moving average), seasonal
+    (day-of-week mean of the detrended series), residual, and a
+    2.5σ residual anomaly flag: the explainable workhorse behind
+    "is today actually anomalous or just a Monday?" (the decomposed
+    form of what `seasonal_dow_index` + `anomaly_mad` answer
+    separately; Cleveland et al.'s STL is the LOESS refinement of
+    this same skeleton).
+
+    Determinism: the trend is an exact integer 7-day sum scaled by 7
+    (trend7 = Σy over the window; detrended7 = 7y − trend7 — all
+    BIGINT); the seasonal means keep exact (Σdetrended7, count)
+    rationals per (type, dow); floats appear only in the final shared
+    expression steps, det6-rounded.  Rows without a full 7-day
+    window drop (the classical edge rule), so every engine sees the
+    identical support.
+
+    Scale plan: one hash-agg to the (type, day) grain; every window
+    after that runs on the bounded daily relation (≤ types×days
+    rows — the value-domain-bounded class, like `acf_lags`); the
+    seasonal and sigma relations broadcast back as ≤types×7-row
+    equi-joins.  Assumes a dense daily spine per type (pair with
+    `timeseries_gapfill` upstream when days can be empty)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    half = _STL_MA // 2
+    w_ma = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    tr = (
+        daily.withColumn("trend7", F.sum("y").over(w_ma))
+        .withColumn("w_n", F.count(F.lit(1)).over(w_ma))
+        .where(F.col("w_n") == _STL_MA)
+        .withColumn("det7", F.col("y") * _STL_MA - F.col("trend7"))
+        .withColumn("dow", F.weekday("day").cast("int"))
+    )
+    seas = tr.groupBy("event_type", "dow").agg(
+        F.sum("det7").cast("bigint").alias("sn"),
+        F.count(F.lit(1)).cast("bigint").alias("sd"),
+    )
+    joined = tr.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "y",
+        (F.col("trend7") / F.lit(float(_STL_MA))).alias("trend_d"),
+        (
+            F.col("det7") / F.lit(float(_STL_MA))
+            - F.col("sn")
+            / (F.col("sd") * F.lit(float(_STL_MA)))
+        ).alias("resid_d"),
+        (F.col("sn") / (F.col("sd") * F.lit(float(_STL_MA)))).alias(
+            "seas_d"
+        ),
+    )
+    sig = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rn"),
+        F.sum("resid_d").alias("rs"),
+        F.sum(F.col("resid_d") * F.col("resid_d")).alias("rq"),
+    ).select(
+        "event_type",
+        F.sqrt(
+            (F.col("rq") - F.col("rs") * F.col("rs") / F.col("rn"))
+            / (F.col("rn") - F.lit(1.0))
+        ).alias("sd_r"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        joined.join(F.broadcast(sig), "event_type")
+        .selectExpr(
+            "event_type",
+            "day",
+            "y",
+            det6.format(x="trend_d", n="trend"),
+            det6.format(x="seas_d", n="seasonal"),
+            det6.format(x="resid_d", n="residual"),
+            f"ABS(resid_d) > {_STL_SIGMA} * sd_r AS is_anomaly",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_STL_DECOMPOSE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+ma AS (
+  SELECT event_type, day, y,
+         SUM(y) OVER w AS trend7,
+         COUNT(*) OVER w AS w_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_STL_MA // 2} PRECEDING
+                        AND {_STL_MA // 2} FOLLOWING)),
+tr AS (
+  SELECT event_type, day, y, trend7,
+         y * {_STL_MA} - trend7 AS det7,
+         CAST(isodow(day) - 1 AS INT) AS dow
+  FROM ma WHERE w_n = {_STL_MA}),
+seas AS (
+  SELECT event_type, dow, CAST(SUM(det7) AS BIGINT) AS sn,
+         CAST(COUNT(*) AS BIGINT) AS sd
+  FROM tr GROUP BY 1, 2),
+joined AS (
+  SELECT t.event_type, t.day, t.y,
+         t.trend7 / {_STL_MA}.0 AS trend_d,
+         t.det7 / {_STL_MA}.0 - s.sn / (s.sd * {_STL_MA}.0) AS resid_d,
+         s.sn / (s.sd * {_STL_MA}.0) AS seas_d
+  FROM tr t JOIN seas s USING (event_type, dow)),
+sig AS (
+  SELECT event_type,
+         SQRT((SUM(resid_d * resid_d)
+               - SUM(resid_d) * SUM(resid_d) / COUNT(*))
+              / (COUNT(*) - 1.0)) AS sd_r
+  FROM joined GROUP BY 1)
+SELECT j.event_type, j.day, j.y,
+       CAST(FLOOR((trend_d) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS trend,
+       CAST(FLOOR((seas_d) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS seasonal,
+       CAST(FLOOR((resid_d) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS residual,
+       ABS(resid_d) > {_STL_SIGMA} * sd_r AS is_anomaly
+FROM joined j JOIN sig USING (event_type)
+ORDER BY j.event_type, j.day
+"""
 
 
 def q_seasonal_dow_index(spark, sf_dir):
@@ -1238,6 +1655,11 @@ SQL_BURSTINESS = _sql_burstiness()
 
 REGISTRY: dict[str, QuerySpec] = {
     "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
+    "pacf_lags": QuerySpec(q_pacf_lags, SQL_PACF_LAGS),
+    "interarrival_stats": QuerySpec(
+        q_interarrival_stats, SQL_INTERARRIVAL_STATS
+    ),
+    "stl_decompose": QuerySpec(q_stl_decompose, SQL_STL_DECOMPOSE),
     "forecast_seasonal_naive": QuerySpec(
         q_forecast_seasonal_naive, SQL_FORECAST_SEASONAL_NAIVE
     ),
