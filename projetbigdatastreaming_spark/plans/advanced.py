@@ -4258,6 +4258,269 @@ LIMIT {_PATH_TOPN}
 """
 
 
+#: numeric lineitem columns profiled by the correlation matrix, each
+#: as (name, exact-integer expression) — quantity in units, the money
+#: columns in cents (the repo-wide cents discipline)
+_CORR_COLS = (
+    ("quantity", "CAST(l_quantity AS BIGINT)"),
+    ("price_c", "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+    ("discount_c", "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"),
+    ("tax_c", "CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)"),
+)
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the numeric lineitem
+    columns (quantity, price, discount, tax), long-form — the first
+    panel of any feature-engineering or data-quality pass ("which
+    columns move together / are redundant").
+
+    Determinism: all sufficient statistics (n, Σx, Σxy for every
+    pair) are EXACT integers in one pass (cross products ride
+    DECIMAL(38,0) — price-cents² ≈ 10¹⁴ × 10¹⁰ rows at sf1000 needs
+    the headroom); r = (n·Sxy − Sx·Sy)/√((n·Sxx − Sx²)(n·Syy − Sy²))
+    is evaluated from identical integers by identical expression
+    text, det6-rounded.
+
+    Scale plan: ONE map-side-combinable hash-agg over the fact scan
+    (no shuffle of raw rows — partials combine; the `linreg_ols`
+    shape widened to the full pair grid); the pair expansion happens
+    on the single aggregate row."""
+    cols = _CORR_COLS
+    base = load_table(spark, sf_dir, "lineitem").selectExpr(
+        *[f"{expr} AS {name}" for name, expr in cols]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for name, _ in cols:
+        aggs.append(
+            F.sum(F.col(name).cast("decimal(38,0)")).alias(f"s_{name}")
+        )
+    for i, (a, _) in enumerate(cols):
+        for b, _x in cols[i:]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("decimal(18,0)")
+                    * F.col(b).cast("decimal(18,0)")
+                ).alias(f"s_{a}_{b}")
+            )
+    stats = base.agg(*aggs)
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    rows = []
+    for i, (a, _) in enumerate(cols):
+        for b, _x in cols[i + 1 :]:
+            r = (
+                f"(CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / SQRT((CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            )
+            rows.append(
+                f"struct('{a}' AS col_x, '{b}' AS col_y,"
+                f" {det6.format(x=r)} AS r)"
+            )
+    return (
+        stats.selectExpr(f"explode(array({', '.join(rows)})) AS p")
+        .select("p.col_x", "p.col_y", "p.r")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _sql_corr_matrix() -> str:
+    cols = _CORR_COLS
+    sums = [f"CAST(COUNT(*) AS BIGINT) AS n"]
+    for name, expr in cols:
+        sums.append(f"SUM(CAST({expr} AS DECIMAL(38,0))) AS s_{name}")
+    for i, (a, _) in enumerate(cols):
+        for b, _x in cols[i:]:
+            sums.append(
+                f"SUM(CAST({dict(cols)[a]} AS DECIMAL(18,0))"
+                f" * CAST({dict(cols)[b]} AS DECIMAL(18,0)))"
+                f" AS s_{a}_{b}"
+            )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    rows = []
+    for i, (a, _) in enumerate(cols):
+        for b, _x in cols[i + 1 :]:
+            r = (
+                f"(CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / SQRT((CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            )
+            rows.append(
+                f"  SELECT '{a}' AS col_x, '{b}' AS col_y,"
+                f" {det6.format(x=r)} AS r FROM stats"
+            )
+    selects = "\n  UNION ALL\n".join(rows)
+    return f"""
+WITH stats AS (
+  SELECT {', '.join(sums)}
+  FROM lineitem)
+SELECT * FROM (
+{selects})
+ORDER BY col_x, col_y
+"""
+
+
+SQL_CORR_MATRIX = _sql_corr_matrix()
+
+
+#: chi-square(2 dof) 0.999 quantile — the standard bivariate outlier
+#: cut for Mahalanobis D-squared
+_MAHAL_CUT = 13.8155
+
+
+def q_mahalanobis_2d(spark, sf_dir):
+    """Bivariate Mahalanobis outlier audit of (quantity, price) per
+    return flag: D² = (x−μ)ᵀ Σ⁻¹ (x−μ) with the 2×2 covariance
+    inverted in closed form — the correlation-aware generalization of
+    per-column z-scores (a row can be ordinary in each margin and
+    wildly off the joint ridge; D² sees it, `iqr_outliers` cannot).
+    Output per flag: n, the covariance panel, outliers past the
+    χ²₂(0.999) cut, and the maximum D².
+
+    Determinism: μ and Σ come from exact integer sums; every row's D²
+    is evaluated from those identical doubles by identical expression
+    text in both engines, so even the strict `>` cut cannot diverge.
+
+    Scale plan: pass 1 is the `linreg_ols` one-hash-agg shape to
+    ≤|flags| stat rows; pass 2 re-scans the fact with the stat row
+    broadcast equi-joined on l_returnflag and folds D² map-side —
+    two fact scans, zero fact shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(18,0)")
+            * F.col("y").cast("decimal(18,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("y").cast("decimal(18,0)")
+            * F.col("y").cast("decimal(18,0)")
+        ).alias("syy"),
+    )
+    # covariance entries and the closed-form 2x2 inverse, as one
+    # shared expression program from the exact sums
+    prog = [
+        ("mx", "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"),
+        ("my", "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+        ("vxx", "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * mx)"
+                " / (CAST(n AS DOUBLE) - 1.0)"),
+        ("vxy", "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * my)"
+                " / (CAST(n AS DOUBLE) - 1.0)"),
+        ("vyy", "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * my)"
+                " / (CAST(n AS DOUBLE) - 1.0)"),
+        ("det", "vxx * vyy - vxy * vxy"),
+    ]
+    st = stats
+    for name, expr in prog:
+        st = st.withColumn(name, F.expr(expr))
+    d2 = (
+        "((CAST(x AS DOUBLE) - mx) * vyy * (CAST(x AS DOUBLE) - mx)"
+        " - 2.0 * (CAST(x AS DOUBLE) - mx) * vxy"
+        " * (CAST(y AS DOUBLE) - my)"
+        " + (CAST(y AS DOUBLE) - my) * vxx * (CAST(y AS DOUBLE) - my))"
+        " / det"
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        li.join(
+            F.broadcast(
+                st.select(
+                    "l_returnflag", "n", "mx", "my", "vxx", "vxy",
+                    "vyy", "det",
+                )
+            ),
+            "l_returnflag",
+        )
+        .withColumn("d2", F.expr(d2))
+        .groupBy("l_returnflag", "n")
+        .agg(
+            F.max("vxy").alias("vxy_r"),
+            F.sum(
+                F.when(F.col("d2") > _MAHAL_CUT, 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.max("d2").alias("max_d2_r"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "n",
+            det6.format(x="vxy_r", n="cov_xy"),
+            "n_outliers",
+            det6.format(x="max_d2_r", n="max_d2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _sql_mahalanobis_2d() -> str:
+    prog = [
+        ("mx", "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"),
+        ("my", "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+        ("vxx", "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * mx)"
+                " / (CAST(n AS DOUBLE) - 1.0)"),
+        ("vxy", "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * my)"
+                " / (CAST(n AS DOUBLE) - 1.0)"),
+        ("vyy", "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * my)"
+                " / (CAST(n AS DOUBLE) - 1.0)"),
+        ("det", "vxx * vyy - vxy * vxy"),
+    ]
+    steps = ""
+    prev = "stats"
+    for i, (name, expr) in enumerate(prog):
+        steps += f", m{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})\n"
+        prev = f"m{i}"
+    d2 = (
+        "((CAST(x AS DOUBLE) - mx) * vyy * (CAST(x AS DOUBLE) - mx)"
+        " - 2.0 * (CAST(x AS DOUBLE) - mx) * vxy"
+        " * (CAST(y AS DOUBLE) - my)"
+        " + (CAST(y AS DOUBLE) - my) * vxx * (CAST(y AS DOUBLE) - my))"
+        " / det"
+    )
+    return f"""
+WITH base AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+stats AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+           AS sxy,
+         SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+           AS syy
+  FROM base GROUP BY 1){steps},
+scored AS (
+  SELECT b.l_returnflag, s.n, s.vxy, ({d2}) AS d2
+  FROM base b JOIN {prev} s USING (l_returnflag))
+SELECT l_returnflag, n,
+       CAST(FLOOR((MAX(vxy)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cov_xy,
+       CAST(SUM(CASE WHEN d2 > {_MAHAL_CUT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(FLOOR((MAX(d2)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS max_d2
+FROM scored
+GROUP BY 1, 2
+ORDER BY l_returnflag
+"""
+
+
+SQL_MAHALANOBIS_2D = _sql_mahalanobis_2d()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
     "diff_in_diff": QuerySpec(q_diff_in_diff, SQL_DIFF_IN_DIFF),
@@ -4282,6 +4545,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_join_temporal_scd2, SQL_JOIN_TEMPORAL_SCD2
     ),
     "ab_test_zscore": QuerySpec(q_ab_test_zscore, SQL_AB_TEST_ZSCORE),
+    "corr_matrix": QuerySpec(q_corr_matrix, SQL_CORR_MATRIX),
+    "mahalanobis_2d": QuerySpec(q_mahalanobis_2d, SQL_MAHALANOBIS_2D),
     "fifo_fill": QuerySpec(q_fifo_fill, SQL_FIFO_FILL),
     "linreg_ols": QuerySpec(q_linreg_ols, SQL_LINREG_OLS),
     "funnel_time_to_convert": QuerySpec(

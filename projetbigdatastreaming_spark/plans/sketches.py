@@ -856,6 +856,187 @@ ORDER BY e.type_a, e.type_b
 """
 
 
+def q_kmv_set_diff(spark, sf_dir):
+    """Audience set-DIFFERENCE estimation per event-type pair from
+    KMV/theta sketches (the Beyer et al. 2007 / theta-sketch A-NOT-B
+    operation): with M = bottom-k of A∪B, every h ∈ M is
+    membership-testable against both sketches (h ≤ θ_M ≤ θ_A, θ_B),
+    so |A∖B| ≈ Û · |{h ∈ M : h∈A, h∉B}| / |M| with Û the KMV union
+    estimate — "how many users clicked but never purchased" from two
+    2-KB sketches instead of a user-level anti-join.  Both directions
+    reported next to the exact differences with a ±15%-of-union
+    tolerance flag.
+
+    Determinism: the portable md5 hash makes the estimate VALUES
+    oracle-replayed (the `kmv_distinct` fixed-hash rule); when the
+    union fits under k the sketch IS the union and the estimate
+    equals the exact count.
+
+    Scale plan: identical to `kmv_jaccard` — one distinct hash-agg,
+    per-type bottom-k via the WindowGroupLimit-pruned rank window,
+    then all set math on the ≤|types|-row sketch relation; the exact
+    side keeps the user-keyed equi-join as the measuring stick."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _portable_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    hashed = ev.select(
+        "event_type",
+        _portable_hash(F.col("user_id"), "kmv0").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    est_u = (
+        f"CASE WHEN size(u) < {KMV_K} THEN CAST(size(u) AS BIGINT)"
+        f" ELSE CAST(FLOOR({KMV_K - 1}.0 * {float(1 << 60)}"
+        # get() is 0-based and NULL-safe out of bounds (ANSI-safe,
+        # matching DuckDB's m[k] semantics in the unreached branch)
+        f" / CAST(get(m, {KMV_K - 1}) AS DOUBLE) + 0.5) AS BIGINT)"
+        " END"
+    )
+    cnt = (
+        "size(filter(m, x -> array_contains({ina}, x)"
+        " AND NOT array_contains({outb}, x)))"
+    )
+    est_d = (
+        "CAST(FLOOR(CAST(u_est AS DOUBLE) * {c}"
+        " / CAST(size(m) AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+    pairs = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.hs").alias("ha"),
+            F.col("b.hs").alias("hb"),
+        )
+        .withColumn("u", F.expr("array_sort(array_union(ha, hb))"))
+        .withColumn("m", F.expr(f"slice(u, 1, {KMV_K})"))
+        .withColumn("u_est", F.expr(est_u))
+        .withColumn(
+            "est_diff_ab",
+            F.expr(est_d.format(c=cnt.format(ina="ha", outb="hb"))),
+        )
+        .withColumn(
+            "est_diff_ba",
+            F.expr(est_d.format(c=cnt.format(ina="hb", outb="ha"))),
+        )
+    )
+    du = ev.distinct()
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    sizes = du.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .join(
+            sizes.selectExpr("event_type AS type_a", "n AS na"), "type_a"
+        )
+        .join(
+            sizes.selectExpr("event_type AS type_b", "n AS nb"), "type_b"
+        )
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "est_diff_ab",
+            "CAST(na - COALESCE(ni, 0) AS BIGINT) AS exact_diff_ab",
+            "est_diff_ba",
+            "CAST(nb - COALESCE(ni, 0) AS BIGINT) AS exact_diff_ba",
+            "ABS(est_diff_ab - (na - COALESCE(ni, 0)))"
+            " <= 0.15 * (na + nb - COALESCE(ni, 0))"
+            " AND ABS(est_diff_ba - (nb - COALESCE(ni, 0)))"
+            " <= 0.15 * (na + nb - COALESCE(ni, 0)) AS within_tol",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_KMV_SET_DIFF = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {_DUCK_KMV_HASH} AS h FROM events),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+bk AS (
+  SELECT event_type, list(h ORDER BY h) AS hs
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.hs AS ha, b.hs AS hb,
+         list_sort(list_distinct(list_concat(a.hs, b.hs))) AS u
+  FROM bk a JOIN bk b ON a.event_type < b.event_type),
+withm AS (
+  SELECT *, u[1:{KMV_K}] AS m,
+         CASE WHEN len(u) < {KMV_K} THEN CAST(len(u) AS BIGINT)
+              ELSE CAST(FLOOR({KMV_K - 1}.0 * {float(1 << 60)}
+                   / CAST(m[{KMV_K}] AS DOUBLE) + 0.5) AS BIGINT)
+         END AS u_est
+  FROM pairs),
+est AS (
+  SELECT type_a, type_b,
+         CAST(FLOOR(CAST(u_est AS DOUBLE)
+              * len(list_filter(m, x -> list_contains(ha, x)
+                                AND NOT list_contains(hb, x)))
+              / CAST(len(m) AS DOUBLE) + 0.5) AS BIGINT)
+           AS est_diff_ab,
+         CAST(FLOOR(CAST(u_est AS DOUBLE)
+              * len(list_filter(m, x -> list_contains(hb, x)
+                                AND NOT list_contains(ha, x)))
+              / CAST(len(m) AS DOUBLE) + 0.5) AS BIGINT)
+           AS est_diff_ba
+  FROM withm),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS ni
+  FROM du x JOIN du y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM du GROUP BY 1)
+SELECT e.type_a, e.type_b,
+       e.est_diff_ab,
+       CAST(sa.n - COALESCE(i.ni, 0) AS BIGINT) AS exact_diff_ab,
+       e.est_diff_ba,
+       CAST(sb.n - COALESCE(i.ni, 0) AS BIGINT) AS exact_diff_ba,
+       ABS(e.est_diff_ab - (sa.n - COALESCE(i.ni, 0)))
+         <= 0.15 * (sa.n + sb.n - COALESCE(i.ni, 0))
+       AND ABS(e.est_diff_ba - (sb.n - COALESCE(i.ni, 0)))
+         <= 0.15 * (sa.n + sb.n - COALESCE(i.ni, 0)) AS within_tol
+FROM est e
+LEFT JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+JOIN sizes sa ON sa.event_type = e.type_a
+JOIN sizes sb ON sb.event_type = e.type_b
+ORDER BY e.type_a, e.type_b
+"""
+
+
 _AMS_E = 64  #: independent ±1 estimators (std of mean ≈ F2·√(2/E) ≈ 18%)
 
 
@@ -1120,6 +1301,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ams_f2": QuerySpec(q_ams_f2, SQL_AMS_F2),
     "ams_join_size": QuerySpec(q_ams_join_size, SQL_AMS_JOIN_SIZE),
     "kmv_jaccard": QuerySpec(q_kmv_jaccard, SQL_KMV_JACCARD),
+    "kmv_set_diff": QuerySpec(q_kmv_set_diff, SQL_KMV_SET_DIFF),
     "quantile_histogram": QuerySpec(
         q_quantile_histogram, SQL_QUANTILE_HISTOGRAM
     ),

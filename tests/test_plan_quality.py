@@ -258,6 +258,8 @@ _BNLJ_ALLOWED = {
     # kmv_jaccard's pair grid is a <|types|²-row BNLJ over the
     # ≤|types|-row sketch relation (arrays of ≤k hashes per row)
     "kmv_jaccard",
+    # kmv_set_diff: the same ≤|types|-row sketch pair grid
+    "kmv_set_diff",
     # t_closeness broadcasts the 1-row global sensitive-value
     # distribution into the bounded quasi-identifier group relation;
     # ams_f2 crosses its two single-row relations (estimate × exact) —
