@@ -94,6 +94,7 @@ QUERY_ORDER = (
     "emb_knn_label_bq", "emb_knn_label_recall",
     "pacf_lags", "interarrival_stats", "stl_decompose",
     "corr_matrix", "mahalanobis_2d", "kmv_set_diff",
+    "span_corruption", "heavy_changers", "attribution_credit",
     # 4) green in the round-7 driver run
     "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
     "doc_ngram_novelty", "dedup_soft_weights",

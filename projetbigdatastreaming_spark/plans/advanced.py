@@ -4258,6 +4258,107 @@ LIMIT {_PATH_TOPN}
 """
 
 
+#: attribution lookback window (days before the conversion)
+_ATTR_WINDOW_DAYS = 7
+_ATTR_TOUCHES = ("click", "view")
+
+
+def q_attribution_credit(spark, sf_dir):
+    """Marketing-attribution census: every purchase distributes
+    conversion credit over the user's view/click touches in the 7
+    days before it — LAST-TOUCH (the whole credit to the latest
+    touch) and LINEAR (equal split) side by side, per touch type: the
+    two bookends every attribution debate starts from.  Conversions
+    with no in-window touch drop from both columns (the "organic"
+    remainder).
+
+    Determinism: the last touch is a (ts, event_id) total-order max;
+    linear credit is integer MICRO-credits (1e6 DIV n_touches) so the
+    census is an exact BIGINT sum — no order-dependent float folds.
+
+    Scale plan: one user_id equi-join between the two filtered event
+    streams with the window predicate applied in-join (pair volume
+    bounded by per-user activity — the `basket_lift` bound argument);
+    the per-conversion count and last-touch rank ride ONE
+    conversion-keyed window partitioned on the high-cardinality
+    (user_id, conv_id) key; both exchanges share the user_id key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_id",
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.where(F.col("event_type").isin(*_ATTR_TOUCHES)).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    pairs = conv.join(touch, "user_id").where(
+        (F.col("tts") < F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")
+        )
+    )
+    w = Window.partitionBy("user_id", "conv_id")
+    wr = w.orderBy(F.desc("tts"), F.desc("touch_id"))
+    scored = pairs.withColumn(
+        "n_touches", F.count(F.lit(1)).over(w)
+    ).withColumn("rn", F.row_number().over(wr))
+    return (
+        scored.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch_conversions"),
+            F.sum(F.expr("1000000 DIV n_touches"))
+            .cast("bigint")
+            .alias("linear_credit_ppm"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+SQL_ATTRIBUTION_CREDIT = f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS cts
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id, event_type AS touch_type, ts AS tts,
+         event_id AS touch_id
+  FROM events
+  WHERE event_type IN ({", ".join(f"'{t}'" for t in _ATTR_TOUCHES)})),
+pairs AS (
+  SELECT c.user_id, c.conv_id, t.touch_type, t.tts, t.touch_id
+  FROM conv c JOIN touch t USING (user_id)
+  WHERE t.tts < c.cts
+    AND t.tts >= c.cts - INTERVAL {_ATTR_WINDOW_DAYS} DAY),
+scored AS (
+  SELECT touch_type,
+         COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n_touches,
+         ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                            ORDER BY tts DESC, touch_id DESC) AS rn
+  FROM pairs)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch_conversions,
+       CAST(SUM(1000000 // n_touches) AS BIGINT) AS linear_credit_ppm
+FROM scored
+GROUP BY 1
+ORDER BY touch_type
+"""
+
+
 #: numeric lineitem columns profiled by the correlation matrix, each
 #: as (name, exact-integer expression) — quantity in units, the money
 #: columns in cents (the repo-wide cents discipline)
@@ -4545,6 +4646,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_join_temporal_scd2, SQL_JOIN_TEMPORAL_SCD2
     ),
     "ab_test_zscore": QuerySpec(q_ab_test_zscore, SQL_AB_TEST_ZSCORE),
+    "attribution_credit": QuerySpec(
+        q_attribution_credit, SQL_ATTRIBUTION_CREDIT
+    ),
     "corr_matrix": QuerySpec(q_corr_matrix, SQL_CORR_MATRIX),
     "mahalanobis_2d": QuerySpec(q_mahalanobis_2d, SQL_MAHALANOBIS_2D),
     "fifo_fill": QuerySpec(q_fifo_fill, SQL_FIFO_FILL),

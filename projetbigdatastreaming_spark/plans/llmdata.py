@@ -6236,6 +6236,198 @@ ORDER BY qid, rk
 """
 
 
+#: span-corruption mask budget: block width 20 tokens, span 3 -> a
+#: 15% mask ratio on full blocks (the T5 recipe's defaults)
+_SPAN_BLOCK = 20
+_SPAN_LEN = 3
+
+
+def q_span_corruption(spark, sf_dir):
+    """Span-corruption mask budget per document (the T5 denoising
+    recipe, Raffel et al. 2020): tokens are partitioned into
+    20-token blocks, each full block masks one 3-token span at a
+    hash-derived offset (non-overlapping by construction, exactly
+    15%), the ragged tail masks what fits — the accounting pass a
+    pretraining pipeline runs to size its denoising batches before
+    any tensor is built (n_masked drives sequence-pack budgets, the
+    ratio audit catches tokenizer drift).
+
+    Determinism: the only randomness is the portable md5 hash of
+    doc_id for the tail-block offset (full blocks mask 3 regardless
+    of offset, so per-block hashes are unnecessary); token counts
+    follow the corpus-wide whitespace rule (`vocab_topk`).
+
+    Scale plan: map-only — token counts come from `size(split(...))`
+    without exploding the corpus, and the mask census is pure
+    per-row arithmetic; no shuffle at all before the output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import _portable_hash
+
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    t = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    base = docs.select(
+        "doc_id",
+        t.cast("bigint").alias("n_tokens"),
+        (
+            _portable_hash(F.col("doc_id"), "span")
+            % (_SPAN_BLOCK - _SPAN_LEN)
+        ).alias("s"),
+    ).withColumn("n_full", F.expr(f"n_tokens DIV {_SPAN_BLOCK}"))
+    tail = (
+        f"LEAST({_SPAN_LEN}, GREATEST(0,"
+        f" n_tokens % {_SPAN_BLOCK} - s))"
+    )
+    return (
+        base.selectExpr(
+            "doc_id",
+            "n_tokens",
+            f"CAST(n_full + CAST(({tail}) > 0 AS INT) AS BIGINT)"
+            " AS n_spans",
+            f"CAST(n_full * {_SPAN_LEN} + ({tail}) AS BIGINT)"
+            " AS n_masked",
+            f"CASE WHEN n_tokens = 0 THEN 0.0D ELSE"
+            f" CAST(FLOOR((n_full * {_SPAN_LEN} + ({tail}))"
+            " / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS DOUBLE)"
+            " / 1e6 END AS mask_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SPAN_CORRUPTION = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   = '' THEN 0
+              ELSE len(str_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' '))
+         END AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+              || 'span'), 1, 15)) AS BIGINT)
+           % {_SPAN_BLOCK - _SPAN_LEN} AS s
+  FROM documents),
+blocks AS (
+  SELECT doc_id, n_tokens, s,
+         n_tokens // {_SPAN_BLOCK} AS n_full,
+         LEAST({_SPAN_LEN}, GREATEST(0,
+               n_tokens % {_SPAN_BLOCK} - s)) AS tail
+  FROM base)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_full + CASE WHEN tail > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_spans,
+       CAST(n_full * {_SPAN_LEN} + tail AS BIGINT) AS n_masked,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(FLOOR((n_full * {_SPAN_LEN} + tail)
+                 / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS DOUBLE)
+                 / 1e6
+       END AS mask_ratio
+FROM blocks
+ORDER BY doc_id
+"""
+
+
+_CHANGER_TOPK = 20
+
+
+def q_heavy_changers(spark, sf_dir):
+    """Vocabulary heavy CHANGERS between two corpus halves (doc_id
+    parity): the top-20 tokens by absolute relative-frequency shift —
+    the drift panel that answers "what changed between crawl A and
+    crawl B" at the term level (the differencing companion to
+    `heavy_hitters_cms`: hitters rank one distribution, changers rank
+    the delta between two; Cormode & Muthukrishnan's deltoids
+    problem, solved exactly here because the aggregated term relation
+    is vocabulary-bounded).
+
+    Determinism: per-half frequencies are exact-integer counts over
+    per-half totals — one double division each, identical text both
+    engines; the ranking key is that bit-equal delta with a token
+    tie-break.
+
+    Scale plan: one corpus explode -> (token, half) map-side-combined
+    hash-agg (the `vocab_topk` shape with a 2-way key); the 2-row
+    totals relation joins back as a broadcast EQUI-join on the half
+    key (no scalar cross join), and the top-k is
+    TakeOrderedAndProject over the vocabulary-bounded relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("h"),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            )
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("h").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    freqs = counts.join(F.broadcast(totals), "h").select(
+        "token",
+        "h",
+        (F.col("c") / F.col("tot").cast("double")).alias("f"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        freqs.groupBy("token")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("h") == 0, F.col("f"))), F.lit(0.0)
+            ).alias("f0"),
+            F.coalesce(
+                F.sum(F.when(F.col("h") == 1, F.col("f"))), F.lit(0.0)
+            ).alias("f1"),
+        )
+        .withColumn("d", F.abs(F.col("f1") - F.col("f0")))
+        .orderBy(F.desc("d"), F.asc("token"))
+        .limit(_CHANGER_TOPK)
+        .selectExpr(
+            "token",
+            det6.format(x="f0", n="freq_even"),
+            det6.format(x="f1", n="freq_odd"),
+            det6.format(x="d", n="abs_shift"),
+        )
+    )
+
+
+SQL_HEAVY_CHANGERS = f"""
+WITH toks AS (
+  SELECT CAST(doc_id % 2 AS INT) AS h,
+         unnest(str_split(trim(regexp_replace(lower(text),
+                '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+counts AS (
+  SELECT token, h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE token <> '' GROUP BY 1, 2),
+totals AS (
+  SELECT h, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+freqs AS (
+  SELECT c.token, c.h, c.c / CAST(t.tot AS DOUBLE) AS f
+  FROM counts c JOIN totals t USING (h)),
+wide AS (
+  SELECT token,
+         COALESCE(SUM(CASE WHEN h = 0 THEN f END), 0.0) AS f0,
+         COALESCE(SUM(CASE WHEN h = 1 THEN f END), 0.0) AS f1
+  FROM freqs GROUP BY 1),
+ranked AS (
+  SELECT token, f0, f1, ABS(f1 - f0) AS d
+  FROM wide
+  ORDER BY d DESC, token ASC
+  LIMIT {_CHANGER_TOPK})
+SELECT token,
+       CAST(FLOOR((f0) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS freq_even,
+       CAST(FLOOR((f1) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS freq_odd,
+       CAST(FLOOR((d) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS abs_shift
+FROM ranked
+ORDER BY abs_shift DESC, token ASC
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "text_readability": QuerySpec(
         q_text_readability, SQL_TEXT_READABILITY
@@ -6358,6 +6550,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_char_ngram": QuerySpec(q_char_ngram_pairs, SQL_CHAR_NGRAM_PAIRS),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK),
     "emb_knn_label": QuerySpec(q_emb_knn_label, SQL_EMB_KNN_LABEL),
+    "span_corruption": QuerySpec(q_span_corruption, SQL_SPAN_CORRUPTION),
+    "heavy_changers": QuerySpec(q_heavy_changers, SQL_HEAVY_CHANGERS),
     "emb_knn_label_bq": QuerySpec(
         q_emb_knn_label_bq, SQL_EMB_KNN_LABEL_BQ
     ),
