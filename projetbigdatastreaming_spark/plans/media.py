@@ -457,6 +457,175 @@ def q_media_manifest(spark, sf_dir):
     )
 
 
+#: dHash sampling grid (8 rows x 9 cols -> 64 comparison bits) and
+#: the near-dup Hamming cut
+_PHASH_ROWS = 8
+_PHASH_COLS = 9
+_PHASH_NEAR = 16
+
+PHASH_SCHEMA = "media_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def _image_phash(mime: str, payload: bytes) -> dict:
+    """Perceptual difference-hash (dHash, Krawetz's gradient hash) of
+    an image payload via the pure-Python codecs: point-sample the
+    decoded raster on an 8x9 integer-gray grid, emit one bit per
+    horizontal gradient, packed as FOUR 16-bit band words (b0..b3) —
+    the band split serves double duty: no signed-64-bit xor
+    portability hazard, and the bands ARE the LSH bucket keys
+    downstream.  Point sampling (not interpolation) keeps the hash
+    deterministic and total for any raster size, including 1x1.
+    Undecodable payloads yield nulls."""
+    import numpy as np
+
+    from ..operators import codecs, gif, jpeg
+
+    null = {f"b{i}": None for i in range(4)}
+    if payload is None:
+        return null
+    payload = bytes(payload)
+    if mime == "image/bmp":
+        px = codecs._bmp_pixels(payload)
+    elif mime == "image/png":
+        px = codecs._png_pixels(payload)
+    elif mime == "image/gif":
+        px = gif._gif_pixels(payload)
+    else:
+        px = jpeg.jpeg_decode_pixels(payload)
+    if px is None:
+        return null
+    h_px, w_px = px.shape[:2]
+    g = [
+        [
+            int(
+                px[
+                    ((2 * r + 1) * h_px) // (2 * _PHASH_ROWS),
+                    ((2 * c + 1) * w_px) // (2 * _PHASH_COLS),
+                ]
+                .astype(np.int64)
+                .sum()
+            )
+            // 3
+            for c in range(_PHASH_COLS)
+        ]
+        for r in range(_PHASH_ROWS)
+    ]
+    bits = 0
+    for r in range(_PHASH_ROWS):
+        for c in range(_PHASH_COLS - 1):
+            if g[r][c] < g[r][c + 1]:
+                bits |= 1 << (r * (_PHASH_COLS - 1) + c)
+    return {f"b{i}": (bits >> (16 * i)) & 0xFFFF for i in range(4)}
+
+
+def q_media_phash_pairs(spark, sf_dir):
+    """Perceptual near-duplicate image pairs: dHash every image
+    payload (`_image_phash` — the real-codec decode path), bucket on
+    the four 16-bit hash bands (a pair must agree exactly on ≥1 band
+    — the banded-LSH candidate rule `dedup_minhash_pairs` uses), and
+    rescore candidates with the exact Hamming distance.  The visual
+    counterpart of text near-dup: re-encoded, resized or
+    format-shifted copies of an image land at small Hamming even when
+    every byte differs (which is why `dedup_exact`'s byte hash misses
+    them).
+
+    Determinism: the hash is pure integer arithmetic over decoded
+    rasters; band joins and the Hamming sum are integer-exact in both
+    engines (the oracle replays the per-image bands via the
+    fixture-literal pattern all media oracles use).
+
+    Scale plan: the mapInPandas decode is the one Python boundary
+    (Arrow batches, the media-module rule); candidates come from 4
+    band equi-joins (shuffle keys are (band_id, value) — never an
+    all-pairs cross), and the rescore touches only candidate pairs.
+    """
+    media = spark.read.parquet(_media_path(sf_dir)).where(
+        "kind = 'image'"
+    )
+
+    def _batches(it: Iterator) -> Iterator:
+        from ..operators.multimodal import records_to_frame
+
+        for pdf in it:
+            yield records_to_frame(
+                [
+                    _image_phash(m, p)
+                    for m, p in zip(pdf["mime"], pdf["payload"])
+                ],
+                {"media_id": pdf["media_id"]},
+            )
+
+    ph = (
+        media.select("media_id", "mime", "payload")
+        .mapInPandas(_batches, PHASH_SCHEMA)
+        .where(F.col("b0").isNotNull())
+    )
+    cand = None
+    for i in range(4):
+        side = ph.select(
+            "media_id", F.col(f"b{i}").alias("bv")
+        )
+        c = (
+            side.alias("x")
+            .join(
+                side.alias("y"),
+                (F.col("x.bv") == F.col("y.bv"))
+                & (F.col("x.media_id") < F.col("y.media_id")),
+            )
+            .select(
+                F.col("x.media_id").alias("a"),
+                F.col("y.media_id").alias("b"),
+            )
+        )
+        cand = c if cand is None else cand.unionAll(c)
+    cand = cand.distinct()
+    pa = ph.selectExpr(
+        "media_id AS a", *[f"b{i} AS a{i}" for i in range(4)]
+    )
+    pb = ph.selectExpr(
+        "media_id AS b", *[f"b{i} AS b{i}" for i in range(4)]
+    )
+    ham = " + ".join(f"bit_count(a{i} ^ b{i})" for i in range(4))
+    return (
+        cand.join(pa, "a")
+        .join(pb, "b")
+        .selectExpr(
+            "a AS media_id_a",
+            "b AS media_id_b",
+            f"CAST({ham} AS INT) AS hamming",
+            f"({ham}) <= {_PHASH_NEAR} AS is_near",
+        )
+        .orderBy("media_id_a", "media_id_b")
+    )
+
+
+def _oracle_media_phash_pairs() -> str:
+    rep = _replay_values(
+        "image", _image_phash, ["media_id", "b0", "b1", "b2", "b3"]
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT x.media_id AS a, y.media_id AS b"
+        f" FROM ph x JOIN ph y ON x.b{i} = y.b{i}"
+        f" AND x.media_id < y.media_id"
+        for i in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(pa.b{i}, pb.b{i}))" for i in range(4))
+    return f"""
+WITH ph AS (
+  SELECT * FROM {rep} WHERE b0 IS NOT NULL),
+cand AS (
+  SELECT DISTINCT a, b FROM (
+{bands}))
+SELECT c.a AS media_id_a, c.b AS media_id_b,
+       CAST({ham} AS INT) AS hamming,
+       ({ham}) <= {_PHASH_NEAR} AS is_near
+FROM cand c
+JOIN ph pa ON pa.media_id = c.a
+JOIN ph pb ON pb.media_id = c.b
+ORDER BY media_id_a, media_id_b
+"""
+
+
 def _sql_lit(v) -> str:
     if v is None:
         return "NULL"
@@ -1387,6 +1556,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "audio_stats": QuerySpec(q_audio_stats, _oracle_audio_stats()),
     "video_stats": QuerySpec(q_video_stats, _oracle_video_stats()),
     "media_manifest": QuerySpec(q_media_manifest, SQL_MEDIA_MANIFEST),
+    "media_phash_pairs": QuerySpec(
+        q_media_phash_pairs, _oracle_media_phash_pairs()
+    ),
     "media_thumbnails": QuerySpec(
         q_media_thumbnails, _oracle_media_thumbnails()
     ),
