@@ -3288,6 +3288,97 @@ ORDER BY label, dim
 """
 
 
+def q_emb_centroid_drift(spark, sf_dir):
+    """Embedding-space drift monitor: per label, the cosine between
+    the class centroid of corpus half A (even vec_id) and half B
+    (odd) plus the squared L2 shift — the embedding counterpart of
+    `psi_drift`: a retrained encoder, a crawl-mix change, or label
+    noise moves class prototypes long before downstream metrics do,
+    and two centroids per class is all it costs to see it.
+
+    Determinism: per-(label, half, dim) means are 6-dp rounded
+    BEFORE any cross-half math (the `emb_centroid` convention —
+    rounding absorbs float-sum ordering), so the cosine and shift
+    are computed from identical doubles in both engines,
+    det6-rounded.
+
+    Scale plan: ONE posexplode pass → (label, half, dim) map-side-
+    combined hash-agg (|labels|·2·64 groups); everything after runs
+    on that bounded relation, self-joined on (label, dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).cast("int").alias("h"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .groupBy("label", "h", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("val"), 6).alias("m"),
+        )
+    )
+    a = cent.where(F.col("h") == 0).selectExpr(
+        "label", "dim", "n AS n_a", "m AS ma"
+    )
+    b = cent.where(F.col("h") == 1).selectExpr(
+        "label", "dim", "n AS n_b", "m AS mb"
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+            F.sum(
+                (F.col("ma") - F.col("mb"))
+                * (F.col("ma") - F.col("mb"))
+            ).alias("l2sq"),
+        )
+        .selectExpr(
+            "label",
+            "n_a",
+            "n_b",
+            det6.format(x="dot / SQRT(na2 * nb2)", n="centroid_cos"),
+            det6.format(x="l2sq", n="shift_l2sq"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMB_CENTROID_DRIFT = """
+WITH flat AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS h,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings),
+cent AS (
+  SELECT label, h, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(AVG(val), 6) AS m
+  FROM flat GROUP BY 1, 2, 3),
+joined AS (
+  SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+         a.m AS ma, b.m AS mb
+  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.h = 0 AND b.h = 1)
+SELECT label,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(FLOOR((SUM(ma * mb)
+            / SQRT(SUM(ma * ma) * SUM(mb * mb))) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS centroid_cos,
+       CAST(FLOOR((SUM((ma - mb) * (ma - mb))) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS shift_l2sq
+FROM joined
+GROUP BY 1
+ORDER BY label
+"""
+
+
 # -- TF-IDF top terms per document -------------------------------------------
 
 def q_tfidf_topk(spark, sf_dir):
@@ -6552,6 +6643,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "emb_knn_label": QuerySpec(q_emb_knn_label, SQL_EMB_KNN_LABEL),
     "span_corruption": QuerySpec(q_span_corruption, SQL_SPAN_CORRUPTION),
     "heavy_changers": QuerySpec(q_heavy_changers, SQL_HEAVY_CHANGERS),
+    "emb_centroid_drift": QuerySpec(
+        q_emb_centroid_drift, SQL_EMB_CENTROID_DRIFT
+    ),
     "emb_knn_label_bq": QuerySpec(
         q_emb_knn_label_bq, SQL_EMB_KNN_LABEL_BQ
     ),

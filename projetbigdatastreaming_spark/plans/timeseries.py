@@ -1169,6 +1169,145 @@ ORDER BY t.event_type
 SQL_INTERARRIVAL_STATS = _sql_interarrival_stats()
 
 
+#: R/S window sizes (dyadic, both fitting the 30-day fixture span)
+_HURST_WINDOWS = (8, 16)
+
+
+def q_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the daily event-count series per type via
+    rescaled-range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis'
+    estimator): split the series into w-day blocks, compute each
+    block's range-of-cumulative-deviations over its standard
+    deviation, and read H as the log₂ slope of mean R/S between
+    w=8 and w=16.  H≈0.5 is memoryless, H→1 long-range dependent —
+    the persistence diagnostic that completes the dependence family
+    (`acf_lags` short-range, `burstiness` dispersion, this one
+    long-memory).
+
+    Determinism: deviations are scaled by w (dev = w·y − Σy — exact
+    BIGINTs, the `acf_lags` trick), so ranges and Σdev² are exact
+    integers; each block's R/S is one double expression from those
+    integers; the per-(type, w) mean over ≤⌊days/w⌋ blocks rides
+    AVG with det6 rounding (the `emb_centroid` rounding-absorbs-
+    ulp-order convention), and H is computed from the ROUNDED
+    means.
+
+    Scale plan: one hash-agg to (type, day), then every window runs
+    partitioned by (type, window, block) over the bounded daily
+    relation; block stats are a second bounded hash-agg.  No raw
+    event ever enters a window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w_idx = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn(
+        "i", F.row_number().over(w_idx).cast("bigint") - 1
+    )
+    per_w = []
+    for wsz in _HURST_WINDOWS:
+        blk = idx.withColumn("blk", F.expr(f"i DIV {wsz}"))
+        w_b = Window.partitionBy("event_type", "blk")
+        w_cum = (
+            Window.partitionBy("event_type", "blk")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dev = (
+            blk.withColumn("nb", F.count(F.lit(1)).over(w_b))
+            .where(F.col("nb") == wsz)
+            .withColumn("sb", F.sum("y").over(w_b))
+            .withColumn("dev", F.col("y") * wsz - F.col("sb"))
+            .withColumn("cum", F.sum("dev").over(w_cum))
+        )
+        rs = (
+            dev.groupBy("event_type", "blk")
+            .agg(
+                (F.max("cum") - F.min("cum")).alias("r_scaled"),
+                F.sum(F.col("dev") * F.col("dev")).alias("ssq"),
+            )
+            .selectExpr(
+                "event_type",
+                # R/S with both R and S de-scaled by w: R = r_scaled/w,
+                # S = sqrt(ssq / w^3) (population sd of dev/w over w)
+                f"CASE WHEN ssq = 0 THEN NULL ELSE"
+                f" (CAST(r_scaled AS DOUBLE) / {wsz}.0)"
+                f" / SQRT(CAST(ssq AS DOUBLE) / {wsz * wsz * wsz}.0)"
+                " END AS rs",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.expr(
+                    "CAST(FLOOR(AVG(rs) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+                ).alias(f"rs{wsz}")
+            )
+        )
+        per_w.append(rs)
+    a, b = per_w
+    w0, w1 = _HURST_WINDOWS
+    return (
+        a.join(b, "event_type")
+        .selectExpr(
+            "event_type",
+            f"rs{w0}",
+            f"rs{w1}",
+            f"CAST(FLOOR(LN(rs{w1} / rs{w0}) / LN({w1}.0 / {w0}.0)"
+            " * 1e6 + 0.5) AS DOUBLE) / 1e6 AS hurst",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_hurst() -> str:
+    parts = []
+    for wsz in _HURST_WINDOWS:
+        parts.append(f"""rs{wsz} AS (
+  SELECT event_type,
+         CAST(FLOOR(AVG(rs) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rs{wsz}
+  FROM (
+    SELECT event_type, blk,
+           CASE WHEN SUM(dev * dev) = 0 THEN NULL ELSE
+             (CAST(MAX(cum) - MIN(cum) AS DOUBLE) / {wsz}.0)
+             / SQRT(CAST(SUM(dev * dev) AS DOUBLE)
+                    / {wsz * wsz * wsz}.0)
+           END AS rs
+    FROM (
+      SELECT event_type, blk, dev,
+             SUM(dev) OVER (PARTITION BY event_type, blk
+                            ORDER BY day) AS cum
+      FROM (
+        SELECT event_type, day, blk,
+               y * {wsz} - SUM(y) OVER (PARTITION BY event_type, blk)
+                 AS dev,
+               COUNT(*) OVER (PARTITION BY event_type, blk) AS nb
+        FROM (
+          SELECT event_type, day, y,
+                 (ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) - 1) // {wsz} AS blk
+          FROM daily))
+      WHERE nb = {wsz})
+    GROUP BY 1, 2)
+  GROUP BY 1)""")
+    w0, w1 = _HURST_WINDOWS
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+{", ".join(parts)}
+SELECT a.event_type, a.rs{w0}, b.rs{w1},
+       CAST(FLOOR(LN(b.rs{w1} / a.rs{w0}) / LN({w1}.0 / {w0}.0)
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS hurst
+FROM rs{w0} a JOIN rs{w1} b USING (event_type)
+ORDER BY a.event_type
+"""
+
+
+SQL_HURST_EXPONENT = _sql_hurst()
+
+
 #: classical additive decomposition parameters: centered 7-day MA
 #: trend, day-of-week seasonal, 2.5σ residual flag
 _STL_MA = 7
@@ -1660,6 +1799,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_interarrival_stats, SQL_INTERARRIVAL_STATS
     ),
     "stl_decompose": QuerySpec(q_stl_decompose, SQL_STL_DECOMPOSE),
+    "hurst_exponent": QuerySpec(q_hurst_exponent, SQL_HURST_EXPONENT),
     "forecast_seasonal_naive": QuerySpec(
         q_forecast_seasonal_naive, SQL_FORECAST_SEASONAL_NAIVE
     ),
