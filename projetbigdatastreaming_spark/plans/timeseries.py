@@ -801,7 +801,7 @@ def q_acf_lags(spark, sf_dir):
     event_type.  Lags materialize as 7 window-lag columns in one
     Window node, not 7 self-joins.
     """
-    acf = _acf_numerators(spark, sf_dir, _ACF_MAX_LAG)
+    acf = _acf_numerators(_daily_counts(spark, sf_dir), _ACF_MAX_LAG)
     pairs = ", ".join(
         f"{k}, CAST(FLOOR(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
         f" * 1e6 + 0.5) AS DOUBLE) / 1e6"
@@ -820,16 +820,24 @@ def q_acf_lags(spark, sf_dir):
     )
 
 
-def _acf_numerators(spark, sf_dir, max_lag):
-    """(event_type, den, num1..num{max_lag}) — the exact-integer ACF
-    cross products of `q_acf_lags`'s docstring, shared with the PACF
-    solve so both read the identical deviations relation."""
+def _daily_counts(spark, sf_dir):
+    """The (event_type, day, y) daily-count relation every dependence
+    diagnostic starts from — and the SAME relation the streaming
+    daily-count state (`streaming/timeseries.BURST_STATE_SCHEMA`)
+    folds to, which is what makes the read_* twins of burstiness /
+    pacf / stl / hurst column-identical by construction."""
     ev = load_table(spark, sf_dir, "events")
-    daily = (
+    return (
         ev.select("event_type", F.to_date("ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
+
+
+def _acf_numerators(daily, max_lag):
+    """(event_type, den, num1..num{max_lag}) — the exact-integer ACF
+    cross products of `q_acf_lags`'s docstring, shared with the PACF
+    solve so both read the identical deviations relation."""
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("s"),
@@ -944,7 +952,13 @@ def q_pacf_lags(spark, sf_dir):
     a ≤|types|-row relation — the recursion is scalar column math,
     no window, no join, no iteration over data.
     """
-    acf = _acf_numerators(spark, sf_dir, _PACF_MAX_LAG)
+    return pacf_from_daily(_daily_counts(spark, sf_dir))
+
+
+def pacf_from_daily(daily):
+    """The PACF solve over a (event_type, day, y) daily relation —
+    shared by the batch query and `streaming/timeseries.read_pacf`."""
+    acf = _acf_numerators(daily, _PACF_MAX_LAG)
     out = acf
     for k in range(1, _PACF_MAX_LAG + 1):
         out = out.withColumn(
@@ -1196,12 +1210,12 @@ def q_hurst_exponent(spark, sf_dir):
     partitioned by (type, window, block) over the bounded daily
     relation; block stats are a second bounded hash-agg.  No raw
     event ever enters a window."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select("event_type", F.to_date("ts").alias("day"))
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    )
+    return hurst_from_daily(_daily_counts(spark, sf_dir))
+
+
+def hurst_from_daily(daily):
+    """The R/S solve over a (event_type, day, y) daily relation —
+    shared by the batch query and `streaming/timeseries.read_hurst`."""
     w_idx = Window.partitionBy("event_type").orderBy("day")
     idx = daily.withColumn(
         "i", F.row_number().over(w_idx).cast("bigint") - 1
@@ -1338,12 +1352,13 @@ def q_stl_decompose(spark, sf_dir):
     seasonal and sigma relations broadcast back as ≤types×7-row
     equi-joins.  Assumes a dense daily spine per type (pair with
     `timeseries_gapfill` upstream when days can be empty)."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select("event_type", F.to_date("ts").alias("day"))
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    )
+    return stl_from_daily(_daily_counts(spark, sf_dir))
+
+
+def stl_from_daily(daily):
+    """The decomposition solve over a (event_type, day, y) daily
+    relation — shared by the batch query and
+    `streaming/timeseries.read_stl_decompose`."""
     half = _STL_MA // 2
     w_ma = (
         Window.partitionBy("event_type")
@@ -1728,13 +1743,7 @@ def q_burstiness(spark, sf_dir):
     Scale plan: one hash-agg to (type, day), one to ≤|types| rows of
     sums, scalar math.  No window, no join.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select("event_type", F.to_date("ts").alias("day"))
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    )
-    return burstiness_from_daily(daily)
+    return burstiness_from_daily(_daily_counts(spark, sf_dir))
 
 
 def burstiness_from_daily(daily):

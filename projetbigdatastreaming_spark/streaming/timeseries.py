@@ -602,3 +602,43 @@ def read_window_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("depth")
     )
+
+
+def _fold_daily(spark, state_dir: str):
+    """Fold the burstiness monitor's daily-count partials back to the
+    (event_type, day, y) relation — the shared front end of the four
+    daily-series monitors (burstiness, PACF, STL, Hurst): ONE state
+    stream feeds all four read paths."""
+    return (
+        spark.read.schema(BURST_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("event_type", "day")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+
+
+def read_pacf(spark: SparkSession, state_dir: str) -> DataFrame:
+    """PACF over the folded daily-count state — column-identical to
+    `plans/timeseries.q_pacf_lags` over the union of the ingested
+    batches (pinned by test)."""
+    from ..plans.timeseries import pacf_from_daily
+
+    return pacf_from_daily(_fold_daily(spark, state_dir))
+
+
+def read_stl_decompose(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Trend/seasonal/residual decomposition over the folded daily
+    state — column-identical to `plans/timeseries.q_stl_decompose`
+    over the union of the ingested batches (pinned by test)."""
+    from ..plans.timeseries import stl_from_daily
+
+    return stl_from_daily(_fold_daily(spark, state_dir))
+
+
+def read_hurst(spark: SparkSession, state_dir: str) -> DataFrame:
+    """R/S Hurst exponent over the folded daily state —
+    column-identical to `plans/timeseries.q_hurst_exponent` over the
+    union of the ingested batches (pinned by test)."""
+    from ..plans.timeseries import hurst_from_daily
+
+    return hurst_from_daily(_fold_daily(spark, state_dir))

@@ -344,3 +344,40 @@ def test_window_funnel_boundary_masking_view(spark, tmp_path):
     write(ev_df([(1, "view", 1, 10), (1, "purchase", 2, 12)]), 1)
     got = {r.depth: r.n_users for r in read_window_funnel(spark, state).collect()}
     assert got == {3: 1}  # full depth: the 10:00 view was found
+
+
+def test_daily_state_serves_four_monitors(spark, sf_dir, tmp_path):
+    """ONE daily-count state stream feeds burstiness, PACF, STL and
+    Hurst read paths; each fold equals its batch query exactly over
+    the union of the ingested batches."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_hurst_exponent,
+        q_pacf_lags,
+        q_stl_decompose,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        burstiness_batch_writer,
+        read_hurst,
+        read_pacf,
+        read_stl_decompose,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "daily")
+    write = burstiness_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    for reader, batch_q in (
+        (read_pacf, q_pacf_lags),
+        (read_stl_decompose, q_stl_decompose),
+        (read_hurst, q_hurst_exponent),
+    ):
+        want = _rows(batch_q(spark, sf_dir))
+        assert _rows(reader(spark, state)) == want and len(want) > 0
+
+    write(ev.where("event_id % 3 = 0"), 0)  # redelivery restates
+    assert _rows(read_hurst(spark, state)) == _rows(
+        q_hurst_exponent(spark, sf_dir)
+    )
