@@ -96,6 +96,7 @@ QUERY_ORDER = (
     "corr_matrix", "mahalanobis_2d", "kmv_set_diff",
     "span_corruption", "heavy_changers", "attribution_credit",
     "media_phash_pairs", "hurst_exponent", "emb_centroid_drift",
+    "retrieval_eval",
     # 4) green in the round-7 driver run
     "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
     "doc_ngram_novelty", "dedup_soft_weights",
@@ -275,6 +276,12 @@ HEADLINE_QUERIES = (
     # bench artifact (round 9 measured 5.4x/decade by hand; the sf10
     # column alone can't show growth)
     "basket_lift",
+    # round 11: the heaviest new shapes — the two-level distributed
+    # lead over the full event stream (per-type interarrival; the
+    # third consumer of operators/windows after the sweep-line and
+    # TWAP) and the windowed conversion-credit user join
+    "interarrival_stats",
+    "attribution_credit",
 )
 
 

@@ -85,6 +85,9 @@ SF3_QUERIES: tuple[str, ...] = (
     "time_weighted_avg",
     "graph_clustering_coeff",
     "graph_kcore",
+    # round 11: the two-level distributed lead's growth curve (the
+    # third two-level consumer; TWAP and the sweep-line already ship)
+    "interarrival_stats",
 )
 
 #: queries re-timed at the scaled fixture.  ``None`` means "every

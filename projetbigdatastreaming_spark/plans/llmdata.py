@@ -10,6 +10,8 @@ all-pairs scan on deterministic data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1287,6 +1289,88 @@ SQL_EMB_BQ_RECALL = f"""
 WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
 ann AS (SELECT qid, vec_id FROM ({SQL_EMB_BQ_TOPK})),
 {_SQL_RECALL_TAIL}"""
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """Ranking-aware retrieval metrics for the BQ Hamming path
+    against the exact cosine top-k: MRR (reciprocal rank of the first
+    relevant hit) and binary-gain nDCG@k per query — the evaluation
+    pair every retrieval stack reports next to recall (`emb_bq_recall`
+    says how much of the relevant set survived; these say WHERE it
+    landed, which is what users see).
+
+    Determinism: relevance is set membership in the deterministic
+    exact top-k, ranks are `bq_topk`'s integer ranking; MRR/nDCG are
+    fixed rational sums over ≤k terms evaluated by identical
+    expression text (IDCG is a compile-time constant — the relevant
+    set always has k elements), det6-rounded.
+
+    Scale plan: both inputs are the established ≤|Q|·k-row top-k
+    relations; everything here is broadcast-sized joins and
+    ≤|Q|·k-row aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id", F.lit(1).alias("rel")
+    )
+    ann = similarity.bq_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id", "rk"
+    )
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, TOPK + 1))
+    scored = ann.join(exact, ["qid", "vec_id"], "left").select(
+        "qid",
+        "rk",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        scored.groupBy("qid")
+        .agg(
+            F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias(
+                "first_hit"
+            ),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.lit(1.0) / F.log2(F.col("rk") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias("dcg"),
+        )
+        .selectExpr(
+            "qid",
+            det6.format(
+                x="CASE WHEN first_hit IS NULL THEN 0.0"
+                " ELSE 1.0 / first_hit END",
+                n="mrr",
+            ),
+            det6.format(x=f"dcg / {idcg!r}", n="ndcg_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+SQL_RETRIEVAL_EVAL = f"""
+WITH exact AS (SELECT qid, vec_id FROM ({SQL_COSINE_TOPK})),
+ann AS (SELECT qid, vec_id, rk FROM ({SQL_EMB_BQ_TOPK})),
+scored AS (
+  SELECT a.qid, a.rk,
+         CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM ann a LEFT JOIN exact e
+    ON a.qid = e.qid AND a.vec_id = e.vec_id),
+per AS (
+  SELECT qid,
+         MIN(CASE WHEN rel = 1 THEN rk END) AS first_hit,
+         SUM(CASE WHEN rel = 1 THEN 1.0 / log2(rk + 1)
+                  ELSE 0.0 END) AS dcg
+  FROM scored GROUP BY 1)
+SELECT qid,
+       CAST(FLOOR((CASE WHEN first_hit IS NULL THEN 0.0
+                        ELSE 1.0 / first_hit END) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS mrr,
+       CAST(FLOOR((dcg / {sum(1.0 / math.log2(i + 1) for i in range(1, TOPK + 1))!r}) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS ndcg_at_k
+FROM per
+ORDER BY qid
+"""
 
 
 MRL_DIMS = 16
@@ -6574,6 +6658,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_emb_bq_ivfpq_recall, SQL_EMB_BQ_IVFPQ_RECALL
     ),
     "emb_bq_recall": QuerySpec(q_emb_bq_recall, SQL_EMB_BQ_RECALL),
+    "retrieval_eval": QuerySpec(q_retrieval_eval, SQL_RETRIEVAL_EVAL),
     "emb_ivfpq_recall": QuerySpec(
         q_emb_ivfpq_recall, SQL_EMB_IVFPQ_RECALL
     ),

@@ -328,6 +328,9 @@ _BNLJ_ALLOWED = {
     "emb_bq_topk",
     "emb_bq_recall",
     "emb_bq_rerank",
+    # retrieval_eval composes the exact-cosine and bq_topk passes —
+    # it inherits exactly their allowlisted query-broadcast crosses
+    "retrieval_eval",
     # two-stage BQ+IVFADC: inherits the bq_topk query-side broadcast
     # cross (stage 1) and the IVFADC model-row broadcasts; stage 2's
     # shortlist and table joins are broadcast EQUI-joins; the recall
