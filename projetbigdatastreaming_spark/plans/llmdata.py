@@ -647,8 +647,11 @@ ORDER BY vec_id
 #: Hamming shortlist width for the ANN-swapped kNN labeler — wide
 #: enough that the exact top-KNN_K almost always survives the
 #: sign-bit pass (gauged by `emb_knn_label_recall`), narrow enough
-#: that stage-2 float math is 𝒪(|Q|·shortlist), never the corpus
-KNN_BQ_SHORTLIST = 20
+#: that stage-2 float math is 𝒪(|Q|·shortlist), never the corpus.
+#: Measured at sf0.01: width 20 → recall@3 0.73, label agreement
+#: 7/10; width 50 → recall@3 0.93, agreement 9/10 — the standard
+#: BQ_SHORTLIST width buys the quality at bounded stage-2 cost.
+KNN_BQ_SHORTLIST = 50
 
 
 def _knn_bq_nn(spark, sf_dir):
