@@ -71,9 +71,10 @@ QUERY_ORDER = (
     "chi2_independence", "theil_sen", "sign_test", "bootstrap_ci",
     "graph_edge_jaccard", "window_funnel", "burstiness",
     # 2) green in the round-6 driver run (oldest driver signal);
-    # the 50-row window cap lands after 30 rows of this section, so
-    # its tail (dedup_incremental … neardup_jaccard_histogram, 18
-    # rows) leads round 12 together with section 3
+    # the 50-row window cap lands after 30 rows of this section
+    # (…tpch_q10 is row 50), so its tail (oov_rate …
+    # neardup_jaccard_histogram, 18 rows) leads round 12 together
+    # with section 3
     "window_sliding", "percentiles", "scalar_functions2",
     "subq_exists", "subq_not_exists", "subq_scalar",
     "subq_in_having", "subq_not_in", "subq_correlated_scalar",

@@ -119,8 +119,14 @@ def _total_busy_jiffies() -> int:
 
 
 def _proc_tree_jiffies() -> int:
-    """utime+stime jiffies of this process and every live descendant
-    (the bench JVM and its Python workers are children of this PID)."""
+    """CPU jiffies of this process and every descendant: live
+    utime+stime PLUS each process's cutime+cstime (CPU of its REAPED
+    children).  The reaped terms matter: a pyspark worker that dies
+    mid-sweep takes its whole jiffy history out of the live sum, and
+    without cutime/cstime that history would reappear as phantom
+    EXTERNAL load and falsely contaminate an idle sweep.  A child's
+    CPU is never double-counted — cutime/cstime accumulate only
+    after the wait(), when the child has left the live listing."""
     stats: dict[int, int] = {}
     children: dict[int, list[int]] = {}
     for d in os.listdir("/proc"):
@@ -133,7 +139,12 @@ def _proc_tree_jiffies() -> int:
             continue  # raced a process exit
         rest = s[s.rindex(")") + 2 :].split()
         pid = int(d)
-        stats[pid] = int(rest[11]) + int(rest[12])
+        stats[pid] = (
+            int(rest[11])
+            + int(rest[12])
+            + int(rest[13])
+            + int(rest[14])
+        )
         children.setdefault(int(rest[1]), []).append(pid)
     total = 0
     stack = [os.getpid()]

@@ -1380,6 +1380,7 @@ def stl_from_daily(daily):
         "event_type",
         "day",
         "y",
+        "sd",
         (F.col("trend7") / F.lit(float(_STL_MA))).alias("trend_d"),
         (
             F.col("det7") / F.lit(float(_STL_MA))
@@ -1389,17 +1390,51 @@ def stl_from_daily(daily):
         (F.col("sn") / (F.col("sd") * F.lit(float(_STL_MA)))).alias(
             "seas_d"
         ),
+        # the residual as an exact integer scaled by 7·sd — the
+        # sigma pass must not ride order-dependent float sums
+        (F.col("det7") * F.col("sd") - F.col("sn"))
+        .cast("decimal(18,0)")
+        .alias("rsc"),
     )
-    sig = joined.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("rn"),
-        F.sum("resid_d").alias("rs"),
-        F.sum(F.col("resid_d") * F.col("resid_d")).alias("rq"),
-    ).select(
-        "event_type",
-        F.sqrt(
-            (F.col("rq") - F.col("rs") * F.col("rs") / F.col("rn"))
-            / (F.col("rn") - F.lit(1.0))
-        ).alias("sd_r"),
+    # Exact-integer sigma: per-dow residual sums are EXACTLY zero by
+    # construction (the seasonal mean removes them), so the variance
+    # is Σr²/(rn−1); and under the documented dense-spine assumption
+    # the per-dow week counts sd take at most TWO values (q, q+1) in
+    # a contiguous range, so Σr² splits into two exact DECIMAL sums
+    # with fixed scales — the final sd_r is one fixed-shape double
+    # expression, bit-equal in both engines (no float fold anywhere;
+    # the reviewer-caught gap in the first shipped version).  If a
+    # gapped spine ever makes sd take >2 values, the flag goes NULL
+    # instead of silently using a wrong scale.
+    qs = seas.groupBy("event_type").agg(
+        F.min("sd").cast("bigint").alias("qmin"),
+        F.max("sd").cast("bigint").alias("qmax"),
+        F.count_distinct("sd").cast("bigint").alias("nd"),
+    )
+    m2 = _STL_MA * _STL_MA
+    sig = (
+        joined.join(F.broadcast(qs), "event_type")
+        .groupBy("event_type", "qmin", "qmax", "nd")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rn"),
+            F.sum(
+                F.when(F.col("sd") == F.col("qmin"),
+                       F.col("rsc") * F.col("rsc"))
+            ).alias("ssq_lo"),
+            F.sum(
+                F.when(F.col("sd") != F.col("qmin"),
+                       F.col("rsc") * F.col("rsc"))
+            ).alias("ssq_hi"),
+        )
+        .selectExpr(
+            "event_type",
+            "nd",
+            f"SQRT((CAST(COALESCE(ssq_lo, 0) AS DOUBLE)"
+            f" / ({m2}.0 * qmin * qmin)"
+            f" + CAST(COALESCE(ssq_hi, 0) AS DOUBLE)"
+            f" / ({m2}.0 * qmax * qmax))"
+            " / (rn - 1.0)) AS sd_r",
+        )
     )
     det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
     return (
@@ -1411,7 +1446,9 @@ def stl_from_daily(daily):
             det6.format(x="trend_d", n="trend"),
             det6.format(x="seas_d", n="seasonal"),
             det6.format(x="resid_d", n="residual"),
-            f"ABS(resid_d) > {_STL_SIGMA} * sd_r AS is_anomaly",
+            f"CASE WHEN nd > 2 THEN NULL"
+            f" ELSE ABS(resid_d) > {_STL_SIGMA} * sd_r END"
+            " AS is_anomaly",
         )
         .orderBy("event_type", "day")
     )
@@ -1440,22 +1477,34 @@ seas AS (
          CAST(COUNT(*) AS BIGINT) AS sd
   FROM tr GROUP BY 1, 2),
 joined AS (
-  SELECT t.event_type, t.day, t.y,
+  SELECT t.event_type, t.day, t.y, s.sd,
          t.trend7 / {_STL_MA}.0 AS trend_d,
          t.det7 / {_STL_MA}.0 - s.sn / (s.sd * {_STL_MA}.0) AS resid_d,
-         s.sn / (s.sd * {_STL_MA}.0) AS seas_d
+         s.sn / (s.sd * {_STL_MA}.0) AS seas_d,
+         CAST(t.det7 * s.sd - s.sn AS DECIMAL(18,0)) AS rsc
   FROM tr t JOIN seas s USING (event_type, dow)),
+qs AS (
+  SELECT event_type, CAST(MIN(sd) AS BIGINT) AS qmin,
+         CAST(MAX(sd) AS BIGINT) AS qmax,
+         CAST(COUNT(DISTINCT sd) AS BIGINT) AS nd
+  FROM seas GROUP BY 1),
 sig AS (
-  SELECT event_type,
-         SQRT((SUM(resid_d * resid_d)
-               - SUM(resid_d) * SUM(resid_d) / COUNT(*))
+  SELECT j.event_type, q.nd,
+         SQRT((CAST(COALESCE(SUM(CASE WHEN j.sd = q.qmin
+                    THEN j.rsc * j.rsc END), 0) AS DOUBLE)
+               / ({_STL_MA * _STL_MA}.0 * q.qmin * q.qmin)
+               + CAST(COALESCE(SUM(CASE WHEN j.sd <> q.qmin
+                      THEN j.rsc * j.rsc END), 0) AS DOUBLE)
+               / ({_STL_MA * _STL_MA}.0 * q.qmax * q.qmax))
               / (COUNT(*) - 1.0)) AS sd_r
-  FROM joined GROUP BY 1)
+  FROM joined j JOIN qs q USING (event_type)
+  GROUP BY 1, 2, q.qmin, q.qmax)
 SELECT j.event_type, j.day, j.y,
        CAST(FLOOR((trend_d) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS trend,
        CAST(FLOOR((seas_d) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS seasonal,
        CAST(FLOOR((resid_d) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS residual,
-       ABS(resid_d) > {_STL_SIGMA} * sd_r AS is_anomaly
+       CASE WHEN sig.nd > 2 THEN NULL
+            ELSE ABS(resid_d) > {_STL_SIGMA} * sd_r END AS is_anomaly
 FROM joined j JOIN sig USING (event_type)
 ORDER BY j.event_type, j.day
 """

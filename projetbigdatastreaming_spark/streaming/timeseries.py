@@ -479,13 +479,7 @@ def read_burstiness(spark: SparkSession, state_dir: str) -> DataFrame:
     stats, bootstrap CI)."""
     from ..plans.timeseries import burstiness_from_daily
 
-    daily = (
-        spark.read.schema(BURST_STATE_SCHEMA)
-        .parquet(state_dir)
-        .groupBy("event_type", "day")
-        .agg(F.sum("y").cast("bigint").alias("y"))
-    )
-    return burstiness_from_daily(daily)
+    return burstiness_from_daily(_fold_daily(spark, state_dir))
 
 
 #: time-bounded funnel state: per (user, day, stage) the SORTED

@@ -55,36 +55,41 @@ def test_proc_tree_includes_descendants():
 
 
 def test_external_load_flags_contamination():
-    """A spinner OUTSIDE our process tree (double-forked, reparented
-    to init) must be detected as external CPU and flag the sweep."""
-    # sh exits immediately; the python spinner reparents to init
-    out = subprocess.run(
-        [
-            "sh",
-            "-c",
-            f"{sys.executable} -c '"
-            "import time\n"
-            "t0=time.time()\n"
-            "while time.time()-t0<4: pass' >/dev/null 2>&1 & echo $!",
-        ],
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    spinner_pid = int(out.stdout.strip())
+    """Spinners OUTSIDE our process tree (double-forked, reparented
+    to init) must be detected as external CPU and flag the sweep.
+    THREE spinners, not one: a single spinner injects ~1.0 CPU —
+    exactly the strict >1.0 threshold — so jiffy quantization or a
+    slow start would make the assertion a coin flip."""
+    pids = []
+    for _ in range(3):
+        out = subprocess.run(
+            [
+                "sh",
+                "-c",
+                f"{sys.executable} -c '"
+                "import time\n"
+                "t0=time.time()\n"
+                "while time.time()-t0<4: pass' >/dev/null 2>&1 & echo $!",
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        pids.append(int(out.stdout.strip()))
     try:
         begin = bench.sweep_load_begin()
         _spin_jiffies(0.3)  # our own load — must NOT count as external
         time.sleep(1.7)
         stamp = bench.sweep_load_end(begin)
-        # ~1 full external CPU for ~2s of a 2s window
-        assert stamp["external_cpu_avg"] > 0.5, stamp
+        # ~3 external CPUs over the ~2s window; well past the limit
+        assert stamp["external_cpu_avg"] > bench.EXTERNAL_CPU_LIMIT, stamp
         assert stamp["contaminated"] is True, stamp
     finally:
-        try:
-            os.kill(spinner_pid, 9)
-        except ProcessLookupError:
-            pass
+        for spinner_pid in pids:
+            try:
+                os.kill(spinner_pid, 9)
+            except ProcessLookupError:
+                pass
 
 
 def test_own_load_not_flagged_when_machine_quiet():
@@ -213,10 +218,21 @@ def test_append_serializes_on_top_of_interleaved_overwrite(
 
 
 def test_append_x_overwrite_race_never_loses_append(spark, tmp_path):
-    """Two real threads racing an append against an overwrite: every
-    outcome must keep the append's rows in the final latest version —
-    either the overwrite won first and the append serialized on top,
-    or the overwrite conflicted loudly and retried/aborted."""
+    """Two real threads racing an append against an overwrite: the
+    append's commit must NEVER be silently lost — it exists as a
+    version in every outcome.  Three legal outcomes: (a) the
+    overwrite won its CAS before the append → append serializes on
+    top (final has both); (b) the append committed first and the
+    overwrite's CAS saw a stale base → loud CommitConflict (final is
+    base+append); (c) the append committed BEFORE the overwrite even
+    snapshotted its base → the overwrite legitimately supersedes it
+    (final is the overwrite alone, the append readable as the prior
+    version).  What must never happen: the append's rows absent from
+    EVERY version."""
+    from projetbigdatastreaming_spark.sinks.versioned import (
+        read_version as rv,
+    )
+
     for trial in range(3):
         t = str(tmp_path / f"t{trial}")
         versioned_overwrite(_df(spark, [1, 2]), t)
@@ -244,14 +260,21 @@ def test_append_x_overwrite_race_never_loses_append(spark, tmp_path):
         for x in th:
             x.join()
         final = _ids(spark, t)
-        assert 30 in final, (trial, overwrite_outcome, final)
-        if overwrite_outcome == ["committed"]:
-            # overwrite won its CAS -> append must have serialized
-            # on top of it: base rows gone, both commits present
-            assert final == [9, 30], (trial, final)
-        else:
-            assert overwrite_outcome == ["conflict"]
+        # the append's commit exists in SOME version, always
+        versions_with_30 = [
+            v
+            for v in list_versions(t)
+            if any(r.id == 30 for r in rv(spark, t, v).collect())
+        ]
+        assert versions_with_30, (trial, overwrite_outcome, final)
+        if overwrite_outcome == ["conflict"]:
             assert final == [1, 2, 30], (trial, final)
+        else:
+            assert overwrite_outcome == ["committed"]
+            # either the append serialized on top of the overwrite,
+            # or the overwrite legitimately superseded the already-
+            # committed append (still readable at its own version)
+            assert final in ([9, 30], [9]), (trial, final)
 
 
 # ---------------------------------------------------------------------------
