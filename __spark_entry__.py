@@ -97,7 +97,7 @@ QUERY_ORDER = (
     "corr_matrix", "mahalanobis_2d", "kmv_set_diff",
     "span_corruption", "heavy_changers", "attribution_credit",
     "media_phash_pairs", "hurst_exponent", "emb_centroid_drift",
-    "retrieval_eval",
+    "retrieval_eval", "join_skew_profile",
     # 4) green in the round-7 driver run
     "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
     "doc_ngram_novelty", "dedup_soft_weights",

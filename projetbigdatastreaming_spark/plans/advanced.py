@@ -4258,6 +4258,135 @@ LIMIT {_PATH_TOPN}
 """
 
 
+def q_join_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostics for the two hot join keys
+    (lineitem.l_orderkey, events.user_id): key cardinality, row
+    count, max / exact-median / exact-p99 key multiplicity, the top
+    key's row share, and the max/median skew ratio — the numbers
+    that DECIDE between a plain shuffle join, AQE skew splitting,
+    and the `join_salted` rewrite, computed before committing to
+    any of them.
+
+    Determinism: everything reads off the exact frequency-of-
+    frequency histogram (integer counts); percentiles are discrete
+    (actual multiplicity values); the share is integer ppm and the
+    ratio det6.
+
+    Scale plan: per key, two map-side-combinable hash-aggs (key →
+    freq, freq → n_keys); the percentile window runs on the FoF
+    relation, whose width is bounded by the MULTIPLICITY domain
+    (max rows per key), not by key cardinality or row count."""
+    def profile(df, col, name):
+        freq = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("f")
+        )
+        fof = freq.groupBy("f").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk")
+        )
+        tot = fof.agg(
+            F.sum("nk").cast("bigint").alias("n_keys"),
+            F.sum(F.col("f") * F.col("nk")).cast("bigint").alias(
+                "n_rows"
+            ),
+            F.max("f").cast("bigint").alias("max_freq"),
+        )
+        # cumulative counts via the bounded FoF self-join (the
+        # `quantile_histogram` pattern — KB-sized state, so no
+        # global window enters the plan; the audit's global-window
+        # allowlist stays empty)
+        cum = (
+            fof.alias("a")
+            .join(
+                F.broadcast(fof.alias("b")),
+                F.col("b.f") <= F.col("a.f"),
+            )
+            .groupBy(F.col("a.f").alias("f"))
+            .agg(F.sum("b.nk").cast("bigint").alias("cum"))
+            .crossJoin(F.broadcast(tot))
+        )
+        pcts = cum.groupBy("n_keys", "n_rows", "max_freq").agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("n_keys"), F.col("f"))
+            ).cast("bigint").alias("p50_freq"),
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= 99 * F.col("n_keys"),
+                    F.col("f"),
+                )
+            ).cast("bigint").alias("p99_freq"),
+        )
+        return pcts.selectExpr(
+            f"'{name}' AS key_name",
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            "p50_freq",
+            "p99_freq",
+            "CAST(1000000 * max_freq DIV n_rows AS BIGINT)"
+            " AS top1_share_ppm",
+            "CAST(FLOOR(CAST(max_freq AS DOUBLE)"
+            " / CAST(p50_freq AS DOUBLE) * 1e6 + 0.5) AS DOUBLE)"
+            " / 1e6 AS skew_ratio",
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        profile(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(profile(ev, "user_id", "events.user_id"))
+        .orderBy("key_name")
+    )
+
+
+def _sql_skew_profile(table, col, name):
+    return f"""
+  SELECT '{name}' AS key_name, n_keys, n_rows, max_freq,
+         p50_freq, p99_freq,
+         CAST(1000000 * max_freq // n_rows AS BIGINT)
+           AS top1_share_ppm,
+         CAST(FLOOR(CAST(max_freq AS DOUBLE)
+              / CAST(p50_freq AS DOUBLE) * 1e6 + 0.5) AS DOUBLE)
+           / 1e6 AS skew_ratio
+  FROM (
+    SELECT CAST(MIN(CASE WHEN cum * 2 >= n_keys THEN f END)
+                AS BIGINT) AS p50_freq,
+           CAST(MIN(CASE WHEN cum * 100 >= 99 * n_keys THEN f END)
+                AS BIGINT) AS p99_freq,
+           CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(max_freq) AS BIGINT) AS max_freq
+    FROM (
+      SELECT a.f, SUM(b.nk) AS cum,
+             MAX(t.n_keys) AS n_keys, MAX(t.n_rows) AS n_rows,
+             MAX(t.max_freq) AS max_freq
+      FROM (SELECT f, CAST(COUNT(*) AS BIGINT) AS nk
+            FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS f
+                  FROM {table} GROUP BY 1)
+            GROUP BY 1) a
+      JOIN (SELECT f, CAST(COUNT(*) AS BIGINT) AS nk
+            FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS f
+                  FROM {table} GROUP BY 1)
+            GROUP BY 1) b ON b.f <= a.f
+      CROSS JOIN (
+        SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+               CAST(SUM(f * nk) AS BIGINT) AS n_rows,
+               CAST(MAX(f) AS BIGINT) AS max_freq
+        FROM (SELECT f, CAST(COUNT(*) AS BIGINT) AS nk
+              FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS f
+                    FROM {table} GROUP BY 1)
+              GROUP BY 1)) t
+      GROUP BY a.f))"""
+
+
+SQL_JOIN_SKEW_PROFILE = f"""
+SELECT * FROM (
+{_sql_skew_profile("lineitem", "l_orderkey", "lineitem.l_orderkey")}
+  UNION ALL
+{_sql_skew_profile("events", "user_id", "events.user_id")})
+ORDER BY key_name
+"""
+
+
 #: attribution lookback window (days before the conversion)
 _ATTR_WINDOW_DAYS = 7
 _ATTR_TOUCHES = ("click", "view")
@@ -4646,6 +4775,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_join_temporal_scd2, SQL_JOIN_TEMPORAL_SCD2
     ),
     "ab_test_zscore": QuerySpec(q_ab_test_zscore, SQL_AB_TEST_ZSCORE),
+    "join_skew_profile": QuerySpec(
+        q_join_skew_profile, SQL_JOIN_SKEW_PROFILE
+    ),
     "attribution_credit": QuerySpec(
         q_attribution_credit, SQL_ATTRIBUTION_CREDIT
     ),

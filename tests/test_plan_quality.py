@@ -342,6 +342,10 @@ _BNLJ_ALLOWED = {
     # the <=50-row counts relation — bounded BNLJs over KB state; the
     # one pass over raw data is the map-side-combined bin hash-agg
     "quantile_histogram",
+    # join_skew_profile: the same cumulative self-join + scalar
+    # totals broadcast over the multiplicity-domain-bounded FoF
+    # relation (KB state at any data scale)
+    "join_skew_profile",
     # BPE training broadcasts the 1-row winning pair into the merge
     # step each iteration — the same scalar-broadcast shape as
     # emb_pca_power, over a vocabulary-sized (≤200-row) relation
