@@ -47,9 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 5a): strict oldest-signal-first.  Each round the order is: (1) any
 #: query that has NEVER had a driver verdict (oracle-verified locally
 #: before it may enter), oldest registration first; (2) all remaining
-#: queries by ascending round of their latest driver verdict.  At 268
+#: queries by ascending round of their latest driver verdict.  At 284
 #: registered queries and a 50-row window the computed worst-case
-#: staleness is ceil(268/50) = 6 rotations — the old "no signal older
+#: staleness is ceil(284/50) = 6 rotations — the old "no signal older
 #: than two rotations" phrasing was arithmetically unsatisfiable and
 #: is retired.  New-query velocity is capped (~20/round) so the
 #: never-verified backlog always clears within the NEXT window.

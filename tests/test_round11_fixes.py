@@ -229,10 +229,6 @@ def test_append_x_overwrite_race_never_loses_append(spark, tmp_path):
     (final is the overwrite alone, the append readable as the prior
     version).  What must never happen: the append's rows absent from
     EVERY version."""
-    from projetbigdatastreaming_spark.sinks.versioned import (
-        read_version as rv,
-    )
-
     for trial in range(3):
         t = str(tmp_path / f"t{trial}")
         versioned_overwrite(_df(spark, [1, 2]), t)
@@ -264,7 +260,7 @@ def test_append_x_overwrite_race_never_loses_append(spark, tmp_path):
         versions_with_30 = [
             v
             for v in list_versions(t)
-            if any(r.id == 30 for r in rv(spark, t, v).collect())
+            if any(r.id == 30 for r in read_version(spark, t, v).collect())
         ]
         assert versions_with_30, (trial, overwrite_outcome, final)
         if overwrite_outcome == ["conflict"]:
