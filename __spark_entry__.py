@@ -49,128 +49,113 @@ def entry(spark: SparkSession) -> DataFrame:
 #: before it may enter), oldest registration first; (2) all remaining
 #: queries by ascending round of their latest driver verdict.  At 284
 #: registered queries and a 50-row window the computed worst-case
-#: staleness is ceil(284/50) = 6 rotations — the old "no signal older
-#: than two rotations" phrasing was arithmetically unsatisfiable and
-#: is retired.  New-query velocity is capped (~20/round) so the
-#: never-verified backlog always clears within the NEXT window.
+#: staleness is ceil(284/50) = 6 rotations.  New-query velocity is
+#: capped (~16-20/round) so the never-verified backlog always clears
+#: within the NEXT window.
 #:
-#: Round-11 rotation (VERDICT r10 item 1): (1) the 20 round-10
-#: overflow rows (forecast_seasonal_naive … burstiness — locally
-#: oracle-verified + TZ-swept in round 10, never driver-windowed);
-#: (2) the r06-vintage block (48 rows; the 50-cap lands after 30, so
-#: its tail of 18 plus any round-11 additions lead round 12);
-#: (3) round-11's own new queries; (4) r07; (5) r08; (6) r09;
-#: (7) the rows green in the round-10 driver run (freshest, last).
-#: After round 11 every registry query has >=1 driver verdict.
+#: Round-12 rotation (VERDICT r11 item 1): (1) the 16 round-11
+#: queries that have never had a driver verdict (emb_knn_label_bq …
+#: join_skew_profile; judge-oracle-checked 16/16 in round 11);
+#: (2) the 18-row r06 tail (oov_rate … neardup_jaccard_histogram) —
+#: the oldest driver signal in the ledger, five rounds old; (3) the
+#: 16 oldest r07-vintage rows (filter_waterfall … bigram_logprob).
+#: 16 + 18 + 16 = 50 = the window.  After it: round-12's own new
+#: queries (≤16, VERDICT r11 item 5 velocity cap), then the rest by
+#: ascending vintage (r07 remainder, r08, r09, r10, the 50 rows green
+#: in CORRECTNESS_r11 last).  After round 12 the oldest vintage in
+#: the ledger is r07.
 QUERY_ORDER = (
-    # 1) round-10 overflow — never driver-windowed, leads round 11
-    "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake",
-    "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys",
-    "nested_hof", "hybrid_search_rrf", "top_user_paths",
-    "temporal_align", "median_ci", "ks_test", "mann_whitney_u",
-    "chi2_independence", "theil_sen", "sign_test", "bootstrap_ci",
-    "graph_edge_jaccard", "window_funnel", "burstiness",
-    # 2) green in the round-6 driver run (oldest driver signal);
-    # the 50-row window cap lands after 30 rows of this section
-    # (…tpch_q10 is row 50), so its tail (oov_rate …
-    # neardup_jaccard_histogram, 18 rows) leads round 12 together
-    # with section 3
-    "window_sliding", "percentiles", "scalar_functions2",
-    "subq_exists", "subq_not_exists", "subq_scalar",
-    "subq_in_having", "subq_not_in", "subq_correlated_scalar",
-    "emb_near_dup_lsh", "doc_winnow", "tpch_q5", "dedup_clusters",
-    "sample_bernoulli", "sample_stratified", "funnel_steps",
-    "cohort_retention", "vocab_topk", "ngram_counts", "doc_repetition",
-    "trend_regression", "emb_quantize",
-    "tpch_q6", "tpch_q13", "tpch_q14",
-    "text_pii", "decontaminate", "pack_sequences", "length_histogram",
-    "tpch_q10", "oov_rate", "curation_report",
-    "dedup_incremental", "dedup_containment", "iqr_outliers",
-    "gopher_quality", "emb_pq_codes", "emb_pq_recall", "emb_pq_refine",
-    "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
-    "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
-    "doc_embedding_stats", "neardup_jaccard_histogram",
-    # 3) new in round 11 — oracle-verified locally this round; they
-    # queue behind the r06 tail and lead round 12's window with it
-    "emb_knn_label_bq", "emb_knn_label_recall",
-    "pacf_lags", "interarrival_stats", "stl_decompose",
-    "corr_matrix", "mahalanobis_2d", "kmv_set_diff",
-    "span_corruption", "heavy_changers", "attribution_credit",
+    # 1) round-11 additions — never driver-verdicted (judge oracle-checked
+    # 16/16 in VERDICT r11); they lead round 12 per the stated contract
+    "emb_knn_label_bq", "emb_knn_label_recall", "pacf_lags",
+    "interarrival_stats", "stl_decompose", "corr_matrix", "mahalanobis_2d",
+    "kmv_set_diff", "span_corruption", "heavy_changers", "attribution_credit",
     "media_phash_pairs", "hurst_exponent", "emb_centroid_drift",
     "retrieval_eval", "join_skew_profile",
-    # 4) green in the round-7 driver run
+    # 2) the r06-vintage tail — oldest driver signal in the ledger
+    # (last verdict round 6); round 12's window clears it
+    "oov_rate", "curation_report", "dedup_incremental", "dedup_containment",
+    "iqr_outliers", "gopher_quality", "emb_pq_codes", "emb_pq_recall",
+    "emb_pq_refine", "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
+    "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
+    "doc_embedding_stats", "neardup_jaccard_histogram",
+    # 3) the 16 oldest r07-vintage rows — the 50-row window cap
+    # lands exactly after bigram_logprob (16 + 18 + 16 = 50)
     "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
-    "doc_ngram_novelty", "dedup_soft_weights",
-    "heavy_hitters_cms", "hll_rollup_union", "recursive_cte",
-    "sql_udf", "quality_classifier", "curation_pipeline",
-    "sample_bottomk_mergeable", "cep_pattern_match",
+    "doc_ngram_novelty", "dedup_soft_weights", "heavy_hitters_cms",
+    "hll_rollup_union", "recursive_cte", "sql_udf", "quality_classifier",
+    "curation_pipeline", "sample_bottomk_mergeable", "cep_pattern_match",
     "emb_matryoshka_recall", "file_provenance", "bigram_logprob",
-    "dedup_minhash_est", "constraint_check", "k_anonymity",
-    "fuzzy_match", "user_streaks", "ewma_smooth", "line_dedup",
-    "emb_semantic_dedup", "dedup_source_overlap", "doc_lang_mismatch",
-    "emb_pca_power", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "unigram_logprob", "bpe_token_count", "emb_centroid",
-    "tfidf_topk", "emb_outliers", "graph_pagerank",
-    "dedup_incremental_bloom", "emb_ivfpq_topk", "emb_ivfpq_recall",
-    "curation_weighted_sample",
-    # 5) green in the round-8 driver run
-    "image_structure", "audio_structure", "video_structure",
-    "emb_bq_topk", "emb_bq_recall", "emb_bq_rerank",
-    "emb_bq_ivfpq_rerank", "emb_bq_ivfpq_recall", "decontaminate_fuzzy",
-    "quantile_histogram", "train_split_leakage_safe",
-    "quality_calibration",
+    # 4) round-12 additions queue here (oracle-verified locally
+    # before entry; they lead round 13's window)
+    # 5) remaining r07-vintage rows (next-oldest after the window)
+    "dedup_minhash_est", "constraint_check", "k_anonymity", "fuzzy_match",
+    "user_streaks", "ewma_smooth", "line_dedup", "emb_semantic_dedup",
+    "dedup_source_overlap", "doc_lang_mismatch", "emb_pca_power", "tpch_q2",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "unigram_logprob", "bpe_token_count", "emb_centroid", "tfidf_topk",
+    "emb_outliers", "graph_pagerank", "dedup_incremental_bloom",
+    "emb_ivfpq_topk", "emb_ivfpq_recall", "curation_weighted_sample",
+    # 6) green in the round-8 driver run
+    "image_structure", "audio_structure", "video_structure", "emb_bq_topk",
+    "emb_bq_recall", "emb_bq_rerank", "emb_bq_ivfpq_rerank",
+    "emb_bq_ivfpq_recall", "decontaminate_fuzzy", "quantile_histogram",
+    "train_split_leakage_safe", "quality_calibration",
     "pysource_synthetic_events", "variant_json", "param_query",
-    "bpe_learn_merges", "shard_manifest", "tpch_q12",
-    "mv_incremental_refresh", "snapshot_diff", "timeseries_gapfill",
-    "stats_agg", "text_quality",
+    "bpe_learn_merges", "shard_manifest", "tpch_q12", "mv_incremental_refresh",
+    "snapshot_diff", "timeseries_gapfill", "stats_agg", "text_quality",
     "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",
     "window_value_functions", "mixture_budget_sample", "dedup_prefix",
     "event_transitions", "doc_entropy", "active_users_rolling",
     "corpus_zipf_fit", "supplier_scorecard", "revenue_pareto",
-    "approx_distinct_check", "rolling_avg_range",
-    "window_rank_functions", "profile_table", "dedup_survivorship",
-    "tpch_q18", "bitwise_functions", "user_features",
-    "profile_frequent_values", "time_gap_stats",
+    "approx_distinct_check", "rolling_avg_range", "window_rank_functions",
+    "profile_table", "dedup_survivorship", "tpch_q18", "bitwise_functions",
+    "user_features", "profile_frequent_values", "time_gap_stats",
     "image_stats", "audio_stats", "video_stats", "media_manifest",
     "emb_jl_recall",
-    # 6) green in the round-9 driver run
-    "substring_dedup", "dsir_importance",
-    "zorder_layout", "text_sentiment", "type_profile_similarity",
-    "kpi_quarter_hour", "proj_filter", "json_parse", "tokenize",
-    "quarter_hour_case", "agg_groupby", "agg_analytic_window",
+    # 7) green in the round-9 driver run
+    "substring_dedup", "dsir_importance", "zorder_layout", "text_sentiment",
+    "type_profile_similarity", "kpi_quarter_hour", "proj_filter", "json_parse",
+    "tokenize", "quarter_hour_case", "agg_groupby", "agg_analytic_window",
     "version_changes", "bm25_topk", "graph_triangles", "psi_drift",
     "l_diversity", "join_lateral", "set_ops_all", "basket_lift",
-    "conditional_columns", "scalar_functions", "time_functions",
-    "join_cross", "sort_limit", "tpch_q1", "tpch_q3", "star_join",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_drops",
-    "dedup_simhash_pairs", "emb_cosine_topk", "doc_chunking",
-    "text_stats", "text_language_id", "sessionize",
-    "window_topk_per_group", "join_broadcast_inner",
-    "join_left", "join_full_outer", "join_semi", "join_anti",
-    "union_all", "intersect", "except_", "pivot", "rollup", "cube",
-    "window_lag_running",
-    # 7) green in the round-10 driver run (freshest signal, so last):
-    # the refreshed r05-vintage tail and round 10's windowed queries
-    "map_functions", "scd2_history",
-    "null_semantics", "unpivot", "string_agg", "dedup_ngram_jaccard",
-    "dedup_char_ngram", "emb_cosine_pairs",
-    "array_functions",
-    "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_ann_recall",
-    "multires_rollup", "session_window_agg", "sql_grouping_sets",
-    "kafka_json_roundtrip", "keyword_filter", "join_asof", "join_range",
-    "join_salted",
-    "interval_overlap", "ohlc_bars", "time_weighted_avg",
-    "benford_fit", "mutual_information", "anomaly_mad",
-    "gini_concentration", "rfm_segmentation", "crossval_folds",
-    "bigram_pmi", "pareto_frontier", "text_readability",
-    "graph_assortativity", "funnel_time_to_convert", "kmv_jaccard",
-    "cusum_changepoints", "emb_knn_label", "emb_hard_negatives",
-    "t_closeness", "yoy_growth", "linreg_ols", "acf_lags",
-    "seasonal_dow_index", "ams_f2", "graph_clustering_coeff",
-    "graph_kcore", "ams_join_size", "robust_trimmed_stats",
-    "join_temporal_scd2", "ab_test_zscore",
+    "conditional_columns", "scalar_functions", "time_functions", "join_cross",
+    "sort_limit", "tpch_q1", "tpch_q3", "star_join", "dedup_exact",
+    "dedup_minhash_pairs", "dedup_minhash_drops", "dedup_simhash_pairs",
+    "emb_cosine_topk", "doc_chunking", "text_stats", "text_language_id",
+    "sessionize", "window_topk_per_group", "join_broadcast_inner", "join_left",
+    "join_full_outer", "join_semi", "join_anti", "union_all", "intersect",
+    "except_", "pivot", "rollup", "cube", "window_lag_running",
+    # 8) green in the round-10 driver run
+    "map_functions", "scd2_history", "null_semantics", "unpivot", "string_agg",
+    "dedup_ngram_jaccard", "dedup_char_ngram", "emb_cosine_pairs",
+    "array_functions", "emb_ann_topk_lsh", "emb_ann_topk_ivf",
+    "emb_ann_recall", "multires_rollup", "session_window_agg",
+    "sql_grouping_sets", "kafka_json_roundtrip", "keyword_filter", "join_asof",
+    "join_range", "join_salted", "interval_overlap", "ohlc_bars",
+    "time_weighted_avg", "benford_fit", "mutual_information", "anomaly_mad",
+    "gini_concentration", "rfm_segmentation", "crossval_folds", "bigram_pmi",
+    "pareto_frontier", "text_readability", "graph_assortativity",
+    "funnel_time_to_convert", "kmv_jaccard", "cusum_changepoints",
+    "emb_knn_label", "emb_hard_negatives", "t_closeness", "yoy_growth",
+    "linreg_ols", "acf_lags", "seasonal_dow_index", "ams_f2",
+    "graph_clustering_coeff", "graph_kcore", "ams_join_size",
+    "robust_trimmed_stats", "join_temporal_scd2", "ab_test_zscore",
+    # 9) green in the round-11 driver run (freshest signal, last)
+    "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake",
+    "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys", "nested_hof",
+    "hybrid_search_rrf", "top_user_paths", "temporal_align", "median_ci",
+    "ks_test", "mann_whitney_u", "chi2_independence", "theil_sen", "sign_test",
+    "bootstrap_ci", "graph_edge_jaccard", "window_funnel", "burstiness",
+    "window_sliding", "percentiles", "scalar_functions2", "subq_exists",
+    "subq_not_exists", "subq_scalar", "subq_in_having", "subq_not_in",
+    "subq_correlated_scalar", "emb_near_dup_lsh", "doc_winnow", "tpch_q5",
+    "dedup_clusters", "sample_bernoulli", "sample_stratified", "funnel_steps",
+    "cohort_retention", "vocab_topk", "ngram_counts", "doc_repetition",
+    "trend_regression", "emb_quantize", "tpch_q6", "tpch_q13", "tpch_q14",
+    "text_pii", "decontaminate", "pack_sequences", "length_histogram",
+    "tpch_q10",
 )
 
 
