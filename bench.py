@@ -192,6 +192,70 @@ def sweep_load_end(begin: tuple[float, int, int, float]) -> dict:
     return stamp
 
 
+def _external_cpu_now(window_sec: float = 2.0) -> float:
+    """External CPU (whole machine minus this process tree) averaged
+    over a short sampling window — the quiet probe the idle-wait loop
+    polls (no warning print, no sweep stamp)."""
+    busy0, tree0 = _total_busy_jiffies(), _proc_tree_jiffies()
+    time.sleep(window_sec)
+    hz = os.sysconf("SC_CLK_TCK")
+    ext = (_total_busy_jiffies() - busy0) - (_proc_tree_jiffies() - tree0)
+    return max(0.0, ext / hz / window_sec)
+
+
+def wait_for_external_idle(max_wait_sec: float = 300.0) -> bool:
+    """Block (bounded) until competing load drops below the
+    contamination threshold.  Returns True if idle was reached.
+
+    VERDICT r11 item 2: the r11 guard *stamped* the sf1 sweep
+    contaminated (external_cpu 1.78) but shipped it anyway, costing a
+    round of usable sf1 signal.  Now every sweep waits for idle before
+    starting, and a sweep that still stamps dirty is re-run once."""
+    waited = 0.0
+    while waited < max_wait_sec:
+        ext = _external_cpu_now()
+        waited += 2.0
+        if ext <= EXTERNAL_CPU_LIMIT:
+            return True
+        print(
+            f"bench: waiting for idle (external CPU {ext:.1f} > "
+            f"{EXTERNAL_CPU_LIMIT}); {waited:.0f}s/{max_wait_sec:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(8.0)
+        waited += 8.0
+    return False
+
+
+def run_sweep_guarded(body) -> tuple[dict, dict]:
+    """Run one timed sweep with contamination *recovery*, not just
+    detection (VERDICT r11 item 2): wait for external idle, run
+    ``body()`` under the load stamp, and if the stamp comes back
+    contaminated, wait for idle again and re-run ONCE.  The shipped
+    timings are the last attempt's; every attempt's stamp stays in the
+    artifact (``prior_attempts``) so a retry is visible, and the final
+    ``contaminated`` flag is honest if the retry was dirty too."""
+    stamps: list[dict] = []
+    timings: dict = {}
+    for _attempt in range(2):
+        wait_for_external_idle()
+        begin = sweep_load_begin()
+        timings = body()
+        stamp = sweep_load_end(begin)
+        stamps.append(stamp)
+        if not stamp["contaminated"]:
+            break
+        print(
+            "bench: sweep contaminated — retrying once after idle wait",
+            file=sys.stderr,
+        )
+    final = dict(stamps[-1])
+    final["retries"] = len(stamps) - 1
+    if len(stamps) > 1:
+        final["prior_attempts"] = stamps[:-1]
+    return timings, final
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -233,11 +297,14 @@ def main() -> None:
 
     from projetbigdatastreaming_spark.cache import clear_scoped
 
-    timings: dict[str, float] = {}
-    load_begin = sweep_load_begin()
-    for name in headline:
-        timings[name] = _timed_min3(all_queries[name], SF_DIR)
-    load_stamps = {"sf": sweep_load_end(load_begin)}
+    def _primary_sweep() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in headline:
+            t[name] = _timed_min3(all_queries[name], SF_DIR)
+        return t
+
+    timings, stamp = run_sweep_guarded(_primary_sweep)
+    load_stamps = {"sf": stamp}
     clear_scoped()
 
     total = round(sum(timings.values()), 4)
@@ -248,6 +315,39 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+
+    # sf3 runs BEFORE sf2 (VERDICT r11 item 3): the big column's rows
+    # are the most cold-state-sensitive, so they get the JVM right
+    # after the light primary sweep instead of right after the heavy
+    # 10x column's page-cache/GC churn (r11's sf3 sweep started at
+    # loadavg 10.26 for exactly that reason).
+    if SF3_FACTOR > 1:
+        try:
+            from tools.gen_scale import ensure_scaled
+
+            t0 = time.perf_counter()
+            ensure_scaled(spark, SF_DIR, SF3_DIR, SF3_FACTOR)
+            build_sec = round(time.perf_counter() - t0, 1)
+
+            def _sf3_sweep() -> dict[str, float]:
+                t3: dict[str, float] = {}
+                for name in SF3_QUERIES:
+                    # min-of-3 now matches the other columns (VERDICT
+                    # r11 item 3: q21's consecutive-run spread
+                    # 10.7→28.9 s showed min-of-2 under-samples the
+                    # cold-state band at 2-40 s per run)
+                    t3[name] = _timed_min3(all_queries[name], SF3_DIR)
+                return t3
+
+            t3, load_stamps["sf3"] = run_sweep_guarded(_sf3_sweep)
+            out["sf3"] = round(_sf_from_dir(SF_DIR) * SF3_FACTOR, 4)
+            out["queries_sf3"] = t3
+            out["value_sf3"] = round(sum(t3.values()), 4)
+            out["sf3_build_sec"] = build_sec
+        except Exception as exc:  # never break the primary contract
+            out["sf3_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            clear_scoped()
 
     if SF2_FACTOR > 1:
         try:
@@ -260,11 +360,15 @@ def main() -> None:
             # (correctness runs must stay on the committed fixture the
             # media oracles are built from — see media._media_path)
             os.environ["SPARK_GRAFT_MEDIA_SCALED"] = "1"
-            t2: dict[str, float] = {}
-            load_begin = sweep_load_begin()
-            for name in SF2_QUERIES if SF2_QUERIES is not None else headline:
-                t2[name] = _timed_min3(all_queries[name], SF2_DIR)
-            load_stamps["sf2"] = sweep_load_end(load_begin)
+
+            def _sf2_sweep() -> dict[str, float]:
+                t2: dict[str, float] = {}
+                names = SF2_QUERIES if SF2_QUERIES is not None else headline
+                for name in names:
+                    t2[name] = _timed_min3(all_queries[name], SF2_DIR)
+                return t2
+
+            t2, load_stamps["sf2"] = run_sweep_guarded(_sf2_sweep)
             out["sf2"] = round(_sf_from_dir(SF_DIR) * SF2_FACTOR, 4)
             out["queries_sf2"] = t2
             out["value_sf2"] = round(sum(t2.values()), 4)
@@ -274,40 +378,6 @@ def main() -> None:
         finally:
             os.environ.pop("SPARK_GRAFT_MEDIA_SCALED", None)
             clear_scoped()
-
-    if SF3_FACTOR > 1:
-        try:
-            from tools.gen_scale import ensure_scaled
-
-            t0 = time.perf_counter()
-            ensure_scaled(spark, SF_DIR, SF3_DIR, SF3_FACTOR)
-            build_sec = round(time.perf_counter() - t0, 1)
-            t3: dict[str, float] = {}
-            load_begin = sweep_load_begin()
-            for name in SF3_QUERIES:
-                fn = all_queries[name]
-                fn(spark, SF3_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()  # warm
-                # min-of-2 (not the 0.2-2s points' min-of-3): at 2-40s
-                # per run the second sample halves the IO-cache band
-                # SCALING.md documents without doubling the sweep again
-                best = float("inf")
-                for _ in range(2):
-                    spark.sparkContext._jvm.System.gc()
-                    t0 = time.perf_counter()
-                    fn(spark, SF3_DIR).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    best = min(best, time.perf_counter() - t0)
-                t3[name] = round(best, 4)
-            load_stamps["sf3"] = sweep_load_end(load_begin)
-            out["sf3"] = round(_sf_from_dir(SF_DIR) * SF3_FACTOR, 4)
-            out["queries_sf3"] = t3
-            out["value_sf3"] = round(sum(t3.values()), 4)
-            out["sf3_build_sec"] = build_sec
-        except Exception as exc:  # never break the primary contract
-            out["sf3_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     out["load"] = load_stamps
     out["load_contaminated"] = any(
