@@ -188,3 +188,146 @@ def salted_join_hotkeys(
         salt_buckets,
     )
     return cold.unionByName(hot_join)
+
+
+def key_skew_profile(df: DataFrame, col: str, name: str) -> DataFrame:
+    """One-row skew diagnostics for a join key: key cardinality, row
+    count, max / exact-median / exact-p99 key multiplicity, the top
+    key's row share (integer ppm), and the max/median skew ratio
+    (det6) — the inputs `choose_join_strategy` decides on.  Shared
+    with the `join_skew_profile` registry query (its DuckDB oracle
+    pins the arithmetic).
+
+    Scale plan: two map-side-combinable hash-aggs (key → freq,
+    freq → n_keys); percentiles come from the frequency-of-frequency
+    relation via the bounded broadcast self-join (the
+    `quantile_histogram` pattern), whose width is bounded by the
+    MULTIPLICITY domain (max rows per key), never key cardinality or
+    row count — no global window enters the plan.
+    """
+    freq = df.groupBy(F.col(col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    fof = freq.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk")
+    )
+    tot = fof.agg(
+        F.sum("nk").cast("bigint").alias("n_keys"),
+        F.sum(F.col("f") * F.col("nk")).cast("bigint").alias("n_rows"),
+        F.max("f").cast("bigint").alias("max_freq"),
+    )
+    cum = (
+        fof.alias("a")
+        .join(
+            F.broadcast(fof.alias("b")),
+            F.col("b.f") <= F.col("a.f"),
+        )
+        .groupBy(F.col("a.f").alias("f"))
+        .agg(F.sum("b.nk").cast("bigint").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    pcts = cum.groupBy("n_keys", "n_rows", "max_freq").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n_keys"), F.col("f"))
+        ).cast("bigint").alias("p50_freq"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= 99 * F.col("n_keys"),
+                F.col("f"),
+            )
+        ).cast("bigint").alias("p99_freq"),
+    )
+    return pcts.selectExpr(
+        f"'{name}' AS key_name",
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "p50_freq",
+        "p99_freq",
+        "CAST(1000000 * max_freq DIV n_rows AS BIGINT)"
+        " AS top1_share_ppm",
+        "CAST(FLOOR(CAST(max_freq AS DOUBLE)"
+        " / CAST(p50_freq AS DOUBLE) * 1e6 + 0.5) AS DOUBLE)"
+        " / 1e6 AS skew_ratio",
+    )
+
+
+#: `choose_join_strategy` defaults — each mirrors a Spark-side knob:
+#: BROADCAST_ROW_LIMIT ≈ autoBroadcastJoinThreshold (10 MB) at ~20 B
+#: per narrow dim row; SKEW_FACTOR matches AQE's
+#: skewedPartitionFactor default (5: a partition ≥5× the average is
+#: "skewed"); SKEW_MIN_ROWS is the absolute floor analogous to AQE's
+#: skewedPartitionThresholdInBytes (256 MB ≈ 1 M join-side rows) —
+#: below it no strategy beats a plain join no matter the ratio;
+#: MONSTER_RATIO separates "one dominant key" (salt it) from "a broad
+#: hot tail" (AQE's runtime split is enough); SALT_SHARE_PPM is the
+#: unconditional salting trigger — a key holding ≥5% of all rows is
+#: several tasks' worth on any realistic partition count.
+BROADCAST_ROW_LIMIT = 500_000
+SKEW_FACTOR = 5.0
+SKEW_MIN_ROWS = 1_000_000
+MONSTER_RATIO = 10.0
+SALT_SHARE_PPM = 50_000
+
+
+def choose_join_strategy(
+    profile,
+    *,
+    dim_rows: int | None = None,
+    shuffle_partitions: int = 200,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+    skew_factor: float = SKEW_FACTOR,
+    skew_min_rows: int = SKEW_MIN_ROWS,
+    monster_ratio: float = MONSTER_RATIO,
+    salt_share_ppm: int = SALT_SHARE_PPM,
+) -> str:
+    """Turn a `key_skew_profile` row into a physical join strategy:
+    ``"broadcast"`` | ``"plain"`` | ``"aqe_skew"`` | ``"salted"``.
+
+    The decision procedure (thresholds documented on the module
+    constants), mirroring how the reference hand-tuned its one
+    physical decision (SparkBigData.scala:21,28 — the crossJoin gate
+    was flipped by hand after looking at the data; this makes the
+    look-at-the-data step an operator):
+
+    1. **broadcast** — if the dim side's row count is known and under
+       ``broadcast_row_limit``, skew on the fact key is irrelevant:
+       no shuffle happens at all.
+    2. **plain** — unless the hottest key exceeds BOTH the absolute
+       floor (``skew_min_rows``) and ``skew_factor ×`` the average
+       per-partition row budget (``n_rows / shuffle_partitions``),
+       every partition fits and any mitigation is pure overhead.
+       (At toy scale this branch always wins — correctly.)
+    3. **salted** — the skew is ONE dominant key: its multiplicity is
+       ``monster_ratio ×`` the p99 key, or it alone holds
+       ``salt_share_ppm`` of all rows.  AQE's split leaves every row
+       of that key colliding again at the next key-hash stage;
+       `salted_join_hotkeys` splits it proactively and replicates
+       only the hot dim slice.
+    4. **aqe_skew** — a broad hot tail (many moderately-hot keys, no
+       monster): AQE's runtime partition splitting rebalances it with
+       zero dim replication, so it beats salting.
+
+    ``profile`` may be a Row, dict, or anything with the
+    `key_skew_profile` field names.
+    """
+    get = (
+        profile.get
+        if isinstance(profile, dict)
+        else lambda k: getattr(profile, k)
+    )
+    n_rows = int(get("n_rows"))
+    max_freq = int(get("max_freq"))
+    p99_freq = int(get("p99_freq"))
+    if dim_rows is not None and dim_rows <= broadcast_row_limit:
+        return "broadcast"
+    per_task = max(1.0, n_rows / max(1, shuffle_partitions))
+    if max_freq <= max(float(skew_min_rows), skew_factor * per_task):
+        return "plain"
+    share_ppm = 1_000_000 * max_freq // max(1, n_rows)
+    if (
+        max_freq >= monster_ratio * max(1, p99_freq)
+        or share_ppm >= salt_share_ppm
+    ):
+        return "salted"
+    return "aqe_skew"

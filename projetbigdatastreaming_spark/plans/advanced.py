@@ -4275,65 +4275,15 @@ def q_join_skew_profile(spark, sf_dir):
     Scale plan: per key, two map-side-combinable hash-aggs (key →
     freq, freq → n_keys); the percentile window runs on the FoF
     relation, whose width is bounded by the MULTIPLICITY domain
-    (max rows per key), not by key cardinality or row count."""
-    def profile(df, col, name):
-        freq = df.groupBy(F.col(col).alias("k")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("f")
-        )
-        fof = freq.groupBy("f").agg(
-            F.count(F.lit(1)).cast("bigint").alias("nk")
-        )
-        tot = fof.agg(
-            F.sum("nk").cast("bigint").alias("n_keys"),
-            F.sum(F.col("f") * F.col("nk")).cast("bigint").alias(
-                "n_rows"
-            ),
-            F.max("f").cast("bigint").alias("max_freq"),
-        )
-        # cumulative counts via the bounded FoF self-join (the
-        # `quantile_histogram` pattern — KB-sized state, so no
-        # global window enters the plan; the audit's global-window
-        # allowlist stays empty)
-        cum = (
-            fof.alias("a")
-            .join(
-                F.broadcast(fof.alias("b")),
-                F.col("b.f") <= F.col("a.f"),
-            )
-            .groupBy(F.col("a.f").alias("f"))
-            .agg(F.sum("b.nk").cast("bigint").alias("cum"))
-            .crossJoin(F.broadcast(tot))
-        )
-        pcts = cum.groupBy("n_keys", "n_rows", "max_freq").agg(
-            F.min(
-                F.when(F.col("cum") * 2 >= F.col("n_keys"), F.col("f"))
-            ).cast("bigint").alias("p50_freq"),
-            F.min(
-                F.when(
-                    F.col("cum") * 100 >= 99 * F.col("n_keys"),
-                    F.col("f"),
-                )
-            ).cast("bigint").alias("p99_freq"),
-        )
-        return pcts.selectExpr(
-            f"'{name}' AS key_name",
-            "n_keys",
-            "n_rows",
-            "max_freq",
-            "p50_freq",
-            "p99_freq",
-            "CAST(1000000 * max_freq DIV n_rows AS BIGINT)"
-            " AS top1_share_ppm",
-            "CAST(FLOOR(CAST(max_freq AS DOUBLE)"
-            " / CAST(p50_freq AS DOUBLE) * 1e6 + 0.5) AS DOUBLE)"
-            " / 1e6 AS skew_ratio",
-        )
-
+    (max rows per key), not by key cardinality or row count.  The
+    per-key builder lives in `operators/joins.key_skew_profile`
+    (round 12: shared with `choose_join_strategy`, the panel's
+    consumer — VERDICT r11 item 6)."""
     li = load_table(spark, sf_dir, "lineitem")
     ev = load_table(spark, sf_dir, "events")
     return (
-        profile(li, "l_orderkey", "lineitem.l_orderkey")
-        .unionAll(profile(ev, "user_id", "events.user_id"))
+        joins.key_skew_profile(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(joins.key_skew_profile(ev, "user_id", "events.user_id"))
         .orderBy("key_name")
     )
 

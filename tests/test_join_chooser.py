@@ -1,0 +1,108 @@
+"""`choose_join_strategy` (VERDICT r11 item 6): `join_skew_profile`
+computes the decision inputs; the chooser turns a profile row into
+plain / broadcast / AQE-skew / salted — the look-at-the-data step the
+reference performed by hand (SparkBigData.scala:21,28 crossJoin gate)
+made an operator with documented thresholds.
+
+Unit tests pin each branch on constructed geometries (the thresholds
+are scale numbers — 100 TB geometries don't exist in the fixtures);
+the integration tests run the REAL `key_skew_profile` plan: the toy
+fixtures' near-uniform keys must choose plain at honest thresholds,
+and the `join_salted_hotkeys` fixture geometry (one dominant key)
+must choose salted once the absolute floors are scaled to the toy
+row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projetbigdatastreaming_spark.catalog import load_table
+from projetbigdatastreaming_spark.operators.joins import (
+    choose_join_strategy,
+    key_skew_profile,
+)
+
+
+def _profile(**kw) -> dict:
+    base = {
+        "key_name": "t.k",
+        "n_keys": 1_000_000,
+        "n_rows": 60_000_000,
+        "max_freq": 10,
+        "p50_freq": 5,
+        "p99_freq": 9,
+        "top1_share_ppm": 0,
+        "skew_ratio": 2.0,
+    }
+    base.update(kw)
+    return base
+
+
+def test_broadcast_wins_when_dim_is_small():
+    # a monster key on the fact side is irrelevant if the dim
+    # broadcasts — no shuffle happens at all
+    p = _profile(max_freq=6_000_000, p99_freq=40)
+    assert choose_join_strategy(p, dim_rows=200_000) == "broadcast"
+
+
+def test_uniform_keys_choose_plain():
+    # the l_orderkey geometry scaled to sf10: max multiplicity 13 on
+    # 60 M rows — nothing exceeds any task budget
+    p = _profile(max_freq=13, p50_freq=4, p99_freq=9)
+    assert choose_join_strategy(p, dim_rows=15_000_000) == "plain"
+
+
+def test_single_monster_key_chooses_salted():
+    # the join_salted_hotkeys fixture geometry at scale: one key
+    # holding 10% of a 60 M-row fact (p99 of the other keys is 40) —
+    # monster_ratio and salt_share_ppm both fire
+    p = _profile(max_freq=6_000_000, p50_freq=20, p99_freq=40)
+    assert choose_join_strategy(p) == "salted"
+
+
+def test_broad_hot_tail_chooses_aqe_skew():
+    # many moderately-hot keys, no monster: max is only 1.25x the p99
+    # key and under 5% of rows — AQE's runtime split beats salting
+    # (zero dim replication)
+    p = _profile(max_freq=2_500_000, p50_freq=100, p99_freq=2_000_000)
+    assert choose_join_strategy(p) == "aqe_skew"
+
+
+def test_absolute_floor_blocks_mitigation_at_small_rows():
+    # ratio-wise extreme (1000x median) but only 50k rows in the
+    # hottest key: below skew_min_rows every mitigation is overhead
+    p = _profile(
+        n_rows=2_000_000, max_freq=50_000, p50_freq=50, p99_freq=500
+    )
+    assert choose_join_strategy(p) == "plain"
+
+
+def test_real_profile_toy_scale_chooses_plain(spark, sf_dir):
+    """The committed fixtures' join keys are near-uniform; at honest
+    (unscaled) thresholds the chooser must not over-trigger."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = key_skew_profile(li, "l_orderkey", "lineitem.l_orderkey").first()
+    assert choose_join_strategy(row, shuffle_partitions=32) == "plain"
+
+
+def test_real_hotkey_geometry_chooses_salted(spark, sf_dir):
+    """Route 30% of lineitem onto ONE part key — the geometry
+    `salted_join_hotkeys` exists for — profile it with the real plan,
+    and scale the absolute floors to the toy row count: the chooser
+    must pick salted, and the same thresholds on the unmodified
+    column must still pick plain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = li.withColumn(
+        "k",
+        F.when(F.col("l_linenumber") <= 2, F.lit(1)).otherwise(
+            F.col("l_partkey")
+        ),
+    )
+    row = key_skew_profile(hot, "k", "hot.k").first()
+    scaled = dict(
+        shuffle_partitions=32, skew_min_rows=100, skew_factor=1.0
+    )
+    assert choose_join_strategy(row, **scaled) == "salted"
+    uniform = key_skew_profile(li, "l_orderkey", "li.l_orderkey").first()
+    assert choose_join_strategy(uniform, **scaled) == "plain"
