@@ -6254,6 +6254,184 @@ _RRF_DEPTH = 50
 _RRF_TOPN = 10
 
 
+#: graded-gain bucket width: an exact-top-k item's grade is how close
+#: its cosine sits to the query's BEST cosine, in 0.05-wide buckets —
+#: within 0.05 of the best → grade 4, within 0.10 → 3, 0.15 → 2,
+#: anything further (but still in the exact top-k) → 1; non-relevant
+#: retrieved items → gain 0.  Relative-to-best buckets, not absolute
+#: cosine buckets: the fixture's top-k cosines live in 0.24-0.40, so
+#: absolute buckets would collapse every grade to the same value.
+_GRADE_BUCKET = 0.05
+
+
+def q_retrieval_eval_graded(spark, sf_dir):
+    """Graded-relevance nDCG@k (Järvelin & Kekäläinen 2002) that
+    ranks THREE retrieval arms on one scale — BQ Hamming, IVFADC, and
+    their reciprocal-rank fusion (the `hybrid_search_rrf` recipe
+    applied in-domain): `retrieval_eval`'s binary gain can't separate
+    an arm that returns the query's very best neighbors from one that
+    returns its 10th-best ten times; gain 2^grade − 1 with
+    cosine-bucket grades does (VERDICT r11 item 7).
+
+    Determinism: grades are integer buckets of (best_cos − cos_sim)
+    on the 4-dp-rounded cosines both engines already share; the exact
+    ranking is an ideal ordering (grade is monotone in cosine) so
+    IDCG reuses the exact ranks; the RRF arm ranks on the det6-rounded
+    fused score with vec_id tie-breaks (the `hybrid_search_rrf`
+    discipline); per-(method, qid) nDCG is a ≤k-term sum, det6.
+
+    Scale plan: every input is an established ≤|Q|·k-row top-k
+    relation (corpus touched only inside the arm builders); the
+    graded relation is ≤|Q|·k rows and broadcast into each arm's
+    left join; the RRF fusion is a full-outer equi-join of two
+    ≤|Q|·k-row relations with a qid-partitioned top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    grade_expr = (
+        f"CAST(GREATEST(1, 4 - CAST(FLOOR((best_cos - cos_sim)"
+        f" / {_GRADE_BUCKET}) AS INT)) AS INT) AS grade"
+    )
+    exact = similarity.cosine_topk(emb, QUERY_VEC_IDS, TOPK)
+    best = exact.groupBy("qid").agg(F.max("cos_sim").alias("best_cos"))
+    graded = _persist_scoped(
+        "retrieval_eval_graded_rels",
+        exact.join(F.broadcast(best), "qid").selectExpr(
+            "qid", "vec_id", "rk AS rk_exact", grade_expr
+        ),
+    )
+    idcg = graded.groupBy("qid").agg(
+        F.expr(
+            "SUM((POW(2.0, grade) - 1.0) / LOG2(rk_exact + 1))"
+        ).alias("idcg")
+    )
+    bq = similarity.bq_topk(emb, QUERY_VEC_IDS, TOPK).select(
+        "qid", "vec_id", "rk"
+    )
+    ivf = similarity.ivfpq_topk(
+        emb,
+        QUERY_VEC_IDS,
+        TOPK,
+        n_lists=IVF_N_LISTS,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        k=PQ_K,
+    ).select("qid", "vec_id", "rk")
+    bq_p = _persist_scoped("retrieval_eval_graded_bq", bq)
+    ivf_p = _persist_scoped("retrieval_eval_graded_ivf", ivf)
+    fused = (
+        bq_p.withColumnRenamed("rk", "rk_bq")
+        .join(
+            ivf_p.withColumnRenamed("rk", "rk_ivf"),
+            ["qid", "vec_id"],
+            "full_outer",
+        )
+        .selectExpr(
+            "qid",
+            "vec_id",
+            f"CAST(FLOOR(((CASE WHEN rk_bq IS NULL THEN 0.0"
+            f" ELSE 1.0 / ({_RRF_K} + rk_bq) END)"
+            f" + (CASE WHEN rk_ivf IS NULL THEN 0.0"
+            f" ELSE 1.0 / ({_RRF_K} + rk_ivf) END)) * 1e6 + 0.5)"
+            f" AS DOUBLE) / 1e6 AS rrf_score",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_score"), F.asc("vec_id")
+    )
+    rrf = (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("qid", "vec_id", "rk")
+    )
+    arms = (
+        bq_p.select(F.lit("bq").alias("method"), "qid", "vec_id", "rk")
+        .unionAll(
+            ivf_p.select(
+                F.lit("ivfadc").alias("method"), "qid", "vec_id", "rk"
+            )
+        )
+        .unionAll(
+            rrf.select(
+                F.lit("rrf_bq_ivfadc").alias("method"),
+                "qid",
+                "vec_id",
+                "rk",
+            )
+        )
+    )
+    dcg = (
+        arms.join(F.broadcast(graded), ["qid", "vec_id"], "left")
+        .groupBy("method", "qid")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN grade IS NULL THEN 0.0"
+                " ELSE (POW(2.0, grade) - 1.0) / LOG2(rk + 1) END)"
+            ).alias("dcg")
+        )
+    )
+    return (
+        dcg.join(F.broadcast(idcg), "qid")
+        .selectExpr(
+            "method",
+            "qid",
+            "CAST(FLOOR(dcg / idcg * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS ndcg_graded",
+        )
+        .orderBy("method", "qid")
+    )
+
+
+SQL_RETRIEVAL_EVAL_GRADED = f"""
+WITH exact AS (SELECT qid, vec_id, cos_sim, rk FROM ({SQL_COSINE_TOPK})),
+graded AS (
+  SELECT e.qid, e.vec_id, e.rk AS rk_exact,
+         CAST(GREATEST(1, 4 - CAST(FLOOR((b.best_cos - e.cos_sim)
+              / {_GRADE_BUCKET}) AS INTEGER)) AS INTEGER) AS grade
+  FROM exact e
+  JOIN (SELECT qid, MAX(cos_sim) AS best_cos FROM exact GROUP BY 1) b
+    USING (qid)),
+idcg AS (
+  SELECT qid, SUM((POW(2.0, grade) - 1.0) / LOG2(rk_exact + 1)) AS idcg
+  FROM graded GROUP BY 1),
+bq AS (SELECT qid, vec_id, rk FROM ({SQL_EMB_BQ_TOPK})),
+ivf AS (SELECT qid, vec_id, rk FROM ({SQL_EMB_IVFPQ_TOPK})),
+fused AS (
+  SELECT COALESCE(b.qid, i.qid) AS qid,
+         COALESCE(b.vec_id, i.vec_id) AS vec_id,
+         CAST(FLOOR(((CASE WHEN b.rk IS NULL THEN 0.0
+                      ELSE 1.0 / ({_RRF_K} + b.rk) END)
+                   + (CASE WHEN i.rk IS NULL THEN 0.0
+                      ELSE 1.0 / ({_RRF_K} + i.rk) END)) * 1e6 + 0.5)
+              AS DOUBLE) / 1e6 AS rrf_score
+  FROM bq b FULL JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id),
+rrf AS (
+  SELECT qid, vec_id, rk
+  FROM (SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY rrf_score DESC, vec_id ASC) AS rk
+        FROM fused)
+  WHERE rk <= {TOPK}),
+arms AS (
+  SELECT 'bq' AS method, qid, vec_id, rk FROM bq
+  UNION ALL
+  SELECT 'ivfadc' AS method, qid, vec_id, rk FROM ivf
+  UNION ALL
+  SELECT 'rrf_bq_ivfadc' AS method, qid, vec_id, rk FROM rrf),
+dcg AS (
+  SELECT a.method, a.qid,
+         SUM(CASE WHEN g.grade IS NULL THEN 0.0
+                  ELSE (POW(2.0, g.grade) - 1.0) / LOG2(a.rk + 1)
+             END) AS dcg
+  FROM arms a LEFT JOIN graded g
+    ON a.qid = g.qid AND a.vec_id = g.vec_id
+  GROUP BY 1, 2)
+SELECT method, qid,
+       CAST(FLOOR(d.dcg / ic.idcg * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS ndcg_graded
+FROM dcg d JOIN idcg ic USING (qid)
+ORDER BY method, qid
+"""
+
+
 def q_hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval via reciprocal-rank fusion — the pattern every
     modern RAG stack runs: a LEXICAL arm (BM25 over the shared fixed
@@ -6662,6 +6840,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "emb_bq_recall": QuerySpec(q_emb_bq_recall, SQL_EMB_BQ_RECALL),
     "retrieval_eval": QuerySpec(q_retrieval_eval, SQL_RETRIEVAL_EVAL),
+    "retrieval_eval_graded": QuerySpec(
+        q_retrieval_eval_graded, SQL_RETRIEVAL_EVAL_GRADED
+    ),
     "emb_ivfpq_recall": QuerySpec(
         q_emb_ivfpq_recall, SQL_EMB_IVFPQ_RECALL
     ),

@@ -331,6 +331,11 @@ _BNLJ_ALLOWED = {
     # retrieval_eval composes the exact-cosine and bq_topk passes —
     # it inherits exactly their allowlisted query-broadcast crosses
     "retrieval_eval",
+    # the graded arm additionally composes ivfpq_topk; all crosses
+    # are the same inherited query/model-row broadcast shapes (the
+    # RRF fusion itself is a full-outer EQUI-join of two ≤|Q|·k-row
+    # relations)
+    "retrieval_eval_graded",
     # two-stage BQ+IVFADC: inherits the bq_topk query-side broadcast
     # cross (stage 1) and the IVFADC model-row broadcasts; stage 2's
     # shortlist and table joins are broadcast EQUI-joins; the recall
