@@ -4701,8 +4701,354 @@ ORDER BY l_returnflag
 SQL_MAHALANOBIS_2D = _sql_mahalanobis_2d()
 
 
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA of event value across event types — the
+    parametric k-group location test the two-sample panel was
+    missing (`ab_test_zscore` compares two arms; this asks "do ANY
+    of the k types differ in mean spend" in one F statistic instead
+    of k² pairwise z tests).
+
+    Determinism: per-group sufficient statistics (n, Σcents,
+    Σcents²) are exact integers summed in DECIMAL(38,0); the k-term
+    Σ s_i²/n_i fold is a ≤|types|-term double sum (the
+    `retrieval_eval` ≤k-term discipline — det6 absorbs the ≤4-ulp
+    ordering slack); SSB/SSW/F are then one shared expression
+    program on exact-derived doubles.
+
+    Scale plan: ONE map-side-combinable hash-agg to |types| rows,
+    then a single global fold of that KB-sized relation — no window,
+    no join, no second pass over the events."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    g = (
+        ev.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s_i"),
+            F.sum(
+                (F.col("c") * F.col("c")).cast("decimal(38,0)")
+            ).alias("ss_i"),
+        )
+    )
+    folded = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s_i").cast("double").alias("s"),
+        F.sum("ss_i").cast("double").alias("ss2"),
+        F.sum(
+            F.pow(F.col("s_i").cast("double"), F.lit(2.0))
+            / F.col("n_i").cast("double")
+        ).alias("sq_over_n"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    ssb = "(sq_over_n - s * s / CAST(n AS DOUBLE))"
+    ssw = "(ss2 - sq_over_n)"
+    return folded.selectExpr(
+        "k",
+        "n",
+        "CAST(k - 1 AS BIGINT) AS df_between",
+        "CAST(n - k AS BIGINT) AS df_within",
+        det6.format(x=f"{ssb} / 1e4", n="ss_between"),
+        det6.format(x=f"{ssw} / 1e4", n="ss_within"),
+        det6.format(
+            x=f"({ssb} / CAST(k - 1 AS DOUBLE))"
+            f" / ({ssw} / CAST(n - k AS DOUBLE))",
+            n="f_stat",
+        ),
+    )
+
+
+SQL_ANOVA_ONEWAY = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         SUM(CAST(c AS HUGEINT)) AS s_i,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss_i
+  FROM (SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events)
+  GROUP BY 1),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(s_i) AS DOUBLE) AS s,
+         CAST(SUM(ss_i) AS DOUBLE) AS ss2,
+         SUM(POW(CAST(s_i AS DOUBLE), 2.0) / CAST(n_i AS DOUBLE))
+           AS sq_over_n
+  FROM g)
+SELECT k, n,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       CAST(FLOOR(((sq_over_n - s * s / CAST(n AS DOUBLE)) / 1e4)
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ss_between,
+       CAST(FLOOR(((ss2 - sq_over_n) / 1e4) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS ss_within,
+       CAST(FLOOR((((sq_over_n - s * s / CAST(n AS DOUBLE))
+                    / CAST(k - 1 AS DOUBLE))
+                   / ((ss2 - sq_over_n) / CAST(n - k AS DOUBLE)))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS f_stat
+FROM folded
+"""
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H per event type across day-of-week groups —
+    the k-group generalization of `mann_whitney_u` ("does spend
+    differ by weekday", asked rank-wise so weekend whales can't buy
+    the answer): H from doubled midranks, tie-corrected, χ²(k−1)
+    under H₀.
+
+    Exactness through ties: the `mann_whitney_u` machinery verbatim
+    — doubled midrank mr2(v) = 2·cum(v−1) + t_v + 1 is an exact
+    integer off the per-type cents histogram, so each weekday's rank
+    sum R2_d = Σ c_d·mr2 is an exact int64 (≤ N(2N+1)); the tie term
+    Σ(t³−t) rides DECIMAL.  The ≤7-term Σ (R2_d/2)²/n_d fold is the
+    documented small-double-sum (det6 absorbs ordering slack); H and
+    the tie correction are then one expression program.
+
+    Scale plan: one hash-agg to the (type, dow, cents) grain, one to
+    (type, cents), a TYPE-partitioned cumulative window over the
+    value-domain-bounded histogram (never the event stream), two
+    KB-relation folds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.weekday(F.to_date("ts")).cast("int").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    histd = base.groupBy("event_type", "dow", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hist = histd.groupBy("event_type", "cents").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mr = hist.withColumn(
+        "mr2", 2 * F.sum("t").over(w) - F.col("t") + 1
+    )
+    per_dow = (
+        histd.join(
+            mr.select("event_type", "cents", "mr2"),
+            ["event_type", "cents"],
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_d"),
+            F.sum(F.col("c") * F.col("mr2"))
+            .cast("bigint")
+            .alias("r2_d"),
+        )
+    )
+    ties = mr.groupBy("event_type").agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(18,0)")
+            * F.col("t").cast("decimal(18,0)")
+            * F.col("t").cast("decimal(18,0)")
+            - F.col("t").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    folded = per_dow.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.pow(
+                F.col("r2_d").cast("double") / F.lit(2.0), F.lit(2.0)
+            )
+            / F.col("n_d").cast("double")
+        ).alias("sum_r2n"),
+    )
+    nd = "CAST(n AS DOUBLE)"
+    h_raw = (
+        f"(12.0 / ({nd} * ({nd} + 1.0)) * sum_r2n"
+        f" - 3.0 * ({nd} + 1.0))"
+    )
+    c_tie = (
+        f"(1.0 - CAST(tie3 AS DOUBLE)"
+        f" / ({nd} * {nd} * {nd} - {nd}))"
+    )
+    return (
+        folded.join(F.broadcast(ties), "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            "k",
+            "CAST(k - 1 AS BIGINT) AS df",
+            f"CAST(FLOOR({h_raw} / {c_tie} * 1e6 + 0.5) AS DOUBLE)"
+            " / 1e6 AS h_stat",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH base AS (
+  SELECT event_type,
+         CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS dow,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+histd AS (
+  SELECT event_type, dow, cents, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3),
+hist AS (
+  SELECT event_type, cents, CAST(SUM(c) AS BIGINT) AS t
+  FROM histd GROUP BY 1, 2),
+mr AS (
+  SELECT event_type, cents, t,
+         2 * SUM(t) OVER (PARTITION BY event_type ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - t + 1 AS mr2
+  FROM hist),
+per_dow AS (
+  SELECT h.event_type, h.dow,
+         CAST(SUM(h.c) AS BIGINT) AS n_d,
+         CAST(SUM(h.c * m.mr2) AS BIGINT) AS r2_d
+  FROM histd h JOIN mr m
+    ON h.event_type = m.event_type AND h.cents = m.cents
+  GROUP BY 1, 2),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t) AS BIGINT) AS n,
+         SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+             * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie3
+  FROM mr GROUP BY 1),
+folded AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(POW(CAST(r2_d AS DOUBLE) / 2.0, 2.0)
+             / CAST(n_d AS DOUBLE)) AS sum_r2n
+  FROM per_dow GROUP BY 1)
+SELECT f.event_type, t.n, f.k,
+       CAST(f.k - 1 AS BIGINT) AS df,
+       CAST(FLOOR((12.0 / (CAST(t.n AS DOUBLE)
+                   * (CAST(t.n AS DOUBLE) + 1.0)) * f.sum_r2n
+                   - 3.0 * (CAST(t.n AS DOUBLE) + 1.0))
+                  / (1.0 - CAST(t.tie3 AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                        * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)))
+                  * 1e6 + 0.5) AS DOUBLE) / 1e6 AS h_stat
+FROM folded f JOIN ties t USING (event_type)
+ORDER BY f.event_type
+"""
+
+
+def q_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality test per event type — skewness/kurtosis
+    based (the moments the panel already trusts), χ²(2) under H₀:
+    JB = n/6 · (S² + (K−3)²/4).  The gate in front of every test
+    that ASSUMES normality (`ab_test_zscore`, `cuped_adjustment`'s
+    variance math): run this first, and if it rejects, reach for the
+    rank tests instead.
+
+    Determinism: the four raw power sums Σc..Σc⁴ are exact integers
+    (cents in DECIMAL(38,0); c⁴ ≤ 10¹⁹ per row, 10²⁸ summed at 10⁹
+    rows — in range); central moments, S, K, and JB are one shared
+    expression program on the exact-derived doubles — cents scaling
+    cancels in S and K, so no unit appears anywhere.
+
+    Scale plan: ONE map-side-combinable hash-agg pass (four decimal
+    accumulators per type); everything after runs on |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    cd = F.col("c").cast("decimal(19,0)")
+    c2d = (F.col("c") * F.col("c")).cast("decimal(38,0)")
+    g = (
+        ev.select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cd).cast("double").alias("s1"),
+            F.sum(c2d).cast("double").alias("s2"),
+            F.sum(c2d * cd).cast("double").alias("s3"),
+            F.sum(c2d * c2d).cast("double").alias("s4"),
+        )
+    )
+    nd = "CAST(n AS DOUBLE)"
+    m = f"(s1 / {nd})"
+    mu2 = f"(s2 / {nd} - {m} * {m})"
+    mu3 = f"(s3 / {nd} - 3.0 * {m} * s2 / {nd} + 2.0 * {m} * {m} * {m})"
+    mu4 = (
+        f"(s4 / {nd} - 4.0 * {m} * s3 / {nd}"
+        f" + 6.0 * {m} * {m} * s2 / {nd}"
+        f" - 3.0 * {m} * {m} * {m} * {m})"
+    )
+    skew = f"({mu3} / POW({mu2}, 1.5))"
+    kurt = f"({mu4} / ({mu2} * {mu2}))"
+    jb = (
+        f"({nd} / 6.0 * ({skew} * {skew}"
+        f" + ({kurt} - 3.0) * ({kurt} - 3.0) / 4.0))"
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return g.selectExpr(
+        "event_type",
+        "n",
+        det6.format(x=skew, n="skewness"),
+        det6.format(x=f"{kurt} - 3.0", n="kurtosis_excess"),
+        det6.format(x=jb, n="jb_stat"),
+        f"{jb} > 5.991464547107979 AS reject_normal_5pct",
+    ).orderBy("event_type")
+
+
+def _sql_jarque_bera() -> str:
+    nd = "CAST(n AS DOUBLE)"
+    m = f"(s1 / {nd})"
+    mu2 = f"(s2 / {nd} - {m} * {m})"
+    mu3 = f"(s3 / {nd} - 3.0 * {m} * s2 / {nd} + 2.0 * {m} * {m} * {m})"
+    mu4 = (
+        f"(s4 / {nd} - 4.0 * {m} * s3 / {nd}"
+        f" + 6.0 * {m} * {m} * s2 / {nd}"
+        f" - 3.0 * {m} * {m} * {m} * {m})"
+    )
+    skew = f"({mu3} / POW({mu2}, 1.5))"
+    kurt = f"({mu4} / ({mu2} * {mu2}))"
+    jb = (
+        f"({nd} / 6.0 * ({skew} * {skew}"
+        f" + ({kurt} - 3.0) * ({kurt} - 3.0) / 4.0))"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+              AS DOUBLE) AS s2,
+         CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+              * CAST(c AS HUGEINT)) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(c * c AS HUGEINT) * CAST(c * c AS HUGEINT))
+              AS DOUBLE) AS s4
+  FROM (SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events)
+  GROUP BY 1)
+SELECT event_type, n,
+       CAST(FLOOR(({skew}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS skewness,
+       CAST(FLOOR(({kurt} - 3.0) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS kurtosis_excess,
+       CAST(FLOOR(({jb}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jb_stat,
+       {jb} > 5.991464547107979 AS reject_normal_5pct
+FROM g
+ORDER BY event_type
+"""
+
+
+SQL_JARQUE_BERA = _sql_jarque_bera()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
+    "anova_oneway": QuerySpec(q_anova_oneway, SQL_ANOVA_ONEWAY),
+    "kruskal_wallis": QuerySpec(q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
+    "jarque_bera": QuerySpec(q_jarque_bera, SQL_JARQUE_BERA),
     "diff_in_diff": QuerySpec(q_diff_in_diff, SQL_DIFF_IN_DIFF),
     "cuped_adjustment": QuerySpec(
         q_cuped_adjustment, SQL_CUPED_ADJUSTMENT
