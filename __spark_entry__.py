@@ -89,7 +89,8 @@ QUERY_ORDER = (
     # 4) round-12 additions queue here (oracle-verified locally
     # before entry; they lead round 13's window)
     "retrieval_eval_graded", "anova_oneway", "kruskal_wallis",
-    "jarque_bera",
+    "jarque_bera", "doc_boilerplate_ratio",
+    "mixture_temperature_weights", "neardup_edit_verify",
     # 5) remaining r07-vintage rows (next-oldest after the window)
     "dedup_minhash_est", "constraint_check", "k_anonymity", "fuzzy_match",
     "user_streaks", "ewma_smooth", "line_dedup", "emb_semantic_dedup",

@@ -3915,6 +3915,282 @@ ORDER BY doc_id
 """
 
 
+#: a 5-word segment is corpus boilerplate once it appears in at least
+#: this many DISTINCT documents (nav bars, license footers, cookie
+#: banners — the lines CCNet/RefinedWeb strip before quality scoring)
+BOILER_MIN_DOCS = 3
+
+
+def q_doc_boilerplate_ratio(spark, sf_dir):
+    """Per-document boilerplate share — the CCNet "fraction of
+    duplicated lines" quality signal: segment every document into
+    `line_dedup`'s fixed 5-word lines, call a segment boilerplate
+    when it occurs in ≥ {BOILER_MIN_DOCS} distinct documents, and
+    report each doc's boilerplate-position ratio.  `line_dedup`
+    REPAIRS the corpus (drops repeated lines); this one SCORES docs
+    by how much of them is template — the filter signal that runs
+    before the repair.
+
+    Determinism: all counts are exact integers off the segment
+    relation; the ratio is one division, det6.
+
+    Scale plan: the `line_dedup` segmentation (map-side higher-order
+    flatten), one hash-agg to (seg → distinct-doc count) — two-phase
+    distinct on the segment key the corpus was about to shuffle on
+    anyway — one equi-join back on seg, one hash-agg to doc grain.
+    No window at all (first-occurrence order is irrelevant here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                  sequence(0, cast(ceil(size(toks) / {LINE_SEG_WORDS}.0)
+                                   as int) - 1),
+                  s -> concat_ws(' ',
+                         slice(toks, s * {LINE_SEG_WORDS} + 1,
+                               {LINE_SEG_WORDS})))
+                """
+            )
+        ).alias("seg"),
+    )
+    seg_docs = segs.groupBy("seg").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("nd")
+    )
+    return (
+        segs.join(seg_docs, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+            F.sum(
+                F.when(F.col("nd") >= BOILER_MIN_DOCS, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_seg",
+            "n_boiler",
+            "CAST(FLOOR(CAST(n_boiler AS DOUBLE)"
+            " / CAST(n_seg AS DOUBLE) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS boiler_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+q_doc_boilerplate_ratio.__doc__ = q_doc_boilerplate_ratio.__doc__.replace(
+    "{BOILER_MIN_DOCS}", str(BOILER_MIN_DOCS)
+)
+
+SQL_DOC_BOILERPLATE_RATIO = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents),
+seg AS (
+  SELECT doc_id, pos // {LINE_SEG_WORDS} AS seg_no,
+         string_agg(tok, ' ' ORDER BY pos) AS seg
+  FROM toks GROUP BY doc_id, pos // {LINE_SEG_WORDS}),
+seg_docs AS (
+  SELECT seg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+  FROM seg GROUP BY 1)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seg,
+       CAST(SUM(CASE WHEN d.nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       CAST(FLOOR(CAST(SUM(CASE WHEN d.nd >= {BOILER_MIN_DOCS}
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS boiler_ratio
+FROM seg s JOIN seg_docs d USING (seg)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+#: mixture temperature (Pile / mT5 convention): α < 1 upsamples the
+#: tail sources, α = 1 is proportional, α → 0 is uniform
+MIX_ALPHA = 0.3
+#: token budget the epochs column is quoted against: 2× the corpus
+MIX_BUDGET_MULT = 2
+
+
+def q_mixture_temperature_weights(spark, sf_dir):
+    """Temperature-based mixture weights per source (the mT5 / Pile
+    sampling rule): w_i ∝ p_i^α with p_i the source's token share —
+    the table a training-data pipeline derives BEFORE
+    `mixture_budget_sample` draws to it.  Also quotes each source's
+    effective epochs at a {MIX_BUDGET_MULT}×-corpus token budget:
+    epochs > 1 means the temperature upsampling repeats that source.
+
+    Determinism: token counts are exact integers; N cancels in the
+    normalization (w_i = n_i^α / Σ n_j^α), so the only float fold is
+    the ≤|sources|-term Σ n_j^α (the documented small-double-sum);
+    weights and epochs are then one expression program, det6.
+
+    Scale plan: one map-side token count + hash-agg to |sources|
+    rows; the 1-row (N, Σn^α) total broadcasts back (the Q11
+    uncorrelated-scalar cross)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").cast("bigint").alias("n_i"))
+    )
+    tot = src.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum(
+            F.pow(F.col("n_i").cast("double"), F.lit(MIX_ALPHA))
+        ).alias("z"),
+    )
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_i AS n_tokens",
+            "CAST(1000000 * n_i DIV n AS BIGINT) AS raw_share_ppm",
+            f"CAST(FLOOR(POW(CAST(n_i AS DOUBLE), {MIX_ALPHA}) / z"
+            " * 1e6 + 0.5) AS DOUBLE) / 1e6 AS temp_weight",
+            f"CAST(FLOOR(POW(CAST(n_i AS DOUBLE), {MIX_ALPHA}) / z"
+            f" * {MIX_BUDGET_MULT}.0 * CAST(n AS DOUBLE)"
+            " / CAST(n_i AS DOUBLE) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS eff_epochs",
+        )
+        .orderBy("source")
+    )
+
+
+q_mixture_temperature_weights.__doc__ = (
+    q_mixture_temperature_weights.__doc__.replace(
+        "{MIX_BUDGET_MULT}", str(MIX_BUDGET_MULT)
+    )
+)
+
+SQL_MIXTURE_TEMPERATURE_WEIGHTS = f"""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_i
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+         SUM(POW(CAST(n_i AS DOUBLE), {MIX_ALPHA})) AS z
+  FROM src)
+SELECT source,
+       n_i AS n_tokens,
+       CAST(1000000 * n_i // n AS BIGINT) AS raw_share_ppm,
+       CAST(FLOOR(POW(CAST(n_i AS DOUBLE), {MIX_ALPHA}) / z
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS temp_weight,
+       CAST(FLOOR(POW(CAST(n_i AS DOUBLE), {MIX_ALPHA}) / z
+            * {MIX_BUDGET_MULT}.0 * CAST(n AS DOUBLE)
+            / CAST(n_i AS DOUBLE) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS eff_epochs
+FROM src CROSS JOIN tot
+ORDER BY source
+"""
+
+
+#: edit-verify parameters: candidates are the exact-verified near-dup
+#: pairs; the edit check runs on a fixed 240-char prefix (bounded
+#: O(L²) per pair) and confirms at ≥0.8 similarity
+EDIT_PREFIX_CHARS = 240
+EDIT_SIM_MIN = 0.8
+
+
+def q_neardup_edit_verify(spark, sf_dir):
+    """Edit-distance verification of the near-dup candidates — the
+    second opinion a production dedup runs before destructive drops:
+    set-based Jaccard is order-blind (a shuffled doc scores 1.0), so
+    each `dedup_minhash_pairs` pair is re-scored with ORDER-AWARE
+    Levenshtein similarity on a fixed {EDIT_PREFIX_CHARS}-char prefix,
+    1 − lev/max(len), and flagged confirmed at ≥ {EDIT_SIM_MIN}.
+
+    Determinism: Levenshtein is an exact integer in both engines on
+    identical prefixes; the similarity is one division, det6.
+
+    Scale plan: the candidate relation is the banded-join output
+    (bounded by true near-dup volume, never n²); prefixes arrive by
+    two equi-joins of the pair list against the corpus projection
+    (240 bytes per doc, column-pruned off the scan); the DP is
+    O(prefix²) per PAIR, independent of document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, JACCARD_THRESHOLD)
+    px = docs.select(
+        "doc_id",
+        F.substring("text", 1, EDIT_PREFIX_CHARS).alias("px"),
+    )
+    return (
+        pairs.join(
+            px.select(
+                F.col("doc_id").alias("doc_a"), F.col("px").alias("pa")
+            ),
+            "doc_a",
+        )
+        .join(
+            px.select(
+                F.col("doc_id").alias("doc_b"), F.col("px").alias("pb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.levenshtein("pa", "pb").cast("bigint").alias("lev_dist"),
+            F.expr(
+                "CAST(FLOOR((1.0 - CAST(levenshtein(pa, pb) AS DOUBLE)"
+                " / CAST(GREATEST(length(pa), length(pb), 1)"
+                " AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            ).alias("edit_sim"),
+        )
+        .withColumn(
+            "confirmed", F.col("edit_sim") >= F.lit(EDIT_SIM_MIN)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+q_neardup_edit_verify.__doc__ = (
+    q_neardup_edit_verify.__doc__.replace(
+        "{EDIT_PREFIX_CHARS}", str(EDIT_PREFIX_CHARS)
+    ).replace("{EDIT_SIM_MIN}", str(EDIT_SIM_MIN))
+)
+
+SQL_NEARDUP_EDIT_VERIFY = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4)
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}),
+px AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX_CHARS}) AS px
+  FROM documents)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       CAST(levenshtein(a.px, b.px) AS BIGINT) AS lev_dist,
+       CAST(FLOOR((1.0 - CAST(levenshtein(a.px, b.px) AS DOUBLE)
+            / CAST(GREATEST(len(a.px), len(b.px), 1) AS DOUBLE))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS edit_sim,
+       CAST(FLOOR((1.0 - CAST(levenshtein(a.px, b.px) AS DOUBLE)
+            / CAST(GREATEST(len(a.px), len(b.px), 1) AS DOUBLE))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 >= {EDIT_SIM_MIN}
+         AS confirmed
+FROM pairs p
+JOIN px a ON a.doc_id = p.doc_a
+JOIN px b ON b.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 def q_emb_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic deduplication: cluster the corpus with
     the IVF coarse quantizer (`operators/similarity.py::ivf_assign`),
@@ -6878,6 +7154,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(q_quality_score, SQL_QUALITY_SCORE),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_pairs": QuerySpec(q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "doc_boilerplate_ratio": QuerySpec(
+        q_doc_boilerplate_ratio, SQL_DOC_BOILERPLATE_RATIO
+    ),
+    "mixture_temperature_weights": QuerySpec(
+        q_mixture_temperature_weights, SQL_MIXTURE_TEMPERATURE_WEIGHTS
+    ),
+    "neardup_edit_verify": QuerySpec(
+        q_neardup_edit_verify, SQL_NEARDUP_EDIT_VERIFY
+    ),
     "dedup_minhash_est": QuerySpec(
         q_dedup_minhash_est, SQL_DEDUP_MINHASH_EST
     ),

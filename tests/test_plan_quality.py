@@ -266,6 +266,9 @@ _BNLJ_ALLOWED = {
     # both the Q11 uncorrelated-scalar shape
     "t_closeness",
     "ams_f2",
+    # mixture_temperature_weights broadcasts its 1-row (N, Σn^α)
+    # total into the |sources|-row relation — the Q11 shape
+    "mixture_temperature_weights",
     # ams_join_size crosses three single-row relations (estimate ×
     # exact inner product × the two F2 scalars) — 1x1 BNLJs
     "ams_join_size",
