@@ -91,6 +91,8 @@ QUERY_ORDER = (
     "retrieval_eval_graded", "anova_oneway", "kruskal_wallis",
     "jarque_bera", "doc_boilerplate_ratio",
     "mixture_temperature_weights", "neardup_edit_verify",
+    "lsh_band_planner", "emb_cosine_sim_histogram",
+    "zone_map_effectiveness", "compaction_plan",
     # 5) remaining r07-vintage rows (next-oldest after the window)
     "dedup_minhash_est", "constraint_check", "k_anonymity", "fuzzy_match",
     "user_streaks", "ewma_smooth", "line_dedup", "emb_semantic_dedup",

@@ -4701,6 +4701,242 @@ ORDER BY l_returnflag
 SQL_MAHALANOBIS_2D = _sql_mahalanobis_2d()
 
 
+#: zone-map audit geometry: 64 files per layout, predicates covering
+#: the bottom 1/8 of each 1024-bucket dimension
+_ZM_FILES = 64
+_ZM_PRED_HI = 128
+
+
+def q_zone_map_effectiveness(spark, sf_dir):
+    """Head-to-head file-skipping audit of three physical layouts —
+    the number OPTIMIZE/ZORDER decisions should be made on, next to
+    `zorder_layout`'s per-cell rectangles: assign every event to one
+    of 64 "files" under (a) natural ingest order (event_id
+    round-robin — the unclustered strawman), (b) a user-sorted
+    layout (contiguous user-bucket ranges), (c) the Morton curve
+    over (user, value) buckets; then, for a range predicate on EACH
+    dimension, count the files whose min/max zone maps let the scan
+    skip them and the rows the surviving files still read.  The
+    expected story IS the output: natural skips nothing, sorted
+    skips perfectly on its sort key and nothing on the other
+    dimension, z-order skips substantially on BOTH.
+
+    Determinism: file assignment, zone maps, skip flags, and row
+    counts are all exact integer arithmetic; the one ratio is det6.
+
+    Scale plan: three map-only file-key assignments over one scan
+    each (union), ONE hash-agg to the 3×64-row zone-map relation,
+    then two folds of that KB-sized relation — no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    n = 1 << ZORDER_BITS
+    z = _z_interleave("ub", "vb", ZORDER_BITS)
+    base = ev.selectExpr(
+        "event_id",
+        f"user_id % {n} AS ub",
+        f"(((CAST(floor(value * 100 + 0.5) AS BIGINT) % {n})"
+        f" + {n}) % {n}) AS vb",
+    )
+    layouts = (
+        base.selectExpr(
+            "'natural' AS layout",
+            f"event_id % {_ZM_FILES} AS f",
+            "ub",
+            "vb",
+        )
+        .unionAll(
+            base.selectExpr(
+                "'user_sorted' AS layout",
+                f"ub DIV {n // _ZM_FILES} AS f",
+                "ub",
+                "vb",
+            )
+        )
+        .unionAll(
+            base.selectExpr(
+                "'zorder' AS layout",
+                f"({z}) >> {2 * ZORDER_BITS - 6} AS f",
+                "ub",
+                "vb",
+            )
+        )
+    )
+    zonemaps = layouts.groupBy("layout", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_in_file"),
+        F.min("ub").alias("min_ub"),
+        F.max("ub").alias("max_ub"),
+        F.min("vb").alias("min_vb"),
+        F.max("vb").alias("max_vb"),
+    )
+
+    def fold(dim: str):
+        agged = zonemaps.groupBy("layout").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(
+                F.when(F.col(f"min_{dim}") >= _ZM_PRED_HI, 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_skipped"),
+            F.sum(
+                F.when(
+                    F.col(f"min_{dim}") < _ZM_PRED_HI,
+                    F.col("rows_in_file"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        return agged.withColumn("pred_dim", F.lit(dim))
+
+    return (
+        fold("ub")
+        .unionAll(fold("vb"))
+        .selectExpr(
+            "layout",
+            "pred_dim",
+            "n_files",
+            "n_skipped",
+            "CAST(FLOOR(CAST(n_skipped AS DOUBLE)"
+            " / CAST(n_files AS DOUBLE) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            " AS skip_ratio",
+            "rows_scanned",
+        )
+        .orderBy("layout", "pred_dim")
+    )
+
+
+def _sql_zone_map_effectiveness() -> str:
+    n = 1 << ZORDER_BITS
+    z = _z_interleave("ub", "vb", ZORDER_BITS)
+    folds = []
+    for dim in ("ub", "vb"):
+        folds.append(
+            f"""
+  SELECT layout, '{dim}' AS pred_dim,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(CASE WHEN min_{dim} >= {_ZM_PRED_HI}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+         CAST(FLOOR(CAST(SUM(CASE WHEN min_{dim} >= {_ZM_PRED_HI}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5)
+              AS DOUBLE) / 1e6 AS skip_ratio,
+         CAST(SUM(CASE WHEN min_{dim} < {_ZM_PRED_HI}
+                  THEN rows_in_file ELSE 0 END) AS BIGINT)
+           AS rows_scanned
+  FROM zonemaps GROUP BY 1"""
+        )
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         user_id % {n} AS ub,
+         (((CAST(floor(value * 100 + 0.5) AS BIGINT) % {n})
+           + {n}) % {n}) AS vb
+  FROM events),
+layouts AS (
+  SELECT 'natural' AS layout, event_id % {_ZM_FILES} AS f, ub, vb
+  FROM base
+  UNION ALL
+  SELECT 'user_sorted', ub // {n // _ZM_FILES}, ub, vb FROM base
+  UNION ALL
+  SELECT 'zorder', ({z}) >> {2 * ZORDER_BITS - 6}, ub, vb FROM base),
+zonemaps AS (
+  SELECT layout, f,
+         CAST(COUNT(*) AS BIGINT) AS rows_in_file,
+         MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+         MIN(vb) AS min_vb, MAX(vb) AS max_vb
+  FROM layouts GROUP BY 1, 2)
+SELECT * FROM ({folds[0]}
+  UNION ALL{folds[1]})
+ORDER BY layout, pred_dim
+"""
+
+
+SQL_ZONE_MAP_EFFECTIVENESS = _sql_zone_map_effectiveness()
+
+
+#: compaction target: merge slice-files into groups of about this
+#: many characters (the OPTIMIZE binPacking target, scaled to the
+#: fixture's char volumes)
+_COMPACT_TARGET_CHARS = 4_000
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan per source partition — the
+    OPTIMIZE/bin-packing primitive every lakehouse table needs once
+    streaming ingest has sprayed it with KB-sized files: model each
+    (source, lang) slice as one input file, order files largest-first
+    within their source partition, and cut sequential groups every
+    {_COMPACT_TARGET_CHARS} characters (first-fit into consecutive
+    bins of the size-sorted list — the deterministic form of
+    binPacking).  Output one row per planned output file: its input
+    count, total chars, and the packed member list, ready to drive
+    the rewrite job.
+
+    Determinism: sizes are exact integers; ordering ties break on
+    lang; group = (cumsum − size) DIV target is integer arithmetic.
+
+    Scale plan: one hash-agg to the (source, lang) file inventory, a
+    SOURCE-partitioned cumulative window over that bounded inventory
+    (never the documents), one hash-agg to groups.  The real table's
+    inventory is the transaction-log listing — same plan, no scan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("bigint").alias("sz")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("sz"), F.asc("lang"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    planned = files.withColumn("csum", F.sum("sz").over(w)).selectExpr(
+        "source",
+        "lang",
+        "sz",
+        f"CAST((csum - sz) DIV {_COMPACT_TARGET_CHARS} AS BIGINT)"
+        " AS compact_group",
+    )
+    return (
+        planned.groupBy("source", "compact_group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inputs"),
+            F.sum("sz").cast("bigint").alias("total_chars"),
+            F.expr(
+                "array_join(array_sort(collect_list(lang)), ',')"
+            ).alias("members"),
+        )
+        .orderBy("source", "compact_group")
+    )
+
+
+q_compaction_plan.__doc__ = q_compaction_plan.__doc__.replace(
+    "{_COMPACT_TARGET_CHARS}", str(_COMPACT_TARGET_CHARS)
+)
+
+SQL_COMPACTION_PLAN = f"""
+WITH files AS (
+  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS sz
+  FROM documents GROUP BY 1, 2),
+planned AS (
+  SELECT source, lang, sz,
+         CAST((SUM(sz) OVER (PARTITION BY source
+                 ORDER BY sz DESC, lang ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - sz) // {_COMPACT_TARGET_CHARS} AS BIGINT)
+           AS compact_group
+  FROM files)
+SELECT source, compact_group,
+       CAST(COUNT(*) AS BIGINT) AS n_inputs,
+       CAST(SUM(sz) AS BIGINT) AS total_chars,
+       array_to_string(list_sort(list(lang)), ',') AS members
+FROM planned
+GROUP BY 1, 2
+ORDER BY source, compact_group
+"""
+
+
 def q_anova_oneway(spark, sf_dir):
     """One-way ANOVA of event value across event types — the
     parametric k-group location test the two-sample panel was
@@ -5047,6 +5283,10 @@ SQL_JARQUE_BERA = _sql_jarque_bera()
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
     "anova_oneway": QuerySpec(q_anova_oneway, SQL_ANOVA_ONEWAY),
+    "zone_map_effectiveness": QuerySpec(
+        q_zone_map_effectiveness, SQL_ZONE_MAP_EFFECTIVENESS
+    ),
+    "compaction_plan": QuerySpec(q_compaction_plan, SQL_COMPACTION_PLAN),
     "kruskal_wallis": QuerySpec(q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
     "jarque_bera": QuerySpec(q_jarque_bera, SQL_JARQUE_BERA),
     "diff_in_diff": QuerySpec(q_diff_in_diff, SQL_DIFF_IN_DIFF),

@@ -4012,6 +4012,173 @@ ORDER BY s.doc_id
 """
 
 
+#: the (rows-per-band, bands) grid the planner scores — every way to
+#: spend a 64-hash MinHash signature
+_LSH_CONFIGS = ((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2))
+
+
+def q_lsh_band_planner(spark, sf_dir):
+    """LSH banding planner — `choose_join_strategy`'s sibling for the
+    near-dup family: before a 100 TB MinHash run commits to a
+    (rows-per-band r, bands b) split of its 64 hashes, score every
+    split against the corpus's MEASURED pair-similarity distribution.
+    Per config: the S-curve midpoint s50 = (1 − 0.5^(1/b))^(1/r)
+    (where a pair's candidate probability crosses 50%), the expected
+    recall of true near-dups (s ≥ threshold), and the expected
+    false-candidate volume from sub-threshold mass — the recall /
+    wasted-verify-work trade the banding decision IS.
+
+    Determinism: the histogram is exact integer counts over 4-dp
+    jaccards (integer-floor bins); P(s) = 1 − (1 − s^r)^b and the
+    ≤51-term probability folds are the documented small-double-sums,
+    det6.
+
+    Scale plan: the planner MATH runs on the ≤51-row histogram × the
+    6-row config grid (KB-sized broadcast cross).  The histogram
+    input here is the documented-quadratic exact baseline (the
+    `dedup_ngram_jaccard` contract — this is the one family member
+    that needs SUB-threshold mass, which banding by construction
+    never materializes); at lake scale the same math runs unchanged
+    on a sampled-pair histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", dedup.word_shingles("text").alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    hist = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")).cast("double"),
+                4,
+            ).alias("j")
+        )
+        .select((F.floor(F.col("j") * 50) / 50).alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cfg = (
+        load_table(spark, sf_dir, "region")
+        .limit(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), F.lit(b_).alias("b")
+                        )
+                        for r, b_ in _LSH_CONFIGS
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.r", "c.b")
+    )
+    p = "(1.0 - POW(1.0 - POW(bin_lo + 0.01, r), b))"
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        hist.crossJoin(F.broadcast(cfg))
+        .groupBy("r", "b")
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN bin_lo >= {JACCARD_THRESHOLD}"
+                f" THEN n * {p} ELSE 0.0 END)"
+            ).alias("rec_num"),
+            F.expr(
+                f"SUM(CASE WHEN bin_lo >= {JACCARD_THRESHOLD}"
+                " THEN CAST(n AS DOUBLE) ELSE 0.0 END)"
+            ).alias("rec_den"),
+            F.expr(
+                f"SUM(CASE WHEN bin_lo < {JACCARD_THRESHOLD}"
+                f" THEN n * {p} ELSE 0.0 END)"
+            ).alias("fp_pairs"),
+        )
+        .selectExpr(
+            "CAST(r AS INT) AS rows_per_band",
+            "CAST(b AS INT) AS n_bands",
+            det6.format(
+                x="POW(1.0 - POW(0.5, 1.0 / b), 1.0 / r)", n="s50"
+            ),
+            det6.format(x="rec_num / rec_den", n="exp_recall"),
+            det6.format(x="fp_pairs", n="exp_false_candidates"),
+        )
+        .orderBy("rows_per_band")
+    )
+
+
+def _sql_lsh_band_planner() -> str:
+    p = "(1.0 - POW(1.0 - POW(bin_lo + 0.01, r), b))"
+    vals = ", ".join(f"({r}, {b})" for r, b in _LSH_CONFIGS)
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+hist AS (
+  SELECT FLOOR(j * 50) / 50 AS bin_lo, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT ROUND(len(list_intersect(a.sh, b.sh))
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4)
+             AS j
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  GROUP BY 1),
+cfg (r, b) AS (VALUES {vals}),
+folded AS (
+  SELECT r, b,
+         SUM(CASE WHEN bin_lo >= {JACCARD_THRESHOLD}
+             THEN n * {p} ELSE 0.0 END) AS rec_num,
+         SUM(CASE WHEN bin_lo >= {JACCARD_THRESHOLD}
+             THEN CAST(n AS DOUBLE) ELSE 0.0 END) AS rec_den,
+         SUM(CASE WHEN bin_lo < {JACCARD_THRESHOLD}
+             THEN n * {p} ELSE 0.0 END) AS fp_pairs
+  FROM hist CROSS JOIN cfg
+  GROUP BY 1, 2)
+SELECT CAST(r AS INT) AS rows_per_band,
+       CAST(b AS INT) AS n_bands,
+       CAST(FLOOR(POW(1.0 - POW(0.5, 1.0 / b), 1.0 / r) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS s50,
+       CAST(FLOOR(rec_num / rec_den * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS exp_recall,
+       CAST(FLOOR(fp_pairs * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS exp_false_candidates
+FROM folded
+ORDER BY rows_per_band
+"""
+
+
+SQL_LSH_BAND_PLANNER = _sql_lsh_band_planner()
+
+
+def q_emb_cosine_sim_histogram(spark, sf_dir):
+    """Verified-cosine distribution of the sign-LSH near-dup
+    candidates in 0.02 bins — `neardup_jaccard_histogram`'s twin on
+    the embedding side: the tuning view for picking
+    `emb_semantic_dedup`'s threshold (how much pair mass sits just
+    above the cut?).  Bins floor the 4-dp-rounded cosine (exact
+    integer arithmetic), so binning is engine-deterministic; the
+    candidate set is the banded scale path, never the O(n²) pair
+    scan."""
+    pairs = similarity.near_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
+    )
+    return (
+        pairs.select(
+            (F.floor(F.col("cos_sim") * 50) / 50).alias("bin_lo")
+        )
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("bin_lo")
+    )
+
+
+SQL_EMB_COSINE_SIM_HISTOGRAM = f"""
+SELECT FLOOR(cos_sim * 50) / 50 AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({SQL_EMB_NEAR_DUP_LSH})
+GROUP BY 1
+ORDER BY bin_lo
+"""
+
+
 #: mixture temperature (Pile / mT5 convention): α < 1 upsamples the
 #: tail sources, α = 1 is proportional, α → 0 is uniform
 MIX_ALPHA = 0.3
@@ -7154,6 +7321,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(q_quality_score, SQL_QUALITY_SCORE),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_pairs": QuerySpec(q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "lsh_band_planner": QuerySpec(
+        q_lsh_band_planner, SQL_LSH_BAND_PLANNER
+    ),
+    "emb_cosine_sim_histogram": QuerySpec(
+        q_emb_cosine_sim_histogram, SQL_EMB_COSINE_SIM_HISTOGRAM
+    ),
     "doc_boilerplate_ratio": QuerySpec(
         q_doc_boilerplate_ratio, SQL_DOC_BOILERPLATE_RATIO
     ),

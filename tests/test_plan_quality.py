@@ -378,6 +378,15 @@ _BNLJ_ALLOWED = {
     # 24-dim vectors — KB relations joined on an inequality
     "type_profile_similarity",
     "emb_near_dup_lsh",
+    # emb_cosine_sim_histogram is a bounded-bin rollup OF
+    # emb_near_dup_lsh's output — it inherits exactly that plan
+    "emb_cosine_sim_histogram",
+    # lsh_band_planner's histogram input is the documented-quadratic
+    # exact baseline (the dedup_ngram_jaccard contract — the planner
+    # needs SUB-threshold pair mass, which banding never
+    # materializes); the planner math itself is a ≤51-row × 6-row
+    # broadcast cross
+    "lsh_band_planner",
     # lang_balance_sample normalizes the |langs|-row aggregate against
     # its 1-row integer-sum total — the dsir scalar-broadcast shape
     "lang_balance_sample",
