@@ -4953,28 +4953,48 @@ def q_anova_oneway(spark, sf_dir):
 
     Scale plan: ONE map-side-combinable hash-agg to |types| rows,
     then a single global fold of that KB-sized relation — no window,
-    no join, no second pass over the events."""
+    no join, no second pass over the events.  The per-type power
+    sums are `moments_by_type` — the SAME additive state relation the
+    streaming twin persists per batch (`streaming/timeseries.
+    moments_batch_writer`), which also feeds `jarque_bera`."""
     ev = load_table(spark, sf_dir, "events")
+    return anova_from_moments(moments_by_type(ev))
+
+
+def moments_by_type(ev: DataFrame) -> DataFrame:
+    """Per-event-type exact power sums Σc..Σc⁴ of value cents — the
+    shared sufficient-statistic relation behind `anova_oneway` (uses
+    n, s1, s2) and `jarque_bera` (all four), and the additive
+    streaming-twin state (per-batch partials of this relation sum to
+    it exactly)."""
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    g = (
+    cd = F.col("c").cast("decimal(19,0)")
+    c2d = (F.col("c") * F.col("c")).cast("decimal(38,0)")
+    return (
         ev.select("event_type", cents.alias("c"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_i"),
-            F.sum(F.col("c").cast("decimal(38,0)")).alias("s_i"),
-            F.sum(
-                (F.col("c") * F.col("c")).cast("decimal(38,0)")
-            ).alias("ss_i"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cd).cast("decimal(38,0)").alias("s1"),
+            F.sum(c2d).cast("decimal(38,0)").alias("s2"),
+            F.sum(c2d * cd).cast("decimal(38,0)").alias("s3"),
+            F.sum(c2d * c2d).cast("decimal(38,0)").alias("s4"),
         )
     )
+
+
+def anova_from_moments(g: DataFrame) -> DataFrame:
+    """The one-way-ANOVA solve over a `moments_by_type`-shaped
+    relation (n, s1, s2 per group) — shared verbatim by the batch
+    query and the streaming fold."""
     folded = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("n_i").cast("bigint").alias("n"),
-        F.sum("s_i").cast("double").alias("s"),
-        F.sum("ss_i").cast("double").alias("ss2"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("double").alias("s"),
+        F.sum("s2").cast("double").alias("ss2"),
         F.sum(
-            F.pow(F.col("s_i").cast("double"), F.lit(2.0))
-            / F.col("n_i").cast("double")
+            F.pow(F.col("s1").cast("double"), F.lit(2.0))
+            / F.col("n").cast("double")
         ).alias("sq_over_n"),
     )
     det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
@@ -5193,21 +5213,25 @@ def q_jarque_bera(spark, sf_dir):
     cancels in S and K, so no unit appears anywhere.
 
     Scale plan: ONE map-side-combinable hash-agg pass (four decimal
-    accumulators per type); everything after runs on |types| rows."""
+    accumulators per type — `moments_by_type`, shared with
+    `anova_oneway` and persisted per batch by the streaming twin);
+    everything after runs on |types| rows."""
     ev = load_table(spark, sf_dir, "events")
-    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    cd = F.col("c").cast("decimal(19,0)")
-    c2d = (F.col("c") * F.col("c")).cast("decimal(38,0)")
-    g = (
-        ev.select("event_type", c.alias("c"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(cd).cast("double").alias("s1"),
-            F.sum(c2d).cast("double").alias("s2"),
-            F.sum(c2d * cd).cast("double").alias("s3"),
-            F.sum(c2d * c2d).cast("double").alias("s4"),
-        )
+    return jarque_bera_from_moments(moments_by_type(ev))
+
+
+def jarque_bera_from_moments(g: DataFrame) -> DataFrame:
+    """The JB solve over a `moments_by_type`-shaped relation —
+    shared verbatim by the batch query and the streaming fold.  The
+    exact decimal sums cast to double here, at solve time, so batch
+    and stream hand identical integers to identical expressions."""
+    g = g.select(
+        "event_type",
+        "n",
+        F.col("s1").cast("double").alias("s1"),
+        F.col("s2").cast("double").alias("s2"),
+        F.col("s3").cast("double").alias("s3"),
+        F.col("s4").cast("double").alias("s4"),
     )
     nd = "CAST(n AS DOUBLE)"
     m = f"(s1 / {nd})"

@@ -636,3 +636,70 @@ def read_hurst(spark: SparkSession, state_dir: str) -> DataFrame:
     from ..plans.timeseries import hurst_from_daily
 
     return hurst_from_daily(_fold_daily(spark, state_dir))
+
+
+#: per-type exact power-sum partials for the moments monitors
+#: (anova_oneway, jarque_bera) — additive DECIMAL accumulators, the
+#: `stats_agg` discipline lifted across batches
+MOMENTS_STATE_SCHEMA = (
+    "event_type string, n bigint, s1 decimal(38,0), s2 decimal(38,0),"
+    " s3 decimal(38,0), s4 decimal(38,0), batch_id int"
+)
+
+
+def moments_batch_writer(
+    state_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for the moments monitors: reduce the batch
+    to per-type exact power sums Σc..Σc⁴ (`plans/advanced.
+    moments_by_type` — the SAME relation the batch queries
+    aggregate) and restate them under this batch's partition.  Power
+    sums are ADDITIVE integers, so the reader's fold equals the
+    one-pass relation exactly under any batch split, and ANOVA's F
+    and Jarque–Bera's S/K/JB come out bit-identical to batch."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.advanced import moments_by_type
+
+        partials = moments_by_type(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        overwrite_partitions(partials, state_dir, ["batch_id"])
+
+    return write
+
+
+def _fold_moments(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the power-sum partials back to the per-type moments
+    relation — the shared front end of the two moment monitors (one
+    state stream, both read paths)."""
+    return (
+        spark.read.schema(MOMENTS_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s1").cast("decimal(38,0)").alias("s1"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+            F.sum("s3").cast("decimal(38,0)").alias("s3"),
+            F.sum("s4").cast("decimal(38,0)").alias("s4"),
+        )
+    )
+
+
+def read_anova_oneway(spark: SparkSession, state_dir: str) -> DataFrame:
+    """One-way ANOVA over the folded moments state — column-identical
+    to `plans/advanced.q_anova_oneway` over the union of the ingested
+    batches (pinned by test)."""
+    from ..plans.advanced import anova_from_moments
+
+    return anova_from_moments(_fold_moments(spark, state_dir))
+
+
+def read_jarque_bera(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Jarque–Bera normality panel over the folded moments state —
+    column-identical to `plans/advanced.q_jarque_bera` over the union
+    of the ingested batches (pinned by test)."""
+    from ..plans.advanced import jarque_bera_from_moments
+
+    return jarque_bera_from_moments(_fold_moments(spark, state_dir))

@@ -119,3 +119,40 @@ def test_wait_for_external_idle_bounded_when_busy(monkeypatch):
     )
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench.wait_for_external_idle(max_wait_sec=30.0) is False
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_moments_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """ONE per-type power-sum state stream feeds BOTH moment
+    monitors: additive DECIMAL partials over 3 micro-batches fold to
+    EXACTLY the batch anova_oneway and jarque_bera outputs (integer
+    sufficient statistics make the equality bitwise, not tolerance),
+    and a redelivery restates instead of double-counting."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.advanced import (
+        q_anova_oneway,
+        q_jarque_bera,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        moments_batch_writer,
+        read_anova_oneway,
+        read_jarque_bera,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "moments")
+    write = moments_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    want_anova = _rows(q_anova_oneway(spark, sf_dir))
+    want_jb = _rows(q_jarque_bera(spark, sf_dir).orderBy("event_type"))
+    assert _rows(read_anova_oneway(spark, state)) == want_anova
+    got_jb = _rows(read_jarque_bera(spark, state).orderBy("event_type"))
+    assert got_jb == want_jb and len(want_jb) > 0
+
+    write(ev.where("event_id % 3 = 1"), 1)  # redelivery restates
+    assert _rows(read_anova_oneway(spark, state)) == want_anova
