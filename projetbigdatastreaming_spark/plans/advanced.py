@@ -4732,7 +4732,11 @@ def q_zone_map_effectiveness(spark, sf_dir):
     z = _z_interleave("ub", "vb", ZORDER_BITS)
     base = ev.selectExpr(
         "event_id",
-        f"user_id % {n} AS ub",
+        # multiplicative (Knuth) spread so the user bucket fills its
+        # 1024-value domain at ANY user cardinality — a plain
+        # user_id % 1024 collapses into the first buckets on small
+        # fixtures and the ub predicate degenerates to "everything"
+        f"(user_id * 2654435761) % {n} AS ub",
         f"(((CAST(floor(value * 100 + 0.5) AS BIGINT) % {n})"
         f" + {n}) % {n}) AS vb",
     )
@@ -4829,7 +4833,7 @@ def _sql_zone_map_effectiveness() -> str:
     return f"""
 WITH base AS (
   SELECT event_id,
-         user_id % {n} AS ub,
+         (user_id * 2654435761) % {n} AS ub,
          (((CAST(floor(value * 100 + 0.5) AS BIGINT) % {n})
            + {n}) % {n}) AS vb
   FROM events),

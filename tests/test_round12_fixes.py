@@ -156,3 +156,84 @@ def test_moments_stream_fold_equals_batch(spark, sf_dir, tmp_path):
 
     write(ev.where("event_id % 3 = 1"), 1)  # redelivery restates
     assert _rows(read_anova_oneway(spark, state)) == want_anova
+
+
+def test_zone_map_story_holds(spark, sf_dir):
+    """The panel's reason to exist: natural layout skips nothing,
+    user-sorted skips perfectly on its sort key and nothing on the
+    other dimension, z-order skips a nontrivial fraction on BOTH."""
+    from projetbigdatastreaming_spark.plans.advanced import (
+        q_zone_map_effectiveness,
+    )
+
+    rows = {
+        (r.layout, r.pred_dim): r
+        for r in q_zone_map_effectiveness(spark, sf_dir).collect()
+    }
+    nat_ub, nat_vb = rows[("natural", "ub")], rows[("natural", "vb")]
+    us_ub, us_vb = (
+        rows[("user_sorted", "ub")],
+        rows[("user_sorted", "vb")],
+    )
+    z_ub, z_vb = rows[("zorder", "ub")], rows[("zorder", "vb")]
+    # natural: at most sparse-file luck (tiny fixtures can have a
+    # 15-row file whose every row misses the predicate)
+    assert nat_ub.skip_ratio <= 0.25 and nat_vb.skip_ratio <= 0.25
+    # sorted: strong pruning on its sort key, none on the other dim
+    assert us_ub.skip_ratio >= 0.5
+    assert us_ub.rows_scanned < nat_ub.rows_scanned
+    assert us_vb.n_skipped == 0
+    # z-order: substantial pruning on BOTH dims
+    assert z_ub.skip_ratio >= 0.5 and z_vb.skip_ratio >= 0.5
+    assert z_ub.rows_scanned < nat_ub.rows_scanned
+    assert z_vb.rows_scanned < nat_vb.rows_scanned
+    assert z_vb.rows_scanned < us_vb.rows_scanned
+
+
+def test_lsh_band_planner_tradeoffs_monotone(spark, sf_dir):
+    """Banding theory pinned on real data: more rows per band (fewer
+    bands) raises the S-curve midpoint, lowers expected recall, and
+    lowers expected false candidates — the planner's whole trade."""
+    from projetbigdatastreaming_spark.plans.llmdata import (
+        q_lsh_band_planner,
+    )
+
+    rows = (
+        q_lsh_band_planner(spark, sf_dir)
+        .orderBy("rows_per_band")
+        .collect()
+    )
+    assert len(rows) == 6
+    s50 = [r.s50 for r in rows]
+    rec = [r.exp_recall for r in rows]
+    fp = [r.exp_false_candidates for r in rows]
+    assert s50 == sorted(s50)
+    assert rec == sorted(rec, reverse=True)
+    assert fp == sorted(fp, reverse=True)
+    # the config actually used by dedup_minhash_pairs-style banding
+    # (r=4, b=16) must promise high recall at the 0.8 threshold
+    r4 = next(r for r in rows if r.rows_per_band == 4)
+    assert r4.exp_recall > 0.95
+
+
+def test_compaction_plan_groups_bounded(spark, sf_dir):
+    """Every planned output file holds at least one input; any group
+    beyond the first only exists because the target size was hit
+    (sum of its predecessors' sizes >= group * target)."""
+    from projetbigdatastreaming_spark.plans.advanced import (
+        _COMPACT_TARGET_CHARS,
+        q_compaction_plan,
+    )
+
+    rows = q_compaction_plan(spark, sf_dir).collect()
+    assert all(r.n_inputs >= 1 for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, groups in by_src.items():
+        groups.sort(key=lambda r: r.compact_group)
+        cum = 0
+        for g in groups:
+            if g.compact_group > 0:
+                assert cum >= g.compact_group * _COMPACT_TARGET_CHARS - g.total_chars
+            cum += g.total_chars
