@@ -93,6 +93,7 @@ QUERY_ORDER = (
     "mixture_temperature_weights", "neardup_edit_verify",
     "lsh_band_planner", "emb_cosine_sim_histogram",
     "zone_map_effectiveness", "compaction_plan",
+    "join_strategy_advice",
     # 5) remaining r07-vintage rows (next-oldest after the window)
     "dedup_minhash_est", "constraint_check", "k_anonymity", "fuzzy_match",
     "user_streaks", "ewma_smooth", "line_dedup", "emb_semantic_dedup",
@@ -273,6 +274,12 @@ HEADLINE_QUERIES = (
     # TWAP) and the windowed conversion-credit user join
     "interarrival_stats",
     "attribution_credit",
+    # round 12: the heaviest new shapes — the three-arm graded
+    # retrieval gauge (BQ + IVFADC + RRF fusion in one plan) and the
+    # corpus boilerplate scorer (two segment-key exchanges, the
+    # line_dedup sibling)
+    "retrieval_eval_graded",
+    "doc_boilerplate_ratio",
 )
 
 

@@ -88,6 +88,10 @@ SF3_QUERIES: tuple[str, ...] = (
     # round 11: the two-level distributed lead's growth curve (the
     # third two-level consumer; TWAP and the sweep-line already ship)
     "interarrival_stats",
+    # round 12: the boilerplate scorer's growth curve next to its
+    # sibling line_dedup (same two-exchange segment shape, plus the
+    # distinct-doc count)
+    "doc_boilerplate_ratio",
 )
 
 #: queries re-timed at the scaled fixture.  ``None`` means "every

@@ -331,3 +331,21 @@ def choose_join_strategy(
     ):
         return "salted"
     return "aqe_skew"
+
+
+def strategy_case_expr(shuffle_partitions: int = 200) -> str:
+    """The `choose_join_strategy` decision as a SQL CASE expression —
+    ONE source of truth for the Spark plan and the DuckDB oracle of
+    `join_strategy_advice` (both engines evaluate this text; a pytest
+    pins it row-equal to the Python chooser).  Profile-only form: the
+    broadcast branch needs the dim side's row count, which a single
+    key profile does not carry."""
+    per_task = f"(CAST(n_rows AS DOUBLE) / {shuffle_partitions}.0)"
+    return (
+        f"CASE WHEN max_freq <= GREATEST({float(SKEW_MIN_ROWS)!r},"
+        f" {SKEW_FACTOR!r} * {per_task}) THEN 'plain'"
+        f" WHEN max_freq >= {MONSTER_RATIO!r}"
+        f" * GREATEST(1, p99_freq)"
+        f" OR top1_share_ppm >= {SALT_SHARE_PPM} THEN 'salted'"
+        f" ELSE 'aqe_skew' END"
+    )

@@ -4337,6 +4337,46 @@ ORDER BY key_name
 """
 
 
+def q_join_strategy_advice(spark, sf_dir):
+    """`join_skew_profile` with its DECISION attached — the chooser
+    (`operators/joins.choose_join_strategy`, VERDICT r11 item 6)
+    driver-verified as a query: each profiled key carries the
+    physical strategy the thresholds pick (plain / aqe_skew /
+    salted; the broadcast branch needs the dim side's row count,
+    which a key profile doesn't carry).  The strategy column
+    evaluates `operators/joins.strategy_case_expr` — the SAME text
+    the oracle runs, generated from the SAME constants the Python
+    chooser uses, and a pytest pins the three agree row-for-row.
+
+    Scale plan: `key_skew_profile`'s (two map-side hash-aggs +
+    multiplicity-domain-bounded FoF percentiles) plus one CASE on
+    the 2-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    profile = joins.key_skew_profile(
+        li, "l_orderkey", "lineitem.l_orderkey"
+    ).unionAll(joins.key_skew_profile(ev, "user_id", "events.user_id"))
+    return profile.selectExpr(
+        "*", f"{joins.strategy_case_expr()} AS strategy"
+    ).orderBy("key_name")
+
+
+def _sql_join_strategy_advice() -> str:
+    from ..operators.joins import strategy_case_expr
+
+    return f"""
+SELECT *, {strategy_case_expr()} AS strategy
+FROM (
+{_sql_skew_profile("lineitem", "l_orderkey", "lineitem.l_orderkey")}
+  UNION ALL
+{_sql_skew_profile("events", "user_id", "events.user_id")})
+ORDER BY key_name
+"""
+
+
+SQL_JOIN_STRATEGY_ADVICE = _sql_join_strategy_advice()
+
+
 #: attribution lookback window (days before the conversion)
 _ATTR_WINDOW_DAYS = 7
 _ATTR_TOUCHES = ("click", "view")
@@ -5341,6 +5381,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ab_test_zscore": QuerySpec(q_ab_test_zscore, SQL_AB_TEST_ZSCORE),
     "join_skew_profile": QuerySpec(
         q_join_skew_profile, SQL_JOIN_SKEW_PROFILE
+    ),
+    "join_strategy_advice": QuerySpec(
+        q_join_strategy_advice, SQL_JOIN_STRATEGY_ADVICE
     ),
     "attribution_credit": QuerySpec(
         q_attribution_credit, SQL_ATTRIBUTION_CREDIT

@@ -106,3 +106,16 @@ def test_real_hotkey_geometry_chooses_salted(spark, sf_dir):
     assert choose_join_strategy(row, **scaled) == "salted"
     uniform = key_skew_profile(li, "l_orderkey", "li.l_orderkey").first()
     assert choose_join_strategy(uniform, **scaled) == "plain"
+
+
+def test_strategy_advice_column_matches_python_chooser(spark, sf_dir):
+    """The query's CASE column, the DuckDB oracle text, and the
+    Python chooser are three renderings of ONE decision — pin the
+    Spark column equal to choose_join_strategy on every profiled
+    row (same default thresholds, no dim_rows)."""
+    from projetbigdatastreaming_spark.plans.advanced import (
+        q_join_strategy_advice,
+    )
+
+    for row in q_join_strategy_advice(spark, sf_dir).collect():
+        assert row.strategy == choose_join_strategy(row), row
