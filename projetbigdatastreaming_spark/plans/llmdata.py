@@ -4062,7 +4062,7 @@ def q_lsh_band_planner(spark, sf_dir):
     needs enough mass per bin); the planner MATH runs on the ≤51-row
     histogram × the 6-row config grid (KB-sized broadcast cross).
 
-    Measured (bench_one, min-of-2): sf0.1 22 s (vs the all-pairs
+    Measured (bench_one, min-of-2, idle): sf0.1 19.2 s (vs the all-pairs
     first cut's 352 s) — the sampled scan is the cost; fixed sample
     FRACTION still grows quadratically, so widen _LSH_LOW_DOC_MOD
     with the corpus (the estimate needs per-bin mass, not a

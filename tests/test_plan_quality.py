@@ -354,6 +354,9 @@ _BNLJ_ALLOWED = {
     # totals broadcast over the multiplicity-domain-bounded FoF
     # relation (KB state at any data scale)
     "join_skew_profile",
+    # join_strategy_advice = join_skew_profile + a CASE column; it
+    # inherits exactly the profile's bounded FoF broadcast self-join
+    "join_strategy_advice",
     # BPE training broadcasts the 1-row winning pair into the merge
     # step each iteration — the same scalar-broadcast shape as
     # emb_pca_power, over a vocabulary-sized (≤200-row) relation
