@@ -1850,6 +1850,129 @@ ORDER BY event_type
 SQL_BURSTINESS = _sql_burstiness()
 
 
+
+#: Holt linear (double exponential) smoothing constants — dyadic so
+#: every blend is an exact IEEE operation, and the classic textbook
+#: defaults sit nearby (α=0.5 level, β=0.25 trend)
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.25
+_HOLT_HORIZON = 7
+
+
+def q_holt_linear_forecast(spark, sf_dir):
+    """Holt linear-trend exponential smoothing per event type — the
+    level+trend forecaster between `forecast_seasonal_naive` (no
+    model) and `stl_decompose` (full decomposition): lvl' = αy +
+    (1−α)(lvl+tr), tr' = β(lvl'−lvl) + (1−β)tr, h-step forecast
+    lvl + h·tr, with the one-step-ahead RMSE the model is judged by
+    (Holt 1957; Hyndman & Athanasopoulos FPP §8.2).
+
+    This is the repo's first TRUE IIR recursion (ewma_smooth
+    deliberately approximates with an 8-tap FIR): the state fold runs
+    as a higher-order AGGREGATE over the day-sorted series, and the
+    oracle replays it as a recursive CTE — both engines execute the
+    IDENTICAL sequence of double operations in the identical order,
+    so the smoothed state matches bitwise before the det6 floor.
+
+    Scale plan: the fold input is the (type, day, y) DAILY relation
+    (`_daily_counts` — the streaming twins' shared front end), whose
+    per-type width is bounded by the TIME SPAN, never the event
+    count; one hash-agg to per-type sorted arrays, then map-side
+    lambda math.  At a 10-year span that is ≤3653 elements per type."""
+    return holt_from_daily(_daily_counts(spark, sf_dir))
+
+
+def holt_from_daily(daily):
+    """The Holt solve over a `(event_type, day, y)` relation — shared
+    by the batch query and the streaming fold."""
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct("
+            "'day', day, 'y', y))), p -> CAST(p.y AS DOUBLE))"
+        ).alias("ys")
+    )
+    step = (
+        f"named_struct("
+        f"'lvl', {a} * y + {1 - a} * (acc.lvl + acc.tr),"
+        f"'tr', {b} * (({a} * y + {1 - a} * (acc.lvl + acc.tr))"
+        f" - acc.lvl) + {1 - b} * acc.tr,"
+        f"'sse', acc.sse + (y - (acc.lvl + acc.tr))"
+        f" * (y - (acc.lvl + acc.tr)))"
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        series.selectExpr(
+            "event_type",
+            "size(ys) AS n_days",
+            f"""AGGREGATE(
+              slice(ys, 2, size(ys) - 1),
+              named_struct('lvl', ys[0], 'tr', CAST(0.0 AS DOUBLE),
+                           'sse', CAST(0.0 AS DOUBLE)),
+              (acc, y) -> {step}) AS st""",
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(n_days AS BIGINT) AS n_days",
+            det6.format(x="st.lvl", n="level"),
+            det6.format(x="st.tr", n="trend"),
+            det6.format(
+                x=f"st.lvl + {_HOLT_HORIZON}.0 * st.tr",
+                n="forecast_7d",
+            ),
+            det6.format(
+                x="SQRT(st.sse / CAST(n_days - 1 AS DOUBLE))",
+                n="rmse_1step",
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_holt_linear_forecast() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    lvl_new = f"({a} * d.y + {1 - a} * (r.lvl + r.tr))"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY day) - 1 AS BIGINT) AS i,
+         CAST(y AS DOUBLE) AS y
+  FROM daily),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM idx GROUP BY 1),
+r (event_type, i, lvl, tr, sse) AS (
+  SELECT event_type, i, y, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM idx WHERE i = 0
+  UNION ALL
+  SELECT r.event_type, d.i,
+         {lvl_new},
+         {b} * ({lvl_new} - r.lvl) + {1 - b} * r.tr,
+         r.sse + (d.y - (r.lvl + r.tr)) * (d.y - (r.lvl + r.tr))
+  FROM r JOIN idx d ON d.event_type = r.event_type
+                   AND d.i = r.i + 1),
+fin AS (
+  SELECT r.event_type, r.lvl, r.tr, r.sse
+  FROM r JOIN n USING (event_type) WHERE r.i = n.n_days - 1)
+SELECT f.event_type, n.n_days,
+       CAST(FLOOR(f.lvl * 1e6 + 0.5) AS DOUBLE) / 1e6 AS level,
+       CAST(FLOOR(f.tr * 1e6 + 0.5) AS DOUBLE) / 1e6 AS trend,
+       CAST(FLOOR((f.lvl + {_HOLT_HORIZON}.0 * f.tr) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS forecast_7d,
+       CAST(FLOOR(SQRT(f.sse / CAST(n.n_days - 1 AS DOUBLE))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS rmse_1step
+FROM fin f JOIN n USING (event_type)
+ORDER BY f.event_type
+"""
+
+
+SQL_HOLT_LINEAR_FORECAST = _sql_holt_linear_forecast()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
     "pacf_lags": QuerySpec(q_pacf_lags, SQL_PACF_LAGS),
@@ -1865,6 +1988,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "burstiness": QuerySpec(q_burstiness, SQL_BURSTINESS),
     "seasonal_dow_index": QuerySpec(
         q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX
+    ),
+    "holt_linear_forecast": QuerySpec(
+        q_holt_linear_forecast, SQL_HOLT_LINEAR_FORECAST
     ),
     "cusum_changepoints": QuerySpec(
         q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS
@@ -1886,3 +2012,4 @@ REGISTRY: dict[str, QuerySpec] = {
         q_type_profile_similarity, SQL_TYPE_PROFILE_SIMILARITY
     ),
 }
+

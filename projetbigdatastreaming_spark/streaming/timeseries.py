@@ -703,3 +703,14 @@ def read_jarque_bera(spark: SparkSession, state_dir: str) -> DataFrame:
     from ..plans.advanced import jarque_bera_from_moments
 
     return jarque_bera_from_moments(_fold_moments(spark, state_dir))
+
+
+def read_holt(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Holt linear forecast over the folded daily state — the FIFTH
+    consumer of the one daily-count state stream (burstiness, PACF,
+    STL, Hurst, now Holt); column-identical to
+    `plans/timeseries.q_holt_linear_forecast` over the union of the
+    ingested batches (pinned by test)."""
+    from ..plans.timeseries import holt_from_daily
+
+    return holt_from_daily(_fold_daily(spark, state_dir))

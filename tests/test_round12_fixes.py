@@ -237,3 +237,47 @@ def test_compaction_plan_groups_bounded(spark, sf_dir):
             if g.compact_group > 0:
                 assert cum >= g.compact_group * _COMPACT_TARGET_CHARS - g.total_chars
             cum += g.total_chars
+
+
+def test_holt_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """Holt rides the SAME daily-count state stream as the other four
+    daily monitors — additive partials over 3 batches fold to the
+    batch forecast exactly (the IIR fold sees the identical ordered
+    series, so equality is bitwise)."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_holt_linear_forecast,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        burstiness_batch_writer,
+        read_holt,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "daily")
+    write = burstiness_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    want = _rows(q_holt_linear_forecast(spark, sf_dir))
+    assert _rows(read_holt(spark, state)) == want and len(want) > 0
+
+
+def test_holt_recovers_linear_trend(spark):
+    """Directed sanity: on an exactly linear series the smoother must
+    converge to the true slope and forecast the line (near-zero
+    one-step RMSE after warmup)."""
+    import datetime as dt
+
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        holt_from_daily,
+    )
+
+    rows = [
+        ("t", dt.date(2024, 1, 1) + dt.timedelta(days=i), 100 + 10 * i)
+        for i in range(30)
+    ]
+    daily = spark.createDataFrame(rows, "event_type string, day date, y bigint")
+    r = holt_from_daily(daily).collect()[0]
+    assert abs(r.trend - 10.0) < 0.5
+    assert abs(r.forecast_7d - (100 + 10 * 29 + 70)) < 5.0
