@@ -8,11 +8,13 @@ no driver-side collect bottleneck).
 Second scale point: at sf0.1 every headline query sits in Spark's
 job-scheduling noise floor (0.2-0.7 s), where a +6% wobble and a real
 regression look alike and algorithmic blowups hide behind constants.
-So after the primary sweep, a 10× scaled copy of the fixture is built
-once (tools/gen_scale.py, cached in .bench_sf1/) and every headline
-query re-timed there — reported under the extra keys ``sf2`` /
-``queries_sf2`` / ``value_sf2`` (the primary contract keys are
-unchanged).  Disable with SPARK_GRAFT_SF2=0.
+So after the primary sweep, scaled copies of the fixture are built
+once (tools/gen_scale.py, cached in .bench_sf1/ and .bench_sf10/)
+and re-timed — reported under the extra keys ``sf2``/``sf3`` (the
+primary contract keys are unchanged).  The 100× column runs BEFORE
+the 10× column (most cold-state-sensitive rows get the freshest JVM)
+and every sweep runs under the idle-wait + retry-once contamination
+guard.  Disable with SPARK_GRAFT_SF2=0 / SPARK_GRAFT_SF3=0.
 """
 
 from __future__ import annotations
@@ -46,9 +48,9 @@ SF3_DIR = os.path.join(
 #: fixed broadcast latency is overtaken by the corpus-shuffle cost it
 #: avoids as the corpus grows — sf10 is where that crossover should
 #: become visible).  Sub-quadratic growth sf1→sf10 is the acceptance
-#: bar; min-of-2 per query — scheduling noise is irrelevant at 2-40 s,
-#: but the second sample halves the IO-cache band (SCALING.md "third
-#: decade" variance note).
+#: bar; min-of-3 per query since round 12 (tpch_q21's 10.7→28.9 s
+#: consecutive-run spread showed min-of-2 under-samples the
+#: cold-state band SCALING.md documents).
 SF3_QUERIES: tuple[str, ...] = (
     "tpch_q21",
     "line_dedup",
