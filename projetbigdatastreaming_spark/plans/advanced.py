@@ -4986,6 +4986,102 @@ ORDER BY source, compact_group
 """
 
 
+#: power-analysis constants: two-sided alpha=0.05, power=0.80 (the
+#: default every experimentation platform quotes), and the relative
+#: minimum-detectable-effect grid the table is quoted over
+_PWR_Z_ALPHA = 1.959963984540054
+_PWR_Z_BETA = 0.8416212335729143
+_PWR_MDES = (0.01, 0.02, 0.05, 0.10)
+
+
+def q_sample_size_power(spark, sf_dir):
+    """A/B sample-size calculator per event type — the PLANNING
+    counterpart of `ab_test_zscore` (that one judges a finished
+    experiment; this one says how many users the next one needs):
+    for each type's measured user-conversion rate p₁ and each
+    relative MDE, the required users per arm for a two-proportion z
+    test at α=0.05 / power 0.80 —
+    n = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₂−p₁)².
+
+    Determinism: p₁ is an exact integer ratio (distinct converting
+    users / distinct users); the MDE grid is a literal; n is one
+    closed-form expression on exact-derived doubles, CEIL to bigint.
+
+    Scale plan: two distinct-count hash-aggs (per-type and the 1-row
+    global, broadcast back — the Q11 scalar shape) and a 4-literal
+    explode; no window, no data join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id", "day").cast("bigint").alias("u_conv")
+    )
+    tot = ev.agg(
+        F.count_distinct("user_id", "day").cast("bigint").alias("u_all")
+    )
+    mde_arr = ", ".join(f"CAST({m!r} AS DOUBLE)" for m in _PWR_MDES)
+    p1 = "(CAST(u_conv AS DOUBLE) / CAST(u_all AS DOUBLE))"
+    p2 = f"(LEAST({p1} * (1.0 + mde), 0.999999))"
+    pbar = f"(({p1} + {p2}) / 2.0)"
+    num = (
+        f"({_PWR_Z_ALPHA!r} * SQRT(2.0 * {pbar} * (1.0 - {pbar}))"
+        f" + {_PWR_Z_BETA!r} * SQRT({p1} * (1.0 - {p1})"
+        f" + {p2} * (1.0 - {p2})))"
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "event_type", "u_conv", "u_all",
+            f"explode(array({mde_arr})) AS mde",
+        )
+        .selectExpr(
+            "event_type",
+            "mde",
+            det6.format(x=p1, n="p_base"),
+            det6.format(x=p2, n="p_treat"),
+            f"CAST(CEIL({num} * {num}"
+            f" / (({p2} - {p1}) * ({p2} - {p1}))) AS BIGINT)"
+            " AS n_per_arm",
+        )
+        .orderBy("event_type", "mde")
+    )
+
+
+def _sql_sample_size_power() -> str:
+    mde_vals = ", ".join(f"(CAST({m!r} AS DOUBLE))" for m in _PWR_MDES)
+    p1 = "(CAST(u_conv AS DOUBLE) / CAST(u_all AS DOUBLE))"
+    p2 = f"(LEAST({p1} * (1.0 + mde), 0.999999))"
+    pbar = f"(({p1} + {p2}) / 2.0)"
+    num = (
+        f"({_PWR_Z_ALPHA!r} * SQRT(2.0 * {pbar} * (1.0 - {pbar}))"
+        f" + {_PWR_Z_BETA!r} * SQRT({p1} * (1.0 - {p1})"
+        f" + {p2} * (1.0 - {p2})))"
+    )
+    return f"""
+WITH ud AS (
+  SELECT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+per_type AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS u_conv
+  FROM ud GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS u_all
+  FROM ud),
+mdes (mde) AS (VALUES {mde_vals})
+SELECT event_type, mde,
+       CAST(FLOOR({p1} * 1e6 + 0.5) AS DOUBLE) / 1e6 AS p_base,
+       CAST(FLOOR({p2} * 1e6 + 0.5) AS DOUBLE) / 1e6 AS p_treat,
+       CAST(CEIL({num} * {num}
+            / (({p2} - {p1}) * ({p2} - {p1}))) AS BIGINT) AS n_per_arm
+FROM per_type CROSS JOIN tot CROSS JOIN mdes
+ORDER BY event_type, mde
+"""
+
+
+SQL_SAMPLE_SIZE_POWER = _sql_sample_size_power()
+
+
 def q_anova_oneway(spark, sf_dir):
     """One-way ANOVA of event value across event types — the
     parametric k-group location test the two-sample panel was
@@ -5360,6 +5456,9 @@ SQL_JARQUE_BERA = _sql_jarque_bera()
 REGISTRY: dict[str, QuerySpec] = {
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
     "anova_oneway": QuerySpec(q_anova_oneway, SQL_ANOVA_ONEWAY),
+    "sample_size_power": QuerySpec(
+        q_sample_size_power, SQL_SAMPLE_SIZE_POWER
+    ),
     "zone_map_effectiveness": QuerySpec(
         q_zone_map_effectiveness, SQL_ZONE_MAP_EFFECTIVENESS
     ),

@@ -1973,6 +1973,154 @@ ORDER BY f.event_type
 SQL_HOLT_LINEAR_FORECAST = _sql_holt_linear_forecast()
 
 
+
+def q_forecast_backtest(spark, sf_dir):
+    """Forecaster bake-off per event type — the model-selection gauge
+    for the forecasting ladder (`retrieval_eval`'s pattern applied to
+    time series): one-step-ahead RMSE of naive-1 (yesterday), naive-7
+    (same weekday last week), and Holt linear smoothing, all scored
+    over the SAME eval window (observations 8+, so every model has
+    its inputs), plus the winner.  "If you can't beat seasonal-naive,
+    don't deploy" needs this table to be checkable.
+
+    Determinism: naive errors are exact integers squared; Holt errors
+    ride the `holt_linear_forecast` fold (identical double-op order
+    in both engines) with the warmup-gated SSE counted only from
+    observation index 7; the winner compares det6-rounded RMSEs in a
+    fixed CASE order.
+
+    Scale plan: the bounded daily relation through one
+    type-partitioned lag window (naive side) + one per-type
+    higher-order fold (Holt side), joined on ≤|types| rows."""
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("y7", F.lag("y", 7).over(w)).withColumn(
+        "y1", F.lag("y", 1).over(w)
+    )
+    naive = (
+        lagged.where(F.col("y7").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(
+                (F.col("y") - F.col("y1")) * (F.col("y") - F.col("y1"))
+            )
+            .cast("bigint")
+            .alias("se1"),
+            F.sum(
+                (F.col("y") - F.col("y7")) * (F.col("y") - F.col("y7"))
+            )
+            .cast("bigint")
+            .alias("se7"),
+        )
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct("
+            "'day', day, 'y', y))), p -> CAST(p.y AS DOUBLE))"
+        ).alias("ys")
+    )
+    step = (
+        f"named_struct("
+        f"'lvl', {a} * y + {1 - a} * (acc.lvl + acc.tr),"
+        f"'tr', {b} * (({a} * y + {1 - a} * (acc.lvl + acc.tr))"
+        f" - acc.lvl) + {1 - b} * acc.tr,"
+        f"'i', acc.i + 1,"
+        f"'sse', acc.sse + (CASE WHEN acc.i >= 7 THEN"
+        f" (y - (acc.lvl + acc.tr)) * (y - (acc.lvl + acc.tr))"
+        f" ELSE 0.0 END))"
+    )
+    holt = series.selectExpr(
+        "event_type",
+        f"""AGGREGATE(
+          slice(ys, 2, size(ys) - 1),
+          named_struct('lvl', ys[0], 'tr', CAST(0.0 AS DOUBLE),
+                       'i', 1, 'sse', CAST(0.0 AS DOUBLE)),
+          (acc, y) -> {step}).sse AS sse_holt""",
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    r1 = det6.format(x="SQRT(CAST(se1 AS DOUBLE) / n_eval)")
+    r7 = det6.format(x="SQRT(CAST(se7 AS DOUBLE) / n_eval)")
+    rh = det6.format(x="SQRT(sse_holt / n_eval)")
+    return (
+        naive.join(holt, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_eval AS n_eval_days",
+            f"{r1} AS rmse_naive1",
+            f"{r7} AS rmse_naive7",
+            f"{rh} AS rmse_holt",
+            f"CASE WHEN {rh} <= {r7} AND {rh} <= {r1} THEN 'holt'"
+            f" WHEN {r7} <= {r1} THEN 'naive7'"
+            f" ELSE 'naive1' END AS best_model",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_forecast_backtest() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    lvl_new = f"({a} * d.y + {1 - a} * (r.lvl + r.tr))"
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    r1 = det6.format(x="SQRT(CAST(se1 AS DOUBLE) / n_eval)")
+    r7 = det6.format(x="SQRT(CAST(se7 AS DOUBLE) / n_eval)")
+    rh = det6.format(x="SQRT(sse_holt / n_eval)")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, y,
+         LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+  FROM daily),
+naive AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM((y - y1) * (y - y1)) AS BIGINT) AS se1,
+         CAST(SUM((y - y7) * (y - y7)) AS BIGINT) AS se7
+  FROM lagged WHERE y7 IS NOT NULL GROUP BY 1),
+idx AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY day) - 1 AS BIGINT) AS i,
+         CAST(y AS DOUBLE) AS y
+  FROM daily),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM idx GROUP BY 1),
+r (event_type, i, lvl, tr, sse) AS (
+  SELECT event_type, i, y, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM idx WHERE i = 0
+  UNION ALL
+  SELECT r.event_type, d.i,
+         {lvl_new},
+         {b} * ({lvl_new} - r.lvl) + {1 - b} * r.tr,
+         r.sse + (CASE WHEN d.i >= 7 THEN
+           (d.y - (r.lvl + r.tr)) * (d.y - (r.lvl + r.tr))
+           ELSE 0.0 END)
+  FROM r JOIN idx d ON d.event_type = r.event_type
+                   AND d.i = r.i + 1),
+holt AS (
+  SELECT r.event_type, r.sse AS sse_holt
+  FROM r JOIN n USING (event_type) WHERE r.i = n.n_days - 1)
+SELECT event_type,
+       n_eval AS n_eval_days,
+       {r1} AS rmse_naive1,
+       {r7} AS rmse_naive7,
+       {rh} AS rmse_holt,
+       CASE WHEN {rh} <= {r7} AND {rh} <= {r1} THEN 'holt'
+            WHEN {r7} <= {r1} THEN 'naive7'
+            ELSE 'naive1' END AS best_model
+FROM naive JOIN holt USING (event_type)
+ORDER BY event_type
+"""
+
+
+SQL_FORECAST_BACKTEST = _sql_forecast_backtest()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
     "pacf_lags": QuerySpec(q_pacf_lags, SQL_PACF_LAGS),
@@ -1991,6 +2139,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "holt_linear_forecast": QuerySpec(
         q_holt_linear_forecast, SQL_HOLT_LINEAR_FORECAST
+    ),
+    "forecast_backtest": QuerySpec(
+        q_forecast_backtest, SQL_FORECAST_BACKTEST
     ),
     "cusum_changepoints": QuerySpec(
         q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS
