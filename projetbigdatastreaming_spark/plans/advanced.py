@@ -5009,7 +5009,10 @@ def q_sample_size_power(spark, sf_dir):
 
     Scale plan: two distinct-count hash-aggs (per-type and the 1-row
     global, broadcast back — the Q11 scalar shape) and a 4-literal
-    explode; no window, no data join."""
+    explode; no window, no data join.
+
+    Measured (bench_one, min-of-2): sf1 0.71 s / sf10 1.46 s — the
+    cost is the two distinct aggs."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id", F.to_date("ts").alias("day")
     )

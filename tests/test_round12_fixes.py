@@ -281,3 +281,44 @@ def test_holt_recovers_linear_trend(spark):
     r = holt_from_daily(daily).collect()[0]
     assert abs(r.trend - 10.0) < 0.5
     assert abs(r.forecast_7d - (100 + 10 * 29 + 70)) < 5.0
+
+
+def test_forecast_backtest_winner_is_argmin(spark, sf_dir):
+    """best_model must be the argmin of the three det6 RMSEs under
+    the fixed tie order (holt, then naive7, then naive1)."""
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_forecast_backtest,
+    )
+
+    for r in q_forecast_backtest(spark, sf_dir).collect():
+        rmses = {
+            "holt": r.rmse_holt,
+            "naive7": r.rmse_naive7,
+            "naive1": r.rmse_naive1,
+        }
+        best = min(rmses.values())
+        order = [
+            m for m in ("holt", "naive7", "naive1") if rmses[m] == best
+        ]
+        assert r.best_model == order[0], r
+
+
+def test_sample_size_power_monotone_in_mde(spark, sf_dir):
+    """A bigger detectable effect needs fewer users: n_per_arm must
+    strictly decrease along each type's MDE grid, and every n must
+    be positive."""
+    from projetbigdatastreaming_spark.plans.advanced import (
+        q_sample_size_power,
+    )
+
+    rows = q_sample_size_power(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.mde)
+        ns = [r.n_per_arm for r in rs]
+        assert all(n > 0 for n in ns), (t, ns)
+        assert ns == sorted(ns, reverse=True) and len(set(ns)) == len(
+            ns
+        ), (t, ns)
