@@ -94,7 +94,7 @@ QUERY_ORDER = (
     "lsh_band_planner", "emb_cosine_sim_histogram",
     "zone_map_effectiveness", "compaction_plan",
     "join_strategy_advice", "holt_linear_forecast",
-    "forecast_backtest", "sample_size_power",
+    "forecast_backtest", "sample_size_power", "theta_forecast",
     # 5) remaining r07-vintage rows (next-oldest after the window)
     "dedup_minhash_est", "constraint_check", "k_anonymity", "fuzzy_match",
     "user_streaks", "ewma_smooth", "line_dedup", "emb_semantic_dedup",

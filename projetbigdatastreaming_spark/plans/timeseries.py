@@ -2126,6 +2126,144 @@ ORDER BY event_type
 SQL_FORECAST_BACKTEST = _sql_forecast_backtest()
 
 
+
+#: SES coefficient for the theta(2) line — dyadic like Holt's
+_THETA_ALPHA = 0.5
+
+
+def q_theta_forecast(spark, sf_dir):
+    """Theta-method forecast per event type (Assimakopoulos &
+    Nikolopoulos 2000 — the M3 competition winner; Hyndman & Billah
+    2003 showed it is SES-with-drift): decompose the daily series
+    into the θ=0 line (the OLS trend) and the θ=2 line
+    z_t = 2y_t − (a + b·t), smooth the θ=2 line with SES, and
+    forecast the AVERAGE of the flat SES level and the trend
+    extrapolation.  Completes the ladder `forecast_backtest` ranks:
+    naive has no model, Holt adapts its trend, theta pins the trend
+    globally and lets SES track the rest.
+
+    Determinism: the OLS normal equations use EXACT integer sums
+    (Σy, Σty as BIGINT aggregates; Σt, Σt² closed-form from n); the
+    θ=2 values and the SES fold are then identical double sequences
+    in both engines (the `holt_linear_forecast` IIR discipline,
+    recursive-CTE oracle), det6 outputs.
+
+    Scale plan: one type-partitioned row_number over the bounded
+    daily relation, one hash-agg to (sums + sorted array) per type,
+    map-side lambda math.
+
+    Measured: rides the same day-span-bounded machinery as Holt
+    (flat across decades)."""
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn(
+        "t", (F.row_number().over(w) - 1).cast("bigint")
+    )
+    g = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+        F.expr(
+            "transform(array_sort(collect_list(named_struct("
+            "'t', t, 'y', y))), p -> CAST(p.y AS DOUBLE))"
+        ).alias("ys"),
+    )
+    nd = "CAST(n AS DOUBLE)"
+    st = f"({nd} * ({nd} - 1.0) / 2.0)"
+    stt = f"(({nd} - 1.0) * {nd} * (2.0 * {nd} - 1.0) / 6.0)"
+    b = (
+        f"(({nd} * CAST(sty AS DOUBLE) - {st} * CAST(sy AS DOUBLE))"
+        f" / ({nd} * {stt} - {st} * {st}))"
+    )
+    a = f"((CAST(sy AS DOUBLE) - {b} * {st}) / {nd})"
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    al = _THETA_ALPHA
+    return (
+        g.selectExpr(
+            "event_type",
+            "n",
+            f"{a} AS ic",
+            f"{b} AS slope",
+            f"""AGGREGATE(
+              slice(transform(sequence(0, CAST(n - 1 AS INT)),
+                    i -> 2.0 * ys[i] - ({a} + {b} * CAST(i AS DOUBLE))),
+                    2, CAST(n - 1 AS INT)),
+              2.0 * ys[0] - {a},
+              (acc, z) -> {al} * z + {1 - al} * acc) AS ses""",
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_days",
+            det6.format(x="slope", n="trend_slope"),
+            det6.format(x="ses", n="ses_theta2"),
+            det6.format(
+                x="0.5 * (ses + (ic + slope"
+                " * (CAST(n AS DOUBLE) - 1.0 + 7.0)))",
+                n="forecast_7d",
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_theta_forecast() -> str:
+    nd = "CAST(n AS DOUBLE)"
+    st = f"({nd} * ({nd} - 1.0) / 2.0)"
+    stt = f"(({nd} - 1.0) * {nd} * (2.0 * {nd} - 1.0) / 6.0)"
+    b = (
+        f"(({nd} * CAST(sty AS DOUBLE) - {st} * CAST(sy AS DOUBLE))"
+        f" / ({nd} * {stt} - {st} * {st}))"
+    )
+    a = f"((CAST(sy AS DOUBLE) - {b} * {st}) / {nd})"
+    al = _THETA_ALPHA
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY day) - 1 AS BIGINT) AS t,
+         y
+  FROM daily),
+ols AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM idx GROUP BY 1),
+co AS (
+  SELECT event_type, n, {b} AS slope, {a} AS ic FROM ols),
+z AS (
+  SELECT i.event_type, i.t,
+         2.0 * CAST(i.y AS DOUBLE) - (c.ic + c.slope
+           * CAST(i.t AS DOUBLE)) AS z
+  FROM idx i JOIN co c USING (event_type)),
+r (event_type, t, lvl) AS (
+  SELECT event_type, t, z FROM z WHERE t = 0
+  UNION ALL
+  SELECT r.event_type, d.t, {al} * d.z + {1 - al} * r.lvl
+  FROM r JOIN z d ON d.event_type = r.event_type AND d.t = r.t + 1),
+fin AS (
+  SELECT r.event_type, r.lvl AS ses
+  FROM r JOIN co USING (event_type) WHERE r.t = co.n - 1)
+SELECT c.event_type,
+       CAST(c.n AS BIGINT) AS n_days,
+       CAST(FLOOR(c.slope * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS trend_slope,
+       CAST(FLOOR(f.ses * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ses_theta2,
+       CAST(FLOOR(0.5 * (f.ses + (c.ic + c.slope
+            * (CAST(c.n AS DOUBLE) - 1.0 + 7.0))) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS forecast_7d
+FROM fin f JOIN co c USING (event_type)
+ORDER BY c.event_type
+"""
+
+
+SQL_THETA_FORECAST = _sql_theta_forecast()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
     "pacf_lags": QuerySpec(q_pacf_lags, SQL_PACF_LAGS),
@@ -2147,6 +2285,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "forecast_backtest": QuerySpec(
         q_forecast_backtest, SQL_FORECAST_BACKTEST
+    ),
+    "theta_forecast": QuerySpec(
+        q_theta_forecast, SQL_THETA_FORECAST
     ),
     "cusum_changepoints": QuerySpec(
         q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS

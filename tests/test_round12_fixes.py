@@ -322,3 +322,38 @@ def test_sample_size_power_monotone_in_mde(spark, sf_dir):
         assert ns == sorted(ns, reverse=True) and len(set(ns)) == len(
             ns
         ), (t, ns)
+
+
+def test_theta_damped_trend_identity(spark):
+    """On an exactly linear series (slope b, α=0.5) the theta parts
+    take known closed forms: the OLS slope is exact, the SES of the
+    θ=2 line converges to the line minus its lag b(1−α)/α = b, and
+    the forecast is the average of that damped level and the trend
+    extrapolation — the deliberate trend-damping that won theta the
+    M3 competition (it does NOT reproduce the raw line)."""
+    import datetime as dt
+
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_theta_forecast,
+    )
+    from projetbigdatastreaming_spark.plans import timeseries as ts
+
+    rows = [
+        ("t", dt.date(2024, 1, 1) + dt.timedelta(days=i), 100 + 10 * i)
+        for i in range(30)
+    ]
+    daily = spark.createDataFrame(
+        rows, "event_type string, day date, y bigint"
+    )
+    orig = ts._daily_counts
+    try:
+        ts._daily_counts = lambda spark, sf_dir: daily
+        r = q_theta_forecast(spark, "unused").collect()[0]
+    finally:
+        ts._daily_counts = orig
+    assert abs(r.trend_slope - 10.0) < 1e-6
+    # SES of the θ=2 line lags the line by b(1−α)/α = 10:
+    # level ≈ y_29 − 10 = 380
+    assert abs(r.ses_theta2 - 380.0) < 0.5
+    # forecast = ½(ses + line(t=36)) = ½(380 + 460) = 420
+    assert abs(r.forecast_7d - 420.0) < 0.5
