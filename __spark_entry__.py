@@ -53,41 +53,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: capped (~16-20/round) so the never-verified backlog always clears
 #: within the NEXT window.
 #:
-#: Round-12 rotation (VERDICT r11 item 1): (1) the 16 round-11
-#: queries that have never had a driver verdict (emb_knn_label_bq …
-#: join_skew_profile; judge-oracle-checked 16/16 in round 11);
-#: (2) the 18-row r06 tail (oov_rate … neardup_jaccard_histogram) —
-#: the oldest driver signal in the ledger, five rounds old; (3) the
-#: 16 oldest r07-vintage rows (filter_waterfall … bigram_logprob).
-#: 16 + 18 + 16 = 50 = the window.  After it: round-12's own new
-#: queries (≤16, VERDICT r11 item 5 velocity cap), then the rest by
-#: ascending vintage (r07 remainder, r08, r09, r10, the 50 rows green
-#: in CORRECTNESS_r11 last).  After round 12 the oldest vintage in
-#: the ledger is r07.
+#: Round-13 rotation (VERDICT r12 item 2): (1) the 16 round-12
+#: queries that have never had a driver verdict (retrieval_eval_graded
+#: … theta_forecast; judge-oracle-checked 16/16 in round 12); (2) the
+#: full 34-row r07 tail (dedup_minhash_est … curation_weighted_sample)
+#: — the oldest driver signal in the ledger, five rounds old.
+#: 16 + 34 = 50 = the window exactly, no third tranche.  After it:
+#: round-13's own new queries (≤16, velocity cap), then the rest by
+#: ascending vintage (r08, r09, r10, r11, the 50 rows green in
+#: CORRECTNESS_r12 last).  After round 13 the oldest vintage in the
+#: ledger is r08.
 QUERY_ORDER = (
-    # 1) round-11 additions — never driver-verdicted (judge oracle-checked
-    # 16/16 in VERDICT r11); they lead round 12 per the stated contract
-    "emb_knn_label_bq", "emb_knn_label_recall", "pacf_lags",
-    "interarrival_stats", "stl_decompose", "corr_matrix", "mahalanobis_2d",
-    "kmv_set_diff", "span_corruption", "heavy_changers", "attribution_credit",
-    "media_phash_pairs", "hurst_exponent", "emb_centroid_drift",
-    "retrieval_eval", "join_skew_profile",
-    # 2) the r06-vintage tail — oldest driver signal in the ledger
-    # (last verdict round 6); round 12's window clears it
-    "oov_rate", "curation_report", "dedup_incremental", "dedup_containment",
-    "iqr_outliers", "gopher_quality", "emb_pq_codes", "emb_pq_recall",
-    "emb_pq_refine", "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
-    "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
-    "doc_embedding_stats", "neardup_jaccard_histogram",
-    # 3) the 16 oldest r07-vintage rows — the 50-row window cap
-    # lands exactly after bigram_logprob (16 + 18 + 16 = 50)
-    "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
-    "doc_ngram_novelty", "dedup_soft_weights", "heavy_hitters_cms",
-    "hll_rollup_union", "recursive_cte", "sql_udf", "quality_classifier",
-    "curation_pipeline", "sample_bottomk_mergeable", "cep_pattern_match",
-    "emb_matryoshka_recall", "file_provenance", "bigram_logprob",
-    # 4) round-12 additions queue here (oracle-verified locally
-    # before entry; they lead round 13's window)
+    # 1) round-12 additions — never driver-verdicted (judge
+    # oracle-checked 16/16 in VERDICT r12); they lead round 13 per
+    # the stated contract
     "retrieval_eval_graded", "anova_oneway", "kruskal_wallis",
     "jarque_bera", "doc_boilerplate_ratio",
     "mixture_temperature_weights", "neardup_edit_verify",
@@ -95,7 +74,8 @@ QUERY_ORDER = (
     "zone_map_effectiveness", "compaction_plan",
     "join_strategy_advice", "holt_linear_forecast",
     "forecast_backtest", "sample_size_power", "theta_forecast",
-    # 5) remaining r07-vintage rows (next-oldest after the window)
+    # 2) the full 34-row r07 tail — oldest driver signal in the
+    # ledger (last verdict round 7); 16 + 34 = 50 clears it exactly
     "dedup_minhash_est", "constraint_check", "k_anonymity", "fuzzy_match",
     "user_streaks", "ewma_smooth", "line_dedup", "emb_semantic_dedup",
     "dedup_source_overlap", "doc_lang_mismatch", "emb_pca_power", "tpch_q2",
@@ -104,7 +84,10 @@ QUERY_ORDER = (
     "unigram_logprob", "bpe_token_count", "emb_centroid", "tfidf_topk",
     "emb_outliers", "graph_pagerank", "dedup_incremental_bloom",
     "emb_ivfpq_topk", "emb_ivfpq_recall", "curation_weighted_sample",
-    # 6) green in the round-8 driver run
+    # 3) round-13 additions queue here (oracle-verified locally
+    # before entry; they lead round 14's window)
+    # 4) green in the round-8 driver run — oldest vintage after the
+    # round-13 window clears the r07 tail
     "image_structure", "audio_structure", "video_structure", "emb_bq_topk",
     "emb_bq_recall", "emb_bq_rerank", "emb_bq_ivfpq_rerank",
     "emb_bq_ivfpq_recall", "decontaminate_fuzzy", "quantile_histogram",
@@ -121,7 +104,7 @@ QUERY_ORDER = (
     "user_features", "profile_frequent_values", "time_gap_stats",
     "image_stats", "audio_stats", "video_stats", "media_manifest",
     "emb_jl_recall",
-    # 7) green in the round-9 driver run
+    # 5) green in the round-9 driver run
     "substring_dedup", "dsir_importance", "zorder_layout", "text_sentiment",
     "type_profile_similarity", "kpi_quarter_hour", "proj_filter", "json_parse",
     "tokenize", "quarter_hour_case", "agg_groupby", "agg_analytic_window",
@@ -134,7 +117,7 @@ QUERY_ORDER = (
     "sessionize", "window_topk_per_group", "join_broadcast_inner", "join_left",
     "join_full_outer", "join_semi", "join_anti", "union_all", "intersect",
     "except_", "pivot", "rollup", "cube", "window_lag_running",
-    # 8) green in the round-10 driver run
+    # 6) green in the round-10 driver run
     "map_functions", "scd2_history", "null_semantics", "unpivot", "string_agg",
     "dedup_ngram_jaccard", "dedup_char_ngram", "emb_cosine_pairs",
     "array_functions", "emb_ann_topk_lsh", "emb_ann_topk_ivf",
@@ -149,7 +132,7 @@ QUERY_ORDER = (
     "linreg_ols", "acf_lags", "seasonal_dow_index", "ams_f2",
     "graph_clustering_coeff", "graph_kcore", "ams_join_size",
     "robust_trimmed_stats", "join_temporal_scd2", "ab_test_zscore",
-    # 9) green in the round-11 driver run (freshest signal, last)
+    # 7) green in the round-11 driver run
     "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake",
     "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys", "nested_hof",
     "hybrid_search_rrf", "top_user_paths", "temporal_align", "median_ci",
@@ -163,6 +146,24 @@ QUERY_ORDER = (
     "trend_regression", "emb_quantize", "tpch_q6", "tpch_q13", "tpch_q14",
     "text_pii", "decontaminate", "pack_sequences", "length_histogram",
     "tpch_q10",
+    # 8) green in the round-12 driver run (freshest signal, last):
+    # the 16 round-11 additions, the r06 tail, and the 16 oldest
+    # r07-vintage rows that made up round 12's window
+    "emb_knn_label_bq", "emb_knn_label_recall", "pacf_lags",
+    "interarrival_stats", "stl_decompose", "corr_matrix", "mahalanobis_2d",
+    "kmv_set_diff", "span_corruption", "heavy_changers", "attribution_credit",
+    "media_phash_pairs", "hurst_exponent", "emb_centroid_drift",
+    "retrieval_eval", "join_skew_profile",
+    "oov_rate", "curation_report", "dedup_incremental", "dedup_containment",
+    "iqr_outliers", "gopher_quality", "emb_pq_codes", "emb_pq_recall",
+    "emb_pq_refine", "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
+    "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
+    "doc_embedding_stats", "neardup_jaccard_histogram",
+    "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
+    "doc_ngram_novelty", "dedup_soft_weights", "heavy_hitters_cms",
+    "hll_rollup_union", "recursive_cte", "sql_udf", "quality_classifier",
+    "curation_pipeline", "sample_bottomk_mergeable", "cep_pattern_match",
+    "emb_matryoshka_recall", "file_provenance", "bigram_logprob",
 )
 
 
