@@ -4020,12 +4020,22 @@ ORDER BY s.doc_id
 _LSH_CONFIGS = ((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2))
 
 
-#: sub-threshold pair-mass sampling: keep docs with doc_id % 8 == 0
-#: (1/8 of docs → 1/64 of pairs) and scale counts by 64.  The
+#: sub-threshold pair-mass sampling: the SAMPLED-DOC COUNT is held
+#: ~constant at _LSH_LOW_SAMPLE_DOCS by deriving the stride from the
+#: corpus size — mod = max(1, n_docs // _LSH_LOW_SAMPLE_DOCS), keep
+#: docs with doc_id % mod == 0 and scale pair counts by mod² (a
+#: ~constant-size sample of pairs, NOT a fixed fraction, so the
+#: sub-threshold scan does constant work at any corpus scale).  The
 #: ABOVE-threshold mass never samples — it comes complete from the
-#: banded path.
-_LSH_LOW_DOC_MOD = 8
-_LSH_LOW_SCALE = _LSH_LOW_DOC_MOD * _LSH_LOW_DOC_MOD
+#: banded path.  625 = the sf0.1 calibration point (5,000 docs / 8).
+_LSH_LOW_SAMPLE_DOCS = 625
+
+
+def _lsh_low_mod(n_docs: int) -> int:
+    """Stride for the sub-threshold doc sample; GREATEST(1, n//625)
+    mirrored verbatim by the oracle's `nd` CTE so both engines pick
+    the identical sample from the identical COUNT(*)."""
+    return max(1, n_docs // _LSH_LOW_SAMPLE_DOCS)
 
 
 def q_lsh_band_planner(spark, sf_dir):
@@ -4046,39 +4056,56 @@ def q_lsh_band_planner(spark, sf_dir):
     over every true near-dup; the SUB-threshold half — which banding
     by construction never materializes and an all-pairs scan cannot
     afford (the first cut of this query ran the full O(n²) histogram
-    and measured 352 s at sf0.1 ALONE) — is a deterministic 1/64
-    pair sample (docs with doc_id % 8 == 0, counts scaled ×64), so
-    expected false candidates is an unbiased estimate off 1/64 of
-    the scan.
+    and measured 352 s at sf0.1 ALONE) — is a deterministic
+    CONSTANT-SIZE doc sample: stride mod = max(1, n_docs // 625)
+    keeps ~625 docs (doc_id % mod == 0) whatever the corpus size,
+    pair counts scaled ×mod², so expected false candidates is an
+    unbiased estimate off a bounded ~195k-pair scan at ANY scale
+    (the r12 fixed 1/64 FRACTION grew quadratically; VERDICT r12
+    item 1 made the sampled-doc count the invariant instead).
 
     Determinism: both halves are exact integer counts over 4-dp
-    jaccards (integer-floor bins) on a hash-free deterministic doc
-    predicate; P(s) = 1 − (1 − s^r)^b and the ≤51-term probability
+    jaccards (integer-floor bins) on a stride predicate derived from
+    the corpus COUNT(*) — one parquet-footer count() job, no data
+    scan — mirrored by the oracle's `nd` CTE so both engines pick
+    the identical sample; P(s) = 1 − (1 − s^r)^b (s clamped to 1.0
+    at the exact-dup bin midpoint) and the ≤51-term probability
     folds are the documented small-double-sums, det6.
 
-    Scale plan: banded equi-join for the top half; the sampled
-    bottom half is the documented-quadratic shape at 1/64 volume
-    (tighten _LSH_LOW_DOC_MOD at larger corpora — the estimate only
-    needs enough mass per bin); the planner MATH runs on the ≤51-row
-    histogram × the 6-row config grid (KB-sized broadcast cross).
+    Scale plan: banded equi-join for the top half; the bottom half
+    is the documented-quadratic shape at CONSTANT sampled volume —
+    ~625²/2 pairs regardless of corpus size; the planner MATH runs
+    on the ≤51-row histogram × the 6-row config grid (KB-sized
+    broadcast cross).
 
-    Measured (bench_one, min-of-2, idle): sf0.1 19.2 s (vs the all-pairs
-    first cut's 352 s) — the sampled scan is the cost; fixed sample
-    FRACTION still grows quadratically, so widen _LSH_LOW_DOC_MOD
-    with the corpus (the estimate needs per-bin mass, not a
-    fraction)."""
+    Measured (bench_one, min-of-2, idle): sf0.1 19.2 s (vs the
+    all-pairs first cut's 352 s) with the sampled scan as the cost;
+    the constant-count sample pins that cost flat across decades
+    (SCALING.md round-13 curve)."""
     docs = load_table(spark, sf_dir, "documents")
+    mod = _lsh_low_mod(docs.count())
     hist_top = (
         dedup.minhash_near_duplicates(docs, JACCARD_THRESHOLD)
         .select((F.floor(F.col("jaccard") * 50) / 50).alias("bin_lo"))
         .groupBy("bin_lo")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    sh = docs.where(
-        F.col("doc_id") % _LSH_LOW_DOC_MOD == 0
-    ).select("doc_id", dedup.word_shingles("text").alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    sh = docs.where(F.col("doc_id") % mod == 0).select(
+        "doc_id", dedup.word_shingles("text").alias("sh")
+    )
+    # the ~625-doc sample arrives in however few file-splits the scan
+    # produced (ONE at sf0.1 → a 1-task verify); repartition the
+    # streamed side (a ~KB-sized shuffle) so the quadratic verify
+    # fans out over every core, and broadcast the other side so the
+    # theta-join is a BNLJ against the bounded sample, never a
+    # corpus exchange
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = sh.repartition(n_part).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+    )
+    b = F.broadcast(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    )
     hist_low = (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -4092,7 +4119,7 @@ def q_lsh_band_planner(spark, sf_dir):
         .select((F.floor(F.col("j") * 50) / 50).alias("bin_lo"))
         .groupBy("bin_lo")
         .agg(
-            (F.count(F.lit(1)) * _LSH_LOW_SCALE)
+            (F.count(F.lit(1)) * (mod * mod))
             .cast("bigint")
             .alias("n")
         )
@@ -4115,7 +4142,10 @@ def q_lsh_band_planner(spark, sf_dir):
         )
         .select("c.r", "c.b")
     )
-    p = "(1.0 - POW(1.0 - POW(bin_lo + 0.01, r), b))"
+    # bin midpoint clamped to 1.0 so the exact-duplicate bin
+    # (bin_lo = 1.0) evaluates the S-curve at s = 1.0 (P = 1), not
+    # the out-of-domain 1.01 (ADVICE r12)
+    p = "(1.0 - POW(1.0 - POW(LEAST(bin_lo + 0.01, 1.0), r), b))"
     det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
     return (
         hist.crossJoin(F.broadcast(cfg))
@@ -4148,7 +4178,10 @@ def q_lsh_band_planner(spark, sf_dir):
 
 
 def _sql_lsh_band_planner() -> str:
-    p = "(1.0 - POW(1.0 - POW(bin_lo + 0.01, r), b))"
+    # bin midpoint clamped to 1.0 so the exact-duplicate bin
+    # (bin_lo = 1.0) evaluates the S-curve at s = 1.0 (P = 1), not
+    # the out-of-domain 1.01 (ADVICE r12)
+    p = "(1.0 - POW(1.0 - POW(LEAST(bin_lo + 0.01, 1.0), r), b))"
     vals = ", ".join(f"({r}, {b})" for r, b in _LSH_CONFIGS)
     return f"""
 WITH sh_all AS ({_DUCK_SHINGLES}),
@@ -4163,10 +4196,14 @@ hist_top AS (
           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
           >= {JACCARD_THRESHOLD})
   GROUP BY 1),
-sh AS (SELECT * FROM sh_all WHERE doc_id % {_LSH_LOW_DOC_MOD} = 0),
+nd AS (
+  SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / {_LSH_LOW_SAMPLE_DOCS}.0)
+                          AS BIGINT)) AS m
+  FROM documents),
+sh AS (SELECT s.* FROM sh_all s, nd WHERE s.doc_id % nd.m = 0),
 hist_low AS (
   SELECT FLOOR(j * 50) / 50 AS bin_lo,
-         CAST(COUNT(*) * {_LSH_LOW_SCALE} AS BIGINT) AS n
+         CAST(COUNT(*) * (SELECT m * m FROM nd) AS BIGINT) AS n
   FROM (
     SELECT ROUND(len(list_intersect(a.sh, b.sh))
              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4)
