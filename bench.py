@@ -390,6 +390,25 @@ def main() -> None:
         s["contaminated"] for s in load_stamps.values()
     )
     print(json.dumps(out))
+    # The grading driver keeps only the LAST ~2000 chars of stdout, so
+    # the full line above loses its head once sf2/sf3 columns grow —
+    # BENCH_r11/r12 shipped without their primary sf0.1 dict (VERDICT
+    # r12 item 3).  Restate the primary contract compactly as the very
+    # last line: a complete, parseable {"metric", "value", "unit",
+    # "queries", "sf"} object that always fits inside the tail.
+    print(
+        json.dumps(
+            {
+                "metric": out["metric"],
+                "value": out["value"],
+                "unit": out["unit"],
+                "queries": timings,
+                "sf": out["sf"],
+                "load_contaminated": out["load_contaminated"],
+            },
+            separators=(",", ":"),
+        )
+    )
     spark.stop()
 
 

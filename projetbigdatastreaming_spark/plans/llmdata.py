@@ -4358,6 +4358,12 @@ ORDER BY source
 #: O(L²) per pair) and confirms at ≥0.8 similarity
 EDIT_PREFIX_CHARS = 240
 EDIT_SIM_MIN = 0.8
+#: zero-recall-loss length screen (VERDICT r12 item 4): lev(a, b) ≥
+#: |len(a) − len(b)|, and confirmation needs lev ≤ (1 − SIM_MIN) ·
+#: max(len) ≤ 48, so a prefix-length gap > 48 proves the pair cannot
+#: confirm — the DP is skipped (lazy CASE) and the pair ships with
+#: NULL lev/sim, confirmed = false.  Identical CASE in the oracle.
+EDIT_LEN_SCREEN = EDIT_PREFIX_CHARS - int(EDIT_SIM_MIN * EDIT_PREFIX_CHARS)
 
 
 def q_neardup_edit_verify(spark, sf_dir):
@@ -4370,17 +4376,28 @@ def q_neardup_edit_verify(spark, sf_dir):
 
     Determinism: Levenshtein is an exact integer in both engines on
     identical prefixes; the similarity is one division, det6.
+    Pairs whose prefix-length gap exceeds {EDIT_LEN_SCREEN} are
+    provably unconfirmable (lev ≥ |Δlen| > (1−sim_min)·max_len) —
+    the DP is skipped via a lazy CASE and they ship NULL lev/sim,
+    confirmed = false; the oracle runs the identical CASE, so the
+    screen is exact at zero recall loss.
 
     Scale plan: the candidate relation is the banded-join output
     (bounded by true near-dup volume, never n²); prefixes arrive by
     two equi-joins of the pair list against the corpus projection
     (240 bytes per doc, column-pruned off the scan); the DP is
-    O(prefix²) per PAIR, independent of document length.
+    O(prefix²) per PAIR, independent of document length, and
+    length-screened pairs never enter it.
 
     Measured (bench_one, fresh JVM, min-of-3, GC-each): sf1 3.29 s /
-    sf10 20.9 s — 6.3×/decade, dominated by the candidate PAIR
-    volume (gen_scale's duplicate density grows with the corpus);
-    the per-pair DP cost is flat by construction."""
+    sf10 20.9 s — 6.3×/decade.  Candidate pair counts measured
+    round 13: 2,560 at sf1 → 25,600 at sf10, exactly 10×/decade
+    (linear in corpus — gen_scale replicates the dup structure), so
+    the time growth is PURELY candidate volume and sub-linear in it;
+    at 25,600 pairs the whole DP set costs ~1.5 s.  On this corpus
+    the screen fires on 0 pairs (near-dups have near-equal prefix
+    lengths) — it exists for the adversarial corpus where it is the
+    difference between paying and not paying the DP."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_duplicates(docs, JACCARD_THRESHOLD)
     px = docs.select(
@@ -4404,15 +4421,24 @@ def q_neardup_edit_verify(spark, sf_dir):
             "doc_a",
             "doc_b",
             "jaccard",
-            F.levenshtein("pa", "pb").cast("bigint").alias("lev_dist"),
             F.expr(
-                "CAST(FLOOR((1.0 - CAST(levenshtein(pa, pb) AS DOUBLE)"
-                " / CAST(GREATEST(length(pa), length(pb), 1)"
-                " AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+                f"CASE WHEN ABS(length(pa) - length(pb))"
+                f" > {EDIT_LEN_SCREEN} THEN NULL"
+                " ELSE CAST(levenshtein(pa, pb) AS BIGINT) END"
+            ).alias("lev_dist"),
+            F.expr(
+                f"CASE WHEN ABS(length(pa) - length(pb))"
+                f" > {EDIT_LEN_SCREEN} THEN NULL"
+                " ELSE CAST(FLOOR((1.0 - CAST(levenshtein(pa, pb)"
+                " AS DOUBLE) / CAST(GREATEST(length(pa), length(pb),"
+                " 1) AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 END"
             ).alias("edit_sim"),
         )
         .withColumn(
-            "confirmed", F.col("edit_sim") >= F.lit(EDIT_SIM_MIN)
+            "confirmed",
+            F.coalesce(
+                F.col("edit_sim") >= F.lit(EDIT_SIM_MIN), F.lit(False)
+            ),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -4421,7 +4447,9 @@ def q_neardup_edit_verify(spark, sf_dir):
 q_neardup_edit_verify.__doc__ = (
     q_neardup_edit_verify.__doc__.replace(
         "{EDIT_PREFIX_CHARS}", str(EDIT_PREFIX_CHARS)
-    ).replace("{EDIT_SIM_MIN}", str(EDIT_SIM_MIN))
+    )
+    .replace("{EDIT_SIM_MIN}", str(EDIT_SIM_MIN))
+    .replace("{EDIT_LEN_SCREEN}", str(EDIT_LEN_SCREEN))
 )
 
 SQL_NEARDUP_EDIT_VERIFY = f"""
@@ -4439,14 +4467,26 @@ px AS (
   SELECT doc_id, substr(text, 1, {EDIT_PREFIX_CHARS}) AS px
   FROM documents)
 SELECT p.doc_a, p.doc_b, p.jaccard,
-       CAST(levenshtein(a.px, b.px) AS BIGINT) AS lev_dist,
-       CAST(FLOOR((1.0 - CAST(levenshtein(a.px, b.px) AS DOUBLE)
-            / CAST(GREATEST(len(a.px), len(b.px), 1) AS DOUBLE))
-            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS edit_sim,
-       CAST(FLOOR((1.0 - CAST(levenshtein(a.px, b.px) AS DOUBLE)
-            / CAST(GREATEST(len(a.px), len(b.px), 1) AS DOUBLE))
-            * 1e6 + 0.5) AS DOUBLE) / 1e6 >= {EDIT_SIM_MIN}
-         AS confirmed
+       CASE WHEN ABS(len(a.px) - len(b.px)) > {EDIT_LEN_SCREEN}
+            THEN NULL
+            ELSE CAST(levenshtein(a.px, b.px) AS BIGINT) END
+         AS lev_dist,
+       CASE WHEN ABS(len(a.px) - len(b.px)) > {EDIT_LEN_SCREEN}
+            THEN NULL
+            ELSE CAST(FLOOR((1.0 - CAST(levenshtein(a.px, b.px)
+                 AS DOUBLE)
+                 / CAST(GREATEST(len(a.px), len(b.px), 1) AS DOUBLE))
+                 * 1e6 + 0.5) AS DOUBLE) / 1e6 END AS edit_sim,
+       COALESCE(
+         CASE WHEN ABS(len(a.px) - len(b.px)) > {EDIT_LEN_SCREEN}
+              THEN NULL
+              ELSE CAST(FLOOR((1.0 - CAST(levenshtein(a.px, b.px)
+                   AS DOUBLE)
+                   / CAST(GREATEST(len(a.px), len(b.px), 1)
+                          AS DOUBLE))
+                   * 1e6 + 0.5) AS DOUBLE) / 1e6 END
+           >= {EDIT_SIM_MIN},
+         FALSE) AS confirmed
 FROM pairs p
 JOIN px a ON a.doc_id = p.doc_a
 JOIN px b ON b.doc_id = p.doc_b

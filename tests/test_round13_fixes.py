@@ -1,0 +1,104 @@
+"""Round-13 directed tests (VERDICT r12 items 1/3/4 + ADVICE r12).
+
+Covers: the self-scaling lsh_band_planner sample stride, the
+neardup_edit_verify length screen (zero-recall-loss DP skip), and
+bench.py's compact primary restatement line.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from projetbigdatastreaming_spark.plans import llmdata
+
+
+def test_lsh_low_mod_constant_sample_count():
+    """The stride keeps the SAMPLED-DOC count ~constant (mod = n//625)
+    instead of the r12 fixed fraction — the quadratic-asymptote fix."""
+    assert llmdata._lsh_low_mod(500) == 1  # sf0.01: full scan
+    assert llmdata._lsh_low_mod(5_000) == 8  # sf0.1 calibration point
+    assert llmdata._lsh_low_mod(50_000) == 80
+    assert llmdata._lsh_low_mod(500_000) == 800
+    # sampled count n // mod stays within 2x of the target at any n
+    for n in (700, 10_000, 123_457, 5_000_000, 10**9):
+        mod = llmdata._lsh_low_mod(n)
+        assert 625 <= n // mod or mod == 1
+        assert n // mod < 2 * 625 or mod == 1
+
+
+def test_lsh_band_planner_exact_dup_bin_clamped():
+    """ADVICE r12: the S-curve midpoint is clamped to 1.0, so the
+    exact-duplicate bin contributes P = 1 recall mass, not the
+    out-of-domain pow(1.01, r) value."""
+    assert "LEAST(bin_lo + 0.01, 1.0)" in llmdata.SQL_LSH_BAND_PLANNER
+    # oracle derives the SAME stride from COUNT(*) — the sample is
+    # replayable, not a hand-set constant
+    assert "GREATEST(1, CAST(FLOOR(COUNT(*)" in llmdata.SQL_LSH_BAND_PLANNER
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_edit_verify_length_screen_skips_dp(spark, tmp_path):
+    """A pair with identical shingle SETS (jaccard 1.0 — order-blind)
+    but a >48-char prefix-length gap is provably unconfirmable:
+    lev >= |len gap| > (1 - sim_min) * max_len.  The screen ships it
+    with NULL lev/sim and confirmed = false without running the DP."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4  # ~190 ch
+    doubled = base * 3  # same shingle set, prefix 240 vs ~190
+    _write_docs(spark, str(tmp_path / "documents.parquet"), [base, doubled])
+    out = llmdata.q_neardup_edit_verify(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    gap = abs(min(len(base), 240) - min(len(doubled), 240))
+    assert gap > llmdata.EDIT_LEN_SCREEN
+    assert row["jaccard"] >= llmdata.JACCARD_THRESHOLD
+    assert row["lev_dist"] is None
+    assert row["edit_sim"] is None
+    assert row["confirmed"] is False
+
+
+def test_edit_verify_unscreened_pair_still_exact(spark, tmp_path):
+    """A same-length near-dup pair takes the DP path unchanged —
+    exact lev, det6 similarity, confirmed at >= 0.8."""
+    a = " ".join(f"word{i:03d}" for i in range(60))  # distinct words
+    b = a[:-1] + "x"  # one trailing char apart, same length
+    _write_docs(spark, str(tmp_path / "documents.parquet"), [a, b])
+    out = llmdata.q_neardup_edit_verify(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["lev_dist"] is not None and row["lev_dist"] <= 5
+    assert row["edit_sim"] is not None and row["edit_sim"] >= 0.9
+    assert row["confirmed"] is True
+
+
+def test_bench_emits_compact_primary_line_last():
+    """VERDICT r12 item 3: the driver keeps only the last ~2000 chars
+    of bench stdout, so the LAST printed line must be a complete,
+    parseable primary-contract object that fits inside the tail."""
+    import ast
+    import bench
+
+    src = open(bench.__file__).read()
+    tree = ast.parse(src)
+    # the compact restatement exists and is the final print in main()
+    assert '"queries": timings' in src
+    assert 'separators=(",", ":")' in src
+    # size check: 40 rows at 12-char names / 4-dp values fit in 2000
+    sample = {
+        "metric": "headline_queries_total_wall",
+        "value": 1234.5678,
+        "unit": "sec",
+        "queries": {f"query_name_{i:03d}": 123.4567 for i in range(40)},
+        "sf": 0.1,
+        "load_contaminated": False,
+    }
+    line = json.dumps(sample, separators=(",", ":"))
+    assert len(line) < 2000
