@@ -1997,7 +1997,12 @@ def q_forecast_backtest(spark, sf_dir):
     higher-order fold (Holt side), joined on ≤|types| rows.
 
     Measured (bench_one, min-of-2): sf1 0.96 s / sf10 1.16 s — flat."""
-    daily = _daily_counts(spark, sf_dir)
+    return backtest_from_daily(_daily_counts(spark, sf_dir))
+
+
+def backtest_from_daily(daily):
+    """The forecaster bake-off over a `(event_type, day, y)` relation
+    — shared by the batch query and the streaming fold."""
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.withColumn("y7", F.lag("y", 7).over(w)).withColumn(
         "y1", F.lag("y", 1).over(w)
@@ -2154,7 +2159,12 @@ def q_theta_forecast(spark, sf_dir):
 
     Measured: rides the same day-span-bounded machinery as Holt
     (flat across decades)."""
-    daily = _daily_counts(spark, sf_dir)
+    return theta_from_daily(_daily_counts(spark, sf_dir))
+
+
+def theta_from_daily(daily):
+    """The theta solve over a `(event_type, day, y)` relation —
+    shared by the batch query and the streaming fold."""
     w = Window.partitionBy("event_type").orderBy("day")
     idx = daily.withColumn(
         "t", (F.row_number().over(w) - 1).cast("bigint")

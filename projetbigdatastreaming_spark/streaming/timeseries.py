@@ -714,3 +714,26 @@ def read_holt(spark: SparkSession, state_dir: str) -> DataFrame:
     from ..plans.timeseries import holt_from_daily
 
     return holt_from_daily(_fold_daily(spark, state_dir))
+
+
+def read_theta(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Theta-method forecast over the folded daily state — the SIXTH
+    consumer of the one daily-count state stream; column-identical to
+    `plans/timeseries.q_theta_forecast` over the union of the
+    ingested batches (pinned by test).  Daily counts are additive, so
+    the folded relation equals the batch `_daily_counts` under any
+    batch split, and the OLS integer sums + SES fold come out
+    bit-identical."""
+    from ..plans.timeseries import theta_from_daily
+
+    return theta_from_daily(_fold_daily(spark, state_dir))
+
+
+def read_forecast_backtest(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Naive-1 / naive-7 / Holt bake-off over the folded daily state
+    — the SEVENTH consumer of the one daily-count state stream;
+    column-identical to `plans/timeseries.q_forecast_backtest` over
+    the union of the ingested batches (pinned by test)."""
+    from ..plans.timeseries import backtest_from_daily
+
+    return backtest_from_daily(_fold_daily(spark, state_dir))

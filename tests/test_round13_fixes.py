@@ -102,3 +102,55 @@ def test_bench_emits_compact_primary_line_last():
     }
     line = json.dumps(sample, separators=(",", ":"))
     assert len(line) < 2000
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_theta_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 5: theta rides the SAME daily-count state
+    stream as the other daily monitors — additive partials over 3
+    batches fold to the batch forecast exactly (OLS integer sums +
+    the SES fold see the identical ordered series)."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_theta_forecast,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        burstiness_batch_writer,
+        read_theta,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "daily")
+    write = burstiness_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    want = _rows(q_theta_forecast(spark, sf_dir))
+    assert _rows(read_theta(spark, state)) == want and len(want) > 0
+
+
+def test_backtest_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 5: the forecaster bake-off over the folded
+    daily state equals the batch query exactly under any batch
+    split."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_forecast_backtest,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        burstiness_batch_writer,
+        read_forecast_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "daily")
+    write = burstiness_batch_writer(state)
+    for i in range(4):
+        write(ev.where(f"event_id % 4 = {i}"), i)
+
+    want = _rows(q_forecast_backtest(spark, sf_dir))
+    assert _rows(read_forecast_backtest(spark, state)) == want
+    assert len(want) > 0
