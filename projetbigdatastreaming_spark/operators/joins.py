@@ -340,7 +340,13 @@ def strategy_case_expr(shuffle_partitions: int = 200) -> str:
     pins it row-equal to the Python chooser).  Profile-only form: the
     broadcast branch needs the dim side's row count, which a single
     key profile does not carry."""
-    per_task = f"(CAST(n_rows AS DOUBLE) / {shuffle_partitions}.0)"
+    # GREATEST(1.0, …) mirrors the Python chooser's per_task clamp so
+    # the two renderings stay textually equivalent even under
+    # non-default thresholds where a sub-1.0 per-task budget could
+    # flip the plain branch (ADVICE r12)
+    per_task = (
+        f"GREATEST(1.0, CAST(n_rows AS DOUBLE) / {shuffle_partitions}.0)"
+    )
     return (
         f"CASE WHEN max_freq <= GREATEST({float(SKEW_MIN_ROWS)!r},"
         f" {SKEW_FACTOR!r} * {per_task}) THEN 'plain'"

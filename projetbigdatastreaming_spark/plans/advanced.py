@@ -5003,9 +5003,13 @@ def q_sample_size_power(spark, sf_dir):
     test at α=0.05 / power 0.80 —
     n = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₂−p₁)².
 
-    Determinism: p₁ is an exact integer ratio (distinct converting
-    users / distinct users); the MDE grid is a literal; n is one
-    closed-form expression on exact-derived doubles, CEIL to bigint.
+    Determinism: p₁ is an exact integer ratio — distinct users who
+    fired the type at least once ("converted") over distinct users
+    overall, the USER-level conversion probability an experiment arm
+    actually measures (ADVICE r12 flagged the first cut for quoting
+    a user-DAY traffic share here); the MDE grid is a literal; n is
+    one closed-form expression on exact-derived doubles, CEIL to
+    bigint.
 
     Scale plan: two distinct-count hash-aggs (per-type and the 1-row
     global, broadcast back — the Q11 scalar shape) and a 4-literal
@@ -5014,13 +5018,13 @@ def q_sample_size_power(spark, sf_dir):
     Measured (bench_one, min-of-2): sf1 0.71 s / sf10 1.46 s — the
     cost is the two distinct aggs."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "user_id", F.to_date("ts").alias("day")
+        "event_type", "user_id"
     )
     per_type = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id", "day").cast("bigint").alias("u_conv")
+        F.count_distinct("user_id").cast("bigint").alias("u_conv")
     )
     tot = ev.agg(
-        F.count_distinct("user_id", "day").cast("bigint").alias("u_all")
+        F.count_distinct("user_id").cast("bigint").alias("u_all")
     )
     mde_arr = ", ".join(f"CAST({m!r} AS DOUBLE)" for m in _PWR_MDES)
     p1 = "(CAST(u_conv AS DOUBLE) / CAST(u_all AS DOUBLE))"
@@ -5063,13 +5067,13 @@ def _sql_sample_size_power() -> str:
     )
     return f"""
 WITH ud AS (
-  SELECT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+  SELECT event_type, user_id FROM events),
 per_type AS (
   SELECT event_type,
-         CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS u_conv
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u_conv
   FROM ud GROUP BY 1),
 tot AS (
-  SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS u_all
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u_all
   FROM ud),
 mdes (mde) AS (VALUES {mde_vals})
 SELECT event_type, mde,
@@ -5117,7 +5121,11 @@ def moments_by_type(ev: DataFrame) -> DataFrame:
     it exactly)."""
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     cd = F.col("c").cast("decimal(19,0)")
-    c2d = (F.col("c") * F.col("c")).cast("decimal(38,0)")
+    # first multiply happens in DECIMAL, not BIGINT: c*c as bigint
+    # overflows the intermediate for |cents| beyond ~3e9 before the
+    # decimal accumulator ever sees it (ADVICE r12) — cd*cd keeps the
+    # documented DECIMAL(38,0) headroom on the per-row products
+    c2d = (cd * cd).cast("decimal(38,0)")
     return (
         ev.select("event_type", cents.alias("c"))
         .groupBy("event_type")
@@ -5436,7 +5444,8 @@ WITH g AS (
               AS DOUBLE) AS s2,
          CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
               * CAST(c AS HUGEINT)) AS DOUBLE) AS s3,
-         CAST(SUM(CAST(c * c AS HUGEINT) * CAST(c * c AS HUGEINT))
+         CAST(SUM((CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+              * (CAST(c AS HUGEINT) * CAST(c AS HUGEINT)))
               AS DOUBLE) AS s4
   FROM (SELECT event_type,
                CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c

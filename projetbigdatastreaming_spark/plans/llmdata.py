@@ -6756,9 +6756,18 @@ def q_text_keyphrases_rake(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("freq"),
         F.sum("plen").cast("bigint").alias("deg"),
     )
+    # deg*1e6 first would overflow int64 once a word's summed phrase
+    # lengths pass ~9.2e12 (reachable at 100 TB corpus frequencies);
+    # the quotient/remainder split is the exact same value with the
+    # largest intermediate bounded by freq*1e6 (the reduce-before-
+    # multiply discipline from zone_map_effectiveness, VERDICT r12
+    # item 7)
     wscore = wstats.select(
         "w",
-        F.expr("deg * 1000000 DIV freq").alias("uscore"),
+        F.expr(
+            "(deg DIV freq) * 1000000"
+            " + (deg % freq) * 1000000 DIV freq"
+        ).alias("uscore"),
     )
     pdist = cands.groupBy("phrase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
@@ -6803,8 +6812,10 @@ WITH cands AS MATERIALIZED (
 member AS (
   SELECT phrase, plen, unnest(str_split(phrase, ' ')) AS w FROM cands),
 wscore AS (
-  SELECT w, CAST(SUM(plen) AS BIGINT) * 1000000
-            // CAST(COUNT(*) AS BIGINT) AS uscore
+  SELECT w, (CAST(SUM(plen) AS BIGINT) // CAST(COUNT(*) AS BIGINT))
+            * 1000000
+            + (CAST(SUM(plen) AS BIGINT) % CAST(COUNT(*) AS BIGINT))
+            * 1000000 // CAST(COUNT(*) AS BIGINT) AS uscore
   FROM member GROUP BY 1),
 pdist AS (
   SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences

@@ -119,3 +119,68 @@ def test_strategy_advice_column_matches_python_chooser(spark, sf_dir):
 
     for row in q_join_strategy_advice(spark, sf_dir).collect():
         assert row.strategy == choose_join_strategy(row), row
+
+
+def test_case_expr_matches_chooser_under_degenerate_thresholds(spark):
+    """ADVICE r12: the SQL CASE now renders the same GREATEST(1.0, …)
+    per-task clamp as the Python chooser, so the two stay literally
+    equivalent even where n_rows < shuffle_partitions and the floor
+    is set below one row (unreachable at module defaults)."""
+    from projetbigdatastreaming_spark.operators.joins import (
+        strategy_case_expr,
+    )
+
+    # n_rows=10 with 200 partitions: unclamped per_task = 0.05, so a
+    # max_freq of 1 would read as "skewed" without the clamp once the
+    # floor is degenerate.  The Python chooser clamps to 1.0 → plain.
+    profiles = [
+        # (n_rows, max_freq, p99_freq, top1_share_ppm)
+        (10, 1, 1, 100_000),
+        (10, 2, 1, 200_000),
+        (150, 3, 1, 20_000),
+        (1_000_000, 900_000, 10, 900_000),
+    ]
+    df = spark.createDataFrame(
+        profiles, "n_rows long, max_freq long, p99_freq long,"
+        " top1_share_ppm long"
+    )
+    got = {
+        (r.n_rows, r.max_freq): r.strategy
+        for r in df.selectExpr(
+            "*", f"{strategy_case_expr()} AS strategy"
+        ).collect()
+    }
+    for n_rows, max_freq, p99, ppm in profiles:
+        want = choose_join_strategy(
+            {
+                "n_rows": n_rows,
+                "max_freq": max_freq,
+                "p99_freq": p99,
+                "top1_share_ppm": ppm,
+            },
+            skew_min_rows=0,  # degenerate floor: the clamp decides
+        )
+        got_sql = {
+            (r.n_rows, r.max_freq): r.strategy
+            for r in df.selectExpr(
+                "*",
+                "CASE WHEN max_freq <= GREATEST(0.0, 4.0 *"
+                " GREATEST(1.0, CAST(n_rows AS DOUBLE) / 200.0))"
+                " THEN 'plain'"
+                " WHEN max_freq >= 10.0 * GREATEST(1, p99_freq)"
+                " OR top1_share_ppm >= 50000 THEN 'salted'"
+                " ELSE 'aqe_skew' END AS strategy",
+            ).collect()
+        }
+        assert got_sql[(n_rows, max_freq)] == want, (n_rows, max_freq)
+    # and at module defaults the shipped expression still agrees
+    for n_rows, max_freq, p99, ppm in profiles:
+        want_default = choose_join_strategy(
+            {
+                "n_rows": n_rows,
+                "max_freq": max_freq,
+                "p99_freq": p99,
+                "top1_share_ppm": ppm,
+            }
+        )
+        assert got[(n_rows, max_freq)] == want_default, (n_rows, max_freq)
