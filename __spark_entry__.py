@@ -84,8 +84,11 @@ QUERY_ORDER = (
     "unigram_logprob", "bpe_token_count", "emb_centroid", "tfidf_topk",
     "emb_outliers", "graph_pagerank", "dedup_incremental_bloom",
     "emb_ivfpq_topk", "emb_ivfpq_recall", "curation_weighted_sample",
-    # 3) round-13 additions queue here (oracle-verified locally
-    # before entry; they lead round 14's window)
+    # 3) round-13 additions (oracle-verified locally before entry;
+    # they lead round 14's window; ≤16 per the velocity cap)
+    "mann_kendall_trend", "stl_seasonal_strength", "croston_forecast",
+    "holt_winters_forecast", "welch_anova", "levene_test",
+    "cohens_d_pairs", "bh_fdr", "friedman_test", "permutation_test",
     # 4) green in the round-8 driver run — oldest vintage after the
     # round-13 window clears the r07 tail
     "image_structure", "audio_structure", "video_structure", "emb_bq_topk",

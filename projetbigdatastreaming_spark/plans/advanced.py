@@ -5465,7 +5465,760 @@ ORDER BY event_type
 SQL_JARQUE_BERA = _sql_jarque_bera()
 
 
+# -- round 13: the k-group panel's missing tests and multiplicity ------------
+
+
+def _norm_two_sided_p(z: str) -> str:
+    """Two-sided normal p-value 2·Φ(−|z|) as one expression — the
+    Abramowitz–Stegun 26.2.17 polynomial (|ε| < 7.5e-8), spelled
+    IDENTICALLY for Spark SQL and DuckDB so both engines run the
+    same double program (neither has a normal CDF builtin)."""
+    az = f"ABS({z})"
+    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
+    pdf = f"(EXP(-({az}) * ({az}) / 2.0) * 0.3989422804014327)"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} *"
+        f" (1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return f"LEAST(1.0, 2.0 * {pdf} * {poly})"
+
+
+def q_welch_anova(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA across event types
+    (Welch 1951) — the k-group location test `anova_oneway` users
+    reach for when `levene_test` rejects equal variances: weights
+    wᵢ = nᵢ/vᵢ, F* = Σwᵢ(mᵢ−x̄w)²/(k−1) over the Welch denominator,
+    with the Welch–Satterthwaite df₂.
+
+    Determinism: per-type (n, mean, var) come from the SAME exact
+    decimal power sums as `anova_oneway` (`moments_by_type` — so the
+    streaming moments state feeds this too); the k-term folds are
+    plain double sums (the `anova_oneway` precedent), det6 outputs.
+
+    Scale plan: one map-side-combinable moments pass; the Welch
+    algebra runs on ONE row of k-term sums — Σw, Σwm, Σwm², and the
+    three expanded Σ(1−w/W)²/(n−1) pieces fold in the same agg, so
+    no second pass and no scalar re-join."""
+    ev = load_table(spark, sf_dir, "events")
+    return welch_from_moments(moments_by_type(ev))
+
+
+def welch_from_moments(g) -> "DataFrame":
+    """The Welch solve over a `moments_by_type`-shaped relation —
+    shared by the batch query and the streaming fold."""
+    per = g.selectExpr(
+        "event_type",
+        "n",
+        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m",
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v",
+    ).where("n >= 2 AND v > 0")
+    folded = per.selectExpr(
+        "CAST(n AS DOUBLE) / v AS w",
+        "m",
+        "n",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("n")).cast("bigint").alias("n_total"),
+        F.sum("w").alias("s0"),
+        F.sum(F.col("w") * F.col("m")).alias("s1"),
+        F.sum(F.col("w") * F.col("m") * F.col("m")).alias("s2"),
+        F.sum(F.expr("1.0 / (CAST(n AS DOUBLE) - 1.0)")).alias("d1"),
+        F.sum(F.expr("w / (CAST(n AS DOUBLE) - 1.0)")).alias("d2"),
+        F.sum(F.expr("w * w / (CAST(n AS DOUBLE) - 1.0)")).alias("d3"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    kd = "CAST(k AS DOUBLE)"
+    c = "(d1 - 2.0 * d2 / s0 + d3 / (s0 * s0))"
+    a_num = f"((s2 - s1 * s1 / s0) / ({kd} - 1.0))"
+    b_den = f"(1.0 + 2.0 * ({kd} - 2.0) / ({kd} * {kd} - 1.0) * {c})"
+    return folded.selectExpr(
+        "k",
+        "n_total",
+        "CAST(k - 1 AS BIGINT) AS df1",
+        det6.format(x=f"({kd} * {kd} - 1.0) / (3.0 * {c})", n="df2"),
+        det6.format(x=f"{a_num} / {b_den}", n="f_stat"),
+    )
+
+
+SQL_WELCH_ANOVA = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+              AS DOUBLE) AS s2
+  FROM (SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events)
+  GROUP BY 1),
+per AS (
+  SELECT event_type, n,
+         s1 / CAST(n AS DOUBLE) AS m,
+         (s2 - s1 * s1 / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS v
+  FROM g
+  WHERE n >= 2
+    AND (s2 - s1 * s1 / CAST(n AS DOUBLE))
+        / (CAST(n AS DOUBLE) - 1.0) > 0),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         SUM(CAST(n AS DOUBLE) / v) AS s0,
+         SUM(CAST(n AS DOUBLE) / v * m) AS s1,
+         SUM(CAST(n AS DOUBLE) / v * m * m) AS s2,
+         SUM(1.0 / (CAST(n AS DOUBLE) - 1.0)) AS d1,
+         SUM(CAST(n AS DOUBLE) / v / (CAST(n AS DOUBLE) - 1.0)) AS d2,
+         SUM(CAST(n AS DOUBLE) / v * (CAST(n AS DOUBLE) / v)
+             / (CAST(n AS DOUBLE) - 1.0)) AS d3
+  FROM per)
+SELECT k,
+       n_total,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(FLOOR(((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+            / (3.0 * (d1 - 2.0 * d2 / s0 + d3 / (s0 * s0))))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS df2,
+       CAST(FLOOR((((s2 - s1 * s1 / s0) / (CAST(k AS DOUBLE) - 1.0))
+            / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+               / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+               * (d1 - 2.0 * d2 / s0 + d3 / (s0 * s0))))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS f_stat
+FROM folded
+"""
+
+
+def q_levene_test(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity test across event types
+    (Levene 1960; Brown & Forsythe 1974 median variant — the robust
+    form every stats package defaults to): one-way ANOVA on the
+    absolute deviations from each group's MEDIAN.  The gate in front
+    of `anova_oneway` (equal variances assumed) vs `welch_anova`.
+
+    Determinism: deviations are EXACT integers in doubled cents —
+    the median of integers is a half-integer, so z₂ = |2c − 2·med|
+    is a bigint and Σz₂/Σz₂² are exact (decimal accumulators, the
+    `moments_by_type` discipline); the F fold is the `anova_oneway`
+    expression program, det6; the ×2 scaling cancels in F.
+
+    Scale plan: one exact-percentile agg per type (hash exchange),
+    the k medians broadcast back onto one corpus pass, then the
+    1-row fold."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("CAST(ROUND(2.0 * percentile(c, 0.5)) AS BIGINT)").alias(
+            "med2"
+        )
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("z2"),
+    )
+    z2d = F.col("z2").cast("decimal(19,0)")
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(z2d).cast("decimal(38,0)").alias("s1"),
+        F.sum((z2d * z2d).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    folded = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.col("s1").cast("double")).alias("s"),
+        F.sum(F.col("s2").cast("double")).alias("ss2"),
+        F.sum(
+            F.pow(F.col("s1").cast("double"), F.lit(2.0))
+            / F.col("n").cast("double")
+        ).alias("sq_over_n"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    ssb = "(sq_over_n - s * s / CAST(n AS DOUBLE))"
+    ssw = "(ss2 - sq_over_n)"
+    return folded.selectExpr(
+        "k",
+        "n",
+        "CAST(k - 1 AS BIGINT) AS df_between",
+        "CAST(n - k AS BIGINT) AS df_within",
+        det6.format(
+            x=f"({ssb} / CAST(k - 1 AS DOUBLE))"
+            f" / ({ssw} / CAST(n - k AS DOUBLE))",
+            n="f_stat",
+        ),
+    )
+
+
+SQL_LEVENE_TEST = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+med AS (
+  SELECT event_type,
+         CAST(ROUND(2.0 * quantile_cont(c, 0.5)) AS BIGINT) AS med2
+  FROM ev GROUP BY 1),
+z AS (
+  SELECT ev.event_type, ABS(2 * ev.c - med.med2) AS z2
+  FROM ev JOIN med USING (event_type)),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(z2 AS HUGEINT)) AS s1,
+         SUM(CAST(z2 AS HUGEINT) * CAST(z2 AS HUGEINT)) AS s2
+  FROM z GROUP BY 1),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s1) AS DOUBLE) AS s,
+         CAST(SUM(s2) AS DOUBLE) AS ss2,
+         SUM(POW(CAST(s1 AS DOUBLE), 2.0) / CAST(n AS DOUBLE))
+           AS sq_over_n
+  FROM g)
+SELECT k, n,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       CAST(FLOOR((((sq_over_n - s * s / CAST(n AS DOUBLE))
+            / CAST(k - 1 AS DOUBLE))
+            / ((ss2 - sq_over_n) / CAST(n - k AS DOUBLE)))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS f_stat
+FROM folded
+"""
+
+
+def q_cohens_d_pairs(spark, sf_dir):
+    """Pairwise effect sizes between event types — Cohen's d on the
+    pooled SD plus the small-sample Hedges' g correction (Cohen
+    1988; Hedges 1981): the magnitude panel behind the significance
+    panel (`anova_oneway` says SOME pair differs; this says by how
+    much, in SD units, for every pair).
+
+    Determinism: per-type (n, mean, var) from the exact
+    `moments_by_type` decimal sums; d and g are closed-form on the
+    derived doubles, det6; cents scaling cancels in d.
+
+    Scale plan: one moments pass, then the pair grid is generated
+    MAP-SIDE from the k-row sorted array (the `basket_lift`
+    discipline — no self-join, no BNLJ), k(k−1)/2 ≤ dozens of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per = moments_by_type(ev).selectExpr(
+        "event_type",
+        "n",
+        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m",
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v",
+    ).where("n >= 2")
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    sp = (
+        "SQRT(((CAST(p.a.n AS DOUBLE) - 1.0) * p.a.v"
+        " + (CAST(p.b.n AS DOUBLE) - 1.0) * p.b.v)"
+        " / (CAST(p.a.n + p.b.n AS DOUBLE) - 2.0))"
+    )
+    d = f"((p.a.m - p.b.m) / {sp})"
+    corr = "(1.0 - 3.0 / (4.0 * CAST(p.a.n + p.b.n AS DOUBLE) - 9.0))"
+    return (
+        per.agg(
+            F.expr(
+                "array_sort(collect_list(named_struct("
+                "'event_type', event_type, 'n', n, 'm', m, 'v', v)))"
+            ).alias("ts")
+        )
+        .selectExpr(
+            """EXPLODE(FLATTEN(TRANSFORM(ts, (x, i) ->
+                 TRANSFORM(slice(ts, i + 2, size(ts) - i - 1),
+                           y -> named_struct('a', x, 'b', y))))) AS p"""
+        )
+        .selectExpr(
+            "p.a.event_type AS type_a",
+            "p.b.event_type AS type_b",
+            "p.a.n AS n_a",
+            "p.b.n AS n_b",
+            det6.format(x=d, n="cohens_d"),
+            det6.format(x=f"{d} * {corr}", n="hedges_g"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_COHENS_D_PAIRS = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+              AS DOUBLE) AS s2
+  FROM (SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events)
+  GROUP BY 1),
+per AS (
+  SELECT event_type, n,
+         s1 / CAST(n AS DOUBLE) AS m,
+         (s2 - s1 * s1 / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS v
+  FROM g WHERE n >= 2)
+SELECT a.event_type AS type_a,
+       b.event_type AS type_b,
+       a.n AS n_a,
+       b.n AS n_b,
+       CAST(FLOOR(((a.m - b.m)
+            / SQRT(((CAST(a.n AS DOUBLE) - 1.0) * a.v
+                    + (CAST(b.n AS DOUBLE) - 1.0) * b.v)
+                   / (CAST(a.n + b.n AS DOUBLE) - 2.0)))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cohens_d,
+       CAST(FLOOR(((a.m - b.m)
+            / SQRT(((CAST(a.n AS DOUBLE) - 1.0) * a.v
+                    + (CAST(b.n AS DOUBLE) - 1.0) * b.v)
+                   / (CAST(a.n + b.n AS DOUBLE) - 2.0))
+            * (1.0 - 3.0 / (4.0 * CAST(a.n + b.n AS DOUBLE) - 9.0)))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS hedges_g
+FROM per a JOIN per b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR correction over the per-type
+    weekend-effect z-test panel (Benjamini & Hochberg 1995) — the
+    multiplicity layer the experiment panel was missing: running k
+    per-type tests at α=0.05 inflates false positives; BH adjusts
+    each p to the step-up bound min_{j≥i}(p_(j)·k/j).
+
+    Determinism: the per-type z comes from exact integer cents sums
+    (weekend vs weekday split on the shared weekday() convention);
+    p = 2·Φ(−|z|) via the Abramowitz–Stegun polynomial spelled
+    identically in both engines; the step-up runs over the k-row
+    sorted ARRAY (no unpartitioned window), ties broken by type.
+
+    Scale plan: one corpus hash-agg to (type, is_weekend) cells,
+    k-row array math after."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday(F.to_date("ts")) >= 5).alias("wk"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    cells = ev.groupBy("event_type", "wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(
+            (F.col("c").cast("decimal(19,0)")
+             * F.col("c").cast("decimal(19,0)")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    side = (
+        "CAST(SUM(CASE WHEN wk THEN {col} ELSE 0 END) AS DOUBLE)"
+    )
+    nside = (
+        "CAST(SUM(CASE WHEN NOT wk THEN {col} ELSE 0 END) AS DOUBLE)"
+    )
+    per = cells.groupBy("event_type").agg(
+        F.expr(side.format(col="n")).alias("n_w"),
+        F.expr(side.format(col="s1")).alias("s1_w"),
+        F.expr(side.format(col="s2")).alias("s2_w"),
+        F.expr(nside.format(col="n")).alias("n_d"),
+        F.expr(nside.format(col="s1")).alias("s1_d"),
+        F.expr(nside.format(col="s2")).alias("s2_d"),
+    ).where("n_w >= 2 AND n_d >= 2")
+    z = (
+        "((s1_w / n_w - s1_d / n_d) / SQRT("
+        "((s2_w - s1_w * s1_w / n_w) / (n_w - 1.0)) / n_w"
+        " + ((s2_d - s1_d * s1_d / n_d) / (n_d - 1.0)) / n_d))"
+    )
+    p = _norm_two_sided_p(z)
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    scored = per.selectExpr(
+        "event_type", f"{z} AS z", f"{p} AS p_raw"
+    )
+    # BH step-up on the k-row sorted array: adj_i = min over j >= i
+    # of min(1, p_(j) * k / j) — O(k²) slices, k = |types|
+    return (
+        scored.agg(
+            F.expr(
+                "array_sort(collect_list(named_struct("
+                "'p', p_raw, 'event_type', event_type, 'z', z)))"
+            ).alias("a")
+        )
+        .selectExpr(
+            "a",
+            "size(a) AS k",
+            """TRANSFORM(a, (x, i) -> array_min(
+                 TRANSFORM(slice(a, i + 1, size(a) - i),
+                   (y, j) -> LEAST(1.0, y.p * CAST(size(a) AS DOUBLE)
+                                        / CAST(i + j + 1 AS DOUBLE)))))
+               AS adj""",
+        )
+        .selectExpr(
+            "EXPLODE(TRANSFORM(a, (x, i) -> named_struct("
+            "'event_type', x.event_type, 'z', x.z, 'p', x.p,"
+            "'p_bh', adj[i]))) AS r"
+        )
+        .selectExpr(
+            "r.event_type",
+            det6.format(x="r.z", n="z_score"),
+            det6.format(x="r.p", n="p_raw"),
+            det6.format(x="r.p_bh", n="p_bh"),
+            "r.p_bh <= 0.05 AS reject_q05",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_bh_fdr() -> str:
+    z = (
+        "((s1_w / n_w - s1_d / n_d) / SQRT("
+        "((s2_w - s1_w * s1_w / n_w) / (n_w - 1.0)) / n_w"
+        " + ((s2_d - s1_d * s1_d / n_d) / (n_d - 1.0)) / n_d))"
+    )
+    p = _norm_two_sided_p(z)
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         isodow(CAST(ts AS DATE)) - 1 >= 5 AS wk,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+cells AS (
+  SELECT event_type, wk,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT)) AS s1,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+  FROM ev GROUP BY 1, 2),
+per AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN wk THEN n ELSE 0 END) AS DOUBLE) AS n_w,
+         CAST(SUM(CASE WHEN wk THEN s1 ELSE 0 END) AS DOUBLE) AS s1_w,
+         CAST(SUM(CASE WHEN wk THEN s2 ELSE 0 END) AS DOUBLE) AS s2_w,
+         CAST(SUM(CASE WHEN NOT wk THEN n ELSE 0 END) AS DOUBLE)
+           AS n_d,
+         CAST(SUM(CASE WHEN NOT wk THEN s1 ELSE 0 END) AS DOUBLE)
+           AS s1_d,
+         CAST(SUM(CASE WHEN NOT wk THEN s2 ELSE 0 END) AS DOUBLE)
+           AS s2_d
+  FROM cells GROUP BY 1
+  HAVING SUM(CASE WHEN wk THEN n ELSE 0 END) >= 2
+     AND SUM(CASE WHEN NOT wk THEN n ELSE 0 END) >= 2),
+scored AS (
+  SELECT event_type, {z} AS z, {p} AS p_raw FROM per),
+ranked AS (
+  SELECT event_type, z, p_raw,
+         ROW_NUMBER() OVER (ORDER BY p_raw, event_type) AS rn,
+         COUNT(*) OVER () AS k
+  FROM scored),
+adj AS (
+  SELECT event_type, z, p_raw,
+         MIN(LEAST(1.0, p_raw * CAST(k AS DOUBLE)
+                        / CAST(rn AS DOUBLE)))
+           OVER (ORDER BY rn DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p_bh
+  FROM ranked)
+SELECT event_type,
+       CAST(FLOOR(z * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z_score,
+       CAST(FLOOR(p_raw * 1e6 + 0.5) AS DOUBLE) / 1e6 AS p_raw,
+       CAST(FLOOR(p_bh * 1e6 + 0.5) AS DOUBLE) / 1e6 AS p_bh,
+       p_bh <= 0.05 AS reject_q05
+FROM adj
+ORDER BY event_type
+"""
+
+
+SQL_BH_FDR = _sql_bh_fdr()
+
+
+def q_friedman_test(spark, sf_dir):
+    """Friedman rank test (Friedman 1937) — the blocked k-group
+    test the panel was missing: days are BLOCKS, event types are
+    treatments, daily counts rank WITHIN each day, so day-level
+    shocks (weekends, outages) cancel where `kruskal_wallis` would
+    absorb them into the group comparison.  Tie-corrected statistic
+    Q/C with C = 1 − Σ(t³−t)/(nk(k²−1)), χ²(k−1) under H₀.
+
+    Determinism: average ranks over bigint counts are exact
+    half-integers; R_j sums and the tie term are exact; Q is one
+    closed-form det6 expression.  Only days where ALL k types appear
+    are blocks (same filter in both engines).
+
+    Scale plan: ranks come from a day-PARTITIONED window over the
+    span-bounded daily relation; the global type count is a 1-row
+    broadcast (the Q11 scalar shape)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    k1 = daily.agg(
+        F.count_distinct("event_type").cast("bigint").alias("k")
+    )
+    complete = (
+        daily.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+        .join(F.broadcast(k1), F.col("nt") == F.col("k"))
+        .select("day", "k")
+    )
+    wd = Window.partitionBy("day").orderBy("y")
+    ranked = (
+        daily.join(complete, "day")
+        .withColumn("r_lo", F.rank().over(wd))
+        .withColumn(
+            "t", F.count(F.lit(1)).over(Window.partitionBy("day", "y"))
+        )
+        .select(
+            "event_type",
+            "day",
+            "k",
+            (F.col("r_lo") + (F.col("t") - 1) / 2.0).alias("r"),
+            "t",
+        )
+    )
+    rj = ranked.groupBy("event_type", "k").agg(
+        F.sum("r").alias("rj"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        ranked.select("day", "t")
+        .distinct()
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    folded = rj.groupBy("k").agg(
+        F.min("n").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("rj") * F.col("rj")).alias("sum_rj2"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    kd = "CAST(k AS DOUBLE)"
+    nd = "CAST(n_blocks AS DOUBLE)"
+    q = (
+        f"(12.0 / ({nd} * {kd} * ({kd} + 1.0)) * sum_rj2"
+        f" - 3.0 * {nd} * ({kd} + 1.0))"
+    )
+    corr = (
+        f"(1.0 - CAST(tie_term AS DOUBLE)"
+        f" / ({nd} * {kd} * ({kd} * {kd} - 1.0)))"
+    )
+    return folded.crossJoin(F.broadcast(ties)).selectExpr(
+        "k",
+        "n_blocks",
+        det6.format(x=q, n="q_stat"),
+        det6.format(x=f"{q} / {corr}", n="q_corrected"),
+    )
+
+
+SQL_FRIEDMAN_TEST = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+k1 AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+       FROM daily),
+complete AS (
+  SELECT day, k1.k
+  FROM (SELECT day, COUNT(*) AS nt FROM daily GROUP BY 1), k1
+  WHERE nt = k1.k),
+ranked AS (
+  SELECT d.event_type, d.day, c.k,
+         RANK() OVER (PARTITION BY d.day ORDER BY d.y)
+           + (COUNT(*) OVER (PARTITION BY d.day, d.y) - 1) / 2.0
+           AS r,
+         COUNT(*) OVER (PARTITION BY d.day, d.y) AS t
+  FROM daily d JOIN complete c USING (day)),
+rj AS (
+  SELECT event_type, k, SUM(r) AS rj,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked GROUP BY 1, 2),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM (SELECT DISTINCT day, t FROM ranked)),
+folded AS (
+  SELECT k, CAST(MIN(n) AS BIGINT) AS n_blocks,
+         SUM(rj * rj) AS sum_rj2
+  FROM rj GROUP BY 1)
+SELECT k,
+       n_blocks,
+       CAST(FLOOR((12.0 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+            * (CAST(k AS DOUBLE) + 1.0)) * sum_rj2
+            - 3.0 * CAST(n_blocks AS DOUBLE)
+            * (CAST(k AS DOUBLE) + 1.0)) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS q_stat,
+       CAST(FLOOR(((12.0 / (CAST(n_blocks AS DOUBLE)
+            * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) * sum_rj2
+            - 3.0 * CAST(n_blocks AS DOUBLE)
+            * (CAST(k AS DOUBLE) + 1.0))
+            / (1.0 - CAST(tie_term AS DOUBLE)
+               / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                  * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS q_corrected
+FROM folded, ties
+"""
+
+
+#: permutation-test resample count (day-label reshuffles)
+_PERM_B = 200
+
+
+def q_permutation_test(spark, sf_dir):
+    """Approximate permutation test of the weekend effect per event
+    type (Fisher 1935; the day-relabeling Monte Carlo form) — the
+    assumption-free check of `bh_fdr`'s z-test on the SAME
+    hypothesis: for each of {b} deterministic resamples, days are
+    relabeled weekend/weekday by a salted hash at the true 2/7 rate,
+    the mean-difference statistic recomputed, and
+    p = (1 + #{{|T_b| ≥ |T_obs|}})/(B+1) (the add-one unbiased
+    estimator, Phipson & Smyth 2010).
+
+    Determinism: the relabeling is the shared md5 portable hash of
+    the day string + salt 'perm<b>' — identical draws in both
+    engines; means are exact-integer sums over bigint daily counts
+    divided once, so every comparison is bit-identical.
+
+    Scale plan: the resample explode runs on the DAY-SPAN-bounded
+    daily relation (≤3653 rows per type), never the corpus — B×span
+    ≤ ~0.7M rows per type at 10 years; one hash-agg each side."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    obs = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(SUM(CASE WHEN weekday(day) >= 5 THEN y ELSE 0 END)"
+            " AS DOUBLE)"
+            " / SUM(CASE WHEN weekday(day) >= 5 THEN 1 ELSE 0 END)"
+            " - CAST(SUM(CASE WHEN weekday(day) < 5 THEN y ELSE 0 END)"
+            " AS DOUBLE)"
+            " / SUM(CASE WHEN weekday(day) < 5 THEN 1 ELSE 0 END)"
+        ).alias("t_obs"),
+    )
+    lab = (
+        "CAST(conv(substring(md5(concat(CAST(day AS STRING),"
+        " 'perm', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " % 7 < 2"
+    )
+    resamples = (
+        daily.selectExpr(
+            "event_type",
+            "day",
+            "y",
+            f"explode(sequence(0, {_PERM_B - 1})) AS b",
+        )
+        .selectExpr("event_type", "b", "y", f"{lab} AS wk")
+        .groupBy("event_type", "b")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN wk THEN y ELSE 0 END) AS DOUBLE)"
+                " / SUM(CASE WHEN wk THEN 1 ELSE 0 END)"
+                " - CAST(SUM(CASE WHEN NOT wk THEN y ELSE 0 END)"
+                " AS DOUBLE)"
+                " / SUM(CASE WHEN NOT wk THEN 1 ELSE 0 END)"
+            ).alias("t_b")
+        )
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        resamples.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n_days").cast("bigint").alias("n_days"),
+            F.min("t_obs").alias("t_obs_raw"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN ABS(t_b) >= ABS(t_obs) THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            det6.format(x="t_obs_raw", n="t_obs"),
+            f"CAST({_PERM_B} AS BIGINT) AS n_resamples",
+            det6.format(
+                x=f"(1.0 + n_extreme) / ({_PERM_B} + 1.0)", n="p_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_permutation_test.__doc__ = q_permutation_test.__doc__.format(b=_PERM_B)
+
+
+def _sql_permutation_test() -> str:
+    lab = (
+        "CAST(concat('0x', substr(md5(concat(CAST(day AS VARCHAR),"
+        " 'perm', CAST(b AS VARCHAR))), 1, 15)) AS BIGINT) % 7 < 2"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+obs AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN isodow(day) - 1 >= 5 THEN y ELSE 0 END)
+              AS DOUBLE)
+           / SUM(CASE WHEN isodow(day) - 1 >= 5 THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN isodow(day) - 1 < 5 THEN y ELSE 0 END)
+              AS DOUBLE)
+           / SUM(CASE WHEN isodow(day) - 1 < 5 THEN 1 ELSE 0 END)
+           AS t_obs
+  FROM daily GROUP BY 1),
+resamples AS (
+  SELECT event_type, b,
+         CAST(SUM(CASE WHEN wk THEN y ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN wk THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN NOT wk THEN y ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN NOT wk THEN 1 ELSE 0 END) AS t_b
+  FROM (
+    SELECT d.event_type, d.y, g.b, {lab} AS wk
+    FROM daily d,
+         (SELECT unnest(range(0, {_PERM_B})) AS b) g)
+  GROUP BY 1, 2)
+SELECT r.event_type,
+       o.n_days,
+       CAST(FLOOR(o.t_obs * 1e6 + 0.5) AS DOUBLE) / 1e6 AS t_obs,
+       CAST({_PERM_B} AS BIGINT) AS n_resamples,
+       CAST(FLOOR(((1.0 + SUM(CASE WHEN ABS(r.t_b) >= ABS(o.t_obs)
+            THEN 1 ELSE 0 END)) / ({_PERM_B} + 1.0)) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS p_value
+FROM resamples r JOIN obs o USING (event_type)
+GROUP BY 1, 2, 3, 4
+ORDER BY r.event_type
+"""
+
+
+SQL_PERMUTATION_TEST = _sql_permutation_test()
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "welch_anova": QuerySpec(q_welch_anova, SQL_WELCH_ANOVA),
+    "levene_test": QuerySpec(q_levene_test, SQL_LEVENE_TEST),
+    "cohens_d_pairs": QuerySpec(q_cohens_d_pairs, SQL_COHENS_D_PAIRS),
+    "bh_fdr": QuerySpec(q_bh_fdr, SQL_BH_FDR),
+    "friedman_test": QuerySpec(q_friedman_test, SQL_FRIEDMAN_TEST),
+    "permutation_test": QuerySpec(
+        q_permutation_test, SQL_PERMUTATION_TEST
+    ),
     "yoy_growth": QuerySpec(q_yoy_growth, SQL_YOY_GROWTH),
     "anova_oneway": QuerySpec(q_anova_oneway, SQL_ANOVA_ONEWAY),
     "sample_size_power": QuerySpec(

@@ -2274,7 +2274,485 @@ ORDER BY c.event_type
 SQL_THETA_FORECAST = _sql_theta_forecast()
 
 
+# -- round 13: trend test, seasonal strength, intermittent demand, ----------
+# -- and the seasonal rung of the forecasting ladder -------------------------
+
+
+def q_mann_kendall_trend(spark, sf_dir):
+    """Mann–Kendall trend test per event type (Mann 1945; Kendall
+    1975) — the nonparametric TEST beside `theta_forecast`'s trend
+    FIT and `trend_regression`'s OLS: S = Σ_{i<j} sign(y_j − y_i)
+    over the day-ordered daily series, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    continuity-corrected z.  Monotone-trend detection with no
+    normality or linearity assumption — the gate before trusting a
+    fitted slope.
+
+    Determinism: S and the tie term are exact integers (bigint y
+    comparisons); Var and z are one closed-form expression each,
+    det6.
+
+    Scale plan: the pair join is an equi-join on event_type with a
+    day inequality — pair volume is bounded by the DAY SPAN squared
+    per type (≤3653²/2 at 10 years), independent of event count;
+    ties come from one more hash-agg on the bounded daily relation."""
+    daily = _daily_counts(spark, sf_dir)
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("yb") - F.col("ya")))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    var_s = (
+        "((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)"
+        " - CAST(tie_term AS DOUBLE)) / 18.0)"
+    )
+    return (
+        s.join(ties, "event_type")
+        .selectExpr(
+            "event_type",
+            "n AS n_days",
+            "s_stat",
+            det6.format(x=var_s, n="var_s"),
+            det6.format(
+                x=f"CASE WHEN s_stat > 0 THEN (s_stat - 1.0)"
+                f" / SQRT({var_s})"
+                f" WHEN s_stat < 0 THEN (s_stat + 1.0)"
+                f" / SQRT({var_s})"
+                " ELSE 0.0 END",
+                n="z_score",
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MANN_KENDALL_TREND = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(SIGN(b.y - a.y)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.event_type = b.event_type
+                            AND a.day < b.day
+  GROUP BY 1),
+ties AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT event_type,
+       n AS n_days,
+       s_stat,
+       CAST(FLOOR(((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+            - CAST(tie_term AS DOUBLE)) / 18.0) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS var_s,
+       CAST(FLOOR((CASE WHEN s_stat > 0 THEN (s_stat - 1.0)
+            / SQRT((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+                    - CAST(tie_term AS DOUBLE)) / 18.0)
+            WHEN s_stat < 0 THEN (s_stat + 1.0)
+            / SQRT((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+                    - CAST(tie_term AS DOUBLE)) / 18.0)
+            ELSE 0.0 END) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS z_score
+FROM s JOIN ties USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_stl_seasonal_strength(spark, sf_dir):
+    """Seasonal / trend strength per event type (Hyndman &
+    Athanasopoulos FPP3 §4.3, Wang-Smith-Hyndman features):
+    F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    F_t = max(0, 1 − Var(R)/Var(T+R)) over the STL components — the
+    one-number answer to "is this series worth a seasonal model?"
+    that decides between `holt_linear_forecast` and
+    `holt_winters_forecast`.
+
+    Determinism: consumes the det6-ROUNDED component columns the STL
+    query itself ships (the oracle nests the same decomposition
+    text), so both engines variance identical values; variances are
+    naive Σx/Σx² folds spelled identically, det6 outputs.
+
+    Scale plan: one agg over the span-bounded STL relation — ≤3653
+    rows per type whatever the corpus."""
+    return strength_from_daily(_daily_counts(spark, sf_dir))
+
+
+def strength_from_daily(daily):
+    """The strength solve over a `(event_type, day, y)` relation —
+    shared by the batch query and the streaming fold."""
+    stl = stl_from_daily(daily).select(
+        "event_type",
+        "residual",
+        (F.col("seasonal") + F.col("residual")).alias("sr"),
+        (F.col("trend") + F.col("residual")).alias("tr"),
+    )
+    g = stl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("residual").alias("s_r"),
+        F.sum(F.col("residual") * F.col("residual")).alias("ss_r"),
+        F.sum("sr").alias("s_sr"),
+        F.sum(F.col("sr") * F.col("sr")).alias("ss_sr"),
+        F.sum("tr").alias("s_tr"),
+        F.sum(F.col("tr") * F.col("tr")).alias("ss_tr"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    nd = "CAST(n AS DOUBLE)"
+    vr = f"(ss_r - s_r * s_r / {nd})"
+    vsr = f"(ss_sr - s_sr * s_sr / {nd})"
+    vtr = f"(ss_tr - s_tr * s_tr / {nd})"
+    return g.selectExpr(
+        "event_type",
+        "n AS n_days",
+        det6.format(
+            x=f"GREATEST(0.0, 1.0 - {vr} / {vsr})", n="seasonal_strength"
+        ),
+        det6.format(
+            x=f"GREATEST(0.0, 1.0 - {vr} / {vtr})", n="trend_strength"
+        ),
+    ).orderBy("event_type")
+
+
+def _sql_stl_seasonal_strength() -> str:
+    stl_inner = SQL_STL_DECOMPOSE.strip().rstrip()
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    nd = "CAST(n AS DOUBLE)"
+    vr = f"(ss_r - s_r * s_r / {nd})"
+    vsr = f"(ss_sr - s_sr * s_sr / {nd})"
+    vtr = f"(ss_tr - s_tr * s_tr / {nd})"
+    return f"""
+WITH stl AS ({stl_inner}),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(residual) AS s_r,
+         SUM(residual * residual) AS ss_r,
+         SUM(seasonal + residual) AS s_sr,
+         SUM((seasonal + residual) * (seasonal + residual)) AS ss_sr,
+         SUM(trend + residual) AS s_tr,
+         SUM((trend + residual) * (trend + residual)) AS ss_tr
+  FROM stl GROUP BY 1)
+SELECT event_type,
+       n AS n_days,
+       {det6.format(x=f"GREATEST(0.0, 1.0 - {vr} / {vsr})",
+                    n="seasonal_strength")},
+       {det6.format(x=f"GREATEST(0.0, 1.0 - {vr} / {vtr})",
+                    n="trend_strength")}
+FROM g
+ORDER BY event_type
+"""
+
+
+SQL_STL_SEASONAL_STRENGTH = _sql_stl_seasonal_strength()
+
+
+#: croston parameters: SES coefficient and the "high-value event"
+#: demand definition (value ≥ threshold makes the daily series
+#: intermittent — most days have zero such events)
+_CROSTON_ALPHA = 0.25
+_CROSTON_VALUE_MIN = 250.0
+
+
+def q_croston_forecast(spark, sf_dir):
+    """Croston intermittent-demand forecast per event type (Croston
+    1972; Syntetos & Boylan 2005 review) — the forecasting ladder's
+    sparse-series rung: daily counts of HIGH-VALUE events (value ≥
+    {vmin}) are zero most days, where Holt/theta degenerate; Croston
+    runs TWO exponential smoothers — one over the nonzero demand
+    SIZES, one over the inter-demand INTERVALS (days) — and
+    forecasts the demand rate z/x per day.
+
+    Conventions (documented, both engines): init z₁ = first demand
+    size, x₁ = 1 (the first interval is not observed); the fold runs
+    over demand points 2..k with α = {alpha}; types with < 2 demand
+    points are excluded (no interval to smooth).
+
+    Determinism: demand sizes and day gaps are exact integers; the
+    two SES folds are identical double sequences in both engines
+    (the `holt_linear_forecast` IIR discipline, recursive-CTE
+    oracle), det6 outputs.
+
+    Scale plan: the demand-point relation is the daily hash-agg
+    filtered to nonzero — bounded by the day span per type; one
+    hash-agg to per-type sorted arrays, map-side lambda math."""
+    ev = load_table(spark, sf_dir, "events")
+    demands = (
+        ev.where(F.col("value") >= F.lit(_CROSTON_VALUE_MIN))
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    series = demands.groupBy("event_type").agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('day', day, 'y', y)))"
+        ).alias("ps")
+    ).where(F.size("ps") >= 2)
+    al = _CROSTON_ALPHA
+    step = (
+        f"named_struct("
+        f"'z', {al} * CAST(ps[i].y AS DOUBLE) + {1 - al} * acc.z,"
+        f"'x', {al} * CAST(datediff(ps[i].day, ps[i-1].day) AS DOUBLE)"
+        f" + {1 - al} * acc.x)"
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        series.selectExpr(
+            "event_type",
+            "size(ps) AS k",
+            f"""AGGREGATE(
+              sequence(1, size(ps) - 1),
+              named_struct('z', CAST(ps[0].y AS DOUBLE),
+                           'x', CAST(1.0 AS DOUBLE)),
+              (acc, i) -> {step}) AS st""",
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(k AS BIGINT) AS n_demands",
+            det6.format(x="st.z", n="ses_size"),
+            det6.format(x="st.x", n="ses_interval"),
+            det6.format(x="st.z / st.x", n="demand_rate_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_croston_forecast.__doc__ = q_croston_forecast.__doc__.format(
+    vmin=_CROSTON_VALUE_MIN, alpha=_CROSTON_ALPHA
+)
+
+
+def _sql_croston_forecast() -> str:
+    al = _CROSTON_ALPHA
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return f"""
+WITH RECURSIVE demands AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events
+  WHERE value >= {_CROSTON_VALUE_MIN}
+  GROUP BY 1, 2),
+idx AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY day) - 1 AS BIGINT) AS i,
+         day, y
+  FROM demands),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k
+      FROM idx GROUP BY 1 HAVING COUNT(*) >= 2),
+r (event_type, i, z, x) AS (
+  SELECT d.event_type, d.i, CAST(d.y AS DOUBLE), CAST(1.0 AS DOUBLE)
+  FROM idx d JOIN n USING (event_type) WHERE d.i = 0
+  UNION ALL
+  SELECT r.event_type, d.i,
+         {al} * CAST(d.y AS DOUBLE) + {1 - al} * r.z,
+         {al} * CAST(d.day - p.day AS DOUBLE) + {1 - al} * r.x
+  FROM r
+  JOIN idx d ON d.event_type = r.event_type AND d.i = r.i + 1
+  JOIN idx p ON p.event_type = r.event_type AND p.i = r.i)
+SELECT r.event_type,
+       n.k AS n_demands,
+       {det6.format(x="r.z", n="ses_size")},
+       {det6.format(x="r.x", n="ses_interval")},
+       {det6.format(x="r.z / r.x", n="demand_rate_per_day")}
+FROM r JOIN n USING (event_type)
+WHERE r.i = n.k - 1
+ORDER BY r.event_type
+"""
+
+
+SQL_CROSTON_FORECAST = _sql_croston_forecast()
+
+
+#: Holt–Winters additive coefficients and the weekly season length
+_HW_ALPHA = 0.25
+_HW_BETA = 0.125
+_HW_GAMMA = 0.25
+_HW_PERIOD = 7
+
+
+def q_holt_winters_forecast(spark, sf_dir):
+    """Additive Holt–Winters per event type (Winters 1960; Hyndman &
+    Athanasopoulos FPP §8.3) — the seasonal rung above
+    `holt_linear_forecast`: level + trend + a rotating 7-slot weekly
+    season, lvl' = α(y − s_{t−7}) + (1−α)(lvl+tr), tr' = β(lvl'−lvl)
+    + (1−β)tr, s_t = γ(y − lvl') + (1−γ)s_{t−7}; 7-day-ahead
+    forecast lvl + 7·tr + s (same weekday slot).
+
+    Init (documented, both engines): lvl₀ = mean of the first week,
+    tr₀ = 0, season slot i = yᵢ − lvl₀ for the first 7 days; the
+    fold runs from day 8.  Types with < 14 days are excluded (need a
+    week of init plus a week of fold).
+
+    Determinism: the state fold carries (lvl, tr, 7-element season
+    array) through a higher-order AGGREGATE; the oracle replays it
+    as a recursive CTE carrying a LIST — identical double ops in
+    identical order (the `holt_linear_forecast` IIR discipline),
+    det6 outputs.
+
+    Scale plan: day-span-bounded per-type arrays (≤3653 elements at
+    10 years), one hash-agg then map-side lambda math — flat across
+    corpus decades like Holt."""
+    return hw_from_daily(_daily_counts(spark, sf_dir))
+
+
+def hw_from_daily(daily):
+    """The Holt–Winters solve over a `(event_type, day, y)` relation
+    — shared by the batch query and the streaming fold."""
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    m = _HW_PERIOD
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct("
+            "'day', day, 'y', y))), p -> CAST(p.y AS DOUBLE))"
+        ).alias("ys")
+    ).where(F.size("ys") >= 2 * m)
+    lvl0 = f"(AGGREGATE(slice(ys, 1, {m}), CAST(0.0 AS DOUBLE),"
+    lvl0 += f" (acc, y) -> acc + y) / {m}.0)"
+    # Spark [] subscripts are 0-based (DuckDB lists are 1-based — the
+    # oracle adds the +1 there)
+    s_old = f"acc.season[CAST(i % {m} AS INT)]"
+    lvl_new = f"({a} * (ys[CAST(i AS INT)] - {s_old}) + {1 - a} * (acc.lvl + acc.tr))"
+    step = (
+        f"named_struct("
+        f"'lvl', {lvl_new},"
+        f"'tr', {b} * ({lvl_new} - acc.lvl) + {1 - b} * acc.tr,"
+        f"'season', concat("
+        f"  slice(acc.season, 1, CAST(i % {m} AS INT)),"
+        f"  array({g} * (ys[CAST(i AS INT)] - {lvl_new})"
+        f"        + {1 - g} * {s_old}),"
+        f"  slice(acc.season, CAST(i % {m} AS INT) + 2,"
+        f"        {m - 1} - CAST(i % {m} AS INT))))"
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        series.selectExpr(
+            "event_type",
+            "size(ys) AS n_days",
+            f"""AGGREGATE(
+              sequence({m}, size(ys) - 1),
+              named_struct(
+                'lvl', {lvl0},
+                'tr', CAST(0.0 AS DOUBLE),
+                'season', transform(slice(ys, 1, {m}),
+                                    y -> y - {lvl0})),
+              (acc, i) -> {step}) AS st""",
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(n_days AS BIGINT) AS n_days",
+            det6.format(x="st.lvl", n="level"),
+            det6.format(x="st.tr", n="trend"),
+            det6.format(
+                x=f"st.lvl + 7.0 * st.tr"
+                f" + st.season[CAST((n_days - 1 + 7) % {m} AS INT)]",
+                n="forecast_7d",
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_holt_winters_forecast() -> str:
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    m = _HW_PERIOD
+    # 1-based list position of the season slot day i (0-based) writes
+    pos = f"(CAST(d.i % {m} AS BIGINT) + 1)"
+    s_old = f"r.season[{pos}]"
+    lvl_new = f"({a} * (d.y - {s_old}) + {1 - a} * (r.lvl + r.tr))"
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY day) - 1 AS BIGINT) AS i,
+         CAST(y AS DOUBLE) AS y
+  FROM daily),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM idx GROUP BY 1 HAVING COUNT(*) >= {2 * m}),
+init AS (
+  SELECT i.event_type,
+         SUM(i.y) / {m}.0 AS lvl0,
+         list(i.y - (SELECT SUM(y2.y) / {m}.0 FROM idx y2
+                     WHERE y2.event_type = i.event_type
+                       AND y2.i < {m})
+              ORDER BY i.i) AS season0
+  FROM idx i JOIN n USING (event_type)
+  WHERE i.i < {m}
+  GROUP BY 1),
+r (event_type, i, lvl, tr, season) AS (
+  SELECT event_type, CAST({m - 1} AS BIGINT), lvl0,
+         CAST(0.0 AS DOUBLE), season0
+  FROM init
+  UNION ALL
+  SELECT r.event_type, d.i,
+         {lvl_new},
+         {b} * ({lvl_new} - r.lvl) + {1 - b} * r.tr,
+         r.season[1:({pos} - 1)]
+           || [{g} * (d.y - {lvl_new}) + {1 - g} * {s_old}]
+           || r.season[({pos} + 1):{m}]
+  FROM r JOIN idx d ON d.event_type = r.event_type
+                   AND d.i = r.i + 1)
+SELECT r.event_type,
+       n.n_days,
+       {det6.format(x="r.lvl", n="level")},
+       {det6.format(x="r.tr", n="trend")},
+       {det6.format(
+           x=f"r.lvl + 7.0 * r.tr"
+             f" + r.season[CAST((n.n_days - 1 + 7) % {m} AS BIGINT) + 1]",
+           n="forecast_7d")}
+FROM r JOIN n USING (event_type)
+WHERE r.i = n.n_days - 1
+ORDER BY r.event_type
+"""
+
+
+SQL_HOLT_WINTERS_FORECAST = _sql_holt_winters_forecast()
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "mann_kendall_trend": QuerySpec(
+        q_mann_kendall_trend, SQL_MANN_KENDALL_TREND
+    ),
+    "stl_seasonal_strength": QuerySpec(
+        q_stl_seasonal_strength, SQL_STL_SEASONAL_STRENGTH
+    ),
+    "croston_forecast": QuerySpec(
+        q_croston_forecast, SQL_CROSTON_FORECAST
+    ),
+    "holt_winters_forecast": QuerySpec(
+        q_holt_winters_forecast, SQL_HOLT_WINTERS_FORECAST
+    ),
     "acf_lags": QuerySpec(q_acf_lags, SQL_ACF_LAGS),
     "pacf_lags": QuerySpec(q_pacf_lags, SQL_PACF_LAGS),
     "interarrival_stats": QuerySpec(

@@ -269,10 +269,14 @@ _BNLJ_ALLOWED = {
     # mixture_temperature_weights broadcasts its 1-row (N, Σn^α)
     # total into the |sources|-row relation — the Q11 shape
     "mixture_temperature_weights",
-    # sample_size_power crosses the 1-row global user-day distinct
-    # count into the |types|-row relation (Q11 shape) before the
-    # 4-literal MDE explode
+    # sample_size_power crosses the 1-row global distinct-user count
+    # into the |types|-row relation (Q11 shape) before the 4-literal
+    # MDE explode
     "sample_size_power",
+    # friedman_test crosses the 1-row tie-term scalar into the 1-row
+    # folded rank relation (1x1 BNLJ, the Q11 shape); its other join
+    # (day count = global k) is an equi-join on the broadcast scalar
+    "friedman_test",
     # ams_join_size crosses three single-row relations (estimate ×
     # exact inner product × the two F2 scalars) — 1x1 BNLJs
     "ams_join_size",
