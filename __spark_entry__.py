@@ -89,6 +89,9 @@ QUERY_ORDER = (
     "mann_kendall_trend", "stl_seasonal_strength", "croston_forecast",
     "holt_winters_forecast", "welch_anova", "levene_test",
     "cohens_d_pairs", "bh_fdr", "friedman_test", "permutation_test",
+    "vocab_coverage_curve", "ngram_entropy_rate", "bloom_filter_sizing",
+    "minibatch_mixture_plan", "shard_balance_planner",
+    "broadcast_budget_planner",
     # 4) green in the round-8 driver run — oldest vintage after the
     # round-13 window clears the r07 tail
     "image_structure", "audio_structure", "video_structure", "emb_bq_topk",

@@ -5644,9 +5644,14 @@ def q_levene_test(spark, sf_dir):
         "n",
         "CAST(k - 1 AS BIGINT) AS df_between",
         "CAST(n - k AS BIGINT) AS df_within",
+        # zero within-group deviation variance (every |x − med|
+        # identical inside each group) leaves F undefined — NULL,
+        # same CASE in the oracle
         det6.format(
-            x=f"({ssb} / CAST(k - 1 AS DOUBLE))"
-            f" / ({ssw} / CAST(n - k AS DOUBLE))",
+            x=f"CASE WHEN {ssw} > 0.0 THEN"
+            f" ({ssb} / CAST(k - 1 AS DOUBLE))"
+            f" / ({ssw} / CAST(n - k AS DOUBLE))"
+            " ELSE NULL END",
             n="f_stat",
         ),
     )
@@ -5680,9 +5685,11 @@ folded AS (
 SELECT k, n,
        CAST(k - 1 AS BIGINT) AS df_between,
        CAST(n - k AS BIGINT) AS df_within,
-       CAST(FLOOR((((sq_over_n - s * s / CAST(n AS DOUBLE))
+       CAST(FLOOR((CASE WHEN (ss2 - sq_over_n) > 0.0 THEN
+            ((sq_over_n - s * s / CAST(n AS DOUBLE))
             / CAST(k - 1 AS DOUBLE))
-            / ((ss2 - sq_over_n) / CAST(n - k AS DOUBLE)))
+            / ((ss2 - sq_over_n) / CAST(n - k AS DOUBLE))
+            ELSE NULL END)
             * 1e6 + 0.5) AS DOUBLE) / 1e6 AS f_stat
 FROM folded
 """
@@ -5975,6 +5982,7 @@ def q_friedman_test(spark, sf_dir):
         .select(
             "event_type",
             "day",
+            "y",
             "k",
             (F.col("r_lo") + (F.col("t") - 1) / 2.0).alias("r"),
             "t",
@@ -5983,8 +5991,10 @@ def q_friedman_test(spark, sf_dir):
     rj = ranked.groupBy("event_type", "k").agg(
         F.sum("r").alias("rj"), F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # one row per tie GROUP: distinct on (day, y) — distinct on
+    # (day, t) would collapse two same-sized tie groups in one day
     ties = (
-        ranked.select("day", "t")
+        ranked.selectExpr("day", "CAST(y AS BIGINT) AS y", "t")
         .distinct()
         .agg(
             F.sum(
@@ -6013,7 +6023,13 @@ def q_friedman_test(spark, sf_dir):
         "k",
         "n_blocks",
         det6.format(x=q, n="q_stat"),
-        det6.format(x=f"{q} / {corr}", n="q_corrected"),
+        # all-values-tied blocks drive the correction to 0 — the
+        # statistic is undefined there, ship NULL (both engines)
+        det6.format(
+            x=f"CASE WHEN {corr} > 0.0 THEN {q} / {corr}"
+            " ELSE NULL END",
+            n="q_corrected",
+        ),
     )
 
 
@@ -6029,7 +6045,7 @@ complete AS (
   FROM (SELECT day, COUNT(*) AS nt FROM daily GROUP BY 1), k1
   WHERE nt = k1.k),
 ranked AS (
-  SELECT d.event_type, d.day, c.k,
+  SELECT d.event_type, d.day, d.y, c.k,
          RANK() OVER (PARTITION BY d.day ORDER BY d.y)
            + (COUNT(*) OVER (PARTITION BY d.day, d.y) - 1) / 2.0
            AS r,
@@ -6041,7 +6057,7 @@ rj AS (
   FROM ranked GROUP BY 1, 2),
 ties AS (
   SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
-  FROM (SELECT DISTINCT day, t FROM ranked)),
+  FROM (SELECT DISTINCT day, y, t FROM ranked)),
 folded AS (
   SELECT k, CAST(MIN(n) AS BIGINT) AS n_blocks,
          SUM(rj * rj) AS sum_rj2
@@ -6053,13 +6069,17 @@ SELECT k,
             - 3.0 * CAST(n_blocks AS DOUBLE)
             * (CAST(k AS DOUBLE) + 1.0)) * 1e6 + 0.5)
             AS DOUBLE) / 1e6 AS q_stat,
-       CAST(FLOOR(((12.0 / (CAST(n_blocks AS DOUBLE)
+       CAST(FLOOR((CASE WHEN (1.0 - CAST(tie_term AS DOUBLE)
+            / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))) > 0.0
+            THEN (12.0 / (CAST(n_blocks AS DOUBLE)
             * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) * sum_rj2
             - 3.0 * CAST(n_blocks AS DOUBLE)
             * (CAST(k AS DOUBLE) + 1.0))
             / (1.0 - CAST(tie_term AS DOUBLE)
                / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
-                  * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))))
+                  * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)))
+            ELSE NULL END)
             * 1e6 + 0.5) AS DOUBLE) / 1e6 AS q_corrected
 FROM folded, ties
 """
@@ -6210,8 +6230,184 @@ ORDER BY r.event_type
 SQL_PERMUTATION_TEST = _sql_permutation_test()
 
 
+# -- round 13: physical-layout planners ---------------------------------------
+
+#: shard-count grid a training-data writer is provisioned against
+_SHARD_GRID = (64, 256, 1024, 4096)
+
+
+def q_shard_balance_planner(spark, sf_dir):
+    """Hash-shard balance forecast for the document corpus — the
+    planning table behind "how many output shards should the
+    training-data writer use": for each candidate shard count S,
+    docs are assigned by the shared portable hash of doc_id and the
+    per-shard byte distribution is summarized (max/mean skew, CV) —
+    the straggler/row-group trade `compaction_plan` answers for
+    files, answered BEFORE writing.
+
+    Determinism: assignment is the shared md5 portable hash (both
+    engines); per-shard byte sums are exact integers; max/mean and
+    CV are closed-form on exact sums (Σb, Σb² in decimal), det6.
+
+    Scale plan: a 4-way grid explode of the (doc_id, n_chars)
+    projection (never the text), two map-side-combinable hash-aggs;
+    output is 4 rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    grid = ", ".join(str(s) for s in _SHARD_GRID)
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+        " 'shard')), 1, 15), 16, 10) AS BIGINT)"
+    )
+    per_shard = (
+        docs.selectExpr(
+            "n_chars", f"explode(array({grid})) AS s", f"{h} AS hh"
+        )
+        .selectExpr("s", "pmod(hh, s) AS shard", "n_chars")
+        .groupBy("s", "shard")
+        .agg(F.sum("n_chars").cast("bigint").alias("b"))
+    )
+    bd = F.col("b").cast("decimal(19,0)")
+    g = per_shard.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shards_used"),
+        F.sum("b").cast("bigint").alias("total_bytes"),
+        F.max("b").cast("bigint").alias("max_bytes"),
+        F.sum((bd * bd).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    mean = "(CAST(total_bytes AS DOUBLE) / CAST(s AS DOUBLE))"
+    var = (
+        f"(CAST(ss AS DOUBLE) / CAST(s AS DOUBLE) - {mean} * {mean})"
+    )
+    return g.selectExpr(
+        "CAST(s AS BIGINT) AS n_shards",
+        "shards_used",
+        "total_bytes",
+        "max_bytes",
+        det6.format(
+            x=f"CAST(max_bytes AS DOUBLE) / {mean}", n="max_over_mean"
+        ),
+        det6.format(x=f"SQRT({var}) / {mean}", n="cv"),
+    ).orderBy("n_shards")
+
+
+def _sql_shard_balance_planner() -> str:
+    grid = ", ".join(f"({s})" for s in _SHARD_GRID)
+    h = (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),"
+        " 'shard')), 1, 15)) AS BIGINT)"
+    )
+    mean = "(CAST(total_bytes AS DOUBLE) / CAST(s AS DOUBLE))"
+    var = f"(CAST(ss AS DOUBLE) / CAST(s AS DOUBLE) - {mean} * {mean})"
+    return f"""
+WITH grid (s) AS (VALUES {grid}),
+per_shard AS (
+  SELECT g.s, {h} % g.s AS shard,
+         CAST(SUM(n_chars) AS BIGINT) AS b
+  FROM documents CROSS JOIN grid g
+  GROUP BY 1, 2),
+agg AS (
+  SELECT s,
+         CAST(COUNT(*) AS BIGINT) AS shards_used,
+         CAST(SUM(b) AS BIGINT) AS total_bytes,
+         CAST(MAX(b) AS BIGINT) AS max_bytes,
+         SUM(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS ss
+  FROM per_shard GROUP BY 1)
+SELECT CAST(s AS BIGINT) AS n_shards,
+       shards_used,
+       total_bytes,
+       max_bytes,
+       CAST(FLOOR((CAST(max_bytes AS DOUBLE) / {mean}) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS max_over_mean,
+       CAST(FLOOR((SQRT({var}) / {mean}) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS cv
+FROM agg
+ORDER BY n_shards
+"""
+
+
+SQL_SHARD_BALANCE_PLANNER = _sql_shard_balance_planner()
+
+
+#: the catalog tables the broadcast planner surveys
+_BCAST_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def q_broadcast_budget_planner(spark, sf_dir):
+    """Broadcast-vs-shuffle survey of every catalog table — the
+    dim-side half of the join decision `join_strategy_advice` makes
+    from the fact-side key profile: per table, the row count, the
+    per-task row budget at the session's shuffle parallelism, and
+    the chooser's own broadcast gate (`operators/joins.
+    BROADCAST_ROW_LIMIT`) — so a pipeline author reads one table and
+    knows which joins never shuffle.
+
+    Determinism: row counts are exact (parquet-footer counts); the
+    verdict CASE and the per-task division are shared text.
+
+    Scale plan: ten metadata-only COUNT aggregates unioned — no data
+    columns are read at all (COUNT(*) is answered by footers)."""
+    parts = []
+    for t in _BCAST_TABLES:
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+    surveyed = parts[0]
+    for p in parts[1:]:
+        surveyed = surveyed.unionAll(p)
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return surveyed.selectExpr(
+        "table_name",
+        "n_rows",
+        det6.format(x="CAST(n_rows AS DOUBLE) / 32.0", n="rows_per_task"),
+        f"n_rows <= {joins.BROADCAST_ROW_LIMIT} AS broadcastable",
+        f"CASE WHEN n_rows <= {joins.BROADCAST_ROW_LIMIT}"
+        " THEN 'broadcast' ELSE 'shuffle' END AS dim_side_strategy",
+    ).orderBy("table_name")
+
+
+def _sql_broadcast_budget_planner() -> str:
+    selects = "\n  UNION ALL\n".join(
+        f"  SELECT '{t}' AS table_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows FROM {t}"
+        for t in _BCAST_TABLES
+    )
+    return f"""
+WITH surveyed AS (
+{selects}
+)
+SELECT table_name,
+       n_rows,
+       CAST(FLOOR((CAST(n_rows AS DOUBLE) / 32.0) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS rows_per_task,
+       n_rows <= {joins.BROADCAST_ROW_LIMIT} AS broadcastable,
+       CASE WHEN n_rows <= {joins.BROADCAST_ROW_LIMIT}
+            THEN 'broadcast' ELSE 'shuffle' END AS dim_side_strategy
+FROM surveyed
+ORDER BY table_name
+"""
+
+
+SQL_BROADCAST_BUDGET_PLANNER = _sql_broadcast_budget_planner()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "welch_anova": QuerySpec(q_welch_anova, SQL_WELCH_ANOVA),
+    "shard_balance_planner": QuerySpec(
+        q_shard_balance_planner, SQL_SHARD_BALANCE_PLANNER
+    ),
+    "broadcast_budget_planner": QuerySpec(
+        q_broadcast_budget_planner, SQL_BROADCAST_BUDGET_PLANNER
+    ),
     "levene_test": QuerySpec(q_levene_test, SQL_LEVENE_TEST),
     "cohens_d_pairs": QuerySpec(q_cohens_d_pairs, SQL_COHENS_D_PAIRS),
     "bh_fdr": QuerySpec(q_bh_fdr, SQL_BH_FDR),

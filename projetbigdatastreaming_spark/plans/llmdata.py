@@ -7378,7 +7378,453 @@ ORDER BY abs_shift DESC, token ASC
 """
 
 
+# -- round 13: tokenizer sizing, corpus information rate, mixture ------------
+# -- scheduling, and Bloom capacity planning ---------------------------------
+
+#: vocabulary sizes the coverage curve is quoted at (the tokenizer-
+#: budget decision grid) and the rank cap the curve is computed from
+_VOCAB_GRID = (100, 500, 1000, 2000, 5000, 10000)
+_VOCAB_CAP = 10000
+
+
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Cumulative token coverage at candidate vocabulary sizes — the
+    tokenizer-budget decision table (`vocab_topk` lists the words;
+    this says WHAT FRACTION of all running tokens a size-V vocab
+    covers, the number a BPE budget is chosen against; Zipf's law
+    makes the curve concave, `corpus_zipf_fit` measures how).
+
+    Determinism: counts are exact integers; ranking ties break by
+    token text in both engines; coverage is one division, det6.
+
+    Scale plan: explode → map-side-combinable token count; the
+    top-{cap} head comes off a TakeOrderedAndProject (no global
+    sort); the curve itself is array math over the head crossed with
+    the 1-row corpus-total scalar (the Q11 shape), so nothing
+    vocabulary-sized is windowed or re-sorted."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            )
+        ).alias("token")
+    ).where(F.col("token") != "")
+    wc = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = wc.agg(F.sum("n").cast("bigint").alias("t"))
+    head = (
+        wc.orderBy(F.desc("n"), F.asc("token"))
+        .limit(_VOCAB_CAP)
+        .agg(
+            F.expr(
+                "array_sort(collect_list(named_struct("
+                "'neg_n', -n, 'token', token, 'n', n)))"
+            ).alias("a")
+        )
+    )
+    grid = ", ".join(str(v) for v in _VOCAB_GRID)
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        head.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "a", "t", f"explode(array({grid})) AS vocab_size"
+        )
+        .selectExpr(
+            "CAST(vocab_size AS BIGINT) AS vocab_size",
+            "CAST(LEAST(vocab_size, size(a)) AS BIGINT) AS n_types",
+            """AGGREGATE(
+                 slice(a, 1, CAST(LEAST(vocab_size, size(a)) AS INT)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x.n)
+               AS covered_tokens""",
+            "t AS total_tokens",
+        )
+        .selectExpr(
+            "vocab_size",
+            "n_types",
+            "covered_tokens",
+            "total_tokens",
+            det6.format(
+                x="CAST(covered_tokens AS DOUBLE)"
+                " / CAST(total_tokens AS DOUBLE)",
+                n="coverage",
+            ),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+def _sql_vocab_coverage_curve() -> str:
+    grid = ", ".join(f"({v})" for v in _VOCAB_GRID)
+    return f"""
+WITH wc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(str_split(
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+             ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+  GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM wc),
+ranked AS (
+  SELECT n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rn
+  FROM wc QUALIFY rn <= {_VOCAB_CAP}),
+grid (vocab_size) AS (VALUES {grid})
+SELECT CAST(g.vocab_size AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(r.n) AS BIGINT) AS covered_tokens,
+       CAST(MIN(tot.t) AS BIGINT) AS total_tokens,
+       CAST(FLOOR(CAST(SUM(r.n) AS DOUBLE) / CAST(MIN(tot.t) AS DOUBLE)
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS coverage
+FROM grid g
+JOIN ranked r ON r.rn <= g.vocab_size
+CROSS JOIN tot
+GROUP BY g.vocab_size
+ORDER BY vocab_size
+"""
+
+
+SQL_VOCAB_COVERAGE_CURVE = _sql_vocab_coverage_curve()
+
+
+def q_ngram_entropy_rate(spark, sf_dir):
+    """Bigram conditional entropy rate H(W₂|W₁) per source, in bits —
+    the information-rate quality signal (Shannon 1951's printed-
+    English estimate, applied per corpus slice): templated/boiler-
+    plate sources sit LOW (the next word is predictable), organic
+    text sits high; reads directly as a curation filter axis beside
+    `doc_entropy`'s per-doc character entropy.
+
+    Determinism: H = log2(N) − (1/N)·Σ c₁₂·log2(c₁₂/c₁) over exact
+    integer bigram counts — both engines feed identical integer
+    ratios to log2; one vocab-sized double sum (the
+    `mutual_information` precedent), det6.
+
+    Scale plan: the corpus explodes once to a (source, w1, w2)
+    bigram count (map-side combinable); contexts derive from the
+    bigram relation by a second hash-agg, the join back is an
+    equi-join on (source, w1); per-source totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    pairs = (
+        docs.select("source", arr.alias("a"))
+        .where(F.size("a") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("a"), 1, F.size("a") - 1).alias("w1"),
+                    F.slice(F.col("a"), 2, F.size("a") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "source",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cb = _persist_scoped(
+        "entropy_cb",
+        pairs.groupBy("source", "w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c12")
+        ),
+    )
+    c1 = cb.groupBy("source", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        cb.join(c1, ["source", "w1"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+            F.sum("c12").cast("bigint").alias("total_bigrams"),
+            F.sum(
+                F.expr(
+                    "c12 * (LOG2(CAST(c12 AS DOUBLE))"
+                    " - LOG2(CAST(c1 AS DOUBLE)))"
+                )
+            ).alias("h_num_part"),
+        )
+        .selectExpr(
+            "source",
+            "n_distinct_bigrams",
+            "total_bigrams",
+            "-h_num_part AS h_num",
+        )
+        .selectExpr(
+            "source",
+            "n_distinct_bigrams",
+            "total_bigrams",
+            det6.format(
+                x="h_num / CAST(total_bigrams AS DOUBLE)",
+                n="entropy_bits",
+            ),
+            det6.format(
+                x="POW(2.0, h_num / CAST(total_bigrams AS DOUBLE))",
+                n="perplexity",
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_NGRAM_ENTROPY_RATE = """
+WITH toks AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                      'g')), ' ') AS a
+  FROM documents
+  WHERE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+        'g')), ' ')) >= 2),
+pairs AS (
+  SELECT source, a[i] AS w1, a[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+  WHERE a[i] <> '' AND a[i + 1] <> ''),
+cb AS (
+  SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM pairs GROUP BY 1, 2, 3),
+c1 AS (
+  SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1
+  FROM cb GROUP BY 1, 2),
+g AS (
+  SELECT cb.source,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(SUM(cb.c12) AS BIGINT) AS total_bigrams,
+         -SUM(cb.c12 * (LOG2(CAST(cb.c12 AS DOUBLE))
+                        - LOG2(CAST(c1.c1 AS DOUBLE)))) AS h_num
+  FROM cb JOIN c1 USING (source, w1)
+  GROUP BY 1)
+SELECT source,
+       n_distinct_bigrams,
+       total_bigrams,
+       CAST(FLOOR((h_num / CAST(total_bigrams AS DOUBLE))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS entropy_bits,
+       CAST(FLOOR(POW(2.0, h_num / CAST(total_bigrams AS DOUBLE))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS perplexity
+FROM g
+ORDER BY source
+"""
+
+
+#: Bloom sizing targets: the false-positive-rate grid a dedup screen
+#: is provisioned against (`dedup_bloom`'s planning sibling)
+_BLOOM_FPP_GRID = (0.01, 0.001, 0.0001)
+
+
+def q_bloom_filter_sizing(spark, sf_dir):
+    """Bloom filter capacity plan for the exact-dedup fingerprint set
+    (Bloom 1970; the m = −n·ln p/ln²2 sizing identities) —
+    `dedup_bloom`'s planning sibling the way `lsh_band_planner` plans
+    the banding: for each target false-positive rate, the required
+    bits, optimal hash count k = (m/n)·ln 2, MiB footprint, and the
+    achieved rate at the rounded k — the memory/precision trade a
+    100 TB incremental-dedup screen is provisioned against.
+
+    Determinism: n is an exact distinct count of md5 fingerprints;
+    the sizing identities are one closed-form expression per grid
+    row on (n, p) literals, det6.
+
+    Scale plan: one distinct-count hash-agg; the 3-literal grid
+    explodes off the 1-row scalar — no join at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    n1 = docs.agg(
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n")
+    )
+    grid = ", ".join(f"CAST({p!r} AS DOUBLE)" for p in _BLOOM_FPP_GRID)
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    m = "CEIL(-CAST(n AS DOUBLE) * LN(fpp) / (LN(2.0) * LN(2.0)))"
+    k = f"GREATEST(1, CAST(ROUND({m} / CAST(n AS DOUBLE) * LN(2.0)) AS BIGINT))"
+    return (
+        n1.selectExpr("n", f"explode(array({grid})) AS fpp")
+        .selectExpr(
+            "n AS n_keys",
+            det6.format(x="fpp", n="target_fpp"),
+            f"CAST({m} AS BIGINT) AS m_bits",
+            f"{k} AS k_hashes",
+            det6.format(x=f"{m} / 8.0 / 1048576.0", n="mib"),
+            det6.format(
+                x=f"POW(1.0 - EXP(-CAST({k} AS DOUBLE)"
+                f" * CAST(n AS DOUBLE) / {m}), CAST({k} AS DOUBLE))",
+                n="achieved_fpp",
+            ),
+        )
+        .orderBy(F.desc("target_fpp"))
+    )
+
+
+def _sql_bloom_filter_sizing() -> str:
+    grid = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _BLOOM_FPP_GRID)
+    m = "CEIL(-CAST(n AS DOUBLE) * LN(fpp) / (LN(2.0) * LN(2.0)))"
+    k = (
+        f"GREATEST(1, CAST(ROUND({m} / CAST(n AS DOUBLE) * LN(2.0))"
+        " AS BIGINT))"
+    )
+    return f"""
+WITH n1 AS (
+  SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n
+  FROM documents),
+grid (fpp) AS (VALUES {grid})
+SELECT n AS n_keys,
+       CAST(FLOOR(fpp * 1e6 + 0.5) AS DOUBLE) / 1e6 AS target_fpp,
+       CAST({m} AS BIGINT) AS m_bits,
+       {k} AS k_hashes,
+       CAST(FLOOR(({m} / 8.0 / 1048576.0) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS mib,
+       CAST(FLOOR(POW(1.0 - EXP(-CAST({k} AS DOUBLE)
+            * CAST(n AS DOUBLE) / {m}), CAST({k} AS DOUBLE))
+            * 1e6 + 0.5) AS DOUBLE) / 1e6 AS achieved_fpp
+FROM n1 CROSS JOIN grid
+ORDER BY target_fpp DESC
+"""
+
+
+SQL_BLOOM_FILTER_SIZING = _sql_bloom_filter_sizing()
+
+
+#: minibatch scheduling: batch size the integer allocation targets
+_BATCH_SIZE = 1024
+
+
+def q_minibatch_mixture_plan(spark, sf_dir):
+    """Integer per-source allocation of a {bs}-sample minibatch under
+    the temperature mixture (largest-remainder / Hamilton
+    apportionment) — the step between `mixture_temperature_weights`
+    (real-valued weights) and a data loader that must draw WHOLE
+    examples: base = ⌊wᵢ·B⌋ per source, and the B − Σbase leftover
+    seats go to the largest fractional remainders (ties by source
+    name).  Σ final_alloc = B exactly, every batch, deterministically.
+
+    Determinism: token counts exact; weights are the
+    `mixture_temperature_weights` expressions; the apportionment is
+    integer floor + a rank over ≤|sources| remainders with a total
+    order (remainder desc, source asc) — identical in both engines.
+
+    Scale plan: one token-count hash-agg to |sources| rows, then the
+    whole apportionment is array math on ONE row (sorted
+    collect_list, two lambda folds) — no window, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").cast("bigint").alias("n_i"))
+    )
+    b = _BATCH_SIZE
+    det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
+    return (
+        src.agg(
+            F.expr(
+                "array_sort(collect_list(named_struct("
+                "'source', source, 'n_i', n_i)))"
+            ).alias("a")
+        )
+        .selectExpr(
+            "a",
+            f"AGGREGATE(a, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + POW(CAST(x.n_i AS DOUBLE),"
+            f" {MIX_ALPHA})) AS z",
+        )
+        .selectExpr(
+            """TRANSFORM(a, x -> named_struct(
+                 'source', x.source,
+                 'n_i', x.n_i,
+                 'w', POW(CAST(x.n_i AS DOUBLE), {alpha}) / z,
+                 'base', CAST(FLOOR(POW(CAST(x.n_i AS DOUBLE),
+                         {alpha}) / z * {b}.0) AS BIGINT),
+                 'rem', POW(CAST(x.n_i AS DOUBLE), {alpha}) / z
+                        * {b}.0
+                        - FLOOR(POW(CAST(x.n_i AS DOUBLE), {alpha})
+                                / z * {b}.0)))
+               AS w""".format(alpha=MIX_ALPHA, b=b)
+        )
+        .selectExpr(
+            "w",
+            f"CAST({b} - AGGREGATE(w, CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x.base) AS INT) AS r",
+            "array_sort(TRANSFORM(w, x -> named_struct("
+            "'neg_rem', -x.rem, 'source', x.source))) AS byrem",
+        )
+        .selectExpr(
+            "EXPLODE(TRANSFORM(w, x -> named_struct("
+            "'source', x.source, 'n_i', x.n_i, 'w', x.w,"
+            "'base', x.base,"
+            "'extra', CAST(array_position(TRANSFORM(byrem,"
+            " y -> y.source), x.source) <= r AS INT)))) AS p"
+        )
+        .selectExpr(
+            "p.source",
+            "p.n_i AS n_tokens",
+            det6.format(x="p.w", n="temp_weight"),
+            "p.base AS base_alloc",
+            "CAST(p.base + p.extra AS BIGINT) AS final_alloc",
+        )
+        .orderBy("source")
+    )
+
+
+q_minibatch_mixture_plan.__doc__ = q_minibatch_mixture_plan.__doc__.format(
+    bs=_BATCH_SIZE
+)
+
+
+def _sql_minibatch_mixture_plan() -> str:
+    a = MIX_ALPHA
+    b = _BATCH_SIZE
+    w = f"(POW(CAST(n_i AS DOUBLE), {a}) / z)"
+    return f"""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_i
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT SUM(POW(CAST(n_i AS DOUBLE), {a})) AS z FROM src),
+wts AS (
+  SELECT source, n_i, {w} AS w,
+         CAST(FLOOR({w} * {b}.0) AS BIGINT) AS base,
+         {w} * {b}.0 - FLOOR({w} * {b}.0) AS rem
+  FROM src CROSS JOIN tot),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+         {b} - SUM(base) OVER () AS r
+  FROM wts)
+SELECT source,
+       n_i AS n_tokens,
+       CAST(FLOOR(w * 1e6 + 0.5) AS DOUBLE) / 1e6 AS temp_weight,
+       base AS base_alloc,
+       CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+         AS final_alloc
+FROM ranked
+ORDER BY source
+"""
+
+
+SQL_MINIBATCH_MIXTURE_PLAN = _sql_minibatch_mixture_plan()
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "vocab_coverage_curve": QuerySpec(
+        q_vocab_coverage_curve, SQL_VOCAB_COVERAGE_CURVE
+    ),
+    "ngram_entropy_rate": QuerySpec(
+        q_ngram_entropy_rate, SQL_NGRAM_ENTROPY_RATE
+    ),
+    "bloom_filter_sizing": QuerySpec(
+        q_bloom_filter_sizing, SQL_BLOOM_FILTER_SIZING
+    ),
+    "minibatch_mixture_plan": QuerySpec(
+        q_minibatch_mixture_plan, SQL_MINIBATCH_MIXTURE_PLAN
+    ),
     "text_readability": QuerySpec(
         q_text_readability, SQL_TEXT_READABILITY
     ),

@@ -277,6 +277,9 @@ _BNLJ_ALLOWED = {
     # folded rank relation (1x1 BNLJ, the Q11 shape); its other join
     # (day count = global k) is an equi-join on the broadcast scalar
     "friedman_test",
+    # vocab_coverage_curve crosses the 1-row corpus-token-total scalar
+    # into the 1-row collected top-10k head (1x1 BNLJ, the Q11 shape)
+    "vocab_coverage_curve",
     # ams_join_size crosses three single-row relations (estimate ×
     # exact inner product × the two F2 scalars) — 1x1 BNLJs
     "ams_join_size",
