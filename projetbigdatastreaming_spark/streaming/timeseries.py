@@ -705,6 +705,16 @@ def read_jarque_bera(spark: SparkSession, state_dir: str) -> DataFrame:
     return jarque_bera_from_moments(_fold_moments(spark, state_dir))
 
 
+def read_welch_anova(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Welch's heteroscedastic ANOVA over the folded moments state —
+    the THIRD consumer of the one moments state stream (ANOVA, JB,
+    now Welch); column-identical to `plans/advanced.q_welch_anova`
+    over the union of the ingested batches (pinned by test)."""
+    from ..plans.advanced import welch_from_moments
+
+    return welch_from_moments(_fold_moments(spark, state_dir))
+
+
 def read_holt(spark: SparkSession, state_dir: str) -> DataFrame:
     """Holt linear forecast over the folded daily state — the FIFTH
     consumer of the one daily-count state stream (burstiness, PACF,
@@ -737,3 +747,25 @@ def read_forecast_backtest(spark: SparkSession, state_dir: str) -> DataFrame:
     from ..plans.timeseries import backtest_from_daily
 
     return backtest_from_daily(_fold_daily(spark, state_dir))
+
+
+def read_holt_winters(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Additive Holt–Winters over the folded daily state — the EIGHTH
+    consumer of the one daily-count state stream; column-identical to
+    `plans/timeseries.q_holt_winters_forecast` over the union of the
+    ingested batches (pinned by test)."""
+    from ..plans.timeseries import hw_from_daily
+
+    return hw_from_daily(_fold_daily(spark, state_dir))
+
+
+def read_seasonal_strength(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """FPP seasonal/trend strength over the folded daily state — the
+    NINTH consumer of the one daily-count state stream;
+    column-identical to `plans/timeseries.q_stl_seasonal_strength`
+    over the union of the ingested batches (pinned by test)."""
+    from ..plans.timeseries import strength_from_daily
+
+    return strength_from_daily(_fold_daily(spark, state_dir))

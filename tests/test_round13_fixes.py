@@ -154,3 +154,53 @@ def test_backtest_stream_fold_equals_batch(spark, sf_dir, tmp_path):
     want = _rows(q_forecast_backtest(spark, sf_dir))
     assert _rows(read_forecast_backtest(spark, state)) == want
     assert len(want) > 0
+
+
+def test_welch_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """Welch rides the SAME moments state stream as ANOVA/JB —
+    additive power-sum partials over 3 batches fold to the batch
+    statistic exactly."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.advanced import q_welch_anova
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        moments_batch_writer,
+        read_welch_anova,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "moments")
+    write = moments_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    want = _rows(q_welch_anova(spark, sf_dir))
+    assert _rows(read_welch_anova(spark, state)) == want and len(want) > 0
+
+
+def test_hw_and_strength_stream_folds_equal_batch(spark, sf_dir, tmp_path):
+    """Holt-Winters and seasonal strength ride the SAME daily-count
+    state stream as the other daily monitors — additive partials over
+    3 batches fold to the batch outputs exactly."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_holt_winters_forecast,
+        q_stl_seasonal_strength,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        burstiness_batch_writer,
+        read_holt_winters,
+        read_seasonal_strength,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "daily")
+    write = burstiness_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    want_hw = _rows(q_holt_winters_forecast(spark, sf_dir))
+    assert _rows(read_holt_winters(spark, state)) == want_hw
+    assert len(want_hw) > 0
+    want_ss = _rows(q_stl_seasonal_strength(spark, sf_dir))
+    assert _rows(read_seasonal_strength(spark, state)) == want_ss
+    assert len(want_ss) > 0
