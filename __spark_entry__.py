@@ -47,10 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 5a): strict oldest-signal-first.  Each round the order is: (1) any
 #: query that has NEVER had a driver verdict (oracle-verified locally
 #: before it may enter), oldest registration first; (2) all remaining
-#: queries by ascending round of their latest driver verdict.  At 284
+#: queries by ascending round of their latest driver verdict.  At 316
 #: registered queries and a 50-row window the computed worst-case
-#: staleness is ceil(284/50) = 6 rotations.  New-query velocity is
-#: capped (~16-20/round) so the never-verified backlog always clears
+#: staleness is ceil(316/50) = 7 rotations.  New-query velocity is
+#: capped (≤16/round) so the never-verified backlog always clears
 #: within the NEXT window.
 #:
 #: Round-13 rotation (VERDICT r12 item 2): (1) the 16 round-12
