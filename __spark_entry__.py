@@ -288,6 +288,11 @@ HEADLINE_QUERIES = (
     # line_dedup sibling)
     "retrieval_eval_graded",
     "doc_boilerplate_ratio",
+    # round 13: the heaviest new shapes — the corpus bigram explode
+    # (per-source conditional entropy) and the two-corpus-pass
+    # Brown–Forsythe test (exact medians, then the deviation pass)
+    "ngram_entropy_rate",
+    "levene_test",
 )
 
 

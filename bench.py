@@ -94,6 +94,10 @@ SF3_QUERIES: tuple[str, ...] = (
     # sibling line_dedup (same two-exchange segment shape, plus the
     # distinct-doc count)
     "doc_boilerplate_ratio",
+    # round 13: the corpus bigram explode's growth curve (hand
+    # bench_one: 1.44→2.52 s sf1→sf10, 1.8×/decade — this pins it in
+    # the shipped artifact)
+    "ngram_entropy_rate",
 )
 
 #: queries re-timed at the scaled fixture.  ``None`` means "every

@@ -7644,7 +7644,8 @@ def q_bloom_filter_sizing(spark, sf_dir):
     m = "CEIL(-CAST(n AS DOUBLE) * LN(fpp) / (LN(2.0) * LN(2.0)))"
     k = f"GREATEST(1, CAST(ROUND({m} / CAST(n AS DOUBLE) * LN(2.0)) AS BIGINT))"
     return (
-        n1.selectExpr("n", f"explode(array({grid})) AS fpp")
+        n1.where("n > 0")  # empty key set: nothing to size, 0 rows
+        .selectExpr("n", f"explode(array({grid})) AS fpp")
         .selectExpr(
             "n AS n_keys",
             det6.format(x="fpp", n="target_fpp"),
@@ -7683,6 +7684,7 @@ SELECT n AS n_keys,
             * CAST(n AS DOUBLE) / {m}), CAST({k} AS DOUBLE))
             * 1e6 + 0.5) AS DOUBLE) / 1e6 AS achieved_fpp
 FROM n1 CROSS JOIN grid
+WHERE n > 0
 ORDER BY target_fpp DESC
 """
 
