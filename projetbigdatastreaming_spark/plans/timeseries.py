@@ -2296,7 +2296,12 @@ def q_mann_kendall_trend(spark, sf_dir):
     day inequality — pair volume is bounded by the DAY SPAN squared
     per type (≤3653²/2 at 10 years), independent of event count;
     ties come from one more hash-agg on the bounded daily relation."""
-    daily = _daily_counts(spark, sf_dir)
+    return mann_kendall_from_daily(_daily_counts(spark, sf_dir))
+
+
+def mann_kendall_from_daily(daily):
+    """The Mann–Kendall solve over a `(event_type, day, y)` relation
+    — shared by the batch query and the streaming fold."""
     a = daily.select(
         "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
     )

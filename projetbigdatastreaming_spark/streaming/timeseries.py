@@ -769,3 +769,13 @@ def read_seasonal_strength(
     from ..plans.timeseries import strength_from_daily
 
     return strength_from_daily(_fold_daily(spark, state_dir))
+
+
+def read_mann_kendall(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Mann–Kendall trend test over the folded daily state — the
+    TENTH consumer of the one daily-count state stream;
+    column-identical to `plans/timeseries.q_mann_kendall_trend` over
+    the union of the ingested batches (pinned by test)."""
+    from ..plans.timeseries import mann_kendall_from_daily
+
+    return mann_kendall_from_daily(_fold_daily(spark, state_dir))

@@ -204,3 +204,27 @@ def test_hw_and_strength_stream_folds_equal_batch(spark, sf_dir, tmp_path):
     want_ss = _rows(q_stl_seasonal_strength(spark, sf_dir))
     assert _rows(read_seasonal_strength(spark, state)) == want_ss
     assert len(want_ss) > 0
+
+
+def test_mann_kendall_stream_fold_equals_batch(spark, sf_dir, tmp_path):
+    """Mann-Kendall rides the SAME daily-count state stream — the
+    tenth consumer; additive partials over 3 batches fold to the
+    batch statistic exactly."""
+    from projetbigdatastreaming_spark.catalog import load_table
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        q_mann_kendall_trend,
+    )
+    from projetbigdatastreaming_spark.streaming.timeseries import (
+        burstiness_batch_writer,
+        read_mann_kendall,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "daily")
+    write = burstiness_batch_writer(state)
+    for i in range(3):
+        write(ev.where(f"event_id % 3 = {i}"), i)
+
+    want = _rows(q_mann_kendall_trend(spark, sf_dir))
+    assert _rows(read_mann_kendall(spark, state)) == want
+    assert len(want) > 0
