@@ -6338,12 +6338,20 @@ _BCAST_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+#: the planner's REFERENCE parallelism: a fixed constant (not the
+#: live session conf) so the quoted rows-per-task is reproducible by
+#: the oracle and comparable across machines — readers scale it to
+#: their own cluster
+_PLAN_PARALLELISM = 32
+
 
 def q_broadcast_budget_planner(spark, sf_dir):
     """Broadcast-vs-shuffle survey of every catalog table — the
     dim-side half of the join decision `join_strategy_advice` makes
     from the fact-side key profile: per table, the row count, the
-    per-task row budget at the session's shuffle parallelism, and
+    per-task row budget at the fixed 32-way reference parallelism
+    (`_PLAN_PARALLELISM` — a constant, not the live conf, so the
+    quoted number is oracle-reproducible and machine-comparable), and
     the chooser's own broadcast gate (`operators/joins.
     BROADCAST_ROW_LIMIT`) — so a pipeline author reads one table and
     knows which joins never shuffle.
@@ -6368,7 +6376,10 @@ def q_broadcast_budget_planner(spark, sf_dir):
     return surveyed.selectExpr(
         "table_name",
         "n_rows",
-        det6.format(x="CAST(n_rows AS DOUBLE) / 32.0", n="rows_per_task"),
+        det6.format(
+            x=f"CAST(n_rows AS DOUBLE) / {_PLAN_PARALLELISM}.0",
+            n="rows_per_task",
+        ),
         f"n_rows <= {joins.BROADCAST_ROW_LIMIT} AS broadcastable",
         f"CASE WHEN n_rows <= {joins.BROADCAST_ROW_LIMIT}"
         " THEN 'broadcast' ELSE 'shuffle' END AS dim_side_strategy",
@@ -6387,7 +6398,8 @@ WITH surveyed AS (
 )
 SELECT table_name,
        n_rows,
-       CAST(FLOOR((CAST(n_rows AS DOUBLE) / 32.0) * 1e6 + 0.5)
+       CAST(FLOOR((CAST(n_rows AS DOUBLE) / {_PLAN_PARALLELISM}.0)
+            * 1e6 + 0.5)
             AS DOUBLE) / 1e6 AS rows_per_task,
        n_rows <= {joins.BROADCAST_ROW_LIMIT} AS broadcastable,
        CASE WHEN n_rows <= {joins.BROADCAST_ROW_LIMIT}

@@ -7429,6 +7429,9 @@ def q_vocab_coverage_curve(spark, sf_dir):
     det6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS {n}"
     return (
         head.crossJoin(F.broadcast(tot))
+        # token-less corpus: no curve (matches the oracle's inner
+        # join against the empty ranked head — 0 rows, not 6 NULLs)
+        .where("t > 0")
         .selectExpr(
             "a", "t", f"explode(array({grid})) AS vocab_size"
         )
@@ -7789,7 +7792,14 @@ WITH src AS (
          CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_i
   FROM documents GROUP BY 1),
 tot AS (
-  SELECT SUM(POW(CAST(n_i AS DOUBLE), {a})) AS z FROM src),
+  -- ordered left fold over the source-sorted list: the IDENTICAL
+  -- double-addition sequence as the Spark side's AGGREGATE over the
+  -- source-sorted array (an unordered SUM could differ in the last
+  -- ulp and flip a FLOOR/seat-rank integer downstream)
+  SELECT list_reduce(list(POW(CAST(n_i AS DOUBLE), {a})
+                          ORDER BY source),
+                     (acc, x) -> acc + x) AS z
+  FROM src),
 wts AS (
   SELECT source, n_i, {w} AS w,
          CAST(FLOOR({w} * {b}.0) AS BIGINT) AS base,

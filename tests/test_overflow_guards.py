@@ -90,12 +90,26 @@ def test_zone_map_premod_guard_holds_at_sf10_ids(ansi):
     assert all(0 <= r.ub < 64 for r in rows)
 
 
-def test_rake_query_unchanged_at_fixture_scale(spark, sf_dir):
-    """The decomposition is value-identical on real data — pin a
-    stable fingerprint of the query output against the naive form."""
-    from projetbigdatastreaming_spark.plans.llmdata import (
-        q_text_keyphrases_rake,
-    )
+def test_rake_uscore_split_equals_naive_on_fixture(spark, sf_dir):
+    """The quotient/remainder form is value-identical to the naive
+    deg*1e6 // freq on the REAL per-word (deg, freq) relation, not
+    just synthetic rows — computed side by side over the corpus."""
+    import duckdb
 
-    out = q_text_keyphrases_rake(spark, sf_dir)
-    assert out.count() > 0
+    rows = duckdb.sql(f"""
+        WITH member AS (
+          SELECT unnest(str_split(lower(text), ' ')) AS w,
+                 1 AS plen
+          FROM '{sf_dir}/documents.parquet'),
+        wstats AS (
+          SELECT w, CAST(SUM(plen) AS BIGINT) AS deg,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM member GROUP BY 1)
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN (deg // freq) * 1000000
+                        + (deg % freq) * 1000000 // freq
+                        <> deg * 1000000 // freq
+                   THEN 1 ELSE 0 END) AS mismatches
+        FROM wstats
+    """).fetchone()
+    assert rows[0] > 0 and rows[1] == 0, rows

@@ -88,9 +88,25 @@ def test_bench_emits_compact_primary_line_last():
 
     src = open(bench.__file__).read()
     tree = ast.parse(src)
-    # the compact restatement exists and is the final print in main()
+    # the compact restatement exists...
     assert '"queries": timings' in src
     assert 'separators=(",", ":")' in src
+    # ...and is literally the LAST print statement in main(): a print
+    # added after it would break the tail contract silently
+    main_fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "main"
+    )
+    prints = [
+        n for n in ast.walk(main_fn)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Name)
+        and n.func.id == "print"
+    ]
+    last_print_src = ast.get_source_segment(src, max(
+        prints, key=lambda n: n.lineno
+    ))
+    assert 'separators=(",", ":")' in last_print_src
     # size check: 40 rows at 12-char names / 4-dp values fit in 2000
     sample = {
         "metric": "headline_queries_total_wall",
