@@ -270,3 +270,68 @@ def test_welch_sql_matches_reference(groups):
     f_want, df2_want = ref
     assert abs(f_got - f_want) < 1e-6 * max(1.0, abs(f_want))
     assert abs(df2_got - df2_want) < 1e-6 * max(1.0, abs(df2_want))
+
+
+def _hw_reference(ys, a=0.25, b=0.125, g=0.25, m=7):
+    """Additive Holt-Winters, the docstring's init/fold conventions."""
+    lvl = sum(ys[:m]) / float(m)
+    tr = 0.0
+    season = [y - lvl for y in ys[:m]]
+    for i in range(m, len(ys)):
+        s_old = season[i % m]
+        lvl_new = a * (ys[i] - s_old) + (1 - a) * (lvl + tr)
+        tr = b * (lvl_new - lvl) + (1 - b) * tr
+        season[i % m] = g * (ys[i] - lvl_new) + (1 - g) * s_old
+        lvl = lvl_new
+    n = len(ys)
+    fc = lvl + 7.0 * tr + season[(n - 1 + 7) % m]
+    return lvl, tr, fc
+
+
+@given(ys=st.lists(st.integers(min_value=0, max_value=500),
+                   min_size=14, max_size=45))
+@settings(max_examples=25, deadline=None)
+def test_holt_winters_cte_matches_reference(ys):
+    """The LIST-state recursive CTE (the oracle's shape) equals a
+    plain Python loop implementing the documented fold."""
+    from projetbigdatastreaming_spark.plans.timeseries import (
+        _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_PERIOD,
+    )
+
+    a, b, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_PERIOD
+    vals = ", ".join(f"({i}, CAST({y} AS DOUBLE))"
+                     for i, y in enumerate(ys))
+    pos = f"(CAST(d.i % {m} AS BIGINT) + 1)"
+    s_old = f"r.season[{pos}]"
+    lvl_new = f"({a} * (d.y - {s_old}) + {1 - a} * (r.lvl + r.tr))"
+    n = len(ys)
+    lvl_got, tr_got, fc_got = duckdb.sql(f"""
+        WITH RECURSIVE idx (i, y) AS (VALUES {vals}),
+        init AS (
+          SELECT SUM(y) / {m}.0 AS lvl0,
+                 list(y - (SELECT SUM(y2.y) / {m}.0 FROM idx y2
+                           WHERE y2.i < {m})
+                      ORDER BY i) AS season0
+          FROM idx WHERE i < {m}),
+        r (i, lvl, tr, season) AS (
+          SELECT CAST({m - 1} AS BIGINT), lvl0,
+                 CAST(0.0 AS DOUBLE), season0
+          FROM init
+          UNION ALL
+          SELECT r.i + 1, {lvl_new},
+                 {b} * ({lvl_new} - r.lvl) + {1 - b} * r.tr,
+                 r.season[1:({pos} - 1)]
+                   || [{g} * (d.y - {lvl_new}) + {1 - g} * {s_old}]
+                   || r.season[({pos} + 1):{m}]
+          FROM r JOIN idx d ON d.i = r.i + 1)
+        SELECT lvl, tr,
+               lvl + 7.0 * tr
+               + season[CAST(({n} - 1 + 7) % {m} AS BIGINT) + 1]
+        FROM r WHERE i = {n} - 1
+    """).fetchone()
+    lvl_want, tr_want, fc_want = _hw_reference(
+        [float(y) for y in ys], a, b, g, m
+    )
+    assert abs(lvl_got - lvl_want) < 1e-9 * max(1.0, abs(lvl_want))
+    assert abs(tr_got - tr_want) < 1e-9 * max(1.0, abs(tr_want))
+    assert abs(fc_got - fc_want) < 1e-9 * max(1.0, abs(fc_want))
