@@ -5598,31 +5598,64 @@ def q_levene_test(spark, sf_dir):
     the median of integers is a half-integer, so z₂ = |2c − 2·med|
     is a bigint and Σz₂/Σz₂² are exact (decimal accumulators, the
     `moments_by_type` discipline); the F fold is the `anova_oneway`
-    expression program, det6; the ×2 scaling cancels in F.
+    expression program, det6; the ×2 scaling cancels in F.  The
+    doubled median comes off the cumulative cents histogram (lower +
+    upper order statistic), identical to 2·percentile(c, 0.5).
 
-    Scale plan: one exact-percentile agg per type (hash exchange),
-    the k medians broadcast back onto one corpus pass, then the
-    1-row fold."""
+    Scale plan: the corpus is touched ONCE — one map-side-combinable
+    hash-agg to the (type, cents) histogram (the `mann_whitney`
+    value-domain-bounded discipline); the medians, the deviation
+    sums, and the F fold all run on the histogram, whose size is
+    bounded by the VALUE DOMAIN, never the row count.  (The first
+    cut ran exact-percentile + a second corpus deviation pass —
+    3.3×/decade, the round's worst curve; this is the single-scan
+    form.)"""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5))
         .cast("bigint")
         .alias("c"),
     )
-    med = ev.groupBy("event_type").agg(
-        F.expr("CAST(ROUND(2.0 * percentile(c, 0.5)) AS BIGINT)").alias(
-            "med2"
-        )
+    hist = ev.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
     )
-    z = ev.join(F.broadcast(med), "event_type").select(
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy("event_type").orderBy("c")
+    cum = hist.withColumn("cum", F.sum("t").over(wcum)).withColumn(
+        "nn", F.sum("t").over(Window.partitionBy("event_type"))
+    )
+    # lower/upper median order statistics: ranks (n+1) DIV 2 and
+    # n DIV 2 + 1 (equal when n is odd); med2 = c_lo + c_hi
+    med = cum.groupBy("event_type").agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(nn + 1) DIV 2"), F.col("c")
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("cum") >= F.expr("nn DIV 2 + 1"), F.col("c")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    z = hist.join(F.broadcast(med), "event_type").select(
         "event_type",
+        "t",
         F.abs(2 * F.col("c") - F.col("med2")).alias("z2"),
     )
     z2d = F.col("z2").cast("decimal(19,0)")
+    td = F.col("t").cast("decimal(19,0)")
     g = z.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(z2d).cast("decimal(38,0)").alias("s1"),
-        F.sum((z2d * z2d).cast("decimal(38,0)"))
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum((z2d * td).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum((z2d * z2d * td).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("s2"),
     )
