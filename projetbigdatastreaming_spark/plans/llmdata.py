@@ -7502,7 +7502,7 @@ def q_ngram_entropy_rate(spark, sf_dir):
     text sits high; reads directly as a curation filter axis beside
     `doc_entropy`'s per-doc character entropy.
 
-    Determinism: H = log2(N) − (1/N)·Σ c₁₂·log2(c₁₂/c₁) over exact
+    Determinism: H = −(1/N)·Σ c₁₂·log2(c₁₂/c₁) over exact
     integer bigram counts — both engines feed identical integer
     ratios to log2; one vocab-sized double sum (the
     `mutual_information` precedent), det6.

@@ -2629,7 +2629,15 @@ def q_holt_winters_forecast(spark, sf_dir):
 
 def hw_from_daily(daily):
     """The Holt–Winters solve over a `(event_type, day, y)` relation
-    — shared by the batch query and the streaming fold."""
+    — shared by the batch query and the streaming fold.
+
+    Dense-series assumption: the season slot is keyed on ARRAY
+    POSITION (i % 7), not calendar day-of-week, so a gap in a type's
+    daily series shifts the weekly-season phase for every later day.
+    The oracle replays the identical position-based fold (parity
+    holds); the fixture's daily-count relation is gap-free by
+    construction.  A gapped deployment should key the slot on
+    datediff from the series start instead."""
     a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
     m = _HW_PERIOD
     series = daily.groupBy("event_type").agg(
