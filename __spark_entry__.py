@@ -53,47 +53,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #: capped (≤16/round) so the never-verified backlog always clears
 #: within the NEXT window.
 #:
-#: Round-13 rotation (VERDICT r12 item 2): (1) the 16 round-12
-#: queries that have never had a driver verdict (retrieval_eval_graded
-#: … theta_forecast; judge-oracle-checked 16/16 in round 12); (2) the
-#: full 34-row r07 tail (dedup_minhash_est … curation_weighted_sample)
-#: — the oldest driver signal in the ledger, five rounds old.
-#: 16 + 34 = 50 = the window exactly, no third tranche.  After it:
-#: round-13's own new queries (≤16, velocity cap), then the rest by
-#: ascending vintage (r08, r09, r10, r11, the 50 rows green in
-#: CORRECTNESS_r12 last).  After round 13 the oldest vintage in the
-#: ledger is r08.
+#: Round-14 rotation (VERDICT r13 item 1): (1) the 16 round-13
+#: queries that have never had a driver verdict (mann_kendall_trend
+#: … broadcast_budget_planner; oracle-checked 16/16 locally in r13
+#: and by the r13 judge); (2) the 34 oldest r08-vintage rows
+#: (image_structure … supplier_scorecard).  16 + 34 = 50 = the
+#: window exactly.  After it: the 16-row r08 tail, then the rest by
+#: ascending vintage (r09, r10, r11, r12, the 50 rows green in
+#: CORRECTNESS_r13 last).  After round 14 the oldest vintage in the
+#: ledger is the 16 remaining r08 rows.
 QUERY_ORDER = (
-    # 1) round-12 additions — never driver-verdicted (judge
-    # oracle-checked 16/16 in VERDICT r12); they lead round 13 per
-    # the stated contract
-    "retrieval_eval_graded", "anova_oneway", "kruskal_wallis",
-    "jarque_bera", "doc_boilerplate_ratio",
-    "mixture_temperature_weights", "neardup_edit_verify",
-    "lsh_band_planner", "emb_cosine_sim_histogram",
-    "zone_map_effectiveness", "compaction_plan",
-    "join_strategy_advice", "holt_linear_forecast",
-    "forecast_backtest", "sample_size_power", "theta_forecast",
-    # 2) the full 34-row r07 tail — oldest driver signal in the
-    # ledger (last verdict round 7); 16 + 34 = 50 clears it exactly
-    "dedup_minhash_est", "constraint_check", "k_anonymity", "fuzzy_match",
-    "user_streaks", "ewma_smooth", "line_dedup", "emb_semantic_dedup",
-    "dedup_source_overlap", "doc_lang_mismatch", "emb_pca_power", "tpch_q2",
-    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "unigram_logprob", "bpe_token_count", "emb_centroid", "tfidf_topk",
-    "emb_outliers", "graph_pagerank", "dedup_incremental_bloom",
-    "emb_ivfpq_topk", "emb_ivfpq_recall", "curation_weighted_sample",
-    # 3) round-13 additions (oracle-verified locally before entry;
-    # they lead round 14's window; ≤16 per the velocity cap)
+    # 1) round-13 additions — never driver-verdicted (oracle-verified
+    # locally in round 13 and independently by the r13 judge, 16/16);
+    # they lead round 14 per the stated contract
     "mann_kendall_trend", "stl_seasonal_strength", "croston_forecast",
-    "holt_winters_forecast", "welch_anova", "levene_test",
-    "cohens_d_pairs", "bh_fdr", "friedman_test", "permutation_test",
-    "vocab_coverage_curve", "ngram_entropy_rate", "bloom_filter_sizing",
-    "minibatch_mixture_plan", "shard_balance_planner",
-    "broadcast_budget_planner",
-    # 4) green in the round-8 driver run — oldest vintage after the
-    # round-13 window clears the r07 tail
+    "holt_winters_forecast", "welch_anova", "levene_test", "cohens_d_pairs",
+    "bh_fdr", "friedman_test", "permutation_test", "vocab_coverage_curve",
+    "ngram_entropy_rate", "bloom_filter_sizing", "minibatch_mixture_plan",
+    "shard_balance_planner", "broadcast_budget_planner",
+    # 2) the 34 oldest round-8-vintage rows (image_structure …
+    # supplier_scorecard) — 16 + 34 = 50 fills the window exactly
     "image_structure", "audio_structure", "video_structure", "emb_bq_topk",
     "emb_bq_recall", "emb_bq_rerank", "emb_bq_ivfpq_rerank",
     "emb_bq_ivfpq_recall", "decontaminate_fuzzy", "quantile_histogram",
@@ -104,13 +83,15 @@ QUERY_ORDER = (
     "emb_kmeans_refine", "sample_weighted", "approx_quantile_check",
     "window_value_functions", "mixture_budget_sample", "dedup_prefix",
     "event_transitions", "doc_entropy", "active_users_rolling",
-    "corpus_zipf_fit", "supplier_scorecard", "revenue_pareto",
-    "approx_distinct_check", "rolling_avg_range", "window_rank_functions",
-    "profile_table", "dedup_survivorship", "tpch_q18", "bitwise_functions",
-    "user_features", "profile_frequent_values", "time_gap_stats",
-    "image_stats", "audio_stats", "video_stats", "media_manifest",
-    "emb_jl_recall",
-    # 5) green in the round-9 driver run
+    "corpus_zipf_fit", "supplier_scorecard",
+    # 3) the r08 tail that did not fit the round-14 window — next
+    # oldest signal, heads round 15
+    "revenue_pareto", "approx_distinct_check", "rolling_avg_range",
+    "window_rank_functions", "profile_table", "dedup_survivorship", "tpch_q18",
+    "bitwise_functions", "user_features", "profile_frequent_values",
+    "time_gap_stats", "image_stats", "audio_stats", "video_stats",
+    "media_manifest", "emb_jl_recall",
+    # 4) green in the round-9 driver run
     "substring_dedup", "dsir_importance", "zorder_layout", "text_sentiment",
     "type_profile_similarity", "kpi_quarter_hour", "proj_filter", "json_parse",
     "tokenize", "quarter_hour_case", "agg_groupby", "agg_analytic_window",
@@ -123,7 +104,7 @@ QUERY_ORDER = (
     "sessionize", "window_topk_per_group", "join_broadcast_inner", "join_left",
     "join_full_outer", "join_semi", "join_anti", "union_all", "intersect",
     "except_", "pivot", "rollup", "cube", "window_lag_running",
-    # 6) green in the round-10 driver run
+    # 5) green in the round-10 driver run
     "map_functions", "scd2_history", "null_semantics", "unpivot", "string_agg",
     "dedup_ngram_jaccard", "dedup_char_ngram", "emb_cosine_pairs",
     "array_functions", "emb_ann_topk_lsh", "emb_ann_topk_ivf",
@@ -138,7 +119,7 @@ QUERY_ORDER = (
     "linreg_ols", "acf_lags", "seasonal_dow_index", "ams_f2",
     "graph_clustering_coeff", "graph_kcore", "ams_join_size",
     "robust_trimmed_stats", "join_temporal_scd2", "ab_test_zscore",
-    # 7) green in the round-11 driver run
+    # 6) green in the round-11 driver run
     "forecast_seasonal_naive", "fifo_fill", "text_keyphrases_rake",
     "diff_in_diff", "cuped_adjustment", "join_salted_hotkeys", "nested_hof",
     "hybrid_search_rrf", "top_user_paths", "temporal_align", "median_ci",
@@ -152,24 +133,39 @@ QUERY_ORDER = (
     "trend_regression", "emb_quantize", "tpch_q6", "tpch_q13", "tpch_q14",
     "text_pii", "decontaminate", "pack_sequences", "length_histogram",
     "tpch_q10",
-    # 8) green in the round-12 driver run (freshest signal, last):
-    # the 16 round-11 additions, the r06 tail, and the 16 oldest
-    # r07-vintage rows that made up round 12's window
+    # 7) green in the round-12 driver run
     "emb_knn_label_bq", "emb_knn_label_recall", "pacf_lags",
     "interarrival_stats", "stl_decompose", "corr_matrix", "mahalanobis_2d",
     "kmv_set_diff", "span_corruption", "heavy_changers", "attribution_credit",
     "media_phash_pairs", "hurst_exponent", "emb_centroid_drift",
-    "retrieval_eval", "join_skew_profile",
-    "oov_rate", "curation_report", "dedup_incremental", "dedup_containment",
-    "iqr_outliers", "gopher_quality", "emb_pq_codes", "emb_pq_recall",
-    "emb_pq_refine", "ccnet_ppl_buckets", "media_thumbnails", "dedup_bloom",
-    "kmv_distinct", "train_split", "corpus_dup_stats", "gopher_report",
-    "doc_embedding_stats", "neardup_jaccard_histogram",
-    "filter_waterfall", "lang_balance_sample", "tokenizer_fertility",
-    "doc_ngram_novelty", "dedup_soft_weights", "heavy_hitters_cms",
-    "hll_rollup_union", "recursive_cte", "sql_udf", "quality_classifier",
-    "curation_pipeline", "sample_bottomk_mergeable", "cep_pattern_match",
-    "emb_matryoshka_recall", "file_provenance", "bigram_logprob",
+    "retrieval_eval", "join_skew_profile", "oov_rate", "curation_report",
+    "dedup_incremental", "dedup_containment", "iqr_outliers", "gopher_quality",
+    "emb_pq_codes", "emb_pq_recall", "emb_pq_refine", "ccnet_ppl_buckets",
+    "media_thumbnails", "dedup_bloom", "kmv_distinct", "train_split",
+    "corpus_dup_stats", "gopher_report", "doc_embedding_stats",
+    "neardup_jaccard_histogram", "filter_waterfall", "lang_balance_sample",
+    "tokenizer_fertility", "doc_ngram_novelty", "dedup_soft_weights",
+    "heavy_hitters_cms", "hll_rollup_union", "recursive_cte", "sql_udf",
+    "quality_classifier", "curation_pipeline", "sample_bottomk_mergeable",
+    "cep_pattern_match", "emb_matryoshka_recall", "file_provenance",
+    "bigram_logprob",
+    # 8) green in the round-13 driver run (freshest signal, last):
+    # the 16 round-12 additions and the full 34-row r07 tail that
+    # made up round 13's window
+    "retrieval_eval_graded", "anova_oneway", "kruskal_wallis", "jarque_bera",
+    "doc_boilerplate_ratio", "mixture_temperature_weights",
+    "neardup_edit_verify", "lsh_band_planner", "emb_cosine_sim_histogram",
+    "zone_map_effectiveness", "compaction_plan", "join_strategy_advice",
+    "holt_linear_forecast", "forecast_backtest", "sample_size_power",
+    "theta_forecast", "dedup_minhash_est", "constraint_check", "k_anonymity",
+    "fuzzy_match", "user_streaks", "ewma_smooth", "line_dedup",
+    "emb_semantic_dedup", "dedup_source_overlap", "doc_lang_mismatch",
+    "emb_pca_power", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22", "unigram_logprob", "bpe_token_count",
+    "emb_centroid", "tfidf_topk", "emb_outliers", "graph_pagerank",
+    "dedup_incremental_bloom", "emb_ivfpq_topk", "emb_ivfpq_recall",
+    "curation_weighted_sample",
 )
 
 

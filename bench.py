@@ -114,6 +114,17 @@ SF2_QUERIES: tuple[str, ...] | None = None
 #: magnitude each way.
 EXTERNAL_CPU_LIMIT = float(os.environ.get("SPARK_GRAFT_EXT_CPU_LIMIT", "1.0"))
 
+#: 1-minute loadavg a sweep may START at (VERDICT r13 item 2): the
+#: external-CPU guard is blind to SELF-contamination — r13's sf10
+#: column started at loadavg 4.55 right after the 17-minute pytest
+#: suite (external CPU 0.0, so no flag) and read tpch_q21 at 26.6 s
+#: vs 14.4 s adjudicated on the idle machine.  Loadavg decays e-fold
+#: per minute, so waiting for < 2 costs a couple of minutes between
+#: columns and buys a clean JVM/page-cache start for each one.
+LOADAVG_START_LIMIT = float(
+    os.environ.get("SPARK_GRAFT_LOADAVG_LIMIT", "2.0")
+)
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
@@ -213,23 +224,37 @@ def _external_cpu_now(window_sec: float = 2.0) -> float:
     return max(0.0, ext / hz / window_sec)
 
 
-def wait_for_external_idle(max_wait_sec: float = 300.0) -> bool:
+def _loadavg1() -> float:
+    """1-minute loadavg (separate function so tests can mock the
+    machine state independently of the external-CPU probe)."""
+    return os.getloadavg()[0]
+
+
+def wait_for_external_idle(max_wait_sec: float = 600.0) -> bool:
     """Block (bounded) until competing load drops below the
     contamination threshold.  Returns True if idle was reached.
 
     VERDICT r11 item 2: the r11 guard *stamped* the sf1 sweep
     contaminated (external_cpu 1.78) but shipped it anyway, costing a
     round of usable sf1 signal.  Now every sweep waits for idle before
-    starting, and a sweep that still stamps dirty is re-run once."""
+    starting, and a sweep that still stamps dirty is re-run once.
+
+    VERDICT r13 item 2: ALSO require the 1-minute loadavg below
+    ``LOADAVG_START_LIMIT`` — external CPU alone cannot see the tail
+    of this process's OWN previous sweep (run queues, dirty page
+    writeback), which is exactly what inflated r13's in-run sf10
+    column."""
     waited = 0.0
     while waited < max_wait_sec:
         ext = _external_cpu_now()
         waited += 2.0
-        if ext <= EXTERNAL_CPU_LIMIT:
+        load1 = _loadavg1()
+        if ext <= EXTERNAL_CPU_LIMIT and load1 <= LOADAVG_START_LIMIT:
             return True
         print(
-            f"bench: waiting for idle (external CPU {ext:.1f} > "
-            f"{EXTERNAL_CPU_LIMIT}); {waited:.0f}s/{max_wait_sec:.0f}s",
+            f"bench: waiting for idle (external CPU {ext:.1f} vs limit "
+            f"{EXTERNAL_CPU_LIMIT}, loadavg {load1:.1f} vs limit "
+            f"{LOADAVG_START_LIMIT}); {waited:.0f}s/{max_wait_sec:.0f}s",
             file=sys.stderr,
         )
         time.sleep(8.0)
@@ -400,19 +425,27 @@ def main() -> None:
     # r12 item 3).  Restate the primary contract compactly as the very
     # last line: a complete, parseable {"metric", "value", "unit",
     # "queries", "sf"} object that always fits inside the tail.
-    print(
-        json.dumps(
-            {
-                "metric": out["metric"],
-                "value": out["value"],
-                "unit": out["unit"],
-                "queries": timings,
-                "sf": out["sf"],
-                "load_contaminated": out["load_contaminated"],
-            },
-            separators=(",", ":"),
-        )
-    )
+    # VERDICT r13 item 3: also carry the CROSS-SCALE totals (and each
+    # scaled column's 5 slowest rows) through the tail — r13's full
+    # line lost value_sf3 and most of the sf2 dict to the 2000-char
+    # window.  Budget: 37 primary rows ≈ 1010 chars; the two totals +
+    # two top-5 dicts add ≈ 330 — comfortably inside the window.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": timings,
+        "sf": out["sf"],
+        "load_contaminated": out["load_contaminated"],
+    }
+    for col in ("sf2", "sf3"):
+        qcol = out.get(f"queries_{col}")
+        if qcol:
+            compact[f"value_{col}"] = out[f"value_{col}"]
+            compact[f"top5_{col}"] = dict(
+                sorted(qcol.items(), key=lambda kv: -kv[1])[:5]
+            )
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -78,6 +78,56 @@ def with_minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+def shingle_rel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles) — the distinct word-3-gram relation, map-only
+    (no shuffle).  The shared input of both the signature aggregate and
+    the exact-Jaccard verify."""
+    return docs.select("doc_id", word_shingles(text_col).alias("shingles"))
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) minhash signatures from a
+    ``shingle_rel`` relation — the CODEGEN form of the signature pass
+    (round 14, guide §1.2 "per-task work"): explode each doc's shingle
+    hashes and take N_HASHES ``min(xxhash64(h, s))`` aggregate columns
+    in one whole-stage-codegen hash aggregate, then re-assemble the
+    array on the one-row-per-doc output.
+
+    Identical values to the higher-order-function fold it replaces
+    (min over the same xxhash64(h, s) per seed — order-insensitive),
+    but the HOF form evaluates 64 interpreted ``aggregate`` lambdas
+    per document: measured at the 50 k-doc scale point, 51.6 s
+    (cold-interpreter; ~4.7 s JIT-warm) vs 1.44 s for this form — the
+    basket_lift lesson (HOF lambda generation is interpreted, hash-agg
+    is codegen) applied to the dedup family's shared kernel.
+
+    One new exchange vs the per-row form: the partial aggregate
+    collapses to one row per doc per task BEFORE the shuffle (each
+    doc's shingles live in one task), so the exchange carries exactly
+    the signature relation itself — doc_id + N_HASHES longs, the same
+    ~0.5 KB/doc the old form persisted."""
+    ex = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(shingles, x -> xxhash64(x))")
+        ).alias("h"),
+    )
+    aggs = [
+        F.min(F.expr(f"xxhash64(h, {s})")).alias(f"__s{s}")
+        for s in range(N_HASHES)
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(
+                *[F.col(f"__s{s}") for s in range(N_HASHES)]
+            ).alias("sig"),
+        )
+    )
+
+
 def band_keys(signed: DataFrame) -> DataFrame:
     """(doc_id, band, bh) LSH probe keys — N_BANDS keys per signed
     doc.  Shared by the self-join (`lsh_candidate_pairs`), the
@@ -186,18 +236,33 @@ def minhash_near_duplicates(
     miss probability at j≥0.9) this equals the brute-force all-pairs
     answer the oracle computes.
 
-    The signature relation is referenced three times (band self-join +
-    both sides of the verify join); ``cache_signatures`` persists it so
-    the shingle/minhash pass runs once.  Signatures are ~0.5 KB/doc —
-    orders of magnitude smaller than the corpus — so this caches even
-    at billions of documents (MEMORY_AND_DISK spills gracefully).
+    Round 14: the cached relation is the SHINGLE relation — it feeds
+    the signature aggregate and both sides of the verify join; the
+    signature pass itself is the codegen ``minhash_signatures``
+    explode+agg (see its docstring for the measured win over the
+    interpreted HOF fold it replaces) and stays lazy on top of the
+    cache.  Shingles are ~1.5 KB/doc — orders of magnitude smaller
+    than a real corpus document — so the relation caches even at
+    billions of documents (MEMORY_AND_DISK spills gracefully).
     """
-    signed = with_minhash_signature(spread(docs)).select(
-        "doc_id", "shingles", "sig"
-    )
+    sh = shingle_rel(spread(docs))
     if cache_signatures:
-        signed = signed.persist()
-    return jaccard_verify(lsh_candidate_pairs(signed), signed, threshold)
+        # scoped, not raw persist: six registry queries run this
+        # pipeline, and raw per-invocation persists pile up until the
+        # ContextCleaner notices (the round-7/8 ADVICE class the
+        # cache module exists for) — under the bench's min-of-3 each
+        # site would otherwise hold 3+ stale signature relations.
+        # Only the SHINGLE relation is cached: the signature aggregate
+        # reads it and is cheap codegen on top (~1 s at the 500 k-doc
+        # point), and a second nested cache level measured SLOWER
+        # (kcore A/B: persist-both 22.8 s vs persist-sh-only 18.8 s —
+        # the sigs cache's fill/scan overhead exceeds the one extra
+        # sig aggregate the band join's two sides pay)
+        from ..cache import persist_scoped
+
+        sh = persist_scoped("minhash_shingles", sh)
+    sigs = minhash_signatures(sh)
+    return jaccard_verify(lsh_candidate_pairs(sigs), sh, threshold)
 
 
 def minhash_cross_near_duplicates(
@@ -229,17 +294,17 @@ def minhash_cross_near_duplicates(
     doc_a against the corpus signatures and doc_b against the
     benchmark's — `jaccard_verify(signed_b=...)`).
     """
-    sa = with_minhash_signature(spread(corpus)).select(
-        "doc_id", "shingles", "sig"
-    )
-    sb = with_minhash_signature(benchmark).select(
-        "doc_id", "shingles", "sig"
-    )
+    from ..cache import persist_scoped
+
+    sha = shingle_rel(spread(corpus))
+    shb = shingle_rel(benchmark)
     if cache_signatures:
-        sa = sa.persist()
-        sb = sb.persist()
-    ka = band_keys(sa).alias("a")
-    kb = band_keys(sb).alias("b")
+        sha = persist_scoped("minhash_cross_sh_a", sha)
+        shb = persist_scoped("minhash_cross_sh_b", shb)
+    siga = minhash_signatures(sha)
+    sigb = minhash_signatures(shb)
+    ka = band_keys(siga).alias("a")
+    kb = band_keys(sigb).alias("b")
     pairs = (
         ka.join(
             F.broadcast(kb),
@@ -252,7 +317,7 @@ def minhash_cross_near_duplicates(
         )
         .distinct()
     )
-    return jaccard_verify(pairs, sa, threshold, signed_b=sb)
+    return jaccard_verify(pairs, sha, threshold, signed_b=shb)
 
 
 def duplicate_clusters(
@@ -279,17 +344,22 @@ def duplicate_clusters(
     Output: (doc_id, cluster_id = min doc_id in component,
     cluster_size), non-singleton members only, ordered by doc_id.
     """
+    from ..cache import persist_scoped
+
     pairs = minhash_near_duplicates(docs, threshold).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).persist()
-    labels = (
+    edges = persist_scoped(
+        "dedup_cluster_edges",
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ),
+    )
+    labels = persist_scoped(
+        "dedup_cluster_labels0",
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
+        .withColumn("label", F.col("doc_id")),
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -319,6 +389,12 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    # register the surviving (returned) label relation under a scoped
+    # key: the loop unpersists every superseded round, but the FINAL
+    # round's blocks used to outlive the call until the
+    # ContextCleaner noticed — the same leak class as the raw
+    # signature persists (now scoped above)
+    labels = persist_scoped("dedup_cluster_labels_final", labels)
     sizes = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size")
     )
@@ -433,7 +509,9 @@ def simhash_near_duplicates(
     """
     hashed = with_simhash(spread(docs)).select("doc_id", "simhash")
     if cache_hashes:
-        hashed = hashed.persist()
+        from ..cache import persist_scoped
+
+        hashed = persist_scoped("simhash_hashes", hashed)
     blocks = hashed.select(
         "doc_id",
         "simhash",

@@ -237,7 +237,9 @@ def near_dup_pairs_lsh(
         "vec_id", F.posexplode("sigs").alias("t", "sig")
     )
     if cache_signatures:
-        tall = tall.persist()
+        from ..cache import persist_scoped
+
+        tall = persist_scoped("emb_lsh_tall_sigs", tall)
     pairs = (
         tall.alias("a")
         .join(

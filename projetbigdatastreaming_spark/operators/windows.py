@@ -120,6 +120,140 @@ def running_sum_two_level(
     return out
 
 
+def running_max_two_level(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    bucket_col,
+    partition_cols: list[str] | None = None,
+    max_col: str = "max_running",
+    n_col: str = "n_rows",
+) -> DataFrame:
+    """Per-group MAX of the running sum (plus the group's row count)
+    in one linear pass — the fused form of ``running_sum_two_level``
+    for consumers that only need the prefix EXTREMUM (the sweep-line's
+    peak concurrency), not the per-row prefix.
+
+    ``bucket_col`` is a DETERMINISTIC, order-monotone bucket
+    expression over the order key (e.g. the hour number of a
+    timestamp).  Deterministic bucketing removes both costs of the
+    generic operator: no ``repartitionByRange`` (whose bound SAMPLING
+    is an extra input pass) and no ``localCheckpoint`` determinism pin
+    (the pin exists only because sampled bounds could differ between
+    two consumers of the bucketed relation — here there is exactly ONE
+    linear consumer chain and the bucketing is a pure function of the
+    row).  The plan is: one hash exchange on (group, bucket) → in-
+    bucket prefix window → per-bucket (total, max-prefix, count)
+    aggregate riding the SAME exchange → exclusive-offset window over
+    the span-bounded bucket relation → final per-group max.  Identity:
+    max over rows of the global prefix = max over buckets of
+    (exclusive offset + in-bucket max prefix) — exact for integer
+    sums under a total order.
+
+    Bucket-width trade-off: buckets must be numerous enough for
+    parallelism (≥ cores) and bounded enough that the per-group
+    bucket relation stays small (hour buckets: 8.8 k/year/group); a
+    pathologically bursty key can make one bucket large, which AQE
+    cannot split inside a window — callers with such data should pick
+    a finer bucket expression.
+    """
+    pcols = list(partition_cols or [])
+    b = df.withColumn("__bucket", bucket_col)
+    w_local = (
+        Window.partitionBy(*pcols, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__local", F.sum(value_col).over(w_local))
+    # groupBy on (group, bucket) is clustering-satisfied by the window
+    # exchange — no second row-level shuffle
+    per_bucket = local.groupBy(*pcols, "__bucket").agg(
+        F.sum(value_col).alias("__total"),
+        F.max("__local").alias("__maxlocal"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w_off = (
+        Window.partitionBy(*pcols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per_bucket.withColumn(
+        "__offset", F.coalesce(F.sum("__total").over(w_off), F.lit(0))
+    )
+    return off.groupBy(*pcols).agg(
+        F.max(F.col("__offset") + F.col("__maxlocal")).alias(max_col),
+        F.sum("__n").alias(n_col),
+    )
+
+
+def consecutive_pairs_two_level(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket_col,
+    partition_cols: list[str] | None = None,
+    out_col: str = "__next",
+) -> DataFrame:
+    """Every consecutive (row, next-row-key) pair per group — the
+    fused form of ``lead_key_two_level`` for consumers that DROP the
+    per-group last row anyway (gap/TWAP aggregates filter
+    ``__next IS NULL``): rows whose successor is in the same bucket
+    get an in-bucket ``lead``; each bucket's last row gets its
+    successor from the next non-empty bucket's first key via a
+    span-bounded per-bucket aggregate, UNIONED in rather than
+    broadcast-joined back.  Per-group last rows are omitted.
+
+    ``bucket_col`` must be a DETERMINISTIC, order-monotone bucket
+    expression (see ``running_max_two_level``): determinism is what
+    makes the two consumers of the bucketed relation (the row-level
+    lead and the per-bucket firsts/lasts aggregate) safe WITHOUT the
+    generic operator's ``localCheckpoint`` pin — both recompute the
+    identical bucketing by construction.  Costs removed vs the
+    generic form: the range-bound sampling pass, the checkpoint
+    materialization of every row, and the broadcast join that touched
+    every row to stitch ≤n_buckets of them.  The second input pass
+    (firsts/lasts) partial-aggregates map-side to one row per
+    (group, bucket) per task, so its exchange is KB-sized.
+
+    Output: the input columns + ``out_col`` (struct<order_cols> of
+    the successor), exactly ``n_group_rows - 1`` rows per group.
+    """
+    pcols = list(partition_cols or [])
+    payload = [c for c in df.columns if c not in pcols]
+    key = F.struct(*[F.col(c).alias(c) for c in order_cols])
+    b = df.withColumn("__bucket", bucket_col)
+    w = Window.partitionBy(*pcols, "__bucket").orderBy(*order_cols)
+    inb = (
+        b.withColumn(out_col, F.lead(key).over(w))
+        .where(F.col(out_col).isNotNull())
+        .select(*pcols, *payload, out_col)
+    )
+    # per-bucket last full row + first key (order is total, so the
+    # struct max/min pick exactly the boundary rows); partial-agg
+    # collapses this map-side before any exchange
+    lasts = b.groupBy(*pcols, "__bucket").agg(
+        F.max(
+            F.struct(
+                *[F.col(c).alias(c) for c in order_cols],
+                F.struct(
+                    *[F.col(c).alias(c) for c in payload]
+                ).alias("__row"),
+            )
+        ).alias("__last"),
+        F.min(key).alias("__first"),
+    )
+    w_f = Window.partitionBy(*pcols).orderBy("__bucket")
+    boundary = (
+        lasts.withColumn("__next_first", F.lead("__first").over(w_f))
+        .where(F.col("__next_first").isNotNull())
+        .select(
+            *pcols,
+            F.col("__last.__row.*"),
+            F.col("__next_first").alias(out_col),
+        )
+    )
+    return inb.unionByName(boundary)
+
+
 def lead_key_two_level(
     df: DataFrame,
     order_cols: list[str],

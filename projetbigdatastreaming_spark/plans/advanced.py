@@ -625,69 +625,105 @@ def q_basket_lift(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand"
+    # round 14 (guide §2.3 "shuffle keys and metadata instead of
+    # payloads" + §4's stay-in-codegen rule): brands ride as SMALL
+    # INTS end-to-end.  The fixture's brand domain is the TPC-H
+    # surface 'Brand#N' (the same documented format the q16/q17/q19
+    # literals lean on), so the numeral IS a dense id ≤ 63 and the
+    # per-order set becomes ONE BIGINT BITMASK — bit_or partial-
+    # aggregates map-side and the orderkey exchange carries 8 bytes
+    # per order instead of an array<string>.  Pair/item/order tallies
+    # then come from one pure-codegen chained-Generate pipeline
+    # (HOF-lambda pair generation is interpreted, measured 2× slower):
+    # append sentinels {64, 65} to the position array, explode twice
+    # with y > x (dropping (x, 65) for real x), and count ids
+    # x·66 + y — pair (i<j) when y < 64, item i when y = 64, order
+    # count at id 64·66+65.  One ≤~4.3k-key map-side hash-agg feeds
+    # the whole assembly.  vs the r10 form this removes the persisted
+    # corpus-grain basket relation and two of its three consumer
+    # passes, and replaces struct<string,string> hash keys with one
+    # int per pair instance.  Strings are reconstructed on the
+    # ≤300-row pair relation (lexicographic a<b via least/greatest,
+    # so the output order is byte-identical to the oracle's string
+    # comparison).  Support/item/order counts are the same integers,
+    # so confidence/lift/ordering are unchanged (oracle-verified;
+    # before/after numbers in OPTIMIZATION_r14.md).
+    part_idx = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(substring(p_brand, 7) AS INT)").alias("bidx"),
+    )
+    baskets = (
+        li.join(
+            F.broadcast(part_idx), li.l_partkey == part_idx.p_partkey
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), bidx))"
+            ).alias("mask")
+        )
     )
     from ..cache import persist_scoped
 
-    # ONE exchange builds the per-order brand-set relation; the pair
-    # grid then generates MAP-SIDE from each sorted set (array
-    # combinatorics instead of the orderkey self-join): ONE
-    # full-corpus exchange (groupBy orderkey) instead of the old
-    # form's two (the (orderkey,brand) distinct exchange + the
-    # self-join's orderkey exchange), and the standalone distinct
-    # folds into the aggregate.  Honest A/B record (sf10):
-    # alternating in one JVM, warm — old 11-16 s vs new ~15 s (the
-    # old form's simpler codegen rows win modestly when shuffles are
-    # local memory); under concurrent memory/IO load — old 54.5 s vs
-    # new 35.6 s min-of-2.  Shipped on the cluster argument: at 100 TB
-    # shuffles are network-bound and halving exchanged volume is the
-    # lever; local CPU-bound timing is the one regime that hides it.
-    baskets = persist_scoped(
-        "basket_lift_sets",
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("l_orderkey")
-        .agg(
-            F.array_sort(F.collect_set("p_brand")).alias("bs")
-        ),
+    b2 = baskets.select(
+        F.expr(
+            "concat(filter(sequence(0, 63),"
+            " p -> (shiftright(mask, p) & 1) = 1), array(64, 65))"
+        ).alias("bs2")
     )
-    n_orders = baskets.agg(
-        F.count("*").cast("long").alias("n_orders")
+    e1 = b2.select("bs2", F.explode("bs2").alias("x"))
+    e2 = e1.select("x", F.explode("bs2").alias("y")).where(
+        "y > x AND (y < 65 OR x = 64)"
     )
-    item = (
-        baskets.select(F.explode("bs").alias("brand"))
-        .groupBy("brand")
-        .agg(F.count("*").cast("long").alias("item_n"))
+    # the ≤~4.3k-row tally relation feeds TWO consumers (pair rows +
+    # the one-row aux broadcast) — persist the post-aggregate rows or
+    # each consumer re-runs the corpus pass
+    tallies = persist_scoped(
+        "basket_lift_tallies",
+        e2.select((F.col("x") * 66 + F.col("y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
     )
-    pair = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(bs, (x, i) ->"
-                    " transform(slice(bs, i + 2, size(bs)),"
-                    " y -> struct(x AS brand_a, y AS brand_b))))"
-                )
-            ).alias("p")
-        )
-        .groupBy(
-            F.col("p.brand_a").alias("brand_a"),
-            F.col("p.brand_b").alias("brand_b"),
-        )
-        .agg(F.count("*").cast("long").alias("support"))
-        .where(F.col("support") >= _BASKET_MIN_SUPPORT)
+    pair = tallies.where(
+        (F.col("id") % 66 < 64)
+        & (F.col("cnt") >= _BASKET_MIN_SUPPORT)
+    ).select(
+        F.expr("CAST(id DIV 66 AS INT)").alias("ia"),
+        F.expr("CAST(id % 66 AS INT)").alias("ib"),
+        F.col("cnt").alias("support"),
+    )
+    # item counts + order count fold into ONE single-row broadcast (a
+    # brand-indexed map): with separate item/n_orders broadcasts, the
+    # broadcast build jobs race to populate the tallies cache and the
+    # corpus pass ran twice concurrently (measured +5 s at sf10)
+    aux = tallies.agg(
+        F.expr(
+            "map_from_entries(collect_list("
+            " CASE WHEN id % 66 = 64 AND id DIV 66 < 64"
+            " THEN struct(CAST(id DIV 66 AS INT) AS i, cnt) END))"
+        ).alias("items"),
+        F.max(
+            F.when(F.col("id") == 64 * 66 + 65, F.col("cnt"))
+        ).alias("n_orders"),
     )
     return (
-        pair.join(
-            F.broadcast(item.withColumnRenamed("brand", "brand_a")
-                        .withColumnRenamed("item_n", "n_a")),
-            "brand_a",
+        pair.crossJoin(F.broadcast(aux))
+        .selectExpr(
+            "concat('Brand#', ia) AS sa",
+            "concat('Brand#', ib) AS sb",
+            "support",
+            "items[ia] AS cnt_a",
+            "items[ib] AS cnt_b",
+            "n_orders",
         )
-        .join(
-            F.broadcast(item.withColumnRenamed("brand", "brand_b")
-                        .withColumnRenamed("item_n", "n_b")),
-            "brand_b",
+        .selectExpr(
+            "least(sa, sb) AS brand_a",
+            "greatest(sa, sb) AS brand_b",
+            "support",
+            "IF(sa <= sb, cnt_a, cnt_b) AS n_a",
+            "IF(sa <= sb, cnt_b, cnt_a) AS n_b",
+            "n_orders",
         )
-        .crossJoin(F.broadcast(n_orders))
         .selectExpr(
             "brand_a",
             "brand_b",

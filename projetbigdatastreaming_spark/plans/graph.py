@@ -199,8 +199,7 @@ def q_graph_triangles(spark, sf_dir):
     edges = persist_scoped("graph_tri_edges", pairs)
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     deg = (
-        edges.selectExpr("u AS x")
-        .unionAll(edges.selectExpr("v AS x"))
+        edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("d"))
     )
@@ -306,8 +305,7 @@ def q_graph_assortativity(spark, sf_dir):
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = persist_scoped("graph_assort_edges", pairs)
     deg = (
-        edges.selectExpr("u AS x")
-        .unionAll(edges.selectExpr("v AS x"))
+        edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("d"))
     )
@@ -398,8 +396,7 @@ def q_graph_clustering_coeff(spark, sf_dir):
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = persist_scoped("graph_lcc_edges", pairs)
     deg = (
-        edges.selectExpr("u AS x")
-        .unionAll(edges.selectExpr("v AS x"))
+        edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("d"))
     )
@@ -418,9 +415,7 @@ def q_graph_clustering_coeff(spark, sf_dir):
         )
     )
     tri_per_node = (
-        tri.selectExpr("a AS x")
-        .unionAll(tri.selectExpr("b AS x"))
-        .unionAll(tri.selectExpr("c AS x"))
+        tri.selectExpr("explode(array(a, b, c)) AS x")
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("t"))
     )
@@ -508,8 +503,7 @@ def q_graph_kcore(spark, sf_dir):
     edges = persist_scoped("graph_kcore_edges", pairs)
     for _ in range(_KCORE_ROUNDS):
         deg = (
-            edges.selectExpr("u AS x")
-            .unionAll(edges.selectExpr("v AS x"))
+            edges.selectExpr("explode(array(u, v)) AS x")
             .groupBy("x")
             .agg(F.count("*").cast("long").alias("d"))
         )
@@ -523,8 +517,7 @@ def q_graph_kcore(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
     core_deg = (
-        edges.selectExpr("u AS x")
-        .unionAll(edges.selectExpr("v AS x"))
+        edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("core_degree"))
     )
@@ -590,8 +583,7 @@ def q_graph_edge_jaccard(spark, sf_dir):
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = persist_scoped("graph_ej_edges", pairs)
     deg = (
-        edges.selectExpr("u AS x")
-        .unionAll(edges.selectExpr("v AS x"))
+        edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("d"))
     )
@@ -610,9 +602,11 @@ def q_graph_edge_jaccard(spark, sf_dir):
         )
     )
     tri_per_edge = (
-        tri.selectExpr("a AS u", "b AS v")
-        .unionAll(tri.selectExpr("a AS u", "c AS v"))
-        .unionAll(tri.selectExpr("b AS u", "c AS v"))
+        tri.selectExpr(
+            "explode(array(struct(a AS u, b AS v),"
+            " struct(a AS u, c AS v), struct(b AS u, c AS v))) AS e"
+        )
+        .selectExpr("e.u AS u", "e.v AS v")
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("common"))
     )

@@ -75,7 +75,9 @@ def q_recursive_cte(spark, sf_dir):
         spark, sf_dir,
         only=("lineitem", "orders", "customer", "supplier", "nation"),
     )
-    edges = spark.sql(_EDGES_SQL).persist()
+    from ..cache import persist_scoped
+
+    edges = persist_scoped("recursive_cte_edges", spark.sql(_EDGES_SQL))
     edges.createOrReplaceTempView("trade_edges")
     return spark.sql(_RECURSIVE_BODY.format(edges="trade_edges"))
 

@@ -431,22 +431,25 @@ def q_interval_overlap(spark, sf_dir):
 
     Scale plan: the interval relation never self-joins (the naive
     overlap query is O(n²)); it explodes 2× to boundary rows and the
-    running sum rides `operators/windows.running_sum_two_level`
-    GROUPED on event_type — with 5 event types a plain
-    Window.partitionBy(type) serializes 100 TB of boundaries through
-    5 sort partitions, and the sf10 scale point MEASURED that cost:
-    26.7 s (12×/decade, super-linear, one core doing all the work)
-    with the plain window vs 2.06 s sf1 / 16.96 s sf10 with the
-    two-level prefix (range-bucket within type → parallel per-bucket
-    prefixes → ≤n_buckets offset stitch).  The remaining sf10 cost is
-    bytes-bound and parallel — the 2n-row boundary relation crossing
-    one range exchange plus its determinism checkpoint — i.e. ~linear
-    in data with all 32 cores busy, where the plain window's tail was
-    5 cores sorting alone.  Timestamps stay NTZ end-to-end
-    (tz-free ordering); the value→minutes cast goes through FLOOR
-    because DuckDB's double→int cast ROUNDS while Spark's truncates.
+    peak rides `operators/windows.running_max_two_level` GROUPED on
+    event_type — with 5 event types a plain Window.partitionBy(type)
+    serializes 100 TB of boundaries through 5 sort partitions, and
+    the sf10 scale point MEASURED that cost: 26.7 s (12×/decade,
+    super-linear, one core doing all the work) with the plain window
+    vs 16.96 s with the r10 two-level prefix (range-bucket +
+    determinism checkpoint + per-row offset join).  Round 14 fuses
+    the consumer into the operator: the query only needs the prefix
+    MAX per type, so deterministic HOUR buckets (a pure function of
+    the boundary timestamp — no range-bound sampling pass, no
+    checkpoint pin) feed one hash exchange → in-bucket prefix window
+    → per-bucket (total, max, count) aggregate on the same exchange →
+    span-bounded offset stitch; the per-row join-back disappears
+    entirely (guide §2.4: remove shuffles outright).  Timestamps stay
+    NTZ end-to-end (tz-free ordering); the value→minutes cast goes
+    through FLOOR because DuckDB's double→int cast ROUNDS while
+    Spark's truncates.
     """
-    from ..operators.windows import running_sum_two_level
+    from ..operators.windows import running_max_two_level
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "event_type",
@@ -469,18 +472,18 @@ def q_interval_overlap(spark, sf_dir):
             "event_id",
         )
     )
-    conc = running_sum_two_level(
+    res = running_max_two_level(
         pts,
         ["t", "delta", "event_id"],
         "delta",
-        out_col="conc",
+        bucket_col=F.expr("unix_timestamp(t) DIV 3600"),
         partition_cols=["event_type"],
     )
     return (
-        conc.groupBy("event_type")
-        .agg(
-            F.max("conc").cast("bigint").alias("max_concurrent"),
-            F.count("*").cast("bigint").alias("n_boundaries"),
+        res.select(
+            "event_type",
+            F.col("max_running").cast("bigint").alias("max_concurrent"),
+            F.col("n_rows").cast("bigint").alias("n_boundaries"),
         )
         .orderBy("event_type")
     )
@@ -606,18 +609,22 @@ def q_time_weighted_avg(spark, sf_dir):
     The last observation per type has no successor and drops out.
 
     Scale plan: the successor lookup rides
-    `operators/windows.lead_key_two_level` grouped on event_type —
-    the plain 5-partition lead window MEASURED super-linear at the
-    sf10 point (15.4 s, 9×/decade); the two-level form (per-bucket
-    leads in parallel + a ≤n_buckets boundary stitch) reads 2.07 s
-    sf1 / 4.42 s sf10 — 2.1×/decade.  Then a map-side-combinable agg.
+    `operators/windows.consecutive_pairs_two_level` grouped on
+    event_type — the plain 5-partition lead window MEASURED
+    super-linear at the sf10 point (15.4 s, 9×/decade); the r10
+    two-level form (range-bucket + checkpoint + per-row stitch join)
+    read 2.07 s sf1 / 4.42 s sf10; round 14 replaces it with
+    deterministic HOUR buckets and a boundary-pair UNION — no range
+    sampling pass, no checkpoint materialization, no per-row join
+    (guide §2.4) — since the TWAP aggregate drops the per-type last
+    row anyway.  Then a map-side-combinable agg.
     Determinism: the weighted sum accumulates as BIGINT
     cents × gap-microseconds (value is 2-decimal, the gap is an exact
     integer, and Σgap is bounded by the corpus time span, so the
     product sum stays far inside int64) with ONE double division at
     the end — no float-summation order sensitivity on either engine.
     """
-    from ..operators.windows import lead_key_two_level
+    from ..operators.windows import consecutive_pairs_two_level
 
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
@@ -628,8 +635,11 @@ def q_time_weighted_avg(spark, sf_dir):
         "ts",
         "event_id",
     )
-    led = lead_key_two_level(
-        base, ["ts", "event_id"], ["event_type"]
+    led = consecutive_pairs_two_level(
+        base,
+        ["ts", "event_id"],
+        bucket_col=F.expr("unix_timestamp(ts) DIV 3600"),
+        partition_cols=["event_type"],
     )
     g = led.select(
         "event_type",
@@ -1071,21 +1081,28 @@ def q_interarrival_stats(spark, sf_dir):
     Scale plan: consecutive-event gaps per TYPE are the
     low-cardinality ordered shape `Window.partitionBy(type)` cannot
     distribute (|types| partitions over 100 TB), so the lead runs on
-    `operators/windows.lead_key_two_level` — range-bucket, lead
-    within buckets in parallel, stitch boundaries through a
-    ≤n_buckets-row relation.  The percentile pass then runs on the
-    (type, gap) HISTOGRAM, whose width is bounded by the time-span
-    value domain, never the stream length (the `robust_trimmed_stats`
-    histogram discipline)."""
-    from ..operators.windows import lead_key_two_level
+    `operators/windows.consecutive_pairs_two_level` — deterministic
+    HOUR buckets, lead within buckets in parallel, bucket-boundary
+    pairs UNIONED in from a span-bounded per-bucket aggregate (round
+    14: replaces the r11 range-bucket + checkpoint + per-row stitch
+    join; the gap filter drops per-type last rows anyway, so the
+    fused pair relation is exactly what this consumes).  The
+    percentile pass then runs on the (type, gap) HISTOGRAM, whose
+    width is bounded by the time-span value domain, never the stream
+    length (the `robust_trimmed_stats` histogram discipline)."""
+    from ..operators.windows import consecutive_pairs_two_level
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_timestamp("ts").alias("sec"),
         "event_id",
     )
-    led = lead_key_two_level(
-        ev, ["sec", "event_id"], ["event_type"], "__next"
+    led = consecutive_pairs_two_level(
+        ev,
+        ["sec", "event_id"],
+        bucket_col=F.expr("sec DIV 3600"),
+        partition_cols=["event_type"],
+        out_col="__next",
     )
     gaps = led.select(
         "event_type", (F.col("__next.sec") - F.col("sec")).alias("gap")

@@ -109,6 +109,7 @@ def test_doubly_contaminated_sweep_stays_stamped(monkeypatch):
 
 def test_wait_for_external_idle_returns_fast_when_quiet(monkeypatch):
     monkeypatch.setattr(bench, "_external_cpu_now", lambda window_sec=2.0: 0.0)
+    monkeypatch.setattr(bench, "_loadavg1", lambda: 0.5)
     assert bench.wait_for_external_idle(max_wait_sec=10.0) is True
 
 
@@ -117,8 +118,22 @@ def test_wait_for_external_idle_bounded_when_busy(monkeypatch):
     monkeypatch.setattr(
         bench, "_external_cpu_now", lambda window_sec=2.0: 50.0
     )
+    monkeypatch.setattr(bench, "_loadavg1", lambda: 0.5)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench.wait_for_external_idle(max_wait_sec=30.0) is False
+
+
+def test_wait_for_external_idle_gates_on_loadavg(monkeypatch):
+    """VERDICT r13 item 2: external CPU alone is blind to this
+    process's OWN load tail — a high 1-minute loadavg must also block
+    the sweep start (bounded, not forever)."""
+    monkeypatch.setattr(bench, "_external_cpu_now", lambda window_sec=2.0: 0.0)
+    monkeypatch.setattr(bench, "_loadavg1", lambda: 20.0)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench.wait_for_external_idle(max_wait_sec=30.0) is False
+    loads = iter([20.0, 8.0, 1.0, 0.5, 0.5])
+    monkeypatch.setattr(bench, "_loadavg1", lambda: next(loads))
+    assert bench.wait_for_external_idle(max_wait_sec=60.0) is True
 
 
 def _rows(df):
