@@ -6911,21 +6911,27 @@ def q_retrieval_eval_graded(spark, sf_dir):
     ).select("qid", "vec_id", "rk")
     bq_p = _persist_scoped("retrieval_eval_graded_bq", bq)
     ivf_p = _persist_scoped("retrieval_eval_graded_ivf", ivf)
+    # round 14: RRF fusion as UNION + per-(qid, vec_id) sum instead of
+    # a full-outer join — a missing arm contributes exactly the 0.0
+    # the old CASE produced, and the term sum is order-insensitive
+    # over at most two doubles per key, so the fused score (and its
+    # det6 rounding) is bit-identical.  Removes the full-outer
+    # SortMergeJoin (the one join shape that can never broadcast) from
+    # the plan.
     fused = (
-        bq_p.withColumnRenamed("rk", "rk_bq")
-        .join(
-            ivf_p.withColumnRenamed("rk", "rk_ivf"),
-            ["qid", "vec_id"],
-            "full_outer",
+        bq_p.selectExpr(
+            "qid", "vec_id", f"1.0 / ({_RRF_K} + rk) AS term"
         )
-        .selectExpr(
-            "qid",
-            "vec_id",
-            f"CAST(FLOOR(((CASE WHEN rk_bq IS NULL THEN 0.0"
-            f" ELSE 1.0 / ({_RRF_K} + rk_bq) END)"
-            f" + (CASE WHEN rk_ivf IS NULL THEN 0.0"
-            f" ELSE 1.0 / ({_RRF_K} + rk_ivf) END)) * 1e6 + 0.5)"
-            f" AS DOUBLE) / 1e6 AS rrf_score",
+        .unionAll(
+            ivf_p.selectExpr(
+                "qid", "vec_id", f"1.0 / ({_RRF_K} + rk) AS term"
+            )
+        )
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(term) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+            ).alias("rrf_score")
         )
     )
     w = Window.partitionBy("qid").orderBy(

@@ -883,7 +883,17 @@ def q_tpch_q21(spark, sf_dir):
     every later count plain, so no COUNT(DISTINCT) Expand doubles the
     shuffle — then one per-order aggregate computes (suppliers
     involved, suppliers late) and the waiting supplier joins against
-    it: a single orderkey shuffle feeds both existence tests.
+    it.  Round 14: the "single orderkey shuffle" the r03 docstring
+    promised was NOT what Catalyst planned — the (orderkey, suppkey)
+    aggregate hash-partitioned on BOTH keys, so per_order and the
+    waiting join each re-exchanged, and the per_os subtree (scan +
+    orders join included) was planned twice: 2 lineitem scans + 4
+    exchanges.  An explicit repartition on l_orderkey right after the
+    join makes every downstream requirement (agg on (okey, skey), agg
+    on okey, join on okey) clustering-satisfied by the SUBSET rule,
+    and the two per_os references share the one exchange via
+    ReusedExchange: 1 scan + 1 corpus shuffle (plan-pinned by
+    `test_tpch_q21_single_fact_shuffle`).
     """
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
@@ -893,6 +903,7 @@ def q_tpch_q21(spark, sf_dir):
     )
     per_os = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(

@@ -39,7 +39,8 @@ from ..operators.dedup import (
     band_keys,
     jaccard_verify,
     lsh_candidate_pairs,
-    with_minhash_signature,
+    minhash_signatures,
+    shingle_rel,
 )
 from ..sinks.files import overwrite_partitions
 
@@ -92,16 +93,19 @@ def near_dup_batch_writer(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        signed = with_minhash_signature(batch_df, text_col).select(
-            "doc_id", "shingles", "sig"
-        )
-        signed.persist()
+        # round 14: per-batch signatures via the codegen explode+agg
+        # kernel (operators/dedup.minhash_signatures) — identical
+        # values to the HOF fold, minus its interpreted cold-start
+        # tax, which a STREAM pays on every micro-batch
+        sh = shingle_rel(batch_df, text_col)
+        sh.persist()
         try:
-            bands_new = band_keys(signed)
+            sigs = minhash_signatures(sh)
+            bands_new = band_keys(sigs)
 
             # within-batch candidates (doc_a < doc_b)
-            pairs = lsh_candidate_pairs(signed)
-            sig_store = signed.select("doc_id", "shingles")
+            pairs = lsh_candidate_pairs(sigs)
+            sig_store = sh
 
             bands_old = _read_or_none(spark, f"{index_dir}/bands")
             if bands_old is not None:
@@ -166,7 +170,7 @@ def near_dup_batch_writer(
                 ["batch_id"],
             )
             overwrite_partitions(
-                signed.select("doc_id", "shingles").withColumn(
+                sh.select("doc_id", "shingles").withColumn(
                     "batch_id", F.lit(batch_id)
                 ),
                 f"{index_dir}/sigs",
@@ -174,7 +178,7 @@ def near_dup_batch_writer(
             )
             logger.info("batch %s: near-dup index updated", batch_id)
         finally:
-            signed.unpersist()
+            sh.unpersist()
 
     return _fn
 
@@ -194,19 +198,17 @@ def build_benchmark_index(
     at probe time."""
     from ..operators.dedup import band_keys as _bk
 
-    signed = with_minhash_signature(benchmark, text_col).select(
-        "doc_id", "shingles", "sig"
-    )
-    signed.persist()
+    sh = shingle_rel(benchmark, text_col)
+    sh.persist()
     try:
-        _bk(signed).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_dir}/bench_bands"
-        )
-        signed.select("doc_id", "shingles").coalesce(1).write.mode(
+        _bk(minhash_signatures(sh)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/bench_bands")
+        sh.select("doc_id", "shingles").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/bench_sigs")
     finally:
-        signed.unpersist()
+        sh.unpersist()
 
 
 def benchmark_screen_writer(
@@ -246,15 +248,13 @@ def benchmark_screen_writer(
         spark = batch_df.sparkSession
         from ..operators.dedup import band_keys as _bk
 
-        signed = with_minhash_signature(batch_df, text_col).select(
-            "doc_id", "shingles", "sig"
-        )
-        signed.persist()
+        sh = shingle_rel(batch_df, text_col)
+        sh.persist()
         try:
             bench_bands = spark.read.parquet(f"{index_dir}/bench_bands")
             bench_sigs = spark.read.parquet(f"{index_dir}/bench_sigs")
             pairs = (
-                _bk(signed)
+                _bk(minhash_signatures(sh))
                 .alias("a")
                 .join(
                     F.broadcast(bench_bands).alias("b"),
@@ -268,12 +268,12 @@ def benchmark_screen_writer(
                 .distinct()
             )
             flags = jaccard_verify(
-                pairs, signed, threshold, signed_b=bench_sigs
+                pairs, sh, threshold, signed_b=bench_sigs
             ).withColumn("batch_id", F.lit(int(batch_id)))
             overwrite_partitions(flags, flags_dir, ["batch_id"])
             logger.info("batch %s: benchmark screen flags written", batch_id)
         finally:
-            signed.unpersist()
+            sh.unpersist()
 
     return _fn
 
