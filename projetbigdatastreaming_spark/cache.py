@@ -56,6 +56,40 @@ def clear_scoped() -> int:
     return n
 
 
+def evict_scoped(key: str) -> None:
+    """Unpersist and forget the relation registered under ``key`` (if
+    any) — the START-OF-INVOCATION twin of ``register_scoped``.
+
+    Round 15: Spark's CacheManager keys cache entries by CANONICALIZED
+    PLAN, so unpersisting the previous invocation's relation removes
+    the entry of ANY canonically-identical plan — including one this
+    invocation just persisted and materialized.  A site whose relation
+    is persisted mid-computation (an iterative loop's final round)
+    therefore must evict the PREVIOUS invocation's relation BEFORE it
+    persists anything of its own: the r15 graph_kcore bug was exactly
+    this — registering the final peel relation at the end evicted the
+    just-filled cache (prior round's plan is canonically identical
+    across invocations), and the returned plan recomputed the whole
+    pipeline through dead caches (83 s vs 35 s per bench run at
+    sf10)."""
+    prev = _SCOPED_PERSISTS.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+def register_scoped(key: str, df: DataFrame) -> DataFrame:
+    """Track an ALREADY-PERSISTED relation under ``key`` so a later
+    ``evict_scoped``/``persist_scoped`` on the key frees it.  Unlike
+    ``persist_scoped`` it neither unpersists the previous entry (the
+    caller must have evicted it up front — see ``evict_scoped``) nor
+    re-persists ``df``."""
+    _SCOPED_PERSISTS[key] = df
+    return df
+
+
 def persist_scoped(key: str, df: DataFrame, memoize: bool = False) -> DataFrame:
     prev = _SCOPED_PERSISTS.get(key)
     if prev is not None:

@@ -11,6 +11,7 @@ import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 TABLES = (
@@ -131,7 +132,9 @@ def _load_table_uncached(
     return df
 
 
-def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame, partitions: int | None = None, by: str | None = None
+) -> DataFrame:
     """Repartition for CPU-bound per-row operators (minhash, simhash,
     feature extraction).
 
@@ -139,10 +142,21 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     expensive input (5k docs in one row group) lands in one task and
     serializes on one core.  For operators whose cost is dominated by
     per-row compute rather than IO, parallelism must track cores —
-    round-robin repartition is a cheap narrow-ish shuffle of the raw
-    rows and unlocks the full executor width.
+    repartition is a cheap narrow-ish shuffle of the raw rows and
+    unlocks the full executor width.
+
+    ``by`` names a high-cardinality column (a unique id) to HASH-
+    partition on instead of round-robin: every keyless
+    ``repartition(n)`` first pays a per-task sort of its input rows
+    (``spark.sql.execution.sortBeforeRepartition``, on by default so
+    retried tasks reproduce their row-to-partition assignment — guide
+    §2.5), and for corpus rows that sort keys on the full document
+    text.  Hashing a unique id is deterministic under retry with no
+    sort, and with |ids| ≫ n the partitions balance the same.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if by is not None:
+        return df.repartition(n, F.col(by))
     return df.repartition(n)
 
 

@@ -80,18 +80,94 @@ def with_minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame
 
 def shingle_rel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, shingles) — the distinct word-3-gram relation, map-only
-    (no shuffle).  The shared input of both the signature aggregate and
-    the exact-Jaccard verify."""
+    (no shuffle).  Kept as the STREAMING STATE format (the near-dup
+    index's ``sigs`` partitions persist shingle strings); the batch
+    pipeline uses ``shingle_hash_rel`` and ships 8-byte hashes instead
+    (guide §2.3)."""
     return docs.select("doc_id", word_shingles(text_col).alias("shingles"))
+
+
+def shingle_hash_rel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh_hashes array<bigint>) — the distinct word-3-gram
+    relation in HASH SPACE.  Round 15: every downstream decision
+    (minhash signature mins, band keys, the exact set-Jaccard verify)
+    depends only on shingle IDENTITY, never on shingle text, so the
+    pipeline's unit becomes ``xxhash64(shingle)`` — 8 bytes/shingle
+    through every cache fill, exchange and intersect/union instead of
+    a ~25-byte string (guide §2.3 "shuffle keys, not payloads"; §8's
+    lightweight-proxy rule).
+
+    Cost shape — WHOLE-STAGE CODEGEN end to end (guide §1.2/§4: the
+    r14 form evaluated three interpreted lambda passes per document —
+    build shingle strings, distinct them as strings, hash them —
+    measured 6.6 s of the 7.5 s kernel at the 500 k-doc point): the
+    3-gram triples come from ONE ``arrays_zip`` of three shifted
+    slices (a single codegen expression, no per-element lambda), are
+    exploded through a codegen Generate, joined+hashed by codegen
+    ``concat_ws``/``xxhash64`` projections, and deduped by the
+    ``collect_set`` aggregate.  When the input is already hash-
+    partitioned on doc_id (``spread(by="doc_id")``), the aggregate
+    rides that exchange — no extra shuffle.
+
+    Hash values are identical to the r14 ``sh_hashes`` column
+    (xxhash64 of the same concat_ws-joined shingle string), so
+    signatures, band keys and the candidate set are bit-identical;
+    the verify's |∩|/|∪| over hash sets equals the string-set Jaccard
+    up to 64-bit collisions (~1e-16 per compared pair; oracle-verified
+    exact on the fixtures).  ``collect_set`` array order is execution-
+    dependent, which every consumer is insensitive to (min aggregate,
+    band-slice over the separately-built ``sig``, set intersect/union
+    sizes)."""
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    )
+    zipped = F.expr(
+        """
+        CASE WHEN size(toks) >= 3
+             THEN arrays_zip(slice(toks, 1, size(toks) - 2),
+                             slice(toks, 2, size(toks) - 2),
+                             slice(toks, 3, size(toks) - 2))
+             ELSE array(named_struct('0', concat_ws(' ', toks),
+                                     '1', CAST(NULL AS STRING),
+                                     '2', CAST(NULL AS STRING)))
+        END
+        """
+    )
+    ex = toks.select("doc_id", F.explode(zipped).alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        F.xxhash64(
+            # concat_ws skips NULLs, so the short-doc row hashes
+            # exactly concat_ws(' ', toks) — the word_shingles
+            # fallback value
+            F.expr("concat_ws(' ', s.`0`, s.`1`, s.`2`)")
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.collect_set("h").alias("sh_hashes")
+    )
+
+
+def _hashed(rel: DataFrame) -> DataFrame:
+    """(doc_id, sh_hashes) from either shingle form: pass-through for
+    ``shingle_hash_rel`` output, one hashing ``transform`` for a
+    string ``shingle_rel`` (the streaming state format)."""
+    if "sh_hashes" in rel.columns:
+        return rel.select("doc_id", "sh_hashes")
+    return rel.select(
+        "doc_id",
+        F.expr("transform(shingles, x -> xxhash64(x))").alias("sh_hashes"),
+    )
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>) minhash signatures from a
-    ``shingle_rel`` relation — the CODEGEN form of the signature pass
-    (round 14, guide §1.2 "per-task work"): explode each doc's shingle
-    hashes and take N_HASHES ``min(xxhash64(h, s))`` aggregate columns
-    in one whole-stage-codegen hash aggregate, then re-assemble the
-    array on the one-row-per-doc output.
+    ``shingle_hash_rel`` / ``shingle_rel`` relation — the CODEGEN form
+    of the signature pass (round 14, guide §1.2 "per-task work"):
+    explode each doc's shingle hashes and take N_HASHES
+    ``min(xxhash64(h, s))`` aggregate columns in one
+    whole-stage-codegen hash aggregate, then re-assemble the array on
+    the one-row-per-doc output.
 
     Identical values to the higher-order-function fold it replaces
     (min over the same xxhash64(h, s) per seed — order-insensitive),
@@ -106,11 +182,8 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     doc's shingles live in one task), so the exchange carries exactly
     the signature relation itself — doc_id + N_HASHES longs, the same
     ~0.5 KB/doc the old form persisted."""
-    ex = sh.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(shingles, x -> xxhash64(x))")
-        ).alias("h"),
+    ex = _hashed(sh).select(
+        "doc_id", F.explode("sh_hashes").alias("h")
     )
     aggs = [
         F.min(F.expr(f"xxhash64(h, {s})")).alias(f"__s{s}")
@@ -189,21 +262,27 @@ def jaccard_verify(
     ``signed_b`` makes the verify BIPARTITE: ``doc_a`` resolves its
     shingles from ``signed`` and ``doc_b`` from ``signed_b``, so the
     two sides may use overlapping doc_id spaces (each side's ids only
-    need to be unique within that side)."""
-    sh = signed.select("doc_id", "shingles")
-    sh_b = (signed_b if signed_b is not None else signed).select(
-        "doc_id", "shingles"
-    )
+    need to be unique within that side).
+
+    Round 15: the intersect/union runs over the 8-byte shingle HASHES
+    (``_hashed``), not the shingle strings — distinct shingles have
+    distinct hashes (64-bit, ~1e-16 collision odds per compared pair;
+    exact-equal on every fixture SF vs the string-set oracle), so
+    |∩| and |∪| are unchanged while the two join exchanges and the
+    per-pair set operations ship/compare longs instead of ~25-byte
+    strings (guide §2.3)."""
+    sh = _hashed(signed)
+    sh_b = _hashed(signed_b if signed_b is not None else signed)
     return (
         pairs.join(
             sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "shingles", "sh_a"
+                "sh_hashes", "sh_a"
             ),
             "doc_a",
         )
         .join(
             sh_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "shingles", "sh_b"
+                "sh_hashes", "sh_b"
             ),
             "doc_b",
         )
@@ -241,11 +320,13 @@ def minhash_near_duplicates(
     signature pass itself is the codegen ``minhash_signatures``
     explode+agg (see its docstring for the measured win over the
     interpreted HOF fold it replaces) and stays lazy on top of the
-    cache.  Shingles are ~1.5 KB/doc — orders of magnitude smaller
-    than a real corpus document — so the relation caches even at
+    cache.  Round 15: the cached relation is the HASH-space shingle
+    relation (``shingle_hash_rel``, ~0.9 KB/doc of longs vs ~3 KB of
+    strings) and the spread is keyed on doc_id (no round-robin
+    pre-sort of the corpus text) — so the relation caches even at
     billions of documents (MEMORY_AND_DISK spills gracefully).
     """
-    sh = shingle_rel(spread(docs))
+    sh = shingle_hash_rel(spread(docs, by="doc_id"))
     if cache_signatures:
         # scoped, not raw persist: six registry queries run this
         # pipeline, and raw per-invocation persists pile up until the
@@ -261,6 +342,13 @@ def minhash_near_duplicates(
         from ..cache import persist_scoped
 
         sh = persist_scoped("minhash_shingles", sh)
+        # materialize the cache EAGERLY: four consumer subtrees (the
+        # band join's two sides + the verify's two sides) otherwise
+        # race to fill it concurrently, each recomputing the corpus
+        # pass for the partitions it reaches first (the r14
+        # basket_lift "+5 s racing broadcast fills" failure mode,
+        # observed here as a 14→67 s run-to-run spread at sf10)
+        sh.count()
     sigs = minhash_signatures(sh)
     return jaccard_verify(lsh_candidate_pairs(sigs), sh, threshold)
 
@@ -296,8 +384,8 @@ def minhash_cross_near_duplicates(
     """
     from ..cache import persist_scoped
 
-    sha = shingle_rel(spread(corpus))
-    shb = shingle_rel(benchmark)
+    sha = shingle_hash_rel(spread(corpus, by="doc_id"))
+    shb = shingle_hash_rel(benchmark)
     if cache_signatures:
         sha = persist_scoped("minhash_cross_sh_a", sha)
         shb = persist_scoped("minhash_cross_sh_b", shb)
@@ -344,8 +432,15 @@ def duplicate_clusters(
     Output: (doc_id, cluster_id = min doc_id in component,
     cluster_size), non-singleton members only, ordered by doc_id.
     """
-    from ..cache import persist_scoped
+    from ..cache import evict_scoped, persist_scoped, register_scoped
 
+    # evict the previous invocation's FINAL label relation before this
+    # invocation persists anything: the final round's plan is
+    # canonically identical across invocations, and CacheManager
+    # removes cache entries by canonicalized plan — an end-of-call
+    # evict would therefore kill THIS invocation's freshly-built cache
+    # (the r15 graph_kcore lesson, same pattern)
+    evict_scoped("dedup_cluster_labels_final")
     pairs = minhash_near_duplicates(docs, threshold).select("doc_a", "doc_b")
     edges = persist_scoped(
         "dedup_cluster_edges",
@@ -389,12 +484,13 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
-    # register the surviving (returned) label relation under a scoped
+    # track the surviving (returned) label relation under a scoped
     # key: the loop unpersists every superseded round, but the FINAL
     # round's blocks used to outlive the call until the
     # ContextCleaner noticed — the same leak class as the raw
-    # signature persists (now scoped above)
-    labels = persist_scoped("dedup_cluster_labels_final", labels)
+    # signature persists.  Register only (already persisted by the
+    # loop); the matching evict ran before the loop.
+    labels = register_scoped("dedup_cluster_labels_final", labels)
     sizes = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size")
     )
@@ -507,11 +603,16 @@ def simhash_near_duplicates(
     self-join; ``cache_hashes`` persists it (16 bytes/doc) so the
     hash pass runs once.
     """
-    hashed = with_simhash(spread(docs)).select("doc_id", "simhash")
+    hashed = with_simhash(spread(docs, by="doc_id")).select(
+        "doc_id", "simhash"
+    )
     if cache_hashes:
         from ..cache import persist_scoped
 
         hashed = persist_scoped("simhash_hashes", hashed)
+        # eager fill — the block self-join's two sides otherwise race
+        # to fill the cold cache (see minhash_near_duplicates)
+        hashed.count()
     blocks = hashed.select(
         "doc_id",
         "simhash",

@@ -197,6 +197,10 @@ def q_graph_triangles(spark, sf_dir):
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     # referenced 5x below (degree + count + three join legs)
     edges = persist_scoped("graph_tri_edges", pairs)
+    # eager fill: the multiple consumer subtrees below otherwise
+    # race to fill the cold cache, re-running the pair pipeline
+    # concurrently (see minhash_near_duplicates)
+    edges.count()
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     deg = (
         edges.selectExpr("explode(array(u, v)) AS x")
@@ -304,6 +308,10 @@ def q_graph_assortativity(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = persist_scoped("graph_assort_edges", pairs)
+    # eager fill: the multiple consumer subtrees below otherwise
+    # race to fill the cold cache, re-running the pair pipeline
+    # concurrently (see minhash_near_duplicates)
+    edges.count()
     deg = (
         edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")
@@ -395,6 +403,10 @@ def q_graph_clustering_coeff(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = persist_scoped("graph_lcc_edges", pairs)
+    # eager fill: the multiple consumer subtrees below otherwise
+    # race to fill the cold cache, re-running the pair pipeline
+    # concurrently (see minhash_near_duplicates)
+    edges.count()
     deg = (
         edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")
@@ -487,20 +499,36 @@ def q_graph_kcore(spark, sf_dir):
 
     Scale plan: each round is ONE hash-agg (degrees of the current
     edge relation) + TWO broadcast-able semi-joins filtering the edge
-    list (survivor side is ≤|V| rows of ids); lineage truncates per
-    round via localCheckpoint (the PageRank/PCA unroll lesson), so
-    plan size stays linear in rounds.  Edge volume is pair-bounded by
-    LSH construction, and only shrinks.  Measured (bench_one,
-    min-of-2): sf0.1 2.2 s / sf1 4.3 s / sf10 14.7 s — the 6 fixed
-    rounds add a constant stage count; growth stays pair-volume-bound.
+    list (survivor side is ≤|V| rows of ids).  Round 15 (VERDICT r14
+    item 3): each round's edge relation is an eagerly-materialized
+    persist whose SUPERSEDED predecessor is unpersisted immediately —
+    the old ``localCheckpoint(eager=False)`` chain pinned every
+    round's full edge relation for the session (the same leak class
+    the r14 scoped-persist pass closed elsewhere) and blocked
+    exchange reuse.  The per-round count that materializes the cache
+    doubles as a FIXPOINT TEST: peeling only deletes, so an unchanged
+    edge count means an identical edge set, and every remaining round
+    is the identity — the loop exits early with the exact same output
+    the full unroll produces (the oracle's R fixed rounds are a
+    superset of the converged peel).  Edge volume is pair-bounded by
+    LSH construction, and only shrinks.
     """
-    from ..cache import persist_scoped
+    from ..cache import evict_scoped, persist_scoped, register_scoped
     from ..operators import dedup as _dedup
 
+    # evict the PREVIOUS invocation's final core before this
+    # invocation persists anything: CacheManager entries are keyed by
+    # canonicalized plan, and the final round's plan is canonically
+    # identical across invocations — evicting it at the END (the
+    # register point) would remove THIS invocation's just-filled
+    # cache entry too, forcing the returned plan to recompute the
+    # whole pipeline through the loop's dead caches
+    evict_scoped("graph_kcore_core")
     pairs = _dedup.minhash_near_duplicates(
         load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = persist_scoped("graph_kcore_edges", pairs)
+    prev_n = edges.count()
     for _ in range(_KCORE_ROUNDS):
         deg = (
             edges.selectExpr("explode(array(u, v)) AS x")
@@ -508,14 +536,25 @@ def q_graph_kcore(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("d"))
         )
         keep = deg.where(F.col("d") >= _KCORE_K).select("x")
-        edges = (
+        nxt = (
             edges.join(
                 keep.withColumnRenamed("x", "u"), "u", "left_semi"
             )
             .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .persist()
         )
+        n = nxt.count()  # materialize this round, then free the last
+        edges.unpersist()
+        edges = nxt
+        if n == prev_n:
+            break  # fixpoint: filter was the identity, so is every
+            # later round (monotone-shrinking edge set)
+        prev_n = n
+    # track the surviving relation so the NEXT invocation's up-front
+    # evict frees it (register only — it is already persisted and
+    # materialized, and its predecessor was evicted before the loop)
+    edges = register_scoped("graph_kcore_core", edges)
     core_deg = (
         edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")
@@ -582,6 +621,10 @@ def q_graph_edge_jaccard(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), _TRI_THRESHOLD
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = persist_scoped("graph_ej_edges", pairs)
+    # eager fill: the multiple consumer subtrees below otherwise
+    # race to fill the cold cache, re-running the pair pipeline
+    # concurrently (see minhash_near_duplicates)
+    edges.count()
     deg = (
         edges.selectExpr("explode(array(u, v)) AS x")
         .groupBy("x")

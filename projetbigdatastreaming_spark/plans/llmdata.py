@@ -3940,15 +3940,23 @@ def q_doc_boilerplate_ratio(spark, sf_dir):
     anyway — one equi-join back on seg, one hash-agg to doc grain.
     No window at all (first-occurrence order is irrelevant here).
 
-    Measured (bench_one, fresh JVM, min-of-3, GC-each): sf1 2.14 s /
-    sf10 6.22 s — 2.9×/decade, the line_dedup two-exchange class."""
+    Round 15 (VERDICT r14 item 4, guide §2.3): the segment key through
+    every exchange/join is ``xxhash64(seg)`` — 8 bytes instead of the
+    ~30-byte 5-word line (distinct lines hash distinct up to 64-bit
+    collisions, oracle-verified exact on the fixtures) — and the
+    segment relation is repartitioned ONCE on that key so the
+    distinct-doc count, its two aggregate levels, and the equi-join
+    back all ride a single shared exchange (hash-partitioning subset
+    rule + ReusedExchange) instead of re-deriving the corpus explode
+    per consumer."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    segs = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"""
+    segs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""
                 transform(
                   sequence(0, cast(ceil(size(toks) / {LINE_SEG_WORDS}.0)
                                    as int) - 1),
@@ -3956,8 +3964,11 @@ def q_doc_boilerplate_ratio(spark, sf_dir):
                          slice(toks, s * {LINE_SEG_WORDS} + 1,
                                {LINE_SEG_WORDS})))
                 """
-            )
-        ).alias("seg"),
+                )
+            ).alias("seg_text"),
+        )
+        .select("doc_id", F.xxhash64("seg_text").alias("seg"))
+        .repartition(F.col("seg"))
     )
     seg_docs = segs.groupBy("seg").agg(
         F.count_distinct("doc_id").cast("bigint").alias("nd")

