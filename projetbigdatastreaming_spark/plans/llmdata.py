@@ -3846,6 +3846,12 @@ def q_line_dedup(spark, sf_dir):
     back on doc_id with an order-preserving array_sort, so no step
     needs a global sort.  At 100 TB both shuffles are plain
     hash-exchanges on high-cardinality keys.
+
+    (Round 15 note: a min-struct-aggregate + hashed-key + shared-
+    exchange rewrite of the first-occurrence step was built,
+    oracle-verified, and A/B'd — sf10 flat within noise, sf0.1
+    ~1.4× SLOWER (two stages + a join where one window sufficed at
+    toy scale) — and reverted per the measure-first rule.)
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
@@ -6922,6 +6928,17 @@ def q_retrieval_eval_graded(spark, sf_dir):
     ).select("qid", "vec_id", "rk")
     bq_p = _persist_scoped("retrieval_eval_graded_bq", bq)
     ivf_p = _persist_scoped("retrieval_eval_graded_ivf", ivf)
+    # round 15 (guide §2.6 "overlap independent jobs"): the three
+    # arm relations are independent and each is consumed 2-3x below —
+    # left lazy, their first action both serializes the three corpus
+    # scans AND races each cache's consumers into duplicate fills
+    # (the minhash lesson).  Materialize them concurrently: the
+    # scheduler backfills the lighter arms' tails with the IVFADC
+    # arm's tasks, so the wall cost is ~max(arm) instead of Σ(arm).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda d: d.count(), (graded, bq_p, ivf_p)))
     # round 14: RRF fusion as UNION + per-(qid, vec_id) sum instead of
     # a full-outer join — a missing arm contributes exactly the 0.0
     # the old CASE produced, and the term sum is order-insensitive

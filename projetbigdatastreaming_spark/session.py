@@ -52,23 +52,21 @@ def get_session(
     if hive_support:
         builder = builder.enableHiveSupport()
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
-    # Scale-adaptive reduce-side width (round 15, VERDICT r14 item 5):
-    # a FIXED shuffle.partitions = cores is right at the kilobyte
-    # scale point but one-wave-of-32 at the 10x point, where a single
-    # straggler idles the other 31 cores (PERF r14: sf10 8c/32c ratio
-    # 1.54 where ~4 is available).  Instead of tuning the constant for
-    # either scale, AQE picks the count per-exchange AT RUNTIME from
-    # the observed bytes: exchanges START at
-    # ``initial_parts_factor × n_shuffle`` partitions and coalesce
-    # down (parallelismFirst, the default, keeps at least one
-    # partition per core when bytes allow).  Tiny inputs therefore
-    # still collapse to a handful of tasks, while 10x-scale shuffles
-    # get multiple waves per core for straggler smoothing — and on a
-    # real cluster the same factor tracks executor count through
-    # ``shuffle_partitions``.  Env-tunable; factor 1 restores the r14
-    # behavior exactly.
+    # AQE initial reduce-side width factor (round 15, VERDICT r14
+    # item 5) — MEASURED AND REVERTED TO 1 LOCALLY: factor 4 (128
+    # initial partitions on local[32]) was A/B'd per guide §1 and
+    # made several mid-size sf10 shuffles 2-3x SLOWER
+    # (ngram_entropy_rate 3.5 -> 8.6 s, dedup_incremental_bloom
+    # 3.3 -> 8.6 s; factor toggled with everything else fixed) — at
+    # these byte sizes the M x R shuffle-block explosion and task
+    # overhead dominate any straggler smoothing (guide §2.2: fewer,
+    # larger partitions).  The knob stays for real clusters, where
+    # initialPartitionNum should exceed total cores so AQE can
+    # coalesce DOWN from data-sized widths (set
+    # SPARK_GRAFT_INITIAL_PARTS_FACTOR on the cluster profile);
+    # factor 1 keeps the driver's local bench on the r14 geometry.
     initial_factor = int(
-        os.environ.get("SPARK_GRAFT_INITIAL_PARTS_FACTOR", "4")
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTS_FACTOR", "1")
     )
     conf = {
         # reference parity: SparkBigData.scala:21,28 enables cross joins
